@@ -1,38 +1,342 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`queries()` exposes every implemented operator from SURVEY.md §2 as a
+(spark, sf_dir) -> DataFrame callable; `oracle_sql()` gives the DuckDB twin.
+The persistor-model tables are derived deterministically from the driver's
+`events` fixture (FIXTURES.md) by the REAL engine pipeline
+(persistor_spark.plans.ingest) on the Spark side and by shared portable SQL
+CTEs (persistor_spark.oracle) on the DuckDB side.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from persistor_spark import fixtures, oracle
+from persistor_spark.functions import keys
+from persistor_spark.operators.version_batching import version_column
+from persistor_spark.plans import resubmit
+from persistor_spark.plans.query import IndexQuery
+
+# ---------------------------------------------------------------------------
+# fixture pipeline cache: the D-series queries share one ingest per sf_dir
+# ---------------------------------------------------------------------------
+_CACHE: dict = {}
+
+
+def _tables(spark: SparkSession, sf_dir: str):
+    key = (id(spark), sf_dir)
+    if key not in _CACHE:
+        result = fixtures.run_fixture_ingest(spark, sf_dir)
+        result.index_metadata = result.index_metadata.cache()
+        result.blob_records = result.blob_records.cache()
+        result.deadletter = result.deadletter.cache()
+        _CACHE[key] = result
+    return _CACHE[key]
+
+
+def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return fixtures.load_messages(spark, sf_dir)
+
+
+def _iq(spark: SparkSession, sf_dir: str) -> IndexQuery:
+    return IndexQuery(_tables(spark, sf_dir).index_metadata)
+
+
+# ---------------------------------------------------------------------------
+# driver entry points
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full ingest -> index query -> resubmit position-align join
+    on sf0.001 (SURVEY.md §3.1+§3.3 end to end)."""
+    sf_dir = "/root/testdata/sf0.001"
+    t = _tables(spark, sf_dir)
+    iq = IndexQuery(t.index_metadata)
+    meta = iq.query_df(
+        [{"broker_id": "b0"}, {"ordering_key": "k5"}],
+        attributes=[
+            "unique_id",
+            "ordering_key",
+            "business_source_key",
+            "business_object_key",
+            "index_source_key",
+            "location_key",
+            "location_position",
+        ],
+    )
+    records, _ = resubmit.resubmit(meta, t.blob_records)
+    return records
+
+
+# -- D1..D16 Spark implementations ------------------------------------------
+
+def _d1(spark, sf_dir):
+    return (
+        _iq(spark, sf_dir)
+        .get("b3_m000000123", ["unique_id", "broker_id", "location_key", "location_position"])
+        .orderBy("unique_id")
+    )
+
+
+def _d2(spark, sf_dir):
+    ids = ["b1_m000000001", "b2_m000000002", "b3_m000000003", "b0_m000000004"]
+    return _iq(spark, sf_dir).get_all(ids, ["unique_id", "broker_id"]).orderBy("unique_id")
+
+
+_D3_FROM = "2024-01-05T00:00:00Z"
+_D3_TO = "2024-01-10T00:00:00Z"
+
+
+def _d3(spark, sf_dir):
+    from persistor_spark.functions.timestamps import parse_query_wire
+
+    res = _iq(spark, sf_dir).get_interval(
+        parse_query_wire(_D3_FROM).replace(tzinfo=None),
+        parse_query_wire(_D3_TO).replace(tzinfo=None),
+        "b1",
+        limit=20,
+        offset=40,
+        attributes=["unique_id", "publish_time"],
+    )
+    return res.messages
+
+
+def _d4(spark, sf_dir):
+    from persistor_spark.functions.timestamps import parse_query_wire
+
+    n = _iq(spark, sf_dir).get_interval_count(
+        parse_query_wire(_D3_FROM).replace(tzinfo=None),
+        parse_query_wire(_D3_TO).replace(tzinfo=None),
+        "b1",
+    )
+    return spark.createDataFrame([(n,)], "total_count bigint")
+
+
+def _d5(spark, sf_dir):
+    flt = [
+        {"broker_id": "b0", "ordering_key": "k4"},
+        {"business_source_key": "src2", "publish_time": {"$gte": "2024-01-03T00:00:00Z"}},
+    ]
+    return _iq(spark, sf_dir).query_df(flt, ["unique_id"]).orderBy("unique_id")
+
+
+def _d6(spark, sf_dir):
+    return (
+        _messages(spark, sf_dir)
+        .select(
+            keys.unique_id().alias("unique_id"),
+            keys.index_source_key().alias("index_source_key"),
+        )
+        .orderBy("unique_id")
+    )
+
+
+def _d7(spark, sf_dir):
+    return (
+        _messages(spark, sf_dir)
+        .groupBy(version_column("attr_version").alias("version"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("version")
+    )
+
+
+def _d8(spark, sf_dir):
+    return (
+        _messages(spark, sf_dir)
+        .groupBy(
+            F.year("ingestion_time").alias("y"),
+            F.month("ingestion_time").alias("m"),
+            F.dayofmonth("ingestion_time").alias("d"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("y", "m", "d")
+    )
+
+
+def _d9(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    records = resubmit.align(t.index_metadata, t.blob_records)
+    return records.select("unique_id", "payload").orderBy("unique_id")
+
+
+def _d10(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    return resubmit.locations_touched(t.index_metadata).orderBy("location_key")
+
+
+def _d11(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    return (
+        t.index_metadata.groupBy("unique_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .orderBy("unique_id")
+    )
+
+
+def _d12(spark, sf_dir):
+    msgs = _messages(spark, sf_dir).withColumn("unique_id", keys.unique_id())
+    dl = _tables(spark, sf_dir).deadletter
+    return (
+        msgs.join(dl.select("unique_id"), "unique_id", "left_anti")
+        .select("unique_id")
+        .orderBy("unique_id")
+    )
+
+
+def _d13(spark, sf_dir):
+    t = _tables(spark, sf_dir)
+    return t.index_metadata.agg(
+        F.count(F.lit(1)).alias("indexed"),
+        F.count("location_position").alias("positioned"),
+        F.countDistinct("location_key").alias("blobs"),
+    )
+
+
+def _d14(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = _tables(spark, sf_dir)
+    w = Window.partitionBy("broker_id").orderBy("publish_time", "unique_id")
+    return (
+        t.index_metadata.filter(F.col("publish_time").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("broker_id", "unique_id")
+        .orderBy("broker_id", "unique_id")
+    )
+
+
+def _d15(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def _d16(spark, sf_dir):
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("n_name")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "d1_point_lookup": _d1,
+        "d2_in_list": _d2,
+        "d3_interval_page": _d3,
+        "d4_interval_count": _d4,
+        "d5_or_of_ands": _d5,
+        "d6_key_derivation": _d6,
+        "d7_version_partition": _d7,
+        "d8_time_partition": _d8,
+        "d9_position_align_join": _d9,
+        "d10_group_by_location": _d10,
+        "d11_unique_invariant": _d11,
+        "d12_deadletter_antijoin": _d12,
+        "d13_lineage_counts": _d13,
+        "d14_window_topk": _d14,
+        "d15_orders_agg": _d15,
+        "d16_customer_nation_join": _d16,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# -- DuckDB oracles ----------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    P = oracle.with_prologue
+    return {
+        "d1_point_lookup": P(
+            "SELECT unique_id, broker_id, location_key, location_position "
+            "FROM index_metadata WHERE unique_id = 'b3_m000000123' ORDER BY unique_id"
+        ),
+        "d2_in_list": P(
+            "SELECT unique_id, broker_id FROM index_metadata WHERE unique_id IN "
+            "('b1_m000000001','b2_m000000002','b3_m000000003','b0_m000000004') "
+            "ORDER BY unique_id"
+        ),
+        "d3_interval_page": P(
+            "SELECT unique_id, publish_time FROM index_metadata "
+            "WHERE publish_time >= TIMESTAMP '2024-01-05 00:00:00' "
+            "AND publish_time < TIMESTAMP '2024-01-10 00:00:00' "
+            "AND broker_id = 'b1' ORDER BY unique_id LIMIT 20 OFFSET 40"
+        ),
+        "d4_interval_count": P(
+            "SELECT count(*) AS total_count FROM index_metadata "
+            "WHERE publish_time >= TIMESTAMP '2024-01-05 00:00:00' "
+            "AND publish_time < TIMESTAMP '2024-01-10 00:00:00' AND broker_id = 'b1'"
+        ),
+        "d5_or_of_ands": P(
+            "SELECT unique_id FROM index_metadata WHERE "
+            "(broker_id = 'b0' AND ordering_key = 'k4') OR "
+            "(business_source_key = 'src2' AND publish_time >= TIMESTAMP '2024-01-03 00:00:00') "
+            "ORDER BY unique_id"
+        ),
+        "d6_key_derivation": P(
+            "SELECT broker_id || '_' || broker_msg_id AS unique_id, "
+            "CASE WHEN business_source_key IS NOT NULL AND business_object_key IS NOT NULL "
+            "THEN business_source_key || '_' || business_object_key END AS index_source_key "
+            "FROM messages ORDER BY unique_id"
+        ),
+        "d7_version_partition": P(
+            "SELECT coalesce(attr_version, 'unknown') AS version, count(*) AS n "
+            "FROM messages GROUP BY 1 ORDER BY 1"
+        ),
+        "d8_time_partition": P(
+            "SELECT year(ingestion_time) AS y, month(ingestion_time) AS m, "
+            "day(ingestion_time) AS d, count(*) AS n FROM messages GROUP BY 1,2,3 "
+            "ORDER BY 1,2,3"
+        ),
+        "d9_position_align_join": P(
+            "SELECT m.unique_id, b.payload FROM index_metadata m "
+            "JOIN blob_records b ON m.location_key = b.location_key "
+            "AND m.location_position = b.position "
+            "UNION ALL "
+            "SELECT m.unique_id, b.payload FROM index_metadata m "
+            "JOIN blob_records b ON m.location_key = b.location_key "
+            "WHERE m.location_position IS NULL "
+            "ORDER BY unique_id"
+        ),
+        "d10_group_by_location": P(
+            "SELECT location_key, count(*) AS n, min(location_position) AS minp, "
+            "max(location_position) AS maxp FROM index_metadata "
+            "GROUP BY location_key ORDER BY location_key"
+        ),
+        "d11_unique_invariant": P(
+            "SELECT unique_id, count(*) AS c FROM index_metadata GROUP BY unique_id "
+            "HAVING count(*) > 1 ORDER BY unique_id"
+        ),
+        "d12_deadletter_antijoin": P(
+            "SELECT m.broker_id || '_' || m.broker_msg_id AS unique_id FROM messages m "
+            "LEFT JOIN deadletter d ON m.broker_id || '_' || m.broker_msg_id = d.unique_id "
+            "WHERE d.unique_id IS NULL ORDER BY 1"
+        ),
+        "d13_lineage_counts": P(
+            "SELECT count(*) AS indexed, count(location_position) AS positioned, "
+            "count(DISTINCT location_key) AS blobs FROM index_metadata"
+        ),
+        "d14_window_topk": P(
+            "SELECT broker_id, unique_id FROM ("
+            "SELECT broker_id, unique_id, row_number() OVER ("
+            "PARTITION BY broker_id ORDER BY publish_time, unique_id) AS rn "
+            "FROM index_metadata WHERE publish_time IS NOT NULL) t "
+            "WHERE rn <= 5 ORDER BY broker_id, unique_id"
+        ),
+        "d15_orders_agg": (
+            "SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 ORDER BY 1"
+        ),
+        "d16_customer_nation_join": (
+            "SELECT n_name, count(*) AS c FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1"
+        ),
+    }

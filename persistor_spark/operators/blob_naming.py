@@ -1,0 +1,103 @@
+"""Blob path generation (reference T4: storage.go:103-247).
+
+The reference builds `bucket/prefix + maskDirs + prefix-firstMsgID.ext` per
+mini-batch with wall-clock time parts.  Spark-first translation:
+
+- mask members become *derived columns* (date parts of an injectable clock,
+  `{attr}` substitutions with 'unknown' fill, custom constants);
+- the blob's identity is the deterministic `location_key` column — the
+  contract the index stores and resubmit joins on (SURVEY.md §7.3 hard
+  point 3: we pin the *path*, not Spark's task-owned physical file names);
+- the physical write is `partitionBy(mask columns)` so partition pruning
+  works on every mask member at read time.
+
+Blob filename: the reference names a blob after its FIRST message's id
+(storage.go:50,113) — an order artifact of a single-writer loop.  We name it
+after the deterministic partition identity (broker_id by default), which is
+stable under retries and parallel writers; `location_key` remains a dense
+join key either way (D9/D10 pin the semantics).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from persistor_spark.config import StorageConfig, TIME_MASK_MEMBERS
+from persistor_spark.operators.version_batching import UNKNOWN
+
+_TIME_PART_EXPR = {
+    "year": lambda clock: F.year(clock).cast("string"),
+    "month": lambda clock: F.lpad(F.month(clock).cast("string"), 2, "0"),
+    "day": lambda clock: F.lpad(F.dayofmonth(clock).cast("string"), 2, "0"),
+    "hour": lambda clock: F.lpad(F.hour(clock).cast("string"), 2, "0"),
+}
+
+
+def mask_columns(
+    cfg: StorageConfig,
+    clock: Column,
+    attributes: str = "attributes",
+) -> dict[str, Column]:
+    """One named Column per mask member, in mask order (storage.go:125-189).
+
+    Mask keys are case-insensitive in the reference (storage.go:198); config
+    normalizes to lowercase members.
+    """
+    cols: dict[str, Column] = {}
+    for member in cfg.mask:
+        m = member.lower()
+        if m in TIME_MASK_MEMBERS:
+            cols[f"__mask_{m}"] = _TIME_PART_EXPR[m](clock)
+        elif m.startswith("{") and m.endswith("}"):
+            attr = m[1:-1]
+            cols[f"__mask_{attr}"] = F.coalesce(
+                F.element_at(F.col(attributes), F.lit(attr)), F.lit(UNKNOWN)
+            )
+        else:
+            cols[f"__mask_{m}"] = F.lit(str(cfg.custom_values[m]))
+    return cols
+
+
+def location_key(
+    cfg: StorageConfig,
+    mask_cols: dict[str, Column],
+    blob_name: Column,
+) -> Column:
+    """Full blob URL: `<scheme>://<bucket>/<prefix>/<mask parts>/blob-<name>.<ext>`
+    (storage.go:253-264 addressing; S4/S5 parse it back)."""
+    parts: list[Column] = [F.lit(f"{cfg.base_url}/{cfg.prefix}/")]
+    for col in mask_cols.values():
+        parts.extend([col, F.lit("/")])
+    parts.extend([F.lit("blob-"), blob_name, F.lit(f".{cfg.extension}")])
+    return F.concat(*parts)
+
+
+def split_location(col: Column) -> tuple[Column, Column]:
+    """location URL -> (bucket, object path); mirrors the fetchers' URL
+    parsing (gs.go:54-89 splits gs://bucket/path; abs.go:76-114 the https
+    form).  Spark reads the URL directly, but the parse is exposed for
+    parity tests."""
+    no_scheme = F.regexp_replace(col, r"^[a-z]+://", "")
+    bucket = F.split(no_scheme, "/").getItem(0)
+    path = F.regexp_replace(no_scheme, r"^[^/]+/", "")
+    return bucket, path
+
+
+def add_blob_columns(
+    df: DataFrame,
+    cfg: StorageConfig,
+    clock: Column,
+    blob_name: Column | None = None,
+    attributes: str = "attributes",
+) -> tuple[DataFrame, list[str]]:
+    """Attach mask columns + `location_key`; returns (df, mask column names)
+    for use as `partitionBy(...)` keys on the physical write."""
+    cols = mask_columns(cfg, clock, attributes)
+    for name, col in cols.items():
+        df = df.withColumn(name, col)
+    name_col = blob_name if blob_name is not None else F.col("broker_id")
+    df = df.withColumn(
+        "location_key",
+        location_key(cfg, {n: F.col(n) for n in cols}, name_col),
+    )
+    return df, list(cols)

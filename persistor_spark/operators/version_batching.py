@@ -1,0 +1,36 @@
+"""Version batching (reference T3: version_batching.go:75-117).
+
+The reference hash-groups each broker batch by the tuple of version-attribute
+values (missing attribute -> literal "unknown") and writes one blob per group.
+Spark-first: we *materialize the version tuple as columns* and let hash
+partitioning / `partitionBy` do the grouping — no driver-side grouping, no
+shuffle beyond the partitioned write itself.  At 100 TB this is the difference
+between a Go map over an in-memory batch and a distributed dynamic-partition
+write; semantics are identical (D7 pins them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+UNKNOWN = "unknown"
+
+
+def version_column(key: str, attributes: str = "attributes") -> Column:
+    """Version value for one key: the attribute value, else 'unknown'
+    (addMessageToVersionMap, version_batching.go:29-71)."""
+    return F.coalesce(F.element_at(F.col(attributes), F.lit(key)), F.lit(UNKNOWN))
+
+
+def with_version_columns(
+    df: DataFrame, version_keys: tuple[str, ...], attributes: str = "attributes"
+) -> DataFrame:
+    """Add one `__version_<key>` column per version key.  Downstream
+    partitionBy on these columns reproduces BatchByVersions' mini-batches."""
+    for key in version_keys:
+        df = df.withColumn(f"__version_{key}", version_column(key, attributes))
+    return df
+
+
+def version_column_names(version_keys: tuple[str, ...]) -> list[str]:
+    return [f"__version_{k}" for k in version_keys]

@@ -1,0 +1,162 @@
+"""Batch ingest plan: messages -> (blob records, index metadata, dead letters).
+
+Collapses the reference's Core + Indexer services (SURVEY.md §3.1-3.2:
+persistor.go:96-166 batch handling, version split, blob write, metadata
+enrichment; indexer.go:46-110 validate + finalize) into ONE declarative
+DataFrame transformation.  The broker hop between the two services was an
+implementation artifact — in Spark the index rows are a second projection of
+the same micro-batch, so we never pay a second serialize/publish/consume.
+
+Scale shape:
+- version split (T3) = derived columns + `partitionBy` on write — distributed,
+  no driver grouping;
+- position assignment = one window shuffle keyed by `location_key` (bounded
+  partitions, see operators.positions);
+- everything else is narrow projections inside whole-stage codegen;
+- dead-letter routing (K6) is a filter split, not a second pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from persistor_spark.config import IngestConfig
+from persistor_spark.functions import keys
+from persistor_spark.operators import blob_naming, positions
+from persistor_spark.operators.version_batching import version_column_names, with_version_columns
+
+# Dead-letter reason attributes (sender.go:46-76; category strings from
+# persistor.go:43-46 and indexer.go:41-44).
+DL_CATEGORY_STORAGE = "Storage error"
+DL_CATEGORY_PARSER = "Metadata parser error"
+DL_CATEGORY_MONGO = "MongoDB storage error"
+DL_SOURCE_CORE = "Dataphos Persistor - Core"
+DL_SOURCE_INDEXER = "Dataphos Persistor - Indexer"
+
+
+@dataclass
+class IngestResult:
+    """The three outputs of one ingest batch (SURVEY.md §3.1)."""
+
+    blob_records: DataFrame
+    index_metadata: DataFrame
+    deadletter: DataFrame
+    mask_column_names: list
+
+
+def clock_expr(cfg: IngestConfig) -> Column:
+    """Deterministic clock column if configured, else wall clock
+    (storage.go:104 uses time.Now(); tests inject — SURVEY.md §7.3 #4)."""
+    return F.col(cfg.clock_column) if cfg.clock_column else F.current_timestamp()
+
+
+def run_batch(
+    messages: DataFrame,
+    cfg: IngestConfig,
+    failure: Column | None = None,
+    failure_category: Column | None = None,
+    failure_source: Column | None = None,
+) -> IngestResult:
+    """Transform one batch of messages.
+
+    `failure` marks rows whose persist would fail (mirrors the reference's
+    writer-failure injection tests, handler_test.go:519-645); they take the
+    dead-letter path (K6) and are excluded from blobs and index.  Production
+    streaming uses try/except + idempotent MERGE instead (E1 resolution).
+    """
+    cfg.validate()
+    msgs = messages
+    if failure is None:
+        failure = F.lit(False)
+    msgs = msgs.withColumn("__failed", failure)
+
+    # Dead-letter branch: original payload + attributes + 3 reason attributes.
+    dl_cat = failure_category if failure_category is not None else F.lit(DL_CATEGORY_STORAGE)
+    dl_src = failure_source if failure_source is not None else F.lit(DL_SOURCE_CORE)
+    deadletter = (
+        msgs.filter(F.col("__failed"))
+        .select(
+            keys.unique_id().alias("unique_id"),
+            F.col("payload"),
+            F.col("attributes"),
+            dl_cat.alias("dead_letter_error_category"),
+            F.lit("simulated persist failure").alias("dead_letter_error_reason"),
+            dl_src.alias("dead_letter_source"),
+        )
+    )
+    if not cfg.dead_letter_enabled:
+        deadletter = deadletter.limit(0)
+
+    live = msgs.filter(~F.col("__failed")).drop("__failed")
+
+    # T3 version split + T4 blob naming: derived columns, one pass.
+    live = with_version_columns(live, cfg.version_keys)
+    ver_cols = version_column_names(cfg.version_keys)
+    clock = clock_expr(cfg)
+    # Mask = configured members + version members appended (the reference
+    # interleaves them via `{attr}` mask entries; config may also put the
+    # version attr directly in the mask — avoid double-adding).
+    mask_members = list(cfg.storage.mask)
+    for vk in cfg.version_keys:
+        if "{" + vk + "}" not in mask_members:
+            mask_members = mask_members + ["{" + vk + "}"]
+    storage_cfg = cfg.storage.__class__(
+        **{**cfg.storage.__dict__, "mask": tuple(mask_members)}
+    )
+    live, mask_names = blob_naming.add_blob_columns(live, storage_cfg, clock)
+
+    live = live.withColumn("unique_id", keys.unique_id())
+
+    # Index projection (T5/T6 enrichment + T10 finalize).
+    idx_clock = clock + F.expr(f"INTERVAL {cfg.indexer_clock_skew_s} SECOND")
+    index_metadata = positions.with_positions(live).select(
+        "broker_id",
+        "broker_msg_id",
+        "unique_id",
+        "business_source_key",
+        "business_object_key",
+        keys.index_source_key().alias("index_source_key"),
+        "ordering_key",
+        keys.additional_metadata().alias("additional_metadata"),
+        "location_key",
+        "location_position",
+        "publish_time",
+        "ingestion_time",
+        idx_clock.alias("indexer_ingestion_time"),
+        F.lit(False).alias("confirmation_flag"),
+    )
+
+    # Blob projection (K3 record shape: persistor_record.go:23-33).
+    blob_records = positions.with_blob_positions(
+        live.select(
+            "location_key",
+            F.col("unique_id").alias("record_id"),
+            "payload",
+            F.col("attributes").alias("metadata"),
+            *mask_names,
+        ),
+        order_col="record_id",
+    ).select("location_key", "position", "record_id", "payload", "metadata", *mask_names)
+
+    return IngestResult(blob_records, index_metadata, deadletter, mask_names)
+
+
+def write_blobs(result: IngestResult, path: str, fmt: str = "avro") -> None:
+    """Physically persist blob records, directory-partitioned by the mask
+    columns so every mask member partition-prunes at read time (T4 parity:
+    same directory structure the reference builds by string concat)."""
+    (
+        result.blob_records.write.mode("append")
+        .partitionBy(*result.mask_column_names)
+        .format(fmt)
+        .save(path)
+    )
+
+
+def write_index(result: IngestResult, path: str, fmt: str = "parquet") -> None:
+    """Persist index metadata (K4 analogue).  Parquet append locally; on a
+    Delta-enabled cluster this becomes MERGE on unique_id for exactly-once
+    (E1 resolution, SURVEY.md §7.3 #1)."""
+    result.index_metadata.write.mode("append").format(fmt).save(path)

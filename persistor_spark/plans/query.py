@@ -1,0 +1,153 @@
+"""Index query surface — the Indexer API's 4 operations over `index_metadata`
+(reference: indexer-api/lib/repo/mongo.go:90-249, indexer.go:41-90).
+
+Design notes (SURVEY.md §2.1 Q1-Q12, §4.3):
+- Every operation is a declarative filter+project over the index DataFrame, so
+  Catalyst pushes predicates/projections into the parquet scan — the Spark
+  analogue of the hand-built BSON pushdowns (§4.1).
+- The reference paginates in Mongo NATURAL order (no sort — mongo.go:172-178),
+  which is nondeterministic; we order by `unique_id` (declared deviation,
+  SURVEY.md §4.3 item 3) so pages are stable and oracle-checkable.
+- `Interval` envelope reproduces indexer.go:41-47.
+- At scale: point/IN-list lookups are parquet scans with pushed filters (and
+  benefit from index-table sorting/Z-order on unique_id); the count+page pair
+  shares one cached filter when the caller keeps the DataFrame.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from datetime import datetime
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from persistor_spark.config import QueryConfig
+from persistor_spark.functions import filters as filter_dialect
+
+# Per-endpoint projections (indexer-api/lib/util.go:146-188).
+UNIQUE_REQUEST_ATTRIBUTES = [
+    "broker_id",
+    "broker_msg_id",
+    "business_source_key",
+    "business_object_key",
+    "unique_id",
+    "index_source_key",
+    "ordering_key",
+    "additional_metadata",
+    "location_key",
+    "location_position",
+    "publish_time",
+    "ingestion_time",
+    "indexer_ingestion_time",
+    "confirmation_flag",
+]
+INTERVAL_REQUEST_ATTRIBUTES = [
+    "broker_id",
+    "broker_msg_id",
+    "business_source_key",
+    "business_object_key",
+    "unique_id",
+    "ordering_key",
+    "additional_metadata",
+    "location_key",
+    "location_position",
+    "publish_time",
+]
+QUERY_REQUEST_ATTRIBUTES = INTERVAL_REQUEST_ATTRIBUTES
+
+
+@dataclass
+class Interval:
+    """Paged result envelope (indexer-api/lib/indexer.go:41-47)."""
+
+    total_count: int
+    returned_count: int
+    limit: int
+    offset: int
+    messages: DataFrame
+
+
+class IndexQuery:
+    """Query API over an index_metadata DataFrame."""
+
+    def __init__(self, index_metadata: DataFrame, cfg: QueryConfig | None = None):
+        self.idx = index_metadata
+        self.cfg = cfg or QueryConfig()
+        self.cfg.validate()
+
+    # -- Q1: point lookup -------------------------------------------------
+    def get(self, unique_id: str, attributes: Sequence[str] | None = None) -> DataFrame:
+        attrs = list(attributes or UNIQUE_REQUEST_ATTRIBUTES)
+        return self.idx.filter(F.col("unique_id") == unique_id).select(*attrs)
+
+    # -- Q2: IN-list lookup ----------------------------------------------
+    def get_all(self, unique_ids: Sequence[str], attributes: Sequence[str] | None = None) -> DataFrame:
+        """`unique_id IN (...)`.  Literal IN-list for typical sizes; for very
+        large id sets (resubmit replays) pass a DataFrame to
+        `get_all_df` for a broadcast semi join instead."""
+        attrs = list(attributes or UNIQUE_REQUEST_ATTRIBUTES)
+        return self.idx.filter(F.col("unique_id").isin(list(unique_ids))).select(*attrs)
+
+    def get_all_df(self, ids_df: DataFrame, attributes: Sequence[str] | None = None) -> DataFrame:
+        attrs = list(attributes or UNIQUE_REQUEST_ATTRIBUTES)
+        return (
+            self.idx.join(F.broadcast(ids_df), on="unique_id", how="left_semi").select(*attrs)
+        )
+
+    # -- Q3/Q4: interval scan + count envelope ----------------------------
+    def _interval_filter(self, time_from: datetime, time_to: datetime, broker_id: str):
+        # publish_time ∈ [from, to) AND broker_id = b (mongo.go:164-170; the
+        # handler's from/to arg swap nets out to this — SURVEY.md Q3 note).
+        return (
+            (F.col("publish_time") >= F.lit(time_from))
+            & (F.col("publish_time") < F.lit(time_to))
+            & (F.col("broker_id") == broker_id)
+        )
+
+    def get_interval(
+        self,
+        time_from: datetime,
+        time_to: datetime,
+        broker_id: str,
+        limit: int | None = None,
+        offset: int | None = None,
+        attributes: Sequence[str] | None = None,
+    ) -> Interval:
+        limit = self.cfg.default_limit if limit is None else limit
+        offset = self.cfg.default_offset if offset is None else offset
+        if limit <= 0 or offset < 0:
+            raise ValueError("limit must be > 0 and offset >= 0 (util.go:34-67)")
+        attrs = list(attributes or INTERVAL_REQUEST_ATTRIBUTES)
+        filtered = self.idx.filter(self._interval_filter(time_from, time_to, broker_id))
+        total = filtered.count()  # Q4 CountDocuments (mongo.go:194-209)
+        page = filtered.orderBy("unique_id").offset(offset).limit(limit).select(*attrs)
+        returned = min(max(total - offset, 0), limit)
+        return Interval(total, returned, limit, offset, page)
+
+    def get_interval_count(self, time_from: datetime, time_to: datetime, broker_id: str) -> int:
+        return self.idx.filter(self._interval_filter(time_from, time_to, broker_id)).count()
+
+    # -- Q5: generic Mongo-dialect query ----------------------------------
+    def query(
+        self,
+        filters: list[dict],
+        limit: int | None = None,
+        offset: int | None = None,
+        attributes: Sequence[str] | None = None,
+    ) -> Interval:
+        limit = self.cfg.default_limit if limit is None else limit
+        offset = self.cfg.default_offset if offset is None else offset
+        attrs = list(attributes or QUERY_REQUEST_ATTRIBUTES)
+        cond = filter_dialect.translate(filters)
+        filtered = self.idx.filter(cond)
+        total = filtered.count()
+        page = filtered.orderBy("unique_id").offset(offset).limit(limit).select(*attrs)
+        returned = min(max(total - offset, 0), limit)
+        return Interval(total, returned, limit, offset, page)
+
+    def query_df(self, filters: list[dict], attributes: Sequence[str] | None = None) -> DataFrame:
+        """Unpaged variant for in-engine composition (resubmit uses this —
+        client-side offset pagination R2/R3 is unnecessary over a DataFrame)."""
+        attrs = list(attributes or QUERY_REQUEST_ATTRIBUTES)
+        return self.idx.filter(filter_dialect.translate(filters)).select(*attrs)
