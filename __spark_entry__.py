@@ -230,6 +230,108 @@ def _d16(spark, sf_dir):
     )
 
 
+# -- analytics extension (dedup / similarity / text) -------------------------
+
+def _docs(spark, sf_dir):
+    from persistor_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, "documents")
+
+
+def _embs(spark, sf_dir):
+    from persistor_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def _a_dedup_exact(spark, sf_dir):
+    from persistor_spark.analytics import dedup
+
+    return dedup.exact_groups(_docs(spark, sf_dir)).orderBy("keeper_id")
+
+
+def _a_ngram_jaccard(spark, sf_dir):
+    from persistor_spark.analytics import dedup
+
+    return dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.8).orderBy("a", "b")
+
+
+def _a_minhash_lsh(spark, sf_dir):
+    from persistor_spark.analytics import dedup
+
+    return dedup.minhash_lsh_pairs(_docs(spark, sf_dir), 0.8).orderBy("a", "b")
+
+
+def _a_simhash(spark, sf_dir):
+    from persistor_spark.analytics import dedup
+
+    return dedup.simhash_pairs(_docs(spark, sf_dir), max_distance=8).orderBy("a", "b")
+
+
+def _a_embedding_topk(spark, sf_dir):
+    from persistor_spark.analytics import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 10)
+    out = similarity.brute_force_topk(embs, queries_df, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+def _a_lsh_topk(spark, sf_dir):
+    from persistor_spark.analytics import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 10)
+    out = similarity.cosine_lsh_topk(embs, queries_df, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+def _a_ivf_topk(spark, sf_dir):
+    from persistor_spark.analytics import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 10)
+    out = similarity.ivf_topk(embs, queries_df, k=5)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+def _a_text_stats(spark, sf_dir):
+    from persistor_spark.analytics import text
+
+    return (
+        text.with_text_stats(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            "token_count",
+            "distinct_token_ratio",
+            "stopword_ratio",
+            "quality_score",
+            "detected_lang",
+            "fingerprint",
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _a_langid_profile(spark, sf_dir):
+    from persistor_spark.analytics import text
+
+    return (
+        _docs(spark, sf_dir)
+        .groupBy(text.detect_language().alias("detected_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("detected_lang")
+    )
+
+
+def _a_multimodal_features(spark, sf_dir):
+    from persistor_spark.analytics import multimodal
+
+    media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
+    feats = multimodal.extract_image_features(media)
+    return feats.select("media_id", "width", "height", "n_bytes").orderBy("media_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "d1_point_lookup": _d1,
@@ -248,6 +350,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_window_topk": _d14,
         "d15_orders_agg": _d15,
         "d16_customer_nation_join": _d16,
+        "a1_dedup_exact": _a_dedup_exact,
+        "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
+        "a3_minhash_lsh_pairs": _a_minhash_lsh,
+        "a4_simhash_pairs": _a_simhash,
+        "a5_embedding_topk": _a_embedding_topk,
+        "a6_lsh_topk": _a_lsh_topk,
+        "a7_ivf_topk": _a_ivf_topk,
+        "a8_text_stats": _a_text_stats,
+        "a9_langid_profile": _a_langid_profile,
+        "a10_multimodal_features": _a_multimodal_features,
     }
 
 
@@ -339,4 +451,74 @@ def oracle_sql() -> dict[str, str]:
             "SELECT n_name, count(*) AS c FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey GROUP BY 1 ORDER BY 1"
         ),
+        "a1_dedup_exact": (
+            "SELECT md5(text) AS digest, min(doc_id) AS keeper_id, count(*) AS group_size "
+            "FROM documents GROUP BY md5(text) ORDER BY keeper_id"
+        ),
+        "a2_ngram_jaccard_pairs": _JACCARD_ORACLE,
+        # MinHash-LSH is exact-verified; at the fixture's J≈0.99 pair structure
+        # banded recall is ~1-1e-18, so it shares the exact-Jaccard oracle.
+        "a3_minhash_lsh_pairs": _JACCARD_ORACLE,
+        "a5_embedding_topk": (
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
+            "q AS (SELECT vec_id AS qid, emb AS qv FROM v WHERE vec_id < 10), "
+            "s AS (SELECT q.qid AS query_id, v.vec_id, "
+            "  round(list_dot_product(q.qv, v.emb) / "
+            "    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.emb, v.emb))), 4) AS cos "
+            "  FROM q CROSS JOIN v WHERE v.vec_id <> q.qid) "
+            "SELECT query_id, vec_id, cos, rank FROM ("
+            "  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s) "
+            "WHERE rank <= 5 ORDER BY query_id, rank"
+        ),
+        "a8_text_stats": _TEXT_STATS_ORACLE,
+        "a9_langid_profile": (
+            "WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks FROM documents) "
+            "SELECT CASE "
+            "  WHEN len(list_intersect(dtoks, ['le','la','et','les'])) >= 2 THEN 'fr' "
+            "  WHEN len(list_intersect(dtoks, ['der','die','und','das'])) >= 2 THEN 'de' "
+            "  WHEN len(list_intersect(dtoks, ['el','los','las','una'])) >= 2 THEN 'es' "
+            "  WHEN len(list_intersect(dtoks, ['the','and','of','to'])) >= 2 THEN 'en' "
+            "  ELSE 'und' END AS detected_lang, count(*) AS n "
+            "FROM t GROUP BY 1 ORDER BY 1"
+        ),
+        # a4_simhash_pairs / a6_lsh_topk / a7_ivf_topk / a10_multimodal_features:
+        # approximate or stub-backed operators — intentionally no SQL oracle
+        # (driver records rows-only); exactness is covered by pytest recall
+        # checks against the brute-force/exact twins.
     }
+
+
+_JACCARD_ORACLE = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "s AS (SELECT doc_id, "
+    "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+    "  FROM t) "
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "  round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
+    "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard "
+    "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+    "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+    "  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8 "
+    "ORDER BY a, b"
+)
+
+_TEXT_STATS_ORACLE = (
+    "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), "
+    "r AS (SELECT doc_id, text, len(toks) AS token_count, "
+    "  len(list_distinct(toks))::DOUBLE / len(toks) AS dtr, "
+    "  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','on'], x)))::DOUBLE "
+    "    / len(toks) AS swr, "
+    "  list_distinct(toks) AS dtoks FROM t) "
+    "SELECT doc_id, token_count, round(dtr, 4) AS distinct_token_ratio, "
+    "  round(swr, 4) AS stopword_ratio, "
+    "  round(((CASE WHEN token_count BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) "
+    "    + least(dtr * 2, 1.0) + least(swr * 10, 1.0)) / 3, 4) AS quality_score, "
+    "  CASE "
+    "    WHEN len(list_intersect(dtoks, ['le','la','et','les'])) >= 2 THEN 'fr' "
+    "    WHEN len(list_intersect(dtoks, ['der','die','und','das'])) >= 2 THEN 'de' "
+    "    WHEN len(list_intersect(dtoks, ['el','los','las','una'])) >= 2 THEN 'es' "
+    "    WHEN len(list_intersect(dtoks, ['the','and','of','to'])) >= 2 THEN 'en' "
+    "    ELSE 'und' END AS detected_lang, "
+    "  md5(lower(text)) AS fingerprint "
+    "FROM r ORDER BY doc_id"
+)

@@ -1,0 +1,269 @@
+"""Similarity search over an embedding column (`embeddings` fixture:
+vec_id BIGINT, embedding ARRAY<FLOAT>, label INT).
+
+Three strategies:
+
+- brute_force_topk: exact cosine top-k — broadcast the (small) query set
+  against the full vector table; one narrow pass + per-query top-k.  The
+  correctness baseline and, thanks to broadcast, already the right plan for
+  "few queries vs huge corpus" at cluster scale (no shuffle of the corpus).
+- cosine_lsh_topk: random-hyperplane (sign) LSH bucketing — the scale path
+  when BOTH sides are large: vectors hash to buckets, only same-bucket
+  candidates are scored, then exact re-rank.  Deterministic hyperplanes
+  (seeded) so results are reproducible.
+- ivf_topk: inverted-file (IVF) variant — vectors are assigned to their
+  nearest of C coarse centroids; queries probe the closest `nprobe`
+  centroid lists.  Mirrors FAISS-IVF's layout as a pure DataFrame plan:
+  the corpus is *partitioned by centroid id*, so a probe touches only
+  nprobe/C of the data.
+
+The dot product is a JVM `zip_with`+`aggregate` fold over array<double> —
+no Python in the hot path.  (A pandas_udf BLAS variant is provided for
+wide vectors; at dim<=256 the JVM expression wins by avoiding Arrow
+transfer.)
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (deterministic summation order)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k per query: (query_id, vec_id, cos) rows.
+
+    Ranking key is (round(cos,4) DESC, vec_id ASC): the 4-decimal tie-break
+    makes results reproducible across summation orders/platforms.
+    """
+    from pyspark.sql import Window
+
+    v = _as_double(vectors, id_col, vec_col)
+    q = _as_double(queries, query_id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = v.join(F.broadcast(q), F.lit(True))
+    if exclude_self:
+        scored = scored.filter(F.col("id") != F.col("query_id"))
+    scored = scored.withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("vec_id"), "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from dot products with fixed hyperplanes."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bits.append(F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def cosine_lsh_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+    seed: int = 7,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate cosine top-k: `n_tables` independent sign-LSH tables of
+    `n_planes` bits; candidates = union over tables of same-bucket vectors;
+    exact re-rank of candidates.
+
+    Recall rises with n_tables (union) and falls with n_planes (selectivity);
+    candidate fraction per table ≈ corpus/2^n_planes.  Tune so candidates
+    per query ≈ a few % of the corpus.
+    """
+    from pyspark.sql import Window
+
+    v = _as_double(vectors, id_col, vec_col)
+    q = _as_double(queries, query_id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    tables = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+    v_buckets = v.select(
+        "id",
+        "v",
+        F.array(*[_bucket_expr(F.col("v"), planes) for planes in tables]).alias("bks"),
+    ).select("id", "v", F.posexplode("bks").alias("table", "bucket"))
+    q_buckets = q.select(
+        "query_id",
+        "qv",
+        F.array(*[_bucket_expr(F.col("qv"), planes) for planes in tables]).alias("bks"),
+    ).select("query_id", "qv", F.posexplode("bks").alias("table", "bucket"))
+
+    candidates = (
+        v_buckets.join(F.broadcast(q_buckets), ["table", "bucket"])
+        .select("query_id", "qv", "id", "v")
+        .distinct()
+    )
+    if exclude_self:
+        candidates = candidates.filter(F.col("id") != F.col("query_id"))
+    scored = candidates.withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("vec_id"), "cos", "rank")
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-flat approximate top-k.
+
+    Coarse quantizer: every (n/C)-th vector by id is a centroid (deterministic
+    sampling stand-in for k-means — the *plan shape* is the point: corpus
+    partitioned by nearest-centroid, probes touch nprobe/C of it).
+    """
+    from pyspark.sql import Window
+
+    v = _as_double(vectors, id_col, vec_col)
+    n = v.count()
+    step = max(n // n_centroids, 1)
+    cents = (
+        v.filter((F.col("id") % step == 0) & (F.col("id") / step < n_centroids))
+        .select((F.col("id") / step).cast("int").alias("cid"), F.col("v").alias("cv"))
+    )
+    # assign every vector to its nearest centroid (one broadcast pass)
+    assigned = (
+        v.join(F.broadcast(cents), F.lit(True))
+        .withColumn("d", dot(F.col("v"), F.col("cv")))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("id").orderBy(F.col("d").desc())),
+        )
+        .filter(F.col("rk") == 1)
+        .select("cid", "id", "v")
+    )
+    q = _as_double(queries, query_id_col, vec_col).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    )
+    # each query probes its nprobe closest centroids
+    q_probe = (
+        q.join(F.broadcast(cents), F.lit(True))
+        .withColumn("d", dot(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("d").desc())),
+        )
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    candidates = assigned.join(F.broadcast(q_probe), "cid").select("query_id", "qv", "id", "v")
+    if exclude_self:
+        candidates = candidates.filter(F.col("id") != F.col("query_id"))
+    scored = candidates.withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("vec_id"), "cos", "rank")
+    )
+
+
+def brute_force_topk_pandas(
+    vectors: DataFrame,
+    queries_rows: list,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow-vectorized variant: queries held as a NumPy matrix on each
+    executor, scored per Arrow batch with one GEMV per query.  Wins over the
+    expression fold for wide vectors / many queries; provided for parity with
+    the pandas_udf pattern (pyspark_guide.md)."""
+    import numpy as np
+    import pandas as pd
+
+    qids = [r[0] for r in queries_rows]
+    qmat = np.array([r[1] for r in queries_rows], dtype=np.float64)
+    qnorm = np.linalg.norm(qmat, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(mat, axis=1)
+            sims = (mat @ qmat.T) / np.outer(norms, qnorm)
+            out = {
+                "query_id": np.repeat(qids, len(ids)),
+                "vec_id": np.tile(ids, len(qids)),
+                "cos": np.round(sims.T.ravel(), 4),
+            }
+            yield pd.DataFrame(out)
+
+    from pyspark.sql import Window
+
+    scored = vectors.mapInPandas(score, "query_id long, vec_id long, cos double")
+    scored = scored.filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )

