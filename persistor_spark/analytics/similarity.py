@@ -114,8 +114,8 @@ def cosine_lsh_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     dim: int = 64,
-    n_planes: int = 6,
-    n_tables: int = 8,
+    n_planes: int = 4,
+    n_tables: int = 16,
     seed: int = 7,
     exclude_self: bool = True,
 ) -> DataFrame:

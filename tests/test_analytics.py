@@ -1,0 +1,205 @@
+"""Analytics extension tests: exactness of the exact operators, recall of the
+approximate ones against their exact twins, and multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from persistor_spark.analytics import dedup, multimodal, similarity, text
+from persistor_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+# -- dedup -------------------------------------------------------------------
+
+def test_exact_dedup_keeps_one_per_text(spark, docs):
+    dup = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 10_000))
+    kept = dedup.drop_exact_duplicates(dup)
+    assert kept.count() == docs.count()
+    # min-id representative wins
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 10_000
+
+
+def test_exact_groups_counts(docs):
+    g = dedup.exact_groups(docs)
+    assert g.count() == docs.select("text").distinct().count()
+    total = g.agg(F.sum("group_size")).collect()[0][0]
+    assert total == docs.count()
+
+
+@pytest.fixture(scope="module")
+def exact_pairs(docs):
+    return {(r["a"], r["b"]) for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()}
+
+
+def test_ngram_jaccard_finds_planted_near_dups(exact_pairs):
+    assert len(exact_pairs) >= 10  # fixture plants ~25 near-dup pairs
+
+
+def test_minhash_lsh_equals_exact(docs, exact_pairs):
+    got = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs, 0.8).collect()}
+    # exact-verified LSH output == exact pairs whenever banding recall holds;
+    # at the fixture's J≈0.99 a miss is ~1e-18, so equality is deterministic
+    assert got == exact_pairs
+
+
+def test_minhash_lsh_no_verify_superset(docs, exact_pairs):
+    cands = {(r["a"], r["b"]) for r in dedup.minhash_lsh_pairs(docs, 0.8, verify=False).collect()}
+    assert exact_pairs <= cands
+
+
+def test_simhash_near_dups_have_small_distance(docs, exact_pairs):
+    sp = dedup.simhash_pairs(docs, max_distance=8)
+    got = {(r["a"], r["b"]) for r in sp.collect()}
+    # planted near-dups differ by a few tokens -> few SimHash bits
+    hit = len(exact_pairs & got)
+    assert hit >= len(exact_pairs) * 0.8
+
+
+def test_simhash_bits_shape(spark):
+    df = spark.createDataFrame([("hello world foo",)], "text string")
+    bits = df.select(dedup.simhash_bits("text").alias("b")).collect()[0]["b"]
+    assert len(bits) == 64 and set(bits) <= {0, 1}
+    packed = df.select(dedup.simhash("text").alias("p")).collect()[0]["p"]
+    assert isinstance(packed, int)
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "text string")
+    rows = df.select(dedup.shingles("text", 3).alias("s")).collect()
+    assert rows[0]["s"] == []  # fewer tokens than k
+    assert rows[1]["s"] == ["a b c", "b c d"]
+
+
+def test_max_doc_freq_cap_prunes(docs):
+    capped = dedup.ngram_jaccard_pairs(docs, 0.8, max_doc_freq=2)
+    uncapped_n = len(
+        {(r["a"], r["b"]) for r in dedup.ngram_jaccard_pairs(docs, 0.8).collect()}
+    )
+    assert capped.count() <= uncapped_n
+
+
+# -- similarity --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def brute_topk(embs):
+    q = embs.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(embs, q, k=10).collect()
+
+
+def test_brute_force_topk_shape(brute_topk):
+    by_q = {}
+    for r in brute_topk:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rows in by_q.items():
+        assert len(rows) == 10
+        cs = [r["cos"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert cs == sorted(cs, reverse=True)
+        assert all(r["vec_id"] != q for r in rows)
+
+
+def test_lsh_topk_recall(embs, brute_topk):
+    q = embs.filter(F.col("vec_id") < 10)
+    got = similarity.cosine_lsh_topk(embs, q, k=10).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in brute_topk}
+    found = {(r["query_id"], r["vec_id"]) for r in got}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"LSH recall too low: {recall}"
+
+
+def test_ivf_topk_recall(embs, brute_topk):
+    q = embs.filter(F.col("vec_id") < 10)
+    got = similarity.ivf_topk(embs, q, k=10, n_centroids=8, nprobe=4).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in brute_topk}
+    found = {(r["query_id"], r["vec_id"]) for r in got}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.4, f"IVF recall too low: {recall}"
+
+
+def test_pandas_topk_matches_expression_topk(embs, brute_topk):
+    q_rows = [(r["vec_id"], r["embedding"]) for r in embs.filter(F.col("vec_id") < 10).collect()]
+    got = similarity.brute_force_topk_pandas(embs, q_rows, k=10).collect()
+    truth = {(r["query_id"], r["vec_id"], r["cos"]) for r in brute_topk}
+    found = {(r["query_id"], r["vec_id"], r["cos"]) for r in got}
+    assert truth == found
+
+
+def test_cosine_of_self_is_one(spark):
+    df = spark.createDataFrame([([3.0, 4.0],)], "v array<double>")
+    c = df.select(similarity.cosine(F.col("v"), F.col("v")).alias("c")).collect()[0]["c"]
+    assert abs(c - 1.0) < 1e-12
+
+
+# -- text --------------------------------------------------------------------
+
+def test_text_stats_ranges(docs):
+    stats = text.with_text_stats(docs)
+    bad = stats.filter(
+        (F.col("token_count") <= 0)
+        | (F.col("distinct_token_ratio") <= 0)
+        | (F.col("distinct_token_ratio") > 1)
+        | (F.col("quality_score") < 0)
+        | (F.col("quality_score") > 1)
+    )
+    assert bad.count() == 0
+
+
+def test_fingerprint_is_case_insensitive(spark):
+    df = spark.createDataFrame([("Hello World", "hello world")], "a string, b string")
+    r = df.select(
+        (text.fingerprint("a") == text.fingerprint("b")).alias("eq")
+    ).collect()[0]["eq"]
+    assert r is True
+
+
+def test_detect_language_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("le chat et la table",),
+            ("der hund und die katze",),
+            ("just some random words here",),
+        ],
+        "text string",
+    )
+    got = [r[0] for r in df.select(text.detect_language("text")).collect()]
+    assert got[0] == "fr" and got[1] == "de"
+
+
+# -- multimodal --------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark, docs):
+    return multimodal.synthesize_media(spark, docs).cache()
+
+
+def test_image_features_schema_and_rows(media):
+    feats = multimodal.extract_image_features(media)
+    n_images = media.filter(F.col("media_type") == "image").count()
+    assert feats.count() == n_images
+    row = feats.first()
+    assert len(row["feature"]) == 8
+    assert row["n_bytes"] > 0
+
+
+def test_frame_sampling_row_explosion(media):
+    frames = multimodal.sample_frames(media, every_ms=2000)
+    vids = media.filter(F.col("media_type") == "video")
+    expected = vids.select(
+        F.sum(F.ceil(F.col("duration_ms") / 2000)).cast("long")
+    ).collect()[0][0]
+    assert frames.count() == expected
+
+
+def test_repartition_for_decode_preserves_rows(media):
+    out = multimodal.repartition_for_decode(media, target_bytes_per_partition=1 << 16)
+    assert out.count() == media.count()
+    assert out.rdd.getNumPartitions() >= 1
