@@ -1,0 +1,213 @@
+"""Streaming ingest: the reference's Core+Indexer services as ONE Structured
+Streaming query (SURVEY.md §3.1-3.2 Spark shape).
+
+    source (Kafka / files) --> parse+validate --> foreachBatch:
+        run_batch(...)  -> blob table (partitioned avro/parquet)
+                        -> index_metadata table
+                        -> dead-letter table
+
+Semantics mapping (reference -> Spark):
+- BatchSettings (5000 msgs / 30 s / 1 MB, persistor.toml:79-82) ->
+  `maxOffsetsPerTrigger` + `Trigger.ProcessingTime` + fetch byte caps
+  (kafka_source_options).
+- per-message nack (E1, persistor.go:131-163) -> micro-batch replay from the
+  checkpoint + idempotent sink; granularity is the batch, table state is
+  exactly-once (SURVEY.md §7.3 hard point 1).
+- strict JSON decode + validation (T7, transform.go:54-82) -> from_json with
+  a corrupt-record escape column; corrupt/invalid rows -> DLQ with reason
+  attributes instead of failing the query.
+- graceful drain (E6, run.go:66-72) -> query.stop() lets the in-flight
+  micro-batch finish.
+
+Scale: foreachBatch writes are partitioned by the mask columns (partition
+pruning for readers); the only shuffle per micro-batch is the bounded
+location_key window (operators.positions).  Checkpointing bounds replay; a
+Delta MERGE on unique_id upgrades the index to exactly-once on clusters that
+carry Delta.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from persistor_spark.config import IngestConfig
+from persistor_spark.plans import ingest
+from persistor_spark.schemas import MESSAGE_SCHEMA
+
+
+def kafka_source_options(cfg: IngestConfig, bootstrap: str, topic: str) -> dict:
+    """Kafka source tuning derived from BatchSettings exactly as the
+    reference's iterator does (iterator.go:27-61: MinBytes 100, MaxBytes =
+    BatchMemory floor 1024, MaxWait = BatchTimeout, MaxPollRecords =
+    BatchSize)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap,
+        "subscribe": topic,
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": str(cfg.batch.batch_size),
+        "kafka.fetch.min.bytes": "100",
+        "kafka.fetch.max.bytes": str(max(cfg.batch.batch_memory_bytes, 1024)),
+        "kafka.fetch.max.wait.ms": str(cfg.batch.batch_timeout_s * 1000),
+        "failOnDataLoss": "false",
+    }
+
+
+def kafka_stream(spark: SparkSession, cfg: IngestConfig, bootstrap: str, topic: str) -> DataFrame:
+    """readStream plan for a Kafka broker (untested locally — no broker in the
+    container; the file_stream path exercises everything downstream)."""
+    raw = spark.readStream.format("kafka").options(**kafka_source_options(cfg, bootstrap, topic))
+    return decode_kafka(raw.load(), topic)
+
+
+def decode_kafka(raw: DataFrame, topic: str) -> DataFrame:
+    """Kafka record -> message row: key/value/headers/timestamp mapped onto
+    MESSAGE_SCHEMA (the streamproc.Message shape, sender.go:121-133)."""
+    return raw.select(
+        F.lit(topic).alias("broker_id"),
+        F.concat(F.col("partition").cast("string"), F.lit("-"), F.col("offset").cast("string")).alias(
+            "broker_msg_id"
+        ),
+        F.col("key").cast("string").alias("ordering_key"),
+        F.col("value").cast("string").alias("payload"),
+        F.map_from_entries(
+            F.transform(
+                F.coalesce("headers", F.array()),
+                lambda h: F.struct(h["key"].alias("k"), h["value"].cast("string").alias("v")),
+            )
+        ).alias("attributes"),
+        F.lit(None).cast("string").alias("business_source_key"),
+        F.lit(None).cast("string").alias("business_object_key"),
+        F.lit(None).cast("string").alias("attr_version"),
+        F.col("timestamp").alias("publish_time"),
+        F.current_timestamp().alias("ingestion_time"),
+        F.col("offset").alias("event_seq"),
+        F.lit(None).cast("string").alias("event_type"),
+    )
+
+
+def file_stream(spark: SparkSession, path: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """Parquet-directory stream of MESSAGE_SCHEMA rows — the local test
+    source standing in for a broker (SURVEY.md §5: file source replaces
+    embedded Kafka)."""
+    return (
+        spark.readStream.schema(MESSAGE_SCHEMA)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .parquet(path)
+    )
+
+
+def parse_json_stream(raw: DataFrame, payload_col: str = "value") -> DataFrame:
+    """Strict JSON decode with DLQ escape (T7: DisallowUnknownFields +
+    required-field validation, transform.go:54-82).
+
+    PERMISSIVE mode + a corrupt-record column reproduces the good/bad split
+    (T8) declaratively: `__corrupt` IS NOT NULL or missing required fields
+    -> `__invalid` = true; the caller routes those rows to the DLQ.
+    """
+    schema = MESSAGE_SCHEMA.add("__corrupt", "string")
+    parsed = raw.select(
+        F.from_json(
+            F.col(payload_col).cast("string"),
+            schema,
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "__corrupt"},
+        ).alias("m"),
+        F.col(payload_col).cast("string").alias("__raw"),
+    ).select("m.*", "__raw")
+    required_ok = (
+        F.col("broker_id").isNotNull()
+        & F.col("broker_msg_id").isNotNull()
+        & F.col("ingestion_time").isNotNull()
+    )
+    return parsed.withColumn(
+        "__invalid", F.col("__corrupt").isNotNull() | ~required_ok
+    )
+
+
+@dataclass
+class StreamSinks:
+    blob_path: str
+    index_path: str
+    deadletter_path: str
+    checkpoint_path: str
+    blob_format: str = "parquet"  # avro on clusters with spark-avro in the distro
+
+
+@dataclass
+class StreamMetrics:
+    """E4 analogue: per-batch counters accumulated by the foreachBatch driver
+    (production: StreamingQueryListener -> Prometheus)."""
+
+    batches: int = 0
+    rows: int = 0
+    indexed: int = 0
+    dead_lettered: int = 0
+    history: list = field(default_factory=list)
+
+
+def run_stream(
+    messages: DataFrame,
+    cfg: IngestConfig,
+    sinks: StreamSinks,
+    failure=None,
+    trigger_available_now: bool = True,
+    processing_time: str | None = None,
+):
+    """Start the streaming ingest; returns (StreamingQuery, StreamMetrics).
+
+    `failure` mirrors run_batch's injection hook.  availableNow drains the
+    source then stops (test mode); processing_time="30 seconds" matches the
+    reference's BatchTimeout in production.
+    """
+    metrics = StreamMetrics()
+
+    def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # drop stream-parse bookkeeping if present
+        cols = [c for c in batch_df.columns if not c.startswith("__")]
+        invalid = None
+        if "__invalid" in batch_df.columns:
+            invalid = batch_df.filter(F.col("__invalid")).select(*cols)
+            batch_df = batch_df.filter(~F.col("__invalid")).select(*cols)
+        result = ingest.run_batch(batch_df, cfg, failure=failure)
+        ingest.write_blobs(result, sinks.blob_path, fmt=sinks.blob_format)
+        ingest.write_index(result, sinks.index_path)
+        dl = result.deadletter
+        if invalid is not None:
+            from persistor_spark.functions import keys
+
+            dl = dl.unionByName(
+                invalid.select(
+                    keys.unique_id().alias("unique_id"),
+                    F.col("payload"),
+                    F.col("attributes"),
+                    F.lit(ingest.DL_CATEGORY_PARSER).alias("dead_letter_error_category"),
+                    F.lit("malformed or invalid message").alias("dead_letter_error_reason"),
+                    F.lit(ingest.DL_SOURCE_INDEXER).alias("dead_letter_source"),
+                )
+            )
+        dl.write.mode("append").parquet(sinks.deadletter_path)
+        n_idx = result.index_metadata.count()
+        n_dl = dl.count()
+        metrics.batches += 1
+        metrics.indexed += n_idx
+        metrics.dead_lettered += n_dl
+        metrics.rows += n_idx + n_dl
+        metrics.history.append({"batch_id": batch_id, "indexed": n_idx, "dead_lettered": n_dl})
+
+    writer = (
+        messages.writeStream.foreachBatch(handle_batch)
+        .option("checkpointLocation", sinks.checkpoint_path)
+        .outputMode("update")
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    elif processing_time:
+        writer = writer.trigger(processingTime=processing_time)
+    return writer.start(), metrics
+
+
+def stop_gracefully(query, timeout_s: int = 60) -> None:
+    """E6: stop pulling, let the in-flight micro-batch finish."""
+    query.stop()
+    query.awaitTermination(timeout_s)
