@@ -1,0 +1,99 @@
+"""Blob read-back round trip (S4/S5 + R5/R6 over real files) and flow-control
+policy (E2/E3)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from persistor_spark.plans import ingest, resubmit
+from persistor_spark.sources import blobs
+from persistor_spark.streaming import flow_control as fc
+
+
+def test_write_read_resubmit_round_trip(spark, tmp_path, ingested):
+    """Persist blobs to disk, read them back, position-join against the
+    index: every indexed message reconstructs with its payload."""
+    path = str(tmp_path / "blobstore")
+    ingest.write_blobs(ingested, path, fmt="parquet")
+    back = blobs.read_blob_records(spark, path)
+    assert back.count() == ingested.blob_records.count()
+
+    records = resubmit.align(ingested.index_metadata, back)
+    assert records.count() == ingested.index_metadata.count()
+    by_id = ingested.index_metadata.join(
+        ingested.blob_records.select(F.col("record_id").alias("unique_id"), "payload"),
+        "unique_id",
+    ).select("unique_id", "payload")
+    assert records.select("unique_id", "payload").exceptAll(by_id).count() == 0
+
+
+def test_prune_to_locations_semi_join(spark, tmp_path, ingested):
+    path = str(tmp_path / "blobstore2")
+    ingest.write_blobs(ingested, path, fmt="parquet")
+    back = blobs.read_blob_records(spark, path)
+    meta = ingested.index_metadata.filter(F.col("broker_id") == "b1").limit(30)
+    pruned = blobs.prune_to_locations(back, meta)
+    wanted = {r[0] for r in meta.select("location_key").distinct().collect()}
+    got = {r[0] for r in pruned.select("location_key").distinct().collect()}
+    assert got == wanted
+
+
+def test_positions_from_files_foreign_layout(spark, tmp_path):
+    """A foreign blob dir (no position column): positions reconstruct
+    1..n per file from physical order."""
+    p = str(tmp_path / "foreign")
+    spark.range(100).selectExpr("cast(id as string) as record_id").coalesce(1).write.parquet(
+        p + "/f1"
+    )
+    spark.range(100, 150).selectExpr("cast(id as string) as record_id").coalesce(1).write.parquet(
+        p + "/f2"
+    )
+    df = spark.read.parquet(p + "/f1", p + "/f2")
+    got = blobs.positions_from_files(df, order_col="record_id")
+    stats = got.groupBy("location_key").agg(
+        F.min("position").alias("mn"), F.max("position").alias("mx"), F.count("*").alias("n")
+    )
+    for r in stats.collect():
+        assert r["mn"] == 1 and r["mx"] == r["n"]
+
+
+# -- flow control ------------------------------------------------------------
+
+def test_classify():
+    assert fc.classify(fc.FatalIngestError("x")) == "fatal"
+    assert fc.classify(fc.TemporaryIngestError("x")) == "temporary"
+    assert fc.classify(RuntimeError("x")) == "temporary"
+
+    class AnalysisException(Exception):
+        pass
+
+    assert fc.classify(AnalysisException("schema")) == "fatal"
+
+
+def test_error_budget_window():
+    b = fc.ErrorBudget(max_errors=3, window_s=60)
+    assert b.record(now=0.0) and b.record(now=1.0) and b.record(now=2.0)
+    assert not b.record(now=3.0)  # 4th inside the window
+    # events age out of the window
+    assert b.record(now=100.0)
+    assert b.current == 1
+
+
+def test_guard_batch_policy():
+    budget = fc.ErrorBudget(max_errors=2, window_s=60)
+
+    def ok():
+        return "fine"
+
+    def temp_fail():
+        raise fc.TemporaryIngestError("blip")
+
+    def fatal_fail():
+        raise fc.FatalIngestError("schema broke")
+
+    assert fc.guard_batch(budget, ok) == "fine"
+    assert fc.guard_batch(budget, temp_fail) is None  # swallowed, counted
+    assert fc.guard_batch(budget, temp_fail) is None
+    with pytest.raises(fc.BudgetExhausted):
+        fc.guard_batch(budget, temp_fail)
+    with pytest.raises(fc.FatalIngestError):
+        fc.guard_batch(budget, fatal_fail)
