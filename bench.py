@@ -5,9 +5,10 @@ Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
    "queries": {"<name>": sec, ...}, "sf": <sf>}
 
-Each query is timed end-to-end (fixture load -> plan -> action); DataFrames
-are materialized via count()/collect() of bounded results, never full
-collects of large outputs.
+Shape mirrors production: `ingest_persist` runs the full ingest and WRITES
+the partitioned blob + index tables to disk once; the query/resubmit benches
+then read the parquet-backed index so predicate pushdown / partition pruning
+are actually exercised (not an in-memory lineage replay).
 """
 
 from __future__ import annotations
@@ -15,7 +16,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import shutil
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -23,9 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from pyspark.sql import functions as F  # noqa: E402
 
 from persistor_spark import fixtures  # noqa: E402
-from persistor_spark.plans import resubmit  # noqa: E402
+from persistor_spark.plans import ingest, resubmit  # noqa: E402
 from persistor_spark.plans.query import IndexQuery  # noqa: E402
 from persistor_spark.session import build_session  # noqa: E402
+from persistor_spark.sources import blobs as blob_src  # noqa: E402
+from persistor_spark.sources.registry import load_table  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -35,49 +40,80 @@ def _sf() -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def bench_ingest_index(spark):
-    """Full ingest: messages -> index_metadata materialized."""
-    return fixtures.run_fixture_ingest(spark, SF_DIR).index_metadata.count()
+class Ctx:
+    def __init__(self, spark, workdir):
+        self.spark = spark
+        self.workdir = workdir
+        self.index_path = f"{workdir}/index"
+        self.blob_path = f"{workdir}/blobs"
+
+    def index(self):
+        return self.spark.read.parquet(self.index_path)
+
+    def blobs(self):
+        return blob_src.read_blob_records(self.spark, self.blob_path)
 
 
-def bench_point_lookup(spark):
-    t = fixtures.run_fixture_ingest(spark, SF_DIR)
-    return IndexQuery(t.index_metadata).get("b3_m000000123").count()
+def bench_ingest_persist(ctx: Ctx):
+    """Full ingest: derive messages -> version split -> blob naming ->
+    positions -> write partitioned blob table + index table."""
+    result = fixtures.run_fixture_ingest(ctx.spark, SF_DIR)
+    ingest.write_blobs(result, ctx.blob_path, fmt="parquet")
+    ingest.write_index(result, ctx.index_path)
 
 
-def bench_filter_query(spark):
-    t = fixtures.run_fixture_ingest(spark, SF_DIR)
+def bench_point_lookup(ctx: Ctx):
+    return IndexQuery(ctx.index()).get("b3_m000000123").count()
+
+
+def bench_filter_query(ctx: Ctx):
     flt = [
         {"broker_id": "b0", "ordering_key": "k4"},
         {"business_source_key": "src2", "publish_time": {"$gte": "2024-01-03T00:00:00Z"}},
     ]
-    return IndexQuery(t.index_metadata).query_df(flt, ["unique_id"]).count()
+    return IndexQuery(ctx.index()).query_df(flt, ["unique_id"]).count()
 
 
-def bench_position_join(spark):
-    t = fixtures.run_fixture_ingest(spark, SF_DIR)
-    records = resubmit.align(t.index_metadata, t.blob_records)
+def bench_interval_envelope(ctx: Ctx):
+    import datetime
+
+    res = IndexQuery(ctx.index()).get_interval(
+        datetime.datetime(2024, 1, 5), datetime.datetime(2024, 1, 10), "b1", limit=100, offset=100
+    )
+    return res.messages.count()
+
+
+def bench_resubmit_join(ctx: Ctx):
+    """Replay a filtered subset: prune blob scan to touched locations,
+    position-align join, count reconstructed records."""
+    meta = IndexQuery(ctx.index()).query_df(
+        [{"broker_id": "b2"}],
+        ["unique_id", "ordering_key", "business_source_key", "business_object_key",
+         "index_source_key", "location_key", "location_position"],
+    )
+    pruned = blob_src.prune_to_locations(ctx.blobs(), meta)
+    records, _ = resubmit.resubmit(meta, pruned, broadcast_metadata=True)
     return records.count()
 
 
-def bench_window_topk(spark):
+def bench_window_topk(ctx: Ctx):
     from pyspark.sql import Window
 
-    t = fixtures.run_fixture_ingest(spark, SF_DIR)
     w = Window.partitionBy("broker_id").orderBy("publish_time", "unique_id")
     return (
-        t.index_metadata.filter(F.col("publish_time").isNotNull())
+        ctx.index()
+        .filter(F.col("publish_time").isNotNull())
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .count()
     )
 
 
-def bench_lineitem_agg(spark):
-    """TPC-H Q1-style pricing summary (pins the built-in agg surface)."""
-    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+def bench_lineitem_agg(ctx: Ctx):
+    li = ctx.spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     return (
-        li.groupBy("l_returnflag", "l_linestatus")
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
             F.sum("l_extendedprice").alias("sum_base_price"),
@@ -89,10 +125,10 @@ def bench_lineitem_agg(spark):
     )
 
 
-def bench_join_agg(spark):
-    c = spark.read.parquet(f"{SF_DIR}/customer.parquet")
-    n = spark.read.parquet(f"{SF_DIR}/nation.parquet")
-    o = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+def bench_join_agg(ctx: Ctx):
+    c = ctx.spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    n = ctx.spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    o = ctx.spark.read.parquet(f"{SF_DIR}/orders.parquet")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -102,27 +138,58 @@ def bench_join_agg(spark):
     )
 
 
+def bench_dedup_minhash(ctx: Ctx):
+    from persistor_spark.analytics import dedup
+
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    return dedup.minhash_lsh_pairs(docs, 0.8).count()
+
+
+def bench_ann_topk(ctx: Ctx):
+    from persistor_spark.analytics import similarity
+
+    embs = load_table(ctx.spark, SF_DIR, "embeddings")
+    q = embs.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(embs, q, k=10).count()
+
+
+def bench_text_stats(ctx: Ctx):
+    from persistor_spark.analytics import text
+
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    return text.with_text_stats(docs).agg(F.avg("quality_score")).collect()
+
+
 QUERIES = {
-    "ingest_index": bench_ingest_index,
+    "ingest_persist": bench_ingest_persist,
     "point_lookup": bench_point_lookup,
     "filter_query": bench_filter_query,
-    "position_join": bench_position_join,
+    "interval_envelope": bench_interval_envelope,
+    "resubmit_join": bench_resubmit_join,
     "window_topk": bench_window_topk,
     "lineitem_agg": bench_lineitem_agg,
     "join_agg": bench_join_agg,
+    "dedup_minhash": bench_dedup_minhash,
+    "ann_topk": bench_ann_topk,
+    "text_stats": bench_text_stats,
 }
 
 
 def main():
     spark = build_session("persistor-bench")
+    workdir = tempfile.mkdtemp(prefix="persistor-bench-")
+    ctx = Ctx(spark, workdir)
     # warm the JVM + file listing so per-query times reflect plan execution
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
     times: dict[str, float] = {}
-    for name, fn in QUERIES.items():
-        t0 = time.time()
-        fn(spark)
-        times[name] = round(time.time() - t0, 3)
+    try:
+        for name, fn in QUERIES.items():
+            t0 = time.time()
+            fn(ctx)
+            times[name] = round(time.time() - t0, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
 
     total = round(sum(times.values()), 3)
     print(
