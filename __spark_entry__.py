@@ -332,6 +332,126 @@ def _a_multimodal_features(spark, sf_dir):
     return feats.select("media_id", "width", "height", "n_bytes").orderBy("media_id")
 
 
+# -- extended relational surface (SURVEY.md §2.2: categories the reference
+# lacks but the engine exposes; D14-D16 pinned the basics, these pin the rest)
+
+def _register(spark, sf_dir):
+    from persistor_spark.sources.registry import register_all
+
+    register_all(spark, sf_dir)
+
+
+def _e_rollup(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n",
+        )
+        .orderBy("prio", "status")
+    )
+
+
+def _e_cube(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.cube("o_orderpriority", "o_orderstatus")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("prio"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.round("rev", 2).alias("rev"),
+        )
+        .orderBy("prio", "status")
+    )
+
+
+def _e_set_ops(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    big_spenders = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("k"))
+    return building.intersect(big_spenders).orderBy("k")
+
+
+def _e_semi_anti(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    with_orders = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+    return (
+        with_orders.withColumn("has_orders", F.lit(True))
+        .unionByName(without.withColumn("has_orders", F.lit(False)))
+        .orderBy("c_custkey")
+    )
+
+
+def _e_window_lag(spark, sf_dir):
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.col("value") - F.lag("value").over(w), 2).alias("delta"),
+            F.round(F.sum("value").over(wsum), 2).alias("running"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .orderBy("event_id")
+    )
+
+
+def _e_scalar_subquery(spark, sf_dir):
+    _register(spark, sf_dir)
+    return spark.sql(
+        "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders "
+        "WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders) "
+        "ORDER BY o_orderkey"
+    )
+
+
+def _e_string_funcs(spark, sf_dir):
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    return (
+        part.select(
+            "p_partkey",
+            F.lower(F.col("p_brand")).alias("brand_lc"),
+            F.substring("p_name", 1, 8).alias("name8"),
+            F.length("p_type").alias("type_len"),
+            F.concat_ws("|", "p_brand", "p_type").alias("bt"),
+            F.when(F.col("p_size") >= 25, "large")
+            .when(F.col("p_size") >= 10, "medium")
+            .otherwise("small")
+            .alias("size_class"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+def _e_tumbling_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    bucket = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    return (
+        ev.groupBy(bucket.alias("bucket"), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .orderBy("bucket", "event_type")
+    )
+
+
+def _events(spark, sf_dir):
+    from persistor_spark.sources.registry import load_table
+
+    return load_table(spark, sf_dir, "events")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "d1_point_lookup": _d1,
@@ -360,6 +480,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
+        "e1_rollup": _e_rollup,
+        "e2_cube": _e_cube,
+        "e3_set_ops": _e_set_ops,
+        "e4_semi_anti_join": _e_semi_anti,
+        "e5_window_lag_lead_frames": _e_window_lag,
+        "e6_scalar_subquery": _e_scalar_subquery,
+        "e7_string_funcs": _e_string_funcs,
+        "e8_tumbling_window": _e_tumbling_window,
     }
 
 
@@ -485,6 +613,58 @@ def oracle_sql() -> dict[str, str]:
         # approximate or stub-backed operators — intentionally no SQL oracle
         # (driver records rows-only); exactness is covered by pytest recall
         # checks against the brute-force/exact twins.
+        "e1_rollup": (
+            "SELECT coalesce(o_orderpriority, 'ALL') AS prio, "
+            "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n "
+            "FROM orders GROUP BY ROLLUP(o_orderpriority, o_orderstatus) "
+            "ORDER BY prio, status"
+        ),
+        "e2_cube": (
+            "SELECT coalesce(o_orderpriority, 'ALL') AS prio, "
+            "coalesce(o_orderstatus, 'ALL') AS status, round(sum(o_totalprice), 2) AS rev "
+            "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus) "
+            "ORDER BY prio, status"
+        ),
+        "e3_set_ops": (
+            "SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING' "
+            "INTERSECT SELECT o_custkey AS k FROM orders WHERE o_totalprice > 100000 "
+            "ORDER BY k"
+        ),
+        "e4_semi_anti_join": (
+            "SELECT c_custkey, TRUE AS has_orders FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+            "UNION ALL "
+            "SELECT c_custkey, FALSE AS has_orders FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) "
+            "ORDER BY c_custkey"
+        ),
+        "e5_window_lag_lead_frames": (
+            "SELECT event_id, user_id, "
+            "round(value - lag(value) OVER w, 2) AS delta, "
+            "round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running, "
+            "lead(event_type) OVER w AS next_type "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id) "
+            "ORDER BY event_id"
+        ),
+        "e6_scalar_subquery": (
+            "SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders "
+            "WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders) "
+            "ORDER BY o_orderkey"
+        ),
+        "e7_string_funcs": (
+            "SELECT p_partkey, lower(p_brand) AS brand_lc, "
+            "substr(p_name, 1, 8) AS name8, length(p_type) AS type_len, "
+            "p_brand || '|' || p_type AS bt, "
+            "CASE WHEN p_size >= 25 THEN 'large' WHEN p_size >= 10 THEN 'medium' "
+            "ELSE 'small' END AS size_class "
+            "FROM part ORDER BY p_partkey"
+        ),
+        "e8_tumbling_window": (
+            "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket, "
+            "event_type, count(*) AS n, round(sum(value), 2) AS total "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
     }
 
 

@@ -143,10 +143,36 @@ def run_batch(
     return IngestResult(blob_records, index_metadata, deadletter, mask_names)
 
 
+_AVRO_CHECKED: dict = {}
+
+
+def avro_available(spark) -> bool:
+    """spark-avro is an external module (not in every distro); probe once.
+    The reference's blobs are Avro OCF (write_to_avro.go:34-43) — when the
+    module is absent we persist parquet with the same schema/layout, which
+    preserves every queryable property (location_key/position contract)."""
+    key = id(spark)
+    if key not in _AVRO_CHECKED:
+        try:
+            spark.sql("SELECT to_avro(named_struct('a', 1))")
+            _AVRO_CHECKED[key] = True
+        except Exception:  # noqa: BLE001 — any failure means "module absent"
+            _AVRO_CHECKED[key] = False
+    return _AVRO_CHECKED[key]
+
+
+def resolve_blob_format(spark, fmt: str) -> str:
+    if fmt == "avro" and not avro_available(spark):
+        return "parquet"
+    return fmt
+
+
 def write_blobs(result: IngestResult, path: str, fmt: str = "avro") -> None:
     """Physically persist blob records, directory-partitioned by the mask
     columns so every mask member partition-prunes at read time (T4 parity:
-    same directory structure the reference builds by string concat)."""
+    same directory structure the reference builds by string concat).
+    Format falls back avro->parquet when spark-avro isn't deployed."""
+    fmt = resolve_blob_format(result.blob_records.sparkSession, fmt)
     (
         result.blob_records.write.mode("append")
         .partitionBy(*result.mask_column_names)

@@ -138,6 +138,31 @@ def locations_touched(metadata: DataFrame) -> DataFrame:
     )
 
 
+def resubmit_observed(
+    metadata: DataFrame,
+    blob_records: DataFrame,
+    broadcast_metadata: bool | None = None,
+) -> tuple[DataFrame, "Observation", "Observation"]:
+    """resubmit() with `df.observe()` instrumentation: counters are collected
+    as a side effect of the ONE action that materializes the records — no
+    extra count() jobs (the streaming-friendly R9 shape).
+
+    Returns (records, meta_observation, records_observation); read
+    `obs.get["starting"] / ["published"]` after an action on `records`.
+    """
+    from pyspark.sql import Observation
+
+    meta_obs = Observation("resubmit_meta")
+    rec_obs = Observation("resubmit_records")
+    meta = metadata.observe(meta_obs, F.count(F.lit(1)).alias("starting"))
+    if broadcast_metadata:
+        meta = F.broadcast(meta)
+    records = _join(meta, blob_records).observe(
+        rec_obs, F.count(F.lit(1)).alias("published")
+    )
+    return records, meta_obs, rec_obs
+
+
 def lineage(metadata: DataFrame, records: DataFrame) -> LineageCounts:
     """Stage counters (R9) via two aggregations.  In streaming these become
     `df.observe()` metrics; batch-mode counts are exact."""
