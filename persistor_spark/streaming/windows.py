@@ -1,0 +1,133 @@
+"""Event-time streaming operators (SURVEY.md §2.2 'Streaming-only'):
+the reference has NO event-time semantics — late data is filed under the
+wall-clock partition (storage.go:104).  The engine adds the standard
+Structured Streaming surface as first-class operators, with processing-time
+parity remaining the default in plans.ingest.
+
+All operators take/return streaming DataFrames and also run in batch mode
+(Spark's unified semantics) — batch twins are what the DuckDB oracle pins
+(e8_tumbling_window); streaming tests drive them through a file stream.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_counts(
+    messages: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+    time_col: str = "ingestion_time",
+    key_col: str = "broker_id",
+) -> DataFrame:
+    """Watermarked tumbling-window counts per key: the event-time version of
+    the reference's per-batch throughput metrics (E4)."""
+    return (
+        messages.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+def sliding_throughput(
+    messages: DataFrame,
+    window: str = "10 minutes",
+    slide: str = "5 minutes",
+    watermark: str = "30 minutes",
+    time_col: str = "ingestion_time",
+) -> DataFrame:
+    """Sliding-window message/byte throughput (q50/90/99-style monitoring is
+    downstream of these aggregates)."""
+    return (
+        messages.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window, slide).alias("win"))
+        .agg(
+            F.count(F.lit(1)).alias("messages"),
+            F.sum(F.length("payload")).alias("bytes"),
+        )
+        .select(F.col("win.start").alias("window_start"), "messages", "bytes")
+    )
+
+
+def session_windows(
+    messages: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    time_col: str = "ingestion_time",
+    key_col: str = "ordering_key",
+) -> DataFrame:
+    """Session windows per ordering key (gap-based): groups bursts of
+    same-key messages — the event-time generalization of the reference's
+    ordering-key publish groups (R7)."""
+    return (
+        messages.filter(F.col(key_col).isNotNull())
+        .withWatermark(time_col, watermark)
+        .groupBy(F.session_window(time_col, gap).alias("win"), F.col(key_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            key_col,
+            "n",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: streaming first-seen dedup
+# ---------------------------------------------------------------------------
+
+DEDUP_STATE_SCHEMA = "seen_n long"
+DEDUP_OUTPUT_SCHEMA = "unique_id string, first_seen boolean"
+
+
+def streaming_first_seen(
+    messages: DataFrame,
+    key_col: str = "unique_id",
+    time_col: str = "ingestion_time",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stateful exactly-once-per-key marker via applyInPandasWithState:
+    emits (key, first_seen) where first_seen is True only the first time a
+    key appears across the stream's lifetime (within state retention).
+
+    This is the streaming complement of analytics.dedup: at-least-once
+    sources redeliver, and downstream exactly-once tables want a cheap
+    'have I indexed this unique_id already' gate without a join against the
+    whole index.  State is one counter per key, partitioned by key hash —
+    bounded memory per executor, timeout-evicted past the watermark.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n = sum(len(p) for p in pdfs)
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + n,))
+            first = False
+        else:
+            state.update((n,))
+            first = True
+        yield pd.DataFrame({"unique_id": [key[0]], "first_seen": [first]})
+
+    return (
+        messages.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=DEDUP_OUTPUT_SCHEMA,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

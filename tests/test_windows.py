@@ -1,0 +1,95 @@
+"""Event-time window operators: batch twins + streaming execution through a
+file stream (availableNow)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from persistor_spark import fixtures
+from persistor_spark.streaming import ingest_stream, windows
+
+
+@pytest.fixture(scope="module")
+def msgs(spark, sf_dir):
+    return fixtures.load_messages(spark, sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def streamed(spark, sf_dir, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("winsrc"))
+    fixtures.load_messages(spark, sf_dir).write.parquet(p, mode="overwrite")
+    return p
+
+
+def _run_to_memory(spark, df, name):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append" if "first_seen" in df.columns else "complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_counts_batch_totals(msgs):
+    out = windows.tumbling_counts(msgs, window="1 hour", watermark="2 hours")
+    total = out.agg(F.sum("n")).collect()[0][0]
+    assert total == msgs.count()
+    # window bounds are aligned hours
+    bad = out.filter(
+        (F.minute("window_start") != 0) | (F.second("window_start") != 0)
+    )
+    assert bad.count() == 0
+
+
+def test_sliding_throughput_overlap(msgs):
+    out = windows.sliding_throughput(msgs, window="2 hours", slide="1 hour")
+    # each message lands in exactly window/slide = 2 windows
+    total = out.agg(F.sum("messages")).collect()[0][0]
+    assert total == 2 * msgs.count()
+
+
+def test_session_windows_gap(msgs):
+    out = windows.session_windows(msgs, gap="30 minutes")
+    keyed = msgs.filter(F.col("ordering_key").isNotNull())
+    assert out.agg(F.sum("n")).collect()[0][0] == keyed.count()
+    # session bounds ordered
+    assert out.filter(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def test_tumbling_counts_streaming_equals_batch(spark, msgs, streamed):
+    stream = ingest_stream.file_stream(spark, streamed, max_files_per_trigger=10)
+    got = _run_to_memory(
+        spark, windows.tumbling_counts(stream, window="1 hour", watermark="2 hours"), "tumble"
+    )
+    want = windows.tumbling_counts(msgs, window="1 hour", watermark="2 hours")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_streaming_first_seen_dedup(spark, tmp_path, sf_dir):
+    """Duplicate-bearing stream: each unique_id is marked first_seen exactly
+    once across micro-batches."""
+    msgs = fixtures.load_messages(spark, sf_dir).limit(200)
+    dup = msgs.unionByName(msgs)  # redelivery simulation
+    src = str(tmp_path / "dupsrc")
+    dup.repartition(4).write.parquet(src)
+
+    stream = ingest_stream.file_stream(spark, src, max_files_per_trigger=1)
+    keyed = stream.withColumn(
+        "unique_id", F.concat_ws("_", "broker_id", "broker_msg_id")
+    )
+    out = windows.streaming_first_seen(keyed)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("firstseen")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.sql("SELECT * FROM firstseen")
+    firsts = res.filter(F.col("first_seen"))
+    assert firsts.count() == 200
+    assert firsts.select("unique_id").distinct().count() == 200
