@@ -1,0 +1,182 @@
+"""CLI surface — the engine's analogue of the reference's service entry
+points (persistor/cmd/*, indexer-api/lib/server.go, resubmitter handler):
+
+    python -m persistor_spark ingest  --source <parquet dir> --out <dir> [--stream]
+    python -m persistor_spark query   --index <dir> get <unique_id>
+    python -m persistor_spark query   --index <dir> interval <from> <to> <broker> [--limit N --offset N]
+    python -m persistor_spark query   --index <dir> filter '<json filters>' [--limit N --offset N]
+    python -m persistor_spark resubmit --index <dir> --blobs <dir> --out <dir> [--filters '<json>']
+
+The HTTP servers of the reference are deployment shells around exactly these
+operations; a thin REST layer over this module reproduces them 1:1 (same
+endpoints, same envelope, same 200/206/400 rules).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from persistor_spark.config import IngestConfig
+from persistor_spark.functions.timestamps import parse_query_wire
+from persistor_spark.session import build_session
+
+
+def _emit(obj) -> None:
+    print(json.dumps(obj, default=str))
+
+
+def cmd_ingest(args) -> int:
+    from pyspark.sql import functions as F
+
+    from persistor_spark.plans import ingest
+    from persistor_spark.schemas import MESSAGE_SCHEMA
+    from persistor_spark.streaming import ingest_stream
+
+    spark = build_session("persistor-ingest")
+    cfg = IngestConfig(clock_column=args.clock_column or None)
+    sinks = ingest_stream.StreamSinks(
+        blob_path=f"{args.out}/blobs",
+        index_path=f"{args.out}/index",
+        deadletter_path=f"{args.out}/deadletter",
+        checkpoint_path=f"{args.out}/_checkpoint",
+    )
+    if args.stream:
+        stream = ingest_stream.file_stream(spark, args.source)
+        q, metrics = ingest_stream.run_stream(stream, cfg, sinks)
+        q.awaitTermination()
+        _emit({"batches": metrics.batches, "indexed": metrics.indexed,
+               "dead_lettered": metrics.dead_lettered})
+    else:
+        messages = spark.read.schema(MESSAGE_SCHEMA).parquet(args.source)
+        result = ingest.run_batch(messages, cfg)
+        ingest.write_blobs(result, sinks.blob_path, fmt=args.blob_format)
+        ingest.write_index(result, sinks.index_path)
+        result.deadletter.write.mode("append").parquet(sinks.deadletter_path)
+        _emit({
+            "indexed": spark.read.parquet(sinks.index_path).count(),
+            "blob_rows": spark.read.parquet(sinks.blob_path).count(),
+        })
+    return 0
+
+
+def cmd_query(args) -> int:
+    from persistor_spark.functions.filters import InvalidQueryKeys, InvalidTimestamp
+    from persistor_spark.plans.query import IndexQuery
+
+    spark = build_session("persistor-query")
+    iq = IndexQuery(spark.read.parquet(args.index), cache_counts=True)
+    try:
+        return _run_query_op(args, iq)
+    except (InvalidQueryKeys, InvalidTimestamp, ValueError) as exc:
+        # the Indexer API's 400-response analogue (handler.go:122-177)
+        _emit({"error": str(exc)})
+        return 2
+
+
+def _run_query_op(args, iq) -> int:
+    if args.op == "get":
+        rows = [r.asDict() for r in iq.get(args.args[0]).collect()]
+        _emit(rows)
+    elif args.op == "get_all":
+        rows = [r.asDict() for r in iq.get_all(args.args).collect()]
+        _emit(rows)
+    elif args.op == "interval":
+        t_from, t_to, broker = args.args[:3]
+        res = iq.get_interval(
+            parse_query_wire(t_from).replace(tzinfo=None),
+            parse_query_wire(t_to).replace(tzinfo=None),
+            broker,
+            limit=args.limit,
+            offset=args.offset,
+        )
+        _emit({
+            "total_count": res.total_count,
+            "returned_count": res.returned_count,
+            "limit": res.limit,
+            "offset": res.offset,
+            "messages": [r.asDict() for r in res.messages.collect()],
+        })
+    elif args.op == "filter":
+        filters = json.loads(args.args[0])
+        res = iq.query(filters, limit=args.limit, offset=args.offset)
+        _emit({
+            "total_count": res.total_count,
+            "returned_count": res.returned_count,
+            "limit": res.limit,
+            "offset": res.offset,
+            "messages": [r.asDict() for r in res.messages.collect()],
+        })
+    else:
+        print(f"unknown query op {args.op}", file=sys.stderr)
+        return 2
+    return 0
+
+
+def cmd_resubmit(args) -> int:
+    from persistor_spark.plans import resubmit
+    from persistor_spark.plans.query import IndexQuery
+    from persistor_spark.sources import blobs as blob_src
+
+    spark = build_session("persistor-resubmit")
+    iq = IndexQuery(spark.read.parquet(args.index))
+    filters = json.loads(args.filters) if args.filters else [{}]
+    meta = iq.query_df(
+        filters,
+        ["unique_id", "ordering_key", "business_source_key", "business_object_key",
+         "index_source_key", "location_key", "location_position"],
+    )
+    blobs = blob_src.read_blob_records(spark, args.blobs)
+    pruned = blob_src.prune_to_locations(blobs, meta)
+    records, obs_meta, obs_rec = resubmit.resubmit_observed(meta, pruned)
+    records.write.mode("overwrite").parquet(args.out)
+    counts = resubmit.LineageCounts(
+        starting=obs_meta.get["starting"],
+        indexed=obs_meta.get["starting"],
+        fetched=obs_rec.get["published"],
+        deserialized=obs_rec.get["published"],
+        published=obs_rec.get["published"],
+    )
+    _emit({
+        "starting": counts.starting,
+        "published": counts.published,
+        "http_status": counts.http_status(),
+        "out": args.out,
+    })
+    return 0 if counts.http_status() == 200 else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="persistor_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest")
+    pi.add_argument("--source", required=True)
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--stream", action="store_true")
+    pi.add_argument("--blob-format", default="avro")
+    pi.add_argument("--clock-column", default=None)
+    pi.set_defaults(fn=cmd_ingest)
+
+    pq = sub.add_parser("query")
+    pq.add_argument("--index", required=True)
+    pq.add_argument("op", choices=["get", "get_all", "interval", "filter"])
+    pq.add_argument("args", nargs="*")
+    pq.add_argument("--limit", type=int, default=None)
+    pq.add_argument("--offset", type=int, default=None)
+    pq.set_defaults(fn=cmd_query)
+
+    pr = sub.add_parser("resubmit")
+    pr.add_argument("--index", required=True)
+    pr.add_argument("--blobs", required=True)
+    pr.add_argument("--out", required=True)
+    pr.add_argument("--filters", default=None)
+    pr.set_defaults(fn=cmd_resubmit)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

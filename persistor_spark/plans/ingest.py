@@ -181,8 +181,17 @@ def write_blobs(result: IngestResult, path: str, fmt: str = "avro") -> None:
     )
 
 
-def write_index(result: IngestResult, path: str, fmt: str = "parquet") -> None:
+def write_index(
+    result: IngestResult, path: str, fmt: str = "parquet", optimize_layout: bool = False
+) -> None:
     """Persist index metadata (K4 analogue).  Parquet append locally; on a
     Delta-enabled cluster this becomes MERGE on unique_id for exactly-once
-    (E1 resolution, SURVEY.md §7.3 #1)."""
-    result.index_metadata.write.mode("append").format(fmt).save(path)
+    (E1 resolution, SURVEY.md §7.3 #1).
+
+    `optimize_layout` range-partitions + sorts by unique_id so parquet
+    row-group min/max statistics prune point/IN-list lookups (the poor man's
+    Z-order; the reference gets the same effect from Mongo's _id index)."""
+    df = result.index_metadata
+    if optimize_layout:
+        df = df.repartitionByRange("unique_id").sortWithinPartitions("unique_id")
+    df.write.mode("append").format(fmt).save(path)

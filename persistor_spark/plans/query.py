@@ -69,12 +69,26 @@ class Interval:
 
 
 class IndexQuery:
-    """Query API over an index_metadata DataFrame."""
+    """Query API over an index_metadata DataFrame.
 
-    def __init__(self, index_metadata: DataFrame, cfg: QueryConfig | None = None):
+    `cache_counts` reproduces the reference's interval-count cache (Q11:
+    indexer-api/lib/repo/cache.go, LRU size 100) — worthwhile because the
+    count is the expensive half of every paged envelope and dashboards poll
+    identical intervals."""
+
+    COUNT_CACHE_SIZE = 100  # cache.go wiring: main.go:36 WithSize(100)
+
+    def __init__(
+        self,
+        index_metadata: DataFrame,
+        cfg: QueryConfig | None = None,
+        cache_counts: bool = False,
+    ):
         self.idx = index_metadata
         self.cfg = cfg or QueryConfig()
         self.cfg.validate()
+        self.cache_counts = cache_counts
+        self._count_cache: "OrderedDict" = __import__("collections").OrderedDict()
 
     # -- Q1: point lookup -------------------------------------------------
     def get(self, unique_id: str, attributes: Sequence[str] | None = None) -> DataFrame:
@@ -120,13 +134,24 @@ class IndexQuery:
             raise ValueError("limit must be > 0 and offset >= 0 (util.go:34-67)")
         attrs = list(attributes or INTERVAL_REQUEST_ATTRIBUTES)
         filtered = self.idx.filter(self._interval_filter(time_from, time_to, broker_id))
-        total = filtered.count()  # Q4 CountDocuments (mongo.go:194-209)
+        # Q4 CountDocuments (mongo.go:194-209), LRU-cached when enabled (Q11)
+        total = self.get_interval_count(time_from, time_to, broker_id)
         page = filtered.orderBy("unique_id").offset(offset).limit(limit).select(*attrs)
         returned = min(max(total - offset, 0), limit)
         return Interval(total, returned, limit, offset, page)
 
     def get_interval_count(self, time_from: datetime, time_to: datetime, broker_id: str) -> int:
-        return self.idx.filter(self._interval_filter(time_from, time_to, broker_id)).count()
+        if self.cache_counts:
+            key = (time_from, time_to, broker_id)
+            if key in self._count_cache:
+                self._count_cache.move_to_end(key)
+                return self._count_cache[key]
+        n = self.idx.filter(self._interval_filter(time_from, time_to, broker_id)).count()
+        if self.cache_counts:
+            self._count_cache[(time_from, time_to, broker_id)] = n
+            while len(self._count_cache) > self.COUNT_CACHE_SIZE:
+                self._count_cache.popitem(last=False)
+        return n
 
     # -- Q5: generic Mongo-dialect query ----------------------------------
     def query(
