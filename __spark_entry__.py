@@ -452,6 +452,33 @@ def _events(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
 
+def _d17(spark, sf_dir):
+    from persistor_spark.functions import sizes
+
+    return (
+        _messages(spark, sf_dir)
+        .select(
+            keys.unique_id().alias("unique_id"),
+            sizes.message_size().alias("size_bytes"),
+        )
+        .orderBy("unique_id")
+    )
+
+
+def _d18(spark, sf_dir):
+    from persistor_spark.functions import timestamps as ts
+
+    m = _messages(spark, sf_dir).withColumn("wire", ts.format_wire("ingestion_time"))
+    return (
+        m.select(
+            keys.unique_id().alias("unique_id"),
+            "wire",
+            (ts.parse_wire("wire") == F.col("ingestion_time")).alias("roundtrip_ok"),
+        )
+        .orderBy("unique_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "d1_point_lookup": _d1,
@@ -470,6 +497,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_window_topk": _d14,
         "d15_orders_agg": _d15,
         "d16_customer_nation_join": _d16,
+        "d17_message_size": _d17,
+        "d18_wire_timestamps": _d18,
         "a1_dedup_exact": _a_dedup_exact,
         "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
         "a3_minhash_lsh_pairs": _a_minhash_lsh,
@@ -613,6 +642,23 @@ def oracle_sql() -> dict[str, str]:
         # approximate or stub-backed operators — intentionally no SQL oracle
         # (driver records rows-only); exactness is covered by pytest recall
         # checks against the brute-force/exact twins.
+        "d17_message_size": P(
+            "SELECT broker_id || '_' || broker_msg_id AS unique_id, "
+            "length(payload) "
+            "+ CASE WHEN business_source_key IS NOT NULL "
+            "  THEN 19 + length(business_source_key) ELSE 0 END "
+            "+ CASE WHEN business_object_key IS NOT NULL "
+            "  THEN 19 + length(business_object_key) ELSE 0 END "
+            "+ CASE WHEN attr_version IS NOT NULL "
+            "  THEN 12 + length(attr_version) ELSE 0 END "
+            "+ 10 + length(event_type) AS size_bytes "
+            "FROM messages ORDER BY unique_id"
+        ),
+        "d18_wire_timestamps": P(
+            "SELECT broker_id || '_' || broker_msg_id AS unique_id, "
+            "strftime(ingestion_time, '%Y-%m-%d %H:%M:%S.%f') AS wire, "
+            "TRUE AS roundtrip_ok FROM messages ORDER BY unique_id"
+        ),
         "e1_rollup": (
             "SELECT coalesce(o_orderpriority, 'ALL') AS prio, "
             "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n "

@@ -57,9 +57,10 @@ class Ctx:
 def bench_ingest_persist(ctx: Ctx):
     """Full ingest: derive messages -> version split -> blob naming ->
     positions -> write partitioned blob table + index table."""
-    result = fixtures.run_fixture_ingest(ctx.spark, SF_DIR)
+    result = fixtures.run_fixture_ingest(ctx.spark, SF_DIR, persist_intermediate=False)
     ingest.write_blobs(result, ctx.blob_path, fmt="parquet")
     ingest.write_index(result, ctx.index_path)
+    result.unpersist()
 
 
 def bench_point_lookup(ctx: Ctx):

@@ -208,10 +208,13 @@ def minhash_lsh_pairs(
     holds, at a fraction of the join volume.
     """
     rows = num_perm // bands
-    # repartition by id first: a single parquet file otherwise sketches the
-    # whole corpus in ONE task; hashing + permutation then scale with cores.
-    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")).repartition(
-        "id"
+    # repartition the RAW text by id first: a single parquet file otherwise
+    # computes every shingle set in ONE task; post-shuffle the sketch scales
+    # with cores.
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition("id")
+        .select("id", shingles("__text", k).alias("sh"))
     )
     # Two-step sketch: shingle -> xxhash64 once in the JVM, then the
     # vectorized permutation UDF (see minhash_signature_udf).  The UDF is an
@@ -313,10 +316,14 @@ def simhash_pairs(
     catch all pairs with < n_bands differing bits); verify by exact Hamming
     distance."""
     width = 64 // n_bands
-    # repartition = materialization barrier (see minhash_lsh_pairs): keeps the
-    # bit-vote expression from being re-inlined into each band lambda.
-    h = df.select(F.col(id_col).alias("id"), simhash_bits(text_col).alias("bits")).repartition(
-        "id"
+    # first repartition parallelizes the bit-vote computation across cores;
+    # the second is a materialization barrier keeping CollapseProject from
+    # re-inlining the bit-vote expression into each band lambda.
+    h = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition("id")
+        .select("id", simhash_bits("__text").alias("bits"))
+        .repartition("id")
     )
     # band value = the packed bit-slice (aggregate works with the lambda-var
     # band index; a shiftright formulation can't — shift amounts must be

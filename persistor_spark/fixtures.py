@@ -98,7 +98,7 @@ def fixture_ingest_config():
     )
 
 
-def run_fixture_ingest(spark: SparkSession, sf_dir: str):
+def run_fixture_ingest(spark: SparkSession, sf_dir: str, persist_intermediate: bool = False):
     """events -> messages -> full ingest via the real engine pipeline, with
     the deterministic ~1.2% failure injection the oracle CTEs expect.
 
@@ -123,4 +123,5 @@ def run_fixture_ingest(spark: SparkSession, sf_dir: str):
                 F.lit(ingest.DL_SOURCE_CORE)
             )
         ),
+        persist_intermediate=persist_intermediate,
     )

@@ -44,6 +44,11 @@ class IngestResult:
     index_metadata: DataFrame
     deadletter: DataFrame
     mask_column_names: list
+    _intermediate: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self._intermediate is not None:
+            self._intermediate.unpersist()
 
 
 def clock_expr(cfg: IngestConfig) -> Column:
@@ -58,6 +63,7 @@ def run_batch(
     failure: Column | None = None,
     failure_category: Column | None = None,
     failure_source: Column | None = None,
+    persist_intermediate: bool = False,
 ) -> IngestResult:
     """Transform one batch of messages.
 
@@ -108,6 +114,10 @@ def run_batch(
     live, mask_names = blob_naming.add_blob_columns(live, storage_cfg, clock)
 
     live = live.withColumn("unique_id", keys.unique_id())
+    # blob and index projections fork here; caching the shared prefix stops
+    # each sink's action from re-deriving it (used by bench + foreachBatch)
+    if persist_intermediate:
+        live = live.persist()
 
     # Index projection (T5/T6 enrichment + T10 finalize).
     idx_clock = clock + F.expr(f"INTERVAL {cfg.indexer_clock_skew_s} SECOND")
@@ -140,7 +150,13 @@ def run_batch(
         order_col="record_id",
     ).select("location_key", "position", "record_id", "payload", "metadata", *mask_names)
 
-    return IngestResult(blob_records, index_metadata, deadletter, mask_names)
+    return IngestResult(
+        blob_records,
+        index_metadata,
+        deadletter,
+        mask_names,
+        _intermediate=live if persist_intermediate else None,
+    )
 
 
 _AVRO_CHECKED: dict = {}

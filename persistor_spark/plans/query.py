@@ -57,6 +57,28 @@ INTERVAL_REQUEST_ATTRIBUTES = [
 QUERY_REQUEST_ATTRIBUTES = INTERVAL_REQUEST_ATTRIBUTES
 
 
+def extract_interval_params(
+    from_str: str | None,
+    to_str: str | None,
+    now: datetime | None = None,
+) -> tuple[datetime, datetime]:
+    """Q10 (util.go:69-120): `from` defaults to the zero time, `to` defaults
+    to now, and a future upper bound is rejected."""
+    from persistor_spark.functions.timestamps import parse_query_wire
+
+    now = now or datetime.utcnow()
+    t_from = (
+        parse_query_wire(from_str).replace(tzinfo=None) if from_str else datetime(1, 1, 1)
+    )
+    t_to = parse_query_wire(to_str).replace(tzinfo=None) if to_str else now
+    if t_to > now:
+        raise ValueError(
+            "error during upper interval bound parsing: the given bound can't "
+            f"be in the future (current time: {now}, given time:{t_to})"
+        )
+    return t_from, t_to
+
+
 @dataclass
 class Interval:
     """Paged result envelope (indexer-api/lib/indexer.go:41-47)."""

@@ -163,13 +163,16 @@ def run_stream(
     metrics = StreamMetrics()
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # cache the micro-batch: three sinks (blobs/index/dlq) each trigger an
+        # action, and without the cache each re-reads the source slice
+        batch_df = batch_df.persist()
         # drop stream-parse bookkeeping if present
         cols = [c for c in batch_df.columns if not c.startswith("__")]
         invalid = None
         if "__invalid" in batch_df.columns:
             invalid = batch_df.filter(F.col("__invalid")).select(*cols)
             batch_df = batch_df.filter(~F.col("__invalid")).select(*cols)
-        result = ingest.run_batch(batch_df, cfg, failure=failure)
+        result = ingest.run_batch(batch_df, cfg, failure=failure, persist_intermediate=True)
         ingest.write_blobs(result, sinks.blob_path, fmt=sinks.blob_format)
         ingest.write_index(result, sinks.index_path)
         dl = result.deadletter
@@ -194,6 +197,8 @@ def run_stream(
         metrics.dead_lettered += n_dl
         metrics.rows += n_idx + n_dl
         metrics.history.append({"batch_id": batch_id, "indexed": n_idx, "dead_lettered": n_dl})
+        result.unpersist()
+        batch_df.unpersist()
 
     writer = (
         messages.writeStream.foreachBatch(handle_batch)
