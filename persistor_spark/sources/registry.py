@@ -30,8 +30,20 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _ensure_session_conf(spark: SparkSession) -> None:
+    """Defensive conf for sessions we didn't build (e.g. the driver's):
+    ns-timestamp parquet needs the legacy long read, and oracle hash parity
+    assumes UTC.  Both are runtime-settable SQL confs."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:  # noqa: BLE001 — immutable conf => session already ok
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table, normalizing any ns-long timestamp columns."""
+    _ensure_session_conf(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if isinstance(field.dataType, T.LongType) and field.metadata.get("__is_nanos"):
