@@ -452,6 +452,52 @@ def _events(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
 
+def _e9_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (batch twin of
+    streaming.windows.session_windows): new session when the same user's
+    gap exceeds 30 minutes; lag + conditional cumulative sum."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800
+        ).cast("int"),
+    ).withColumn("session_id", F.sum(F.coalesce("new_session", F.lit(1))).over(w))
+    return (
+        flagged.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+            F.max("event_id").alias("last_event"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def _e10_join_topk(spark, sf_dir):
+    """TPC-H Q3-style: 3-way join, filter, agg, top-10 (pins join reordering
+    + partial agg + limit pushdown on a sorted agg)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
 def _d17(spark, sf_dir):
     from persistor_spark.functions import sizes
 
@@ -517,6 +563,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_scalar_subquery": _e_scalar_subquery,
         "e7_string_funcs": _e_string_funcs,
         "e8_tumbling_window": _e_tumbling_window,
+        "e9_sessionize": _e9_sessionize,
+        "e10_join_topk": _e10_join_topk,
     }
 
 
@@ -710,6 +758,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket, "
             "event_type, count(*) AS n, round(sum(value), 2) AS total "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "e9_sessionize": (
+            "WITH flagged AS ("
+            "  SELECT user_id, event_id, "
+            "    CAST(floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800 AS INT) AS new_session "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
+            "), sess AS ("
+            "  SELECT user_id, event_id, "
+            "    sum(coalesce(new_session, 1)) OVER ("
+            "      PARTITION BY user_id ORDER BY event_id "
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+            "  FROM flagged)"
+            "SELECT user_id, session_id, count(*) AS n_events, "
+            "  min(event_id) AS first_event, max(event_id) AS last_event "
+            "FROM sess GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "e10_join_topk": (
+            "SELECT o_orderkey, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue "
+            "FROM customer JOIN orders ON c_custkey = o_custkey "
+            "JOIN lineitem ON o_orderkey = l_orderkey "
+            "WHERE c_mktsegment = 'BUILDING' "
+            "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
         ),
     }
 
