@@ -324,6 +324,13 @@ def _a_langid_profile(spark, sf_dir):
     )
 
 
+def _a_dedup_clusters(spark, sf_dir):
+    from persistor_spark.analytics import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    return dedup.dedup_clusters(pairs).orderBy("doc_id")
+
+
 def _a_multimodal_features(spark, sf_dir):
     from persistor_spark.analytics import multimodal
 
@@ -555,6 +562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
+        "a11_dedup_clusters": _a_dedup_clusters,
         "e1_rollup": _e_rollup,
         "e2_cube": _e_cube,
         "e3_set_ops": _e_set_ops,
@@ -758,6 +766,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket, "
             "event_type, count(*) AS n, round(sum(value), 2) AS total "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # a11: iterative connected components — the DuckDB twin is a
+        # recursive-CTE transitive closure over the same exact-Jaccard pairs
+        "a11_dedup_clusters": (
+            "WITH RECURSIVE "
+            "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+            "  FROM t), "
+            "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+            "edges AS (SELECT a AS src, b AS dst FROM pairs "
+            "  UNION SELECT b AS src, a AS dst FROM pairs), "
+            "reach(src, dst) AS ("
+            "  SELECT src, dst FROM edges "
+            "  UNION "
+            "  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
+            "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
+            "FROM reach GROUP BY src ORDER BY doc_id"
         ),
         "e9_sessionize": (
             "WITH flagged AS ("

@@ -355,6 +355,71 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# duplicate-cluster resolution (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Resolve near-dup PAIRS into CLUSTERS: connected components by
+    iterative min-label propagation; returns (doc_id, cluster_id) where
+    cluster_id is the minimum doc id reachable through the pair graph.
+
+    The downstream dedup policy "keep one representative per near-dup
+    cluster" needs components, not pairs — pairs (8,245),(245,300) must
+    collapse to ONE keeper.  Each iteration is one join + one aggregation
+    (label <- min(label, neighbors' labels)); iteration count is bounded by
+    the graph diameter (near-dup clusters are tiny — convergence in 2-3
+    rounds), and the loop exits early on fixpoint.  This is the standard
+    large-graph CC pattern (cf. GraphFrames' label propagation); data volume
+    per round is |edges|, partitioned by vertex id.
+    """
+    edges = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def keep_cluster_representatives(df: DataFrame, clusters: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Drop every clustered doc except its min-id representative (docs not in
+    any cluster are kept)."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(losers.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
 # embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -159,6 +159,35 @@ def run_batch(
     )
 
 
+def write_index_merge(result: IngestResult, path: str) -> int:
+    """Exactly-once index append WITHOUT Delta: anti-join the incoming batch
+    against the unique_ids already present, append only the new rows.
+    Returns the number of rows appended.
+
+    This is the E1 resolution for redelivered batches (at-least-once source
+    -> exactly-once table): a replayed micro-batch finds all its unique_ids
+    present and appends nothing.  On Delta/Iceberg clusters this whole
+    function is `MERGE INTO ... WHEN NOT MATCHED THEN INSERT`; the anti-join
+    formulation keeps the same semantics on plain parquet.  Scale note: the
+    existing-side scan projects ONLY unique_id (column-pruned) and the join
+    is key-hash distributed; with the sorted layout option row-group stats
+    prune untouched files.
+    """
+    spark = result.index_metadata.sparkSession
+    new = result.index_metadata
+    try:
+        existing_ids = spark.read.parquet(path).select("unique_id")
+        new = new.join(existing_ids, "unique_id", "left_anti")
+    except Exception:  # noqa: BLE001 — first write: no table yet
+        pass
+    new = new.persist()
+    n = new.count()
+    if n:
+        new.write.mode("append").parquet(path)
+    new.unpersist()
+    return n
+
+
 _AVRO_CHECKED: dict = {}
 
 

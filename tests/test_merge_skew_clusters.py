@@ -1,0 +1,88 @@
+"""Exactly-once merge, skew salting, dedup cluster resolution."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from persistor_spark.analytics import dedup
+from persistor_spark.operators import skew
+from persistor_spark.plans import ingest
+
+
+def test_write_index_merge_idempotent(spark, tmp_path, ingested):
+    path = str(tmp_path / "idx")
+    n1 = ingest.write_index_merge(ingested, path)
+    assert n1 == ingested.index_metadata.count()
+    # redelivery of the SAME batch appends nothing (E1: exactly-once table)
+    n2 = ingest.write_index_merge(ingested, path)
+    assert n2 == 0
+    assert spark.read.parquet(path).count() == n1
+    # unique_id stays a primary key
+    assert spark.read.parquet(path).select("unique_id").distinct().count() == n1
+
+
+def test_salted_count_matches_plain(spark, sf_dir):
+    from persistor_spark import fixtures
+
+    msgs = fixtures.load_messages(spark, sf_dir)
+    plain = {
+        (r["broker_id"],): r["n"]
+        for r in msgs.groupBy("broker_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    salted = {
+        (r["broker_id"],): r["n"]
+        for r in skew.salted_count(
+            msgs, ["broker_id"], factor=8, deterministic_col="broker_msg_id"
+        ).collect()
+    }
+    assert plain == salted
+
+
+def test_salted_agg_two_phase(spark, sf_dir):
+    from persistor_spark import fixtures
+
+    msgs = fixtures.load_messages(spark, sf_dir).withColumn("sz", F.length("payload"))
+    got = {
+        r["broker_id"]: (r["total"], r["mx"])
+        for r in skew.salted_agg(
+            msgs,
+            ["broker_id"],
+            partial_aggs=[F.sum("sz").alias("__s"), F.max("sz").alias("__m")],
+            final_aggs=[F.sum("__s").alias("total"), F.max("__m").alias("mx")],
+            deterministic_col="broker_msg_id",
+        ).collect()
+    }
+    want = {
+        r["broker_id"]: (r["total"], r["mx"])
+        for r in msgs.groupBy("broker_id")
+        .agg(F.sum("sz").alias("total"), F.max("sz").alias("mx"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    big = spark.range(0, 2000).withColumn("k", (F.col("id") % 3).cast("int"))
+    small = spark.createDataFrame([(0, "x"), (1, "y"), (2, "z")], "k int, v string")
+    plain = big.join(small, "k").count()
+    salted = skew.salted_join(big, small, "k", factor=4, deterministic_col="id").count()
+    assert plain == salted == 2000
+
+
+def test_dedup_clusters_transitive(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.9), (10, 11, 0.95), (20, 3, 0.85)],
+        "a long, b long, jaccard double",
+    )
+    got = {
+        (r["doc_id"], r["cluster_id"]) for r in dedup.dedup_clusters(pairs).collect()
+    }
+    # component {1,2,3,20} -> cluster 1; {10,11} -> cluster 10
+    assert got == {(1, 1), (2, 1), (3, 1), (20, 1), (10, 10), (11, 10)}
+
+
+def test_keep_cluster_representatives(spark):
+    docs = spark.createDataFrame([(i, f"t{i}") for i in range(6)], "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2, 0.9), (2, 4, 0.9)], "a long, b long, jaccard double")
+    clusters = dedup.dedup_clusters(pairs)
+    kept = dedup.keep_cluster_representatives(docs, clusters)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 3, 5]

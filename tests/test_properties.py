@@ -1,0 +1,141 @@
+"""Property-based tests (hypothesis) — the reference has no property testing
+(SURVEY §5); these pin the pure-function layers against model implementations
+for arbitrary inputs.
+
+Spark jobs per example are too slow, so properties run against either pure
+Python (filter translator semantics via an in-memory evaluator on one
+collected DataFrame) or a single parametrized DataFrame per test.
+"""
+
+import math
+from datetime import datetime, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+from persistor_spark.functions import filters as fd
+from persistor_spark.functions.timestamps import parse_query_wire
+
+# -- timestamp wire format ---------------------------------------------------
+
+aware_dt = st.datetimes(
+    min_value=datetime(1971, 1, 1),
+    max_value=datetime(2200, 1, 1),
+).map(lambda d: d.replace(tzinfo=timezone.utc))
+
+
+@given(aware_dt)
+@settings(max_examples=200)
+def test_query_wire_roundtrip(dt):
+    wire = dt.strftime("%Y-%m-%dT%H:%M:%S.%f") + "Z"
+    assert parse_query_wire(wire) == dt
+
+
+@given(aware_dt)
+@settings(max_examples=100)
+def test_query_wire_no_fraction(dt):
+    dt = dt.replace(microsecond=0)
+    wire = dt.strftime("%Y-%m-%dT%H:%M:%S") + "Z"
+    assert parse_query_wire(wire) == dt
+
+
+# -- filter dialect ----------------------------------------------------------
+
+field_names = st.sampled_from(
+    ["broker_id", "ordering_key", "business_source_key", "location_key"]
+)
+str_values = st.text(alphabet="abxyz019_", min_size=0, max_size=6)
+operators = st.sampled_from(["$eq", "$ne", "$gt", "$gte", "$lt", "$lte"])
+
+condition = st.one_of(
+    st.tuples(field_names, str_values).map(lambda t: (t[0], t[1])),
+    st.tuples(field_names, operators, str_values).map(lambda t: (t[0], {t[1]: t[2]})),
+    st.tuples(field_names, st.lists(str_values, max_size=4)).map(
+        lambda t: (t[0], {"$in": t[1]})
+    ),
+)
+filter_map = st.lists(condition, max_size=3).map(dict)
+filters_body = st.lists(filter_map, max_size=3)
+
+
+def _eval_cond(row: dict, key: str, value) -> bool:
+    """Model evaluator: Mongo-ish semantics with SQL three-valued NULL
+    comparisons collapsed to False (Spark filter keeps only TRUE rows)."""
+    v = row.get(key)
+    if not isinstance(value, dict):
+        return v is not None and v == value
+    ops = {
+        "$eq": lambda a, b: a == b,
+        "$ne": lambda a, b: a != b,
+        "$gt": lambda a, b: a > b,
+        "$gte": lambda a, b: a >= b,
+        "$lt": lambda a, b: a < b,
+        "$lte": lambda a, b: a <= b,
+        "$in": lambda a, b: a in b,
+        "$nin": lambda a, b: a not in b,
+    }
+    out = True
+    for op, operand in value.items():
+        if v is None:
+            return False
+        out = out and ops[op](v, operand)
+    return out
+
+
+def _eval_filters(row: dict, filters: list) -> bool:
+    if not filters:
+        return False
+    return any(all(_eval_cond(row, k, v) for k, v in f.items()) for f in filters)
+
+
+@pytest.fixture(scope="module")
+def sample_rows(spark):
+    rows = [
+        ("b0", "k1", "src1", "loc1"),
+        ("b0", None, "src2", "loc2"),
+        ("b1", "k2", None, "loc1"),
+        ("b1", "ab", "xy", None),
+        ("z9", "", "a", "loc3"),
+    ]
+    schema = "broker_id string, ordering_key string, business_source_key string, location_key string"
+    df = spark.createDataFrame(rows, schema).cache()
+    cols = ["broker_id", "ordering_key", "business_source_key", "location_key"]
+    return df, [dict(zip(cols, r)) for r in rows]
+
+
+@given(filters_body)
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+def test_translate_matches_model(sample_rows, filters):
+    df, rows = sample_rows
+    got = sorted(
+        (r["broker_id"], r["ordering_key"] or "", r["location_key"] or "")
+        for r in df.filter(fd.translate([dict(f) for f in filters])).collect()
+    )
+    want = sorted(
+        (r["broker_id"], r["ordering_key"] or "", r["location_key"] or "")
+        for r in rows
+        if _eval_filters(r, filters)
+    )
+    assert got == want
+
+
+# -- message size model ------------------------------------------------------
+
+attr_maps = st.dictionaries(
+    st.text(alphabet="abck_", min_size=1, max_size=5),
+    st.text(alphabet="xyz01", min_size=0, max_size=6),
+    max_size=4,
+)
+
+
+@given(st.one_of(st.none(), st.text(max_size=20)), attr_maps)
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+def test_message_size_model(spark, payload, attrs):
+    from persistor_spark.functions import sizes
+
+    df = spark.createDataFrame(
+        [(payload, attrs)], "payload string, attributes map<string,string>"
+    )
+    got = df.select(sizes.message_size().alias("s")).collect()[0]["s"]
+    want = len(payload or "") + sum(len(k) + len(v) for k, v in attrs.items())
+    assert got == want
