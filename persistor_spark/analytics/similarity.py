@@ -25,7 +25,6 @@ transfer.)
 
 from __future__ import annotations
 
-import math
 import random
 
 from pyspark.sql import Column, DataFrame, functions as F

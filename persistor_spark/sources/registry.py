@@ -37,6 +37,10 @@ def _ensure_session_conf(spark: SparkSession) -> None:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        # a foreign session on Spark's 200-partition default wastes task
+        # overhead at fixture scale; leave any explicit setting alone
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
     except Exception:  # noqa: BLE001 — immutable conf => session already ok
         pass
 

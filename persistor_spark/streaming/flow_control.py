@@ -33,13 +33,17 @@ _FATAL_MARKERS = (
 
 def classify(exc: Exception) -> str:
     """'fatal' or 'temporary' (processor_errors.go: everything is temporary
-    unless marked; schema errors are fatal)."""
+    unless marked; schema errors are fatal).
+
+    Errors raised inside foreachBatch surface as StreamingQueryException with
+    the original Python traceback embedded in the message, so both the type
+    name AND the message are scanned for fatal markers."""
     if isinstance(exc, FatalIngestError):
         return "fatal"
     if isinstance(exc, TemporaryIngestError):
         return "temporary"
-    name = type(exc).__name__
-    if any(m in name for m in _FATAL_MARKERS):
+    haystack = type(exc).__name__ + " " + str(exc)
+    if any(m in haystack for m in _FATAL_MARKERS + ("FatalIngestError",)):
         return "fatal"
     return "temporary"
 

@@ -159,6 +159,11 @@ def run_stream(
     `failure` mirrors run_batch's injection hook.  availableNow drains the
     source then stops (test mode); processing_time="30 seconds" matches the
     reference's BatchTimeout in production.
+
+    Batch errors always PROPAGATE (failing the query) — a failed batch must
+    not commit its source offsets, or it would be silently lost.  Retry
+    policy lives in `run_stream_supervised` (E3), which restarts the query
+    so the checkpoint replays the uncommitted batch.
     """
     metrics = StreamMetrics()
 
@@ -210,6 +215,49 @@ def run_stream(
     elif processing_time:
         writer = writer.trigger(processingTime=processing_time)
     return writer.start(), metrics
+
+
+def run_stream_supervised(
+    stream_factory,
+    cfg: IngestConfig,
+    sinks: StreamSinks,
+    error_budget=None,
+    failure=None,
+    max_restarts: int = 100,
+) -> StreamMetrics:
+    """E3 flow-control supervisor (run.go:157-187: 50 errors/min then stop;
+    processing error -> continue; fatal -> stop).
+
+    Runs availableNow queries built by `stream_factory()` until the source
+    drains cleanly.  A temporary query failure leaves its batch UNCOMMITTED
+    in the checkpoint; the restart replays it — the Spark shape of the
+    reference's per-message nack/redelivery, at micro-batch granularity.
+    Fatal errors and budget exhaustion propagate (executor stop).
+    """
+    from persistor_spark.streaming import flow_control as fc
+
+    budget = error_budget or fc.ErrorBudget()
+    total = StreamMetrics()
+    for _ in range(max_restarts):
+        query, metrics = run_stream(stream_factory(), cfg, sinks, failure=failure)
+        try:
+            query.awaitTermination()
+        except Exception as exc:  # noqa: BLE001 — classification is the policy
+            if fc.classify(exc) == "fatal":
+                raise
+            if not budget.record():
+                raise fc.BudgetExhausted(
+                    f"error budget exhausted: {budget.current} errors in {budget.window_s}s"
+                ) from exc
+            continue
+        finally:
+            total.batches += metrics.batches
+            total.rows += metrics.rows
+            total.indexed += metrics.indexed
+            total.dead_lettered += metrics.dead_lettered
+            total.history.extend(metrics.history)
+        return total  # drained without error
+    raise fc.BudgetExhausted(f"gave up after {max_restarts} restarts")
 
 
 def stop_gracefully(query, timeout_s: int = 60) -> None:
