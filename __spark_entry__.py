@@ -505,6 +505,32 @@ def _e10_join_topk(spark, sf_dir):
     )
 
 
+def _e11_asof_join(spark, sf_dir):
+    """Backward as-of join: each event enriched with the most recent order
+    (same key mod-10 bucket) at or before the event time."""
+    from persistor_spark.operators import asof
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 10).cast("int").alias("k"),
+        "ts",
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            (F.col("o_custkey") % 10).cast("int").alias("k"),
+            "o_orderdate",
+            "o_orderkey",
+        )
+        # dedup per (k, time): as-of needs one right row per timestamp to be
+        # deterministic; keep max orderkey (same rule in the oracle)
+        .groupBy("k", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof.asof_join(ev, orders, key="k", left_time="ts", right_time="o_orderdate")
+    return out.select("event_id", "k", "o_orderdate", "o_orderkey").orderBy("event_id")
+
+
 def _d17(spark, sf_dir):
     from persistor_spark.functions import sizes
 
@@ -573,6 +599,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e8_tumbling_window": _e_tumbling_window,
         "e9_sessionize": _e9_sessionize,
         "e10_join_topk": _e10_join_topk,
+        "e11_asof_join": _e11_asof_join,
     }
 
 
@@ -802,6 +829,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, count(*) AS n_events, "
             "  min(event_id) AS first_event, max(event_id) AS last_event "
             "FROM sess GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "e11_asof_join": (
+            "WITH ev AS (SELECT event_id, CAST(user_id % 10 AS INT) AS k, ts FROM events), "
+            "ord AS (SELECT CAST(o_custkey % 10 AS INT) AS k, o_orderdate, "
+            "  max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2) "
+            "SELECT ev.event_id, ev.k, ord.o_orderdate, ord.o_orderkey "
+            "FROM ev ASOF LEFT JOIN ord ON ev.k = ord.k AND ev.ts >= ord.o_orderdate "
+            "ORDER BY ev.event_id"
         ),
         "e10_join_topk": (
             "SELECT o_orderkey, "
