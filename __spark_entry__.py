@@ -531,6 +531,28 @@ def _e11_asof_join(spark, sf_dir):
     return out.select("event_id", "k", "o_orderdate", "o_orderkey").orderBy("event_id")
 
 
+def _e12_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (the batch twin of the
+    reference's q50/90/99 latency summaries, metrics.go:58-81)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _a12_embedding_pairs(spark, sf_dir):
+    from persistor_spark.analytics import dedup
+
+    return dedup.embedding_dup_pairs(_embs(spark, sf_dir), 0.4).orderBy("a", "b")
+
+
 def _d17(spark, sf_dir):
     from persistor_spark.functions import sizes
 
@@ -600,6 +622,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_sessionize": _e9_sessionize,
         "e10_join_topk": _e10_join_topk,
         "e11_asof_join": _e11_asof_join,
+        "e12_percentiles": _e12_percentiles,
+        "a12_embedding_pairs": _a12_embedding_pairs,
     }
 
 
@@ -829,6 +853,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, count(*) AS n_events, "
             "  min(event_id) AS first_event, max(event_id) AS last_event "
             "FROM sess GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "e12_percentiles": (
+            "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
+            "round(quantile_cont(value, 0.9), 4) AS p90, "
+            "round(quantile_cont(value, 0.99), 4) AS p99, count(*) AS n "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "a12_embedding_pairs": (
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) "
+            "SELECT a.vec_id AS a, b.vec_id AS b, "
+            "round(list_dot_product(a.emb, b.emb) / "
+            "  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos "
+            "FROM v a JOIN v b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.emb, b.emb) / "
+            "  (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) >= 0.4 "
+            "ORDER BY a, b"
         ),
         "e11_asof_join": (
             "WITH ev AS (SELECT event_id, CAST(user_id % 10 AS INT) AS k, ts FROM events), "

@@ -1,0 +1,57 @@
+"""Physical-layout strategies for the index and blob tables at scale.
+
+The reference's layout tuning is Mongo's _id index; a Spark deployment has
+richer levers (SURVEY §4.2):
+
+- partitioned writes (plans.ingest.write_blobs) -> partition pruning;
+- sorted-by-unique_id parquet (write_index optimize_layout) -> row-group
+  min/max pruning for point lookups;
+- BUCKETED tables (this module) -> shuffle-free joins for the hot join keys
+  (index ⨝ blob on location_key; replay id-sets ⨝ index on unique_id).
+
+Bucketing pre-shuffles ONCE at write time: both sides of a join bucketed by
+the same key into the same bucket count join with NO Exchange — at 100 TB
+that converts the resubmit join's dominant cost into a map-side zip.
+Verified by the no-Exchange plan assertion in tests/test_layout.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 64,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.  Managed
+    is required — Spark tracks bucketing metadata in the catalog, not in
+    parquet files."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    writer = writer.sortBy(sort_col or bucket_col)
+    writer.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner"
+) -> DataFrame:
+    """Join two same-bucketed tables on the bucket key (no shuffle).
+
+    The merge hint keeps the planner on sort-merge: for table sizes under the
+    broadcast threshold it would otherwise pick a broadcast join and skip the
+    bucket layout entirely (fine at small scale — but this function exists to
+    exercise the big-table path)."""
+    left = spark.table(left_table).hint("merge")
+    return left.join(spark.table(right_table).hint("merge"), on, how)
+
+
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True if the physical plan repartitions data across the cluster.
+    Broadcast exchanges don't count — they replicate a small side, which is
+    the cheap kind; the scale hazard is `Exchange hashpartitioning`."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan

@@ -1,0 +1,37 @@
+"""Bucketed-layout join: co-located tables join without a shuffle."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from persistor_spark.plans import layout
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, ingested):
+    idx = ingested.index_metadata.filter(F.col("location_position").isNotNull())
+    blobs = ingested.blob_records.withColumnRenamed("position", "location_position")
+    layout.write_bucketed(idx, "idx_bucketed", "location_key", n_buckets=8)
+    layout.write_bucketed(blobs, "blobs_bucketed", "location_key", n_buckets=8)
+    yield "idx_bucketed", "blobs_bucketed"
+    spark.sql("DROP TABLE IF EXISTS idx_bucketed")
+    spark.sql("DROP TABLE IF EXISTS blobs_bucketed")
+
+
+def test_bucketed_join_no_shuffle(spark, bucketed_tables, ingested):
+    left, right = bucketed_tables
+    joined = layout.bucketed_join(spark, left, right, "location_key")
+    # correctness: same result as the lineage join
+    plain = ingested.index_metadata.filter(F.col("location_position").isNotNull()).join(
+        ingested.blob_records.withColumnRenamed("position", "location_position"),
+        "location_key",
+    )
+    assert joined.count() == plain.count()
+    # the scale property: no Exchange in the physical plan
+    assert not layout.plan_has_shuffle(joined.select("location_key"))
+
+
+def test_unbucketed_join_has_shuffle_for_contrast(spark, ingested):
+    a = ingested.index_metadata.select("location_key")
+    b = ingested.blob_records.select("location_key")
+    joined = a.join(b, "location_key")
+    assert layout.plan_has_shuffle(joined)
