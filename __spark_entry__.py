@@ -553,6 +553,28 @@ def _a12_embedding_pairs(spark, sf_dir):
     return dedup.embedding_dup_pairs(_embs(spark, sf_dir), 0.4).orderBy("a", "b")
 
 
+def _a13_curation_pipeline(spark, sf_dir):
+    """Composite training-data curation pass: quality gate -> near-dup
+    removal (cluster representatives) -> per-source profile."""
+    from persistor_spark.analytics import dedup, text
+
+    docs = _docs(spark, sf_dir)
+    scored = text.with_text_stats(docs)
+    gated = scored.filter(F.col("quality_score") >= 0.6)
+    pairs = dedup.ngram_jaccard_pairs(gated, 0.8)
+    clusters = dedup.dedup_clusters(pairs)
+    kept = dedup.keep_cluster_representatives(gated, clusters)
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("token_count"), 4).alias("avg_tokens"),
+            F.round(F.avg("quality_score"), 4).alias("avg_quality"),
+        )
+        .orderBy("source")
+    )
+
+
 def _d17(spark, sf_dir):
     from persistor_spark.functions import sizes
 
@@ -624,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_asof_join": _e11_asof_join,
         "e12_percentiles": _e12_percentiles,
         "a12_embedding_pairs": _a12_embedding_pairs,
+        "a13_curation_pipeline": _a13_curation_pipeline,
     }
 
 
@@ -853,6 +876,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, session_id, count(*) AS n_events, "
             "  min(event_id) AS first_event, max(event_id) AS last_event "
             "FROM sess GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "a13_curation_pipeline": (
+            "WITH RECURSIVE "
+            "t AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents), "
+            "r AS (SELECT doc_id, source, toks, len(toks) AS token_count, "
+            "  len(list_distinct(toks))::DOUBLE / len(toks) AS dtr, "
+            "  len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','on'], x)))::DOUBLE "
+            "    / len(toks) AS swr FROM t), "
+            "scored AS (SELECT doc_id, source, toks, token_count, "
+            "  round(((CASE WHEN token_count BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) "
+            "    + least(dtr * 2, 1.0) + least(swr * 10, 1.0)) / 3, 4) AS quality_score FROM r), "
+            "gated AS (SELECT * FROM scored WHERE quality_score >= 0.6), "
+            "s AS (SELECT doc_id, "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+            "  FROM gated), "
+            "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+            "edges AS (SELECT a AS src, b AS dst FROM pairs "
+            "  UNION SELECT b AS src, a AS dst FROM pairs), "
+            "reach(src, dst) AS (SELECT src, dst FROM edges "
+            "  UNION SELECT r2.src, e.dst FROM reach r2 JOIN edges e ON r2.dst = e.src), "
+            "clusters AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
+            "  FROM reach GROUP BY src), "
+            "losers AS (SELECT doc_id FROM clusters WHERE doc_id <> cluster_id), "
+            "kept AS (SELECT * FROM gated WHERE doc_id NOT IN (SELECT doc_id FROM losers)) "
+            "SELECT source, count(*) AS n_docs, round(avg(token_count), 4) AS avg_tokens, "
+            "  round(avg(quality_score), 4) AS avg_quality "
+            "FROM kept GROUP BY 1 ORDER BY 1"
         ),
         "e12_percentiles": (
             "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "

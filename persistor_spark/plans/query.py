@@ -117,13 +117,24 @@ class IndexQuery:
         attrs = list(attributes or UNIQUE_REQUEST_ATTRIBUTES)
         return self.idx.filter(F.col("unique_id") == unique_id).select(*attrs)
 
+    # Above this many ids a literal IN-list stops being a pushed filter and
+    # bloats the plan; route to a broadcast semi join instead (the resubmit
+    # metadata page size, resubmitter.go:45-49, is the natural cutover).
+    IN_LIST_THRESHOLD = 10_000
+
     # -- Q2: IN-list lookup ----------------------------------------------
     def get_all(self, unique_ids: Sequence[str], attributes: Sequence[str] | None = None) -> DataFrame:
-        """`unique_id IN (...)`.  Literal IN-list for typical sizes; for very
-        large id sets (resubmit replays) pass a DataFrame to
-        `get_all_df` for a broadcast semi join instead."""
+        """`unique_id IN (...)` — literal IN-list (parquet-pushable) for
+        typical sizes, auto-switching to a broadcast semi join past
+        IN_LIST_THRESHOLD ids."""
+        ids = list(unique_ids)
         attrs = list(attributes or UNIQUE_REQUEST_ATTRIBUTES)
-        return self.idx.filter(F.col("unique_id").isin(list(unique_ids))).select(*attrs)
+        if len(ids) > self.IN_LIST_THRESHOLD:
+            ids_df = self.idx.sparkSession.createDataFrame(
+                [(i,) for i in ids], "unique_id string"
+            )
+            return self.get_all_df(ids_df, attrs)
+        return self.idx.filter(F.col("unique_id").isin(ids)).select(*attrs)
 
     def get_all_df(self, ids_df: DataFrame, attributes: Sequence[str] | None = None) -> DataFrame:
         attrs = list(attributes or UNIQUE_REQUEST_ATTRIBUTES)

@@ -31,3 +31,11 @@ def test_cache_disabled_by_default(ingested):
     args = (datetime.datetime(2024, 1, 5), datetime.datetime(2024, 1, 10), "b1")
     iq.get_interval_count(*args)
     assert not iq._count_cache
+
+
+def test_get_all_routes_large_lists_to_semi_join(ingested):
+    iq = IndexQuery(ingested.index_metadata)
+    real = [r[0] for r in ingested.index_metadata.select("unique_id").limit(30).collect()]
+    ids = real + [f"zz_{i}" for i in range(IndexQuery.IN_LIST_THRESHOLD)]
+    got = iq.get_all(ids, ["unique_id"])
+    assert got.count() == 30
