@@ -153,8 +153,14 @@ def run_stream(
     failure=None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
+    exactly_once_index: bool = False,
 ):
     """Start the streaming ingest; returns (StreamingQuery, StreamMetrics).
+
+    `exactly_once_index=True` writes the index via write_index_merge (anti-
+    join on unique_id): duplicate deliveries from an at-least-once source
+    (or an overlapping checkpoint recovery) append nothing — the E1
+    exactly-once-table guarantee without Delta.
 
     `failure` mirrors run_batch's injection hook.  availableNow drains the
     source then stops (test mode); processing_time="30 seconds" matches the
@@ -179,7 +185,10 @@ def run_stream(
             batch_df = batch_df.filter(~F.col("__invalid")).select(*cols)
         result = ingest.run_batch(batch_df, cfg, failure=failure, persist_intermediate=True)
         ingest.write_blobs(result, sinks.blob_path, fmt=sinks.blob_format)
-        ingest.write_index(result, sinks.index_path)
+        if exactly_once_index:
+            ingest.write_index_merge(result, sinks.index_path)
+        else:
+            ingest.write_index(result, sinks.index_path)
         dl = result.deadletter
         if invalid is not None:
             from persistor_spark.functions import keys

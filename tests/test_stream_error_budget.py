@@ -89,3 +89,29 @@ def test_supervisor_budget_exhaustion(spark, setup, monkeypatch):
             error_budget=fc.ErrorBudget(max_errors=2, window_s=60),
         )
     assert "budget" in str(exc_info.value).lower()
+
+
+def test_exactly_once_index_under_duplicate_delivery(spark, sf_dir, tmp_path):
+    """An at-least-once source delivering every message twice: the merge-mode
+    index ends exactly-once on unique_id."""
+    msgs = fixtures.load_messages(spark, sf_dir).limit(80)
+    dup = msgs.unionByName(msgs)  # duplicate delivery
+    src = str(tmp_path / "dupsrc")
+    dup.repartition(4).write.parquet(src)
+
+    sinks = ingest_stream.StreamSinks(
+        blob_path=str(tmp_path / "b"),
+        index_path=str(tmp_path / "i"),
+        deadletter_path=str(tmp_path / "d"),
+        checkpoint_path=str(tmp_path / "c"),
+    )
+    q, _ = ingest_stream.run_stream(
+        ingest_stream.file_stream(spark, src, max_files_per_trigger=1),
+        fixtures.fixture_ingest_config(),
+        sinks,
+        exactly_once_index=True,
+    )
+    q.awaitTermination(300)
+    idx = spark.read.parquet(sinks.index_path)
+    assert idx.count() == 80
+    assert idx.select("unique_id").distinct().count() == 80
