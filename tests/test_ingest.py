@@ -150,3 +150,17 @@ def test_config_validation():
     with pytest.raises(ValueError):
         IngestConfig(version_keys=()).validate()
     StorageConfig(mask=("year", "{attr}", "custom"), custom_values={"custom": "x"}).validate()
+
+
+def test_split_location_url_parse(spark, ingested):
+    """S4/S5 URL parsing: location_key splits back into (bucket, object)."""
+    from persistor_spark.operators import blob_naming
+    from pyspark.sql import functions as F
+
+    bucket, path = blob_naming.split_location(F.col("location_key"))
+    row = ingested.index_metadata.select(
+        bucket.alias("b"), path.alias("p"), "location_key"
+    ).first()
+    assert row["b"] == "persistor-bucket"
+    assert row["location_key"].endswith(row["p"])
+    assert row["p"].startswith("msg/")

@@ -139,3 +139,25 @@ def test_message_size_model(spark, payload, attrs):
     got = df.select(sizes.message_size().alias("s")).collect()[0]["s"]
     want = len(payload or "") + sum(len(k) + len(v) for k, v in attrs.items())
     assert got == want
+
+
+# -- version batching unknown-fill ------------------------------------------
+
+@given(
+    st.lists(
+        st.one_of(st.none(), st.text(alphabet="v123", min_size=1, max_size=3)),
+        min_size=1,
+        max_size=8,
+    )
+)
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+def test_version_unknown_fill_model(spark, versions):
+    """Missing version attribute -> literal 'unknown'
+    (version_batching.go:29-71), for arbitrary attribute maps."""
+    from persistor_spark.operators.version_batching import version_column
+
+    rows = [({"attr_version": v} if v is not None else {},) for v in versions]
+    df = spark.createDataFrame(rows, "attributes map<string,string>")
+    got = [r[0] for r in df.select(version_column("attr_version")).collect()]
+    want = [v if v is not None else "unknown" for v in versions]
+    assert got == want
