@@ -531,6 +531,48 @@ def _e11_asof_join(spark, sf_dir):
     return out.select("event_id", "k", "o_orderdate", "o_orderkey").orderBy("event_id")
 
 
+def _e13_grouping_sets(spark, sf_dir):
+    _register(spark, sf_dir)
+    return spark.sql(
+        "SELECT coalesce(o_orderpriority, 'ALL') AS prio, "
+        "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n "
+        "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) "
+        "ORDER BY prio, status"
+    )
+
+
+def _e14_except(spark, sf_dir):
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    all_parts = p.select(F.col("p_partkey").alias("k"))
+    shipped = li.select(F.col("l_partkey").alias("k"))
+    return all_parts.exceptAll(shipped.distinct()).orderBy("k")
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _e15_pivot(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy((F.col("user_id") % 5).cast("int").alias("user_bucket"))
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, _EVENT_TYPES)
+        .orderBy("user_bucket")
+    )
+
+
+def _e16_correlated_exists(spark, sf_dir):
+    _register(spark, sf_dir)
+    return spark.sql(
+        "SELECT s_suppkey, s_name FROM supplier s "
+        "WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = s.s_nationkey "
+        "  AND c.c_acctbal > 9000) "
+        "ORDER BY s_suppkey"
+    )
+
+
 def _e12_percentiles(spark, sf_dir):
     """Exact interpolated percentiles per group (the batch twin of the
     reference's q50/90/99 latency summaries, metrics.go:58-81)."""
@@ -647,6 +689,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_percentiles": _e12_percentiles,
         "a12_embedding_pairs": _a12_embedding_pairs,
         "a13_curation_pipeline": _a13_curation_pipeline,
+        "e13_grouping_sets": _e13_grouping_sets,
+        "e14_except": _e14_except,
+        "e15_pivot": _e15_pivot,
+        "e16_correlated_exists": _e16_correlated_exists,
     }
 
 
@@ -906,6 +952,31 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, round(avg(token_count), 4) AS avg_tokens, "
             "  round(avg(quality_score), 4) AS avg_quality "
             "FROM kept GROUP BY 1 ORDER BY 1"
+        ),
+        "e13_grouping_sets": (
+            "SELECT coalesce(o_orderpriority, 'ALL') AS prio, "
+            "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n "
+            "FROM orders GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()) "
+            "ORDER BY prio, status"
+        ),
+        "e14_except": (
+            "SELECT p_partkey AS k FROM part "
+            "EXCEPT ALL SELECT DISTINCT l_partkey AS k FROM lineitem ORDER BY k"
+        ),
+        "e15_pivot": (
+            "SELECT CAST(user_id % 5 AS INT) AS user_bucket, "
+            "count(*) FILTER (WHERE event_type = 'click') AS click, "
+            "count(*) FILTER (WHERE event_type = 'error') AS error, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
+            "count(*) FILTER (WHERE event_type = 'view') AS view "
+            "FROM events GROUP BY 1 ORDER BY 1"
+        ),
+        "e16_correlated_exists": (
+            "SELECT s_suppkey, s_name FROM supplier s "
+            "WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = s.s_nationkey "
+            "  AND c.c_acctbal > 9000) "
+            "ORDER BY s_suppkey"
         ),
         "e12_percentiles": (
             "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
