@@ -531,6 +531,17 @@ def _e11_asof_join(spark, sf_dir):
     return out.select("event_id", "k", "o_orderdate", "o_orderkey").orderBy("event_id")
 
 
+_BM25_QUERY = ["spark", "join", "filter"]
+
+
+def _a14_bm25_topk(spark, sf_dir):
+    from persistor_spark.analytics import search
+
+    idx = search.build_index(_docs(spark, sf_dir))
+    out = search.search(idx, _BM25_QUERY, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("rank")
+
+
 def _e13_grouping_sets(spark, sf_dir):
     _register(spark, sf_dir)
     return spark.sql(
@@ -689,6 +700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_percentiles": _e12_percentiles,
         "a12_embedding_pairs": _a12_embedding_pairs,
         "a13_curation_pipeline": _a13_curation_pipeline,
+        "a14_bm25_topk": _a14_bm25_topk,
         "e13_grouping_sets": _e13_grouping_sets,
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
@@ -952,6 +964,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, round(avg(token_count), 4) AS avg_tokens, "
             "  round(avg(quality_score), 4) AS avg_quality "
             "FROM kept GROUP BY 1 ORDER BY 1"
+        ),
+        "a14_bm25_topk": (
+            "WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term "
+            "  FROM documents), "
+            "dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id), "
+            "postings AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term), "
+            "stats AS (SELECT count(*) AS n FROM documents), "
+            "ad AS (SELECT avg(dl) AS avgdl FROM dl), "
+            "idf AS (SELECT term, ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1) AS idf "
+            "  FROM (SELECT term, count(DISTINCT id) AS df FROM toks GROUP BY term) t, stats s), "
+            "hits AS (SELECT p.id, i.idf * (p.tf * 2.2) / "
+            "    (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / a.avgdl)) AS s "
+            "  FROM postings p JOIN idf i USING (term) JOIN dl d USING (id), ad a "
+            "  WHERE p.term IN ('spark', 'join', 'filter')), "
+            "scored AS (SELECT id, round(sum(s), 4) AS score FROM hits GROUP BY id) "
+            "SELECT id, score, rank FROM ("
+            "  SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rank FROM scored) "
+            "WHERE rank <= 10 ORDER BY rank"
         ),
         "e13_grouping_sets": (
             "SELECT coalesce(o_orderpriority, 'ALL') AS prio, "

@@ -1,0 +1,84 @@
+"""BM25 full-text retrieval over a document corpus.
+
+The inverted-index shape mirrors ngram_jaccard's posting-list design: one
+exploded (doc, term, tf) table, shuffled by term — the classic distributed
+search layout (posting lists partitioned by term).  Scoring a query touches
+only the query terms' posting lists; the per-term idf join is a broadcast.
+
+BM25 (Robertson/Sparck Jones):
+    score(d, q) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 - b + b·|d|/avgdl))
+    idf(t) = ln( (N - df(t) + 0.5) / (df(t) + 0.5) + 1 )
+
+Everything is built-in expressions (one exploded aggregation + two joins) —
+no UDFs, fully codegen-able, and the index is materializable/cacheable for
+repeated queries.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+K1 = 1.2
+B = 0.75
+
+
+@dataclass
+class BM25Index:
+    postings: DataFrame  # (id, term, tf, dl)
+    idf: DataFrame  # (term, idf)
+    n_docs: int
+    avgdl: float
+
+
+def build_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> BM25Index:
+    """Tokenize (single-space, matching analytics.text), build posting lists
+    with term frequencies, document lengths, and per-term idf."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    postings = (
+        toks.groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(dl, "id")
+    )
+    n_docs = df.count()
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    idf = (
+        postings.groupBy("term")
+        .agg(F.countDistinct("id").alias("df"))
+        .select(
+            "term",
+            F.log((F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1).alias("idf"),
+        )
+    )
+    return BM25Index(postings=postings, idf=idf, n_docs=n_docs, avgdl=float(avgdl))
+
+
+def search(index: BM25Index, query_terms: list, k: int = 10) -> DataFrame:
+    """Top-k documents for a bag-of-terms query: (id, score, rank).
+    Deterministic tie-break by id; scores rounded to 4 decimals."""
+    terms = list(dict.fromkeys(query_terms))  # dedup, keep order irrelevant
+    hits = index.postings.filter(F.col("term").isin(terms)).join(
+        F.broadcast(index.idf), "term"
+    )
+    per_term = hits.select(
+        "id",
+        (
+            F.col("idf")
+            * (F.col("tf") * (K1 + 1))
+            / (F.col("tf") + K1 * (1 - B + B * F.col("dl") / index.avgdl))
+        ).alias("s"),
+    )
+    scored = per_term.groupBy("id").agg(F.round(F.sum("s"), 4).alias("score"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "score", "rank")
+    )

@@ -203,3 +203,33 @@ def test_repartition_for_decode_preserves_rows(media):
     out = multimodal.repartition_for_decode(media, target_bytes_per_partition=1 << 16)
     assert out.count() == media.count()
     assert out.rdd.getNumPartitions() >= 1
+
+
+def test_audio_features_schema(media):
+    from persistor_spark.analytics import multimodal
+
+    feats = multimodal.extract_audio_features(media)
+    n_audio = media.filter(F.col("media_type") == "audio").count()
+    assert feats.count() == n_audio
+    row = feats.first()
+    assert len(row["mfcc"]) == 8 and row["n_bytes"] > 0
+
+
+def test_bm25_search_ranks_relevant_docs(spark):
+    from persistor_spark.analytics import search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark join spark join spark"),
+            (2, "spark filter"),
+            (3, "totally unrelated words here"),
+            (4, "join"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = search.build_index(docs)
+    assert idx.n_docs == 4
+    out = {r["id"]: r["rank"] for r in search.search(idx, ["spark", "join"], k=4).collect()}
+    assert 3 not in out  # no query terms -> not retrieved
+    assert out[1] == 1  # most matches wins
+    assert set(out) == {1, 2, 4}
