@@ -49,6 +49,43 @@ def bucketed_join(
     return left.join(spark.table(right_table).hint("merge"), on, how)
 
 
+def compact(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 << 20,
+    sort_col: str | None = None,
+) -> int:
+    """Rewrite a parquet table into ~target-sized files (the small-files
+    problem: streaming foreachBatch appends one file per partition per
+    micro-batch; a day of 30s triggers is ~2880 files per partition, and
+    open/footer costs dominate scans).  Returns the new file count.
+
+    Rewrite is atomic-by-rename at the directory level: write to a temp dir,
+    then swap.  On object stores use a manifest/Delta instead; locally the
+    rename is safe."""
+    import math
+    import os
+    import shutil
+    import uuid
+
+    df = spark.read.parquet(path)
+    total_bytes = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, files in os.walk(path)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    out = df.repartition(n_files)
+    if sort_col:
+        out = out.sortWithinPartitions(sort_col)
+    out.write.parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return n_files
+
+
 def plan_has_shuffle(df: DataFrame) -> bool:
     """True if the physical plan repartitions data across the cluster.
     Broadcast exchanges don't count — they replicate a small side, which is

@@ -35,3 +35,18 @@ def test_unbucketed_join_has_shuffle_for_contrast(spark, ingested):
     b = ingested.blob_records.select("location_key")
     joined = a.join(b, "location_key")
     assert layout.plan_has_shuffle(joined)
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path, ingested):
+    import glob
+
+    p = str(tmp_path / "frag")
+    # simulate streaming fragmentation: 40 tiny appends
+    for i in range(40):
+        ingested.index_metadata.limit(25).write.mode("append").parquet(p)
+    before_files = len(glob.glob(p + "/*.parquet"))
+    before_rows = spark.read.parquet(p).count()
+    n = layout.compact(spark, p, target_file_bytes=64 << 20, sort_col="unique_id")
+    after_files = len(glob.glob(p + "/*.parquet"))
+    assert spark.read.parquet(p).count() == before_rows
+    assert after_files == n < before_files

@@ -93,3 +93,20 @@ def test_streaming_first_seen_dedup(spark, tmp_path, sf_dir):
     firsts = res.filter(F.col("first_seen"))
     assert firsts.count() == 200
     assert firsts.select("unique_id").distinct().count() == 200
+
+
+def test_session_windows_streaming_equals_batch(spark, msgs, streamed):
+    stream = ingest_stream.file_stream(spark, streamed, max_files_per_trigger=10)
+    q = (
+        windows.session_windows(stream, gap="30 minutes")
+        .writeStream.format("memory")
+        .queryName("sessions_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = spark.sql("SELECT * FROM sessions_stream")
+    want = windows.session_windows(msgs, gap="30 minutes")
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
