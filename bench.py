@@ -154,6 +154,14 @@ def bench_ann_topk(ctx: Ctx):
     return similarity.brute_force_topk(embs, q, k=10).count()
 
 
+def bench_bm25_search(ctx: Ctx):
+    from persistor_spark.analytics import search
+
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    idx = search.build_index(docs)
+    return search.search(idx, ["spark", "join", "filter"], k=10).collect()
+
+
 def bench_text_stats(ctx: Ctx):
     from persistor_spark.analytics import text
 
@@ -172,6 +180,7 @@ QUERIES = {
     "join_agg": bench_join_agg,
     "dedup_minhash": bench_dedup_minhash,
     "ann_topk": bench_ann_topk,
+    "bm25_search": bench_bm25_search,
     "text_stats": bench_text_stats,
 }
 

@@ -50,3 +50,19 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path, ingested):
     after_files = len(glob.glob(p + "/*.parquet"))
     assert spark.read.parquet(p).count() == before_rows
     assert after_files == n < before_files
+
+
+def test_point_lookup_pushdown_on_persisted_index(spark, tmp_path, ingested):
+    """Regression guard: the Q1 filter must reach the parquet scan as a
+    pushed filter with a pruned ReadSchema (ARCHITECTURE §2)."""
+    from persistor_spark.plans import ingest
+    from persistor_spark.plans.query import IndexQuery
+
+    p = str(tmp_path / "idx_pd")
+    ingest.write_index(ingested, p)
+    df = IndexQuery(spark.read.parquet(p)).get(
+        "b1_m000000085", ["unique_id", "location_key"]
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "b1_m000000085" in plan
+    assert "ReadSchema: struct<unique_id:string,location_key:string>" in plan
