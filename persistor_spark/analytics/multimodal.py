@@ -133,6 +133,38 @@ def sample_frames(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     return df.filter(F.col("media_type") == "video").mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id string, width int, height int, content binary"
+)
+
+
+def resize_images(df: DataFrame, max_width: int = 224, max_height: int = 224) -> DataFrame:
+    """Image resize kernel: aspect-preserving downscale to fit the target box.
+    The geometry (real) runs per Arrow batch; the pixel resample is STUBBED —
+    content passes through untouched (a Pillow `Image.resize` drop-in) —
+    while output dimensions are computed exactly as a real resizer would."""
+    import pandas as pd
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            widths, heights = [], []
+            for w, h in zip(pdf["width"], pdf["height"]):
+                w, h = int(w or 1), int(h or 1)
+                scale = min(max_width / w, max_height / h, 1.0)
+                widths.append(max(int(w * scale), 1))
+                heights.append(max(int(h * scale), 1))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": widths,
+                    "height": heights,
+                    "content": pdf["content"],  # STUB: real impl resamples pixels
+                }
+            )
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(run, RESIZED_SCHEMA)
+
+
 def repartition_for_decode(df: DataFrame, target_bytes_per_partition: int = 256 << 20) -> DataFrame:
     """Range-partition by cumulative payload size so decode partitions are
     byte-balanced (row-count partitioning is pathological for mixed media)."""

@@ -233,3 +233,29 @@ def test_bm25_search_ranks_relevant_docs(spark):
     assert 3 not in out  # no query terms -> not retrieved
     assert out[1] == 1  # most matches wins
     assert set(out) == {1, 2, 4}
+
+
+def test_approx_count_distinct_tolerance(spark, sf_dir):
+    """HLL++ sketch vs exact distinct within the configured rsd — the
+    approximate-aggregation surface at 100 TB (exact distinct shuffles all
+    keys; the sketch is mergeable and constant-size)."""
+    from persistor_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+    approx = li.agg(F.approx_count_distinct("l_partkey", rsd=0.02).alias("a")).collect()[0]["a"]
+    assert abs(approx - exact) / exact < 0.06  # 3x rsd margin
+
+
+def test_resize_images_geometry(media):
+    from persistor_spark.analytics import multimodal
+
+    out = multimodal.resize_images(media, max_width=100, max_height=100)
+    n_images = media.filter(F.col("media_type") == "image").count()
+    assert out.count() == n_images
+    bad = out.filter((F.col("width") > 100) | (F.col("height") > 100))
+    assert bad.count() == 0
+    # aspect preserved: no dimension upscaled past original
+    orig = media.select("media_id", F.col("width").alias("ow"), F.col("height").alias("oh"))
+    joined = out.join(orig, "media_id")
+    assert joined.filter((F.col("width") > F.col("ow")) | (F.col("height") > F.col("oh"))).count() == 0
