@@ -355,6 +355,78 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# incremental dedup: new batch vs persisted corpus sketch
+# ---------------------------------------------------------------------------
+
+def build_band_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """The persistable LSH index for continuous ingestion: one row per
+    (band, band_hash, id, shingle set).  At 100 TB this table lives
+    partitioned/bucketed by (band, bh); each arriving batch probes it with a
+    key-equi join instead of re-sketching the corpus — the difference between
+    O(batch x corpus/buckets) and O(corpus²) per ingest cycle."""
+    rows = num_perm // bands
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+        .repartition("id")
+        .select("id", shingles("__text", k).alias("sh"))
+    )
+    hashed = sh.withColumn("hs", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
+    sig = hashed.withColumn("sig", minhash_signature_udf(num_perm)(F.col("hs"))).withColumn(
+        "bands", band_hashes(F.col("sig"), bands, rows)
+    )
+    return sig.select("id", "sh", F.posexplode("bands").alias("band", "bh"))
+
+
+def incremental_dup_pairs(
+    new_docs: DataFrame,
+    band_table: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-dup pairs (new_id, existing_id, jaccard) between an incoming
+    batch and the existing corpus represented by `band_table`
+    (build_band_table output, freshly built or read back from storage).
+
+    The new batch is sketched (cheap — batch-sized), probed against the band
+    table on (band, bh), and candidates are exact-Jaccard verified.  Returns
+    only cross pairs; intra-batch dups are minhash_lsh_pairs(new_docs)."""
+    probe = build_band_table(new_docs, id_col, text_col, k, num_perm, bands)
+    new_side = probe.select(
+        "band", "bh", F.col("id").alias("new_id"), F.col("sh").alias("sh_new")
+    )
+    old_side = band_table.select(
+        "band", "bh", F.col("id").alias("old_id"), F.col("sh").alias("sh_old")
+    )
+    candidates = (
+        new_side.join(old_side, ["band", "bh"])
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id", "sh_new", "sh_old")
+        .dropDuplicates(["new_id", "old_id"])
+    )
+    return (
+        candidates.withColumn("inter", F.size(F.array_intersect("sh_new", "sh_old")))
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.size("sh_new") + F.size("sh_old") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "old_id", F.round("jaccard", 3).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # duplicate-cluster resolution (connected components over near-dup pairs)
 # ---------------------------------------------------------------------------
 

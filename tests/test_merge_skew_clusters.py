@@ -86,3 +86,36 @@ def test_keep_cluster_representatives(spark):
     clusters = dedup.dedup_clusters(pairs)
     kept = dedup.keep_cluster_representatives(docs, clusters)
     assert sorted(r["doc_id"] for r in kept.collect()) == [0, 1, 3, 5]
+
+
+def test_incremental_dedup_matches_full_cross_pairs(spark, sf_dir):
+    """Split the corpus; incremental probe of the second half against the
+    first half's band table finds exactly the cross-split near-dup pairs of
+    the full-corpus exact operator."""
+    from persistor_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+
+    full_pairs = dedup.ngram_jaccard_pairs(docs, 0.8).collect()
+    want = {
+        tuple(sorted((r["a"], r["b"])))
+        for r in full_pairs
+        if (r["a"] % 2) != (r["b"] % 2)  # cross-split only
+    }
+
+    band_table = dedup.build_band_table(old).persist()
+    got_rows = dedup.incremental_dup_pairs(new, band_table, 0.8).collect()
+    got = {tuple(sorted((r["new_id"], r["old_id"]))) for r in got_rows}
+    band_table.unpersist()
+    assert got == want
+
+
+def test_incremental_dedup_empty_batch(spark, sf_dir):
+    from persistor_spark.sources.registry import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    band_table = dedup.build_band_table(docs)
+    empty = docs.limit(0)
+    assert dedup.incremental_dup_pairs(empty, band_table, 0.8).count() == 0
