@@ -110,3 +110,33 @@ def test_session_windows_streaming_equals_batch(spark, msgs, streamed):
     want = windows.session_windows(msgs, gap="30 minutes")
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_text_analytics_compose_with_streaming(spark, streamed):
+    """Analytics expressions are narrow ops, so they run unchanged on a
+    streaming DataFrame: per-window average payload quality."""
+    from persistor_spark.analytics import text
+
+    stream = ingest_stream.file_stream(spark, streamed, max_files_per_trigger=10)
+    scored = stream.withColumn("tok_n", text.token_count("payload")).withColumn(
+        "fp", text.fingerprint("payload")
+    )
+    agg = (
+        scored.withWatermark("ingestion_time", "2 hours")
+        .groupBy(F.window("ingestion_time", "1 day").alias("w"))
+        .agg(
+            F.avg("tok_n").alias("avg_tokens"),
+            F.approx_count_distinct("fp").alias("approx_distinct_payloads"),
+        )
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("qmon")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    rows = spark.sql("SELECT * FROM qmon").collect()
+    assert len(rows) >= 25  # ~30 days of fixture data
+    assert all(r["avg_tokens"] > 0 for r in rows)
