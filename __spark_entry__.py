@@ -531,6 +531,21 @@ def _e11_asof_join(spark, sf_dir):
     return out.select("event_id", "k", "o_orderdate", "o_orderkey").orderBy("event_id")
 
 
+def _a15_incremental_dedup(spark, sf_dir):
+    """Continuous-ingestion dedup: odd-id docs (the 'arriving batch') probed
+    against the even-id corpus band table; exact-verified cross pairs."""
+    from persistor_spark.analytics import dedup
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    band_table = dedup.build_band_table(old)
+    return (
+        dedup.incremental_dup_pairs(new, band_table, 0.8)
+        .orderBy("new_id", "old_id")
+    )
+
+
 _BM25_QUERY = ["spark", "join", "filter"]
 
 
@@ -553,11 +568,12 @@ def _e13_grouping_sets(spark, sf_dir):
 
 
 def _e14_except(spark, sf_dir):
-    p = spark.read.parquet(f"{sf_dir}/part.parquet")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    all_parts = p.select(F.col("p_partkey").alias("k"))
-    shipped = li.select(F.col("l_partkey").alias("k"))
-    return all_parts.exceptAll(shipped.distinct()).orderBy("k")
+    """Customers who never appear as an event user (EXCEPT ALL surface)."""
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    ev = _events(spark, sf_dir)
+    all_cust = c.select(F.col("c_custkey").alias("k"))
+    active = ev.select(F.col("user_id").alias("k"))
+    return all_cust.exceptAll(active.distinct()).orderBy("k")
 
 
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -701,6 +717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_embedding_pairs": _a12_embedding_pairs,
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a14_bm25_topk": _a14_bm25_topk,
+        "a15_incremental_dedup": _a15_incremental_dedup,
         "e13_grouping_sets": _e13_grouping_sets,
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
@@ -965,6 +982,23 @@ def oracle_sql() -> dict[str, str]:
             "  round(avg(quality_score), 4) AS avg_quality "
             "FROM kept GROUP BY 1 ORDER BY 1"
         ),
+        # incremental LSH probe is exact-verified, so its oracle is the
+        # exact-Jaccard pair set restricted to cross-parity pairs
+        "a15_incremental_dedup": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+            "  FROM t) "
+            "SELECT CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END AS new_id, "
+            "  CASE WHEN a.doc_id % 2 = 1 THEN b.doc_id ELSE a.doc_id END AS old_id, "
+            "  round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard "
+            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "WHERE (a.doc_id % 2) <> (b.doc_id % 2) "
+            "  AND len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8 "
+            "ORDER BY new_id, old_id"
+        ),
         "a14_bm25_topk": (
             "WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term "
             "  FROM documents), "
@@ -990,8 +1024,8 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY prio, status"
         ),
         "e14_except": (
-            "SELECT p_partkey AS k FROM part "
-            "EXCEPT ALL SELECT DISTINCT l_partkey AS k FROM lineitem ORDER BY k"
+            "SELECT c_custkey AS k FROM customer "
+            "EXCEPT ALL SELECT DISTINCT user_id AS k FROM events ORDER BY k"
         ),
         "e15_pivot": (
             "SELECT CAST(user_id % 5 AS INT) AS user_bucket, "
