@@ -68,6 +68,27 @@ class MetricsListener(StreamingQueryListener):
         pass
 
 
+def to_prometheus_text(counters: Counters, prefix: str = "persistor") -> str:
+    """Render the counter snapshot in Prometheus text exposition format —
+    the same metric family shape the reference serves at :2112/metrics
+    (metrics.go:148-169); write to a textfile-collector path or push
+    gateway."""
+    snap = counters.snapshot()
+    lines = [
+        f"# TYPE {prefix}_processed_batches_total counter",
+        f"{prefix}_processed_batches_total {snap['batches']}",
+        f"# TYPE {prefix}_processed_messages_total counter",
+        f"{prefix}_processed_messages_total {snap['input_rows']}",
+        f"# TYPE {prefix}_processing_rate_rows_per_second gauge",
+        f"{prefix}_processing_rate_rows_per_second {snap['rows_per_sec']}",
+        f"# TYPE {prefix}_processing_times_milliseconds summary",
+        f'{prefix}_processing_times_milliseconds{{quantile="0.5"}} {snap["duration_ms_q50"]}',
+        f'{prefix}_processing_times_milliseconds{{quantile="0.9"}} {snap["duration_ms_q90"]}',
+        f'{prefix}_processing_times_milliseconds{{quantile="0.99"}} {snap["duration_ms_q99"]}',
+    ]
+    return "\n".join(lines) + "\n"
+
+
 def attach(spark) -> MetricsListener:
     listener = MetricsListener()
     spark.streams.addListener(listener)

@@ -86,3 +86,17 @@ def test_metrics_listener_collects_progress(spark, sf_dir, tmp_path):
         assert snap["duration_ms_q50"] >= 0
     finally:
         smetrics.detach(spark, listener)
+
+
+def test_prometheus_text_format():
+    c = smetrics.Counters(batches=3, input_rows=1500, processed_rows_per_sec_last=50.0,
+                          batch_duration_ms=[10, 20, 30])
+    text = smetrics.to_prometheus_text(c)
+    assert "persistor_processed_messages_total 1500" in text
+    assert 'quantile="0.5"' in text and 'quantile="0.99"' in text
+    assert text.endswith("\n")
+    # every non-comment line is "name{labels} value"
+    for line in text.strip().splitlines():
+        if not line.startswith("#"):
+            name, value = line.rsplit(" ", 1)
+            float(value)
