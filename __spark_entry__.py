@@ -546,6 +546,30 @@ def _a15_incremental_dedup(spark, sf_dir):
     )
 
 
+def _a16_label_centroids(spark, sf_dir):
+    """Element-wise vector aggregation: per-label centroid (mean vector) and
+    its norm — the reduce shape of embedding-pipeline statistics (posexplode
+    -> per-dimension mean -> recombine), all built-ins."""
+    embs = _embs(spark, sf_dir)
+    per_dim = (
+        embs.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+        )
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("m"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.round(F.sqrt(F.sum(F.col("m") * F.col("m"))), 4).alias("centroid_norm"))
+        .join(
+            embs.groupBy("label").agg(F.count(F.lit(1)).alias("n")),
+            "label",
+        )
+        .select("label", "n", "centroid_norm")
+        .orderBy("label")
+    )
+
+
 _BM25_QUERY = ["spark", "join", "filter"]
 
 
@@ -718,6 +742,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
+        "a16_label_centroids": _a16_label_centroids,
         "e13_grouping_sets": _e13_grouping_sets,
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
@@ -981,6 +1006,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, round(avg(token_count), 4) AS avg_tokens, "
             "  round(avg(quality_score), 4) AS avg_quality "
             "FROM kept GROUP BY 1 ORDER BY 1"
+        ),
+        "a16_label_centroids": (
+            "WITH flat AS (SELECT label, vec_id, "
+            "  unnest(embedding::DOUBLE[]) AS v, "
+            "  generate_subscripts(embedding, 1) AS i FROM embeddings), "
+            "per_dim AS (SELECT label, i, avg(v) AS m FROM flat GROUP BY 1, 2), "
+            "norms AS (SELECT label, round(sqrt(sum(m * m)), 4) AS centroid_norm "
+            "  FROM per_dim GROUP BY 1), "
+            "counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY 1) "
+            "SELECT n2.label, c.n, n2.centroid_norm FROM norms n2 JOIN counts c USING (label) "
+            "ORDER BY n2.label"
         ),
         # incremental LSH probe is exact-verified, so its oracle is the
         # exact-Jaccard pair set restricted to cross-parity pairs
