@@ -546,6 +546,20 @@ def _a15_incremental_dedup(spark, sf_dir):
     )
 
 
+def _a17_bpe_tokens(spark, sf_dir):
+    from persistor_spark.analytics import text
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            text.token_count().alias("ws_tokens"),
+            text.bpe_token_count().alias("bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _a16_label_centroids(spark, sf_dir):
     """Element-wise vector aggregation: per-label centroid (mean vector) and
     its norm — the reduce shape of embedding-pipeline statistics (posexplode
@@ -743,6 +757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a16_label_centroids": _a16_label_centroids,
+        "a17_bpe_tokens": _a17_bpe_tokens,
         "e13_grouping_sets": _e13_grouping_sets,
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
@@ -1006,6 +1021,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, round(avg(token_count), 4) AS avg_tokens, "
             "  round(avg(quality_score), 4) AS avg_quality "
             "FROM kept GROUP BY 1 ORDER BY 1"
+        ),
+        "a17_bpe_tokens": (
+            "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
+            "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens "
+            "FROM documents ORDER BY doc_id"
         ),
         "a16_label_centroids": (
             "WITH flat AS (SELECT label, vec_id, "

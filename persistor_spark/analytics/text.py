@@ -35,6 +35,17 @@ def token_count(text: Column | str = "text") -> Column:
     return F.size(tokens(text))
 
 
+# BPE-ish pre-tokenization classes (letters / digits / single punctuation),
+# the coarse split BPE vocabularies refine; counts approximate LLM token
+# budgets far better than whitespace on punctuated text.
+BPE_SPLIT_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def bpe_token_count(text: Column | str = "text") -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_SPLIT_PATTERN), 0))
+
+
 def distinct_token_ratio(text: Column | str = "text") -> Column:
     t = tokens(text)
     return F.size(F.array_distinct(t)).cast("double") / F.size(t)

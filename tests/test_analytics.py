@@ -259,3 +259,15 @@ def test_resize_images_geometry(media):
     orig = media.select("media_id", F.col("width").alias("ow"), F.col("height").alias("oh"))
     joined = out.join(orig, "media_id")
     assert joined.filter((F.col("width") > F.col("ow")) | (F.col("height") > F.col("oh"))).count() == 0
+
+
+def test_bpe_token_count_on_punctuated_text(spark):
+    from persistor_spark.analytics import text as t
+
+    df = spark.createDataFrame([("don't stop-me, now! abc123",)], "text string")
+    r = df.select(
+        t.token_count().alias("ws"), t.bpe_token_count().alias("bpe")
+    ).collect()[0]
+    # ws: 4 whitespace tokens; bpe: don|'|t|stop|-|me|,|now|!|abc|123 = 11
+    assert r["ws"] == 4
+    assert r["bpe"] == 11
