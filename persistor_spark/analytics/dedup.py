@@ -355,6 +355,76 @@ def simhash_pairs(
 
 
 # ---------------------------------------------------------------------------
+# winnowing fingerprints (rolling character k-grams, Schleimer et al. / MOSS)
+# ---------------------------------------------------------------------------
+
+def winnow_fingerprints(
+    text: Column | str = "text", k: int = 20, window: int = 8
+) -> Column:
+    """Winnowed document fingerprints: hash every character k-gram (the
+    rolling-hash pass), then keep the minimum hash of each `window`-length
+    run — guaranteeing any shared substring of length >= k + window - 1
+    yields at least one common fingerprint, with only ~2/(window+1) of the
+    k-gram hashes retained.
+
+    Unlike md5-of-document (analytics.text.fingerprint), winnowed prints are
+    SHIFT-TOLERANT: inserting a paragraph leaves the other regions' prints
+    unchanged, so partial overlap is detectable.  Pure JVM expressions:
+    Column.substr accepts Column offsets, so the k-gram roll is one
+    `transform` over positions."""
+    return _window_mins(_kgram_hashes(text, k), window)
+
+
+def _kgram_hashes(text: Column | str, k: int) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
+        lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+    )
+
+
+def _window_mins(grams: Column, window: int) -> Column:
+    # NB: when `grams` is an un-materialized expression, each window slice
+    # re-evaluates it (CollapseProject) — callers over whole corpora must
+    # materialize the gram array first (see winnow_overlap_pairs).
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(grams) - (window - 1), F.lit(1))),
+            lambda i: F.array_min(F.slice(grams, i, window)),
+        )
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    window: int = 8,
+) -> DataFrame:
+    """Pairs sharing >= min_shared winnowed fingerprints (posting-list join
+    on the fingerprint, same scale shape as ngram_jaccard_pairs)."""
+    fp = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        .repartition("id")
+        .select("id", _kgram_hashes("__t", k).alias("__g"))
+        .repartition("id")  # materialize gram arrays before the window pass
+        .select("id", F.explode(_window_mins(F.col("__g"), window)).alias("fp"))
+    )
+    a = fp.select("fp", F.col("id").alias("a"))
+    b = fp.select("fp", F.col("id").alias("b"))
+    return (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
+# ---------------------------------------------------------------------------
 # incremental dedup: new batch vs persisted corpus sketch
 # ---------------------------------------------------------------------------
 

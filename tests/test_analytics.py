@@ -271,3 +271,37 @@ def test_bpe_token_count_on_punctuated_text(spark):
     # ws: 4 whitespace tokens; bpe: don|'|t|stop|-|me|,|now|!|abc|123 = 11
     assert r["ws"] == 4
     assert r["bpe"] == 11
+
+
+def test_winnow_fingerprints_shift_tolerant(spark):
+    """A document with an inserted prefix still shares most fingerprints —
+    the property md5-of-document lacks."""
+    base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    shifted = "INSERTED PREAMBLE TEXT HERE. " + base
+    df = spark.createDataFrame([(1, base), (2, shifted)], "doc_id long, text string")
+    fps = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", dedup.winnow_fingerprints("text").alias("fp")
+        ).collect()
+    }
+    shared = len(fps[1] & fps[2])
+    assert shared >= len(fps[1]) * 0.5
+    # and unrelated text shares ~nothing
+    df2 = spark.createDataFrame(
+        [(3, "completely different content with no overlap whatsoever in this sentence at all")],
+        "doc_id long, text string",
+    )
+    fp3 = set(
+        df2.select(dedup.winnow_fingerprints("text").alias("fp")).collect()[0]["fp"]
+    )
+    assert len(fps[1] & fp3) == 0
+
+
+def test_winnow_overlap_pairs_finds_planted_dups(docs, exact_pairs):
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.winnow_overlap_pairs(docs, min_shared=5).collect()
+    }
+    hit = len(exact_pairs & got)
+    assert hit >= len(exact_pairs) * 0.8
