@@ -208,26 +208,13 @@ def minhash_lsh_pairs(
     *pruning* strategy: same output as ngram_jaccard_pairs whenever recall
     holds, at a fraction of the join volume.
     """
-    rows = num_perm // bands
-    # repartition the RAW text by id first: a single parquet file otherwise
-    # computes every shingle set in ONE task; post-shuffle the sketch scales
-    # with cores.
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-        .repartition("id")
-        .select("id", shingles("__text", k).alias("sh"))
-    )
-    # Two-step sketch: shingle -> xxhash64 once in the JVM, then the
-    # vectorized permutation UDF (see minhash_signature_udf).  The UDF is an
-    # optimizer barrier, which also prevents CollapseProject from re-inlining
-    # the sketch into every band lambda downstream.
-    hashed = sh.withColumn("hs", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
-    sig = hashed.withColumn("sig", minhash_signature_udf(num_perm)(F.col("hs"))).withColumn(
-        "bands", band_hashes(F.col("sig"), bands, rows)
-    )
-    buckets = sig.select("id", F.posexplode("bands").alias("band", "bh"))
-    left = buckets.select("band", "bh", F.col("id").alias("a"))
-    right = buckets.select("band", "bh", F.col("id").alias("b"))
+    # One sketch path for batch and incremental dedup: build_band_table
+    # (shingle -> xxhash64 once in the JVM -> vectorized permutation UDF ->
+    # banding; the UDF doubles as the CollapseProject barrier).
+    band_table = build_band_table(df, id_col, text_col, k, num_perm, bands)
+    left = band_table.select("band", "bh", F.col("id").alias("a"))
+    right = band_table.select("band", "bh", F.col("id").alias("b"))
+    sh = band_table.select("id", "sh").dropDuplicates(["id"])
     candidates = (
         left.join(right, ["band", "bh"])
         .filter(F.col("a") < F.col("b"))
