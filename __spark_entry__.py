@@ -314,13 +314,15 @@ def _a_text_stats(spark, sf_dir):
 
 
 def _a_langid_profile(spark, sf_dir):
+    """Confusion profile: labeled lang x detected lang counts (the useful
+    evaluation view of the detector, and non-degenerate on the fixture)."""
     from persistor_spark.analytics import text
 
     return (
         _docs(spark, sf_dir)
-        .groupBy(text.detect_language().alias("detected_lang"))
+        .groupBy("lang", text.detect_language().alias("detected_lang"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy("detected_lang")
+        .orderBy("lang", "detected_lang")
     )
 
 
@@ -546,6 +548,19 @@ def _a15_incremental_dedup(spark, sf_dir):
     )
 
 
+def _e17_term_heavy_hitters(spark, sf_dir):
+    """Corpus heavy hitters: top-20 terms by document frequency (the exact
+    baseline a count-min/heavy-hitter sketch approximates at 100 TB)."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("term"))
+        .limit(20)
+    )
+
+
 def _a17_bpe_tokens(spark, sf_dir):
     from persistor_spark.analytics import text
 
@@ -762,6 +777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
         "e16_correlated_exists": _e16_correlated_exists,
+        "e17_term_heavy_hitters": _e17_term_heavy_hitters,
     }
 
 
@@ -874,14 +890,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a8_text_stats": _TEXT_STATS_ORACLE,
         "a9_langid_profile": (
-            "WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS dtoks FROM documents) "
-            "SELECT CASE "
+            "WITH t AS (SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS dtoks "
+            "  FROM documents) "
+            "SELECT lang, CASE "
             "  WHEN len(list_intersect(dtoks, ['le','la','et','les'])) >= 2 THEN 'fr' "
             "  WHEN len(list_intersect(dtoks, ['der','die','und','das'])) >= 2 THEN 'de' "
             "  WHEN len(list_intersect(dtoks, ['el','los','las','una'])) >= 2 THEN 'es' "
             "  WHEN len(list_intersect(dtoks, ['the','and','of','to'])) >= 2 THEN 'en' "
             "  ELSE 'und' END AS detected_lang, count(*) AS n "
-            "FROM t GROUP BY 1 ORDER BY 1"
+            "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # a4_simhash_pairs / a6_lsh_topk / a7_ivf_topk / a10_multimodal_features:
         # approximate or stub-backed operators — intentionally no SQL oracle
@@ -1097,6 +1114,12 @@ def oracle_sql() -> dict[str, str]:
             "WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = s.s_nationkey "
             "  AND c.c_acctbal > 9000) "
             "ORDER BY s_suppkey"
+        ),
+        "e17_term_heavy_hitters": (
+            "WITH dterms AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term "
+            "  FROM documents) "
+            "SELECT term, count(*) AS doc_freq FROM dterms "
+            "GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20"
         ),
         "e12_percentiles": (
             "SELECT event_type, round(quantile_cont(value, 0.5), 4) AS p50, "
