@@ -548,6 +548,29 @@ def _a15_incremental_dedup(spark, sf_dir):
     )
 
 
+def _e18_null_safe_join(spark, sf_dir):
+    """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): messages
+    self-joined on business_source_key where NULL matches NULL — counts per
+    key pair bucket.  Regular equality would drop all NULL-key rows."""
+    m = _messages(spark, sf_dir).select(
+        "broker_id", "business_source_key", "event_seq"
+    )
+    a = m.filter(F.col("event_seq") % 97 == 0).alias("a")
+    b = m.filter(F.col("event_seq") % 97 == 13).alias("b")
+    joined = a.join(
+        b,
+        F.col("a.business_source_key").eqNullSafe(F.col("b.business_source_key")),
+        "inner",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("a.business_source_key"), F.lit("NULL")).alias("key")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("key")
+    )
+
+
 def _e17_term_heavy_hitters(spark, sf_dir):
     """Corpus heavy hitters: top-20 terms by document frequency (the exact
     baseline a count-min/heavy-hitter sketch approximates at 100 TB)."""
@@ -778,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e15_pivot": _e15_pivot,
         "e16_correlated_exists": _e16_correlated_exists,
         "e17_term_heavy_hitters": _e17_term_heavy_hitters,
+        "e18_null_safe_join": _e18_null_safe_join,
     }
 
 
@@ -1114,6 +1138,13 @@ def oracle_sql() -> dict[str, str]:
             "WHERE EXISTS (SELECT 1 FROM customer c WHERE c.c_nationkey = s.s_nationkey "
             "  AND c.c_acctbal > 9000) "
             "ORDER BY s_suppkey"
+        ),
+        "e18_null_safe_join": oracle.with_prologue(
+            "SELECT coalesce(a.business_source_key, 'NULL') AS key, count(*) AS n "
+            "FROM (SELECT * FROM messages WHERE event_seq % 97 = 0) a "
+            "JOIN (SELECT * FROM messages WHERE event_seq % 97 = 13) b "
+            "  ON a.business_source_key IS NOT DISTINCT FROM b.business_source_key "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "e17_term_heavy_hitters": (
             "WITH dterms AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term "
