@@ -161,3 +161,46 @@ def test_version_unknown_fill_model(spark, versions):
     got = [r[0] for r in df.select(version_column("attr_version")).collect()]
     want = [v if v is not None else "unknown" for v in versions]
     assert got == want
+
+
+# -- as-of join vs model ------------------------------------------------------
+
+import datetime as _dt
+
+_times = st.integers(min_value=0, max_value=20)
+_keys = st.sampled_from(["a", "b"])
+_left_rows = st.lists(st.tuples(_keys, _times), min_size=1, max_size=8)
+_right_rows = st.lists(st.tuples(_keys, _times, st.integers(0, 99)), max_size=8)
+
+
+@given(_left_rows, _right_rows)
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+def test_asof_join_matches_model(spark, left_rows, right_rows):
+    from persistor_spark.operators import asof
+
+    base = _dt.datetime(2024, 1, 1)
+
+    def ts(h):
+        return base + _dt.timedelta(hours=h)
+
+    left = spark.createDataFrame(
+        [(i, k, ts(t)) for i, (k, t) in enumerate(left_rows)],
+        "id long, k string, t timestamp",
+    )
+    # as-of needs one right row per (key, time) to be well-defined: keep max v
+    dedup_right = {}
+    for k, t, v in right_rows:
+        dedup_right[(k, t)] = max(v, dedup_right.get((k, t), -1))
+    if not dedup_right:
+        return
+    right = spark.createDataFrame(
+        [(k, ts(t), v) for (k, t), v in dedup_right.items()],
+        "k string, rt timestamp, v int",
+    )
+    got = {
+        r["id"]: r["v"] for r in asof.asof_join(left, right, "k", "t", "rt").collect()
+    }
+    for i, (k, t) in enumerate(left_rows):
+        cands = [(rt, v) for (rk, rt), v in dedup_right.items() if rk == k and rt <= t]
+        want = max(cands)[1] if cands else None
+        assert got[i] == want, f"row {i} key {k} t {t}: {got[i]} != {want}"
