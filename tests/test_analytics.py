@@ -305,3 +305,31 @@ def test_winnow_overlap_pairs_finds_planted_dups(docs, exact_pairs):
     }
     hit = len(exact_pairs & got)
     assert hit >= len(exact_pairs) * 0.8
+
+
+def test_mixture_sampling_proportions_and_determinism(spark, docs):
+    from persistor_spark.analytics import sampling
+
+    weights = {"src0": 2.0, "src1": 1.0, "src2": 1.0}
+    out = sampling.sample_mixture(docs, "source", weights, seed=7)
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert set(counts) <= set(weights)
+    # src0 should be ~2x src1 (Bernoulli noise tolerated)
+    assert counts["src0"] > counts["src1"] * 1.4
+    # deterministic for fixed seed
+    again = sampling.sample_mixture(docs, "source", weights, seed=7)
+    assert sorted(r[0] for r in out.select("doc_id").collect()) == sorted(
+        r[0] for r in again.select("doc_id").collect()
+    )
+    # unknown stratum rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="absent"):
+        sampling.mixture_fractions(docs, "source", {"nope": 1.0})
+
+
+def test_mixture_fractions_respect_budget(docs):
+    from persistor_spark.analytics import sampling
+
+    fr = sampling.mixture_fractions(docs, "source", {"src0": 1, "src1": 1}, total_rows=50)
+    assert all(0 < f <= 1.0 for f in fr.values())
