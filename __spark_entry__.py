@@ -469,12 +469,17 @@ def _e9_sessionize(spark, sf_dir):
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # Cumulative sum over an explicit ROWS frame on the SAME (ts, event_id)
+    # order as the lag window — the oracle mirrors this exactly (r1 red row
+    # was an ORDER BY event_id-only oracle diverging whenever a user's
+    # event_id order differs from ts order).
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = ev.withColumn(
         "new_session",
         (
             F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800
         ).cast("int"),
-    ).withColumn("session_id", F.sum(F.coalesce("new_session", F.lit(1))).over(w))
+    ).withColumn("session_id", F.sum(F.coalesce("new_session", F.lit(1))).over(w_sum))
     return (
         flagged.groupBy("user_id", "session_id")
         .agg(
@@ -695,7 +700,7 @@ def _e12_percentiles(spark, sf_dir):
 def _a12_embedding_pairs(spark, sf_dir):
     from persistor_spark.analytics import dedup
 
-    return dedup.embedding_dup_pairs(_embs(spark, sf_dir), 0.4).orderBy("a", "b")
+    return dedup.embedding_dup_pairs_lsh(_embs(spark, sf_dir), 0.4).orderBy("a", "b")
 
 
 def _a13_curation_pipeline(spark, sf_dir):
@@ -1020,13 +1025,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "e9_sessionize": (
             "WITH flagged AS ("
-            "  SELECT user_id, event_id, "
+            "  SELECT user_id, event_id, ts, "
             "    CAST(floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800 AS INT) AS new_session "
             "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
             "), sess AS ("
             "  SELECT user_id, event_id, "
             "    sum(coalesce(new_session, 1)) OVER ("
-            "      PARTITION BY user_id ORDER BY event_id "
+            "      PARTITION BY user_id ORDER BY ts, event_id "
             "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
             "  FROM flagged)"
             "SELECT user_id, session_id, count(*) AS n_events, "

@@ -559,7 +559,8 @@ def embedding_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Pairs with cosine >= threshold.  Brute-force blocked self-join —
-    correct baseline; similarity.cosine_lsh_topk is the scale path."""
+    the RECALL ORACLE for pytest only; `embedding_dup_pairs_lsh` is the
+    production op (bucketed equi-join, no cartesian product)."""
     from persistor_spark.analytics.similarity import cosine
 
     v = df.select(
@@ -571,6 +572,63 @@ def embedding_dup_pairs(
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", F.round("cos", 4).alias("cos"))
+    )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 2,
+    n_tables: int = 32,
+    seed: int = 7,
+) -> DataFrame:
+    """Pairs with cosine >= threshold via sign-LSH bucketed self-join +
+    exact verify — the scale path (same contract as embedding_dup_pairs).
+
+    Candidates are generated from `n_tables` independent random-hyperplane
+    tables of `n_planes` sign bits each (similarity._bucket_expr): two
+    vectors become a candidate iff they share a bucket in >=1 table, i.e.
+    the join is a (table, bucket) EQUI-join that shuffles by bucket key —
+    never a cartesian product, so it partitions/scales where the r1
+    crossJoin could not.  The exact cosine verify removes all false
+    positives; false negatives are bounded by (1 - p^b)^T with
+    p = 1 - theta/pi, so per-pair miss probability at cos=0.4 with the
+    b=2/T=32 defaults is ~1e-7 (drops steeply for the higher thresholds
+    real near-dup uses).  Hyperplanes are seeded => fully deterministic.
+
+    For production dedup at tau >= 0.8, raise n_planes (8-12) so buckets
+    prune aggressively; the defaults here favor recall at low tau.
+    """
+    from persistor_spark.analytics.similarity import _bucket_expr, _hyperplanes, cosine
+
+    v = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    bucketed = v.select(
+        "id",
+        "v",
+        F.array(*[_bucket_expr(F.col("v"), planes) for planes in tables]).alias("bks"),
+    ).select("id", "v", F.posexplode("bks").alias("table", "bucket"))
+    left = bucketed.select(
+        "table", "bucket", F.col("id").alias("a"), F.col("v").alias("va")
+    )
+    right = bucketed.select(
+        "table", "bucket", F.col("id").alias("b"), F.col("v").alias("vb")
+    )
+    candidates = (
+        left.join(right, ["table", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .dropDuplicates(["a", "b"])
+    )
+    return (
+        candidates.withColumn("cos", cosine(F.col("va"), F.col("vb")))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 4).alias("cos"))
     )

@@ -76,9 +76,18 @@ def search(index: BM25Index, query_terms: list, k: int = 10) -> DataFrame:
     scored = per_term.groupBy("id").agg(F.round(F.sum("s"), 4).alias("score"))
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    # Global top-k via orderBy().limit(k): Spark plans TakeOrderedAndProject
+    # (per-partition heap + driver merge), NOT a single-partition sort — the
+    # r1 plan ranked every scored doc through a partition-less WindowExec.
+    # The row_number window then runs over only the k survivors (constant
+    # partition key keeps WindowExec happy; k rows make it free).
+    order = [F.col("score").desc(), F.col("id").asc()]
+    topk = scored.orderBy(*order).limit(k)
+    # pmod(id, 1) is always 0 but non-foldable, so the partition spec
+    # survives optimization and WindowExec never warns / single-partitions
+    # anything larger than the k survivors.
+    w = Window.partitionBy(F.pmod(F.col("id"), F.lit(1))).orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w))
         .select("id", "score", "rank")
     )

@@ -73,7 +73,16 @@ def coerce_timestamps(filters: list[dict]) -> list[dict]:
                     if isinstance(value, str):
                         conv[key] = parse_query_wire(value)
                     elif isinstance(value, dict):
-                        conv[key] = {op: parse_query_wire(str(ts)) for op, ts in value.items()}
+                        # $in/$nin operands are LISTS of wire strings — parse
+                        # each element; str(list) would be rejected wholesale.
+                        conv[key] = {
+                            op: (
+                                [parse_query_wire(str(t)) for t in ts]
+                                if isinstance(ts, (list, tuple))
+                                else parse_query_wire(str(ts))
+                            )
+                            for op, ts in value.items()
+                        }
                     else:
                         raise ValueError("invalid time format")
                 except ValueError as exc:

@@ -21,10 +21,13 @@ def index_source_key(
     source_key: Column | str = "business_source_key",
     object_key: Column | str = "business_object_key",
 ) -> Column:
-    """`bsk || '_' || bok` iff both present, else NULL (sender.go:158-160)."""
+    """`bsk || '_' || bok` iff both present AND non-empty, else NULL
+    (sender.go:158: `len(bsk) > 0 && len(bok) > 0` — an empty-string business
+    key leaves index_source_key unset, it does not produce '_' / 'src_')."""
     s = F.col(source_key) if isinstance(source_key, str) else source_key
     o = F.col(object_key) if isinstance(object_key, str) else object_key
-    return F.when(s.isNotNull() & o.isNotNull(), F.concat(s, F.lit("_"), o))
+    non_empty = s.isNotNull() & (F.length(s) > 0) & o.isNotNull() & (F.length(o) > 0)
+    return F.when(non_empty, F.concat(s, F.lit("_"), o))
 
 
 def additional_metadata(attributes: Column | str = "attributes") -> Column:

@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import Column, DataFrame, functions as F
 
 from persistor_spark.config import IngestConfig
@@ -34,6 +35,13 @@ DL_CATEGORY_PARSER = "Metadata parser error"
 DL_CATEGORY_MONGO = "MongoDB storage error"
 DL_SOURCE_CORE = "Dataphos Persistor - Core"
 DL_SOURCE_INDEXER = "Dataphos Persistor - Indexer"
+
+
+def _is_path_missing(exc: AnalysisException) -> bool:
+    """True iff the AnalysisException means 'no table at this path yet'."""
+    cond = getattr(exc, "getErrorClass", lambda: None)() or ""
+    msg = str(exc)
+    return "PATH_NOT_FOUND" in cond or "Path does not exist" in msg
 
 
 @dataclass
@@ -178,8 +186,12 @@ def write_index_merge(result: IngestResult, path: str) -> int:
     try:
         existing_ids = spark.read.parquet(path).select("unique_id")
         new = new.join(existing_ids, "unique_id", "left_anti")
-    except Exception:  # noqa: BLE001 — first write: no table yet
-        pass
+    except AnalysisException as exc:
+        # ONLY "table doesn't exist yet" may skip the dedup anti-join; any
+        # other analysis failure (corrupt footer, schema, permissions) must
+        # surface, or a transient error silently appends duplicates.
+        if not _is_path_missing(exc):
+            raise
     new = new.persist()
     n = new.count()
     if n:

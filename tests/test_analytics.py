@@ -125,6 +125,21 @@ def test_ivf_topk_recall(embs, brute_topk):
     assert recall >= 0.4, f"IVF recall too low: {recall}"
 
 
+def test_embedding_lsh_pairs_equal_brute_force(embs):
+    # the LSH-bucketed production op must reproduce the brute-force oracle
+    # exactly at the a12 threshold (per-pair miss prob ~1e-7 at the b=2/T=32
+    # defaults; hyperplanes are seeded, so equality is deterministic)
+    brute = {(r["a"], r["b"], r["cos"]) for r in dedup.embedding_dup_pairs(embs, 0.4).collect()}
+    lsh = {(r["a"], r["b"], r["cos"]) for r in dedup.embedding_dup_pairs_lsh(embs, 0.4).collect()}
+    assert brute == lsh
+    assert len(brute) > 0
+
+
+def test_embedding_lsh_pairs_plan_has_no_cartesian(embs):
+    plan = dedup.embedding_dup_pairs_lsh(embs, 0.4)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
 def test_pandas_topk_matches_expression_topk(embs, brute_topk):
     q_rows = [(r["vec_id"], r["embedding"]) for r in embs.filter(F.col("vec_id") < 10).collect()]
     got = similarity.brute_force_topk_pandas(embs, q_rows, k=10).collect()

@@ -80,6 +80,23 @@ def test_timestamp_coercion():
     assert flt[0]["publish_time"]["$gte"].microsecond == 500000
 
 
+def test_timestamp_in_list_coerced_elementwise():
+    # $in/$nin operands are lists of wire strings; each element parses
+    # individually (util.go:222-253 walks operator-doc values recursively).
+    import datetime
+
+    flt = fd.coerce_timestamps(
+        [{"publish_time": {"$in": ["2024-01-03T00:00:00Z", "2024-01-04T00:00:00Z"]}}]
+    )
+    got = flt[0]["publish_time"]["$in"]
+    assert got == [
+        datetime.datetime(2024, 1, 3, tzinfo=datetime.timezone.utc),
+        datetime.datetime(2024, 1, 4, tzinfo=datetime.timezone.utc),
+    ]
+    with pytest.raises(fd.InvalidTimestamp):
+        fd.coerce_timestamps([{"publish_time": {"$in": ["2024-01-03T00:00:00Z", "nope"]}}])
+
+
 def test_timestamp_garbage_rejected():
     with pytest.raises(fd.InvalidTimestamp):
         fd.coerce_timestamps([{"publish_time": "not-a-time"}])

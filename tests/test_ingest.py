@@ -131,6 +131,29 @@ def test_index_source_key_rule(ingested):
     assert bad.count() == 0
 
 
+def test_index_source_key_requires_non_empty(spark):
+    """sender.go:158 requires len(bsk) > 0 AND len(bok) > 0 — empty-string
+    business keys leave index_source_key unset, never '_' or 'src1_'."""
+    from persistor_spark.functions import keys
+
+    rows = [("src1", "obj1"), ("", "obj1"), ("src1", ""), ("", ""), (None, "obj1")]
+    df = spark.createDataFrame(rows, "business_source_key string, business_object_key string")
+    got = [r[0] for r in df.select(keys.index_source_key()).collect()]
+    assert got == ["src1_obj1", None, None, None, None]
+
+
+def test_write_index_merge_raises_on_corrupt_table(spark, sf_dir, tmp_path):
+    """Only a MISSING table may skip the anti-join dedup; a corrupt existing
+    table must raise, not silently degrade into duplicate appends."""
+    msgs = fixtures.load_messages(spark, sf_dir).limit(10)
+    res = ingest.run_batch(msgs, fixtures.fixture_ingest_config())
+    path = tmp_path / "idx"
+    path.mkdir()
+    (path / "part-00000.parquet").write_bytes(b"this is not a parquet file")
+    with pytest.raises(Exception):
+        ingest.write_index_merge(res, str(path))
+
+
 def test_additional_metadata_excludes_promoted(ingested):
     """Promoted business keys are deleted from the metadata map
     (sender.go:155-156)."""
