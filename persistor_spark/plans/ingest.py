@@ -39,7 +39,7 @@ DL_SOURCE_INDEXER = "Dataphos Persistor - Indexer"
 
 def _is_path_missing(exc: AnalysisException) -> bool:
     """True iff the AnalysisException means 'no table at this path yet'."""
-    cond = getattr(exc, "getErrorClass", lambda: None)() or ""
+    cond = getattr(exc, "getCondition", lambda: None)() or ""
     msg = str(exc)
     return "PATH_NOT_FOUND" in cond or "Path does not exist" in msg
 
@@ -72,6 +72,7 @@ def run_batch(
     failure_category: Column | None = None,
     failure_source: Column | None = None,
     persist_intermediate: bool = False,
+    blob_name: Column | None = None,
 ) -> IngestResult:
     """Transform one batch of messages.
 
@@ -79,6 +80,12 @@ def run_batch(
     writer-failure injection tests, handler_test.go:519-645); they take the
     dead-letter path (K6) and are excluded from blobs and index.  Production
     streaming uses try/except + idempotent MERGE instead (E1 resolution).
+
+    `blob_name` overrides the blob filename component of location_key
+    (default broker_id).  The streaming path passes a batch-scoped name so
+    blobs from different micro-batches never share a location_key — the
+    reference gets the same uniqueness by naming each blob after its first
+    message id (storage.go:50,113).
     """
     cfg.validate()
     msgs = messages
@@ -119,7 +126,7 @@ def run_batch(
     storage_cfg = cfg.storage.__class__(
         **{**cfg.storage.__dict__, "mask": tuple(mask_members)}
     )
-    live, mask_names = blob_naming.add_blob_columns(live, storage_cfg, clock)
+    live, mask_names = blob_naming.add_blob_columns(live, storage_cfg, clock, blob_name=blob_name)
 
     live = live.withColumn("unique_id", keys.unique_id())
     # blob and index projections fork here; caching the shared prefix stops
@@ -228,7 +235,17 @@ def write_blobs(result: IngestResult, path: str, fmt: str = "avro") -> None:
     """Physically persist blob records, directory-partitioned by the mask
     columns so every mask member partition-prunes at read time (T4 parity:
     same directory structure the reference builds by string concat).
-    Format falls back avro->parquet when spark-avro isn't deployed."""
+
+    Formats: `ocf` writes the reference's LIVE contract — one Avro OCF file
+    per location_key, persistorrecord schema (formats.ocf_io; replay-
+    idempotent by byte-identical overwrite); `avro` uses spark-avro when
+    deployed and falls back to parquet; `parquet` is the columnar layout
+    the query path prefers."""
+    if fmt == "ocf":
+        from persistor_spark.formats import ocf_io
+
+        ocf_io.write_blobs_ocf(result, path)
+        return
     fmt = resolve_blob_format(result.blob_records.sparkSession, fmt)
     (
         result.blob_records.write.mode("append")
@@ -236,6 +253,41 @@ def write_blobs(result: IngestResult, path: str, fmt: str = "avro") -> None:
         .format(fmt)
         .save(path)
     )
+
+
+def write_blobs_merge(result: IngestResult, path: str, fmt: str = "avro") -> int:
+    """Exactly-once blob append: anti-join the batch's records on
+    (location_key, record_id) against what's already persisted, append only
+    the new rows.  Returns the number of rows appended.
+
+    This is the blob-side twin of write_index_merge — a checkpoint replay
+    (batch failed AFTER the blob write but before the index write, or an
+    at-least-once source redelivered) finds its rows present and appends
+    nothing, so the E1 exactly-once-table guarantee covers blobs too.
+    Scale: the existing side projects only the two join-key columns
+    (column-pruned scan) and the join hash-distributes on location_key;
+    on Delta/Iceberg this is MERGE WHEN NOT MATCHED.
+    """
+    spark = result.blob_records.sparkSession
+    fmt = resolve_blob_format(spark, fmt)
+    new = result.blob_records
+    try:
+        existing = spark.read.format(fmt).load(path).select("location_key", "record_id")
+        new = new.join(existing, ["location_key", "record_id"], "left_anti")
+    except AnalysisException as exc:
+        if not _is_path_missing(exc):
+            raise
+    new = new.persist()
+    n = new.count()
+    if n:
+        (
+            new.write.mode("append")
+            .partitionBy(*result.mask_column_names)
+            .format(fmt)
+            .save(path)
+        )
+    new.unpersist()
+    return n
 
 
 def write_index(

@@ -153,18 +153,33 @@ def run_stream(
     failure=None,
     trigger_available_now: bool = True,
     processing_time: str | None = None,
-    exactly_once_index: bool = False,
+    exactly_once_index: bool = True,
+    exactly_once_blobs: bool = True,
+    fault_injector=None,
 ):
     """Start the streaming ingest; returns (StreamingQuery, StreamMetrics).
 
-    `exactly_once_index=True` writes the index via write_index_merge (anti-
-    join on unique_id): duplicate deliveries from an at-least-once source
-    (or an overlapping checkpoint recovery) append nothing — the E1
-    exactly-once-table guarantee without Delta.
+    Blob identity across micro-batches: the blob name carries the BATCH ID
+    (`<broker_id>-b<batch_id>`), so two micro-batches landing in the same
+    day/version/broker mask partition never share a location_key and the
+    per-batch position window restarts safely at 1.  The reference gets the
+    same uniqueness by naming each blob after its first message id
+    (storage.go:50,113); batch_id is the Spark-native equivalent AND is
+    stable across checkpoint replays, which first-message-id naming under
+    redelivery is not.
 
-    `failure` mirrors run_batch's injection hook.  availableNow drains the
-    source then stops (test mode); processing_time="30 seconds" matches the
-    reference's BatchTimeout in production.
+    Exactly-once (E1): both sinks default to the anti-join MERGE writers
+    (write_blobs_merge on (location_key, record_id), write_index_merge on
+    unique_id).  A batch that fails between the two writes — or a source
+    redelivery — re-runs with the SAME batch_id, derives the SAME
+    location_keys, finds its rows present, and appends nothing.  Set the
+    flags False only for fire-and-forget bulk loads where the source is
+    exactly-once end to end.
+
+    `failure` mirrors run_batch's injection hook (rows -> DLQ);
+    `fault_injector(batch_id)` is called between the blob and index writes
+    and may raise — the test hook for the mid-batch crash window, mirroring
+    the reference's writer-failure injection (handler_test.go:519-645).
 
     Batch errors always PROPAGATE (failing the query) — a failed batch must
     not commit its source offsets, or it would be silently lost.  Retry
@@ -183,8 +198,19 @@ def run_stream(
         if "__invalid" in batch_df.columns:
             invalid = batch_df.filter(F.col("__invalid")).select(*cols)
             batch_df = batch_df.filter(~F.col("__invalid")).select(*cols)
-        result = ingest.run_batch(batch_df, cfg, failure=failure, persist_intermediate=True)
-        ingest.write_blobs(result, sinks.blob_path, fmt=sinks.blob_format)
+        result = ingest.run_batch(
+            batch_df,
+            cfg,
+            failure=failure,
+            persist_intermediate=True,
+            blob_name=F.concat(F.col("broker_id"), F.lit(f"-b{batch_id}")),
+        )
+        if exactly_once_blobs:
+            ingest.write_blobs_merge(result, sinks.blob_path, fmt=sinks.blob_format)
+        else:
+            ingest.write_blobs(result, sinks.blob_path, fmt=sinks.blob_format)
+        if fault_injector is not None:
+            fault_injector(batch_id)
         if exactly_once_index:
             ingest.write_index_merge(result, sinks.index_path)
         else:
@@ -203,6 +229,8 @@ def run_stream(
                     F.lit(ingest.DL_SOURCE_INDEXER).alias("dead_letter_source"),
                 )
             )
+        # DLQ stays at-least-once (blind append): the reference's dead-letter
+        # TOPIC is at-least-once too — consumers dedup on unique_id.
         dl.write.mode("append").parquet(sinks.deadletter_path)
         n_idx = result.index_metadata.count()
         n_dl = dl.count()
@@ -233,6 +261,9 @@ def run_stream_supervised(
     error_budget=None,
     failure=None,
     max_restarts: int = 100,
+    exactly_once_index: bool = True,
+    exactly_once_blobs: bool = True,
+    fault_injector=None,
 ) -> StreamMetrics:
     """E3 flow-control supervisor (run.go:157-187: 50 errors/min then stop;
     processing error -> continue; fatal -> stop).
@@ -248,7 +279,15 @@ def run_stream_supervised(
     budget = error_budget or fc.ErrorBudget()
     total = StreamMetrics()
     for _ in range(max_restarts):
-        query, metrics = run_stream(stream_factory(), cfg, sinks, failure=failure)
+        query, metrics = run_stream(
+            stream_factory(),
+            cfg,
+            sinks,
+            failure=failure,
+            exactly_once_index=exactly_once_index,
+            exactly_once_blobs=exactly_once_blobs,
+            fault_injector=fault_injector,
+        )
         try:
             query.awaitTermination()
         except Exception as exc:  # noqa: BLE001 — classification is the policy

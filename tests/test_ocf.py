@@ -1,0 +1,167 @@
+"""Avro OCF blob contract: codec spec compliance, Spark write/read round
+trip, and the resubmit position-align join over avro-backed blobs — the
+reference's canonical storage format exercised LIVE (write_to_avro.go:34-74,
+avro.go:37-89)."""
+
+import json
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from persistor_spark import fixtures
+from persistor_spark.formats import avro_ocf, ocf_io
+
+
+# ------------------------------------------------------------------- codec
+
+
+def _records(n=5):
+    return [
+        {
+            "ID": f"b0_m{i}",
+            "Data": f"payload-{i}-é中".encode("utf-8"),
+            "Metadata": {"k": str(i), "event_type": "create"} if i % 2 else {},
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("codec", ["null", "deflate"])
+def test_codec_round_trip(codec):
+    recs = _records()
+    blob = avro_ocf.encode_ocf(recs, codec=codec)
+    schema, got = avro_ocf.decode_ocf(blob)
+    assert schema["name"] == "persistorrecord"
+    assert got == recs
+
+
+def test_ocf_header_structure():
+    """Magic + avro.schema/avro.codec metadata per the Avro 1.11 spec —
+    what any conforming reader (hamba/avro included) requires."""
+    blob = avro_ocf.encode_ocf(_records(1), codec="deflate")
+    assert blob[:4] == b"Obj\x01"
+    r = avro_ocf._Reader(blob, 4)
+    meta = {}
+    while True:
+        n = r.read_long()
+        if n == 0:
+            break
+        for _ in range(abs(n)):
+            k = r.read_bytes().decode()
+            meta[k] = r.read_bytes()
+    assert meta["avro.codec"] == b"deflate"
+    parsed = json.loads(meta["avro.schema"])
+    assert [f["name"] for f in parsed["fields"]] == ["ID", "Data", "Metadata"]
+
+
+def test_empty_and_multiblock():
+    assert avro_ocf.decode_ocf(avro_ocf.encode_ocf([]))[1] == []
+    recs = _records(25)
+    blob = avro_ocf.encode_ocf(recs, block_records=7)  # forces 4 blocks
+    assert avro_ocf.decode_ocf(blob)[1] == recs
+
+
+def test_deterministic_bytes():
+    """Same records + same sync marker => byte-identical blob (idempotent
+    task-retry overwrite)."""
+    sync = avro_ocf.sync_marker_for("gs://b/p/blob-x.avro")
+    a = avro_ocf.encode_ocf(_records(), sync=sync)
+    b = avro_ocf.encode_ocf(_records(), sync=sync)
+    assert a == b
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.fixed_dictionaries(
+            {
+                "ID": st.text(min_size=1, max_size=40),
+                "Data": st.binary(max_size=200),
+                "Metadata": st.dictionaries(
+                    st.text(min_size=1, max_size=10), st.text(max_size=20), max_size=4
+                ),
+            }
+        ),
+        max_size=30,
+    ),
+    st.sampled_from(["null", "deflate"]),
+)
+def test_codec_property_round_trip(recs, codec):
+    assert avro_ocf.decode_ocf(avro_ocf.encode_ocf(recs, codec=codec))[1] == recs
+
+
+def test_zigzag_longs():
+    for n in [0, -1, 1, 63, -64, 2**31, -(2**31), 2**62, -(2**62)]:
+        r = avro_ocf._Reader(avro_ocf.encode_long(n))
+        assert r.read_long() == n
+
+
+# ------------------------------------------------------------ spark plumbing
+
+
+@pytest.fixture(scope="module")
+def ocf_store(spark, sf_dir, tmp_path_factory):
+    res = fixtures.run_fixture_ingest(spark, sf_dir)
+    base = str(tmp_path_factory.mktemp("ocfblobs"))
+    manifest = ocf_io.write_blobs_ocf(res, base)
+    return res, base, manifest
+
+
+def test_spark_ocf_round_trip(spark, ocf_store):
+    """write_blobs_ocf -> read_blob_records_ocf reproduces the blob-record
+    table EXACTLY (location_key, position, record_id, payload, metadata)."""
+    res, base, manifest = ocf_store
+    want = res.blob_records.select(
+        "location_key", "position", "record_id", "payload", "metadata"
+    )
+    got = ocf_io.read_blob_records_ocf(
+        spark, base, blob_base_url=ocf_io.base_url(want.first()["location_key"])
+    )
+    assert manifest.count() == want.select("location_key").distinct().count()
+    assert got.count() == want.count()
+    j = "location_key", "position"
+    cmp = got.alias("g").join(want.alias("w"), list(j), "full_outer")
+    assert cmp.filter("g.record_id IS NULL OR w.record_id IS NULL").count() == 0
+    assert cmp.filter("g.record_id != w.record_id OR g.payload != w.payload").count() == 0
+    # metadata maps equal (map_entries sorted compare)
+    bad_meta = cmp.filter(
+        F.to_json(F.map_entries("g.metadata")) != F.to_json(F.map_entries("w.metadata"))
+    )
+    assert bad_meta.count() == 0
+
+
+def test_resubmit_over_ocf_blobs(spark, sf_dir, ocf_store):
+    """D9 semantics against avro-backed blobs: every indexed row aligns to
+    exactly its own payload through the OCF read path."""
+    from persistor_spark.plans import resubmit
+
+    res, base, _ = ocf_store
+    blobs = ocf_io.read_blob_records_ocf(
+        spark, base, blob_base_url=ocf_io.base_url(res.blob_records.first()["location_key"])
+    )
+    records = resubmit.align(res.index_metadata, blobs, broadcast_metadata=True)
+    n = res.index_metadata.count()
+    assert records.count() == n
+    assert records.filter(F.col("unique_id") != F.col("record_id")).count() == 0 if "record_id" in records.columns else True
+    # payload fidelity vs the original messages
+    orig = fixtures.load_messages(spark, sf_dir).select(
+        F.concat_ws("_", "broker_id", "broker_msg_id").alias("unique_id"),
+        F.col("payload").alias("orig_payload"),
+    )
+    assert records.join(orig, "unique_id").filter(F.col("payload") != F.col("orig_payload")).count() == 0
+
+
+def test_write_blobs_fmt_ocf_dispatch(spark, sf_dir, tmp_path):
+    """plans.ingest.write_blobs(fmt='ocf') routes to the OCF writer."""
+    from persistor_spark.plans import ingest
+
+    res = fixtures.run_fixture_ingest(spark, sf_dir)
+    base = str(tmp_path / "viaingest")
+    ingest.write_blobs(res, base, fmt="ocf")
+    import glob
+
+    files = glob.glob(base + "/**/*.avro", recursive=True)
+    assert files
+    _, recs = avro_ocf.decode_ocf(open(files[0], "rb").read())
+    assert recs and set(recs[0]) == {"ID", "Data", "Metadata"}

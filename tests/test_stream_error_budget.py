@@ -29,7 +29,7 @@ def test_supervisor_replays_failed_batch(spark, setup, monkeypatch):
     msgs, src, sinks = setup
     from persistor_spark.plans import ingest as ingest_mod
 
-    real_write = ingest_mod.write_blobs
+    real_write = ingest_mod.write_blobs_merge
     calls = {"n": 0}
 
     def flaky_write(result, path, fmt="avro"):
@@ -38,7 +38,7 @@ def test_supervisor_replays_failed_batch(spark, setup, monkeypatch):
             raise fc.TemporaryIngestError("simulated storage outage")
         return real_write(result, path, fmt=fmt)
 
-    monkeypatch.setattr(ingest_mod, "write_blobs", flaky_write)
+    monkeypatch.setattr(ingest_mod, "write_blobs_merge", flaky_write)
     budget = fc.ErrorBudget(max_errors=5, window_s=60)
     total = ingest_stream.run_stream_supervised(
         lambda: ingest_stream.file_stream(spark, src, max_files_per_trigger=1),
@@ -63,7 +63,7 @@ def test_supervisor_stops_on_fatal(spark, setup, monkeypatch):
     def fatal_write(result, path, fmt="avro"):
         raise fc.FatalIngestError("schema broke")
 
-    monkeypatch.setattr(ingest_mod, "write_blobs", fatal_write)
+    monkeypatch.setattr(ingest_mod, "write_blobs_merge", fatal_write)
     with pytest.raises(Exception) as exc_info:
         ingest_stream.run_stream_supervised(
             lambda: ingest_stream.file_stream(spark, src, max_files_per_trigger=1),
@@ -80,7 +80,7 @@ def test_supervisor_budget_exhaustion(spark, setup, monkeypatch):
     def always_fail(result, path, fmt="avro"):
         raise fc.TemporaryIngestError("persistent outage")
 
-    monkeypatch.setattr(ingest_mod, "write_blobs", always_fail)
+    monkeypatch.setattr(ingest_mod, "write_blobs_merge", always_fail)
     with pytest.raises(Exception) as exc_info:
         ingest_stream.run_stream_supervised(
             lambda: ingest_stream.file_stream(spark, src, max_files_per_trigger=1),

@@ -53,10 +53,16 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path, chunked_messages):
     )
     got_dl = spark.read.parquet(sinks.deadletter_path)
     assert got_dl.count() == batch.deadletter.count()
-    # location_keys agree except for the time-partition dirs? no — clock is
-    # the injected ingestion_time column, so keys are identical:
+    # location_keys agree up to the batch-id blob-name suffix (streaming
+    # names blobs <broker>-b<batch_id> so batches never collide; the mask
+    # dirs and broker component are identical — clock is the injected
+    # ingestion_time column):
+    stripped = F.regexp_replace("location_key", r"-b\d+\.", ".")
     assert (
-        got_idx.select("location_key").exceptAll(want_idx.select("location_key")).count()
+        got_idx.select(stripped.alias("lk"))
+        .distinct()
+        .exceptAll(want_idx.select("location_key").distinct())
+        .count()
         == 0
     )
 
@@ -138,6 +144,82 @@ def test_restart_from_checkpoint_is_idempotent(spark, tmp_path, chunked_messages
     n2 = spark.read.parquet(sinks.index_path).count()
     assert n1 == n2
     assert m2.indexed == 0
+
+
+def test_multibatch_positions_unique_and_resubmittable(spark, tmp_path, chunked_messages):
+    """Micro-batches in the same day/version/broker partition must NOT reuse
+    (location_key, location_position) — r1 named blobs after broker_id only
+    and restarted positions per batch, so the resubmit join fanned out.
+    Asserts global uniqueness AND an exact resubmit round trip over the
+    multi-batch output."""
+    from persistor_spark.plans import resubmit
+
+    msgs, src = chunked_messages
+    cfg = fixtures.fixture_ingest_config()
+    sinks = _sinks(tmp_path, "out6")
+    q, metrics = ingest_stream.run_stream(
+        ingest_stream.file_stream(spark, src, max_files_per_trigger=1), cfg, sinks
+    )
+    q.awaitTermination(300)
+    assert metrics.batches >= 3  # the collision needs >1 batch to manifest
+
+    idx = spark.read.parquet(sinks.index_path)
+    blobs = spark.read.parquet(sinks.blob_path)
+    # index side: non-null (location_key, location_position) is a key
+    nn = idx.filter(F.col("location_position").isNotNull())
+    assert (
+        nn.groupBy("location_key", "location_position").count().filter("count > 1").count() == 0
+    )
+    # blob side: (location_key, position) is a key
+    assert (
+        blobs.groupBy("location_key", "position").count().filter("count > 1").count() == 0
+    )
+    # resubmit round trip: every indexed row aligns to exactly ONE payload,
+    # and it is ITS payload (record_id == unique_id)
+    records = resubmit.align(idx, blobs)
+    assert records.count() == idx.count()
+    orig = msgs.select(
+        F.concat_ws("_", "broker_id", "broker_msg_id").alias("unique_id"),
+        F.col("payload").alias("orig_payload"),
+    )
+    mismatched = records.join(orig, "unique_id").filter(
+        F.col("payload") != F.col("orig_payload")
+    )
+    assert mismatched.count() == 0
+
+
+def test_midbatch_crash_replay_is_exactly_once(spark, tmp_path, chunked_messages):
+    """Crash AFTER the blob write but BEFORE the index write, then restart:
+    the replayed batch must not duplicate blob or index rows (E1 — the
+    at-least-once redelivery window the r1 blind append got wrong)."""
+    _, src = chunked_messages
+    cfg = fixtures.fixture_ingest_config()
+    sinks = _sinks(tmp_path, "out7")
+
+    crashed = {"done": False}
+
+    def crash_once(batch_id):
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected: crashed between blob and index write")
+
+    total = ingest_stream.run_stream_supervised(
+        lambda: ingest_stream.file_stream(spark, src, max_files_per_trigger=1),
+        cfg,
+        sinks,
+        fault_injector=crash_once,
+    )
+    assert crashed["done"]
+    assert total.batches >= 3
+
+    idx = spark.read.parquet(sinks.index_path)
+    blobs = spark.read.parquet(sinks.blob_path)
+    assert idx.count() == idx.select("unique_id").distinct().count()
+    assert (
+        blobs.groupBy("location_key", "record_id").count().filter("count > 1").count() == 0
+    )
+    # the crashed batch's blob rows were written exactly once despite replay
+    assert blobs.count() == idx.count()
 
 
 def test_kafka_source_options_mapping():
