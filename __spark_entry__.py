@@ -162,6 +162,28 @@ def _d9(spark, sf_dir):
     return records.select("unique_id", "payload").orderBy("unique_id")
 
 
+def _d19(spark, sf_dir):
+    """D9 semantics routed through the LIVE Avro OCF blob path: write one
+    OCF file per blob (persistorrecord schema, write_to_avro.go:34-74),
+    read them back with the distributed binaryFile+mapInPandas scan, then
+    position-align.  Same oracle as d9 — the format must be invisible."""
+    import tempfile
+
+    from persistor_spark.formats import ocf_io
+
+    t = _tables(spark, sf_dir)
+    key = (id(spark), sf_dir, "ocf")
+    if key not in _CACHE:
+        base = tempfile.mkdtemp(prefix="persistor_ocf_")
+        ocf_io.write_blobs_ocf(t, base)
+        _CACHE[key] = base
+    base = _CACHE[key]
+    cfg = fixtures.fixture_ingest_config()
+    blobs = ocf_io.read_blob_records_ocf(spark, base, blob_base_url=cfg.storage.base_url)
+    records = resubmit.align(t.index_metadata, blobs)
+    return records.select("unique_id", "payload").orderBy("unique_id")
+
+
 def _d10(spark, sf_dir):
     t = _tables(spark, sf_dir)
     return resubmit.locations_touched(t.index_metadata).orderBy("location_key")
@@ -266,6 +288,35 @@ def _a_simhash(spark, sf_dir):
     from persistor_spark.analytics import dedup
 
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_distance=8).orderBy("a", "b")
+
+
+def _a19_simhash_md5(spark, sf_dir):
+    """Oracle-checkable SimHash: md5-derived 60-bit hashes, 6 bands of 10
+    bits, max_distance=5.  Because max_distance < n_bands the banded plan
+    PROVABLY returns every qualifying pair, so the brute-force Hamming
+    filter DuckDB runs is an exact oracle — upgrades SimHash from the
+    rows-only a4 check to a hash-verified one (the banded equi-join plan is
+    unchanged; only the hash source differs from production xxhash64)."""
+    from persistor_spark.analytics import dedup
+
+    return dedup.simhash_pairs(
+        _docs(spark, sf_dir),
+        max_distance=5,
+        n_bands=6,
+        bits=60,
+        hash_fn=dedup.md5_hash64,
+    ).orderBy("a", "b")
+
+
+def _a18_winnowing_pairs(spark, sf_dir):
+    """Winnowed-fingerprint overlap pairs (Schleimer et al./MOSS), using the
+    oracle-portable md5 rolling hash so DuckDB reproduces the EXACT
+    fingerprints — upgrades winnowing from pytest-only to hash-checked."""
+    from persistor_spark.analytics import dedup
+
+    return dedup.winnow_overlap_pairs(
+        _docs(spark, sf_dir), min_shared=2, k=20, window=8, hash_fn=dedup.md5_hash64
+    ).orderBy("a", "b")
 
 
 def _a_embedding_topk(spark, sf_dir):
@@ -763,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d7_version_partition": _d7,
         "d8_time_partition": _d8,
         "d9_position_align_join": _d9,
+        "d19_ocf_roundtrip": _d19,
         "d10_group_by_location": _d10,
         "d11_unique_invariant": _d11,
         "d12_deadletter_antijoin": _d12,
@@ -801,6 +853,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a16_label_centroids": _a16_label_centroids,
         "a17_bpe_tokens": _a17_bpe_tokens,
+        "a18_winnowing_pairs": _a18_winnowing_pairs,
+        "a19_simhash_md5": _a19_simhash_md5,
         "e13_grouping_sets": _e13_grouping_sets,
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
@@ -857,6 +911,17 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY 1,2,3"
         ),
         "d9_position_align_join": P(
+            "SELECT m.unique_id, b.payload FROM index_metadata m "
+            "JOIN blob_records b ON m.location_key = b.location_key "
+            "AND m.location_position = b.position "
+            "UNION ALL "
+            "SELECT m.unique_id, b.payload FROM index_metadata m "
+            "JOIN blob_records b ON m.location_key = b.location_key "
+            "WHERE m.location_position IS NULL "
+            "ORDER BY unique_id"
+        ),
+        "d19_ocf_roundtrip": P(
+            # identical to d9: the storage format must not change the result
             "SELECT m.unique_id, b.payload FROM index_metadata m "
             "JOIN blob_records b ON m.location_key = b.location_key "
             "AND m.location_position = b.position "
@@ -1067,6 +1132,44 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, round(avg(token_count), 4) AS avg_tokens, "
             "  round(avg(quality_score), 4) AS avg_quality "
             "FROM kept GROUP BY 1 ORDER BY 1"
+        ),
+        "a19_simhash_md5": (
+            # brute-force Hamming filter == the banded plan's result because
+            # max_distance(5) < n_bands(6): banding misses only pairs with
+            # >= n_bands differing bits
+            "WITH toks AS ("
+            "  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents"
+            "), bits AS ("
+            "  SELECT doc_id, i, "
+            "    CASE WHEN substr(lpad(bin(CAST(CONCAT('0x', substr(md5(tok),1,15)) AS BIGINT)), 60, '0'), i, 1) = '1' "
+            "         THEN 1 ELSE -1 END AS vote "
+            "  FROM toks, range(1, 61) t(i)"
+            "), votes AS ("
+            "  SELECT doc_id, i, sum(vote) AS v FROM bits GROUP BY 1, 2"
+            "), sh AS ("
+            "  SELECT doc_id, string_agg(CASE WHEN v > 0 THEN '1' ELSE '0' END, '' ORDER BY i) AS b "
+            "  FROM votes GROUP BY 1) "
+            "SELECT x.doc_id AS a, y.doc_id AS b, hamming(x.b, y.b) AS distance "
+            "FROM sh x JOIN sh y ON x.doc_id < y.doc_id "
+            "WHERE hamming(x.b, y.b) <= 5 ORDER BY 1, 2"
+        ),
+        "a18_winnowing_pairs": (
+            # same algorithm, same md5-derived 60-bit rolling hashes: k-gram
+            # hash pass, per-window minima, distinct, posting-list self-join
+            "WITH g AS ("
+            "  SELECT doc_id, "
+            "    [CAST(CONCAT('0x', substr(md5(substr(text, i, 20)), 1, 15)) AS BIGINT) "
+            "     FOR i IN range(1, greatest(length(text) - 19, 1) + 1)] AS grams "
+            "  FROM documents"
+            "), w AS ("
+            "  SELECT doc_id, "
+            "    list_distinct([list_min(grams[i:i+7]) "
+            "      FOR i IN range(1, greatest(len(grams) - 7, 1) + 1)]) AS fps "
+            "  FROM g"
+            "), e AS (SELECT doc_id, unnest(fps) AS fp FROM w) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS shared_fingerprints "
+            "FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING count(*) >= 2 ORDER BY 1, 2"
         ),
         "a17_bpe_tokens": (
             "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "

@@ -243,7 +243,7 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash_bits(text: Column | str = "text", bits: int = 64) -> Column:
+def simhash_bits(text: Column | str = "text", bits: int = 64, hash_fn=None) -> Column:
     """Charikar SimHash over whitespace tokens as an array<int> of 0/1: bit i
     is the sign of the summed +-1 votes from each token's xxhash64 bit i.
 
@@ -253,10 +253,11 @@ def simhash_bits(text: Column | str = "text", bits: int = 64) -> Column:
     `aggregate` of `zip_with`.  (A formulation with 64 statically-unrolled
     aggregates exceeds the analyzer's resolution budget.)"""
     toks = F.split(F.col(text) if isinstance(text, str) else text, " ")
+    h = hash_fn or F.xxhash64
     tok_bits = F.transform(
         toks,
         lambda t: F.transform(
-            F.split(F.lpad(F.bin(F.xxhash64(t)), bits, "0"), ""),
+            F.split(F.lpad(F.bin(h(t)), bits, "0"), ""),
             lambda c: F.when(c == "1", 1).otherwise(-1),
         ),
     )
@@ -298,19 +299,24 @@ def simhash_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     n_bands: int = 8,
+    bits: int = 64,
+    hash_fn=None,
 ) -> DataFrame:
-    """Near-dup candidates by banded SimHash: split the 64-bit hash into
+    """Near-dup candidates by banded SimHash: split the `bits`-bit hash into
     `n_bands` chunks; docs sharing any chunk are candidates (guaranteed to
-    catch all pairs with < n_bands differing bits); verify by exact Hamming
-    distance."""
-    width = 64 // n_bands
+    catch all pairs with < n_bands differing bits — so with
+    max_distance <= n_bands - 1 the result EQUALS the brute-force Hamming
+    filter, which is what the a19 oracle exploits); verify by exact Hamming
+    distance.  `hash_fn=md5_hash64` + bits=60 gives the oracle-portable
+    variant."""
+    width = bits // n_bands
     # first repartition parallelizes the bit-vote computation across cores;
     # the second is a materialization barrier keeping CollapseProject from
     # re-inlining the bit-vote expression into each band lambda.
     h = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .repartition("id")
-        .select("id", simhash_bits("__text").alias("bits"))
+        .select("id", simhash_bits("__text", bits, hash_fn).alias("bits"))
         .repartition("id")
     )
     # band value = the packed bit-slice (aggregate works with the lambda-var
@@ -345,8 +351,17 @@ def simhash_pairs(
 # winnowing fingerprints (rolling character k-grams, Schleimer et al. / MOSS)
 # ---------------------------------------------------------------------------
 
+def md5_hash64(c: Column) -> Column:
+    """60-bit positive hash from the first 15 hex digits of md5 — chosen
+    because it computes IDENTICALLY in DuckDB
+    (`CAST(CONCAT('0x', substr(md5(x),1,15)) AS BIGINT)`), making ops built
+    on it oracle-checkable.  xxhash64 stays the production default (one JVM
+    intrinsic vs md5's digest+parse)."""
+    return F.conv(F.md5(c).substr(1, 15), 16, 10).cast("long")
+
+
 def winnow_fingerprints(
-    text: Column | str = "text", k: int = 20, window: int = 8
+    text: Column | str = "text", k: int = 20, window: int = 8, hash_fn=None
 ) -> Column:
     """Winnowed document fingerprints: hash every character k-gram (the
     rolling-hash pass), then keep the minimum hash of each `window`-length
@@ -359,15 +374,16 @@ def winnow_fingerprints(
     unchanged, so partial overlap is detectable.  Pure JVM expressions:
     Column.substr accepts Column offsets, so the k-gram roll is one
     `transform` over positions."""
-    return _window_mins(_kgram_hashes(text, k), window)
+    return _window_mins(_kgram_hashes(text, k, hash_fn), window)
 
 
-def _kgram_hashes(text: Column | str, k: int) -> Column:
+def _kgram_hashes(text: Column | str, k: int, hash_fn=None) -> Column:
     c = F.col(text) if isinstance(text, str) else text
     n = F.length(c)
+    h = hash_fn or F.xxhash64
     return F.transform(
         F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1))),
-        lambda i: F.xxhash64(c.substr(i, F.lit(k))),
+        lambda i: h(c.substr(i, F.lit(k))),
     )
 
 
@@ -390,13 +406,14 @@ def winnow_overlap_pairs(
     text_col: str = "text",
     k: int = 20,
     window: int = 8,
+    hash_fn=None,
 ) -> DataFrame:
     """Pairs sharing >= min_shared winnowed fingerprints (posting-list join
     on the fingerprint, same scale shape as ngram_jaccard_pairs)."""
     fp = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .repartition("id")
-        .select("id", _kgram_hashes("__t", k).alias("__g"))
+        .select("id", _kgram_hashes("__t", k, hash_fn).alias("__g"))
         .repartition("id")  # materialize gram arrays before the window pass
         .select("id", F.explode(_window_mins(F.col("__g"), window)).alias("fp"))
     )
