@@ -56,10 +56,15 @@ class Ctx:
 
 def bench_ingest_persist(ctx: Ctx):
     """Full ingest: derive messages -> version split -> blob naming ->
-    positions -> write partitioned blob table + index table."""
-    result = fixtures.run_fixture_ingest(ctx.spark, SF_DIR, persist_intermediate=False)
+    positions -> write partitioned blob table + index table.
+
+    persist_intermediate caches the shared derivation prefix so the blob and
+    index writes don't each recompute it; optimize_layout range-sorts the
+    index by unique_id so point/IN-list lookups prune parquet row groups
+    (the Mongo _id-index analogue)."""
+    result = fixtures.run_fixture_ingest(ctx.spark, SF_DIR, persist_intermediate=True)
     ingest.write_blobs(result, ctx.blob_path, fmt="parquet")
-    ingest.write_index(result, ctx.index_path)
+    ingest.write_index(result, ctx.index_path, optimize_layout=True)
     result.unpersist()
 
 

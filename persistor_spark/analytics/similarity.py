@@ -172,17 +172,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     exclude_self: bool = True,
+    n_vectors: int | None = None,
 ) -> DataFrame:
     """IVF-flat approximate top-k.
 
     Coarse quantizer: every (n/C)-th vector by id is a centroid (deterministic
     sampling stand-in for k-means — the *plan shape* is the point: corpus
     partitioned by nearest-centroid, probes touch nprobe/C of it).
+
+    Pass `n_vectors` when known (table stats / a prior count) to skip the
+    driver-side count job this function otherwise needs for the centroid
+    stride — on a repeatedly-probed corpus, count once, pass it in.
     """
     from pyspark.sql import Window
 
     v = _as_double(vectors, id_col, vec_col)
-    n = v.count()
+    n = n_vectors if n_vectors is not None else v.count()
     step = max(n // n_centroids, 1)
     cents = (
         v.filter((F.col("id") % step == 0) & (F.col("id") / step < n_centroids))

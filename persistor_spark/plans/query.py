@@ -16,8 +16,9 @@ Design notes (SURVEY.md §2.1 Q1-Q12, §4.3):
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-from datetime import datetime
+import threading
+from dataclasses import dataclass, field
+from datetime import datetime, timezone
 from typing import Sequence
 
 from pyspark.sql import DataFrame, functions as F
@@ -66,7 +67,7 @@ def extract_interval_params(
     to now, and a future upper bound is rejected."""
     from persistor_spark.functions.timestamps import parse_query_wire
 
-    now = now or datetime.utcnow()
+    now = now or datetime.now(timezone.utc).replace(tzinfo=None)
     t_from = (
         parse_query_wire(from_str).replace(tzinfo=None) if from_str else datetime(1, 1, 1)
     )
@@ -81,13 +82,22 @@ def extract_interval_params(
 
 @dataclass
 class Interval:
-    """Paged result envelope (indexer-api/lib/indexer.go:41-47)."""
+    """Paged result envelope (indexer-api/lib/indexer.go:41-47).
+
+    `_source` is the persisted filtered DataFrame both the count and the
+    page were computed from (one scan, not two); call `unpersist()` once
+    the page has been consumed."""
 
     total_count: int
     returned_count: int
     limit: int
     offset: int
     messages: DataFrame
+    _source: DataFrame | None = field(default=None, repr=False)
+
+    def unpersist(self) -> None:
+        if self._source is not None:
+            self._source.unpersist()
 
 
 class IndexQuery:
@@ -111,6 +121,12 @@ class IndexQuery:
         self.cfg.validate()
         self.cache_counts = cache_counts
         self._count_cache: "OrderedDict" = __import__("collections").OrderedDict()
+        # Anti-stampede: one lock per cache key, so N concurrent callers of
+        # the same interval run ONE count job and share it — the reference's
+        # keyed RW mutex around the Mongo count (indexer-api/lib/repo/
+        # mtx.go:40-108).  _cache_guard protects both dicts.
+        self._cache_guard = threading.Lock()
+        self._key_locks: dict = {}
 
     # -- Q1: point lookup -------------------------------------------------
     def get(self, unique_id: str, attributes: Sequence[str] | None = None) -> DataFrame:
@@ -166,25 +182,57 @@ class IndexQuery:
         if limit <= 0 or offset < 0:
             raise ValueError("limit must be > 0 and offset >= 0 (util.go:34-67)")
         attrs = list(attributes or INTERVAL_REQUEST_ATTRIBUTES)
-        filtered = self.idx.filter(self._interval_filter(time_from, time_to, broker_id))
+        # ONE materialization feeds both the count and the page: the count
+        # job populates the persisted blocks, the page job reads them back —
+        # the filter+scan runs once, not twice.  (The reference pays find +
+        # CountDocuments; Mongo's index makes that cheap, a parquet scan
+        # doesn't.)  Caller unpersists via Interval.unpersist().
+        filtered = self.idx.filter(
+            self._interval_filter(time_from, time_to, broker_id)
+        ).persist()
         # Q4 CountDocuments (mongo.go:194-209), LRU-cached when enabled (Q11)
-        total = self.get_interval_count(time_from, time_to, broker_id)
+        total = self.get_interval_count(time_from, time_to, broker_id, _filtered=filtered)
         page = filtered.orderBy("unique_id").offset(offset).limit(limit).select(*attrs)
         returned = min(max(total - offset, 0), limit)
-        return Interval(total, returned, limit, offset, page)
+        return Interval(total, returned, limit, offset, page, _source=filtered)
 
-    def get_interval_count(self, time_from: datetime, time_to: datetime, broker_id: str) -> int:
-        if self.cache_counts:
-            key = (time_from, time_to, broker_id)
-            if key in self._count_cache:
-                self._count_cache.move_to_end(key)
-                return self._count_cache[key]
-        n = self.idx.filter(self._interval_filter(time_from, time_to, broker_id)).count()
-        if self.cache_counts:
-            self._count_cache[(time_from, time_to, broker_id)] = n
-            while len(self._count_cache) > self.COUNT_CACHE_SIZE:
-                self._count_cache.popitem(last=False)
-        return n
+    def _key_lock(self, key) -> threading.Lock:
+        with self._cache_guard:
+            return self._key_locks.setdefault(key, threading.Lock())
+
+    def get_interval_count(
+        self,
+        time_from: datetime,
+        time_to: datetime,
+        broker_id: str,
+        _filtered: DataFrame | None = None,
+    ) -> int:
+        df = (
+            _filtered
+            if _filtered is not None
+            else self.idx.filter(self._interval_filter(time_from, time_to, broker_id))
+        )
+        if not self.cache_counts:
+            return self._compute_count(df)
+        key = (time_from, time_to, broker_id)
+        # per-key lock: the first caller computes, concurrent callers for the
+        # SAME interval block on it and then read the cache; callers for
+        # other intervals proceed in parallel (mtx.go keyed-RWMutex parity).
+        with self._key_lock(key):
+            with self._cache_guard:
+                if key in self._count_cache:
+                    self._count_cache.move_to_end(key)
+                    return self._count_cache[key]
+            n = self._compute_count(df)
+            with self._cache_guard:
+                self._count_cache[key] = n
+                while len(self._count_cache) > self.COUNT_CACHE_SIZE:
+                    old_key, _ = self._count_cache.popitem(last=False)
+                    self._key_locks.pop(old_key, None)
+            return n
+
+    def _compute_count(self, filtered: DataFrame) -> int:
+        return filtered.count()
 
     # -- Q5: generic Mongo-dialect query ----------------------------------
     def query(
@@ -198,11 +246,11 @@ class IndexQuery:
         offset = self.cfg.default_offset if offset is None else offset
         attrs = list(attributes or QUERY_REQUEST_ATTRIBUTES)
         cond = filter_dialect.translate(filters)
-        filtered = self.idx.filter(cond)
+        filtered = self.idx.filter(cond).persist()  # one scan for count + page
         total = filtered.count()
         page = filtered.orderBy("unique_id").offset(offset).limit(limit).select(*attrs)
         returned = min(max(total - offset, 0), limit)
-        return Interval(total, returned, limit, offset, page)
+        return Interval(total, returned, limit, offset, page, _source=filtered)
 
     def query_df(self, filters: list[dict], attributes: Sequence[str] | None = None) -> DataFrame:
         """Unpaged variant for in-engine composition (resubmit uses this —

@@ -31,7 +31,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 @dataclass
@@ -122,11 +122,25 @@ def resubmit(
     if broadcast_metadata:
         metadata = F.broadcast(metadata)
     records = _join(metadata, blob_records)
-    kafka_ready = records.select(
+    kafka_ready = with_publish_order(records).select(
         F.col("ordering_key").cast("string").alias("key"),
         F.col("payload").cast("string").alias("value"),
+        F.col("publish_seq"),
     )
     return records, kafka_ready
+
+
+def with_publish_order(records: DataFrame) -> DataFrame:
+    """R7: attach `publish_seq` — the per-ordering-key publish order the
+    reference guarantees by publishing each key's records sequentially with
+    max-in-flight 1 (resubmitter_job.go:387-455).  The order is the blob
+    scan order (location_key, then position), the same order the records
+    were originally persisted in; the sink must enqueue each key's rows in
+    ascending publish_seq (brokers.publish_kafka sorts partitions by it)."""
+    w = Window.partitionBy("ordering_key").orderBy(
+        "location_key", F.col("location_position").asc_nulls_first(), "unique_id"
+    )
+    return records.withColumn("publish_seq", F.row_number().over(w))
 
 
 def locations_touched(metadata: DataFrame) -> DataFrame:

@@ -82,7 +82,7 @@ def test_resubmit_subset_broadcast(ingested):
     records, kafka_ready = resubmit.resubmit(meta, ingested.blob_records, broadcast_metadata=True)
     n = records.count()
     assert 0 < n <= 50
-    assert set(kafka_ready.columns) == {"key", "value"}
+    assert set(kafka_ready.columns) == {"key", "value", "publish_seq"}
 
 
 def test_lineage_counts_and_status(ingested):
@@ -102,3 +102,40 @@ def test_lineage_counts_and_status(ingested):
 def test_locations_touched_matches_group_by(ingested):
     g = resubmit.locations_touched(ingested.index_metadata)
     assert g.count() == ingested.index_metadata.select("location_key").distinct().count()
+
+
+def test_publish_order_preserved_per_key(spark, ingested, tmp_path):
+    """R7 end to end: the publish sink must observe each ordering key's
+    records in publish_seq order (resubmitter_job.go:387-455 publishes each
+    key sequentially with max-in-flight 1).  publish_files_ordered writes
+    the exact partitioning + intra-partition order publish_kafka hands the
+    producer; reading files back in physical row order makes the guarantee
+    observable."""
+    from pyspark.sql import Window
+
+    from persistor_spark.sources import blobs as blob_src, brokers
+
+    _, kafka_ready = resubmit.resubmit(ingested.index_metadata, ingested.blob_records)
+    out = str(tmp_path / "pub")
+    brokers.publish_files_ordered(kafka_ready, out)
+
+    got = blob_src.positions_from_files(spark.read.parquet(out))
+    # within each (file=producer partition, key): physical order == seq order
+    w = Window.partitionBy("location_key", "key").orderBy("position")
+    viol = (
+        got.withColumn("prev", F.lag("publish_seq").over(w))
+        .filter(F.col("prev").isNotNull() & (F.col("prev") >= F.col("publish_seq")))
+    )
+    assert viol.count() == 0
+    # every key lands wholly in ONE producer partition
+    spread = (
+        got.select("location_key", "key").distinct().groupBy("key").count().filter("count > 1")
+    )
+    assert spread.count() == 0
+    # non-vacuous: multi-record keys exist
+    assert got.groupBy("key").count().filter("count > 1").count() > 0
+    # sequences are dense 1..n per key
+    stats = got.groupBy("key").agg(
+        F.count("*").alias("n"), F.min("publish_seq").alias("mn"), F.max("publish_seq").alias("mx")
+    )
+    assert stats.filter((F.col("mn") != 1) | (F.col("mx") != F.col("n"))).count() == 0
