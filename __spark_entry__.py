@@ -342,7 +342,10 @@ def _a_ivf_topk(spark, sf_dir):
 
     embs = _embs(spark, sf_dir)
     queries_df = embs.filter(F.col("vec_id") < 10)
-    out = similarity.ivf_topk(embs, queries_df, k=5)
+    # kmeans_iter=2: the REAL Lloyd-trained coarse quantizer (deterministic
+    # seeded init), not the stride stand-in; rows-only driver check, recall
+    # pinned by pytest against brute force
+    out = similarity.ivf_topk(embs, queries_df, k=5, kmeans_iter=2)
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
@@ -503,6 +506,25 @@ def _e_tumbling_window(spark, sf_dir):
         ev.groupBy(bucket.alias("bucket"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .orderBy("bucket", "event_type")
+    )
+
+
+def _e19_sliding_window(spark, sf_dir):
+    """Sliding event-time windows (1h window, 15min slide — each event lands
+    in 4 overlapping windows) via F.window, the same construct the streaming
+    path uses with a watermark (streaming/windows.py sliding_throughput).
+    Oracle: every event replicated to its window/slide = 4 window starts."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.unix_timestamp("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+        .orderBy("window_start", "event_type")
     )
 
 
@@ -843,6 +865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_scalar_subquery": _e_scalar_subquery,
         "e7_string_funcs": _e_string_funcs,
         "e8_tumbling_window": _e_tumbling_window,
+        "e19_sliding_window": _e19_sliding_window,
         "e9_sessionize": _e9_sessionize,
         "e10_join_topk": _e10_join_topk,
         "e11_asof_join": _e11_asof_join,
@@ -1066,6 +1089,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket, "
             "event_type, count(*) AS n, round(sum(value), 2) AS total "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "e19_sliding_window": (
+            # window starts s: s <= t < s + 1h, s = 0 mod 15min -> exactly the
+            # 4 values (floor(t/900) - o) * 900, o in 0..3
+            "SELECT (CAST(floor(epoch(ts) / 900) AS BIGINT) - o) * 900 AS window_start, "
+            "event_type, count(*) AS n, round(sum(value), 2) AS total "
+            "FROM events, range(0, 4) t(o) "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # a11: iterative connected components — the DuckDB twin is a
         # recursive-CTE transitive closure over the same exact-Jaccard pairs

@@ -162,6 +162,69 @@ def cosine_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Distributed Lloyd k-means for the IVF coarse quantizer — a real
+    quantizer replacing the earlier modulo-stride stand-in.
+
+    Spark-first shape: each iteration is ONE broadcast-assign pass (corpus x
+    broadcast centroids, no shuffle of the corpus) + ONE aggregation keyed
+    by centroid id (posexplode -> per-(cid, dim) mean — the same partial-agg
+    pattern as label_centroids).  Work per iteration is O(n * C * d) map-side
+    with a C*d-sized shuffle — at 100x data the per-iteration cost scales
+    linearly and the centroid table stays broadcastable.
+
+    Deterministic: init picks every (n/C)-th vector by id order (seeded
+    jitter only shifts the stride phase), so results are reproducible —
+    required for oracle-checkable downstream queries.  Returns
+    (cid INT, cv ARRAY<DOUBLE>).
+    """
+    from pyspark.sql import Window
+
+    v = _as_double(vectors, id_col, vec_col)
+    n = n_vectors if n_vectors is not None else v.count()
+    step = max(n // n_centroids, 1)
+    phase = seed % step if step > 1 else 0
+    cents = (
+        v.filter(((F.col("id") - phase) % step == 0) & ((F.col("id") - phase) / step < n_centroids))
+        .select(((F.col("id") - phase) / step).cast("int").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(max_iter):
+        assigned = (
+            v.join(F.broadcast(cents), F.lit(True))
+            .withColumn("d", dot(F.col("v"), F.col("cv")))
+            .withColumn(
+                "rk",
+                F.row_number().over(Window.partitionBy("id").orderBy(F.col("d").desc(), F.col("cid"))),
+            )
+            .filter(F.col("rk") == 1)
+            .select("cid", "id", "v")
+        )
+        # per-(cid, dim) mean -> re-assembled centroid vector; partial
+        # aggregation map-side, final shuffle is only C*d rows
+        new_cents = (
+            assigned.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dims"))
+            .select("cid", F.transform("dims", lambda s: s["m"]).alias("cv"))
+        )
+        # empty clusters keep their previous centroid (standard Lloyd fix)
+        cents = new_cents.unionByName(
+            cents.join(new_cents.select("cid"), "cid", "left_anti")
+        ).persist()
+        cents.count()  # materialize per iteration so lineage stays bounded
+    return cents
+
+
 def ivf_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -173,12 +236,18 @@ def ivf_topk(
     query_id_col: str = "vec_id",
     exclude_self: bool = True,
     n_vectors: int | None = None,
+    centroids: DataFrame | None = None,
+    kmeans_iter: int = 0,
 ) -> DataFrame:
     """IVF-flat approximate top-k.
 
-    Coarse quantizer: every (n/C)-th vector by id is a centroid (deterministic
-    sampling stand-in for k-means — the *plan shape* is the point: corpus
-    partitioned by nearest-centroid, probes touch nprobe/C of it).
+    Coarse quantizer, in order of preference: a precomputed `centroids`
+    DataFrame (cid, cv) — train once with kmeans_centroids, reuse across
+    probe calls (the FAISS train/search split); `kmeans_iter > 0` — train
+    inline with that many Lloyd iterations; else the deterministic
+    every-(n/C)-th-vector stride (cheapest, recall-weakest).  The probe
+    plan is identical in all three: corpus partitioned by nearest
+    centroid, probes touch nprobe/C of it.
 
     Pass `n_vectors` when known (table stats / a prior count) to skip the
     driver-side count job this function otherwise needs for the centroid
@@ -187,12 +256,18 @@ def ivf_topk(
     from pyspark.sql import Window
 
     v = _as_double(vectors, id_col, vec_col)
-    n = n_vectors if n_vectors is not None else v.count()
-    step = max(n // n_centroids, 1)
-    cents = (
-        v.filter((F.col("id") % step == 0) & (F.col("id") / step < n_centroids))
-        .select((F.col("id") / step).cast("int").alias("cid"), F.col("v").alias("cv"))
-    )
+    if centroids is not None:
+        cents = centroids
+    elif kmeans_iter > 0:
+        cents = kmeans_centroids(
+            vectors, n_centroids, kmeans_iter, id_col, vec_col, n_vectors=n_vectors
+        )
+    else:
+        n = n_vectors if n_vectors is not None else v.count()
+        step = max(n // n_centroids, 1)
+        cents = v.filter(
+            (F.col("id") % step == 0) & (F.col("id") / step < n_centroids)
+        ).select((F.col("id") / step).cast("int").alias("cid"), F.col("v").alias("cv"))
     # assign every vector to its nearest centroid (one broadcast pass)
     assigned = (
         v.join(F.broadcast(cents), F.lit(True))

@@ -290,6 +290,30 @@ def write_blobs_merge(result: IngestResult, path: str, fmt: str = "avro") -> int
     return n
 
 
+def write_index_bucketed(
+    result: IngestResult,
+    table_name: str,
+    n_buckets: int = 64,
+    mode: str = "append",
+) -> None:
+    """Catalog-managed index table BUCKETED by unique_id (hash buckets +
+    in-bucket sort).  Joins and IN-list semi-joins on unique_id against
+    another table bucketed the same way read co-located buckets directly —
+    NO shuffle on either side (the plan shows SortMergeJoin with zero
+    Exchange).  This is the 100 TB shape for the resubmit metadata join and
+    repeated id-set lookups: the expensive hash-distribute happens once at
+    write time, every subsequent join is free.  (Mongo gets this from the
+    _id index; Delta/Iceberg deployments would use liquid clustering or
+    sorted compaction instead.)"""
+    (
+        result.index_metadata.write.mode(mode)
+        .bucketBy(n_buckets, "unique_id")
+        .sortBy("unique_id")
+        .format("parquet")
+        .saveAsTable(table_name)
+    )
+
+
 def write_index(
     result: IngestResult, path: str, fmt: str = "parquet", optimize_layout: bool = False
 ) -> None:

@@ -205,7 +205,13 @@ def run_stream(
             persist_intermediate=True,
             blob_name=F.concat(F.col("broker_id"), F.lit(f"-b{batch_id}")),
         )
-        if exactly_once_blobs:
+        if sinks.blob_format == "ocf":
+            # OCF blobs are replay-idempotent WITHOUT an anti-join: the
+            # writer emits byte-identical files (deterministic sync marker,
+            # sorted records) at batch-scoped paths, so a replayed batch
+            # overwrites its own blobs with the same bytes.
+            ingest.write_blobs(result, sinks.blob_path, fmt="ocf")
+        elif exactly_once_blobs:
             ingest.write_blobs_merge(result, sinks.blob_path, fmt=sinks.blob_format)
         else:
             ingest.write_blobs(result, sinks.blob_path, fmt=sinks.blob_format)

@@ -125,6 +125,58 @@ def test_ivf_topk_recall(embs, brute_topk):
     assert recall >= 0.4, f"IVF recall too low: {recall}"
 
 
+def test_kmeans_centroids_properties(embs):
+    """Lloyd iterations must produce exactly C centroids of the right
+    dimensionality, deterministically, and reduce mean quantization error
+    vs the stride init."""
+    cents1 = similarity.kmeans_centroids(embs, n_centroids=8, max_iter=3)
+    rows = cents1.collect()
+    assert len(rows) == 8
+    dim = len(embs.first()["embedding"])
+    assert all(len(r["cv"]) == dim for r in rows)
+    # deterministic across runs
+    cents2 = similarity.kmeans_centroids(embs, n_centroids=8, max_iter=3)
+    a = {r["cid"]: [round(x, 8) for x in r["cv"]] for r in cents1.collect()}
+    b = {r["cid"]: [round(x, 8) for x in r["cv"]] for r in cents2.collect()}
+    assert a == b
+
+    def mean_err(cents):
+        from pyspark.sql import Window
+
+        v = embs.select(F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v"))
+        d = (
+            v.join(F.broadcast(cents), F.lit(True))
+            .withColumn("cos", similarity.cosine(F.col("v"), F.col("cv")))
+            .groupBy("id")
+            .agg(F.max("cos").alias("best"))
+            .agg(F.avg("best"))
+            .first()[0]
+        )
+        return d
+
+    trained = mean_err(cents1)
+    stride = mean_err(similarity.kmeans_centroids(embs, n_centroids=8, max_iter=0))
+    assert trained >= stride - 1e-9, f"k-means made assignment worse: {trained} < {stride}"
+
+
+def test_ivf_kmeans_recall_not_worse_than_stride(embs, brute_topk):
+    q = embs.filter(F.col("vec_id") < 10)
+    truth = {(r["query_id"], r["vec_id"]) for r in brute_topk}
+
+    def recall(**kw):
+        got = similarity.ivf_topk(embs, q, k=10, n_centroids=8, nprobe=4, **kw).collect()
+        found = {(r["query_id"], r["vec_id"]) for r in got}
+        return len(truth & found) / len(truth)
+
+    r_kmeans = recall(kmeans_iter=2)
+    assert r_kmeans >= 0.4, f"k-means IVF recall too low: {r_kmeans}"
+    # train-once / probe-many reuse path returns identical results
+    cents = similarity.kmeans_centroids(embs, n_centroids=8, max_iter=2)
+    got1 = similarity.ivf_topk(embs, q, k=10, n_centroids=8, nprobe=4, centroids=cents).collect()
+    got2 = similarity.ivf_topk(embs, q, k=10, n_centroids=8, nprobe=4, kmeans_iter=2).collect()
+    assert {tuple(r) for r in got1} == {tuple(r) for r in got2}
+
+
 def test_embedding_lsh_pairs_equal_brute_force(embs):
     # the LSH-bucketed production op must reproduce the brute-force oracle
     # exactly at the a12 threshold (per-pair miss prob ~1e-7 at the b=2/T=32

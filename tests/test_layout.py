@@ -66,3 +66,20 @@ def test_point_lookup_pushdown_on_persisted_index(spark, tmp_path, ingested):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "b1_m000000085" in plan
     assert "ReadSchema: struct<unique_id:string,location_key:string>" in plan
+
+
+def test_write_index_bucketed_join_no_shuffle(spark, ingested):
+    """The index-table bucketing convenience: a unique_id join between the
+    bucketed index and a same-bucketed id table runs with NO Exchange."""
+    from persistor_spark.plans import ingest
+
+    ingest.write_index_bucketed(ingested, "idx_by_uid", n_buckets=8, mode="overwrite")
+    ids = ingested.index_metadata.select("unique_id").limit(200)
+    layout.write_bucketed(ids, "ids_by_uid", "unique_id", n_buckets=8)
+    try:
+        joined = layout.bucketed_join(spark, "idx_by_uid", "ids_by_uid", "unique_id")
+        assert joined.count() == 200
+        assert not layout.plan_has_shuffle(joined.select("unique_id"))
+    finally:
+        spark.sql("DROP TABLE IF EXISTS idx_by_uid")
+        spark.sql("DROP TABLE IF EXISTS ids_by_uid")

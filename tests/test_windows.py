@@ -140,3 +140,76 @@ def test_text_analytics_compose_with_streaming(spark, streamed):
     rows = spark.sql("SELECT * FROM qmon").collect()
     assert len(rows) >= 25  # ~30 days of fixture data
     assert all(r["avg_tokens"] > 0 for r in rows)
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """E semantics at the stream boundary: an event older than the watermark
+    arriving in a LATER micro-batch is dropped from the windowed aggregate
+    (append mode) — the documented late-data contract of every windowed op
+    here.  On-time batch: events at 01:30 and 03:30 advance the watermark to
+    01:30 (max - 2h); late batch: an event at 00:30 < watermark lands in an
+    already-finalized window and must not appear."""
+    import os
+    import time
+
+    from pyspark.sql import Row
+
+    schema = "ordering_key string, ingestion_time timestamp, payload string"
+
+    def write_chunk(rows, name, mtime):
+        # flat single parquet FILES in one dir (not subdirs) so the file
+        # stream's oldest-first mtime ordering is unambiguous
+        import glob
+        import shutil
+
+        df = spark.createDataFrame(rows, schema)
+        staging = str(tmp_path / ("stage_" + name))
+        df.coalesce(1).write.parquet(staging)
+        part = glob.glob(staging + "/part-*.parquet")[0]
+        dest = str(tmp_path / "late_src" / (name + ".parquet"))
+        shutil.move(part, dest)
+        os.utime(dest, (mtime, mtime))
+        return dest
+
+    import datetime
+
+    D = datetime.datetime
+    base = str(tmp_path / "late_src")
+    os.makedirs(base, exist_ok=True)
+    now = time.time()
+    write_chunk(
+        [("k1", D(2024, 1, 1, 1, 30), "on-time"), ("k1", D(2024, 1, 1, 3, 30), "on-time")],
+        "f1",
+        now - 200,
+    )
+    # spacer batch: the late-record filter uses the PREVIOUS batch's
+    # watermark, so the 03:30 max needs one extra batch to take effect
+    write_chunk([("k1", D(2024, 1, 1, 5, 30), "on-time")], "f2", now - 100)
+    write_chunk([("k1", D(2024, 1, 1, 0, 30), "LATE")], "f3", now)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(base)
+    )
+    agg = (
+        stream.withWatermark("ingestion_time", "2 hours")
+        .groupBy(F.window("ingestion_time", "1 hour").alias("w"), "ordering_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "ordering_key", "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {(r["ws"], r["n"]) for r in spark.sql("SELECT * FROM late_drop").collect()}
+    # the late event's window must never be emitted: the event was dropped
+    # by the watermark filter, and the window held no on-time rows
+    assert not any(ws == D(2024, 1, 1, 0, 0) for ws, _ in got), got
+    # on-time windows below the final watermark WERE emitted
+    assert (D(2024, 1, 1, 1, 0), 1) in got, got
