@@ -290,6 +290,18 @@ def _a_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_distance=8).orderBy("a", "b")
 
 
+def _a20_contamination(spark, sf_dir):
+    """Benchmark decontamination: every 7th document plays the eval set;
+    report corpus docs sharing any 5-gram with an eval doc (posting-list
+    join, eval grams broadcast)."""
+    from persistor_spark.analytics import dedup
+
+    docs = _docs(spark, sf_dir)
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0)
+    return dedup.ngram_contamination(corpus, eval_df, n=5).orderBy("corpus_id", "eval_id")
+
+
 def _a19_simhash_md5(spark, sf_dir):
     """Oracle-checkable SimHash: md5-derived 60-bit hashes, 6 bands of 10
     bits, max_distance=5.  Because max_distance < n_bands the banded plan
@@ -878,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_bpe_tokens": _a17_bpe_tokens,
         "a18_winnowing_pairs": _a18_winnowing_pairs,
         "a19_simhash_md5": _a19_simhash_md5,
+        "a20_contamination": _a20_contamination,
         "e13_grouping_sets": _e13_grouping_sets,
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
@@ -1163,6 +1176,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, round(avg(token_count), 4) AS avg_tokens, "
             "  round(avg(quality_score), 4) AS avg_quality "
             "FROM kept GROUP BY 1 ORDER BY 1"
+        ),
+        "a20_contamination": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN "
+            "  list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]) "
+            "  ELSE [] END AS grams FROM t), "
+            "c AS (SELECT doc_id AS corpus_id, unnest(grams) AS g FROM s WHERE doc_id % 7 != 0), "
+            "e AS (SELECT doc_id AS eval_id, unnest(grams) AS g FROM s WHERE doc_id % 7 = 0) "
+            "SELECT c.corpus_id, e.eval_id, count(*) AS shared_ngrams "
+            "FROM c JOIN e USING (g) GROUP BY 1, 2 HAVING count(*) >= 1 "
+            "ORDER BY 1, 2"
         ),
         "a19_simhash_md5": (
             # brute-force Hamming filter == the banded plan's result because

@@ -351,6 +351,40 @@ def simhash_pairs(
 # winnowing fingerprints (rolling character k-grams, Schleimer et al. / MOSS)
 # ---------------------------------------------------------------------------
 
+def ngram_contamination(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+) -> DataFrame:
+    """Training-data decontamination: (corpus_id, eval_id, shared_ngrams)
+    for every corpus doc sharing >= min_shared word n-grams with an eval
+    doc — the standard benchmark-leak check run before training.
+
+    Scale shape: posting-list EQUI-join on the n-gram string (the same
+    pattern as ngram_jaccard_pairs) — shuffles by gram, never an all-pairs
+    product; corpus-side grams are distinct per doc, so a doc repeating a
+    contaminated phrase counts it once.  For a 100 TB corpus the eval side
+    is tiny: its gram list broadcasts and the join is map-side.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("corpus_id"),
+        F.explode(shingles(text_col, n)).alias("g"),
+    )
+    e = eval_df.select(
+        F.col(id_col).alias("eval_id"),
+        F.explode(shingles(text_col, n)).alias("g"),
+    )
+    return (
+        c.join(F.broadcast(e), "g")
+        .groupBy("corpus_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("shared_ngrams"))
+        .filter(F.col("shared_ngrams") >= min_shared)
+    )
+
+
 def md5_hash64(c: Column) -> Column:
     """60-bit positive hash from the first 15 hex digits of md5 — chosen
     because it computes IDENTICALLY in DuckDB

@@ -42,9 +42,9 @@ _FEATURE_DIM = 8
 
 
 def _fake_decode_image(content: bytes) -> list[float]:
-    """STUB decode: deterministic byte-statistics 'feature' standing in for a
-    real decoder+CNN.  Replace with Pillow + a vision model in production —
-    the surrounding plan is unchanged."""
+    """STUB decode for COMPRESSED formats (jpeg/png/...): deterministic
+    byte-statistics 'feature' standing in for a codec+CNN — the container
+    ships no codec libraries.  Uncompressed BMP decodes for REAL below."""
     if content is None:
         raise NotImplementedError("real image decode requires a codec library")
     n = len(content) or 1
@@ -60,6 +60,79 @@ def _fake_decode_image(content: bytes) -> list[float]:
     ]
 
 
+# -- REAL codec: uncompressed 24-bit BMP (pure numpy, no external libs) ------
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP bytes (the
+    public BITMAPINFOHEADER layout; rows padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype=np.uint8)
+    h, w, _ = a.shape
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        body += a[y, :, ::-1].tobytes()  # BGR on disk
+        body += b"\x00" * pad
+    pixel_offset = 14 + 40
+    size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_offset)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header) + dib + bytes(body)
+
+
+def decode_bmp(content: bytes):
+    """Uncompressed 24-bit BMP -> (h, w, 3) uint8 RGB numpy array.  REAL
+    decode — raises on anything it can't honestly parse."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 54 or content[:2] != b"BM":
+        raise ValueError("not a BMP")
+    pixel_offset = struct.unpack_from("<I", content, 10)[0]
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0 or planes != 1:
+        raise ValueError(f"unsupported BMP variant (bpp={bpp}, compression={compression})")
+    bottom_up = h > 0
+    h = abs(h)
+    row = w * 3
+    stride = row + (4 - row % 4) % 4
+    px = np.frombuffer(content, dtype=np.uint8, count=stride * h, offset=pixel_offset)
+    px = px.reshape(h, stride)[:, :row].reshape(h, w, 3)[:, :, ::-1]  # BGR -> RGB
+    if bottom_up:
+        px = px[::-1]
+    return np.ascontiguousarray(px)
+
+
+def decode_image_features(content: bytes) -> list[float]:
+    """Decode dispatch: REAL pixel statistics for BMP content (mean/std per
+    channel + luminance + geometry), stub byte-statistics for compressed
+    formats the container can't decode."""
+    if content is not None and len(content) >= 2 and content[:2] == b"BM":
+        import numpy as np
+
+        px = decode_bmp(bytes(content)).astype(np.float64)
+        lum = 0.2126 * px[:, :, 0] + 0.7152 * px[:, :, 1] + 0.0722 * px[:, :, 2]
+        return [
+            float(px.shape[1]),  # width
+            float(px.shape[0]),  # height
+            round(float(px[:, :, 0].mean()), 4),
+            round(float(px[:, :, 1].mean()), 4),
+            round(float(px[:, :, 2].mean()), 4),
+            round(float(lum.mean()), 4),
+            round(float(lum.std()), 4),
+            round(float(np.median(lum)), 4),
+        ]
+    return _fake_decode_image(content)
+
+
 def extract_image_features(df: DataFrame) -> DataFrame:
     """mapInPandas feature extraction: one Arrow batch in, one feature row per
     media row out.  Runs fully parallel per partition; no shuffle."""
@@ -68,7 +141,7 @@ def extract_image_features(df: DataFrame) -> DataFrame:
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
             feats = [
-                _fake_decode_image(bytes(c)) if c is not None else [0.0] * _FEATURE_DIM
+                decode_image_features(bytes(c)) if c is not None else [0.0] * _FEATURE_DIM
                 for c in pdf["content"]
             ]
             yield pd.DataFrame(
@@ -140,25 +213,41 @@ RESIZED_SCHEMA = (
 
 def resize_images(df: DataFrame, max_width: int = 224, max_height: int = 224) -> DataFrame:
     """Image resize kernel: aspect-preserving downscale to fit the target box.
-    The geometry (real) runs per Arrow batch; the pixel resample is STUBBED —
-    content passes through untouched (a Pillow `Image.resize` drop-in) —
-    while output dimensions are computed exactly as a real resizer would."""
+    BMP content is REALLY resampled (nearest-neighbor via numpy index grids)
+    and re-encoded; compressed formats pass bytes through untouched (codec
+    stub) with exact output geometry either way."""
     import pandas as pd
+
+    def resize_one(content, w, h):
+        w, h = int(w or 1), int(h or 1)
+        scale = min(max_width / w, max_height / h, 1.0)
+        nw, nh = max(int(w * scale), 1), max(int(h * scale), 1)
+        if content is not None and bytes(content[:2]) == b"BM":
+            import numpy as np
+
+            px = decode_bmp(bytes(content))
+            ih, iw = px.shape[0], px.shape[1]
+            scale2 = min(max_width / iw, max_height / ih, 1.0)
+            nw, nh = max(int(iw * scale2), 1), max(int(ih * scale2), 1)
+            ys = (np.arange(nh) * ih // nh).astype(int)
+            xs = (np.arange(nw) * iw // nw).astype(int)
+            return encode_bmp(px[ys][:, xs]), nw, nh
+        return content, nw, nh
 
     def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            widths, heights = [], []
-            for w, h in zip(pdf["width"], pdf["height"]):
-                w, h = int(w or 1), int(h or 1)
-                scale = min(max_width / w, max_height / h, 1.0)
-                widths.append(max(int(w * scale), 1))
-                heights.append(max(int(h * scale), 1))
+            contents, widths, heights = [], [], []
+            for c, w, h in zip(pdf["content"], pdf["width"], pdf["height"]):
+                nc, nw, nh = resize_one(c, w, h)
+                contents.append(nc)
+                widths.append(nw)
+                heights.append(nh)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "width": widths,
                     "height": heights,
-                    "content": pdf["content"],  # STUB: real impl resamples pixels
+                    "content": contents,
                 }
             )
 
@@ -176,17 +265,63 @@ def repartition_for_decode(df: DataFrame, target_bytes_per_partition: int = 256 
 
 def synthesize_media(spark, documents: DataFrame, n: int | None = None) -> DataFrame:
     """Deterministic fake media table derived from `documents` payload text —
-    test/fixture glue (no media fixture ships with the driver)."""
+    test/fixture glue (no media fixture ships with the driver).  Image rows
+    carry REAL uncompressed BMP bytes (procedural gradient seeded by doc_id)
+    so the real decode path is exercised; audio/video rows carry opaque
+    bytes for the stub path."""
+    import pandas as pd
+
     base = documents.select(
+        F.col("doc_id"),
         F.concat(F.lit("media-"), F.col("doc_id").cast("string")).alias("media_id"),
         F.when(F.col("doc_id") % 3 == 0, "image")
         .when(F.col("doc_id") % 3 == 1, "audio")
         .otherwise("video")
         .alias("media_type"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-        F.lit("application/octet-stream").alias("mime"),
-        (F.col("doc_id") % 640 + 16).cast("int").alias("width"),
-        (F.col("doc_id") % 480 + 16).cast("int").alias("height"),
+        F.encode(F.col("text"), "UTF-8").alias("raw"),
+        (F.col("doc_id") % 120 + 8).cast("int").alias("width"),
+        (F.col("doc_id") % 90 + 8).cast("int").alias("height"),
         (F.col("doc_id") % 10000).cast("long").alias("duration_ms"),
     )
-    return base.limit(n) if n else base
+    if n:
+        base = base.limit(n)
+
+    out_schema = MEDIA_SCHEMA
+
+    def materialize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            contents, mimes = [], []
+            for mt, raw, w, h, did in zip(
+                pdf["media_type"], pdf["raw"], pdf["width"], pdf["height"], pdf["doc_id"]
+            ):
+                if mt == "image":
+                    w, h = int(w), int(h)
+                    yy, xx = np.mgrid[0:h, 0:w]
+                    img = np.stack(
+                        [
+                            (xx * 7 + int(did)) % 256,
+                            (yy * 13 + int(did) * 3) % 256,
+                            (xx + yy + int(did) * 5) % 256,
+                        ],
+                        axis=-1,
+                    ).astype(np.uint8)
+                    contents.append(encode_bmp(img))
+                    mimes.append("image/bmp")
+                else:
+                    contents.append(bytes(raw) if raw is not None else b"")
+                    mimes.append("application/octet-stream")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "content": contents,
+                    "mime": mimes,
+                    "width": pdf["width"],
+                    "height": pdf["height"],
+                    "duration_ms": pdf["duration_ms"],
+                }
+            )
+
+    return base.mapInPandas(materialize, out_schema)
