@@ -290,6 +290,21 @@ def _a_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_docs(spark, sf_dir), max_distance=8).orderBy("a", "b")
 
 
+def _a21_cms_sketch(spark, sf_dir):
+    """Count-min sketch of the corpus term frequencies (depth 4 x width 64,
+    md5 hash family): the full counter grid, cell by cell — the bounded-size
+    summary a 100 TB profiling pass ships instead of exact counts.  DuckDB
+    recomputes every cell exactly."""
+    from persistor_spark.analytics import sketches
+
+    terms = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("term")
+    )
+    return sketches.count_min_sketch(terms, "term", depth=4, width=64).orderBy(
+        "row", "bucket"
+    )
+
+
 def _a20_contamination(spark, sf_dir):
     """Benchmark decontamination: every 7th document plays the eval set;
     report corpus docs sharing any 5-gram with an eval doc (posting-list
@@ -518,6 +533,31 @@ def _e_tumbling_window(spark, sf_dir):
         ev.groupBy(bucket.alias("bucket"), F.col("event_type"))
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
         .orderBy("bucket", "event_type")
+    )
+
+
+def _e20_time_range_rolling(spark, sf_dir):
+    """RANGE-frame rolling aggregate over event time: per user, the sum and
+    count of events in the trailing 1 hour (inclusive) at each event — the
+    time-based frame (rangeBetween on epoch seconds) as opposed to the
+    ROWS frames e5 pins.  Scale: one shuffle on user_id, frames evaluated
+    per partition."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+            F.round(F.sum("value").over(w), 2).alias("sum_trailing_1h"),
+        )
+        .orderBy("user_id", "event_id")
     )
 
 
@@ -878,6 +918,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e7_string_funcs": _e_string_funcs,
         "e8_tumbling_window": _e_tumbling_window,
         "e19_sliding_window": _e19_sliding_window,
+        "e20_time_range_rolling": _e20_time_range_rolling,
         "e9_sessionize": _e9_sessionize,
         "e10_join_topk": _e10_join_topk,
         "e11_asof_join": _e11_asof_join,
@@ -891,6 +932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_winnowing_pairs": _a18_winnowing_pairs,
         "a19_simhash_md5": _a19_simhash_md5,
         "a20_contamination": _a20_contamination,
+        "a21_cms_sketch": _a21_cms_sketch,
         "e13_grouping_sets": _e13_grouping_sets,
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
@@ -1103,6 +1145,15 @@ def oracle_sql() -> dict[str, str]:
             "event_type, count(*) AS n, round(sum(value), 2) AS total "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
         ),
+        "e20_time_range_rolling": (
+            "SELECT user_id, event_id, "
+            "count(*) OVER w AS n_trailing_1h, "
+            "round(sum(value) OVER w, 2) AS sum_trailing_1h "
+            "FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT) "
+            "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) "
+            "ORDER BY user_id, event_id"
+        ),
         "e19_sliding_window": (
             # window starts s: s <= t < s + 1h, s = 0 mod 15min -> exactly the
             # 4 values (floor(t/900) - o) * 900, o in 0..3
@@ -1176,6 +1227,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, round(avg(token_count), 4) AS avg_tokens, "
             "  round(avg(quality_score), 4) AS avg_quality "
             "FROM kept GROUP BY 1 ORDER BY 1"
+        ),
+        "a21_cms_sketch": (
+            "WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents), "
+            "cells AS (SELECT r.r AS row, "
+            "  CAST(CONCAT('0x', substr(md5(concat(r.r, ':', term)), 1, 15)) AS BIGINT) % 64 AS bucket "
+            "  FROM terms, range(0, 4) r(r)) "
+            "SELECT CAST(row AS INT) AS row, CAST(bucket AS INT) AS bucket, "
+            "count(*) AS cnt FROM cells GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "a20_contamination": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "

@@ -475,3 +475,35 @@ def test_ngram_contamination_planted(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan
+
+
+# -- count-min sketch --------------------------------------------------------
+
+
+def test_cms_overestimates_never_under(spark, docs):
+    from persistor_spark.analytics import sketches
+
+    terms = docs.select(F.explode(F.split("text", " ")).alias("term"))
+    sketch = sketches.count_min_sketch(terms, "term", depth=4, width=2048).cache()
+    truth = {r["term"]: r["n"] for r in terms.groupBy("term").agg(F.count("*").alias("n")).collect()}
+    probe = spark.createDataFrame([(t,) for t in list(truth)[:200]], "term string")
+    est = {r["item"]: r["estimate"] for r in sketches.cms_estimate(sketch, probe, "term", depth=4, width=2048).collect()}
+    assert all(est[t] >= truth[t] for t in est)  # one-sided error
+    # wide sketch vs small vocab: most estimates exact
+    exact = sum(1 for t in est if est[t] == truth[t])
+    assert exact / len(est) > 0.9
+
+
+def test_cms_merge_equals_whole(spark, docs):
+    from persistor_spark.analytics import sketches
+
+    terms = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    half1 = terms.filter(F.col("doc_id") % 2 == 0)
+    half2 = terms.filter(F.col("doc_id") % 2 == 1)
+    whole = sketches.count_min_sketch(terms, "term", depth=4, width=256)
+    merged = sketches.merge_sketches(
+        sketches.count_min_sketch(half1, "term", depth=4, width=256),
+        sketches.count_min_sketch(half2, "term", depth=4, width=256),
+    )
+    assert whole.exceptAll(merged).count() == 0
+    assert merged.exceptAll(whole).count() == 0
