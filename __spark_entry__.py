@@ -536,6 +536,27 @@ def _e_tumbling_window(spark, sf_dir):
     )
 
 
+def _e21_interval_join(spark, sf_dir):
+    """View->purchase attribution: purchases by the same user within 10
+    minutes of a view (streaming.windows.interval_join — the SAME operator
+    runs as a watermarked stream-stream join; batch mode makes it
+    oracle-checkable)."""
+    from persistor_spark.streaming import windows as sw
+
+    ev = _events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), F.col("user_id").alias("uid"), F.col("ts").alias("vts")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"), F.col("user_id").alias("uid"), F.col("ts").alias("bts")
+    )
+    return (
+        sw.interval_join(views, buys, "uid", "vts", "bts", max_delay="10 minutes")
+        .select("view_id", "buy_id")
+        .orderBy("view_id", "buy_id")
+    )
+
+
 def _e20_time_range_rolling(spark, sf_dir):
     """RANGE-frame rolling aggregate over event time: per user, the sum and
     count of events in the trailing 1 hour (inclusive) at each event — the
@@ -919,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e8_tumbling_window": _e_tumbling_window,
         "e19_sliding_window": _e19_sliding_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
+        "e21_interval_join": _e21_interval_join,
         "e9_sessionize": _e9_sessionize,
         "e10_join_topk": _e10_join_topk,
         "e11_asof_join": _e11_asof_join,
@@ -1144,6 +1166,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket, "
             "event_type, count(*) AS n, round(sum(value), 2) AS total "
             "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "e21_interval_join": (
+            "SELECT v.event_id AS view_id, b.event_id AS buy_id "
+            "FROM events v JOIN events b ON v.user_id = b.user_id "
+            "AND v.event_type = 'view' AND b.event_type = 'purchase' "
+            "AND b.ts >= v.ts AND b.ts <= v.ts + INTERVAL 10 MINUTE "
+            "ORDER BY 1, 2"
         ),
         "e20_time_range_rolling": (
             "SELECT user_id, event_id, "

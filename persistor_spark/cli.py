@@ -54,9 +54,17 @@ def cmd_ingest(args) -> int:
         ingest.write_blobs(result, sinks.blob_path, fmt=args.blob_format)
         ingest.write_index(result, sinks.index_path)
         result.deadletter.write.mode("append").parquet(sinks.deadletter_path)
+        if args.blob_format == "ocf":
+            from persistor_spark.formats import ocf_io
+
+            blob_rows = ocf_io.read_blob_records_ocf(
+                spark, sinks.blob_path, cfg.storage.base_url
+            ).count()
+        else:
+            blob_rows = spark.read.parquet(sinks.blob_path).count()
         _emit({
             "indexed": spark.read.parquet(sinks.index_path).count(),
-            "blob_rows": spark.read.parquet(sinks.blob_path).count(),
+            "blob_rows": blob_rows,
         })
     return 0
 

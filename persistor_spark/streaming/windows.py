@@ -131,3 +131,32 @@ def streaming_first_seen(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: match right-side events that
+    occur within [left_ts, left_ts + max_delay] for the same key — the
+    impression->click attribution shape.
+
+    Both sides carry watermarks and the join condition bounds BOTH event
+    times, so Spark can evict join state past the watermark instead of
+    buffering streams forever (the state-cleanup requirement of
+    stream-stream joins).  Works identically on batch DataFrames (the
+    watermark is a no-op there), which is what the equivalence test pins.
+    """
+    lw = left.withWatermark(left_ts, watermark).alias("l")
+    rw = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lw.join(rw, cond, "inner")

@@ -1,0 +1,52 @@
+"""CLI surface smoke tests — the reference's service entry points collapse to
+these subcommands (persistor/cmd/*, indexer-api handler, resubmitter handler).
+
+Pins the OCF blob-format branch of `cmd_ingest` (blob_rows must be counted by
+decoding the OCF files, not by a parquet read that would see zero rows).
+"""
+
+import json
+
+import pytest
+
+from persistor_spark import cli, fixtures
+
+
+def _run_cli(capsys, argv):
+    rc = cli.main(argv)
+    out = capsys.readouterr().out.strip().splitlines()
+    return rc, json.loads(out[-1])
+
+
+@pytest.fixture(scope="module")
+def source_dir(spark, sf_dir, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("cli_src") / "messages")
+    fixtures.load_messages(spark, sf_dir).limit(500).write.parquet(d)
+    return d
+
+
+def test_cli_ingest_ocf_counts_blob_rows(spark, source_dir, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    rc, emitted = _run_cli(
+        capsys, ["ingest", "--source", source_dir, "--out", out, "--blob-format", "ocf"]
+    )
+    assert rc == 0
+    # every indexed message has exactly one blob record, decoded from OCF
+    assert emitted["indexed"] > 0
+    assert emitted["blob_rows"] == emitted["indexed"]
+
+
+def test_cli_ingest_parquet_then_query_get(spark, source_dir, tmp_path, capsys):
+    out = str(tmp_path / "out")
+    rc, emitted = _run_cli(
+        capsys,
+        ["ingest", "--source", source_dir, "--out", out, "--blob-format", "parquet"],
+    )
+    assert rc == 0 and emitted["blob_rows"] == emitted["indexed"]
+
+    uid = (
+        spark.read.parquet(f"{out}/index").select("unique_id").limit(1).collect()[0][0]
+    )
+    rc, rows = _run_cli(capsys, ["query", "--index", f"{out}/index", "get", uid])
+    assert rc == 0
+    assert len(rows) == 1 and rows[0]["unique_id"] == uid

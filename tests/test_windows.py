@@ -213,3 +213,53 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert not any(ws == D(2024, 1, 1, 0, 0) for ws, _ in got), got
     # on-time windows below the final watermark WERE emitted
     assert (D(2024, 1, 1, 1, 0), 1) in got, got
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join (impression->click attribution):
+    streaming result == the batch join over the same data, and clicks
+    outside the attribution window never match."""
+    import datetime
+
+    D = datetime.datetime
+    imp_schema = "ad_id string, imp_ts timestamp"
+    clk_schema = "ad_id string, clk_ts timestamp"
+    impressions = [
+        ("a", D(2024, 1, 1, 10, 0)),
+        ("b", D(2024, 1, 1, 10, 5)),
+        ("c", D(2024, 1, 1, 11, 0)),
+    ]
+    clicks = [
+        ("a", D(2024, 1, 1, 10, 4)),   # within 10 min -> match
+        ("b", D(2024, 1, 1, 10, 30)),  # 25 min late -> no match
+        ("c", D(2024, 1, 1, 10, 59)),  # before impression -> no match
+        ("a", D(2024, 1, 1, 10, 9)),   # second click within window -> match
+    ]
+    imp_dir, clk_dir = str(tmp_path / "imp"), str(tmp_path / "clk")
+    spark.createDataFrame(impressions, imp_schema).write.parquet(imp_dir)
+    spark.createDataFrame(clicks, clk_schema).write.parquet(clk_dir)
+
+    imp_s = spark.readStream.schema(imp_schema).parquet(imp_dir)
+    clk_s = spark.readStream.schema(clk_schema).parquet(clk_dir)
+    joined = windows.interval_join(imp_s, clk_s, "ad_id", "imp_ts", "clk_ts")
+    q = (
+        joined.select("l.ad_id", "imp_ts", "clk_ts")
+        .writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["ad_id"], r["clk_ts"]) for r in spark.sql("SELECT * FROM ssjoin").collect()
+    }
+    assert got == {("a", D(2024, 1, 1, 10, 4)), ("a", D(2024, 1, 1, 10, 9))}
+
+    # batch twin: same operator, same result (watermark no-op in batch)
+    batch = windows.interval_join(
+        spark.read.parquet(imp_dir), spark.read.parquet(clk_dir),
+        "ad_id", "imp_ts", "clk_ts",
+    )
+    bgot = {(r["ad_id"], r["clk_ts"]) for r in batch.select("l.ad_id", "clk_ts").collect()}
+    assert bgot == got
