@@ -735,6 +735,43 @@ def _e17_term_heavy_hitters(spark, sf_dir):
     )
 
 
+def _a22_repetition(spark, sf_dir):
+    """Gopher duplicate n-gram fraction (Rae et al. 2021 §A1.1): per-doc
+    repetition signal at n=2 and n=3.  Pure per-row JVM array expressions —
+    zero shuffle; at 100 TB this is a narrow map over the scan."""
+    from persistor_spark.analytics import text
+
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.round(text.duplicate_ngram_fraction("text", 2), 4).alias("dup_2gram"),
+            F.round(text.duplicate_ngram_fraction("text", 3), 4).alias("dup_3gram"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _a23_quality_rules(spark, sf_dir):
+    """Gopher-style rule gate: per-doc boolean rule flags + keep conjunction
+    (the cheap pre-filter before model scoring in a curation pipeline)."""
+    from persistor_spark.analytics import text
+
+    return (
+        text.gopher_flags(_docs(spark, sf_dir))
+        .select(
+            "doc_id",
+            "flag_words",
+            "flag_mean_len",
+            "flag_symbols",
+            "flag_stopwords",
+            "flag_repetition",
+            "keep",
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _a17_bpe_tokens(spark, sf_dir):
     from persistor_spark.analytics import text
 
@@ -951,6 +988,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a16_label_centroids": _a16_label_centroids,
         "a17_bpe_tokens": _a17_bpe_tokens,
+        "a22_repetition": _a22_repetition,
+        "a23_quality_rules": _a23_quality_rules,
         "a18_winnowing_pairs": _a18_winnowing_pairs,
         "a19_simhash_md5": _a19_simhash_md5,
         "a20_contamination": _a20_contamination,
@@ -1318,6 +1357,50 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
             "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens "
             "FROM documents ORDER BY doc_id"
+        ),
+        "a22_repetition": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, "
+            "  CASE WHEN len(toks) >= 2 THEN "
+            "    [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] "
+            "    ELSE [] END AS g2, "
+            "  CASE WHEN len(toks) >= 3 THEN "
+            "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] "
+            "    ELSE [] END AS g3 FROM t) "
+            "SELECT doc_id, "
+            "  round(CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) "
+            "    ELSE 0.0 END, 4) AS dup_2gram, "
+            "  round(CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) "
+            "    ELSE 0.0 END, 4) AS dup_3gram "
+            "FROM g ORDER BY doc_id"
+        ),
+        "a23_quality_rules": (
+            "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, text, toks, "
+            "  CASE WHEN len(toks) >= 2 THEN "
+            "    [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] "
+            "    ELSE [] END AS g2, "
+            "  CASE WHEN len(toks) >= 3 THEN "
+            "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] "
+            "    ELSE [] END AS g3 FROM t), "
+            "r AS (SELECT doc_id, "
+            "  len(toks) BETWEEN 20 AND 2000 AS flag_words, "
+            "  (list_sum([length(x) FOR x IN toks])::DOUBLE / len(toks)) "
+            "    BETWEEN 3.0 AND 10.0 AS flag_mean_len, "
+            "  (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE "
+            "    / length(text) <= 0.1 AS flag_symbols, "
+            "  len(list_intersect(list_distinct(toks), "
+            "    ['the','a','and','of','to','in','is','on'])) >= 2 AS flag_stopwords, "
+            "  (CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) "
+            "    ELSE 0.0 END) <= 0.1 "
+            "  AND (CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) "
+            "    ELSE 0.0 END) <= 0.05 AS flag_repetition "
+            "FROM g) "
+            "SELECT doc_id, flag_words, flag_mean_len, flag_symbols, flag_stopwords, "
+            "  flag_repetition, "
+            "  flag_words AND flag_mean_len AND flag_symbols AND flag_stopwords "
+            "    AND flag_repetition AS keep "
+            "FROM r ORDER BY doc_id"
         ),
         "a16_label_centroids": (
             "WITH flat AS (SELECT label, vec_id, "

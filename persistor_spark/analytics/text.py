@@ -86,6 +86,89 @@ def detect_language(text: Column | str = "text") -> Column:
     return expr
 
 
+def word_ngrams(text: Column | str = "text", n: int = 3) -> Column:
+    """POSITIONAL word n-grams (duplicates kept — unlike dedup.shingles,
+    which distincts).  The repetition signal needs multiplicity."""
+    toks = tokens(text)
+    m = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), m - (n - 1)),
+        lambda i: F.array_join(F.slice(toks, i, n), " "),
+    )
+    # guard: sequence(1, m) runs DESCENDING when m < 1
+    return F.when(m >= n, grams).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_ngram_fraction(text: Column | str = "text", n: int = 3) -> Column:
+    """Fraction of n-gram positions occupied by a repeated n-gram:
+    1 - distinct/total (the Gopher 'duplicate n-gram fraction' family,
+    Rae et al. 2021 §A1.1).  High values flag boilerplate / degenerate
+    repetition.  Pure per-row array expression — no shuffle."""
+    grams = word_ngrams(text, n)
+    total = F.size(grams)
+    return F.when(
+        total > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / total,
+    ).otherwise(F.lit(0.0))
+
+
+def symbol_ratio(text: Column | str = "text") -> Column:
+    """Fraction of characters outside [A-Za-z0-9 ]."""
+    c = F.col(text) if isinstance(text, str) else text
+    total = F.length(c)
+    sym = total - F.length(F.regexp_replace(c, "[^A-Za-z0-9 ]", ""))
+    return F.when(total > 0, sym.cast("double") / total).otherwise(F.lit(0.0))
+
+
+# Gopher-style rule thresholds (Rae et al. 2021, Table A1 — adapted bounds;
+# deterministic so the DuckDB oracle mirrors them exactly).
+GOPHER_MIN_WORDS = 20
+GOPHER_MAX_WORDS = 2000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_DUP_2GRAM = 0.1
+GOPHER_MAX_DUP_3GRAM = 0.05
+
+
+def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rule-based document quality gate: one boolean column per rule plus
+    the conjunction `keep` — the cheap pre-filter stage before model-based
+    scoring in a training-data pipeline.  All flags are narrow per-row JVM
+    expressions; filtering on `keep` pushes to the scan."""
+    t = tokens(text_col)
+    sw = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
+    n_stop = F.size(F.array_intersect(F.array_distinct(t), sw))
+    out = (
+        df.withColumn(
+            "flag_words",
+            token_count(text_col).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
+        )
+        .withColumn(
+            "flag_mean_len",
+            avg_token_length(text_col).between(
+                GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
+            ),
+        )
+        .withColumn("flag_symbols", symbol_ratio(text_col) <= GOPHER_MAX_SYMBOL_RATIO)
+        .withColumn("flag_stopwords", n_stop >= GOPHER_MIN_STOPWORDS)
+        .withColumn(
+            "flag_repetition",
+            (duplicate_ngram_fraction(text_col, 2) <= GOPHER_MAX_DUP_2GRAM)
+            & (duplicate_ngram_fraction(text_col, 3) <= GOPHER_MAX_DUP_3GRAM),
+        )
+    )
+    return out.withColumn(
+        "keep",
+        F.col("flag_words")
+        & F.col("flag_mean_len")
+        & F.col("flag_symbols")
+        & F.col("flag_stopwords")
+        & F.col("flag_repetition"),
+    )
+
+
 def fingerprint(text: Column | str = "text") -> Column:
     """Deterministic document fingerprint: md5 of the lowercased text.
     (The rolling-hash variant for shift-tolerant matching lives in

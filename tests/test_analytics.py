@@ -507,3 +507,60 @@ def test_cms_merge_equals_whole(spark, docs):
     )
     assert whole.exceptAll(merged).count() == 0
     assert merged.exceptAll(whole).count() == 0
+
+
+def test_duplicate_ngram_fraction_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # 2-grams: ab ba ab ba ab -> 2/5 distinct
+            (2, "x y z w"),          # all distinct
+            (3, "q"),                # shorter than n -> 0.0
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            text.duplicate_ngram_fraction("text", 2).alias("d2"),
+            text.duplicate_ngram_fraction("text", 3).alias("d3"),
+        ).collect()
+    }
+    assert abs(rows[1]["d2"] - (1 - 2 / 5)) < 1e-9
+    # 3-grams of doc1: aba bab aba bab -> 2/4 distinct
+    assert abs(rows[1]["d3"] - 0.5) < 1e-9
+    assert rows[2]["d2"] == 0.0 and rows[2]["d3"] == 0.0
+    assert rows[3]["d2"] == 0.0 and rows[3]["d3"] == 0.0
+
+
+def test_gopher_flags_rules(spark):
+    long_clean = "the quick brown fox jumps over a lazy dog and then runs far away to rest in the shade of an old oak tree near town"
+    df = spark.createDataFrame(
+        [
+            (1, long_clean),                          # passes everything
+            (2, "too short"),                         # fails word count
+            (3, " ".join(["ab cd"] * 30)),            # repetition + no stopwords
+            (4, "#!? $$$ " * 40),                     # symbol-heavy
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.gopher_flags(df).collect()}
+    assert rows[1]["keep"] is True
+    assert rows[2]["flag_words"] is False and rows[2]["keep"] is False
+    assert rows[3]["flag_repetition"] is False and rows[3]["flag_stopwords"] is False
+    assert rows[4]["flag_symbols"] is False and rows[4]["keep"] is False
+
+
+def test_gopher_keep_matches_flag_conjunction(docs):
+    out = text.gopher_flags(docs)
+    bad = out.filter(
+        F.col("keep")
+        != (
+            F.col("flag_words")
+            & F.col("flag_mean_len")
+            & F.col("flag_symbols")
+            & F.col("flag_stopwords")
+            & F.col("flag_repetition")
+        )
+    )
+    assert bad.count() == 0
