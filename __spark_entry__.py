@@ -772,6 +772,42 @@ def _a23_quality_rules(spark, sf_dir):
     )
 
 
+def _a24_pii_scrub(spark, sf_dir):
+    """PII detect + redact (emails / phones / IPv4).  The fixture corpus is
+    synthetic word-salad with no PII, so the query deterministically injects
+    PII spans keyed on doc_id (same injection in the oracle) — what's under
+    test is the detection/redaction machinery, not the fixture content.
+    Narrow per-row JVM regex — zero shuffle at any scale."""
+    from persistor_spark.analytics import pii
+
+    d = _docs(spark, sf_dir).withColumn(
+        "aug",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 11 == 0, F.lit(" call 555-123-4567")).otherwise(
+                F.lit("")
+            ),
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.concat(F.lit(" from 10.0.0."), (F.col("doc_id") % 250).cast("string")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    return (
+        pii.with_pii(d, "aug")
+        .select("doc_id", "n_emails", "n_phones", "n_ips", "has_pii", "redacted")
+        .orderBy("doc_id")
+    )
+
+
 def _a17_bpe_tokens(spark, sf_dir):
     from persistor_spark.analytics import text
 
@@ -989,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a16_label_centroids": _a16_label_centroids,
         "a17_bpe_tokens": _a17_bpe_tokens,
         "a22_repetition": _a22_repetition,
+        "a24_pii_scrub": _a24_pii_scrub,
         "a23_quality_rules": _a23_quality_rules,
         "a18_winnowing_pairs": _a18_winnowing_pairs,
         "a19_simhash_md5": _a19_simhash_md5,
@@ -1357,6 +1394,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(string_split(text, ' ')) AS ws_tokens, "
             "len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_tokens "
             "FROM documents ORDER BY doc_id"
+        ),
+        "a24_pii_scrub": (
+            "WITH aug AS (SELECT doc_id, text "
+            "  || CASE WHEN doc_id % 7 = 0 THEN ' reach user' || doc_id::VARCHAR "
+            "      || '@example.com' ELSE '' END "
+            "  || CASE WHEN doc_id % 11 = 0 THEN ' call 555-123-4567' ELSE '' END "
+            "  || CASE WHEN doc_id % 13 = 0 THEN ' from 10.0.0.' "
+            "      || (doc_id % 250)::VARCHAR ELSE '' END AS a FROM documents) "
+            "SELECT doc_id, "
+            "  len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "    AS n_emails, "
+            "  len(regexp_extract_all(a, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS n_phones, "
+            "  len(regexp_extract_all(a, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b')) AS n_ips, "
+            "  (len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) "
+            "   + len(regexp_extract_all(a, '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) "
+            "   + len(regexp_extract_all(a, '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b'))) > 0 AS has_pii, "
+            "  regexp_replace(regexp_replace(regexp_replace(a, "
+            "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'), "
+            "    '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '[IP]', 'g'), "
+            "    '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g') AS redacted "
+            "FROM aug ORDER BY doc_id"
         ),
         "a22_repetition": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
