@@ -376,6 +376,18 @@ def _a_ivf_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
+def _a_pq_topk(spark, sf_dir):
+    from persistor_spark.analytics import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 10)
+    # PQ-ADC with exact cosine re-rank (Jegou et al. 2011): codes computed
+    # scan-side, query LUT broadcast, O(m) table-lookup scoring.  Rows-only
+    # driver check; recall + rerank exactness pinned by pytest vs brute force
+    out = similarity.pq_topk(embs, queries_df, k=5, m=16, ksub=16, kmeans_iter=2)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
 def _a_text_stats(spark, sf_dir):
     from persistor_spark.analytics import text
 
@@ -999,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_embedding_topk": _a_embedding_topk,
         "a6_lsh_topk": _a_lsh_topk,
         "a7_ivf_topk": _a_ivf_topk,
+        "a25_pq_topk": _a_pq_topk,
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
@@ -1170,7 +1183,8 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE 'und' END AS detected_lang, count(*) AS n "
             "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
         ),
-        # a4_simhash_pairs / a6_lsh_topk / a7_ivf_topk / a10_multimodal_features:
+        # a4_simhash_pairs / a6_lsh_topk / a7_ivf_topk / a25_pq_topk /
+        # a10_multimodal_features:
         # approximate or stub-backed operators — intentionally no SQL oracle
         # (driver records rows-only); exactness is covered by pytest recall
         # checks against the brute-force/exact twins.

@@ -170,9 +170,15 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     seed: int = 7,
     n_vectors: int | None = None,
+    assign: str = "dot",
 ) -> DataFrame:
     """Distributed Lloyd k-means for the IVF coarse quantizer — a real
     quantizer replacing the earlier modulo-stride stand-in.
+
+    `assign` picks the assignment rule: "dot" (max inner product — right for
+    IVF over normalized vectors) or "l2" (min Euclidean via the equivalent
+    argmax of dot - ||c||^2/2 — right for PQ sub-quantizers, where the
+    objective is small reconstruction error, not angular closeness).
 
     Spark-first shape: each iteration is ONE broadcast-assign pass (corpus x
     broadcast centroids, no shuffle of the corpus) + ONE aggregation keyed
@@ -196,10 +202,17 @@ def kmeans_centroids(
         v.filter(((F.col("id") - phase) % step == 0) & ((F.col("id") - phase) / step < n_centroids))
         .select(((F.col("id") - phase) / step).cast("int").alias("cid"), F.col("v").alias("cv"))
     )
+    def _score(vc: Column, cc: Column) -> Column:
+        s = dot(vc, cc)
+        if assign == "l2":
+            # argmin ||v-c||^2 == argmax (v.c - ||c||^2 / 2)
+            s = s - F.lit(0.5) * F.aggregate(cc, F.lit(0.0), lambda a, x: a + x * x)
+        return s
+
     for _ in range(max_iter):
         assigned = (
             v.join(F.broadcast(cents), F.lit(True))
-            .withColumn("d", dot(F.col("v"), F.col("cv")))
+            .withColumn("d", _score(F.col("v"), F.col("cv")))
             .withColumn(
                 "rk",
                 F.row_number().over(Window.partitionBy("id").orderBy(F.col("d").desc(), F.col("cid"))),
@@ -345,4 +358,233 @@ def brute_force_topk_pandas(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — Jegou et al. 2011, "Product Quantization for
+# Nearest Neighbor Search"
+# ---------------------------------------------------------------------------
+
+def pq_train(
+    vectors: DataFrame,
+    m: int = 16,
+    ksub: int = 16,
+    kmeans_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_vectors: int | None = None,
+    train_mod: int = 1,
+    seed: int = 7,
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: the vector is split into `m` contiguous
+    subspaces of dim/m dims; each gets a `ksub`-centroid L2 quantizer.
+    Returns codebooks[m][ksub][dsub] collected to the driver — m*ksub*dim/m
+    = ksub*dim floats total (4 KiB at dim 64), broadcastable as expression
+    literals.
+
+    ALL m sub-quantizers train in ONE grouped Lloyd loop: the corpus
+    explodes once into (id, subspace, subvec) rows and every iteration is a
+    single broadcast-assign pass + a single (subspace, cid, dim)-keyed mean
+    — m jobs collapse into one, and at 100 TB each iteration stays one scan
+    regardless of m.  `train_mod > 1` trains on the deterministic id-sampled
+    subset (id % train_mod == 0) — the FAISS practice; train on a sample,
+    encode everything.
+
+    Vectors are L2-normalized before slicing so ADC dot sums track cosine.
+    Deterministic: stride init over id order (seeded phase), tie-breaks to
+    the lowest code.
+    """
+    v = _as_double(vectors, id_col, vec_col)
+    if train_mod > 1:
+        v = v.filter(F.col("id") % train_mod == 0)
+    if dim is None:
+        dim = len(v.select("v").first()[0])
+    dsub = dim // m
+    vn = v.select("id", F.transform("v", lambda x: x / norm(F.col("v"))).alias("v"))
+    sub = vn.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda j: F.slice("v", j * dsub + 1, dsub),
+            )
+        ).alias("j", "sv"),
+    ).persist()
+    n = n_vectors if n_vectors is not None else vn.count()
+    step = max(n // ksub, 1)
+    phase = seed % step if step > 1 else 0
+    cents = sub.filter(
+        ((F.col("id") - phase) % step == 0) & ((F.col("id") - phase) / step < ksub)
+    ).select("j", ((F.col("id") - phase) / step).cast("int").alias("cid"), F.col("sv").alias("cv"))
+    l2_score = lambda svc, cvc: dot(svc, cvc) - F.lit(0.5) * F.aggregate(  # noqa: E731
+        cvc, F.lit(0.0), lambda a, x: a + x * x
+    )
+    for _ in range(kmeans_iter):
+        assigned = (
+            sub.join(F.broadcast(cents), "j")
+            .withColumn("score", l2_score(F.col("sv"), F.col("cv")))
+            .groupBy("id", "j")
+            .agg(
+                F.max_by("cid", F.struct(F.col("score"), (-F.col("cid")).alias("nc"))).alias("cid"),
+                F.any_value("sv").alias("sv"),
+            )
+        )
+        new_cents = (
+            assigned.select("j", "cid", F.posexplode("sv").alias("i", "x"))
+            .groupBy("j", "cid", "i")
+            .agg(F.avg("x").alias("mu"))
+            .groupBy("j", "cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "mu"))).alias("dims"))
+            .select("j", "cid", F.transform("dims", lambda s: s["mu"]).alias("cv"))
+        )
+        # empty clusters keep their previous centroid
+        cents = new_cents.unionByName(
+            cents.join(new_cents.select("j", "cid"), ["j", "cid"], "left_anti")
+        ).persist()
+        cents.count()
+    rows = cents.collect()
+    sub.unpersist()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_sub.setdefault(r["j"], {})[r["cid"]] = list(r["cv"])
+    codebooks = []
+    for j in range(m):
+        cb = by_sub[j]
+        codebooks.append([cb.get(c, cb[min(cb)]) for c in range(ksub)])
+    return codebooks
+
+
+def _sub_scores(
+    vec: Column,
+    codebook_j: list[list[float]],
+    j: int,
+    dsub: int,
+    l2_bias: bool = False,
+) -> Column:
+    """array<double> of dot(sub_j(vec), centroid_c) for every code c — pure
+    JVM expressions over broadcast-literal centroids.  With `l2_bias`, each
+    score is dot - ||c||^2/2 (argmax == argmin L2): the ENCODE rule, which
+    must minimize reconstruction error.  The query LUT uses plain dot —
+    ADC estimates dot(q, x) = sum_j dot(q_j, c_code_j(x))."""
+    sub = F.slice(vec, j * dsub + 1, dsub)
+    scores = []
+    for cent in codebook_j:
+        s = dot(sub, F.array(*[F.lit(float(x)) for x in cent]))
+        if l2_bias:
+            s = s - F.lit(0.5 * sum(x * x for x in cent))
+        scores.append(s)
+    return F.array(*scores)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, codes ARRAY<INT>): per-subspace argmax-dot code assignment
+    (same assignment rule as kmeans_centroids' Lloyd step).  A narrow
+    per-row map — zero shuffle; at 100 TB this pipelines with the scan and
+    the 8-bit-per-subspace codes are what you'd persist."""
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    v = _as_double(vectors, id_col, vec_col)
+    vn = v.select(
+        "id",
+        F.col("v").alias("raw"),
+        F.transform("v", lambda x: x / norm(F.col("v"))).alias("v"),
+    )
+    code_cols = []
+    for j in range(m):
+        scores = _sub_scores(F.col("v"), codebooks[j], j, dsub, l2_bias=True)
+        # argmax, ties -> lowest code; array_position is 1-based
+        code_cols.append(
+            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        )
+    return vn.select("id", F.col("raw").alias("v"), F.array(*code_cols).alias("codes"))
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 16,
+    rerank_factor: int = 4,
+    kmeans_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+    codebooks: list[list[list[float]]] | None = None,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """PQ-ADC approximate top-k with exact re-rank.
+
+    Asymmetric distance computation: each query precomputes an m x ksub
+    lookup table of dot(query_sub_j, centroid) (JVM expressions over the
+    broadcast codebook); every corpus vector is scored by summing m table
+    lookups via zip_with over its code array — O(m) per pair instead of
+    O(dim), the PQ speedup.  The top rerank_factor*k ADC candidates per
+    query are re-ranked with exact cosine, so the output schema and score
+    semantics match brute_force_topk (recall < 1 only from candidate
+    pruning, never from approximate scores).
+
+    Scale shape: codes are computed scan-side (no shuffle), the query side
+    is broadcast (m x ksub doubles per query), candidate selection is a
+    per-query window over ADC scores — the same partitioned-window top-k as
+    the other ANN paths.  Train once (pq_train) and pass `codebooks` to
+    amortize across probe calls.
+    """
+    from pyspark.sql import Window
+
+    if codebooks is None:
+        codebooks = pq_train(
+            vectors, m, ksub, kmeans_iter, id_col, vec_col, n_vectors=n_vectors
+        )
+    m = len(codebooks)
+    dsub = len(codebooks[0][0])
+    encoded = pq_encode(vectors, codebooks, id_col, vec_col)
+
+    q = _as_double(queries, query_id_col, vec_col)
+    qn = q.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.transform("v", lambda x: x / norm(F.col("v"))).alias("vn"),
+    )
+    qlut = qn.select(
+        "query_id",
+        "qv",
+        F.array(
+            *[_sub_scores(F.col("vn"), codebooks[j], j, dsub) for j in range(m)]
+        ).alias("lut"),
+    )
+    cand = encoded.join(F.broadcast(qlut), F.lit(True))
+    if exclude_self:
+        cand = cand.filter(F.col("id") != F.col("query_id"))
+    # ADC score: sum_j lut[j][code_j]  (element_at is 1-based)
+    adc = cand.withColumn(
+        "adc",
+        F.aggregate(
+            F.zip_with(
+                "codes", "lut", lambda c, lut: F.element_at(lut, c + F.lit(1))
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("id").asc())
+    shortlist = (
+        adc.withColumn("ar", F.row_number().over(w_adc))
+        .filter(F.col("ar") <= rerank_factor * k)
+        .select("query_id", "qv", "id", "v")
+    )
+    rescored = shortlist.withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("vec_id"), "cos", "rank")
     )

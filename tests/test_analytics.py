@@ -125,6 +125,44 @@ def test_ivf_topk_recall(embs, brute_topk):
     assert recall >= 0.4, f"IVF recall too low: {recall}"
 
 
+def test_pq_train_shapes(embs):
+    cbs = similarity.pq_train(embs, m=8, ksub=8, kmeans_iter=2)
+    assert len(cbs) == 8
+    dim = len(embs.first()["embedding"])
+    for cb in cbs:
+        assert len(cb) == 8
+        for cent in cb:
+            assert len(cent) == dim // 8
+    # deterministic: same seed -> identical codebooks
+    cbs2 = similarity.pq_train(embs, m=8, ksub=8, kmeans_iter=2)
+    assert cbs == cbs2
+
+
+def test_pq_encode_properties(embs):
+    cbs = similarity.pq_train(embs, m=8, ksub=8, kmeans_iter=2)
+    enc = similarity.pq_encode(embs, cbs).collect()
+    assert len(enc) == embs.count()
+    for r in enc:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_pq_topk_recall(embs, brute_topk):
+    q = embs.filter(F.col("vec_id") < 10)
+    got = similarity.pq_topk(embs, q, k=10, m=16, ksub=16, rerank_factor=4).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in brute_topk}
+    found = {(r["query_id"], r["vec_id"]) for r in got}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"PQ recall too low: {recall}"
+    # exact re-rank: every returned cos must equal the brute-force cos for
+    # the same (query, vec) pair
+    bf = {(r["query_id"], r["vec_id"]): r["cos"] for r in brute_topk}
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in bf:
+            assert abs(r["cos"] - bf[key]) < 1e-9
+
+
 def test_kmeans_centroids_properties(embs):
     """Lloyd iterations must produce exactly C centroids of the right
     dimensionality, deterministically, and reduce mean quantization error
