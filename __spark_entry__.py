@@ -426,6 +426,48 @@ def _a_dedup_clusters(spark, sf_dir):
     return dedup.dedup_clusters(pairs).orderBy("doc_id")
 
 
+def _a_weighted_mix(spark, sf_dir):
+    from persistor_spark.analytics import sampling
+
+    # hash-threshold mixture sampling: membership is a pure function of
+    # (seed, doc_id), so the DuckDB oracle reproduces the EXACT row set via
+    # the portable md5 60-bit hash
+    out = sampling.sample_mixture_hashed(
+        _docs(spark, sf_dir), "source", {"src0": 2.0, "src1": 1.0}, seed=7
+    )
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def _a_pack_sequences(spark, sf_dir):
+    from persistor_spark.analytics import sampling, text
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    out = sampling.pack_sequences(docs, budget=1024, n_shards=4)
+    return out.select(
+        "doc_id", "n_tokens", "shard", "seq_id", "seq_offset", "spans"
+    ).orderBy("doc_id")
+
+
+def _a_lm_perplexity(spark, sf_dir):
+    from persistor_spark.analytics import text
+
+    # CCNet-style corpus-LM quality signal: unigram + add-one bigram NLL per
+    # doc, counts trained on the same corpus (Wenzek et al. 2020 shape)
+    return text.lm_perplexity_scores(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+def _a_cc_two_phase(spark, sf_dir):
+    from persistor_spark.analytics import dedup
+
+    # same pair graph as a11, resolved by alternating large-star/small-star
+    # contraction (O(log^2 n) rounds) instead of min-label propagation;
+    # component minima are algorithm-independent, so a26 shares a11's oracle
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.8)
+    return dedup.dedup_clusters_two_phase(pairs).orderBy("doc_id")
+
+
 def _a_multimodal_features(spark, sf_dir):
     from persistor_spark.analytics import multimodal
 
@@ -1016,6 +1058,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
         "a11_dedup_clusters": _a_dedup_clusters,
+        "a26_cc_two_phase": _a_cc_two_phase,
+        "a27_lm_perplexity": _a_lm_perplexity,
+        "a28_weighted_mix": _a_weighted_mix,
+        "a29_pack_sequences": _a_pack_sequences,
         "e1_rollup": _e_rollup,
         "e2_cube": _e_cube,
         "e3_set_ops": _e_set_ops,
@@ -1057,6 +1103,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     P = oracle.with_prologue
+    # CC output (doc_id -> component-min) is algorithm-independent, so the
+    # min-label-propagation query (a11) and the large-star/small-star query
+    # (a26) share one recursive-reach oracle.
+    cc_oracle = (
+        "WITH RECURSIVE "
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "s AS (SELECT doc_id, "
+        "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+        "  FROM t), "
+        "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b "
+        "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+        "edges AS (SELECT a AS src, b AS dst FROM pairs "
+        "  UNION SELECT b AS src, a AS dst FROM pairs), "
+        "reach(src, dst) AS ("
+        "  SELECT src, dst FROM edges "
+        "  UNION "
+        "  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
+        "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
+        "FROM reach GROUP BY src ORDER BY doc_id"
+    )
     return {
         "d1_point_lookup": P(
             "SELECT unique_id, broker_id, location_key, location_position "
@@ -1283,24 +1351,55 @@ def oracle_sql() -> dict[str, str]:
         ),
         # a11: iterative connected components — the DuckDB twin is a
         # recursive-CTE transitive closure over the same exact-Jaccard pairs
-        "a11_dedup_clusters": (
-            "WITH RECURSIVE "
-            "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-            "s AS (SELECT doc_id, "
-            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-            "  FROM t), "
-            "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b "
-            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
-            "edges AS (SELECT a AS src, b AS dst FROM pairs "
-            "  UNION SELECT b AS src, a AS dst FROM pairs), "
-            "reach(src, dst) AS ("
-            "  SELECT src, dst FROM edges "
-            "  UNION "
-            "  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
-            "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
-            "FROM reach GROUP BY src ORDER BY doc_id"
+        "a11_dedup_clusters": cc_oracle,
+        "a26_cc_two_phase": cc_oracle,
+        "a28_weighted_mix": (
+            "WITH c AS (SELECT source, count(*) AS n FROM documents "
+            "  WHERE source IN ('src0','src1') GROUP BY source), "
+            "w AS (SELECT 'src0' AS source, 2.0/3.0 AS nw "
+            "  UNION ALL SELECT 'src1', 1.0/3.0), "
+            "mt AS (SELECT min(n / nw) AS t FROM c JOIN w USING (source)), "
+            "fr AS (SELECT source, least(nw * t / n, 1.0) AS f "
+            "  FROM c JOIN w USING (source), mt) "
+            "SELECT d.doc_id, d.source FROM documents d JOIN fr USING (source) "
+            "WHERE CAST(CONCAT('0x', substr(md5('7_' || d.doc_id), 1, 15)) AS BIGINT) "
+            "  / 1152921504606846976.0 < f "
+            "ORDER BY d.doc_id"
+        ),
+        "a29_pack_sequences": (
+            "WITH t AS (SELECT doc_id, "
+            "  len(string_split(text, ' '))::BIGINT AS n_tokens FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, "
+            "  CAST(CAST(CONCAT('0x', substr(md5(doc_id::VARCHAR), 1, 15)) AS BIGINT) "
+            "    % 4 AS INT) AS shard FROM t), "
+            "c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s) "
+            "SELECT doc_id, n_tokens, shard, "
+            "  (cum - n_tokens) // 1024 AS seq_id, "
+            "  (cum - n_tokens) % 1024 AS seq_offset, "
+            "  (cum - 1) // 1024 - (cum - n_tokens) // 1024 + 1 AS spans "
+            "FROM c ORDER BY doc_id"
+        ),
+        "a27_lm_perplexity": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "tok AS (SELECT doc_id, unnest(toks) AS w FROM t), "
+            "uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w), "
+            "scal AS (SELECT sum(c) AS n, count(*) AS v FROM uni), "
+            "uscore AS (SELECT doc_id, round(avg(-ln(c::DOUBLE / n)), 4) AS uni_nll "
+            "  FROM tok JOIN uni USING (w), scal GROUP BY doc_id), "
+            "bgr AS (SELECT doc_id, unnest([{'pw': toks[i], 'w': toks[i+1]} "
+            "    FOR i IN range(1, len(toks))], recursive := true) "
+            "  FROM t WHERE len(toks) >= 2), "
+            "bi AS (SELECT pw, w, count(*) AS c2 FROM bgr GROUP BY pw, w), "
+            "bscore AS (SELECT doc_id, "
+            "  round(avg(-ln((c2 + 1.0) / (c1 + v))), 4) AS bi_nll "
+            "  FROM bgr JOIN bi USING (pw, w) "
+            "  JOIN (SELECT w AS pw, c AS c1 FROM uni) USING (pw), scal "
+            "  GROUP BY doc_id), "
+            "base AS (SELECT doc_id, len(toks) AS n_tokens FROM t) "
+            "SELECT base.doc_id, n_tokens, uni_nll, bi_nll FROM base "
+            "LEFT JOIN uscore USING (doc_id) LEFT JOIN bscore USING (doc_id) "
+            "ORDER BY doc_id"
         ),
         "e9_sessionize": (
             "WITH flagged AS ("

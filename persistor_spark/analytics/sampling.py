@@ -42,3 +42,84 @@ def sample_mixture(
     `weights` are dropped.  Reproducible for a fixed seed + input."""
     fractions = mixture_fractions(df, strata_col, weights, total_rows)
     return df.sampleBy(strata_col, fractions, seed=seed)
+
+
+def _hash_unit(col, seed: int):
+    """Deterministic uniform [0,1) from md5 — portable: DuckDB computes the
+    identical value via CAST(CONCAT('0x', substr(md5(...),1,15)) AS BIGINT),
+    so hash-threshold sampling is exactly reproducible across engines (and
+    across Spark versions, unlike rand(seed) whose stream is tied to
+    partition layout)."""
+    h = F.conv(F.substring(F.md5(F.concat_ws("_", F.lit(str(seed)), col.cast("string"))), 1, 15), 16, 10).cast("long")
+    return h.cast("double") / F.lit(float(1 << 60))
+
+
+def sample_mixture_hashed(
+    df: DataFrame,
+    strata_col: str,
+    weights: dict,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    total_rows: int | None = None,
+) -> DataFrame:
+    """Deterministic mixture sampling: keep a row iff
+    hash_unit(seed, id) < fraction(stratum).  Same mix math as
+    `sample_mixture`, but membership depends ONLY on (seed, id) — never on
+    partitioning or row order — so reruns, backfills, and incremental
+    appends select the same rows.  That stability is what makes training-set
+    builds auditable; `sampleBy`'s per-partition RNG stream cannot give it.
+    A narrow scan (the fraction map is a literal CASE) — no shuffle beyond
+    the driver-side stratum counts in mixture_fractions."""
+    fractions = mixture_fractions(df, strata_col, weights, total_rows)
+    frac = F.lit(None).cast("double")
+    expr = None
+    for k, v in sorted(fractions.items()):
+        cond = F.col(strata_col) == F.lit(k)
+        expr = F.when(cond, F.lit(v)) if expr is None else expr.when(cond, F.lit(v))
+    frac = expr.otherwise(F.lit(None)) if expr is not None else frac
+    return df.withColumn("_frac", frac).filter(
+        F.col("_frac").isNotNull() & (_hash_unit(F.col(id_col), seed) < F.col("_frac"))
+    ).drop("_frac")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    n_shards: int = 32,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a
+    (shard, seq_id, seq_offset) so that concatenating a shard's docs in id
+    order and cutting every `budget` tokens yields the training sequences —
+    the standard LLM pretraining packing (documents stream into fixed-length
+    windows; a doc starts at its cumulative-token offset).
+
+    Scale shape: shard = md5-hash(id) % n_shards spreads docs evenly and
+    deterministically; within a shard the only operation is ONE window
+    cumulative sum ordered by id.  Shard count bounds window partition size
+    (100 TB / n_shards per partition — raise n_shards with corpus size; each
+    shard's packing is independent so this parallelizes perfectly).  Output
+    adds: shard, seq_id (shard-local window index), seq_offset (token
+    position where the doc starts inside its window), spans (how many
+    budget-windows the doc touches — docs longer than `budget` straddle)."""
+    from pyspark.sql import Window
+
+    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    shard = (h % n_shards).cast("int")
+    w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    out = (
+        df.withColumn("shard", shard)
+        .withColumn("_cum", F.sum(token_col).over(w))
+        .withColumn("_before", (F.col("_cum") - F.col(token_col)).cast("long"))
+        .withColumn("seq_id", (F.col("_before") / budget).cast("long"))
+        .withColumn("seq_offset", (F.col("_before") % budget).cast("long"))
+        .withColumn(
+            "spans",
+            ((F.col("_cum") - 1) / budget).cast("long") - F.col("seq_id") + 1,
+        )
+        .drop("_cum", "_before")
+    )
+    return out

@@ -186,3 +186,119 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("detected_lang", detect_language(text_col))
         .withColumn("fingerprint", fingerprint(text_col))
     )
+
+
+# ---------------------------------------------------------------------------
+# n-gram language-model perplexity (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+#
+# CCNet (Wenzek et al. 2020) filters web text by the perplexity of a KenLM
+# n-gram model; the Spark-native shape of that signal is: train n-gram
+# counts on the corpus itself (one groupBy shuffle per order), then score
+# every document by joining its tokens against the count tables.  No Python
+# in the path; the count tables shuffle on the token key so cardinality
+# scales with vocabulary, not corpus size.
+
+def lm_train(
+    df: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """(unigram_counts, bigram_counts): token -> c and (pw, w) -> c2 over
+    the whole corpus.  At 100 TB each is one map-side-combinable groupBy;
+    persist the outputs to amortize across scoring passes."""
+    toks = tokens(text_col)
+    tok = df.select(F.explode(toks).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    t = df.select(toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("pw"),
+                F.element_at("toks", i + 1).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pw:string,w:string>>"))
+    bi = (
+        t.select(F.explode(pairs).alias("bg"))
+        .select("bg.pw", "bg.w")
+        .groupBy("pw", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    return uni, bi
+
+
+def lm_perplexity_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 1.0,
+    uni: DataFrame | None = None,
+    bi: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document negative log-likelihood under corpus-trained unigram and
+    add-alpha-smoothed bigram models: (doc_id, n_tokens, uni_nll, bi_nll).
+
+    uni_nll = -avg ln( c(w) / N )                        over all tokens
+    bi_nll  = -avg ln( (c(pw,w)+alpha) / (c(pw)+alpha*V) ) over all bigrams
+    (NULL when the doc has < 2 tokens); both rounded to 4 decimals.  Lower
+    = more typical of the corpus — threshold on these for CCNet-style
+    head/middle/tail quality buckets.
+
+    N (corpus tokens) and V (vocab size) collect as two scalars — bounded
+    aggregates, same pattern as bm25's avgdl.  Token joins shuffle on the
+    token key; the per-doc average is the only doc-keyed aggregation.
+    """
+    if uni is None or bi is None:
+        uni, bi = lm_train(df, text_col)
+    uni = uni.persist()
+    scal = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    n_corpus, vocab = float(scal["n"]), float(scal["v"])
+
+    toks = tokens(text_col)
+    tok = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    uscore = (
+        tok.join(uni, "w")
+        .groupBy(id_col)
+        .agg(F.round(F.avg(-F.log(F.col("c") / F.lit(n_corpus))), 4).alias("uni_nll"))
+    )
+
+    t = df.select(F.col(id_col), toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    pairs = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.struct(
+                F.element_at("toks", i).alias("pw"),
+                F.element_at("toks", i + 1).alias("w"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pw:string,w:string>>"))
+    bgr = t.select(F.col(id_col), F.explode(pairs).alias("bg")).select(
+        id_col, "bg.pw", "bg.w"
+    )
+    prefix = uni.select(F.col("w").alias("pw"), F.col("c").alias("c1"))
+    bscore = (
+        bgr.join(bi, ["pw", "w"])
+        .join(prefix, "pw")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c2") + F.lit(alpha))
+                        / (F.col("c1") + F.lit(alpha) * F.lit(vocab))
+                    )
+                ),
+                4,
+            ).alias("bi_nll")
+        )
+    )
+    base = df.select(F.col(id_col), token_count(text_col).alias("n_tokens"))
+    return (
+        base.join(uscore, id_col, "left")
+        .join(bscore, id_col, "left")
+        .select(id_col, "n_tokens", "uni_nll", "bi_nll")
+    )

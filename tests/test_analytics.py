@@ -87,6 +87,69 @@ def test_max_doc_freq_cap_prunes(docs):
     assert capped.count() <= uncapped_n
 
 
+def test_two_phase_cc_equals_propagation(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.8)
+    via_prop = {(r["doc_id"], r["cluster_id"]) for r in dedup.dedup_clusters(pairs).collect()}
+    via_star = {
+        (r["doc_id"], r["cluster_id"])
+        for r in dedup.dedup_clusters_two_phase(pairs).collect()
+    }
+    assert via_star == via_prop
+
+
+def test_two_phase_cc_long_chain(spark):
+    # path graph 0-1-2-...-19: diameter 19, the propagation worst case;
+    # star contraction must still resolve every node to component min 0
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(19)], "a long, b long")
+    got = {(r["doc_id"], r["cluster_id"]) for r in dedup.dedup_clusters_two_phase(pairs).collect()}
+    assert got == {(i, 0) for i in range(20)}
+
+
+def test_two_phase_cc_disjoint_components(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 20)], "a long, b long"
+    )
+    got = {(r["doc_id"], r["cluster_id"]) for r in dedup.dedup_clusters_two_phase(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
+
+
+# -- LM perplexity -----------------------------------------------------------
+
+def test_lm_perplexity_semantics(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the rug"),
+            (3, "zyx wvu tsr qpo nml kji"),  # every token unique to this doc
+            (4, "the"),  # single token: no bigrams
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in text.lm_perplexity_scores(df).collect()}
+    assert rows[4]["bi_nll"] is None and rows[4]["uni_nll"] is not None
+    # corpus-typical docs score lower NLL than the all-rare-tokens doc
+    assert rows[1]["uni_nll"] < rows[3]["uni_nll"]
+    assert rows[2]["uni_nll"] < rows[3]["uni_nll"]
+    # shared prefix bigrams ("the cat", "cat sat", ...) make 1/2 cheaper
+    # than the never-repeated bigrams of doc 3
+    assert rows[1]["bi_nll"] < rows[3]["bi_nll"]
+    assert all(r["n_tokens"] == len(t.split()) for r, t in [
+        (rows[1], "the cat sat on the mat"),
+        (rows[4], "the"),
+    ])
+
+
+def test_lm_train_reuse_matches_inline(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b c d e"), (3, "c d c d a")],
+        "doc_id long, text string",
+    )
+    uni, bi = text.lm_train(df)
+    inline = {r["doc_id"]: r for r in text.lm_perplexity_scores(df).collect()}
+    reused = {r["doc_id"]: r for r in text.lm_perplexity_scores(df, uni=uni, bi=bi).collect()}
+    assert inline == reused
+
+
 # -- similarity --------------------------------------------------------------
 
 @pytest.fixture(scope="module")
@@ -438,6 +501,61 @@ def test_mixture_fractions_respect_budget(docs):
 
     fr = sampling.mixture_fractions(docs, "source", {"src0": 1, "src1": 1}, total_rows=50)
     assert all(0 < f <= 1.0 for f in fr.values())
+
+
+def test_hashed_mixture_stable_under_repartition(docs):
+    from persistor_spark.analytics import sampling
+
+    weights = {"src0": 2.0, "src1": 1.0}
+    out = sampling.sample_mixture_hashed(docs, "source", weights, seed=7)
+    ids = sorted(r[0] for r in out.select("doc_id").collect())
+    # membership depends only on (seed, id): any physical layout gives the
+    # exact same set — the property sampleBy cannot provide
+    shuffled = sampling.sample_mixture_hashed(
+        docs.repartition(7, "doc_id"), "source", weights, seed=7
+    )
+    assert sorted(r[0] for r in shuffled.select("doc_id").collect()) == ids
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    assert set(counts) <= set(weights)
+    # anchor stratum samples at fraction 1.0 -> kept in full, deterministically
+    pool = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    assert counts["src0"] == pool["src0"]
+    assert counts["src1"] < pool["src1"]
+    # different seed -> different (but same-sized-ish) selection
+    other = sampling.sample_mixture_hashed(docs, "source", weights, seed=8)
+    assert sorted(r[0] for r in other.select("doc_id").collect()) != ids
+
+
+def test_pack_sequences_invariants(spark):
+    from persistor_spark.analytics import sampling
+
+    df = spark.createDataFrame(
+        [(i, 100 + (i * 37) % 400) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    out = sampling.pack_sequences(df, budget=1024, n_shards=4).collect()
+    assert len(out) == 200
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(r["shard"] for r in out) <= set(range(4))
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in shard_rows:
+            # doc starts exactly at the running concat offset
+            assert r["seq_id"] == cum // 1024
+            assert r["seq_offset"] == cum % 1024
+            end = cum + r["n_tokens"] - 1
+            assert r["spans"] == end // 1024 - r["seq_id"] + 1
+            cum += r["n_tokens"]
+
+
+def test_pack_sequences_long_doc_straddles(spark):
+    from persistor_spark.analytics import sampling
+
+    df = spark.createDataFrame([(1, 5000)], "doc_id long, n_tokens long")
+    r = sampling.pack_sequences(df, budget=1024, n_shards=1).collect()[0]
+    assert r["seq_id"] == 0 and r["seq_offset"] == 0 and r["spans"] == 5
 
 
 # -- real BMP codec path -----------------------------------------------------
