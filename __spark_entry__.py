@@ -1251,11 +1251,22 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE 'und' END AS detected_lang, count(*) AS n "
             "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
         ),
-        # a4_simhash_pairs / a6_lsh_topk / a7_ivf_topk / a25_pq_topk /
-        # a10_multimodal_features:
-        # approximate or stub-backed operators — intentionally no SQL oracle
-        # (driver records rows-only); exactness is covered by pytest recall
-        # checks against the brute-force/exact twins.
+        # a4_simhash_pairs / a6_lsh_topk / a7_ivf_topk / a25_pq_topk:
+        # approximate operators — intentionally no SQL oracle (driver records
+        # rows-only); exactness is covered by pytest recall checks against
+        # the brute-force/exact twins.
+        "a10_multimodal_features": (
+            # the synthesized BMPs have doc_id-determined dims, and the REAL
+            # encoder's file size is pure arithmetic (54-byte header + rows
+            # padded to 4 bytes) — so the oracle pins the actual encoded
+            # bytes without needing a codec in DuckDB
+            "SELECT 'media-' || doc_id AS media_id, "
+            "  (doc_id % 120 + 8)::INT AS width, "
+            "  (doc_id % 90 + 8)::INT AS height, "
+            "  (54 + ((3 * (doc_id % 120 + 8) + 3) // 4) * 4 "
+            "      * (doc_id % 90 + 8))::BIGINT AS n_bytes "
+            "FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"
+        ),
         "d17_message_size": P(
             "SELECT broker_id || '_' || broker_msg_id AS unique_id, "
             "length(payload) "

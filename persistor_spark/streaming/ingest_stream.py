@@ -156,8 +156,16 @@ def run_stream(
     exactly_once_index: bool = True,
     exactly_once_blobs: bool = True,
     fault_injector=None,
+    dedup_gate: bool = False,
 ):
     """Start the streaming ingest; returns (StreamingQuery, StreamMetrics).
+
+    `dedup_gate=True` fuses the stateful first-seen gate
+    (windows.dedup_gate_rows, keyed on broker_id+broker_msg_id) upstream of
+    the batch handler: at-least-once redeliveries are dropped in ONE keyed
+    stateful pass instead of per-sink anti-joins against the index table.
+    The merge writers stay available as the belt-and-braces layer (a gate
+    state loss after checkpoint wipe would otherwise re-admit old keys).
 
     Blob identity across micro-batches: the blob name carries the BATCH ID
     (`<broker_id>-b<batch_id>`), so two micro-batches landing in the same
@@ -187,6 +195,10 @@ def run_stream(
     so the checkpoint replays the uncommitted batch.
     """
     metrics = StreamMetrics()
+    if dedup_gate:
+        from persistor_spark.streaming import windows as _windows
+
+        messages = _windows.dedup_gate_rows(messages)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         # cache the micro-batch: three sinks (blobs/index/dlq) each trigger an

@@ -133,6 +133,61 @@ def streaming_first_seen(
     )
 
 
+def dedup_gate_rows(
+    messages: DataFrame,
+    key_cols: tuple = ("broker_id", "broker_msg_id"),
+    time_col: str = "ingestion_time",
+    watermark: str = "2 hours",
+    output_mode: str = "update",
+) -> DataFrame:
+    """Full-row streaming dedup gate: passes through ONLY the first-seen row
+    per key (earliest by `time_col`, then `event_seq` when present), dropping
+    intra-batch and cross-batch redeliveries before they reach the sinks.
+
+    This is `streaming_first_seen` fused into the ingest path: instead of a
+    (key, first_seen) marker that callers must join back, the full message
+    row flows through the stateful operator, so `run_stream(dedup_gate=True)`
+    composes it upstream of foreachBatch and the sinks never see duplicates.
+    At-least-once brokers redeliver (the reference tolerates this by Mongo
+    upsert on unique_id; handler.go's idempotent writes) — the gate gives
+    the same end state with ONE keyed stateful pass, no per-batch anti-join
+    against the ever-growing index table.
+
+    State: one counter per key (bounded per-executor memory, key-hash
+    partitioned).  Output schema == input schema, so the gate is a drop-in
+    stage anywhere in a message-stream plan.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    schema = messages.schema
+    cols = [f.name for f in schema.fields]
+    sort_cols = [time_col] + (["event_seq"] if "event_seq" in cols else [])
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + len(batch),))
+            return  # already emitted for this key: drop the redeliveries
+        state.update((len(batch),))
+        yield batch.sort_values(sort_cols, kind="mergesort").head(1)
+
+    return (
+        messages.withWatermark(time_col, watermark)
+        .groupBy(*[F.col(c) for c in key_cols])
+        .applyInPandasWithState(
+            update,
+            outputStructType=schema,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            # each key emits at most once ever, so append and update are
+            # behaviorally identical — the mode just has to match the QUERY's
+            # output mode (run_stream uses update)
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

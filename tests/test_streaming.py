@@ -335,3 +335,44 @@ def test_decode_kafka_record_shape(spark):
     r2 = by_id["0-7"]
     assert r2["ordering_key"] is None
     assert r2["attributes"] == {}
+
+
+def test_dedup_gate_drops_redeliveries(spark, sf_dir, tmp_path):
+    """run_stream(dedup_gate=True): at-least-once redeliveries (same
+    broker_id+broker_msg_id, later ingestion_time) are dropped by the fused
+    stateful gate even with the merge writers OFF — the index and blobs see
+    each key exactly once, and the kept row is the FIRST delivery."""
+    msgs = fixtures.load_messages(spark, sf_dir).filter(F.col("event_seq") < 200)
+    src = str(tmp_path / "dupsrc")
+    first = msgs
+    redelivered = msgs.filter(F.col("event_seq") % 2 == 0).withColumn(
+        "ingestion_time", F.col("ingestion_time") + F.expr("INTERVAL 1 MINUTE")
+    )
+    first.unionByName(redelivered).write.parquet(src)
+
+    cfg = fixtures.fixture_ingest_config()
+    sinks = _sinks(tmp_path, "gate")
+    q, metrics = ingest_stream.run_stream(
+        ingest_stream.file_stream(spark, src, max_files_per_trigger=2),
+        cfg,
+        sinks,
+        exactly_once_index=False,
+        exactly_once_blobs=False,
+        dedup_gate=True,
+    )
+    q.awaitTermination(300)
+
+    got = spark.read.parquet(sinks.index_path)
+    n_unique = msgs.select("broker_id", "broker_msg_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("unique_id").distinct().count() == n_unique
+    # the kept rows are the FIRST deliveries: ingestion_time must equal the
+    # original (un-bumped) value for every redelivered key
+    orig = msgs.select(
+        F.concat_ws("_", "broker_id", "broker_msg_id").alias("unique_id"),
+        F.col("ingestion_time").alias("orig_time"),
+    )
+    joined = got.join(orig, "unique_id")
+    assert joined.count() == n_unique
+    late = joined.filter(F.col("ingestion_time") != F.col("orig_time"))
+    assert late.count() == 0
