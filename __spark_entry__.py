@@ -450,6 +450,23 @@ def _a_pack_sequences(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _a_quota_sample(spark, sf_dir):
+    from persistor_spark.analytics import sampling
+
+    # exact per-stratum quotas by deterministic hash rank — the oracle
+    # reproduces the exact row set via the same md5 rank
+    out = sampling.quota_sample(_docs(spark, sf_dir), "source", quota=10, seed=7)
+    return out.select("doc_id", "source").orderBy("doc_id")
+
+
+def _a_dup_spans(spark, sf_dir):
+    from persistor_spark.analytics import dedup
+
+    # ExactSubstr-style duplicated-substring coverage (Lee et al. 2022):
+    # fraction of each doc's tokens inside a corpus-duplicated 8-gram
+    return dedup.duplicate_span_stats(_docs(spark, sf_dir), gram_len=8).orderBy("doc_id")
+
+
 def _a_lm_perplexity(spark, sf_dir):
     from persistor_spark.analytics import text
 
@@ -1062,6 +1079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a27_lm_perplexity": _a_lm_perplexity,
         "a28_weighted_mix": _a_weighted_mix,
         "a29_pack_sequences": _a_pack_sequences,
+        "a30_dup_spans": _a_dup_spans,
+        "a31_quota_sample": _a_quota_sample,
         "e1_rollup": _e_rollup,
         "e2_cube": _e_cube,
         "e3_set_ops": _e_set_ops,
@@ -1390,6 +1409,33 @@ def oracle_sql() -> dict[str, str]:
             "  (cum - n_tokens) % 1024 AS seq_offset, "
             "  (cum - 1) // 1024 - (cum - n_tokens) // 1024 + 1 AS spans "
             "FROM c ORDER BY doc_id"
+        ),
+        "a31_quota_sample": (
+            "SELECT doc_id, source FROM ("
+            "  SELECT doc_id, source, row_number() OVER ("
+            "    PARTITION BY source ORDER BY "
+            "    CAST(CONCAT('0x', substr(md5('7_' || doc_id), 1, 15)) AS BIGINT) "
+            "      / 1152921504606846976.0 ASC, doc_id ASC) AS qrk "
+            "  FROM documents) WHERE qrk <= 10 ORDER BY doc_id"
+        ),
+        "a30_dup_spans": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest([{'pos': i, 'g': array_to_string(toks[i:i+7], ' ')} "
+            "    FOR i IN range(1, len(toks) - 6)], recursive := true) "
+            "  FROM t WHERE len(toks) >= 8), "
+            "dup AS (SELECT g FROM (SELECT g, count(*) AS c FROM g GROUP BY g) WHERE c >= 2), "
+            "d AS (SELECT doc_id, pos FROM g JOIN dup USING (g)), "
+            "per_doc AS (SELECT doc_id, count(*) AS dup_grams FROM d GROUP BY doc_id), "
+            "cov AS (SELECT doc_id, count(*) AS covered_tokens FROM ("
+            "  SELECT DISTINCT doc_id, unnest(range(pos, pos + 8)) AS idx FROM d) "
+            "  GROUP BY doc_id), "
+            "base AS (SELECT doc_id, len(toks) AS n_tokens FROM t) "
+            "SELECT base.doc_id, n_tokens, "
+            "  coalesce(dup_grams, 0) AS dup_grams, "
+            "  coalesce(covered_tokens, 0) AS covered_tokens, "
+            "  round(coalesce(covered_tokens, 0) / n_tokens, 4) AS dup_fraction "
+            "FROM base LEFT JOIN per_doc USING (doc_id) LEFT JOIN cov USING (doc_id) "
+            "ORDER BY base.doc_id"
         ),
         "a27_lm_perplexity": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "

@@ -772,3 +772,77 @@ def embedding_dup_pairs_lsh(
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 4).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the ExactSubstr criterion, token-gram
+# approximation)
+# ---------------------------------------------------------------------------
+
+def duplicate_span_stats(
+    df: DataFrame,
+    gram_len: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-substring coverage: which fraction of a doc's
+    tokens sit inside a token `gram_len`-gram that occurs >= `min_count`
+    times across the WHOLE corpus.  (doc_id, n_tokens, dup_grams,
+    covered_tokens, dup_fraction) — the per-doc signal ExactSubstr-style
+    dedup cuts on; suffix arrays find arbitrary-length repeats, fixed grams
+    are the shuffle-friendly approximation (a repeat of length >= gram_len
+    always contains a repeated gram).
+
+    Scale shape: grams shuffle on the gram string (cardinality ~corpus
+    tokens, partitions bounded); the duplicated-gram table is the only join
+    side and is usually tiny after the >= min_count filter.  Coverage is an
+    explode(sequence) + distinct per doc — gram_len x token blowup bounded
+    by gram_len, all JVM expressions.
+    """
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    t = df.select(F.col(id_col), toks.alias("toks"), n.alias("n_tokens"))
+    gram_structs = F.when(
+        F.col("n_tokens") >= gram_len,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - (gram_len - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.array_join(F.slice("toks", i, gram_len), " ").alias("g")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    grams = t.select(id_col, F.explode(gram_structs).alias("gs")).select(
+        id_col, F.col("gs.pos").alias("pos"), F.col("gs.g").alias("g")
+    )
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("g")
+    )
+    dup = grams.join(dup_g, "g")
+    per_doc = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_grams"))
+    covered = (
+        dup.select(
+            id_col, F.explode(F.sequence(F.col("pos"), F.col("pos") + (gram_len - 1))).alias("idx")
+        )
+        .distinct()
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("covered_tokens"))
+    )
+    return (
+        t.select(id_col, "n_tokens")
+        .join(per_doc, id_col, "left")
+        .join(covered, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.coalesce("dup_grams", F.lit(0)).cast("long").alias("dup_grams"),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias("covered_tokens"),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0)) / F.col("n_tokens"), 4
+            ).alias("dup_fraction"),
+        )
+    )

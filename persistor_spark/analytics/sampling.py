@@ -123,3 +123,35 @@ def pack_sequences(
         .drop("_cum", "_before")
     )
     return out
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    quota: int,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACTLY `quota` rows per stratum (fewer only when the pool is
+    smaller), chosen by ranking on the deterministic id hash — a
+    distributed 'reservoir' whose selection is a pure function of
+    (seed, ids present): stable across reruns and physical layout,
+    unlike reservoir sampling over an arbitrary iteration order.
+
+    Complements the fraction-based mixers: fractions hit proportions in
+    expectation; quotas hit exact per-stratum counts (what a fixed-size
+    eval/calibration split needs).  One window rank per stratum — the
+    shuffle key is the stratum, so raise stratum cardinality, not quota,
+    at scale (a single giant stratum serializes its own sort; salt or
+    pre-filter if one stratum is the whole corpus).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _hash_unit(F.col(id_col), seed).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_qrk", F.row_number().over(w))
+        .filter(F.col("_qrk") <= quota)
+        .drop("_qrk")
+    )

@@ -113,6 +113,38 @@ def test_two_phase_cc_disjoint_components(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20), (21, 20)}
 
 
+def test_duplicate_span_stats_planted(spark):
+    boiler = "one two three four five six seven eight"  # exactly 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique tail alpha"),
+            (2, boiler + " other ending beta"),
+            (3, "completely different words with no repeats at all here"),
+            (4, "tiny doc"),  # shorter than gram_len
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in dedup.duplicate_span_stats(df, gram_len=8).collect()}
+    # the shared 8-token boilerplate is a duplicated gram covering tokens 1-8
+    assert rows[1]["dup_grams"] == 1 and rows[1]["covered_tokens"] == 8
+    assert rows[2]["dup_grams"] == 1 and rows[2]["covered_tokens"] == 8
+    assert rows[1]["dup_fraction"] == round(8 / 11, 4)
+    assert rows[3]["dup_grams"] == 0 and rows[3]["dup_fraction"] == 0.0
+    assert rows[4]["n_tokens"] == 2 and rows[4]["dup_grams"] == 0
+
+
+def test_duplicate_span_overlapping_grams_union(spark):
+    # two docs share a 9-token run -> two overlapping duplicated 8-grams;
+    # coverage must be the UNION (9 tokens), not 16
+    run = "a b c d e f g h i"
+    df = spark.createDataFrame(
+        [(1, run + " x1 y1"), (2, run + " x2 y2")], "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r for r in dedup.duplicate_span_stats(df, gram_len=8).collect()}
+    assert rows[1]["dup_grams"] == 2
+    assert rows[1]["covered_tokens"] == 9
+
+
 # -- LM perplexity -----------------------------------------------------------
 
 def test_lm_perplexity_semantics(spark):
@@ -548,6 +580,19 @@ def test_pack_sequences_invariants(spark):
             end = cum + r["n_tokens"] - 1
             assert r["spans"] == end // 1024 - r["seq_id"] + 1
             cum += r["n_tokens"]
+
+
+def test_quota_sample_exact_counts_and_stability(docs):
+    from persistor_spark.analytics import sampling
+
+    out = sampling.quota_sample(docs, "source", quota=10, seed=7)
+    counts = {r[0]: r[1] for r in out.groupBy("source").count().collect()}
+    pool = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    for src, n in pool.items():
+        assert counts.get(src, 0) == min(10, n)
+    ids = sorted(r[0] for r in out.select("doc_id").collect())
+    again = sampling.quota_sample(docs.repartition(11, "doc_id"), "source", quota=10, seed=7)
+    assert sorted(r[0] for r in again.select("doc_id").collect()) == ids
 
 
 def test_pack_sequences_long_doc_straddles(spark):
