@@ -252,6 +252,49 @@ def _d16(spark, sf_dir):
     )
 
 
+def _e22_unpivot(spark, sf_dir):
+    """Wide->long reshaping via DataFrame.unpivot (SQL UNPIVOT/melt), then a
+    per-metric aggregate — the standard metrics-table normalization."""
+    from persistor_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    long = li.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return (
+        long.groupBy("metric")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("metric")
+    )
+
+
+def _e23_ntile(spark, sf_dir):
+    """Decile bucketing of customers by account balance within market
+    segment (window ntile), rolled up to per-(segment, decile) stats."""
+    from persistor_spark.sources.registry import load_table
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("c_mktsegment", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "decile")
+    )
+
+
 # -- analytics extension (dedup / similarity / text) -------------------------
 
 def _docs(spark, sf_dir):
@@ -385,6 +428,17 @@ def _a_pq_topk(spark, sf_dir):
     # scan-side, query LUT broadcast, O(m) table-lookup scoring.  Rows-only
     # driver check; recall + rerank exactness pinned by pytest vs brute force
     out = similarity.pq_topk(embs, queries_df, k=5, m=16, ksub=16, kmeans_iter=2)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
+def _a_ivfpq_topk(spark, sf_dir):
+    from persistor_spark.analytics import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 10)
+    # FAISS-IVFPQ composition: coarse cells + residual PQ + ADC + exact
+    # re-rank.  Rows-only; recall and rerank exactness pinned by pytest
+    out = similarity.ivfpq_topk(embs, queries_df, k=5, n_centroids=8, nprobe=4)
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
@@ -1071,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_lsh_topk": _a_lsh_topk,
         "a7_ivf_topk": _a_ivf_topk,
         "a25_pq_topk": _a_pq_topk,
+        "a32_ivfpq_topk": _a_ivfpq_topk,
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
@@ -1092,6 +1147,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e19_sliding_window": _e19_sliding_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e21_interval_join": _e21_interval_join,
+        "e22_unpivot": _e22_unpivot,
+        "e23_ntile": _e23_ntile,
         "e9_sessionize": _e9_sessionize,
         "e10_join_topk": _e10_join_topk,
         "e11_asof_join": _e11_asof_join,
@@ -1270,7 +1327,8 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE 'und' END AS detected_lang, count(*) AS n "
             "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
         ),
-        # a4_simhash_pairs / a6_lsh_topk / a7_ivf_topk / a25_pq_topk:
+        # a4_simhash_pairs / a6_lsh_topk / a7_ivf_topk / a25_pq_topk /
+        # a32_ivfpq_topk:
         # approximate operators — intentionally no SQL oracle (driver records
         # rows-only); exactness is covered by pytest recall checks against
         # the brute-force/exact twins.
@@ -1409,6 +1467,23 @@ def oracle_sql() -> dict[str, str]:
             "  (cum - n_tokens) % 1024 AS seq_offset, "
             "  (cum - 1) // 1024 - (cum - n_tokens) // 1024 + 1 AS spans "
             "FROM c ORDER BY doc_id"
+        ),
+        "e22_unpivot": (
+            "SELECT metric, count(*) AS n, round(avg(value), 4) AS avg_value, "
+            "  round(sum(value), 2) AS sum_value "
+            "FROM (UNPIVOT (SELECT l_orderkey, l_quantity, l_extendedprice, "
+            "      l_discount, l_tax FROM lineitem) "
+            "  ON l_quantity, l_extendedprice, l_discount, l_tax "
+            "  INTO NAME metric VALUE value) "
+            "GROUP BY metric ORDER BY metric"
+        ),
+        "e23_ntile": (
+            "SELECT c_mktsegment, decile, count(*) AS n, "
+            "  round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal "
+            "FROM (SELECT c_mktsegment, c_acctbal, ntile(10) OVER ("
+            "  PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC) AS decile "
+            "  FROM customer) "
+            "GROUP BY c_mktsegment, decile ORDER BY c_mktsegment, decile"
         ),
         "a31_quota_sample": (
             "SELECT doc_id, source FROM ("

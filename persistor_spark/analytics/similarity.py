@@ -377,6 +377,7 @@ def pq_train(
     n_vectors: int | None = None,
     train_mod: int = 1,
     seed: int = 7,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Train per-subspace codebooks: the vector is split into `m` contiguous
     subspaces of dim/m dims; each gets a `ksub`-centroid L2 quantizer.
@@ -392,7 +393,9 @@ def pq_train(
     subset (id % train_mod == 0) — the FAISS practice; train on a sample,
     encode everything.
 
-    Vectors are L2-normalized before slicing so ADC dot sums track cosine.
+    Vectors are L2-normalized before slicing so ADC dot sums track cosine;
+    pass `normalize=False` for inputs that are already in the target space
+    (IVF residuals — renormalizing them would distort the quantizer).
     Deterministic: stride init over id order (seeded phase), tie-breaks to
     the lowest code.
     """
@@ -402,7 +405,10 @@ def pq_train(
     if dim is None:
         dim = len(v.select("v").first()[0])
     dsub = dim // m
-    vn = v.select("id", F.transform("v", lambda x: x / norm(F.col("v"))).alias("v"))
+    nv = (
+        F.transform("v", lambda x: x / norm(F.col("v"))) if normalize else F.col("v")
+    )
+    vn = v.select("id", nv.alias("v"))
     sub = vn.select(
         "id",
         F.posexplode(
@@ -483,18 +489,23 @@ def pq_encode(
     codebooks: list[list[list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    normalize: bool = True,
 ) -> DataFrame:
     """(id, v, codes ARRAY<INT>): per-subspace argmax-dot code assignment
     (same assignment rule as kmeans_centroids' Lloyd step).  A narrow
     per-row map — zero shuffle; at 100 TB this pipelines with the scan and
-    the 8-bit-per-subspace codes are what you'd persist."""
+    the 8-bit-per-subspace codes are what you'd persist.  `normalize=False`
+    mirrors pq_train's flag for residual inputs."""
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     v = _as_double(vectors, id_col, vec_col)
+    nv = (
+        F.transform("v", lambda x: x / norm(F.col("v"))) if normalize else F.col("v")
+    )
     vn = v.select(
         "id",
         F.col("v").alias("raw"),
-        F.transform("v", lambda x: x / norm(F.col("v"))).alias("v"),
+        nv.alias("v"),
     )
     code_cols = []
     for j in range(m):
@@ -580,6 +591,131 @@ def pq_topk(
         adc.withColumn("ar", F.row_number().over(w_adc))
         .filter(F.col("ar") <= rerank_factor * k)
         .select("query_id", "qv", "id", "v")
+    )
+    rescored = shortlist.withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
+    return (
+        rescored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("id").alias("vec_id"), "cos", "rank")
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    ksub: int = 16,
+    rerank_factor: int = 4,
+    kmeans_iter: int = 2,
+    pq_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS IVFPQ composition): coarse
+    quantizer partitions the corpus into cells, residuals (vector minus its
+    cell centroid) are product-quantized, and queries probe nprobe cells
+    scoring candidates by dot(q, c) + ADC(q, residual codes) — exact for
+    the centroid term, table-lookup for the residual term, since
+    dot(q, v) = dot(q, c) + dot(q, r) and the residual decomposes over PQ
+    subspaces.  Exact cosine re-rank of the shortlist, so scores match
+    brute_force_topk on returned pairs.
+
+    Scale shape: ONE broadcast coarse-assign pass over the corpus (no
+    shuffle), residual + code computation narrow per-row, candidate join is
+    cell-id equi-join touching nprobe/C of the data, per-query window
+    top-k.  Residual PQ is trained with normalize=False — residuals live in
+    the tangent space of the cell, renormalizing them would distort the
+    codebooks (kmeans there uses the L2 assignment rule, matching encode).
+    """
+    from pyspark.sql import Window
+
+    v = _as_double(vectors, id_col, vec_col)
+    vn = v.select(
+        "id",
+        F.col("v").alias("raw"),
+        F.transform("v", lambda x: x / norm(F.col("v"))).alias("nv"),
+    )
+    cents = kmeans_centroids(
+        vn.select(F.col("id").alias("vec_id"), F.col("nv").alias("embedding")),
+        n_centroids,
+        kmeans_iter,
+        n_vectors=n_vectors,
+    )
+    assigned = (
+        vn.join(F.broadcast(cents), F.lit(True))
+        .withColumn("d", dot(F.col("nv"), F.col("cv")))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("id").orderBy(F.col("d").desc(), F.col("cid"))),
+        )
+        .filter(F.col("rk") == 1)
+        .select("cid", "id", "raw", "nv", "cv")
+        .withColumn("r", F.zip_with("nv", "cv", lambda a, b: a - b))
+    )
+    resid = assigned.select("id", "r").localCheckpoint()
+    codebooks = pq_train(
+        resid,
+        m,
+        ksub,
+        pq_iter,
+        id_col="id",
+        vec_col="r",
+        n_vectors=n_vectors,
+        normalize=False,
+    )
+    dsub = len(codebooks[0][0])
+    encoded = pq_encode(resid, codebooks, id_col="id", vec_col="r", normalize=False)
+    cells = assigned.select("cid", "id", "raw").join(
+        encoded.select("id", "codes"), "id"
+    )
+
+    q = _as_double(queries, query_id_col, vec_col)
+    qn = q.select(
+        F.col("id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.transform("v", lambda x: x / norm(F.col("v"))).alias("qnv"),
+    )
+    # probe top-nprobe cells; keep the exact dot(q, centroid) term
+    q_probe = (
+        qn.join(F.broadcast(cents), F.lit(True))
+        .withColumn("qc", dot(F.col("qnv"), F.col("cv")))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("qc").desc(), F.col("cid"))),
+        )
+        .filter(F.col("rk") <= nprobe)
+        .select("query_id", "qv", "qnv", "cid", "qc")
+    )
+    # LUT of dot(q_sub_j, residual-codeword) per query — broadcast literals
+    qlut = q_probe.withColumn(
+        "lut",
+        F.array(*[_sub_scores(F.col("qnv"), codebooks[j], j, dsub) for j in range(len(codebooks))]),
+    )
+    cand = cells.join(F.broadcast(qlut.select("query_id", "qv", "cid", "qc", "lut")), "cid")
+    if exclude_self:
+        cand = cand.filter(F.col("id") != F.col("query_id"))
+    adc = cand.withColumn(
+        "adc",
+        F.col("qc")
+        + F.aggregate(
+            F.zip_with("codes", "lut", lambda c, lut: F.element_at(lut, c + F.lit(1))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(F.col("adc").desc(), F.col("id").asc())
+    shortlist = (
+        adc.withColumn("ar", F.row_number().over(w_adc))
+        .filter(F.col("ar") <= rerank_factor * k)
+        .select("query_id", "qv", "id", F.col("raw").alias("v"))
+        .distinct()
     )
     rescored = shortlist.withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 4))
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())

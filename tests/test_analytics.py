@@ -258,6 +258,23 @@ def test_pq_topk_recall(embs, brute_topk):
             assert abs(r["cos"] - bf[key]) < 1e-9
 
 
+def test_ivfpq_topk_recall(embs, brute_topk):
+    q = embs.filter(F.col("vec_id") < 10)
+    got = similarity.ivfpq_topk(
+        embs, q, k=10, n_centroids=8, nprobe=4, m=16, ksub=16, rerank_factor=4
+    ).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in brute_topk}
+    found = {(r["query_id"], r["vec_id"]) for r in got}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.4, f"IVFPQ recall too low: {recall}"
+    # exact re-rank: returned scores equal brute-force cosine on shared pairs
+    bf = {(r["query_id"], r["vec_id"]): r["cos"] for r in brute_topk}
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in bf:
+            assert abs(r["cos"] - bf[key]) < 1e-9
+
+
 def test_kmeans_centroids_properties(embs):
     """Lloyd iterations must produce exactly C centroids of the right
     dimensionality, deterministically, and reduce mean quantization error
