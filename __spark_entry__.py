@@ -431,6 +431,16 @@ def _a_pq_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
+def _a_semdedup(spark, sf_dir):
+    from persistor_spark.analytics import similarity
+
+    # SemDeDup (Abbas et al. 2023): near-dup pairs within k-means cells —
+    # n^2/C work instead of n^2.  Rows-only (cluster assignment is
+    # iterative); subset-of-brute-force + planted-dup capture pinned by
+    # pytest
+    return similarity.semdedup_pairs(_embs(spark, sf_dir), 0.4, n_centroids=8).orderBy("a", "b")
+
+
 def _a_ivfpq_topk(spark, sf_dir):
     from persistor_spark.analytics import similarity
 
@@ -1126,6 +1136,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_ivf_topk": _a_ivf_topk,
         "a25_pq_topk": _a_pq_topk,
         "a32_ivfpq_topk": _a_ivfpq_topk,
+        "a33_semdedup": _a_semdedup,
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
@@ -1328,7 +1339,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # a4_simhash_pairs / a6_lsh_topk / a7_ivf_topk / a25_pq_topk /
-        # a32_ivfpq_topk:
+        # a32_ivfpq_topk / a33_semdedup:
         # approximate operators — intentionally no SQL oracle (driver records
         # rows-only); exactness is covered by pytest recall checks against
         # the brute-force/exact twins.

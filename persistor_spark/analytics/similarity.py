@@ -724,3 +724,60 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("vec_id"), "cos", "rank")
     )
+
+
+def semdedup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.95,
+    n_centroids: int = 16,
+    kmeans_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_vectors: int | None = None,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    web-scale through semantic deduplication"): semantic near-duplicate
+    pairs found WITHIN k-means clusters only — (a, b, cos) with a < b,
+    cos >= threshold, and both docs in the same cluster.
+
+    The cluster constraint is the scale lever: the quadratic pairwise step
+    runs per cell (~n/C docs each), so total work is n²/C instead of n² —
+    grow C with the corpus and cells stay bounded.  Misses only cross-cell
+    near-dups, which at SemDeDup's high thresholds (0.95+) are rare because
+    near-identical embeddings land in the same cell.  Feed the pairs to
+    dedup.dedup_clusters + keep_cluster_representatives for the keep-one
+    policy.
+
+    One broadcast assign pass + one cid-keyed self-join; no Python.
+    """
+    from pyspark.sql import Window
+
+    v = _as_double(vectors, id_col, vec_col)
+    vn = v.select("id", F.col("v").alias("raw"), F.transform("v", lambda x: x / norm(F.col("v"))).alias("nv"))
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vn.select(F.col("id").alias("vec_id"), F.col("nv").alias("embedding")),
+            n_centroids,
+            kmeans_iter,
+            n_vectors=n_vectors,
+        )
+    assigned = (
+        vn.join(F.broadcast(centroids), F.lit(True))
+        .withColumn("d", dot(F.col("nv"), F.col("cv")))
+        .withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("id").orderBy(F.col("d").desc(), F.col("cid"))),
+        )
+        .filter(F.col("rk") == 1)
+        .select("cid", "id", "raw")
+    )
+    a = assigned.select("cid", F.col("id").alias("a"), F.col("raw").alias("va"))
+    b = assigned.select("cid", F.col("id").alias("b"), F.col("raw").alias("vb"))
+    return (
+        a.join(b, "cid")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("a", "b", "cos")
+    )

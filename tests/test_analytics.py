@@ -275,6 +275,29 @@ def test_ivfpq_topk_recall(embs, brute_topk):
             assert abs(r["cos"] - bf[key]) < 1e-9
 
 
+def test_semdedup_subset_of_brute_force(embs):
+    brute = {(r["a"], r["b"]) for r in dedup.embedding_dup_pairs(embs, 0.4).collect()}
+    sem = {
+        (r["a"], r["b"])
+        for r in similarity.semdedup_pairs(embs, 0.4, n_centroids=8).collect()
+    }
+    # cluster-bounded search can only MISS pairs, never invent them
+    assert sem <= brute
+    assert len(sem) > 0
+
+
+def test_semdedup_catches_planted_exact_dups(embs):
+    # identical vectors always share a cell (same assignment scores, same
+    # tie-break), so planted exact duplicates MUST all be found
+    dup = embs.unionByName(embs.filter(F.col("vec_id") < 20).withColumn("vec_id", F.col("vec_id") + 100_000))
+    sem = {
+        (r["a"], r["b"])
+        for r in similarity.semdedup_pairs(dup, 0.999, n_centroids=8).collect()
+    }
+    for i in range(20):
+        assert (i, i + 100_000) in sem
+
+
 def test_kmeans_centroids_properties(embs):
     """Lloyd iterations must produce exactly C centroids of the right
     dimensionality, deterministically, and reduce mean quantization error
