@@ -431,6 +431,18 @@ def _a_pq_topk(spark, sf_dir):
     return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
 
 
+def _a_opq_topk(spark, sf_dir):
+    from persistor_spark.analytics import similarity
+
+    embs = _embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 10)
+    # OPQ (Ge et al. 2013): learned orthonormal rotation + PQ-ADC + exact
+    # re-rank.  Rows-only; orthonormality, recall, and rotation-invariant
+    # rerank scores pinned by pytest
+    out = similarity.opq_topk(embs, queries_df, k=5, m=16, ksub=16, n_iter=2)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
 def _a_semdedup(spark, sf_dir):
     from persistor_spark.analytics import similarity
 
@@ -1137,6 +1149,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a25_pq_topk": _a_pq_topk,
         "a32_ivfpq_topk": _a_ivfpq_topk,
         "a33_semdedup": _a_semdedup,
+        "a34_opq_topk": _a_opq_topk,
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
@@ -1339,7 +1352,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM t GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         # a4_simhash_pairs / a6_lsh_topk / a7_ivf_topk / a25_pq_topk /
-        # a32_ivfpq_topk / a33_semdedup:
+        # a32_ivfpq_topk / a33_semdedup / a34_opq_topk:
         # approximate operators — intentionally no SQL oracle (driver records
         # rows-only); exactness is covered by pytest recall checks against
         # the brute-force/exact twins.

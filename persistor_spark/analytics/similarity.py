@@ -27,6 +27,9 @@ from __future__ import annotations
 
 import random
 
+import pandas as pd  # module-level: pandas_udf type-hint strings ('pd.Series')
+# only resolve against module globals under `from __future__ import annotations`
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -780,4 +783,135 @@ def semdedup_pairs(
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", "cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# OPQ — Ge et al. 2013, "Optimized Product Quantization": learn an
+# orthonormal rotation R that minimizes PQ reconstruction error, by
+# alternating PQ training with the orthogonal-Procrustes update
+# R = U V^T from SVD(X^T Y).
+# ---------------------------------------------------------------------------
+
+def _rotate_udf(R):
+    """pandas_udf applying the broadcast rotation matrix — one GEMM per
+    Arrow batch (rotation is the one step that genuinely wants BLAS; d^2
+    expression literals would blow up codegen)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    Rm = np.asarray(R, dtype=np.float64)
+
+    @pandas_udf("array<double>")
+    def rot(vs: pd.Series) -> pd.Series:
+        mat = np.stack(vs.to_numpy()).astype(np.float64)
+        return pd.Series(list(mat @ Rm))
+
+    return rot
+
+
+def rotate_vectors(df: DataFrame, R, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id_col, vec_col) with vec_col replaced by vec @ R.  Narrow per-row
+    map, no shuffle; R is closure-broadcast (d x d doubles)."""
+    rot = _rotate_udf(R)
+    return df.select(
+        F.col(id_col), rot(F.col(vec_col).cast("array<double>")).alias(vec_col)
+    )
+
+
+def opq_train(
+    vectors: DataFrame,
+    m: int = 16,
+    ksub: int = 16,
+    n_iter: int = 3,
+    pq_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_vectors: int | None = None,
+):
+    """Alternating OPQ: rotate -> train PQ on rotated vectors -> decode ->
+    Procrustes-update R from SVD(X^T Y).  Returns (R, codebooks) where R is
+    a dim x dim orthonormal list-of-lists and codebooks quantize X @ R.
+
+    Distribution shape: the only per-iteration corpus passes are the rotate
+    GEMM (narrow), pq_train's grouped Lloyd loop, and ONE mapInPandas
+    partial-sum of the d x d cross matrix X^T Y (each Arrow batch emits one
+    flattened partial; the driver sums a few thousand doubles and runs a
+    64 x 64 SVD).  Nothing driver-side scales with the corpus.
+    """
+    import numpy as np
+    import pandas as pd
+
+    v = _as_double(vectors, id_col, vec_col)
+    if dim is None:
+        dim = len(v.select("v").first()[0])
+    # normalize ONCE; rotation is orthonormal so norms are preserved and
+    # cosine in the rotated space equals cosine in the original space
+    X = v.select(
+        "id", F.transform("v", lambda x: x / norm(F.col("v"))).alias("x")
+    ).localCheckpoint()
+    R = np.eye(dim)
+    codebooks = None
+    for _ in range(n_iter):
+        Xr = rotate_vectors(X.select(F.col("id").alias(id_col), F.col("x").alias(vec_col)), R, id_col, vec_col)
+        codebooks = pq_train(
+            Xr, m, ksub, pq_iter, id_col, vec_col, dim=dim,
+            n_vectors=n_vectors, normalize=False,
+        )
+        enc = pq_encode(Xr, codebooks, id_col, vec_col, normalize=False)
+        cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
+        joined = X.join(enc.select(F.col("id").alias("jid"), "codes"), F.col("id") == F.col("jid")).select("x", "codes")
+
+        def partial(batches):
+            for pdf in batches:
+                Xb = np.stack(pdf["x"].to_numpy()).astype(np.float64)
+                codes = np.stack(pdf["codes"].to_numpy())
+                Yb = np.concatenate(
+                    [cb[j][codes[:, j]] for j in range(cb.shape[0])], axis=1
+                )
+                yield pd.DataFrame({"m": [list((Xb.T @ Yb).ravel())]})
+
+        parts = joined.mapInPandas(partial, "m array<double>").collect()
+        M = np.zeros((dim, dim))
+        for r in parts:
+            M += np.asarray(r["m"], dtype=np.float64).reshape(dim, dim)
+        U, _, Vt = np.linalg.svd(M)
+        R = U @ Vt
+    return [list(map(float, row)) for row in R], codebooks
+
+
+def opq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 16,
+    ksub: int = 16,
+    rerank_factor: int = 4,
+    n_iter: int = 2,
+    pq_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+    rotation=None,
+    codebooks: list | None = None,
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """OPQ-ADC top-k: rotate both sides by the learned R, then run the PQ
+    pipeline.  Because R is orthonormal, cosine is rotation-invariant — the
+    exact re-rank returns the SAME scores as brute force in the original
+    space, and only candidate recall depends on the quantizer (which is
+    what OPQ improves over plain PQ).  Train once (opq_train) and pass
+    (rotation, codebooks) to amortize."""
+    if rotation is None or codebooks is None:
+        rotation, codebooks = opq_train(
+            vectors, m, ksub, n_iter, pq_iter, id_col, vec_col, n_vectors=n_vectors
+        )
+    vr = rotate_vectors(vectors, rotation, id_col, vec_col)
+    qr = rotate_vectors(queries, rotation, query_id_col, vec_col)
+    return pq_topk(
+        vr, qr, k, m, ksub, rerank_factor,
+        id_col=id_col, vec_col=vec_col, query_id_col=query_id_col,
+        exclude_self=exclude_self, codebooks=codebooks,
     )

@@ -275,6 +275,28 @@ def test_ivfpq_topk_recall(embs, brute_topk):
             assert abs(r["cos"] - bf[key]) < 1e-9
 
 
+def test_opq_rotation_is_orthonormal_and_recall(embs, brute_topk):
+    import numpy as np
+
+    R, cbs = similarity.opq_train(embs, m=16, ksub=16, n_iter=2, pq_iter=2)
+    Rm = np.asarray(R)
+    assert np.allclose(Rm @ Rm.T, np.eye(Rm.shape[0]), atol=1e-8)
+    q = embs.filter(F.col("vec_id") < 10)
+    got = similarity.opq_topk(
+        embs, q, k=10, m=16, ksub=16, rerank_factor=4, rotation=R, codebooks=cbs
+    ).collect()
+    truth = {(r["query_id"], r["vec_id"]) for r in brute_topk}
+    found = {(r["query_id"], r["vec_id"]) for r in got}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"OPQ recall too low: {recall}"
+    # rotation-invariant cosine: returned scores equal brute force exactly
+    bf = {(r["query_id"], r["vec_id"]): r["cos"] for r in brute_topk}
+    for r in got:
+        key = (r["query_id"], r["vec_id"])
+        if key in bf:
+            assert abs(r["cos"] - bf[key]) < 1e-3  # rotated floats re-rounded
+
+
 def test_semdedup_subset_of_brute_force(embs):
     brute = {(r["a"], r["b"]) for r in dedup.embedding_dup_pairs(embs, 0.4).collect()}
     sem = {
