@@ -252,6 +252,24 @@ def _d16(spark, sf_dir):
     )
 
 
+def _d20_first_seen(spark, sf_dir):
+    """Batch twin of the streaming dedup gate (windows.dedup_gate_rows):
+    simulate at-least-once redelivery (every even-seq message re-arrives a
+    minute later) and keep the FIRST delivery per broker key — the exact
+    keep-policy the stateful gate applies continuously."""
+    from persistor_spark.streaming import windows as sw
+
+    msgs = _messages(spark, sf_dir)
+    redelivered = msgs.filter(F.col("event_seq") % 2 == 0).withColumn(
+        "ingestion_time", F.col("ingestion_time") + F.expr("INTERVAL 1 MINUTE")
+    )
+    kept = sw.first_seen_batch(msgs.unionByName(redelivered))
+    return kept.select(
+        F.concat_ws("_", "broker_id", "broker_msg_id").alias("unique_id"),
+        "ingestion_time",
+    ).orderBy("unique_id")
+
+
 def _e22_unpivot(spark, sf_dir):
     """Wide->long reshaping via DataFrame.unpivot (SQL UNPIVOT/melt), then a
     per-metric aggregate — the standard metrics-table normalization."""
@@ -1130,6 +1148,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_time_partition": _d8,
         "d9_position_align_join": _d9,
         "d19_ocf_roundtrip": _d19,
+        "d20_first_seen": _d20_first_seen,
         "d10_group_by_location": _d10,
         "d11_unique_invariant": _d11,
         "d12_deadletter_antijoin": _d12,
@@ -1276,6 +1295,18 @@ def oracle_sql() -> dict[str, str]:
             "JOIN blob_records b ON m.location_key = b.location_key "
             "WHERE m.location_position IS NULL "
             "ORDER BY unique_id"
+        ),
+        "d20_first_seen": P(
+            "SELECT broker_id || '_' || broker_msg_id AS unique_id, ingestion_time "
+            "FROM ("
+            "  SELECT *, row_number() OVER ("
+            "    PARTITION BY broker_id, broker_msg_id "
+            "    ORDER BY ingestion_time, event_seq) AS rk "
+            "  FROM (SELECT * FROM messages "
+            "        UNION ALL "
+            "        SELECT * REPLACE (ingestion_time + INTERVAL 1 MINUTE AS ingestion_time) "
+            "        FROM messages WHERE event_seq % 2 = 0)) "
+            "WHERE rk = 1 ORDER BY unique_id"
         ),
         "d19_ocf_roundtrip": P(
             # identical to d9: the storage format must not change the result

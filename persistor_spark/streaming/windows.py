@@ -188,6 +188,31 @@ def dedup_gate_rows(
     )
 
 
+def first_seen_batch(
+    messages: DataFrame,
+    key_cols: tuple = ("broker_id", "broker_msg_id"),
+    time_col: str = "ingestion_time",
+    tiebreak_col: str | None = "event_seq",
+) -> DataFrame:
+    """Batch twin of `dedup_gate_rows`: keep the earliest row per key
+    (by time, then tiebreak).  Identical keep-policy to the streaming gate,
+    expressed as one window — which makes the gate's semantics
+    ORACLE-CHECKABLE (the stateful op itself can't run on DuckDB).  Use for
+    backfills over historical at-least-once dumps; the streaming gate is
+    the continuous face."""
+    from pyspark.sql import Window
+
+    order = [F.col(time_col).asc()] + (
+        [F.col(tiebreak_col).asc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*[F.col(c) for c in key_cols]).orderBy(*order)
+    return (
+        messages.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+
+
 def interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -263,3 +263,26 @@ def test_stream_stream_interval_join(spark, tmp_path):
     )
     bgot = {(r["ad_id"], r["clk_ts"]) for r in batch.select("l.ad_id", "clk_ts").collect()}
     assert bgot == got
+
+
+def test_first_seen_batch_keeps_earliest(spark):
+    from pyspark.sql import functions as F
+
+    from persistor_spark.streaming import windows
+
+    df = spark.createDataFrame(
+        [
+            ("b1", "m1", "2024-01-01 00:00:00", 1),
+            ("b1", "m1", "2024-01-01 00:01:00", 5),  # redelivery: dropped
+            ("b1", "m2", "2024-01-01 00:02:00", 2),
+            ("b2", "m1", "2024-01-01 00:00:30", 3),
+            ("b1", "m1", "2024-01-01 00:00:00", 0),  # same ts: tiebreak on seq
+        ],
+        "broker_id string, broker_msg_id string, ingestion_time string, event_seq long",
+    ).withColumn("ingestion_time", F.to_timestamp("ingestion_time"))
+    kept = windows.first_seen_batch(df).collect()
+    by_key = {(r["broker_id"], r["broker_msg_id"]): r for r in kept}
+    assert len(kept) == 3
+    assert by_key[("b1", "m1")]["event_seq"] == 0
+    assert by_key[("b1", "m2")]["event_seq"] == 2
+    assert by_key[("b2", "m1")]["event_seq"] == 3
