@@ -270,6 +270,28 @@ def _d20_first_seen(spark, sf_dir):
     ).orderBy("unique_id")
 
 
+def _d21_salted_agg(spark, sf_dir):
+    """Skew-safe two-phase aggregation (operators/skew.py): the hot key
+    spreads over `factor` reducers in phase 1; phase 2 shuffles only
+    keys x factor rows.  Result must be IDENTICAL to the plain GROUP BY —
+    which is exactly what the oracle checks."""
+    from persistor_spark.operators import skew
+
+    ev = _events(spark, sf_dir)
+    out = skew.salted_agg(
+        ev,
+        ["event_type"],
+        [F.count(F.lit(1)).alias("__n"), F.sum("value").alias("__s")],
+        [
+            F.sum("__n").alias("n"),
+            F.round(F.sum("__s"), 2).alias("total"),
+        ],
+        factor=8,
+        deterministic_col="event_id",
+    )
+    return out.orderBy("event_type")
+
+
 def _e22_unpivot(spark, sf_dir):
     """Wide->long reshaping via DataFrame.unpivot (SQL UNPIVOT/melt), then a
     per-metric aggregate — the standard metrics-table normalization."""
@@ -1149,6 +1171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_position_align_join": _d9,
         "d19_ocf_roundtrip": _d19,
         "d20_first_seen": _d20_first_seen,
+        "d21_salted_agg": _d21_salted_agg,
         "d10_group_by_location": _d10,
         "d11_unique_invariant": _d11,
         "d12_deadletter_antijoin": _d12,
@@ -1295,6 +1318,10 @@ def oracle_sql() -> dict[str, str]:
             "JOIN blob_records b ON m.location_key = b.location_key "
             "WHERE m.location_position IS NULL "
             "ORDER BY unique_id"
+        ),
+        "d21_salted_agg": (
+            "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "d20_first_seen": P(
             "SELECT broker_id || '_' || broker_msg_id AS unique_id, ingestion_time "
