@@ -376,3 +376,48 @@ def test_dedup_gate_drops_redeliveries(spark, sf_dir, tmp_path):
     assert joined.count() == n_unique
     late = joined.filter(F.col("ingestion_time") != F.col("orig_time"))
     assert late.count() == 0
+
+
+def test_dedup_gate_state_survives_restart(spark, sf_dir, tmp_path):
+    """The gate's per-key state lives in the checkpoint: after a stop and a
+    restart on the SAME checkpoint, redeliveries of keys seen BEFORE the
+    restart must still be dropped (state restored, not rebuilt empty)."""
+    all_msgs = fixtures.load_messages(spark, sf_dir)
+    first = all_msgs.filter(F.col("event_seq") < 100)
+    src = str(tmp_path / "gatesrc")
+    first.coalesce(1).write.parquet(src)
+
+    cfg = fixtures.fixture_ingest_config()
+    sinks = _sinks(tmp_path, "gate2")
+
+    def start():
+        return ingest_stream.run_stream(
+            ingest_stream.file_stream(spark, src, max_files_per_trigger=10),
+            cfg,
+            sinks,
+            exactly_once_index=False,
+            exactly_once_blobs=False,
+            dedup_gate=True,
+        )
+
+    q, _ = start()
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(sinks.index_path).count()
+    n_first = first.select("broker_id", "broker_msg_id").distinct().count()
+    assert n1 == n_first
+
+    # second wave: redeliveries of already-seen keys + genuinely new keys
+    redelivered = first.filter(F.col("event_seq") % 2 == 0).withColumn(
+        "ingestion_time", F.col("ingestion_time") + F.expr("INTERVAL 2 MINUTES")
+    )
+    new = all_msgs.filter((F.col("event_seq") >= 100) & (F.col("event_seq") < 150))
+    wave2 = redelivered.unionByName(new)
+    wave2.coalesce(1).write.mode("append").parquet(src)
+
+    q2, _ = start()
+    q2.awaitTermination(300)
+    got = spark.read.parquet(sinks.index_path)
+    n_new = new.select("broker_id", "broker_msg_id").distinct().count()
+    # redeliveries dropped thanks to RESTORED state; only the new keys added
+    assert got.count() == n_first + n_new
+    assert got.select("unique_id").distinct().count() == n_first + n_new
