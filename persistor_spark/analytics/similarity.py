@@ -233,11 +233,13 @@ def kmeans_centroids(
             .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dims"))
             .select("cid", F.transform("dims", lambda s: s["m"]).alias("cv"))
         )
-        # empty clusters keep their previous centroid (standard Lloyd fix)
+        # empty clusters keep their previous centroid (standard Lloyd fix).
+        # localCheckpoint, not persist: persist keeps the ever-nesting
+        # iterative plan alive and Catalyst re-analysis grows superlinearly
+        # with iterations (same failure mode as dedup_clusters_two_phase)
         cents = new_cents.unionByName(
             cents.join(new_cents.select("cid"), "cid", "left_anti")
-        ).persist()
-        cents.count()  # materialize per iteration so lineage stays bounded
+        ).localCheckpoint()
     return cents
 
 
@@ -448,11 +450,11 @@ def pq_train(
             .agg(F.array_sort(F.collect_list(F.struct("i", "mu"))).alias("dims"))
             .select("j", "cid", F.transform("dims", lambda s: s["mu"]).alias("cv"))
         )
-        # empty clusters keep their previous centroid
+        # empty clusters keep their previous centroid; localCheckpoint (not
+        # persist) so the iterative plan's lineage is truncated each round
         cents = new_cents.unionByName(
             cents.join(new_cents.select("j", "cid"), ["j", "cid"], "left_anti")
-        ).persist()
-        cents.count()
+        ).localCheckpoint()
     rows = cents.collect()
     sub.unpersist()
     by_sub: dict[int, dict[int, list[float]]] = {}
