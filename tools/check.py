@@ -112,7 +112,14 @@ def main():
         else:
             print(f"ok    {name}: rows={len(srows)} hash={table_hash(scols, srows)}  ({dt:.1f}s)")
 
-    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    n_run = len([n for n in queries if not only or n in only])
+    n_weak = len([n for n in queries if (not only or n in only) and n not in oracles])
+    print(
+        f"\n{len(failures)} failures  "
+        f"({n_run} run: {n_run - n_weak - len(failures)} ok, {n_weak} rows-only)"
+    )
+    if failures:
+        print(f"failed: {failures}")
     spark.stop()
     sys.exit(1 if failures else 0)
 
