@@ -601,6 +601,19 @@ def _a_cc_two_phase(spark, sf_dir):
     return dedup.dedup_clusters_two_phase(pairs).orderBy("doc_id")
 
 
+def _a_audio_features(spark, sf_dir):
+    from persistor_spark.analytics import multimodal
+
+    # REAL WAV decode path: header fields parsed from actual RIFF bytes;
+    # the oracle recomputes them arithmetically (tone length is a pure
+    # function of doc_id), pinning the encoder AND decoder
+    media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
+    feats = multimodal.extract_audio_features_real(media)
+    return feats.select("media_id", "rate", "n_samples", "decoded_ms", "n_bytes").orderBy(
+        "media_id"
+    )
+
+
 def _a_multimodal_features(spark, sf_dir):
     from persistor_spark.analytics import multimodal
 
@@ -1192,6 +1205,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a32_ivfpq_topk": _a_ivfpq_topk,
         "a33_semdedup": _a_semdedup,
         "a34_opq_topk": _a_opq_topk,
+        "a35_audio_features": _a_audio_features,
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
@@ -1414,6 +1428,13 @@ def oracle_sql() -> dict[str, str]:
         # approximate operators — intentionally no SQL oracle (driver records
         # rows-only); exactness is covered by pytest recall checks against
         # the brute-force/exact twins.
+        "a35_audio_features": (
+            "SELECT 'media-' || doc_id AS media_id, 4000 AS rate, "
+            "  greatest(4 * (doc_id % 10000), 1)::BIGINT AS n_samples, "
+            "  (greatest(4 * (doc_id % 10000), 1) // 4)::BIGINT AS decoded_ms, "
+            "  (44 + 2 * greatest(4 * (doc_id % 10000), 1))::BIGINT AS n_bytes "
+            "FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id"
+        ),
         "a10_multimodal_features": (
             # the synthesized BMPs have doc_id-determined dims, and the REAL
             # encoder's file size is pure arithmetic (54-byte header + rows

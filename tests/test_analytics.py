@@ -827,3 +827,38 @@ def test_gopher_keep_matches_flag_conjunction(docs):
         )
     )
     assert bad.count() == 0
+
+
+def test_wav_codec_round_trip(spark):
+    import numpy as np
+
+    s = multimodal.synthesize_wave(7, 500)  # 0.5 s at 4 kHz -> 2000 samples
+    assert len(s) == 2000
+    wav = multimodal.encode_wav(s)
+    assert len(wav) == 44 + 2 * 2000
+    rate, back = multimodal.decode_wav(wav)
+    assert rate == 4000
+    assert np.array_equal(back, s)
+
+
+def test_decode_wav_rejects_garbage():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_wav(b"not a wav at all" * 4)
+
+
+def test_real_audio_features(spark, media):
+    feats = {r["media_id"]: r for r in multimodal.extract_audio_features_real(media).collect()}
+    rows = {r["media_id"]: r for r in media.filter(F.col("media_type") == "audio").collect()}
+    assert set(feats) == set(rows)
+    for mid, r in feats.items():
+        dur = rows[mid]["duration_ms"]
+        n_expected = max(4000 * dur // 1000, 1)
+        assert r["n_samples"] == n_expected
+        assert r["n_bytes"] == 44 + 2 * n_expected
+        assert r["rate"] == 4000
+        # a 0.5-amplitude sine has RMS ~0.353 and peak ~0.5
+        if n_expected > 100:
+            assert 0.3 < r["feature"][0] < 0.4
+            assert 0.45 < r["feature"][2] <= 0.51
