@@ -614,6 +614,18 @@ def _a_audio_features(spark, sf_dir):
     )
 
 
+def _a_frame_samples(spark, sf_dir):
+    from persistor_spark.analytics import multimodal
+
+    # REAL AVI container decode: frame counts/timing parsed from actual
+    # RIFF bytes; oracle recomputes them from doc_id arithmetic
+    media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
+    out = multimodal.sample_frames_real(media, every_ms=200)
+    return out.select(
+        "media_id", "n_frames", "fps", "frame_idx", "frame_ts_ms", "height", "width"
+    ).orderBy("media_id", "frame_ts_ms")
+
+
 def _a_multimodal_features(spark, sf_dir):
     from persistor_spark.analytics import multimodal
 
@@ -1206,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a33_semdedup": _a_semdedup,
         "a34_opq_topk": _a_opq_topk,
         "a35_audio_features": _a_audio_features,
+        "a36_frame_samples": _a_frame_samples,
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
@@ -1428,6 +1441,16 @@ def oracle_sql() -> dict[str, str]:
         # approximate operators — intentionally no SQL oracle (driver records
         # rows-only); exactness is covered by pytest recall checks against
         # the brute-force/exact twins.
+        "a36_frame_samples": (
+            "SELECT 'media-' || doc_id AS media_id, n_frames, 10 AS fps, "
+            "  least(ts // 100, n_frames - 1)::INT AS frame_idx, "
+            "  ts::INT AS frame_ts_ms, 12 AS height, 16 AS width "
+            "FROM (SELECT doc_id, "
+            "    greatest(least((doc_id % 10000) // 100, 30), 1)::INT AS n_frames "
+            "  FROM documents WHERE doc_id % 3 = 2), "
+            "  LATERAL unnest(range(0, greatest(n_frames * 100, 1), 200)) AS t(ts) "
+            "ORDER BY media_id, frame_ts_ms"
+        ),
         "a35_audio_features": (
             "SELECT 'media-' || doc_id AS media_id, 4000 AS rate, "
             "  greatest(4 * (doc_id % 10000), 1)::BIGINT AS n_samples, "

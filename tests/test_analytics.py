@@ -862,3 +862,40 @@ def test_real_audio_features(spark, media):
         if n_expected > 100:
             assert 0.3 < r["feature"][0] < 0.4
             assert 0.45 < r["feature"][2] <= 0.51
+
+
+def test_avi_codec_round_trip():
+    import numpy as np
+
+    clip = multimodal.synthesize_clip(7, 1500)
+    assert clip.shape == (15, 12, 16, 3)
+    avi = multimodal.encode_avi(clip, fps=10)
+    fps, frames = multimodal.decode_avi(avi)
+    assert fps == 10 and len(frames) == 15
+    assert all(np.array_equal(a, b) for a, b in zip(clip, frames))
+
+
+def test_decode_avi_rejects_garbage():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        multimodal.decode_avi(b"RIFFxxxxNOPE" + b"\x00" * 50)
+
+
+def test_real_frame_sampling(spark, media):
+    rows = multimodal.sample_frames_real(media, every_ms=200).collect()
+    vids = {r["media_id"]: r for r in media.filter(F.col("media_type") == "video").collect()}
+    assert {r["media_id"] for r in rows} == set(vids)
+    by_media = {}
+    for r in rows:
+        by_media.setdefault(r["media_id"], []).append(r)
+    for mid, rs in by_media.items():
+        dur = vids[mid]["duration_ms"]
+        n_expected = max(min(dur // 100, 30), 1)
+        assert all(r["n_frames"] == n_expected for r in rs)
+        assert all(r["fps"] == 10 and r["height"] == 12 and r["width"] == 16 for r in rs)
+        clip_ms = n_expected * 100
+        assert len(rs) == (max(clip_ms, 1) - 1) // 200 + 1
+        for r in rs:
+            assert r["frame_idx"] == min(r["frame_ts_ms"] // 100, n_expected - 1)
+            assert 0.0 <= r["mean_lum"] <= 255.0
