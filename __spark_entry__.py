@@ -778,9 +778,12 @@ def _e20_time_range_rolling(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
+    # unix_timestamp, not cast("long"): the events fixture carries
+    # TIMESTAMP_NTZ, which Spark refuses to cast directly to BIGINT
+    # (the e8 pattern; r2 VERDICT "What's wrong" #1)
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(F.unix_timestamp("ts"))
         .rangeBetween(-3600, 0)
     )
     return (
@@ -832,11 +835,12 @@ def _e9_sessionize(spark, sf_dir):
     # was an ORDER BY event_id-only oracle diverging whenever a user's
     # event_id order differs from ts order).
     w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # unix_timestamp, not cast("long"): TIMESTAMP_NTZ fixtures reject a
+    # direct BIGINT cast (the e8 pattern; r2 VERDICT "What's wrong" #1)
+    epoch = F.unix_timestamp("ts")
     flagged = ev.withColumn(
         "new_session",
-        (
-            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w) > 1800
-        ).cast("int"),
+        (epoch - F.lag(epoch).over(w) > 1800).cast("int"),
     ).withColumn("session_id", F.sum(F.coalesce("new_session", F.lit(1))).over(w_sum))
     return (
         flagged.groupBy("user_id", "session_id")
@@ -1588,10 +1592,13 @@ def oracle_sql() -> dict[str, str]:
             "    % 4 AS INT) AS shard FROM t), "
             "c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id "
             "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM s) "
+            # ::BIGINT casts: DuckDB promotes the windowed SUM(BIGINT) to
+            # HUGEINT, and the driver's hasher formats HUGEINT differently
+            # from Spark's BIGINT (r2 VERDICT "What's wrong" #2)
             "SELECT doc_id, n_tokens, shard, "
-            "  (cum - n_tokens) // 1024 AS seq_id, "
-            "  (cum - n_tokens) % 1024 AS seq_offset, "
-            "  (cum - 1) // 1024 - (cum - n_tokens) // 1024 + 1 AS spans "
+            "  ((cum - n_tokens) // 1024)::BIGINT AS seq_id, "
+            "  ((cum - n_tokens) % 1024)::BIGINT AS seq_offset, "
+            "  ((cum - 1) // 1024 - (cum - n_tokens) // 1024 + 1)::BIGINT AS spans "
             "FROM c ORDER BY doc_id"
         ),
         "e22_unpivot": (
@@ -1665,10 +1672,11 @@ def oracle_sql() -> dict[str, str]:
             "    CAST(floor(epoch(ts)) - lag(floor(epoch(ts))) OVER w > 1800 AS INT) AS new_session "
             "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
             "), sess AS ("
+            # ::BIGINT: DuckDB windowed SUM promotes to HUGEINT (r2 a29 class)
             "  SELECT user_id, event_id, "
             "    sum(coalesce(new_session, 1)) OVER ("
             "      PARTITION BY user_id ORDER BY ts, event_id "
-            "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id "
+            "      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id "
             "  FROM flagged)"
             "SELECT user_id, session_id, count(*) AS n_events, "
             "  min(event_id) AS first_event, max(event_id) AS last_event "

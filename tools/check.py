@@ -37,6 +37,28 @@ def norm_cell(v):
     return str(v)
 
 
+def col_types(cols, rows):
+    """Python type set per column (sorted by column name), ignoring None.
+
+    The driver's hasher is type-sensitive in ways stringification is not
+    (e.g. DuckDB HUGEINT vs Spark BIGINT both print the same digits), so
+    local green must also require matching value types (r2 VERDICT #3)."""
+    import decimal
+
+    canon = {bool: "bool", int: "int", decimal.Decimal: "decimal"}
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for i in order:
+        seen = set()
+        for r in rows:
+            v = r[i]
+            if v is None:
+                continue
+            seen.add(canon.get(type(v), type(v).__name__))
+        out.append((cols[i], tuple(sorted(seen))))
+    return out
+
+
 def table_hash(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     lines = sorted("|".join(norm_cell(r[i]) for i in order) for r in rows)
@@ -79,6 +101,7 @@ def main():
             res = con.sql(oracles[name])
             orows = res.fetchall()
             ocols = list(res.columns)
+            otypes = [str(t) for t in res.types]
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
@@ -88,6 +111,19 @@ def main():
             problems.append(f"rows {len(srows)} != {len(orows)}")
         if sorted(scols) != sorted(ocols):
             problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+        # HUGEINT/DECIMAL never exist on the Spark side; the driver's hasher
+        # formats them differently even when str() agrees (r2 a29 red row)
+        bad_types = [
+            f"{c}:{t}"
+            for c, t in zip(ocols, otypes)
+            if t == "HUGEINT" or t.startswith("DECIMAL")
+        ]
+        if bad_types:
+            problems.append(f"non-portable oracle types {bad_types}")
+        if col_types(scols, srows) != col_types(ocols, orows):
+            problems.append(
+                f"value types {col_types(scols, srows)} != {col_types(ocols, orows)}"
+            )
         if not problems:
             sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
             if sh != oh:
