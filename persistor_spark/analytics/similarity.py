@@ -165,6 +165,113 @@ def cosine_lsh_topk(
     )
 
 
+def _centroid_scores(vec: Column, cents: list[tuple[int, list[float]]], l2_bias: bool = False) -> Column:
+    """array<double> of score(vec, centroid) aligned with `cents` order —
+    pure JVM expressions over literal centroids, so assignment is a narrow
+    per-row map with NO shuffle (replaces the r2 explode+window pattern
+    that shuffled n*C rows just to take an argmax)."""
+    scores = []
+    for _, cv in cents:
+        s = dot(vec, F.array(*[F.lit(float(x)) for x in cv]))
+        if l2_bias:
+            # argmin ||v-c||^2 == argmax (v.c - ||c||^2 / 2)
+            s = s - F.lit(0.5 * sum(x * x for x in cv))
+        scores.append(s)
+    return F.array(*scores)
+
+
+def _argmax_cid(vec: Column, cents: list[tuple[int, list[float]]], l2_bias: bool = False) -> Column:
+    """cid of the best-scoring centroid; ties -> lowest cid (cents must be
+    sorted by cid; array_position returns the FIRST maximum)."""
+    scores = _centroid_scores(vec, cents, l2_bias)
+    idx = F.array_position(scores, F.array_max(scores))
+    return F.element_at(F.array(*[F.lit(int(c)) for c, _ in cents]), idx.cast("int"))
+
+
+def _topn_cid_scores(vec: Column, cents: list[tuple[int, list[float]]], n: int) -> Column:
+    """array<struct<cid int, s double>> of the top-n centroids by score
+    (desc, cid asc on ties) — the nprobe selection as one array expression."""
+    structs = F.array(
+        *[
+            F.struct(
+                dot(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("s"),
+                F.lit(-int(cid)).alias("nc"),
+            )
+            for cid, cv in cents
+        ]
+    )
+    top = F.slice(F.sort_array(structs, asc=False), 1, n)
+    return F.transform(
+        top, lambda t: F.struct((-t["nc"]).cast("int").alias("cid"), t["s"].alias("s"))
+    )
+
+
+def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
+    """(cid, cv) rows -> cid-sorted driver list.  Bounded by C (the centroid
+    count), never by the corpus — the same driver footprint FAISS keeps."""
+    return sorted(
+        ((r["cid"], list(r["cv"])) for r in centroids.collect()), key=lambda t: t[0]
+    )
+
+
+def kmeans_train(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    n_vectors: int | None = None,
+    assign: str = "dot",
+) -> list[tuple[int, list[float]]]:
+    """Distributed Lloyd k-means for the IVF coarse quantizer, returning the
+    centroid list driver-side (C x d floats — broadcastable as literals).
+
+    `assign` picks the assignment rule: "dot" (max inner product — right for
+    IVF over normalized vectors) or "l2" (min Euclidean via the equivalent
+    argmax of dot - ||c||^2/2 — right for PQ sub-quantizers, where the
+    objective is small reconstruction error, not angular closeness).
+
+    Spark-first shape: each iteration is ONE narrow assignment pass (argmax
+    over literal centroids folded into the scan — no join, no window, no
+    shuffle of the corpus) + ONE aggregation whose shuffle carries only
+    C*d rows (posexplode -> per-(cid, dim) mean).  Centroid state lives on
+    the driver between iterations, so every iteration starts a fresh
+    2-stage plan — no nested lineage, no checkpointing needed.  At 100x
+    data the per-iteration cost scales linearly and the centroid list stays
+    a few KiB.
+
+    Deterministic: init picks every (n/C)-th vector by id order (seeded
+    jitter only shifts the stride phase), so results are reproducible —
+    required for oracle-checkable downstream queries.
+    """
+    v = _as_double(vectors, id_col, vec_col)
+    n = n_vectors if n_vectors is not None else v.count()
+    step = max(n // n_centroids, 1)
+    phase = seed % step if step > 1 else 0
+    cents = _collect_centroids(
+        v.filter(((F.col("id") - phase) % step == 0) & ((F.col("id") - phase) / step < n_centroids))
+        .select(((F.col("id") - phase) / step).cast("int").alias("cid"), F.col("v").alias("cv"))
+    )
+    for _ in range(max_iter):
+        assigned = v.select(_argmax_cid(F.col("v"), cents, l2_bias=(assign == "l2")).alias("cid"), "v")
+        # per-(cid, dim) mean -> re-assembled centroid vector; partial
+        # aggregation map-side, final shuffle is only C*d rows
+        new_rows = (
+            assigned.select("cid", F.posexplode("v").alias("i", "x"))
+            .groupBy("cid", "i")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cid")
+            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dims"))
+            .select("cid", F.transform("dims", lambda s: s["m"]).alias("cv"))
+            .collect()
+        )
+        new = {r["cid"]: list(r["cv"]) for r in new_rows}
+        # empty clusters keep their previous centroid (standard Lloyd fix)
+        cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
+    return cents
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     n_centroids: int = 16,
@@ -175,72 +282,35 @@ def kmeans_centroids(
     n_vectors: int | None = None,
     assign: str = "dot",
 ) -> DataFrame:
-    """Distributed Lloyd k-means for the IVF coarse quantizer — a real
-    quantizer replacing the earlier modulo-stride stand-in.
-
-    `assign` picks the assignment rule: "dot" (max inner product — right for
-    IVF over normalized vectors) or "l2" (min Euclidean via the equivalent
-    argmax of dot - ||c||^2/2 — right for PQ sub-quantizers, where the
-    objective is small reconstruction error, not angular closeness).
-
-    Spark-first shape: each iteration is ONE broadcast-assign pass (corpus x
-    broadcast centroids, no shuffle of the corpus) + ONE aggregation keyed
-    by centroid id (posexplode -> per-(cid, dim) mean — the same partial-agg
-    pattern as label_centroids).  Work per iteration is O(n * C * d) map-side
-    with a C*d-sized shuffle — at 100x data the per-iteration cost scales
-    linearly and the centroid table stays broadcastable.
-
-    Deterministic: init picks every (n/C)-th vector by id order (seeded
-    jitter only shifts the stride phase), so results are reproducible —
-    required for oracle-checkable downstream queries.  Returns
-    (cid INT, cv ARRAY<DOUBLE>).
-    """
-    from pyspark.sql import Window
-
-    v = _as_double(vectors, id_col, vec_col)
-    n = n_vectors if n_vectors is not None else v.count()
-    step = max(n // n_centroids, 1)
-    phase = seed % step if step > 1 else 0
-    cents = (
-        v.filter(((F.col("id") - phase) % step == 0) & ((F.col("id") - phase) / step < n_centroids))
-        .select(((F.col("id") - phase) / step).cast("int").alias("cid"), F.col("v").alias("cv"))
+    """DataFrame facade over kmeans_train: (cid INT, cv ARRAY<DOUBLE>) —
+    the train-once / probe-many handle ivf_topk and semdedup_pairs accept."""
+    cents = kmeans_train(
+        vectors, n_centroids, max_iter, id_col, vec_col, seed, n_vectors, assign
     )
-    def _score(vc: Column, cc: Column) -> Column:
-        s = dot(vc, cc)
-        if assign == "l2":
-            # argmin ||v-c||^2 == argmax (v.c - ||c||^2 / 2)
-            s = s - F.lit(0.5) * F.aggregate(cc, F.lit(0.0), lambda a, x: a + x * x)
-        return s
+    return vectors.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
+    )
 
-    for _ in range(max_iter):
-        assigned = (
-            v.join(F.broadcast(cents), F.lit(True))
-            .withColumn("d", _score(F.col("v"), F.col("cv")))
-            .withColumn(
-                "rk",
-                F.row_number().over(Window.partitionBy("id").orderBy(F.col("d").desc(), F.col("cid"))),
-            )
-            .filter(F.col("rk") == 1)
-            .select("cid", "id", "v")
-        )
-        # per-(cid, dim) mean -> re-assembled centroid vector; partial
-        # aggregation map-side, final shuffle is only C*d rows
-        new_cents = (
-            assigned.select("cid", F.posexplode("v").alias("i", "x"))
-            .groupBy("cid", "i")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dims"))
-            .select("cid", F.transform("dims", lambda s: s["m"]).alias("cv"))
-        )
-        # empty clusters keep their previous centroid (standard Lloyd fix).
-        # localCheckpoint, not persist: persist keeps the ever-nesting
-        # iterative plan alive and Catalyst re-analysis grows superlinearly
-        # with iterations (same failure mode as dedup_clusters_two_phase)
-        cents = new_cents.unionByName(
-            cents.join(new_cents.select("cid"), "cid", "left_anti")
-        ).localCheckpoint()
-    return cents
+
+def ivf_train(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_vectors: int | None = None,
+) -> DataFrame:
+    """Train the IVF coarse quantizer on L2-NORMALIZED vectors (spherical
+    k-means) — the train-once handle for ivf_topk's `centroids` param.
+    Cosine search needs angular cell geometry; this is the same recipe
+    ivf_topk uses inline, so train-once/probe-many returns identical
+    results."""
+    v = _as_double(vectors, id_col, vec_col)
+    nvec = v.select(
+        F.col("id").alias("vec_id"),
+        F.transform("v", lambda x: x / norm(F.col("v"))).alias("embedding"),
+    )
+    return kmeans_centroids(nvec, n_centroids, max_iter, n_vectors=n_vectors)
 
 
 def ivf_topk(
@@ -274,43 +344,40 @@ def ivf_topk(
     from pyspark.sql import Window
 
     v = _as_double(vectors, id_col, vec_col)
+    # spherical IVF: train and assign on L2-normalized vectors.  The search
+    # metric is cosine, so cell geometry must be angular — assigning raw
+    # vectors by unnormalized dot lets vector length pick the cell and
+    # scatters cosine-neighbors across cells (recall loss with no speedup).
+    vn = v.select(
+        "id", "v", F.transform("v", lambda x: x / norm(F.col("v"))).alias("nv")
+    )
+    nvec = vn.select(F.col("id").alias("vec_id"), F.col("nv").alias("embedding"))
     if centroids is not None:
-        cents = centroids
+        cents = _collect_centroids(centroids)
     elif kmeans_iter > 0:
-        cents = kmeans_centroids(
-            vectors, n_centroids, kmeans_iter, id_col, vec_col, n_vectors=n_vectors
+        cents = kmeans_train(
+            nvec, n_centroids, kmeans_iter, n_vectors=n_vectors
         )
     else:
         n = n_vectors if n_vectors is not None else v.count()
         step = max(n // n_centroids, 1)
-        cents = v.filter(
-            (F.col("id") % step == 0) & (F.col("id") / step < n_centroids)
-        ).select((F.col("id") / step).cast("int").alias("cid"), F.col("v").alias("cv"))
-    # assign every vector to its nearest centroid (one broadcast pass)
-    assigned = (
-        v.join(F.broadcast(cents), F.lit(True))
-        .withColumn("d", dot(F.col("v"), F.col("cv")))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("id").orderBy(F.col("d").desc())),
+        cents = _collect_centroids(
+            vn.filter(
+                (F.col("id") % step == 0) & (F.col("id") / step < n_centroids)
+            ).select((F.col("id") / step).cast("int").alias("cid"), F.col("nv").alias("cv"))
         )
-        .filter(F.col("rk") == 1)
-        .select("cid", "id", "v")
-    )
+    # assign every vector to its nearest centroid: argmax over literal
+    # centroids — narrow map folded into the scan, zero shuffle
+    assigned = vn.select(_argmax_cid(F.col("nv"), cents).alias("cid"), "id", "v")
     q = _as_double(queries, query_id_col, vec_col).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
-    # each query probes its nprobe closest centroids
-    q_probe = (
-        q.join(F.broadcast(cents), F.lit(True))
-        .withColumn("d", dot(F.col("qv"), F.col("cv")))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("d").desc())),
-        )
-        .filter(F.col("rk") <= nprobe)
-        .select("query_id", "qv", "cid")
-    )
+    # each query probes its nprobe closest centroids (one array expression)
+    q_probe = q.select(
+        "query_id",
+        "qv",
+        F.explode(_topn_cid_scores(F.col("qv"), cents, nprobe)).alias("p"),
+    ).select("query_id", "qv", F.col("p.cid").alias("cid"))
     candidates = assigned.join(F.broadcast(q_probe), "cid").select("query_id", "qv", "id", "v")
     if exclude_self:
         candidates = candidates.filter(F.col("id") != F.col("query_id"))
@@ -647,20 +714,20 @@ def ivfpq_topk(
         F.col("v").alias("raw"),
         F.transform("v", lambda x: x / norm(F.col("v"))).alias("nv"),
     )
-    cents = kmeans_centroids(
+    cents = kmeans_train(
         vn.select(F.col("id").alias("vec_id"), F.col("nv").alias("embedding")),
         n_centroids,
         kmeans_iter,
         n_vectors=n_vectors,
     )
+    cents_df = vectors.sparkSession.createDataFrame(
+        [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
+    )
+    # argmax over literal centroids (no shuffle), then a broadcast equi-join
+    # on cid to fetch the centroid vector for the residual — map-side only
     assigned = (
-        vn.join(F.broadcast(cents), F.lit(True))
-        .withColumn("d", dot(F.col("nv"), F.col("cv")))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("id").orderBy(F.col("d").desc(), F.col("cid"))),
-        )
-        .filter(F.col("rk") == 1)
+        vn.withColumn("cid", _argmax_cid(F.col("nv"), cents))
+        .join(F.broadcast(cents_df), "cid")
         .select("cid", "id", "raw", "nv", "cv")
         .withColumn("r", F.zip_with("nv", "cv", lambda a, b: a - b))
     )
@@ -687,17 +754,14 @@ def ivfpq_topk(
         F.col("v").alias("qv"),
         F.transform("v", lambda x: x / norm(F.col("v"))).alias("qnv"),
     )
-    # probe top-nprobe cells; keep the exact dot(q, centroid) term
-    q_probe = (
-        qn.join(F.broadcast(cents), F.lit(True))
-        .withColumn("qc", dot(F.col("qnv"), F.col("cv")))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("query_id").orderBy(F.col("qc").desc(), F.col("cid"))),
-        )
-        .filter(F.col("rk") <= nprobe)
-        .select("query_id", "qv", "qnv", "cid", "qc")
-    )
+    # probe top-nprobe cells; keep the exact dot(q, centroid) term — the
+    # selection is one array expression over literal centroids, no window
+    q_probe = qn.select(
+        "query_id",
+        "qv",
+        "qnv",
+        F.explode(_topn_cid_scores(F.col("qnv"), cents, nprobe)).alias("p"),
+    ).select("query_id", "qv", "qnv", F.col("p.cid").alias("cid"), F.col("p.s").alias("qc"))
     # LUT of dot(q_sub_j, residual-codeword) per query — broadcast literals
     qlut = q_probe.withColumn(
         "lut",
@@ -754,28 +818,22 @@ def semdedup_pairs(
     dedup.dedup_clusters + keep_cluster_representatives for the keep-one
     policy.
 
-    One broadcast assign pass + one cid-keyed self-join; no Python.
+    One narrow assignment pass (argmax over literal centroids — no shuffle)
+    + one cid-keyed self-join; no Python.
     """
-    from pyspark.sql import Window
-
     v = _as_double(vectors, id_col, vec_col)
     vn = v.select("id", F.col("v").alias("raw"), F.transform("v", lambda x: x / norm(F.col("v"))).alias("nv"))
     if centroids is None:
-        centroids = kmeans_centroids(
+        cents = kmeans_train(
             vn.select(F.col("id").alias("vec_id"), F.col("nv").alias("embedding")),
             n_centroids,
             kmeans_iter,
             n_vectors=n_vectors,
         )
-    assigned = (
-        vn.join(F.broadcast(centroids), F.lit(True))
-        .withColumn("d", dot(F.col("nv"), F.col("cv")))
-        .withColumn(
-            "rk",
-            F.row_number().over(Window.partitionBy("id").orderBy(F.col("d").desc(), F.col("cid"))),
-        )
-        .filter(F.col("rk") == 1)
-        .select("cid", "id", "raw")
+    else:
+        cents = _collect_centroids(centroids)
+    assigned = vn.select(
+        _argmax_cid(F.col("nv"), cents).alias("cid"), "id", "raw"
     )
     a = assigned.select("cid", F.col("id").alias("a"), F.col("raw").alias("va"))
     b = assigned.select("cid", F.col("id").alias("b"), F.col("raw").alias("vb"))

@@ -354,6 +354,30 @@ def test_kmeans_centroids_properties(embs):
     assert trained >= stride - 1e-9, f"k-means made assignment worse: {trained} < {stride}"
 
 
+def test_centroid_assignment_no_shuffle_and_exact(embs):
+    """The r3 scale fix: centroid assignment is an argmax over literal
+    centroids — a narrow map with NO Exchange in the plan (the r2 version
+    shuffled n*C rows through a per-id window), and it must pick the true
+    argmax-dot centroid with lowest-cid tie-break."""
+    import numpy as np
+
+    from persistor_spark.plans import layout
+
+    cents = similarity.kmeans_train(embs, n_centroids=8, max_iter=1)
+    v = embs.select(
+        F.col("vec_id").alias("id"), F.col("embedding").cast("array<double>").alias("v")
+    )
+    assigned = v.select("id", similarity._argmax_cid(F.col("v"), cents).alias("cid"))
+    assert not layout.plan_has_shuffle(assigned)
+
+    got = {r["id"]: r["cid"] for r in assigned.collect()}
+    cmat = np.array([cv for _, cv in cents])
+    for r in v.collect():
+        scores = cmat @ np.array(r["v"])
+        want = int(np.argmax(scores))  # np.argmax returns first (lowest) index
+        assert got[r["id"]] == cents[want][0]
+
+
 def test_ivf_kmeans_recall_not_worse_than_stride(embs, brute_topk):
     q = embs.filter(F.col("vec_id") < 10)
     truth = {(r["query_id"], r["vec_id"]) for r in brute_topk}
@@ -366,7 +390,7 @@ def test_ivf_kmeans_recall_not_worse_than_stride(embs, brute_topk):
     r_kmeans = recall(kmeans_iter=2)
     assert r_kmeans >= 0.4, f"k-means IVF recall too low: {r_kmeans}"
     # train-once / probe-many reuse path returns identical results
-    cents = similarity.kmeans_centroids(embs, n_centroids=8, max_iter=2)
+    cents = similarity.ivf_train(embs, n_centroids=8, max_iter=2)
     got1 = similarity.ivf_topk(embs, q, k=10, n_centroids=8, nprobe=4, centroids=cents).collect()
     got2 = similarity.ivf_topk(embs, q, k=10, n_centroids=8, nprobe=4, kmeans_iter=2).collect()
     assert {tuple(r) for r in got1} == {tuple(r) for r in got2}
