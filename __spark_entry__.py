@@ -1248,8 +1248,71 @@ def _d18(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
+
+    Round-3 rotation policy (NOTES_r3): the r2 reorder left 30 queries the
+    driver had never checked; those 30 come first, then the 8 whose code or
+    oracle changed this round (a29 HUGEINT fix; the 7 newly-oracled ANN
+    queries), then 12 load-bearing pipeline queries (incl. d19, whose OCF
+    write path changed this round).  The 30 rotated-out r2-green rows stay
+    pinned by tools/check.py (all 80, every round) and pytest.
+    """
     return {
+        # -- 30 queries the driver has never verified (r1+r2 windows missed)
+        "e7_string_funcs": _e_string_funcs,
+        "e8_tumbling_window": _e_tumbling_window,
+        "e9_sessionize": _e9_sessionize,
+        "e10_join_topk": _e10_join_topk,
+        "e11_asof_join": _e11_asof_join,
+        "e12_percentiles": _e12_percentiles,
+        "e13_grouping_sets": _e13_grouping_sets,
+        "e14_except": _e14_except,
+        "e15_pivot": _e15_pivot,
+        "e16_correlated_exists": _e16_correlated_exists,
+        "e17_term_heavy_hitters": _e17_term_heavy_hitters,
+        "e18_null_safe_join": _e18_null_safe_join,
+        "e19_sliding_window": _e19_sliding_window,
+        "e20_time_range_rolling": _e20_time_range_rolling,
+        "e21_interval_join": _e21_interval_join,
+        "e22_unpivot": _e22_unpivot,
+        "e23_ntile": _e23_ntile,
+        "a12_embedding_pairs": _a12_embedding_pairs,
+        "a13_curation_pipeline": _a13_curation_pipeline,
+        "a14_bm25_topk": _a14_bm25_topk,
+        "a15_incremental_dedup": _a15_incremental_dedup,
+        "a16_label_centroids": _a16_label_centroids,
+        "a17_bpe_tokens": _a17_bpe_tokens,
+        "a18_winnowing_pairs": _a18_winnowing_pairs,
+        "a19_simhash_md5": _a19_simhash_md5,
+        "a20_contamination": _a20_contamination,
+        "a21_cms_sketch": _a21_cms_sketch,
+        "a22_repetition": _a22_repetition,
+        "a23_quality_rules": _a23_quality_rules,
+        "a24_pii_scrub": _a24_pii_scrub,
+        # -- 8 changed this round: need fresh driver verdicts
+        "a29_pack_sequences": _a_pack_sequences,
+        "a4_simhash_pairs": _a_simhash,
+        "a6_lsh_topk": _a_lsh_topk,
+        "a7_ivf_topk": _a_ivf_topk,
+        "a25_pq_topk": _a_pq_topk,
+        "a32_ivfpq_topk": _a_ivfpq_topk,
+        "a33_semdedup": _a_semdedup,
+        "a34_opq_topk": _a_opq_topk,
+        # -- 12 load-bearing pipeline queries kept under driver watch
+        "d19_ocf_roundtrip": _d19,
+        "d9_position_align_join": _d9,
         "d1_point_lookup": _d1,
+        "d13_lineage_counts": _d13,
+        "d14_window_topk": _d14,
+        "d20_first_seen": _d20_first_seen,
+        "d21_salted_agg": _d21_salted_agg,
+        "a1_dedup_exact": _a_dedup_exact,
+        "a3_minhash_lsh_pairs": _a_minhash_lsh,
+        "a5_embedding_topk": _a_embedding_topk,
+        "e1_rollup": _e_rollup,
+        "e5_window_lag_lead_frames": _e_window_lag,
+        # ---- driver window ends here (50) — below: r2-green, pinned by
+        # tools/check.py + pytest every round
         "d2_in_list": _d2,
         "d3_interval_page": _d3,
         "d4_interval_count": _d4,
@@ -1257,32 +1320,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_key_derivation": _d6,
         "d7_version_partition": _d7,
         "d8_time_partition": _d8,
-        "d9_position_align_join": _d9,
-        "d19_ocf_roundtrip": _d19,
-        "d20_first_seen": _d20_first_seen,
-        "d21_salted_agg": _d21_salted_agg,
         "d10_group_by_location": _d10,
         "d11_unique_invariant": _d11,
         "d12_deadletter_antijoin": _d12,
-        "d13_lineage_counts": _d13,
-        "d14_window_topk": _d14,
         "d15_orders_agg": _d15,
         "d16_customer_nation_join": _d16,
         "d17_message_size": _d17,
         "d18_wire_timestamps": _d18,
-        "a1_dedup_exact": _a_dedup_exact,
         "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
-        "a3_minhash_lsh_pairs": _a_minhash_lsh,
-        "a4_simhash_pairs": _a_simhash,
-        "a5_embedding_topk": _a_embedding_topk,
-        "a6_lsh_topk": _a_lsh_topk,
-        "a7_ivf_topk": _a_ivf_topk,
-        "a25_pq_topk": _a_pq_topk,
-        "a32_ivfpq_topk": _a_ivfpq_topk,
-        "a33_semdedup": _a_semdedup,
-        "a34_opq_topk": _a_opq_topk,
-        "a35_audio_features": _a_audio_features,
-        "a36_frame_samples": _a_frame_samples,
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
@@ -1290,45 +1335,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a26_cc_two_phase": _a_cc_two_phase,
         "a27_lm_perplexity": _a_lm_perplexity,
         "a28_weighted_mix": _a_weighted_mix,
-        "a29_pack_sequences": _a_pack_sequences,
         "a30_dup_spans": _a_dup_spans,
         "a31_quota_sample": _a_quota_sample,
-        "e1_rollup": _e_rollup,
+        "a35_audio_features": _a_audio_features,
+        "a36_frame_samples": _a_frame_samples,
         "e2_cube": _e_cube,
         "e3_set_ops": _e_set_ops,
         "e4_semi_anti_join": _e_semi_anti,
-        "e5_window_lag_lead_frames": _e_window_lag,
         "e6_scalar_subquery": _e_scalar_subquery,
-        "e7_string_funcs": _e_string_funcs,
-        "e8_tumbling_window": _e_tumbling_window,
-        "e19_sliding_window": _e19_sliding_window,
-        "e20_time_range_rolling": _e20_time_range_rolling,
-        "e21_interval_join": _e21_interval_join,
-        "e22_unpivot": _e22_unpivot,
-        "e23_ntile": _e23_ntile,
-        "e9_sessionize": _e9_sessionize,
-        "e10_join_topk": _e10_join_topk,
-        "e11_asof_join": _e11_asof_join,
-        "e12_percentiles": _e12_percentiles,
-        "a12_embedding_pairs": _a12_embedding_pairs,
-        "a13_curation_pipeline": _a13_curation_pipeline,
-        "a14_bm25_topk": _a14_bm25_topk,
-        "a15_incremental_dedup": _a15_incremental_dedup,
-        "a16_label_centroids": _a16_label_centroids,
-        "a17_bpe_tokens": _a17_bpe_tokens,
-        "a22_repetition": _a22_repetition,
-        "a24_pii_scrub": _a24_pii_scrub,
-        "a23_quality_rules": _a23_quality_rules,
-        "a18_winnowing_pairs": _a18_winnowing_pairs,
-        "a19_simhash_md5": _a19_simhash_md5,
-        "a20_contamination": _a20_contamination,
-        "a21_cms_sketch": _a21_cms_sketch,
-        "e13_grouping_sets": _e13_grouping_sets,
-        "e14_except": _e14_except,
-        "e15_pivot": _e15_pivot,
-        "e16_correlated_exists": _e16_correlated_exists,
-        "e17_term_heavy_hitters": _e17_term_heavy_hitters,
-        "e18_null_safe_join": _e18_null_safe_join,
     }
 
 

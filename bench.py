@@ -44,6 +44,7 @@ class Ctx:
     def __init__(self, spark, workdir):
         self.spark = spark
         self.workdir = workdir
+        self.index_raw_path = f"{workdir}/index_raw"
         self.index_path = f"{workdir}/index"
         self.blob_path = f"{workdir}/blobs"
 
@@ -56,16 +57,30 @@ class Ctx:
 
 def bench_ingest_persist(ctx: Ctx):
     """Full ingest: derive messages -> version split -> blob naming ->
-    positions -> write partitioned blob table + index table.
+    positions -> write partitioned blob table + RAW index table.
 
     persist_intermediate caches the shared derivation prefix so the blob and
-    index writes don't each recompute it; optimize_layout range-sorts the
-    index by unique_id so point/IN-list lookups prune parquet row groups
-    (the Mongo _id-index analogue)."""
+    index writes don't each recompute it.  The unique_id range-sort that r2
+    folded in here is now its own bench line (`index_layout`) so the two
+    costs are visible separately; their sum is comparable to the old line."""
     result = fixtures.run_fixture_ingest(ctx.spark, SF_DIR, persist_intermediate=True)
     ingest.write_blobs(result, ctx.blob_path, fmt="parquet")
-    ingest.write_index(result, ctx.index_path, optimize_layout=True)
+    ingest.write_index(result, ctx.index_raw_path, optimize_layout=False)
     result.unpersist()
+
+
+def bench_index_layout(ctx: Ctx):
+    """The optimize_layout cost in isolation: rewrite the raw index
+    range-partitioned + sorted by unique_id so parquet row-group min/max
+    stats prune point/IN-list lookups (the Mongo _id-index analogue).
+    Downstream query benches read THIS layout — same end state as r2."""
+    (
+        ctx.spark.read.parquet(ctx.index_raw_path)
+        .repartitionByRange("unique_id")
+        .sortWithinPartitions("unique_id")
+        .write.mode("overwrite")
+        .parquet(ctx.index_path)
+    )
 
 
 def bench_point_lookup(ctx: Ctx):
@@ -159,6 +174,21 @@ def bench_ann_topk(ctx: Ctx):
     return similarity.brute_force_topk(embs, q, k=10).count()
 
 
+def bench_ann_ivfpq(ctx: Ctx):
+    """The bucketed-ANN line a 100 TB user would actually run: IVF cells +
+    residual PQ + ADC + exact re-rank (train inline here; at scale the
+    train/encode cost amortizes over many probe calls).  ann_topk stays as
+    the exactness baseline; this line tracks the scale path."""
+    from persistor_spark.analytics import similarity
+
+    embs = load_table(ctx.spark, SF_DIR, "embeddings")
+    q = embs.filter(F.col("vec_id") < 10)
+    n = embs.count()  # known corpus size: skips the count jobs inside train
+    return similarity.ivfpq_topk(
+        embs, q, k=10, n_centroids=16, nprobe=4, n_vectors=n
+    ).count()
+
+
 def bench_bm25_search(ctx: Ctx):
     from persistor_spark.analytics import search
 
@@ -176,6 +206,7 @@ def bench_text_stats(ctx: Ctx):
 
 QUERIES = {
     "ingest_persist": bench_ingest_persist,
+    "index_layout": bench_index_layout,
     "point_lookup": bench_point_lookup,
     "filter_query": bench_filter_query,
     "interval_envelope": bench_interval_envelope,
@@ -185,6 +216,7 @@ QUERIES = {
     "join_agg": bench_join_agg,
     "dedup_minhash": bench_dedup_minhash,
     "ann_topk": bench_ann_topk,
+    "ann_ivfpq": bench_ann_ivfpq,
     "bm25_search": bench_bm25_search,
     "text_stats": bench_text_stats,
 }

@@ -56,6 +56,24 @@ def _as_double(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     )
 
 
+def _normalized(v: DataFrame) -> DataFrame:
+    """(id, v) -> (id, v) L2-normalized, computing the norm ONCE per row.
+
+    The obvious `transform(v, x -> x / norm(v))` re-evaluates the whole
+    d-element norm fold for EVERY element (O(d^2) interpreted ops per row —
+    higher-order functions don't codegen and don't CSE), and writing the
+    norm as a separate column doesn't help because CollapseProject
+    re-inlines it into the lambda.  So: materialize (v, 1/norm) behind a
+    localCheckpoint barrier, then the division is a cheap narrow map.
+    """
+    withn = v.select(
+        "id", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv")
+    ).localCheckpoint()
+    return withn.select(
+        "id", F.transform("v", lambda x: x * F.col("inv")).alias("v")
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -165,40 +183,67 @@ def cosine_lsh_topk(
     )
 
 
+def _lit_data(value, sql_type: str) -> Column:
+    """Constant array data as ONE plan node: from_json over a string
+    literal, which ConstantFolding evaluates once per plan.  Building the
+    same data from F.lit/F.array spawns one expression node per element
+    (C*d or m*ksub*dsub of them), and Catalyst re-analysis of those trees
+    dominated small-stage time (measured 3x slower per job at C=16, d=64).
+    Code stays written once too: scoring goes through a single higher-order
+    `transform` fold over this literal."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(value)), sql_type)
+
+
+def _lit_matrix(rows: list[list[float]]) -> Column:
+    return _lit_data([[float(x) for x in r] for r in rows], "array<array<double>>")
+
+
 def _centroid_scores(vec: Column, cents: list[tuple[int, list[float]]], l2_bias: bool = False) -> Column:
     """array<double> of score(vec, centroid) aligned with `cents` order —
     pure JVM expressions over literal centroids, so assignment is a narrow
     per-row map with NO shuffle (replaces the r2 explode+window pattern
     that shuffled n*C rows just to take an argmax)."""
-    scores = []
-    for _, cv in cents:
-        s = dot(vec, F.array(*[F.lit(float(x)) for x in cv]))
-        if l2_bias:
-            # argmin ||v-c||^2 == argmax (v.c - ||c||^2 / 2)
-            s = s - F.lit(0.5 * sum(x * x for x in cv))
-        scores.append(s)
-    return F.array(*scores)
+    scores = F.transform(_lit_matrix([cv for _, cv in cents]), lambda c: dot(vec, c))
+    if l2_bias:
+        # argmin ||v-c||^2 == argmax (v.c - ||c||^2 / 2)
+        biases = _lit_data([0.5 * sum(x * x for x in cv) for _, cv in cents], "array<double>")
+        scores = F.zip_with(scores, biases, lambda s, b: s - b)
+    return scores
+
+
+def _argmax_pick(scores: Column, picks: list[int]) -> Column:
+    """picks[argmax(scores)] with ties -> lowest index, evaluating `scores`
+    ONCE: array_max over (score, -pick) structs.  The naive
+    array_position(scores, array_max(scores)) duplicates the scores subtree
+    — Spark does not CSE higher-order-function subtrees, so the whole
+    C-fold would run twice per row."""
+    structs = F.zip_with(
+        scores,
+        _lit_data([-int(p) for p in picks], "array<int>"),
+        # named_struct: .alias() inside a lambda does NOT name struct fields
+        lambda s, np: F.named_struct(F.lit("s"), s, F.lit("np"), np),
+    )
+    return (-F.array_max(structs)["np"]).cast("int")
 
 
 def _argmax_cid(vec: Column, cents: list[tuple[int, list[float]]], l2_bias: bool = False) -> Column:
     """cid of the best-scoring centroid; ties -> lowest cid (cents must be
-    sorted by cid; array_position returns the FIRST maximum)."""
-    scores = _centroid_scores(vec, cents, l2_bias)
-    idx = F.array_position(scores, F.array_max(scores))
-    return F.element_at(F.array(*[F.lit(int(c)) for c, _ in cents]), idx.cast("int"))
+    sorted by cid)."""
+    return _argmax_pick(
+        _centroid_scores(vec, cents, l2_bias), [int(c) for c, _ in cents]
+    )
 
 
 def _topn_cid_scores(vec: Column, cents: list[tuple[int, list[float]]], n: int) -> Column:
     """array<struct<cid int, s double>> of the top-n centroids by score
     (desc, cid asc on ties) — the nprobe selection as one array expression."""
-    structs = F.array(
-        *[
-            F.struct(
-                dot(vec, F.array(*[F.lit(float(x)) for x in cv])).alias("s"),
-                F.lit(-int(cid)).alias("nc"),
-            )
-            for cid, cv in cents
-        ]
+    structs = F.zip_with(
+        _centroid_scores(vec, cents),
+        _lit_data([-int(cid) for cid, _ in cents], "array<int>"),
+        # named_struct: .alias() inside a lambda does NOT name struct fields
+        lambda s, nc: F.named_struct(F.lit("s"), s, F.lit("nc"), nc),
     )
     top = F.slice(F.sort_array(structs, asc=False), 1, n)
     return F.transform(
@@ -246,6 +291,14 @@ def kmeans_train(
     required for oracle-checkable downstream queries.
     """
     v = _as_double(vectors, id_col, vec_col)
+    if max_iter > 0:
+        # Lloyd re-scans the input max_iter+1 times; materialize it ONCE.
+        # Callers hand in lazily-normalized projections whose per-element
+        # x/||v|| lambda re-evaluates the whole norm fold per element
+        # (O(d^2) interpreted ops/row) — without this barrier every
+        # iteration would pay that again (and CollapseProject re-inlines
+        # any norm-as-column trick back into the lambda).
+        v = v.localCheckpoint()
     n = n_vectors if n_vectors is not None else v.count()
     step = max(n // n_centroids, 1)
     phase = seed % step if step > 1 else 0
@@ -306,9 +359,8 @@ def ivf_train(
     ivf_topk uses inline, so train-once/probe-many returns identical
     results."""
     v = _as_double(vectors, id_col, vec_col)
-    nvec = v.select(
-        F.col("id").alias("vec_id"),
-        F.transform("v", lambda x: x / norm(F.col("v"))).alias("embedding"),
+    nvec = _normalized(v).select(
+        F.col("id").alias("vec_id"), F.col("v").alias("embedding")
     )
     return kmeans_centroids(nvec, n_centroids, max_iter, n_vectors=n_vectors)
 
@@ -344,31 +396,39 @@ def ivf_topk(
     from pyspark.sql import Window
 
     v = _as_double(vectors, id_col, vec_col)
-    # spherical IVF: train and assign on L2-normalized vectors.  The search
-    # metric is cosine, so cell geometry must be angular — assigning raw
-    # vectors by unnormalized dot lets vector length pick the cell and
-    # scatters cosine-neighbors across cells (recall loss with no speedup).
-    vn = v.select(
-        "id", "v", F.transform("v", lambda x: x / norm(F.col("v"))).alias("nv")
-    )
-    nvec = vn.select(F.col("id").alias("vec_id"), F.col("nv").alias("embedding"))
+    # spherical IVF: the coarse quantizer TRAINS on L2-normalized vectors
+    # (cosine needs angular cell geometry — training on raw vectors lets
+    # vector length shape the cells and scatters cosine-neighbors).
+    # Assignment and probing then run on RAW vectors: argmax_c dot(v, c)
+    # is invariant to positive scaling of v, so normalizing the assigned
+    # side would change nothing except paying the O(d^2) per-row normalize.
     if centroids is not None:
         cents = _collect_centroids(centroids)
+        nvec = None
     elif kmeans_iter > 0:
+        nvec = _normalized(v).select(
+            F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+        )
         cents = kmeans_train(
             nvec, n_centroids, kmeans_iter, n_vectors=n_vectors
         )
     else:
+        nvec = _normalized(v).select(
+            F.col("id").alias("vec_id"), F.col("v").alias("embedding")
+        )
         n = n_vectors if n_vectors is not None else v.count()
         step = max(n // n_centroids, 1)
         cents = _collect_centroids(
-            vn.filter(
-                (F.col("id") % step == 0) & (F.col("id") / step < n_centroids)
-            ).select((F.col("id") / step).cast("int").alias("cid"), F.col("nv").alias("cv"))
+            nvec.filter(
+                (F.col("vec_id") % step == 0) & (F.col("vec_id") / step < n_centroids)
+            ).select(
+                (F.col("vec_id") / step).cast("int").alias("cid"),
+                F.col("embedding").alias("cv"),
+            )
         )
     # assign every vector to its nearest centroid: argmax over literal
     # centroids — narrow map folded into the scan, zero shuffle
-    assigned = vn.select(_argmax_cid(F.col("nv"), cents).alias("cid"), "id", "v")
+    assigned = v.select(_argmax_cid(F.col("v"), cents).alias("cid"), "id", "v")
     q = _as_double(queries, query_id_col, vec_col).select(
         F.col("id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -477,10 +537,10 @@ def pq_train(
     if dim is None:
         dim = len(v.select("v").first()[0])
     dsub = dim // m
-    nv = (
-        F.transform("v", lambda x: x / norm(F.col("v"))) if normalize else F.col("v")
-    )
-    vn = v.select("id", nv.alias("v"))
+    # single-norm-per-row normalize (see _normalized); sub below is
+    # persisted, so the projection evaluates once either way — this keeps
+    # that one evaluation O(d) per row instead of O(d^2)
+    vn = _normalized(v) if normalize else v
     sub = vn.select(
         "id",
         F.posexplode(
@@ -493,44 +553,56 @@ def pq_train(
     n = n_vectors if n_vectors is not None else vn.count()
     step = max(n // ksub, 1)
     phase = seed % step if step > 1 else 0
-    cents = sub.filter(
+    # codebook state lives DRIVER-SIDE between Lloyd rounds (m*ksub*dsub =
+    # ksub*dim floats — a few KiB): every iteration is one narrow
+    # assignment pass (per-subspace argmax against the 3-D literal
+    # codebook, selected by j) + one (j, cid, dim)-keyed mean whose shuffle
+    # carries m*ksub*dim/m rows, collected back.  No per-iteration
+    # checkpoint, no broadcast join, no nested lineage — each round is a
+    # fresh 2-stage job over the persisted subvector table.
+    init_rows = sub.filter(
         ((F.col("id") - phase) % step == 0) & ((F.col("id") - phase) / step < ksub)
-    ).select("j", ((F.col("id") - phase) / step).cast("int").alias("cid"), F.col("sv").alias("cv"))
-    l2_score = lambda svc, cvc: dot(svc, cvc) - F.lit(0.5) * F.aggregate(  # noqa: E731
-        cvc, F.lit(0.0), lambda a, x: a + x * x
-    )
+    ).select("j", ((F.col("id") - phase) / step).cast("int").alias("cid"), "sv").collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    for r in init_rows:
+        by_sub.setdefault(r["j"], {})[r["cid"]] = list(r["sv"])
+    codebooks = [
+        [by_sub[j].get(c, by_sub[j][min(by_sub[j])]) for c in range(ksub)]
+        for j in range(m)
+    ]
     for _ in range(kmeans_iter):
-        assigned = (
-            sub.join(F.broadcast(cents), "j")
-            .withColumn("score", l2_score(F.col("sv"), F.col("cv")))
-            .groupBy("id", "j")
-            .agg(
-                F.max_by("cid", F.struct(F.col("score"), (-F.col("cid")).alias("nc"))).alias("cid"),
-                F.any_value("sv").alias("sv"),
-            )
+        # encode rule: argmin L2 == argmax (dot - ||c||^2/2); ties -> lowest
+        # code (array_position returns the first maximum)
+        cb3 = _lit_data(codebooks, "array<array<array<double>>>")
+        bias3 = _lit_data(
+            [[0.5 * sum(x * x for x in c) for c in cb_j] for cb_j in codebooks],
+            "array<array<double>>",
         )
-        new_cents = (
-            assigned.select("j", "cid", F.posexplode("sv").alias("i", "x"))
+        cbj = F.element_at(cb3, F.col("j") + 1)
+        scores = F.zip_with(
+            F.transform(cbj, lambda c: dot(F.col("sv"), c)),
+            F.element_at(bias3, F.col("j") + 1),
+            lambda s, b: s - b,
+        )
+        code = _argmax_pick(scores, list(range(ksub)))
+        new_rows = (
+            sub.select("j", code.alias("cid"), F.posexplode("sv").alias("i", "x"))
             .groupBy("j", "cid", "i")
             .agg(F.avg("x").alias("mu"))
             .groupBy("j", "cid")
             .agg(F.array_sort(F.collect_list(F.struct("i", "mu"))).alias("dims"))
             .select("j", "cid", F.transform("dims", lambda s: s["mu"]).alias("cv"))
+            .collect()
         )
-        # empty clusters keep their previous centroid; localCheckpoint (not
-        # persist) so the iterative plan's lineage is truncated each round
-        cents = new_cents.unionByName(
-            cents.join(new_cents.select("j", "cid"), ["j", "cid"], "left_anti")
-        ).localCheckpoint()
-    rows = cents.collect()
+        new: dict[int, dict[int, list[float]]] = {}
+        for r in new_rows:
+            new.setdefault(r["j"], {})[r["cid"]] = list(r["cv"])
+        # empty clusters keep their previous centroid (standard Lloyd fix)
+        codebooks = [
+            [new.get(j, {}).get(c, codebooks[j][c]) for c in range(ksub)]
+            for j in range(m)
+        ]
     sub.unpersist()
-    by_sub: dict[int, dict[int, list[float]]] = {}
-    for r in rows:
-        by_sub.setdefault(r["j"], {})[r["cid"]] = list(r["cv"])
-    codebooks = []
-    for j in range(m):
-        cb = by_sub[j]
-        codebooks.append([cb.get(c, cb[min(cb)]) for c in range(ksub)])
     return codebooks
 
 
@@ -545,15 +617,17 @@ def _sub_scores(
     JVM expressions over broadcast-literal centroids.  With `l2_bias`, each
     score is dot - ||c||^2/2 (argmax == argmin L2): the ENCODE rule, which
     must minimize reconstruction error.  The query LUT uses plain dot —
-    ADC estimates dot(q, x) = sum_j dot(q_j, c_code_j(x))."""
+    ADC estimates dot(q, x) = sum_j dot(q_j, c_code_j(x)).  One transform
+    fold over the literal codebook matrix (not ksub unrolled folds) keeps
+    stage codegen small — see _lit_matrix."""
     sub = F.slice(vec, j * dsub + 1, dsub)
-    scores = []
-    for cent in codebook_j:
-        s = dot(sub, F.array(*[F.lit(float(x)) for x in cent]))
-        if l2_bias:
-            s = s - F.lit(0.5 * sum(x * x for x in cent))
-        scores.append(s)
-    return F.array(*scores)
+    scores = F.transform(_lit_matrix(codebook_j), lambda c: dot(sub, c))
+    if l2_bias:
+        biases = _lit_data(
+            [0.5 * sum(x * x for x in cent) for cent in codebook_j], "array<double>"
+        )
+        scores = F.zip_with(scores, biases, lambda s, b: s - b)
+    return scores
 
 
 def pq_encode(
@@ -582,10 +656,8 @@ def pq_encode(
     code_cols = []
     for j in range(m):
         scores = _sub_scores(F.col("v"), codebooks[j], j, dsub, l2_bias=True)
-        # argmax, ties -> lowest code; array_position is 1-based
-        code_cols.append(
-            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-        )
+        # argmax, ties -> lowest code; single-eval of the score fold
+        code_cols.append(_argmax_pick(scores, list(range(len(codebooks[j])))))
     return vn.select("id", F.col("raw").alias("v"), F.array(*code_cols).alias("codes"))
 
 
@@ -709,10 +781,16 @@ def ivfpq_topk(
     from pyspark.sql import Window
 
     v = _as_double(vectors, id_col, vec_col)
-    vn = v.select(
+    # (id, raw, nv) with the norm computed once per row behind the
+    # _normalized-style barrier: residuals need the normalized vector, and
+    # the naive per-element norm lambda costs O(d^2) interpreted ops/row
+    withn = v.select(
+        "id", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv")
+    ).localCheckpoint()
+    vn = withn.select(
         "id",
         F.col("v").alias("raw"),
-        F.transform("v", lambda x: x / norm(F.col("v"))).alias("nv"),
+        F.transform("v", lambda x: x * F.col("inv")).alias("nv"),
     )
     cents = kmeans_train(
         vn.select(F.col("id").alias("vec_id"), F.col("nv").alias("embedding")),
@@ -724,14 +802,18 @@ def ivfpq_topk(
         [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
     )
     # argmax over literal centroids (no shuffle), then a broadcast equi-join
-    # on cid to fetch the centroid vector for the residual — map-side only
+    # on cid to fetch the centroid vector for the residual — map-side only.
+    # localCheckpoint the WHOLE assignment: it feeds both the PQ training
+    # input (residuals) and the probe-side cells table, and recomputing the
+    # corpus argmax for each consumer would double the dominant map cost.
     assigned = (
         vn.withColumn("cid", _argmax_cid(F.col("nv"), cents))
         .join(F.broadcast(cents_df), "cid")
         .select("cid", "id", "raw", "nv", "cv")
         .withColumn("r", F.zip_with("nv", "cv", lambda a, b: a - b))
+        .localCheckpoint()
     )
-    resid = assigned.select("id", "r").localCheckpoint()
+    resid = assigned.select("id", "r")
     codebooks = pq_train(
         resid,
         m,
@@ -739,14 +821,22 @@ def ivfpq_topk(
         pq_iter,
         id_col="id",
         vec_col="r",
+        dim=len(cents[0][1]),  # known from the trained centroids: skips a first() job
         n_vectors=n_vectors,
         normalize=False,
     )
     dsub = len(codebooks[0][0])
-    encoded = pq_encode(resid, codebooks, id_col="id", vec_col="r", normalize=False)
-    cells = assigned.select("cid", "id", "raw").join(
-        encoded.select("id", "codes"), "id"
-    )
+    # encode residual codes INLINE on the checkpointed assignment — a
+    # narrow map; an id-keyed join of a separate pq_encode output would
+    # shuffle the corpus just to glue columns back together
+    code_cols = [
+        _argmax_pick(
+            _sub_scores(F.col("r"), codebooks[j], j, dsub, l2_bias=True),
+            list(range(ksub)),
+        )
+        for j in range(len(codebooks))
+    ]
+    cells = assigned.select("cid", "id", "raw", F.array(*code_cols).alias("codes"))
 
     q = _as_double(queries, query_id_col, vec_col)
     qn = q.select(
@@ -822,18 +912,19 @@ def semdedup_pairs(
     + one cid-keyed self-join; no Python.
     """
     v = _as_double(vectors, id_col, vec_col)
-    vn = v.select("id", F.col("v").alias("raw"), F.transform("v", lambda x: x / norm(F.col("v"))).alias("nv"))
     if centroids is None:
-        cents = kmeans_train(
-            vn.select(F.col("id").alias("vec_id"), F.col("nv").alias("embedding")),
-            n_centroids,
-            kmeans_iter,
-            n_vectors=n_vectors,
+        # train on normalized vectors (angular cells; kmeans_train
+        # materializes this projection once), assign on raw — argmax over
+        # centroids is invariant to scaling the assigned vector
+        nvec = v.select(
+            F.col("id").alias("vec_id"),
+            F.transform("v", lambda x: x / norm(F.col("v"))).alias("embedding"),
         )
+        cents = kmeans_train(nvec, n_centroids, kmeans_iter, n_vectors=n_vectors)
     else:
         cents = _collect_centroids(centroids)
-    assigned = vn.select(
-        _argmax_cid(F.col("nv"), cents).alias("cid"), "id", "raw"
+    assigned = v.select(
+        _argmax_cid(F.col("v"), cents).alias("cid"), "id", F.col("v").alias("raw")
     )
     a = assigned.select("cid", F.col("id").alias("a"), F.col("raw").alias("va"))
     b = assigned.select("cid", F.col("id").alias("b"), F.col("raw").alias("vb"))
@@ -906,11 +997,10 @@ def opq_train(
     v = _as_double(vectors, id_col, vec_col)
     if dim is None:
         dim = len(v.select("v").first()[0])
-    # normalize ONCE; rotation is orthonormal so norms are preserved and
-    # cosine in the rotated space equals cosine in the original space
-    X = v.select(
-        "id", F.transform("v", lambda x: x / norm(F.col("v"))).alias("x")
-    ).localCheckpoint()
+    # normalize ONCE (single-norm-per-row, see _normalized); rotation is
+    # orthonormal so norms are preserved and cosine in the rotated space
+    # equals cosine in the original space
+    X = _normalized(v).select("id", F.col("v").alias("x")).localCheckpoint()
     R = np.eye(dim)
     codebooks = None
     for _ in range(n_iter):

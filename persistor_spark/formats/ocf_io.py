@@ -122,8 +122,11 @@ def write_blobs_ocf(result, base_dir: str, codec: str = "deflate") -> DataFrame:
         .groupBy("location_key")
         .applyInPandas(encode_group, schema=MANIFEST_SCHEMA)
     )
-    spark = records.sparkSession
-    return spark.createDataFrame(manifest.collect(), MANIFEST_SCHEMA)
+    # localCheckpoint (eager): runs the side-effecting encode ONCE and pins
+    # the manifest executor-side — downstream reuse cannot re-trigger the
+    # file writes, and nothing corpus-sized transits the driver (the r2
+    # collect+createDataFrame round-trip is gone)
+    return manifest.localCheckpoint(eager=True)
 
 
 def read_blob_records_ocf(
