@@ -745,31 +745,59 @@ def embedding_dup_pairs_lsh(
     For production dedup at tau >= 0.8, raise n_planes (8-12) so buckets
     prune aggressively; the defaults here favor recall at low tau.
     """
-    from persistor_spark.analytics.similarity import _bucket_expr, _hyperplanes, cosine
+    from persistor_spark.analytics.similarity import _all_buckets_expr, _hyperplanes, dot, norm
 
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
     )
     tables = [_hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)]
+    # Three-stage shape, chosen so NOTHING candidate-volume-sized ever
+    # carries vector payload:
+    #   1. SLIM candidate join: (table, bucket, id) x (table, bucket, id)
+    #      — candidate volume is ~n_tables * sum_buckets B^2 rows of two
+    #      longs; joining with vectors attached materializes the same
+    #      volume at ~1 KiB/row (measured 8x slower end to end at sf0.1).
+    #   2. dropDuplicates on the slim (a, b) pairs — cross-table repeats
+    #      collapse BEFORE any per-pair math or payload attach.
+    #   3. attach vectors by id equi-joins (broadcast when the corpus side
+    #      is small, AQE-planned shuffle join otherwise) and verify with an
+    #      Arrow-batched einsum — Spark evaluates array-fold expressions
+    #      interpreted row-at-a-time, so the vectorized UDF is ~100x less
+    #      CPU on this hot loop.  1/||v|| is computed once per vector and
+    #      carried as a scalar.
     bucketed = v.select(
-        "id",
-        "v",
-        F.array(*[_bucket_expr(F.col("v"), planes) for planes in tables]).alias("bks"),
-    ).select("id", "v", F.posexplode("bks").alias("table", "bucket"))
-    left = bucketed.select(
-        "table", "bucket", F.col("id").alias("a"), F.col("v").alias("va")
-    )
-    right = bucketed.select(
-        "table", "bucket", F.col("id").alias("b"), F.col("v").alias("vb")
-    )
-    candidates = (
-        left.join(right, ["table", "bucket"])
+        "id", _all_buckets_expr(F.col("v"), tables).alias("bks")
+    ).select("id", F.posexplode("bks").alias("table", "bucket"))
+    pairs = (
+        bucketed.select("table", "bucket", F.col("id").alias("a"))
+        .join(bucketed.select("table", "bucket", F.col("id").alias("b")), ["table", "bucket"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
+        .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
+    withn = v.select("id", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv"))
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _pair_cos(va: pd.Series, vb: pd.Series, ia: pd.Series, ib: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack(va.to_numpy())
+        B = np.stack(vb.to_numpy())
+        return pd.Series(
+            np.einsum("ij,ij->i", A, B) * ia.to_numpy() * ib.to_numpy()
+        )
+
     return (
-        candidates.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+        pairs.join(
+            withn.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("inv").alias("ia")),
+            "a",
+        )
+        .join(
+            withn.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("inv").alias("ib")),
+            "b",
+        )
+        .select("a", "b", _pair_cos("va", "vb", "ia", "ib").alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 4).alias("cos"))
     )

@@ -126,6 +126,29 @@ def _bucket_expr(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def _all_buckets_expr(vec: Column, tables: list[list[list[float]]]) -> Column:
+    """array<int> of every table's bucket id, in table order — identical
+    values to [_bucket_expr(vec, t) for t in tables] but as ONE expression
+    over a single plane-cube literal (n_tables separate _bucket_expr trees
+    carry n_tables*n_planes*dim literal nodes and made Catalyst analysis
+    the dominant cost of the LSH stage)."""
+    n_planes = len(tables[0])
+    cube = _lit_data(tables, "array<array<array<double>>>")
+    pows = _lit_data([1 << i for i in range(n_planes)], "array<int>")
+    return F.transform(
+        cube,
+        lambda planes: F.aggregate(
+            F.zip_with(
+                planes,
+                pows,
+                lambda p, w: F.when(dot(vec, p) >= 0, w).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ),
+    )
+
+
 def cosine_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -159,12 +182,12 @@ def cosine_lsh_topk(
     v_buckets = v.select(
         "id",
         "v",
-        F.array(*[_bucket_expr(F.col("v"), planes) for planes in tables]).alias("bks"),
+        _all_buckets_expr(F.col("v"), tables).alias("bks"),
     ).select("id", "v", F.posexplode("bks").alias("table", "bucket"))
     q_buckets = q.select(
         "query_id",
         "qv",
-        F.array(*[_bucket_expr(F.col("qv"), planes) for planes in tables]).alias("bks"),
+        _all_buckets_expr(F.col("qv"), tables).alias("bks"),
     ).select("query_id", "qv", F.posexplode("bks").alias("table", "bucket"))
 
     candidates = (
