@@ -489,6 +489,14 @@ def build_band_table(
     sig = hashed.withColumn("sig", minhash_signature_udf(num_perm)(F.col("hs"))).withColumn(
         "bands", band_hashes(F.col("sig"), bands, rows)
     )
+    # materialize the sketch ONCE: every consumer fans the band table into
+    # several branches (self-join left/right + the shingle-verify side),
+    # and without a barrier each branch re-runs the whole shingle ->
+    # xxhash -> minhash pipeline over the corpus (measured 3x sketch cost
+    # in minhash_lsh_pairs).  At 100 TB this materialization is the
+    # persisted LSH index the docstring describes — the checkpoint is the
+    # in-session stand-in.
+    sig = sig.select("id", "sh", "bands").localCheckpoint()
     return sig.select("id", "sh", F.posexplode("bands").alias("band", "bh"))
 
 
