@@ -247,8 +247,14 @@ def write_blobs(result: IngestResult, path: str, fmt: str = "avro") -> None:
         ocf_io.write_blobs_ocf(result, path)
         return
     fmt = resolve_blob_format(result.blob_records.sparkSession, fmt)
+    # repartition on the mask columns first: the upstream position window
+    # leaves rows partitioned by location_key (and AQE-coalesced), so every
+    # write task would otherwise open a file in EVERY mask directory —
+    # task-count x dir-count small files and serial encode per task.  With
+    # mask partitioning each directory is written by one task.
     (
-        result.blob_records.write.mode("append")
+        result.blob_records.repartition(*result.mask_column_names)
+        .write.mode("append")
         .partitionBy(*result.mask_column_names)
         .format(fmt)
         .save(path)
