@@ -174,19 +174,29 @@ def bench_ann_topk(ctx: Ctx):
     return similarity.brute_force_topk(embs, q, k=10).count()
 
 
-def bench_ann_ivfpq(ctx: Ctx):
-    """The bucketed-ANN line a 100 TB user would actually run: IVF cells +
-    residual PQ + ADC + exact re-rank (train inline here; at scale the
-    train/encode cost amortizes over many probe calls).  ann_topk stays as
-    the exactness baseline; this line tracks the scale path."""
+def bench_ann_ivfpq_build(ctx: Ctx):
+    """Build the IVF-PQ index (FAISS train/add): coarse k-means + residual
+    PQ codebooks + corpus encode, checkpointed as the in-session stand-in
+    for the persisted inverted-list table.  Paid once per corpus."""
+    from persistor_spark.analytics import similarity
+
+    embs = load_table(ctx.spark, SF_DIR, "embeddings")
+    n = embs.count()  # known corpus size: skips the count jobs inside train
+    idx = similarity.ivfpq_build(embs, n_centroids=16, n_vectors=n)
+    idx.cells = idx.cells.localCheckpoint()
+    ctx.ivfpq_index = idx
+    return idx.cells.count()
+
+
+def bench_ann_ivfpq_probe(ctx: Ctx):
+    """The steady-state bucketed-ANN number a 100 TB user sees: probe the
+    prebuilt index (cell-pruned candidate join + ADC + exact re-rank).
+    ann_topk stays as the exactness baseline."""
     from persistor_spark.analytics import similarity
 
     embs = load_table(ctx.spark, SF_DIR, "embeddings")
     q = embs.filter(F.col("vec_id") < 10)
-    n = embs.count()  # known corpus size: skips the count jobs inside train
-    return similarity.ivfpq_topk(
-        embs, q, k=10, n_centroids=16, nprobe=4, n_vectors=n
-    ).count()
+    return similarity.ivfpq_search(ctx.ivfpq_index, q, k=10, nprobe=4).count()
 
 
 def bench_bm25_search(ctx: Ctx):
@@ -216,7 +226,8 @@ QUERIES = {
     "join_agg": bench_join_agg,
     "dedup_minhash": bench_dedup_minhash,
     "ann_topk": bench_ann_topk,
-    "ann_ivfpq": bench_ann_ivfpq,
+    "ann_ivfpq_build": bench_ann_ivfpq_build,
+    "ann_ivfpq_probe": bench_ann_ivfpq_probe,
     "bm25_search": bench_bm25_search,
     "text_stats": bench_text_stats,
 }

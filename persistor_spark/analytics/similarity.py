@@ -768,41 +768,40 @@ def pq_topk(
     )
 
 
-def ivfpq_topk(
+class IvfPqIndex:
+    """The persistable IVF-PQ index (FAISS train/add vs search split):
+    `cents` (C coarse centroids, driver-side), `codebooks` (residual PQ,
+    driver-side, ksub*dim floats), and `cells` — the encoded corpus as a
+    DataFrame (cid, id, raw, codes).  At 100 TB `cells` is what you write
+    out partitioned/bucketed by cid (the inverted lists); probes then read
+    nprobe/C of it.  Build once with ivfpq_build, probe many times with
+    ivfpq_search."""
+
+    def __init__(self, cents, codebooks, cells: DataFrame):
+        self.cents = cents
+        self.codebooks = codebooks
+        self.cells = cells
+
+
+def ivfpq_build(
     vectors: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_centroids: int = 16,
-    nprobe: int = 4,
     m: int = 16,
     ksub: int = 16,
-    rerank_factor: int = 4,
     kmeans_iter: int = 2,
     pq_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    query_id_col: str = "vec_id",
-    exclude_self: bool = True,
     n_vectors: int | None = None,
-) -> DataFrame:
-    """IVF-PQ approximate top-k (the FAISS IVFPQ composition): coarse
-    quantizer partitions the corpus into cells, residuals (vector minus its
-    cell centroid) are product-quantized, and queries probe nprobe cells
-    scoring candidates by dot(q, c) + ADC(q, residual codes) — exact for
-    the centroid term, table-lookup for the residual term, since
-    dot(q, v) = dot(q, c) + dot(q, r) and the residual decomposes over PQ
-    subspaces.  Exact cosine re-rank of the shortlist, so scores match
-    brute_force_topk on returned pairs.
+) -> IvfPqIndex:
+    """Train the coarse quantizer + residual PQ and encode the corpus.
 
     Scale shape: ONE broadcast coarse-assign pass over the corpus (no
-    shuffle), residual + code computation narrow per-row, candidate join is
-    cell-id equi-join touching nprobe/C of the data, per-query window
-    top-k.  Residual PQ is trained with normalize=False — residuals live in
-    the tangent space of the cell, renormalizing them would distort the
-    codebooks (kmeans there uses the L2 assignment rule, matching encode).
+    shuffle), residual + code computation narrow per-row.  Residual PQ is
+    trained with normalize=False — residuals live in the tangent space of
+    the cell, renormalizing them would distort the codebooks (kmeans there
+    uses the L2 assignment rule, matching encode).
     """
-    from pyspark.sql import Window
-
     v = _as_double(vectors, id_col, vec_col)
     # (id, raw, nv) with the norm computed once per row behind the
     # _normalized-style barrier: residuals need the normalized vector, and
@@ -860,7 +859,30 @@ def ivfpq_topk(
         for j in range(len(codebooks))
     ]
     cells = assigned.select("cid", "id", "raw", F.array(*code_cols).alias("codes"))
+    return IvfPqIndex(cents, codebooks, cells)
 
+
+def ivfpq_search(
+    index: IvfPqIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank_factor: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Probe a built IVF-PQ index: queries pick their nprobe closest cells,
+    candidates score by dot(q, c) + ADC(q, residual codes) — exact for the
+    centroid term, table-lookup for the residual term, since dot(q, v) =
+    dot(q, c) + dot(q, r) and the residual decomposes over PQ subspaces.
+    Exact cosine re-rank of the shortlist, so scores match brute_force_topk
+    on returned pairs.  The candidate join is a cell-id equi-join touching
+    nprobe/C of the corpus; per-query window top-k."""
+    from pyspark.sql import Window
+
+    cents, codebooks, cells = index.cents, index.codebooks, index.cells
+    dsub = len(codebooks[0][0])
     q = _as_double(queries, query_id_col, vec_col)
     qn = q.select(
         F.col("id").alias("query_id"),
@@ -905,6 +927,38 @@ def ivfpq_topk(
         rescored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("id").alias("vec_id"), "cos", "rank")
+    )
+
+
+def ivfpq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    m: int = 16,
+    ksub: int = 16,
+    rerank_factor: int = 4,
+    kmeans_iter: int = 2,
+    pq_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+    exclude_self: bool = True,
+    n_vectors: int | None = None,
+    index: IvfPqIndex | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS IVFPQ composition) — builds the
+    index inline and probes it; pass a prebuilt `index` (ivfpq_build) to
+    amortize training + encoding across probe calls."""
+    if index is None:
+        index = ivfpq_build(
+            vectors, n_centroids, m, ksub, kmeans_iter, pq_iter,
+            id_col, vec_col, n_vectors,
+        )
+    return ivfpq_search(
+        index, queries, k, nprobe, rerank_factor,
+        vec_col, query_id_col, exclude_self,
     )
 
 

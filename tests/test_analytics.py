@@ -275,6 +275,16 @@ def test_ivfpq_topk_recall(embs, brute_topk):
             assert abs(r["cos"] - bf[key]) < 1e-9
 
 
+def test_ivfpq_build_search_equals_inline(embs):
+    """The FAISS train/search split: probing a prebuilt index returns
+    exactly what the inline-building ivfpq_topk returns."""
+    q = embs.filter(F.col("vec_id") < 10)
+    inline = similarity.ivfpq_topk(embs, q, k=10, n_centroids=8, nprobe=4).collect()
+    idx = similarity.ivfpq_build(embs, n_centroids=8)
+    split = similarity.ivfpq_search(idx, q, k=10, nprobe=4).collect()
+    assert {tuple(r) for r in split} == {tuple(r) for r in inline}
+
+
 def test_opq_rotation_is_orthonormal_and_recall(embs, brute_topk):
     import numpy as np
 
