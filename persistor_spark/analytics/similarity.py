@@ -809,6 +809,10 @@ def ivfpq_build(
     withn = v.select(
         "id", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv")
     ).localCheckpoint()
+    if n_vectors is None:
+        # count once off the checkpoint: kmeans_train AND pq_train would
+        # otherwise each run their own count job for the stride init
+        n_vectors = withn.count()
     vn = withn.select(
         "id",
         F.col("v").alias("raw"),
@@ -1078,6 +1082,10 @@ def opq_train(
     # orthonormal so norms are preserved and cosine in the rotated space
     # equals cosine in the original space
     X = _normalized(v).select("id", F.col("v").alias("x")).localCheckpoint()
+    if n_vectors is None:
+        # count ONCE off the checkpointed table — otherwise every
+        # iteration's pq_train re-counts the corpus for its stride init
+        n_vectors = X.count()
     R = np.eye(dim)
     codebooks = None
     for _ in range(n_iter):
