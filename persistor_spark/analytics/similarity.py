@@ -90,14 +90,25 @@ def brute_force_topk(
     """
     from pyspark.sql import Window
 
-    v = _as_double(vectors, id_col, vec_col)
-    q = _as_double(queries, query_id_col, vec_col).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv")
+    # norms computed once per SIDE, not once per pair: the scored cross
+    # product evaluates its expression per (query, vector) pair, and
+    # cosine()'s inline norms would re-run both d-element folds there —
+    # 3x the per-pair work of a single dot.  Division by the norm product
+    # (not multiplication by precomputed reciprocals) keeps the float
+    # rounding identical to the DuckDB oracle's dot/(sqrt*sqrt).
+    v = _as_double(vectors, id_col, vec_col).withColumn("vn", norm(F.col("v")))
+    q = (
+        _as_double(queries, query_id_col, vec_col)
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"))
+        .withColumn("qn", norm(F.col("qv")))
     )
     scored = v.join(F.broadcast(q), F.lit(True))
     if exclude_self:
         scored = scored.filter(F.col("id") != F.col("query_id"))
-    scored = scored.withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 4))
+    scored = scored.withColumn(
+        "cos",
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 4),
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
