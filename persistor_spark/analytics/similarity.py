@@ -1100,7 +1100,12 @@ def opq_train(
     R = np.eye(dim)
     codebooks = None
     for _ in range(n_iter):
-        Xr = rotate_vectors(X.select(F.col("id").alias(id_col), F.col("x").alias(vec_col)), R, id_col, vec_col)
+        # checkpoint the rotated corpus: pq_train, pq_encode, and the
+        # cross-matrix partial-sum all consume Xr, and each would re-run
+        # the rotation GEMM otherwise
+        Xr = rotate_vectors(
+            X.select(F.col("id").alias(id_col), F.col("x").alias(vec_col)), R, id_col, vec_col
+        ).localCheckpoint()
         codebooks = pq_train(
             Xr, m, ksub, pq_iter, id_col, vec_col, dim=dim,
             n_vectors=n_vectors, normalize=False,

@@ -251,9 +251,15 @@ def write_blobs(result: IngestResult, path: str, fmt: str = "avro") -> None:
     # leaves rows partitioned by location_key (and AQE-coalesced), so every
     # write task would otherwise open a file in EVERY mask directory —
     # task-count x dir-count small files and serial encode per task.  With
-    # mask partitioning each directory is written by one task.
+    # mask partitioning each directory is written by one task.  The
+    # explicit partition count keeps AQE from coalescing the write down to
+    # a handful of tasks (parquet encode is CPU-bound; fewer tasks just
+    # serialize it) — hash partitioning still maps each directory to
+    # exactly one task, so the files-per-directory guarantee holds.
+    spark = result.blob_records.sparkSession
+    n_write = spark.sparkContext.defaultParallelism
     (
-        result.blob_records.repartition(*result.mask_column_names)
+        result.blob_records.repartition(n_write, *result.mask_column_names)
         .write.mode("append")
         .partitionBy(*result.mask_column_names)
         .format(fmt)
