@@ -37,6 +37,23 @@ def test_unbucketed_join_has_shuffle_for_contrast(spark, ingested):
     assert layout.plan_has_shuffle(joined)
 
 
+def test_write_blobs_one_file_per_mask_dir(spark, tmp_path, ingested):
+    """Layout regression guard (r3): the mask-column repartition before the
+    partitioned write must give each mask directory exactly ONE writer —
+    without it every task wrote a file in every directory (tasks x dirs
+    small files)."""
+    import glob
+    import os
+
+    from persistor_spark.plans import ingest
+
+    p = str(tmp_path / "blobs_layout")
+    ingest.write_blobs(ingested, p, fmt="parquet")
+    files = glob.glob(p + "/**/*.parquet", recursive=True)
+    dirs = {os.path.dirname(f) for f in files}
+    assert len(files) == len(dirs) > 0
+
+
 def test_compact_reduces_files_preserves_rows(spark, tmp_path, ingested):
     import glob
 
