@@ -50,6 +50,17 @@ def cmd_ingest(args) -> int:
                "dead_lettered": metrics.dead_lettered})
     else:
         messages = spark.read.schema(MESSAGE_SCHEMA).parquet(args.source)
+        # T7 required-field validation, batch analogue: a source that isn't
+        # messages-schema parquet reads as all-NULL columns (parquet
+        # missing-column semantics) and would silently ingest garbage
+        if messages.filter(
+            F.col("broker_id").isNull() | F.col("broker_msg_id").isNull()
+        ).limit(1).count():
+            _emit({
+                "error": "source rows missing required broker_id/broker_msg_id "
+                "— is --source a messages-schema parquet directory?"
+            })
+            return 2
         result = ingest.run_batch(messages, cfg)
         ingest.write_blobs(result, sinks.blob_path, fmt=args.blob_format)
         ingest.write_index(result, sinks.index_path)
