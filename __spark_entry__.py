@@ -1247,6 +1247,37 @@ def _d18(spark, sf_dir):
     )
 
 
+def _a37_chunking(spark, sf_dir):
+    """Context-window chunking: 64-token chunks every 48 tokens (16-token
+    overlap) — the retrieval/pretraining preprocessing explode.  Narrow
+    per-row expression, zero shuffle."""
+    from persistor_spark.analytics import text
+
+    return text.chunk_documents(_docs(spark, sf_dir), 64, 48).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+def _a38_pmi(spark, sf_dir):
+    """Top-50 adjacent-pair collocations by PMI (phrase mining / tokenizer
+    merge candidates); deterministic (round(pmi,4) DESC, w1, w2) order."""
+    from persistor_spark.analytics import text
+
+    return text.pmi_bigrams(_docs(spark, sf_dir), min_count=3, k=50)
+
+
+def _a39_splits(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test assignment by md5-hash
+    interval — stable under repartition/rerun/append; oracle reproduces the
+    exact row→split map via the portable md5 arithmetic."""
+    from persistor_spark.analytics import sampling
+
+    out = sampling.assign_splits(
+        _docs(spark, sf_dir), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
+    return out.select("doc_id", "split").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -1343,6 +1374,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_set_ops": _e_set_ops,
         "e4_semi_anti_join": _e_semi_anti,
         "e6_scalar_subquery": _e_scalar_subquery,
+        # -- r3 additions (appended AFTER the driver window on purpose:
+        # local-gate-verified this round, rotatable into the window next)
+        "a37_chunking": _a37_chunking,
+        "a38_pmi_bigrams": _a38_pmi,
+        "a39_split_assign": _a39_splits,
     }
 
 
@@ -2070,7 +2106,53 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_mktsegment = 'BUILDING' "
             "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
         ),
+        "a37_chunking": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, toks, len(toks) AS n, "
+            "  unnest(range(0, greatest(len(toks), 1), 48)) AS start FROM t) "
+            "SELECT doc_id, (start // 48)::INT AS chunk_id, start::INT AS start, "
+            "  least(64, n - start)::INT AS chunk_len, "
+            "  array_to_string(toks[start + 1:start + 64], ' ') AS chunk_text "
+            "FROM s ORDER BY doc_id, chunk_id"
+        ),
+        "a38_pmi_bigrams": (
+            "WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents), "
+            "tok AS (SELECT unnest(toks) AS w FROM t), "
+            "uni AS (SELECT w, count(*) AS c FROM tok GROUP BY w), "
+            "nu AS (SELECT sum(c)::DOUBLE AS n FROM uni), "
+            "bg AS (SELECT unnest([{'w1': toks[i], 'w2': toks[i+1]} "
+            "    FOR i IN range(1, len(toks))], recursive := true) "
+            "  FROM t WHERE len(toks) >= 2), "
+            "bi AS (SELECT w1, w2, count(*) AS n_ab FROM bg GROUP BY w1, w2), "
+            "nb AS (SELECT sum(n_ab)::DOUBLE AS n FROM bi) "
+            "SELECT w1, w2, n_ab, "
+            "  round(ln((n_ab / nb.n) / ((ca.c / nu.n) * (cb.c / nu.n))), 4) AS pmi "
+            "FROM bi JOIN uni ca ON ca.w = bi.w1 JOIN uni cb ON cb.w = bi.w2, nu, nb "
+            "WHERE n_ab >= 3 "
+            "ORDER BY pmi DESC, w1, w2 LIMIT 50"
+        ),
+        "a39_split_assign": _split_assign_oracle(),
     }
+
+
+def _split_assign_oracle() -> str:
+    """The a39 oracle embeds the EXACT cumulative thresholds assign_splits
+    computes (running Python-float sums, repr round-trip) — re-deriving
+    0.8+0.1 as the decimal 0.9 would misclassify rows whose hash lands in
+    the one-ULP gap."""
+    from persistor_spark.analytics.sampling import split_thresholds
+
+    t0, t1 = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        "SELECT doc_id, CASE "
+        f"WHEN u < {t0!r} THEN 'train' "
+        f"WHEN u < {t1!r} THEN 'val' "
+        "ELSE 'test' END AS split "
+        "FROM (SELECT doc_id, "
+        "  CAST(CONCAT('0x', substr(md5('42_' || doc_id), 1, 15)) AS BIGINT) "
+        "    / 1152921504606846976.0 AS u FROM documents) "
+        "ORDER BY doc_id"
+    )
 
 
 _BRUTE_TOPK_ORACLE = (

@@ -155,3 +155,48 @@ def quota_sample(
         .filter(F.col("_qrk") <= quota)
         .drop("_qrk")
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    weights: dict | None = None,
+    seed: int = 42,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: u = hash_unit(seed, id)
+    lands each row in the cumulative-weight interval of its split.  Pure
+    function of (seed, id) — stable under repartition, rerun, and
+    incremental append (the same row NEVER migrates between splits), which
+    is what makes held-out sets trustworthy.  Splits are exhaustive and
+    disjoint by construction.  Narrow scan, zero shuffle at any scale.
+
+    `weights` iterates in insertion order; thresholds are the running
+    Python-float sums, so an oracle reproducing them must use the same
+    accumulated values (repr-exact), not re-derived decimals.
+    """
+    if weights is None:
+        weights = {"train": 0.8, "val": 0.1, "test": 0.1}
+    names = list(weights)
+    total = float(sum(weights.values()))
+    u = _hash_unit(F.col(id_col), seed)
+    expr = None
+    cum = 0.0
+    for name in names[:-1]:
+        cum += weights[name] / total
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    split = last if expr is None else expr.otherwise(last)
+    return df.withColumn("split", split)
+
+
+def split_thresholds(weights: dict) -> list[float]:
+    """The exact cumulative thresholds assign_splits uses (running Python
+    float sums) — exposed so oracles/consumers can embed repr-identical
+    literals instead of re-deriving them with different rounding."""
+    total = float(sum(weights.values()))
+    out, cum = [], 0.0
+    for name in list(weights)[:-1]:
+        cum += weights[name] / total
+        out.append(cum)
+    return out

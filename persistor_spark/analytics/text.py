@@ -302,3 +302,112 @@ def lm_perplexity_scores(
         .join(bscore, id_col, "left")
         .select(id_col, "n_tokens", "uni_nll", "bi_nll")
     )
+
+
+# ---------------------------------------------------------------------------
+# context-window chunking (training-prep: doc -> fixed-token chunks with
+# overlap, the retrieval/pretraining preprocessing step)
+# ---------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size token chunks starting every
+    `stride` tokens (overlap = chunk_tokens - stride), the standard
+    context-window chunking for retrieval indexing and long-doc training
+    prep.  Output: (id, chunk_id, start, chunk_len, chunk_text); the final
+    chunk may be short (never empty).
+
+    Scale shape: a narrow per-row explode — chunk starts come from ONE
+    `sequence` expression, the chunk text from `slice`+`array_join` over
+    the already-split token array.  Zero shuffle; at 100 TB this pipelines
+    with the scan and fans out ~n_tokens/stride rows per doc.
+    """
+    toks = F.split(F.col(text_col), " ")
+    exploded = df.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).alias("__n"),
+    ).select(
+        id_col,
+        "__toks",
+        "__n",
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest(F.col("__n") - 1, F.lit(0)), F.lit(stride))
+        ).alias("chunk_id", "start"),
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        "start",
+        F.least(F.lit(chunk_tokens), F.col("__n") - F.col("start")).alias("chunk_len"),
+        F.array_join(F.slice("__toks", F.col("start") + 1, chunk_tokens), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations (corpus analysis: which adjacent word pairs co-occur far
+# above chance — phrase mining / tokenizer-merge candidates)
+# ---------------------------------------------------------------------------
+
+def pmi_bigrams(
+    df: DataFrame,
+    min_count: int = 3,
+    k: int = 50,
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k adjacent-pair collocations by pointwise mutual information:
+    pmi(a,b) = ln( P(ab) / (P(a)·P(b)) ) with bigram and unigram
+    probabilities estimated from the corpus.  `min_count` floors the bigram
+    count (PMI is noise-dominated on rare pairs).  Deterministic ordering:
+    (round(pmi,4) DESC, w1, w2).
+
+    Scale shape: two token-keyed aggregations (unigrams, bigrams) — the
+    same partial-agg shuffles as word count; the two corpus totals are
+    bounded scalars; the top-k is TakeOrderedAndProject.  Nothing
+    quadratic, nothing driver-side beyond two scalars.
+    """
+    toks = F.split(F.col(text_col), " ")
+    tok = df.select(F.explode(toks).alias("w"))
+    uni = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    grams = df.select(toks.alias("t")).filter(F.size("t") >= 2)
+    bg = grams.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.struct(
+                    F.element_at("t", i).alias("w1"),
+                    F.element_at("t", i + F.lit(1)).alias("w2"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    n_uni = float(uni.agg(F.sum("c")).collect()[0][0])   # bounded scalar
+    n_bi = float(bi.agg(F.sum("n_ab")).collect()[0][0])  # bounded scalar
+    ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
+    cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
+    scored = (
+        bi.filter(F.col("n_ab") >= min_count)
+        .join(ca, "w1")
+        .join(cb, "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab") / F.lit(n_bi))
+                    / ((F.col("ca") / F.lit(n_uni)) * (F.col("cb") / F.lit(n_uni)))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)

@@ -933,3 +933,77 @@ def test_real_frame_sampling(spark, media):
         for r in rs:
             assert r["frame_idx"] == min(r["frame_ts_ms"] // 100, n_expected - 1)
             assert 0.0 <= r["mean_lum"] <= 255.0
+
+
+# -- r3 additions: chunking / PMI / split assignment -------------------------
+
+def test_chunk_documents_coverage_and_overlap(docs):
+    from persistor_spark.analytics import text
+
+    chunks = text.chunk_documents(docs, chunk_tokens=64, stride=48).collect()
+    doc_toks = {
+        r["doc_id"]: r["text"].split(" ")
+        for r in docs.select("doc_id", "text").collect()
+    }
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(doc_toks)
+    for did, rows in by_doc.items():
+        toks = doc_toks[did]
+        rows.sort(key=lambda r: r["chunk_id"])
+        # starts are exactly 0, 48, 96, ... < n_tokens
+        assert [r["start"] for r in rows] == list(range(0, len(toks), 48))
+        covered = set()
+        for r in rows:
+            ct = r["chunk_text"].split(" ")
+            assert ct == toks[r["start"]: r["start"] + 64]
+            assert r["chunk_len"] == len(ct) == min(64, len(toks) - r["start"])
+            covered.update(range(r["start"], r["start"] + r["chunk_len"]))
+        # every token of the doc appears in at least one chunk
+        assert covered == set(range(len(toks)))
+
+
+def test_pmi_planted_collocation(spark, docs):
+    from persistor_spark.analytics import text
+
+    # plant a RARE pair that always co-occurs and never appears apart —
+    # P(ab)/(P(a)P(b)) is then 1/P(a), maximal for its frequency class, so
+    # it must rank first (planting in EVERY doc would lose to rarer
+    # organically-correlated pairs: PMI rewards rarity, by design)
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 50 == 0,
+            F.concat(F.col("text"), F.lit(" zzqx wwvk")),
+        ).otherwise(F.col("text")),
+    )
+    n_planted = docs.filter(F.col("doc_id") % 50 == 0).count()
+    assert n_planted >= 3
+    top = text.pmi_bigrams(planted, min_count=3, k=5).collect()
+    assert (top[0]["w1"], top[0]["w2"]) == ("zzqx", "wwvk")
+    assert top[0]["n_ab"] == n_planted
+
+
+def test_assign_splits_properties(docs):
+    from persistor_spark.analytics import sampling
+
+    out = sampling.assign_splits(docs, {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = out.select("doc_id", "split").collect()
+    # exhaustive + disjoint: exactly one split per row
+    assert len(rows) == docs.count()
+    counts = {}
+    for r in rows:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    assert set(counts) <= {"train", "val", "test"}
+    # proportions roughly honored (hash-uniform; generous tolerance)
+    n = len(rows)
+    assert abs(counts["train"] / n - 0.8) < 0.08
+    # stable under repartition AND rerun: identical row -> split map
+    again = {
+        r["doc_id"]: r["split"]
+        for r in sampling.assign_splits(
+            docs.repartition(7), {"train": 0.8, "val": 0.1, "test": 0.1}
+        ).select("doc_id", "split").collect()
+    }
+    assert {r["doc_id"]: r["split"] for r in rows} == again
