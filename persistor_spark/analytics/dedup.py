@@ -753,7 +753,7 @@ def embedding_dup_pairs_lsh(
     For production dedup at tau >= 0.8, raise n_planes (8-12) so buckets
     prune aggressively; the defaults here favor recall at low tau.
     """
-    from persistor_spark.analytics.similarity import _all_buckets_expr, _hyperplanes, dot, norm
+    from persistor_spark.analytics.similarity import _all_buckets_expr, _hyperplanes, norm
 
     v = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).cast("array<double>").alias("v")
