@@ -542,8 +542,12 @@ def _a_semdedup(spark, sf_dir):
     embs = _embs(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    # dup-id offset derived from the corpus (max+1), not a constant: a
+    # constant 100000 collides with real vec_ids once a scale factor reaches
+    # 100k vectors.  Bounded scalar collect (one MAX).
+    offset = embs.agg(F.max("vec_id")).first()[0] + 1
     dups = embs.filter(F.col("vec_id") < 25).select(
-        (F.col("vec_id") + 100000).alias("vec_id"),
+        (F.col("vec_id") + F.lit(offset)).alias("vec_id"),
         F.transform("embedding", lambda x: x * F.lit(1.5)).alias("embedding"),
     )
     aug = embs.unionByName(dups)
@@ -1586,15 +1590,18 @@ def oracle_sql() -> dict[str, str]:
         "a25_pq_topk": _CLUSTERED_TOPK_ORACLE,
         "a32_ivfpq_topk": _CLUSTERED_TOPK_ORACLE,
         "a33_semdedup": (
+            # filter on the UNROUNDED cosine then round for output (matches
+            # Spark's order of operations); dup-id offset = max(vec_id)+1
             "WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
-            "dup AS (SELECT vec_id + 100000 AS vec_id, [x * 1.5 FOR x IN emb] AS emb "
+            "dup AS (SELECT vec_id + (SELECT max(vec_id) + 1 FROM base) AS vec_id, "
+            "  [x * 1.5 FOR x IN emb] AS emb "
             "  FROM base WHERE vec_id < 25), "
             "v AS (SELECT * FROM base UNION ALL SELECT * FROM dup), "
             "p AS (SELECT a.vec_id AS a, b.vec_id AS b, "
-            "  round(list_dot_product(a.emb, b.emb) / "
-            "    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 4) AS cos "
+            "  list_dot_product(a.emb, b.emb) / "
+            "    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))) AS rawcos "
             "  FROM v a JOIN v b ON a.vec_id < b.vec_id) "
-            "SELECT a, b, cos FROM p WHERE cos >= 0.95 ORDER BY a, b"
+            "SELECT a, b, round(rawcos, 4) AS cos FROM p WHERE rawcos >= 0.95 ORDER BY a, b"
         ),
         "a36_frame_samples": (
             "SELECT 'media-' || doc_id AS media_id, n_frames, 10 AS fps, "

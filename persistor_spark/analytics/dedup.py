@@ -783,29 +783,32 @@ def embedding_dup_pairs_lsh(
         .select("a", "b")
         .dropDuplicates(["a", "b"])
     )
-    withn = v.select("id", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv"))
+    # carry the NORM, not its reciprocal: the verify must divide dot/(na*nb)
+    # so the float rounding matches the DuckDB oracle's division exactly
+    # (reciprocal-multiply can differ by ULPs at threshold/round boundaries)
+    withn = v.select("id", "v", norm(F.col("v")).alias("nrm"))
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
-    def _pair_cos(va: pd.Series, vb: pd.Series, ia: pd.Series, ib: pd.Series) -> pd.Series:
+    def _pair_cos(va: pd.Series, vb: pd.Series, na: pd.Series, nb: pd.Series) -> pd.Series:
         import numpy as np
 
         A = np.stack(va.to_numpy())
         B = np.stack(vb.to_numpy())
         return pd.Series(
-            np.einsum("ij,ij->i", A, B) * ia.to_numpy() * ib.to_numpy()
+            np.einsum("ij,ij->i", A, B) / (na.to_numpy() * nb.to_numpy())
         )
 
     return (
         pairs.join(
-            withn.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("inv").alias("ia")),
+            withn.select(F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na")),
             "a",
         )
         .join(
-            withn.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("inv").alias("ib")),
+            withn.select(F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb")),
             "b",
         )
-        .select("a", "b", _pair_cos("va", "vb", "ia", "ib").alias("cos"))
+        .select("a", "b", _pair_cos("va", "vb", "na", "nb").alias("cos"))
         .filter(F.col("cos") >= threshold)
         .select("a", "b", F.round("cos", 4).alias("cos"))
     )

@@ -72,6 +72,69 @@ def base_url(location_key: str) -> str:
     return m.group(1)
 
 
+class PosixBlobClient:
+    """Default blob-write client: shared-POSIX paths (local FS, NFS, fuse).
+    Cloud deployments register a scheme client instead — the reference PUTs
+    straight to GCS/ABS (gcs_avro_writer.go:42-71, abs_avro_writer.go:46-66),
+    and this seam is where that call goes."""
+
+    def join(self, base: str, rel: str) -> str:
+        return os.path.join(base, rel)
+
+    def write(self, full_path: str, data: bytes) -> None:
+        os.makedirs(os.path.dirname(full_path), exist_ok=True)
+        with open(full_path, "wb") as fh:  # task retry rewrites identical bytes
+            fh.write(data)
+
+
+class _UrlJoinMixin:
+    def join(self, base: str, rel: str) -> str:
+        return base.rstrip("/") + "/" + rel
+
+
+class PrefixRewriteBlobClient(_UrlJoinMixin):
+    """Maps `<scheme>://bucket/...` writes onto a local directory root — a
+    container-testable stand-in for a real cloud SDK client (and the shape a
+    gcsfs/adlfs-backed client takes: join URLs, write bytes).  Must live in
+    the library (not a test module) so executor tasks can unpickle it by
+    reference."""
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def write(self, full_path: str, data: bytes) -> None:
+        local = os.path.join(self.root, re.sub(r"^[a-z0-9]+://", "", full_path))
+        os.makedirs(os.path.dirname(local), exist_ok=True)
+        with open(local, "wb") as fh:
+            fh.write(data)
+
+
+# scheme -> client; clients must be picklable (they execute inside tasks).
+_BLOB_CLIENTS: dict = {}
+
+
+def register_blob_client(scheme: str, client) -> None:
+    """Install a write client for `<scheme>://` base dirs (e.g. an
+    fsspec/gcsfs-backed client for `gs`, adlfs for `abfss`).  The client
+    needs `join(base, rel) -> str` and `write(path, bytes)`, and must be
+    picklable — it is shipped to executor tasks."""
+    _BLOB_CLIENTS[scheme] = client
+
+
+def blob_client_for(base_dir: str):
+    m = re.match(r"^([a-z0-9]+)://", base_dir)
+    scheme = m.group(1) if m else ""
+    if scheme in ("", "file"):
+        return _BLOB_CLIENTS.get(scheme, PosixBlobClient())
+    client = _BLOB_CLIENTS.get(scheme)
+    if client is None:
+        raise ValueError(
+            f"no blob client registered for scheme {scheme!r} "
+            f"(register_blob_client({scheme!r}, ...) before writing to {base_dir!r})"
+        )
+    return client
+
+
 def _as_dict(metadata) -> dict:
     """Arrow hands MapType to pandas as a dict OR a list of (k, v) tuples
     depending on the conversion path; normalize."""
@@ -82,7 +145,12 @@ def _as_dict(metadata) -> dict:
     return dict(metadata)
 
 
-def write_blobs_ocf(result, base_dir: str, codec: str = "deflate") -> DataFrame:
+def write_blobs_ocf(
+    result,
+    base_dir: str,
+    codec: str = "deflate",
+    manifest_path: str | None = None,
+) -> DataFrame:
     """Persist blob records as ONE Avro OCF file per location_key under
     `base_dir/<object path>`; returns the written-blob manifest (collected
     eagerly so the write is an action, like DataFrame.write).
@@ -91,8 +159,19 @@ def write_blobs_ocf(result, base_dir: str, codec: str = "deflate") -> DataFrame:
     {ID: record_id, Data: utf-8 payload bytes, Metadata: attributes},
     ordered by `position` (the write order the index's location_position
     points into, sender.go:186-192).
+
+    Byte writes go through the scheme-resolved blob client (see
+    `register_blob_client`) — POSIX locally, GCS/ABS at deploy.
+
+    `manifest_path`: if set, the manifest is persisted to durable parquet
+    and the return value is a read of it — the cluster-grade mode (blocks
+    survive executor loss; a recompute can never re-run the side-effecting
+    encode).  If None, the manifest is pinned with an eager localCheckpoint:
+    fine in local mode / short-lived jobs, but executor-storage-resident —
+    if those blocks are evicted the DataFrame fails rather than recomputes.
     """
     records = result.blob_records if hasattr(result, "blob_records") else result
+    client = blob_client_for(base_dir)  # resolve driver-side; pickled to tasks
 
     def encode_group(pdf):
         import pandas as pd
@@ -108,11 +187,8 @@ def write_blobs_ocf(result, base_dir: str, codec: str = "deflate") -> DataFrame:
             for rid, payload, meta in zip(pdf["record_id"], pdf["payload"], pdf["metadata"])
         ]
         blob = avro_ocf.encode_ocf(recs, codec=codec, sync=avro_ocf.sync_marker_for(lk))
-        rel = object_path(lk)
-        full = os.path.join(base_dir, rel)
-        os.makedirs(os.path.dirname(full), exist_ok=True)
-        with open(full, "wb") as fh:  # task retry rewrites identical bytes
-            fh.write(blob)
+        full = client.join(base_dir, object_path(lk))
+        client.write(full, blob)
         return pd.DataFrame(
             [{"location_key": lk, "path": full, "n_records": len(recs), "n_bytes": len(blob)}]
         )
@@ -122,10 +198,14 @@ def write_blobs_ocf(result, base_dir: str, codec: str = "deflate") -> DataFrame:
         .groupBy("location_key")
         .applyInPandas(encode_group, schema=MANIFEST_SCHEMA)
     )
+    if manifest_path is not None:
+        manifest.write.mode("overwrite").parquet(manifest_path)
+        return records.sparkSession.read.parquet(manifest_path)
     # localCheckpoint (eager): runs the side-effecting encode ONCE and pins
     # the manifest executor-side — downstream reuse cannot re-trigger the
     # file writes, and nothing corpus-sized transits the driver (the r2
-    # collect+createDataFrame round-trip is gone)
+    # collect+createDataFrame round-trip is gone).  See docstring for the
+    # manifest_path mode a long-lived cluster job should use instead.
     return manifest.localCheckpoint(eager=True)
 
 

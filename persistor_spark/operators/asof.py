@@ -68,7 +68,11 @@ def asof_join(
         carried = carried.withColumn(
             "__match",
             F.when(
-                F.col("__t").cast("long") - F.col(f"__match.{right_time}").cast("long")
+                # unix_timestamp, not cast("long"): TIMESTAMP_NTZ columns
+                # (e.g. frames derived from the parquet fixtures) reject a
+                # direct BIGINT cast.
+                F.unix_timestamp(F.col("__t"))
+                - F.unix_timestamp(F.col(f"__match.{right_time}"))
                 <= tolerance_seconds,
                 F.col("__match"),
             ),

@@ -55,3 +55,45 @@ def test_range_join_containment(spark):
     )
     got = {(r["id"], r["w"]) for r in asof.range_join(left, right, "k", "t", "s", "e").collect()}
     assert got == {(1, "w1")}  # id2 outside range, id3's window starts later
+
+
+def test_asof_tolerance_on_ntz_timestamps(spark):
+    # TIMESTAMP_NTZ rejects a direct BIGINT cast — the tolerance branch must
+    # go through unix_timestamp (the failure class that broke e9/e20).
+    left = spark.createDataFrame(
+        [(1, "a", _ts(10))], "id long, k string, t timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [("a", _ts(1), 5)], "k string, rt timestamp_ntz, v int"
+    )
+    strict = asof.asof_join(left, right, "k", "t", "rt", tolerance_seconds=3600).collect()[0]
+    assert strict["v"] is None
+    loose = asof.asof_join(left, right, "k", "t", "rt", tolerance_seconds=10 * 86400).collect()[0]
+    assert loose["v"] == 5
+
+
+def test_no_long_casts_on_timestamps_in_package():
+    # Regression guard for the TIMESTAMP_NTZ failure class: no source file in
+    # the package may cast a timestamp-ish column straight to long/bigint.
+    # unix_timestamp() is the sanctioned conversion.
+    import pathlib
+    import re
+
+    pkg = pathlib.Path(asof.__file__).resolve().parents[1]
+    pattern = re.compile(r"""cast\(["'](?:long|bigint)["']\)""")
+    timey = re.compile(r"""\b(?:ts|time|timestamp|event_time|publish_time)\b""")
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        text = path.read_text()
+        for m in pattern.finditer(text):
+            line_start = text.rfind("\n", 0, m.start()) + 1
+            line = text[line_start : text.find("\n", m.start())]
+            if line.lstrip().startswith("#"):
+                continue
+            lineno = text.count("\n", 0, m.start()) + 1
+            # flag only when the cast operand (text before the cast on this
+            # line) names a time-ish column as a whole word
+            operand = line[: m.start() - line_start]
+            if timey.search(operand.lower()):
+                offenders.append(f"{path.name}:{lineno}: {line.strip()}")
+    assert offenders == [], f"timestamp cast('long') sites (use unix_timestamp): {offenders}"

@@ -165,3 +165,41 @@ def test_write_blobs_fmt_ocf_dispatch(spark, sf_dir, tmp_path):
     assert files
     _, recs = avro_ocf.decode_ocf(open(files[0], "rb").read())
     assert recs and set(recs[0]) == {"ID", "Data", "Metadata"}
+
+
+# ------------------------------------------------- blob-client seam (K1/K2)
+
+
+def test_blob_client_seam_writes_via_registered_scheme(spark, sf_dir, tmp_path):
+    res = fixtures.run_fixture_ingest(spark, sf_dir)
+    root = str(tmp_path / "memstore")
+    ocf_io.register_blob_client("mem", ocf_io.PrefixRewriteBlobClient(root))
+    try:
+        manifest = ocf_io.write_blobs_ocf(res, "mem://unit-bucket/blobs")
+        rows = manifest.collect()
+        assert rows and all(r["path"].startswith("mem://unit-bucket/blobs/") for r in rows)
+        import os
+
+        for r in rows:
+            local = os.path.join(root, r["path"].replace("mem://", "", 1))
+            assert os.path.getsize(local) == r["n_bytes"]
+    finally:
+        ocf_io._BLOB_CLIENTS.pop("mem", None)
+
+
+def test_blob_client_unregistered_scheme_raises():
+    with pytest.raises(ValueError, match="no blob client registered"):
+        ocf_io.blob_client_for("gs://bucket/prefix")
+
+
+def test_durable_manifest_survives_and_matches(spark, sf_dir, tmp_path):
+    """manifest_path mode: manifest persisted to parquet (fault-tolerant at
+    cluster scale) and the returned read matches the checkpointed variant."""
+    res = fixtures.run_fixture_ingest(spark, sf_dir)
+    base = str(tmp_path / "blobs")
+    mpath = str(tmp_path / "manifest")
+    durable = ocf_io.write_blobs_ocf(res, base, manifest_path=mpath)
+    assert durable.count() == res.blob_records.select("location_key").distinct().count()
+    # it is a real parquet read, not executor state
+    reread = spark.read.parquet(mpath)
+    assert reread.count() == durable.count()
