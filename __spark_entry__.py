@@ -964,6 +964,38 @@ def _e11_asof_join(spark, sf_dir):
     return out.select("event_id", "k", "o_orderdate", "o_orderkey").orderBy("event_id")
 
 
+def _e24_asof_tolerance(spark, sf_dir):
+    """e11 with tolerance_seconds=30d: pins the tolerance branch the driver
+    never exercised (the branch that held the latent TIMESTAMP_NTZ cast —
+    events.ts IS TIMESTAMP_NTZ here, so a cast('long') regression throws)."""
+    from persistor_spark.operators import asof
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        (F.col("user_id") % 10).cast("int").alias("k"),
+        "ts",
+    )
+    orders = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select(
+            (F.col("o_custkey") % 10).cast("int").alias("k"),
+            "o_orderdate",
+            "o_orderkey",
+        )
+        .groupBy("k", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = asof.asof_join(
+        ev,
+        orders,
+        key="k",
+        left_time="ts",
+        right_time="o_orderdate",
+        tolerance_seconds=30 * 86400,
+    )
+    return out.select("event_id", "k", "o_orderdate", "o_orderkey").orderBy("event_id")
+
+
 def _a15_incremental_dedup(spark, sf_dir):
     """Continuous-ingestion dedup: odd-id docs (the 'arriving batch') probed
     against the even-id corpus band table; exact-verified cross pairs."""
@@ -1285,20 +1317,26 @@ def _a39_splits(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
-    Round-3 rotation policy (NOTES_r3): the r2 reorder left 30 queries the
-    driver had never checked; those 30 come first, then the 8 whose code or
-    oracle changed this round (a29 HUGEINT fix; the 7 newly-oracled ANN
-    queries), then 12 load-bearing pipeline queries (incl. d19, whose OCF
-    write path changed this round).  The 30 rotated-out r2-green rows stay
-    pinned by tools/check.py (all 80, every round) and pytest.
+    Round-4 rotation policy: first the queries with NO driver row yet
+    (a37/a38/a39, added after the r3 window) and the new r4 queries, then
+    every query whose code or oracle changed this round (a12 verify math,
+    a33 oracle, e11's operator, d19/d9 via the blob-client seam), then the
+    never-or-once-checked remainder.  Multiply-green rows (e1/e5/a1 — 3
+    green rounds each — and other r2+r3 greens) rotate out; they stay
+    pinned by tools/check.py (all queries, every round) and pytest.
     """
     return {
-        # -- 30 queries the driver has never verified (r1+r2 windows missed)
+        # -- no driver row yet (r3 late additions)
+        "a37_chunking": _a37_chunking,
+        "a38_pmi_bigrams": _a38_pmi,
+        "a39_split_assign": _a39_splits,
+        # -- once-checked r3 rows kept under watch
         "e7_string_funcs": _e_string_funcs,
         "e8_tumbling_window": _e_tumbling_window,
         "e9_sessionize": _e9_sessionize,
         "e10_join_topk": _e10_join_topk,
         "e11_asof_join": _e11_asof_join,
+        "e24_asof_tolerance": _e24_asof_tolerance,
         "e12_percentiles": _e12_percentiles,
         "e13_grouping_sets": _e13_grouping_sets,
         "e14_except": _e14_except,
@@ -1341,13 +1379,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_window_topk": _d14,
         "d20_first_seen": _d20_first_seen,
         "d21_salted_agg": _d21_salted_agg,
-        "a1_dedup_exact": _a_dedup_exact,
         "a3_minhash_lsh_pairs": _a_minhash_lsh,
+        # ---- driver window ends here (50) — below: multiply-green, pinned
+        # by tools/check.py + pytest every round
         "a5_embedding_topk": _a_embedding_topk,
+        "a1_dedup_exact": _a_dedup_exact,
         "e1_rollup": _e_rollup,
         "e5_window_lag_lead_frames": _e_window_lag,
-        # ---- driver window ends here (50) — below: r2-green, pinned by
-        # tools/check.py + pytest every round
         "d2_in_list": _d2,
         "d3_interval_page": _d3,
         "d4_interval_count": _d4,
@@ -1378,11 +1416,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_set_ops": _e_set_ops,
         "e4_semi_anti_join": _e_semi_anti,
         "e6_scalar_subquery": _e_scalar_subquery,
-        # -- r3 additions (appended AFTER the driver window on purpose:
-        # local-gate-verified this round, rotatable into the window next)
-        "a37_chunking": _a37_chunking,
-        "a38_pmi_bigrams": _a38_pmi,
-        "a39_split_assign": _a39_splits,
     }
 
 
@@ -2104,6 +2137,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ev.event_id, ev.k, ord.o_orderdate, ord.o_orderkey "
             "FROM ev ASOF LEFT JOIN ord ON ev.k = ord.k AND ev.ts >= ord.o_orderdate "
             "ORDER BY ev.event_id"
+        ),
+        "e24_asof_tolerance": (
+            # asof + post-filter: matches outside tolerance revert to NULL
+            # (floor(epoch) both sides == Spark's unix_timestamp seconds)
+            "WITH ev AS (SELECT event_id, CAST(user_id % 10 AS INT) AS k, ts FROM events), "
+            "ord AS (SELECT CAST(o_custkey % 10 AS INT) AS k, o_orderdate, "
+            "  max(o_orderkey) AS o_orderkey FROM orders GROUP BY 1, 2), "
+            "j AS (SELECT ev.event_id, ev.k, ev.ts, ord.o_orderdate, ord.o_orderkey "
+            "  FROM ev ASOF LEFT JOIN ord ON ev.k = ord.k AND ev.ts >= ord.o_orderdate), "
+            "f AS (SELECT *, floor(epoch(ts)) - floor(epoch(o_orderdate)) <= 2592000 AS ok FROM j) "
+            "SELECT event_id, k, "
+            "  CASE WHEN ok THEN o_orderdate END AS o_orderdate, "
+            "  CASE WHEN ok THEN o_orderkey END AS o_orderkey "
+            "FROM f ORDER BY event_id"
         ),
         "e10_join_topk": (
             "SELECT o_orderkey, "

@@ -92,3 +92,61 @@ def plan_has_shuffle(df: DataFrame) -> bool:
     the cheap kind; the scale hazard is `Exchange hashpartitioning`."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
+
+
+def write_minmax_manifest(
+    spark: SparkSession, table_path: str, manifest_path: str, col: str = "unique_id"
+) -> int:
+    """Iceberg-lite file manifest: one row per parquet data file with the
+    min/max of `col` (+ row count).  A point/IN-list lookup then consults
+    the manifest (ONE small file) and opens only the matching data files —
+    at 100 TB the table's file listing is ~10^6 entries and dominates
+    point-lookup latency (the sf1 probe in ARCHITECTURE.md §6 already shows
+    it at sf-local scale); the manifest turns that into metadata the way
+    Iceberg/Delta manifests do.  Returns the number of files manifested.
+
+    Rebuild after each layout rewrite/compaction; streaming appends would
+    instead append manifest rows per commit (the Delta transaction-log
+    shape)."""
+    from pyspark.sql import functions as F
+
+    mf = (
+        spark.read.parquet(table_path)
+        .groupBy(F.col("_metadata.file_path").alias("file"))
+        .agg(
+            F.min(col).alias("min_v"),
+            F.max(col).alias("max_v"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    mf.coalesce(1).write.mode("overwrite").parquet(manifest_path)
+    return spark.read.parquet(manifest_path).count()
+
+
+def manifest_pruned_scan(
+    spark: SparkSession,
+    table_path: str,
+    manifest_path: str,
+    values,
+    col: str = "unique_id",
+) -> DataFrame:
+    """Scan only the data files whose [min_v, max_v] range can contain one
+    of `values`; equivalent to reading the whole table with an isin filter
+    (row-group pruning still applies within each opened file).  The manifest
+    filter runs distributed; only the surviving file PATHS (a handful for
+    point/IN-list lookups) are collected."""
+    import functools
+
+    from pyspark.sql import functions as F
+
+    values = list(values)
+    mf = spark.read.parquet(manifest_path)
+    keep = functools.reduce(
+        lambda a, b: a | b,
+        [(F.lit(v) >= F.col("min_v")) & (F.lit(v) <= F.col("max_v")) for v in values],
+    )
+    files = [r["file"] for r in mf.filter(keep).select("file").collect()]
+    if not files:
+        # miss: preserve schema via an empty scan of the table
+        return spark.read.parquet(table_path).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(col).isin(values))

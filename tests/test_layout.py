@@ -100,3 +100,41 @@ def test_write_index_bucketed_join_no_shuffle(spark, ingested):
     finally:
         spark.sql("DROP TABLE IF EXISTS idx_by_uid")
         spark.sql("DROP TABLE IF EXISTS ids_by_uid")
+
+
+def test_minmax_manifest_prunes_to_matching_files(spark, tmp_path, ingested):
+    """Manifest-pruned scan == full-scan isin filter, and opens only files
+    whose [min,max] range covers the probed ids."""
+    tbl = str(tmp_path / "idx")
+    mfp = str(tmp_path / "idx_manifest")
+    (
+        ingested.index_metadata.repartitionByRange(4, "unique_id")
+        .sortWithinPartitions("unique_id")
+        .write.parquet(tbl)
+    )
+    n_files = layout.write_minmax_manifest(spark, tbl, mfp)
+    assert n_files == 4
+
+    ids = [r["unique_id"] for r in ingested.index_metadata.orderBy("unique_id").limit(2).collect()]
+    got = layout.manifest_pruned_scan(spark, tbl, mfp, ids)
+    want = spark.read.parquet(tbl).filter(F.col("unique_id").isin(ids))
+    assert sorted(r["unique_id"] for r in got.collect()) == sorted(
+        r["unique_id"] for r in want.collect()
+    )
+    # both probed ids sit in the FIRST range partition -> exactly 1 file opened
+    mf = spark.read.parquet(mfp)
+    candidates = mf.filter(
+        (F.lit(ids[0]) >= F.col("min_v")) & (F.lit(ids[0]) <= F.col("max_v"))
+        | (F.lit(ids[1]) >= F.col("min_v")) & (F.lit(ids[1]) <= F.col("max_v"))
+    ).count()
+    assert candidates == 1
+
+
+def test_minmax_manifest_miss_returns_empty_with_schema(spark, tmp_path, ingested):
+    tbl = str(tmp_path / "idx2")
+    mfp = str(tmp_path / "idx2_manifest")
+    ingested.index_metadata.write.parquet(tbl)
+    layout.write_minmax_manifest(spark, tbl, mfp)
+    got = layout.manifest_pruned_scan(spark, tbl, mfp, ["zzzz_no_such_id"])
+    assert got.count() == 0
+    assert got.columns == spark.read.parquet(tbl).columns
