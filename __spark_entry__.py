@@ -1314,6 +1314,39 @@ def _a39_splits(spark, sf_dir):
     return out.select("doc_id", "split").orderBy("doc_id")
 
 
+def _a40_tfidf(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (sklearn-smoothed idf): doc-term count
+    shuffle + vocab-bounded df agg broadcast back + bounded per-doc window.
+    Deterministic tie-break by term string."""
+    from persistor_spark.analytics import text
+
+    return text.tfidf_top_terms(_docs(spark, sf_dir), top_n=3).orderBy("doc_id", "rank")
+
+
+def _a41_source_rollup(spark, sf_dir):
+    """Domain-level curation rollup (the C4/RefinedWeb keep/drop-by-source
+    signal): one shuffle keyed by source."""
+    from persistor_spark.analytics import text
+
+    return text.source_quality_rollup(_docs(spark, sf_dir)).orderBy("source")
+
+
+def _a42_int8_quantize(spark, sf_dir):
+    """Symmetric per-vector int8 quantization (FAISS SQ8 analogue) with max
+    reconstruction error — narrow JVM expressions, zero shuffle."""
+    from persistor_spark.analytics import similarity
+
+    return similarity.quantize_int8(_embs(spark, sf_dir)).orderBy("vec_id")
+
+
+def _a43_norm_fingerprint(spark, sf_dir):
+    """Canonical-text md5 fingerprints (normalized exact-dedup / train-test
+    contamination key) — narrow projection, zero shuffle."""
+    from persistor_spark.analytics import text
+
+    return text.normalization_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -1326,10 +1359,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     pinned by tools/check.py (all queries, every round) and pytest.
     """
     return {
-        # -- no driver row yet (r3 late additions)
+        # -- no driver row yet (r3 late additions + r4 new operators)
         "a37_chunking": _a37_chunking,
         "a38_pmi_bigrams": _a38_pmi,
         "a39_split_assign": _a39_splits,
+        "a40_tfidf_topterms": _a40_tfidf,
+        "a41_source_rollup": _a41_source_rollup,
+        "a42_int8_quantize": _a42_int8_quantize,
+        "a43_norm_fingerprint": _a43_norm_fingerprint,
         # -- once-checked r3 rows kept under watch
         "e7_string_funcs": _e_string_funcs,
         "e8_tumbling_window": _e_tumbling_window,
@@ -1376,12 +1413,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_position_align_join": _d9,
         "d1_point_lookup": _d1,
         "d13_lineage_counts": _d13,
+        # ---- driver window ends here (50) — below: multiply-green, pinned
+        # by tools/check.py + pytest every round
         "d14_window_topk": _d14,
         "d20_first_seen": _d20_first_seen,
         "d21_salted_agg": _d21_salted_agg,
         "a3_minhash_lsh_pairs": _a_minhash_lsh,
-        # ---- driver window ends here (50) — below: multiply-green, pinned
-        # by tools/check.py + pytest every round
         "a5_embedding_topk": _a_embedding_topk,
         "a1_dedup_exact": _a_dedup_exact,
         "e1_rollup": _e_rollup,
@@ -2159,6 +2196,51 @@ def oracle_sql() -> dict[str, str]:
             "JOIN lineitem ON o_orderkey = l_orderkey "
             "WHERE c_mktsegment = 'BUILDING' "
             "GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10"
+        ),
+        "a40_tfidf_topterms": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "tok AS (SELECT doc_id, unnest(toks) AS term FROM t), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2), "
+            "nd AS (SELECT count(*)::DOUBLE AS n FROM documents), "
+            "idf AS (SELECT term, ln(((SELECT n FROM nd) + 1.0) / (count(*) + 1.0)) + 1.0 AS idf "
+            "  FROM tf GROUP BY term), "
+            "s AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS tfidf "
+            "  FROM tf JOIN idf ON tf.term = idf.term), "
+            "r AS (SELECT doc_id, term, tfidf, "
+            "  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank FROM s) "
+            "SELECT doc_id, rank, term, round(tfidf, 4) AS tfidf FROM r "
+            "WHERE rank <= 3 ORDER BY doc_id, rank"
+        ),
+        "a41_source_rollup": (
+            "WITH t AS (SELECT source, lang, text, string_split(text, ' ') AS toks FROM documents), "
+            "r AS (SELECT source, lang, length(text) AS chars, len(toks) AS tc, "
+            # round(...,4) mirrors text.quality_score's per-row rounding
+            "  round(((CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) "
+            "   + least(len(list_distinct(toks))::DOUBLE / len(toks) * 2, 1.0) "
+            "   + least(len(list_filter(toks, x -> list_contains(['the','a','and','of','to','in','is','on'], x)))::DOUBLE "
+            "       / len(toks) * 10, 1.0)) / 3, 4) AS q "
+            "  FROM t) "
+            "SELECT source, count(*) AS n_docs, round(avg(chars), 4) AS avg_chars, "
+            "  round(avg(tc), 4) AS avg_tokens, round(avg(q), 4) AS avg_quality, "
+            "  round(avg(CASE WHEN q >= 0.5 THEN 1.0 ELSE 0.0 END), 4) AS pass_fraction, "
+            "  count(DISTINCT lang) AS n_langs "
+            "FROM r GROUP BY source ORDER BY source"
+        ),
+        "a42_int8_quantize": (
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
+            "s AS (SELECT vec_id, emb, "
+            "  greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12) / 127.0 AS scale FROM v) "
+            "SELECT vec_id, round(scale, 9) AS scale, "
+            "  list_transform(emb, x -> floor(x / scale + 0.5)::INT) AS codes, "
+            "  round(list_max(list_transform(emb, x -> abs(x - floor(x / scale + 0.5) * scale))), 9) "
+            "    AS max_abs_err "
+            "FROM s ORDER BY vec_id"
+        ),
+        "a43_norm_fingerprint": (
+            "WITH n AS (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), "
+            "  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm FROM documents) "
+            "SELECT doc_id, length(norm) AS norm_len, md5(norm) AS norm_md5 "
+            "FROM n ORDER BY doc_id"
         ),
         "a37_chunking": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "

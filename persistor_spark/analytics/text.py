@@ -411,3 +411,104 @@ def pmi_bigrams(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms (the per-document keyword signal a curation pipeline uses
+# for topic balancing; same shape as the reference's query-side scoring but
+# corpus-global)
+# ---------------------------------------------------------------------------
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document top-`top_n` terms by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1, the sklearn smoothing).
+
+    Scale shape: one (doc, term) count shuffle keyed by the pair, one
+    vocab-bounded document-frequency agg (its result is vocab-sized ->
+    broadcast-joined back), and a per-doc window bounded by the doc's
+    distinct-term count.  Nothing corpus-squared, nothing collected.
+    Ties rank by term string so results are deterministic."""
+    from pyspark.sql import Window
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    n_docs = df.select(id_col).count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = dfreq.select(
+        "term",
+        (F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)) + 1.0).alias("idf"),
+    )
+    scored = tf.join(F.broadcast(idf), "term").select(
+        "doc_id", "term", (F.col("tf") * F.col("idf")).alias("tfidf")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_n)
+        .select("doc_id", "rank", "term", F.round("tfidf", 4).alias("tfidf"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-source rollup (domain-level curation: keep/drop whole sources by
+# aggregate quality, the C4/RefinedWeb-style domain filter)
+# ---------------------------------------------------------------------------
+
+def source_quality_rollup(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-source aggregate curation stats: doc count, char/token means,
+    mean quality score, fraction passing the rule filter, language spread.
+    ONE shuffle keyed by source (source cardinality << corpus; a skewed
+    mega-source is exactly what AQE skew-split handles)."""
+    q = quality_score(text_col)
+    return (
+        df.groupBy(F.col(source_col).alias("source"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg(F.length(text_col)), 4).alias("avg_chars"),
+            F.round(F.avg(token_count(text_col)), 4).alias("avg_tokens"),
+            F.round(F.avg(q), 4).alias("avg_quality"),
+            F.round(
+                F.avg((q >= F.lit(0.5)).cast("double")), 4
+            ).alias("pass_fraction"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# normalization fingerprint (the canonical-text key exact dedup and
+# train/test contamination checks hash on)
+# ---------------------------------------------------------------------------
+
+def normalized_text(text: Column | str = "text") -> Column:
+    """Canonical form: lowercase, drop non-alphanumerics (keep spaces),
+    collapse runs of whitespace, trim.  Character classes only — portable
+    between Java regex (Spark) and RE2 (DuckDB oracle)."""
+    c = F.col(text) if isinstance(text, str) else text
+    canon = F.regexp_replace(F.lower(c), "[^a-z0-9 ]", "")
+    return F.trim(F.regexp_replace(canon, " +", " "))
+
+
+def normalization_fingerprints(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, norm_len, norm_md5): pure narrow projection, zero shuffle —
+    the join key for normalized exact-dedup across 100 TB is the 32-char
+    md5, not the text."""
+    norm = normalized_text(text_col)
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.length(norm).alias("norm_len"),
+        F.md5(norm).alias("norm_md5"),
+    )

@@ -1007,3 +1007,62 @@ def test_assign_splits_properties(docs):
         ).select("doc_id", "split").collect()
     }
     assert {r["doc_id"]: r["split"] for r in rows} == again
+
+
+# ---------------------------------------------------------------- r4 ops
+
+
+def test_tfidf_top_terms_ranks_rare_terms(spark):
+    from persistor_spark.analytics import text
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "banana cherry"), (3, "banana banana banana")],
+        "doc_id long, text string",
+    )
+    out = {(r["doc_id"], r["rank"]): r["term"] for r in text.tfidf_top_terms(df, 2).collect()}
+    # 'apple' is rare (df=1) and frequent in doc 1 -> outranks ubiquitous 'banana'
+    assert out[(1, 1)] == "apple"
+    assert out[(1, 2)] == "banana"
+    # doc 3 has only banana
+    assert out[(3, 1)] == "banana"
+    assert (3, 2) not in out
+
+
+def test_source_rollup_one_row_per_source(docs):
+    from persistor_spark.analytics import text
+
+    out = text.source_quality_rollup(docs)
+    assert out.count() == docs.select("source").distinct().count()
+    r = out.collect()[0]
+    assert 0.0 <= r["avg_quality"] <= 1.0 and 0.0 <= r["pass_fraction"] <= 1.0
+
+
+def test_quantize_int8_roundtrip_and_plan(embs):
+    import numpy as np
+
+    from persistor_spark.analytics import similarity
+    from persistor_spark.plans import layout
+
+    out = similarity.quantize_int8(embs)
+    rows = out.limit(20).collect()
+    raw = {r["vec_id"]: list(r["embedding"]) for r in embs.limit(200).collect()}
+    for r in rows:
+        assert all(-127 <= c <= 127 for c in r["codes"])
+        v = np.asarray(raw[r["vec_id"]], dtype=np.float64)
+        # reconstruction error bound: half a quantization step
+        assert r["max_abs_err"] <= r["scale"] / 2 + 1e-9
+        recon = np.asarray(r["codes"], dtype=np.float64) * r["scale"]
+        assert np.max(np.abs(v - recon)) <= r["scale"] / 2 + 1e-6
+    # narrow op: no shuffle in the plan
+    assert not layout.plan_has_shuffle(out)
+
+
+def test_normalized_text_canonicalization(spark):
+    from persistor_spark.analytics import text
+
+    df = spark.createDataFrame(
+        [(1, "Hello,   WORLD!!  42"), (2, "hello world 42")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["norm_md5"] for r in text.normalization_fingerprints(df).collect()}
+    # punctuation/case/whitespace variants collapse to the same fingerprint
+    assert out[1] == out[2]
