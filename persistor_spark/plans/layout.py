@@ -150,3 +150,37 @@ def manifest_pruned_scan(
         # miss: preserve schema via an empty scan of the table
         return spark.read.parquet(table_path).filter(F.lit(False))
     return spark.read.parquet(*files).filter(F.col(col).isin(values))
+
+
+def load_manifest(spark: SparkSession, manifest_path: str) -> list:
+    """Collect the manifest rows driver-side: [(file, min_v, max_v, n_rows)].
+    The manifest is metadata — file-count-sized, not data-sized — and a
+    serving layer holds it resident exactly like Mongo holds its _id index;
+    re-reading it per lookup costs a Spark job per query."""
+    return [
+        (r["file"], r["min_v"], r["max_v"], r["n_rows"])
+        for r in spark.read.parquet(manifest_path).collect()
+    ]
+
+
+def manifest_pruned_scan_cached(
+    spark: SparkSession,
+    table_path: str,
+    manifest_rows: list,
+    values,
+    col: str = "unique_id",
+) -> DataFrame:
+    """manifest_pruned_scan against a preloaded manifest: the file pruning
+    is a pure driver-side range check (microseconds), so a point lookup is
+    ONE Spark job over the single matching file."""
+    from pyspark.sql import functions as F
+
+    values = list(values)
+    files = [
+        f
+        for f, lo, hi, _ in manifest_rows
+        if any(lo <= v <= hi for v in values)
+    ]
+    if not files:
+        return spark.read.parquet(table_path).filter(F.lit(False))
+    return spark.read.parquet(*files).filter(F.col(col).isin(values))

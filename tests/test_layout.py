@@ -138,3 +138,27 @@ def test_minmax_manifest_miss_returns_empty_with_schema(spark, tmp_path, ingeste
     got = layout.manifest_pruned_scan(spark, tbl, mfp, ["zzzz_no_such_id"])
     assert got.count() == 0
     assert got.columns == spark.read.parquet(tbl).columns
+
+
+def test_manifest_cached_scan_matches_uncached(spark, tmp_path, ingested):
+    tbl = str(tmp_path / "idx3")
+    mfp = str(tmp_path / "idx3_manifest")
+    (
+        ingested.index_metadata.repartitionByRange(4, "unique_id")
+        .sortWithinPartitions("unique_id")
+        .write.parquet(tbl)
+    )
+    layout.write_minmax_manifest(spark, tbl, mfp)
+    rows = layout.load_manifest(spark, mfp)
+    ids = [r["unique_id"] for r in ingested.index_metadata.limit(3).collect()]
+    got = sorted(
+        r["unique_id"]
+        for r in layout.manifest_pruned_scan_cached(spark, tbl, rows, ids).collect()
+    )
+    want = sorted(
+        r["unique_id"] for r in layout.manifest_pruned_scan(spark, tbl, mfp, ids).collect()
+    )
+    assert got == want and len(got) == len(ids)
+    # miss keeps schema
+    empty = layout.manifest_pruned_scan_cached(spark, tbl, rows, ["zz_missing"])
+    assert empty.count() == 0 and empty.columns == spark.read.parquet(tbl).columns
