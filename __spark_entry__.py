@@ -22,19 +22,25 @@ from persistor_spark.plans.query import IndexQuery
 
 # ---------------------------------------------------------------------------
 # fixture pipeline cache: the D-series queries share one ingest per sf_dir
+# (lock: harnesses may run queries from a thread pool — Spark actions are
+# thread-safe, but the populate-once must not race)
 # ---------------------------------------------------------------------------
+import threading as _threading
+
 _CACHE: dict = {}
+_CACHE_LOCK = _threading.RLock()
 
 
 def _tables(spark: SparkSession, sf_dir: str):
     key = (id(spark), sf_dir)
-    if key not in _CACHE:
-        result = fixtures.run_fixture_ingest(spark, sf_dir)
-        result.index_metadata = result.index_metadata.cache()
-        result.blob_records = result.blob_records.cache()
-        result.deadletter = result.deadletter.cache()
-        _CACHE[key] = result
-    return _CACHE[key]
+    with _CACHE_LOCK:
+        if key not in _CACHE:
+            result = fixtures.run_fixture_ingest(spark, sf_dir)
+            result.index_metadata = result.index_metadata.cache()
+            result.blob_records = result.blob_records.cache()
+            result.deadletter = result.deadletter.cache()
+            _CACHE[key] = result
+        return _CACHE[key]
 
 
 def _messages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,11 +179,12 @@ def _d19(spark, sf_dir):
 
     t = _tables(spark, sf_dir)
     key = (id(spark), sf_dir, "ocf")
-    if key not in _CACHE:
-        base = tempfile.mkdtemp(prefix="persistor_ocf_")
-        ocf_io.write_blobs_ocf(t, base)
-        _CACHE[key] = base
-    base = _CACHE[key]
+    with _CACHE_LOCK:
+        if key not in _CACHE:
+            base = tempfile.mkdtemp(prefix="persistor_ocf_")
+            ocf_io.write_blobs_ocf(t, base)
+            _CACHE[key] = base
+        base = _CACHE[key]
     cfg = fixtures.fixture_ingest_config()
     blobs = ocf_io.read_blob_records_ocf(spark, base, blob_base_url=cfg.storage.base_url)
     records = resubmit.align(t.index_metadata, blobs)

@@ -69,7 +69,75 @@ def table_hash(cols, rows):
     return h.hexdigest()[:16]
 
 
+def check_one(name, fn, oracles, spark, sf_dir, con):
+    """Run one query's Spark side + oracle + compare; returns (status_line,
+    failed, extra_lines)."""
+    t0 = time.time()
+    try:
+        sdf = fn(spark, sf_dir)
+        srows = sdf.collect()
+        scols = [f.name for f in sdf.schema.fields]
+    except Exception as exc:  # noqa: BLE001
+        return f"FAIL  {name}: spark error: {exc}", True, []
+    if name not in oracles:
+        return f"weak  {name}: rows={len(srows)} (no oracle)", False, []
+    try:
+        local = con.cursor()  # per-thread duckdb cursor, shared catalog
+        res = local.sql(oracles[name])
+        orows = res.fetchall()
+        ocols = list(res.columns)
+        otypes = [str(t) for t in res.types]
+    except Exception as exc:  # noqa: BLE001
+        return f"FAIL  {name}: duckdb error: {exc}", True, []
+    problems = []
+    if len(srows) != len(orows):
+        problems.append(f"rows {len(srows)} != {len(orows)}")
+    if sorted(scols) != sorted(ocols):
+        problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
+    # HUGEINT/DECIMAL never exist on the Spark side; the driver's hasher
+    # formats them differently even when str() agrees (r2 a29 red row)
+    bad_types = [
+        f"{c}:{t}"
+        for c, t in zip(ocols, otypes)
+        if t == "HUGEINT" or t.startswith("DECIMAL")
+    ]
+    if bad_types:
+        problems.append(f"non-portable oracle types {bad_types}")
+    if col_types(scols, srows) != col_types(ocols, orows):
+        problems.append(
+            f"value types {col_types(scols, srows)} != {col_types(ocols, orows)}"
+        )
+    if not problems:
+        sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
+        if sh != oh:
+            problems.append(f"hash {sh} != {oh}")
+    dt = time.time() - t0
+    if not problems:
+        return (
+            f"ok    {name}: rows={len(srows)} hash={table_hash(scols, srows)}  ({dt:.1f}s)",
+            False,
+            [],
+        )
+    extra = []
+    if len(srows) == len(orows) and sorted(scols) == sorted(ocols):
+        so = sorted(range(len(scols)), key=lambda i: scols[i])
+        oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
+        sl = sorted("|".join(norm_cell(r[i]) for i in so) for r in srows)
+        ol = sorted("|".join(norm_cell(r[i]) for i in oo) for r in orows)
+        shown = 0
+        for a, b in zip(sl, ol):
+            if a != b:
+                extra.append(f"      spark={a}\n      duck ={b}")
+                shown += 1
+                if shown >= 3:
+                    break
+    return f"FAIL  {name}: {'; '.join(problems)}  ({dt:.1f}s)", True, extra
+
+
 def main():
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
     args = [a for a in sys.argv[1:]]
     sf_dir = args[0] if args and args[0].startswith("/") else "/root/testdata/sf0.01"
     only = set(a for a in args if not a.startswith("/"))
@@ -81,75 +149,33 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    failures = []
-    for name, fn in queries.items():
-        if only and name not in only:
-            continue
-        t0 = time.time()
-        try:
-            sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = [f.name for f in sdf.schema.fields]
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {exc}")
-            failures.append(name)
-            continue
-        if name not in oracles:
-            print(f"weak  {name}: rows={len(srows)} (no oracle)")
-            continue
-        try:
-            res = con.sql(oracles[name])
-            orows = res.fetchall()
-            ocols = list(res.columns)
-            otypes = [str(t) for t in res.types]
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: duckdb error: {exc}")
-            failures.append(name)
-            continue
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rows {len(srows)} != {len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"cols {sorted(scols)} != {sorted(ocols)}")
-        # HUGEINT/DECIMAL never exist on the Spark side; the driver's hasher
-        # formats them differently even when str() agrees (r2 a29 red row)
-        bad_types = [
-            f"{c}:{t}"
-            for c, t in zip(ocols, otypes)
-            if t == "HUGEINT" or t.startswith("DECIMAL")
-        ]
-        if bad_types:
-            problems.append(f"non-portable oracle types {bad_types}")
-        if col_types(scols, srows) != col_types(ocols, orows):
-            problems.append(
-                f"value types {col_types(scols, srows)} != {col_types(ocols, orows)}"
-            )
-        if not problems:
-            sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
-            if sh != oh:
-                problems.append(f"hash {sh} != {oh}")
-        dt = time.time() - t0
-        if problems:
-            print(f"FAIL  {name}: {'; '.join(problems)}  ({dt:.1f}s)")
-            failures.append(name)
-            # dump first diffs for debugging
-            if len(srows) == len(orows) and sorted(scols) == sorted(ocols):
-                so = sorted(range(len(scols)), key=lambda i: scols[i])
-                oo = sorted(range(len(ocols)), key=lambda i: ocols[i])
-                sl = sorted("|".join(norm_cell(r[i]) for i in so) for r in srows)
-                ol = sorted("|".join(norm_cell(r[i]) for i in oo) for r in orows)
-                shown = 0
-                for a, b in zip(sl, ol):
-                    if a != b:
-                        print(f"      spark={a}\n      duck ={b}")
-                        shown += 1
-                        if shown >= 3:
-                            break
-        else:
-            print(f"ok    {name}: rows={len(srows)} hash={table_hash(scols, srows)}  ({dt:.1f}s)")
+    todo = [(n, fn) for n, fn in queries.items() if not only or n in only]
 
-    n_run = len([n for n in queries if not only or n in only])
-    n_weak = len([n for n in queries if (not only or n in only) and n not in oracles])
+    # Spark actions are thread-safe and the scheduler interleaves concurrent
+    # jobs across task slots; duckdb gets a cursor per thread.  Results are
+    # printed in query order regardless of completion order, so output stays
+    # diffable with sequential runs.  ORACLE_CHECK_JOBS=1 forces sequential.
+    jobs = int(os.environ.get("ORACLE_CHECK_JOBS", "4"))
+    failures = []
+    if jobs <= 1:
+        results = [check_one(n, fn, oracles, spark, sf_dir, con) for n, fn in todo]
+    else:
+        with ThreadPoolExecutor(max_workers=jobs) as pool:
+            results = list(
+                pool.map(
+                    lambda item: check_one(item[0], item[1], oracles, spark, sf_dir, con),
+                    todo,
+                )
+            )
+    for (name, _), (line, failed, extra) in zip(todo, results):
+        print(line)
+        for e in extra:
+            print(e)
+        if failed:
+            failures.append(name)
+
+    n_run = len(todo)
+    n_weak = len([n for n, _ in todo if n not in oracles])
     print(
         f"\n{len(failures)} failures  "
         f"({n_run} run: {n_run - n_weak - len(failures)} ok, {n_weak} rows-only)"
