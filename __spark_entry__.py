@@ -10,6 +10,7 @@ CTEs (persistor_spark.oracle) on the DuckDB side.
 
 from __future__ import annotations
 
+import json
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -1354,6 +1355,35 @@ def _a43_norm_fingerprint(spark, sf_dir):
     return text.normalization_fingerprints(_docs(spark, sf_dir)).orderBy("doc_id")
 
 
+def _a44_cluster_reps(spark, sf_dir):
+    """Canonical-doc selection: near-dup components -> one representative
+    per cluster (max n_chars, ties to lowest id) via a map-side-combinable
+    max(struct) agg — the keep/drop policy step after clustering."""
+    from persistor_spark.analytics import dedup
+
+    docs = _docs(spark, sf_dir)
+    clusters = dedup.dedup_clusters(dedup.ngram_jaccard_pairs(docs, 0.8))
+    return dedup.select_representatives(docs, clusters).orderBy("cluster_id")
+
+
+def _a45_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss projection 64 -> 16 dims: narrow per-row map
+    over a folded literal matrix, zero shuffle, zero Python."""
+    from persistor_spark.analytics import similarity
+
+    return similarity.random_projection(
+        _embs(spark, sf_dir), in_dim=64, out_dim=16, seed=7
+    ).orderBy("vec_id")
+
+
+def _a46_dup_rate_by_source(spark, sf_dir):
+    """Per-source exact-dup rate (global first-writer-wins, charged to the
+    later copy's source): fingerprint-window + source rollup."""
+    from persistor_spark.analytics import dedup
+
+    return dedup.dup_rate_by_source(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -1367,6 +1397,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- no driver row yet (r3 late additions + r4 new operators)
+        "a44_cluster_reps": _a44_cluster_reps,
+        "a45_random_projection": _a45_random_projection,
+        "a46_dup_rate_by_source": _a46_dup_rate_by_source,
         "a37_chunking": _a37_chunking,
         "a38_pmi_bigrams": _a38_pmi,
         "a39_split_assign": _a39_splits,
@@ -1382,9 +1415,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_asof_join": _e11_asof_join,
         "e24_asof_tolerance": _e24_asof_tolerance,
         "e12_percentiles": _e12_percentiles,
-        "e13_grouping_sets": _e13_grouping_sets,
-        "e14_except": _e14_except,
-        "e15_pivot": _e15_pivot,
         "e16_correlated_exists": _e16_correlated_exists,
         "e17_term_heavy_hitters": _e17_term_heavy_hitters,
         "e18_null_safe_join": _e18_null_safe_join,
@@ -1422,6 +1452,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d13_lineage_counts": _d13,
         # ---- driver window ends here (50) — below: multiply-green, pinned
         # by tools/check.py + pytest every round
+        "e13_grouping_sets": _e13_grouping_sets,
+        "e14_except": _e14_except,
+        "e15_pivot": _e15_pivot,
         "d14_window_topk": _d14,
         "d20_first_seen": _d20_first_seen,
         "d21_salted_agg": _d21_salted_agg,
@@ -1470,7 +1503,7 @@ def oracle_sql() -> dict[str, str]:
     # CC output (doc_id -> component-min) is algorithm-independent, so the
     # min-label-propagation query (a11) and the large-star/small-star query
     # (a26) share one recursive-reach oracle.
-    cc_oracle = (
+    cc_with = (
         "WITH RECURSIVE "
         "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
         "s AS (SELECT doc_id, "
@@ -1486,8 +1519,36 @@ def oracle_sql() -> dict[str, str]:
         "  SELECT src, dst FROM edges "
         "  UNION "
         "  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src) "
+    )
+    cc_oracle = cc_with + (
         "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
         "FROM reach GROUP BY src ORDER BY doc_id"
+    )
+    # a44: the same components, then one representative per cluster
+    # (singletons = docs with no near-dup edge are their own cluster).
+    reps_oracle = cc_with + (
+        ", comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
+        "  FROM reach GROUP BY src), "
+        "alld AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cluster_id, "
+        "  d.n_chars FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id), "
+        "r AS (SELECT cluster_id, doc_id, n_chars, "
+        "  row_number() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id ASC) AS rn, "
+        "  count(*) OVER (PARTITION BY cluster_id) AS nm FROM alld) "
+        "SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_quality, "
+        "nm AS n_members, nm - 1 AS n_dropped FROM r WHERE rn = 1 ORDER BY cluster_id"
+    )
+    # a45: the SAME seeded JL matrix the Spark operator folds into its plan,
+    # embedded as DOUBLE[] literals (repr round-trips to the identical
+    # double on both engines).
+    from persistor_spark.analytics.similarity import jl_matrix as _jl
+
+    _jl_dims = ", ".join(
+        f"round(list_dot_product(emb, {json.dumps(row)}::DOUBLE[]), 4)"
+        for row in _jl(64, 16, 7)
+    )
+    jl_oracle = (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) "
+        f"SELECT vec_id, [{_jl_dims}] AS proj FROM v ORDER BY vec_id"
     )
     return {
         "d1_point_lookup": P(
@@ -1806,6 +1867,18 @@ def oracle_sql() -> dict[str, str]:
         # recursive-CTE transitive closure over the same exact-Jaccard pairs
         "a11_dedup_clusters": cc_oracle,
         "a26_cc_two_phase": cc_oracle,
+        "a44_cluster_reps": reps_oracle,
+        "a45_random_projection": jl_oracle,
+        "a46_dup_rate_by_source": (
+            "WITH f AS (SELECT doc_id, source, md5(lower(text)) AS fp FROM documents), "
+            "r AS (SELECT source, fp, "
+            "  row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn FROM f) "
+            "SELECT source, count(*) AS n_docs, "
+            "count(CASE WHEN rn > 1 THEN 1 END) AS n_dups, "
+            "count(DISTINCT fp) AS n_distinct, "
+            "round(count(CASE WHEN rn > 1 THEN 1 END)::DOUBLE / count(*), 4) AS dup_rate "
+            "FROM r GROUP BY source ORDER BY source"
+        ),
         "a28_weighted_mix": (
             "WITH c AS (SELECT source, count(*) AS n FROM documents "
             "  WHERE source IN ('src0','src1') GROUP BY source), "

@@ -886,3 +886,89 @@ def duplicate_span_stats(
             ).alias("dup_fraction"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cluster representative selection + per-source dup-rate rollup
+# ---------------------------------------------------------------------------
+
+def select_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "n_chars",
+) -> DataFrame:
+    """Pick ONE canonical document per near-dup cluster: the highest-quality
+    member (max `quality_col`, ties to the lowest id).  Docs absent from
+    `clusters` (no near-dup edge) are their own singleton cluster.
+
+    This is the policy step that turns components (dedup_clusters /
+    dedup_clusters_two_phase) into a keep/drop decision — the reference's
+    index dedup keeps exactly one blob per unique_id the same way (first
+    writer wins, persistor/internal/persistor/persistor.go batch handler);
+    here "first" is quality-ranked instead of arrival-ranked.
+
+    Scale shape: a single hash aggregation keyed by cluster_id with a
+    map-side-combinable max(struct) — NOT a window (a window would sort
+    every partition; the agg keeps only one struct per cluster per task).
+    Cluster cardinality ~= corpus size, so partitions stay bounded.
+    """
+    labeled = (
+        docs.select(F.col(id_col), F.col(quality_col))
+        .join(clusters, id_col, "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", F.col(id_col)))
+    )
+    best = F.max(
+        F.struct(F.col(quality_col).alias("q"), (-F.col(id_col)).alias("negid"))
+    ).alias("best")
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(best, F.count(F.lit(1)).alias("n_members"))
+        .select(
+            "cluster_id",
+            (-F.col("best.negid")).alias("rep_doc_id"),
+            F.col("best.q").alias("rep_quality"),
+            "n_members",
+            (F.col("n_members") - F.lit(1)).alias("n_dropped"),
+        )
+    )
+
+
+def dup_rate_by_source(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source exact-duplication stats: a doc is a duplicate iff a doc
+    with a smaller id anywhere in the corpus has the same md5 fingerprint
+    (global first-writer-wins, charged to the source of the LATER copy).
+    The question a crawl-curation pipeline asks source by source: "how much
+    of this feed is copies of things I already have?"
+
+    Two bounded shuffles: one keyed by the fingerprint (row_number within a
+    dup group — group size is the dup multiplicity, not the corpus), one by
+    source.  Counts use count(when(...)) so both engines agree on BIGINT
+    (DuckDB sums of INT widen to HUGEINT — the a29 hazard).
+    """
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    flagged = (
+        df.select(
+            F.col(id_col),
+            F.col(source_col).alias("source"),
+            F.md5(F.lower(F.col(text_col))).alias("__fp"),
+        )
+        .withColumn("__dup", F.row_number().over(w) > 1)
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("__dup"), 1)).alias("n_dups"),
+            F.countDistinct("__fp").alias("n_distinct"),
+            F.round(
+                F.count(F.when(F.col("__dup"), 1)) / F.count(F.lit(1)), 4
+            ).alias("dup_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1218,3 +1218,45 @@ def quantize_int8(
             9,
         ).alias("max_abs_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection
+# ---------------------------------------------------------------------------
+
+def jl_matrix(in_dim: int, out_dim: int, seed: int = 7) -> list[list[float]]:
+    """Seeded Gaussian JL projection matrix (out_dim x in_dim), scaled by
+    1/sqrt(out_dim) so expected pairwise distances are preserved.  Plain
+    Python floats so the SAME literals can be embedded in a SQL oracle —
+    both engines parse the decimal repr to the identical double."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((out_dim, in_dim)) / float(np.sqrt(out_dim))
+    return [[float(x) for x in row] for row in m]
+
+
+def random_projection(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction: project each
+    embedding onto `out_dim` seeded Gaussian directions.  The cheap first
+    stage of billion-scale clustering / dedup (shrink 64-4096 dims to 16
+    before k-means or LSH; distances are preserved within 1+-eps whp).
+
+    Scale shape: a narrow per-row map — the matrix is ONE folded literal
+    (`_lit_data`), each output dim one sequential-fold dot product, NO
+    shuffle and NO Python in the hot path.  At 100 TB this pipelines with
+    the scan; nothing to tune.
+    """
+    R = _lit_matrix(jl_matrix(in_dim, out_dim, seed))
+    v = F.col(vec_col).cast("array<double>")
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(R, lambda r: F.round(dot(v, r), 4)).alias("proj"),
+    )

@@ -1066,3 +1066,51 @@ def test_normalized_text_canonicalization(spark):
     out = {r["doc_id"]: r["norm_md5"] for r in text.normalization_fingerprints(df).collect()}
     # punctuation/case/whitespace variants collapse to the same fingerprint
     assert out[1] == out[2]
+
+
+def test_select_representatives_policy(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", 100), (2, "b", 250), (3, "c", 250), (9, "d", 10)],
+        "doc_id long, text string, n_chars long",
+    )
+    # one near-dup cluster {1,2,3}; doc 9 has no edges -> singleton
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc_id long, cluster_id long"
+    )
+    out = {r["cluster_id"]: r for r in dedup.select_representatives(docs, clusters).collect()}
+    # max quality wins; 250-char tie breaks to the LOWER id
+    assert out[1]["rep_doc_id"] == 2 and out[1]["rep_quality"] == 250
+    assert out[1]["n_members"] == 3 and out[1]["n_dropped"] == 2
+    # singleton is its own representative
+    assert out[9]["rep_doc_id"] == 9 and out[9]["n_members"] == 1
+
+
+def test_random_projection_matches_numpy_and_is_narrow(embs):
+    import numpy as np
+
+    from persistor_spark.plans import layout
+
+    out = similarity.random_projection(embs, in_dim=64, out_dim=16, seed=7)
+    assert not layout.plan_has_shuffle(out)
+    R = np.asarray(similarity.jl_matrix(64, 16, 7))
+    rows = embs.select("vec_id", "embedding").limit(20).collect()
+    got = {r["vec_id"]: np.asarray(r["proj"]) for r in out.collect()}
+    for r in rows:
+        want = R @ np.asarray(r["embedding"], dtype=np.float64)
+        assert np.max(np.abs(got[r["vec_id"]] - np.round(want, 4))) <= 1e-4
+
+
+def test_dup_rate_by_source_charges_later_copy(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "srcA"),
+            (2, "same text", "srcB"),   # dup, charged to srcB
+            (3, "SAME   text", "srcB"), # different after lower() only -> not a dup
+            (4, "other", "srcB"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {r["source"]: r for r in dedup.dup_rate_by_source(docs).collect()}
+    assert out["srcA"]["n_dups"] == 0 and out["srcA"]["n_docs"] == 1
+    assert out["srcB"]["n_dups"] == 1 and out["srcB"]["n_docs"] == 3
+    assert abs(out["srcB"]["dup_rate"] - round(1 / 3, 4)) < 1e-9
