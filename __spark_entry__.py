@@ -1384,6 +1384,25 @@ def _a46_dup_rate_by_source(spark, sf_dir):
     return dedup.dup_rate_by_source(_docs(spark, sf_dir))
 
 
+def _a47_temperature_mix(spark, sf_dir):
+    """UniMax/mT5-style temperature mixture weights per source (alpha=0.3)
+    with effective-epochs over-sampling diagnostic — corpus-size-independent
+    aggregate."""
+    from persistor_spark.analytics import sampling
+
+    return sampling.temperature_mixture_weights(_docs(spark, sf_dir), alpha=0.3)
+
+
+def _a48_shard_assign(spark, sf_dir):
+    """Deterministic global shuffle + sharding (md5 hash order, per-shard
+    rank) — the reproducible shuffle-before-training step."""
+    from persistor_spark.analytics import sampling
+
+    return sampling.shard_assignments(_docs(spark, sf_dir), n_shards=8, seed=7).orderBy(
+        "doc_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -1400,6 +1419,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a44_cluster_reps": _a44_cluster_reps,
         "a45_random_projection": _a45_random_projection,
         "a46_dup_rate_by_source": _a46_dup_rate_by_source,
+        "a47_temperature_mix": _a47_temperature_mix,
+        "a48_shard_assign": _a48_shard_assign,
         "a37_chunking": _a37_chunking,
         "a38_pmi_bigrams": _a38_pmi,
         "a39_split_assign": _a39_splits,
@@ -1415,9 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_asof_join": _e11_asof_join,
         "e24_asof_tolerance": _e24_asof_tolerance,
         "e12_percentiles": _e12_percentiles,
-        "e16_correlated_exists": _e16_correlated_exists,
         "e17_term_heavy_hitters": _e17_term_heavy_hitters,
-        "e18_null_safe_join": _e18_null_safe_join,
         "e19_sliding_window": _e19_sliding_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e21_interval_join": _e21_interval_join,
@@ -1455,6 +1474,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e13_grouping_sets": _e13_grouping_sets,
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
+        "e16_correlated_exists": _e16_correlated_exists,
+        "e18_null_safe_join": _e18_null_safe_join,
         "d14_window_topk": _d14,
         "d20_first_seen": _d20_first_seen,
         "d21_salted_agg": _d21_salted_agg,
@@ -1869,6 +1890,21 @@ def oracle_sql() -> dict[str, str]:
         "a26_cc_two_phase": cc_oracle,
         "a44_cluster_reps": reps_oracle,
         "a45_random_projection": jl_oracle,
+        "a47_temperature_mix": (
+            "WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), "
+            "t AS (SELECT sum(pow(n_docs, 0.3)) AS tw, sum(n_docs)::DOUBLE AS nn FROM c) "
+            "SELECT source, n_docs, round(pow(n_docs, 0.3) / tw, 6) AS weight, "
+            "round(pow(n_docs, 0.3) / tw * nn / n_docs, 6) AS effective_epochs "
+            "FROM c, t ORDER BY source"
+        ),
+        "a48_shard_assign": (
+            "WITH h AS (SELECT doc_id, md5('7_' || doc_id::VARCHAR) AS hh FROM documents), "
+            "s AS (SELECT doc_id, hh, "
+            "  (CAST(CONCAT('0x', substr(hh, 1, 15)) AS BIGINT) % 8)::INT AS shard FROM h) "
+            "SELECT doc_id, shard, "
+            "row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id) AS position "
+            "FROM s ORDER BY doc_id"
+        ),
         "a46_dup_rate_by_source": (
             "WITH f AS (SELECT doc_id, source, md5(lower(text)) AS fp FROM documents), "
             "r AS (SELECT source, fp, "

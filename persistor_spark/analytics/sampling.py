@@ -200,3 +200,74 @@ def split_thresholds(weights: dict) -> list[float]:
         cum += weights[name] / total
         out.append(cum)
     return out
+
+
+def temperature_mixture_weights(
+    df: DataFrame,
+    strata_col: str = "source",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-based mixture weights over sources: w_s ∝ n_s^alpha
+    (alpha=1 is proportional sampling, alpha=0 uniform; 0.2-0.5 is the
+    standard low-resource up-weighting range — cf. mT5 / UniMax multilingual
+    sampling).  Also reports effective_epochs = w_s·N/n_s, the number of
+    passes over stratum s a sampler drawing N total examples would make —
+    the over-sampling diagnostic that catches small sources being repeated
+    to death.
+
+    Scale shape: ONE count aggregation keyed by stratum (S rows out), then
+    a broadcast of the 1-row total — nothing here grows with the corpus.
+    """
+    counts = df.groupBy(F.col(strata_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    p = counts.withColumn(
+        "__w", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    tot = p.agg(
+        F.sum("__w").alias("__tw"), F.sum("n_docs").cast("double").alias("__N")
+    )
+    return (
+        p.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("__w") / F.col("__tw"), 6).alias("weight"),
+            F.round(
+                F.col("__w") / F.col("__tw") * F.col("__N") / F.col("n_docs"), 6
+            ).alias("effective_epochs"),
+        )
+        .orderBy("source")
+    )
+
+
+def shard_assignments(
+    df: DataFrame,
+    n_shards: int = 8,
+    seed: int = 7,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding for training-data writes:
+    shard = md5(seed, id) mod n_shards, position = rank of the hash within
+    the shard.  Reading shards round-robin then yields a reproducible
+    global random order — the shuffle-before-training step, as a pure
+    function of (seed, id): stable under repartition and rerun, and
+    append-only-growing (new docs land at fresh positions without moving
+    old ones between shards).
+
+    Scale shape: the shard key is a narrow hash map; the position is a
+    per-shard sort (row_number windowed by shard) — the one genuinely
+    expensive part of a global shuffle, but it is n/n_shards per partition,
+    external-sort-friendly, and only paid when materializing the final
+    training order.  No global single-partition window anywhere.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat_ws("_", F.lit(str(seed)), F.col(id_col).cast("string")))
+    hb = F.conv(F.substring(h, 1, 15), 16, 10).cast("long")
+    w = Window.partitionBy("shard").orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.select(F.col(id_col), h.alias("__h"), (hb % n_shards).cast("int").alias("shard"))
+        .withColumn("position", F.row_number().over(w).cast("long"))
+        .select(id_col, "shard", "position")
+    )

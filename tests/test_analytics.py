@@ -1114,3 +1114,43 @@ def test_dup_rate_by_source_charges_later_copy(spark):
     assert out["srcA"]["n_dups"] == 0 and out["srcA"]["n_docs"] == 1
     assert out["srcB"]["n_dups"] == 1 and out["srcB"]["n_docs"] == 3
     assert abs(out["srcB"]["dup_rate"] - round(1 / 3, 4)) < 1e-9
+
+
+def test_temperature_mixture_weights_properties(docs):
+    from persistor_spark.analytics import sampling
+
+    out = sampling.temperature_mixture_weights(docs, alpha=0.3).collect()
+    # weights form a distribution
+    assert abs(sum(r["weight"] for r in out) - 1.0) < 1e-3
+    # alpha < 1 up-weights small sources: the smallest source gets a larger
+    # weight than proportional, the largest a smaller one
+    total = sum(r["n_docs"] for r in out)
+    smallest = min(out, key=lambda r: r["n_docs"])
+    largest = max(out, key=lambda r: r["n_docs"])
+    if smallest["n_docs"] != largest["n_docs"]:
+        assert smallest["weight"] > smallest["n_docs"] / total
+        assert largest["weight"] < largest["n_docs"] / total
+    # alpha=1 is exactly proportional
+    prop = sampling.temperature_mixture_weights(docs, alpha=1.0).collect()
+    for r in prop:
+        assert abs(r["weight"] - r["n_docs"] / total) < 1e-5
+        assert abs(r["effective_epochs"] - 1.0) < 1e-5
+
+
+def test_shard_assignments_deterministic_and_dense(docs):
+    from persistor_spark.analytics import sampling
+
+    a = sampling.shard_assignments(docs, n_shards=8, seed=7).collect()
+    b = sampling.shard_assignments(docs.repartition(13), n_shards=8, seed=7).collect()
+    # pure function of (seed, id): repartition-stable
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # positions are dense 1..n within each shard
+    by_shard = {}
+    for r in a:
+        by_shard.setdefault(r["shard"], []).append(r["position"])
+    assert set(by_shard) <= set(range(8))
+    for positions in by_shard.values():
+        assert sorted(positions) == list(range(1, len(positions) + 1))
+    # a different seed produces a different order (not a constant map)
+    c = sampling.shard_assignments(docs, n_shards=8, seed=8).collect()
+    assert sorted(map(tuple, a)) != sorted(map(tuple, c))
