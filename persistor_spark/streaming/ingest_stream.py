@@ -229,6 +229,17 @@ def run_stream(
             ingest.write_blobs(result, sinks.blob_path, fmt=sinks.blob_format)
         if fault_injector is not None:
             fault_injector(batch_id)
+        from dataclasses import replace as _dc_replace
+
+        from pyspark.sql import Observation
+
+        idx_obs = Observation()
+        result = _dc_replace(
+            result,
+            index_metadata=result.index_metadata.observe(
+                idx_obs, F.count(F.lit(1)).alias("n")
+            ),
+        )
         if exactly_once_index:
             ingest.write_index_merge(result, sinks.index_path)
         else:
@@ -249,9 +260,15 @@ def run_stream(
             )
         # DLQ stays at-least-once (blind append): the reference's dead-letter
         # TOPIC is at-least-once too — consumers dedup on unique_id.
-        dl.write.mode("append").parquet(sinks.deadletter_path)
-        n_idx = result.index_metadata.count()
-        n_dl = dl.count()
+        # Counts ride the sink jobs as observations (the R9 df.observe
+        # pattern): no extra actions per micro-batch, and no silent
+        # recompute if cached partitions were evicted under pressure.
+        dl_obs = Observation()
+        dl.observe(dl_obs, F.count(F.lit(1)).alias("n")).write.mode("append").parquet(
+            sinks.deadletter_path
+        )
+        n_idx = idx_obs.get["n"]
+        n_dl = dl_obs.get["n"]
         metrics.batches += 1
         metrics.indexed += n_idx
         metrics.dead_lettered += n_dl
