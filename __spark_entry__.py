@@ -1403,6 +1403,67 @@ def _a48_shard_assign(spark, sf_dir):
     )
 
 
+def _a49_ann_recall(spark, sf_dir):
+    """ANN quality evaluation: recall@5 of a deliberately WEAK sign-LSH
+    configuration (2 tables x 6 planes — too selective for full recall)
+    against exact brute force.  The tuning harness every ANN deployment
+    needs; the production configs (a6) are separately proven recall=1."""
+    from persistor_spark.analytics import similarity
+
+    embs = _embs(spark, sf_dir)
+    q = embs.filter(F.col("vec_id") < 10)
+    approx = similarity.cosine_lsh_topk(
+        embs, q, k=5, n_planes=6, n_tables=2, seed=7
+    )
+    truth = similarity.brute_force_topk(embs, q, k=5)
+    return similarity.topk_recall(approx, truth)
+
+
+def _ann_recall_oracle() -> str:
+    """DuckDB twin of a49: the SAME seeded hyperplanes as literal DOUBLE[]s
+    (list_dot_product sign bits -> bucket ids), same candidate rule (same
+    bucket in either table), same rounded-cosine rank, then recall vs the
+    exact top-5."""
+    from persistor_spark.analytics.similarity import _hyperplanes
+
+    tables = [_hyperplanes(64, 6, 7 + 1000 * t) for t in range(2)]
+
+    def bucket(col: str, planes) -> str:
+        terms = [
+            f"(CASE WHEN list_dot_product({col}, {json.dumps(p)}::DOUBLE[]) >= 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i, p in enumerate(planes)
+        ]
+        return " + ".join(terms)
+
+    cos = (
+        "round(list_dot_product(qv, emb) / "
+        "(sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(emb, emb))), 4)"
+    )
+    return (
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
+        f"b AS (SELECT vec_id, emb, {bucket('emb', tables[0])} AS b0, "
+        f"  {bucket('emb', tables[1])} AS b1 FROM v), "
+        "q AS (SELECT vec_id AS qid, emb AS qv, b0 AS qb0, b1 AS qb1 FROM b WHERE vec_id < 10), "
+        "cand AS (SELECT DISTINCT q.qid, q.qv, b.vec_id, b.emb FROM q "
+        "  JOIN b ON (b.b0 = q.qb0 OR b.b1 = q.qb1) AND b.vec_id <> q.qid), "
+        f"s AS (SELECT qid AS query_id, vec_id, {cos} AS cos FROM cand), "
+        "ap AS (SELECT query_id, vec_id FROM (SELECT *, "
+        "  row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk FROM s) "
+        "  WHERE rk <= 5), "
+        "tr AS (SELECT query_id, vec_id FROM (SELECT q.qid AS query_id, v.vec_id, "
+        f"  {cos.replace('qv, emb', 'q.qv, v.emb').replace('qv, qv', 'q.qv, q.qv').replace('emb, emb', 'v.emb, v.emb')} AS cos, "
+        "  row_number() OVER (PARTITION BY q.qid ORDER BY "
+        f"  {cos.replace('qv, emb', 'q.qv, v.emb').replace('qv, qv', 'q.qv, q.qv').replace('emb, emb', 'v.emb, v.emb')} DESC, v.vec_id) AS rk "
+        "  FROM q CROSS JOIN v WHERE v.vec_id <> q.qid) WHERE rk <= 5), "
+        "h AS (SELECT tr.query_id, count(ap.vec_id) AS n_hits FROM tr "
+        "  LEFT JOIN ap ON tr.query_id = ap.query_id AND tr.vec_id = ap.vec_id "
+        "  GROUP BY tr.query_id) "
+        "SELECT query_id, n_hits, round(n_hits::DOUBLE / 5, 4) AS recall "
+        "FROM h ORDER BY query_id"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -1421,6 +1482,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a46_dup_rate_by_source": _a46_dup_rate_by_source,
         "a47_temperature_mix": _a47_temperature_mix,
         "a48_shard_assign": _a48_shard_assign,
+        "a49_ann_recall": _a49_ann_recall,
         "a37_chunking": _a37_chunking,
         "a38_pmi_bigrams": _a38_pmi,
         "a39_split_assign": _a39_splits,
@@ -1436,7 +1498,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_asof_join": _e11_asof_join,
         "e24_asof_tolerance": _e24_asof_tolerance,
         "e12_percentiles": _e12_percentiles,
-        "e17_term_heavy_hitters": _e17_term_heavy_hitters,
         "e19_sliding_window": _e19_sliding_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e21_interval_join": _e21_interval_join,
@@ -1475,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
         "e16_correlated_exists": _e16_correlated_exists,
+        "e17_term_heavy_hitters": _e17_term_heavy_hitters,
         "e18_null_safe_join": _e18_null_safe_join,
         "d14_window_topk": _d14,
         "d20_first_seen": _d20_first_seen,
@@ -1897,6 +1959,7 @@ def oracle_sql() -> dict[str, str]:
             "round(pow(n_docs, 0.3) / tw * nn / n_docs, 6) AS effective_epochs "
             "FROM c, t ORDER BY source"
         ),
+        "a49_ann_recall": _ann_recall_oracle(),
         "a48_shard_assign": (
             "WITH h AS (SELECT doc_id, md5('7_' || doc_id::VARCHAR) AS hh FROM documents), "
             "s AS (SELECT doc_id, hh, "

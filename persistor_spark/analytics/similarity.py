@@ -1260,3 +1260,35 @@ def random_projection(
         F.col(id_col).alias("vec_id"),
         F.transform(R, lambda r: F.round(dot(v, r), 4)).alias("proj"),
     )
+
+
+def topk_recall(approx: DataFrame, truth: DataFrame) -> DataFrame:
+    """Recall@k evaluation of an approximate top-k result against its exact
+    twin: per query, the fraction of true top-k neighbors the approximate
+    method returned.  The tuning harness for every ANN operator here —
+    sweep (n_tables, n_planes) / (n_centroids, nprobe) and read recall vs
+    the candidate-volume cost directly.
+
+    Both inputs are (query_id, vec_id, ...) top-k frames (brute_force_topk,
+    cosine_lsh_topk, ivf_topk, ...).  One equi-join on (query_id, vec_id) +
+    one agg keyed by query — cost tracks k x queries, never the corpus.
+    """
+    a = approx.select("query_id", "vec_id")
+    t = truth.select("query_id", "vec_id")
+    hits = (
+        t.join(a, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    base = t.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))
+    return (
+        base.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)) / F.col("n_truth"), 4
+            ).alias("recall"),
+        )
+        .orderBy("query_id")
+    )

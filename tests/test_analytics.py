@@ -1154,3 +1154,24 @@ def test_shard_assignments_deterministic_and_dense(docs):
     # a different seed produces a different order (not a constant map)
     c = sampling.shard_assignments(docs, n_shards=8, seed=8).collect()
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
+
+
+def test_topk_recall_harness(embs):
+    q = embs.filter(F.col("vec_id") < 5)
+    truth = similarity.brute_force_topk(embs, q, k=5)
+    # exact-vs-itself is perfect recall
+    perfect = similarity.topk_recall(truth, truth).collect()
+    assert all(r["recall"] == 1.0 and r["n_hits"] == 5 for r in perfect)
+    # the production LSH config (proven candidate-superset) also scores 1.0;
+    # a starved config (1 table, many planes) cannot beat it
+    strong = similarity.topk_recall(
+        similarity.cosine_lsh_topk(embs, q, k=5), truth
+    ).collect()
+    weak = similarity.topk_recall(
+        similarity.cosine_lsh_topk(embs, q, k=5, n_planes=8, n_tables=1), truth
+    ).collect()
+    s = sum(r["recall"] for r in strong) / len(strong)
+    w = sum(r["recall"] for r in weak) / len(weak)
+    # 16 tables of 4 planes must dominate 1 starved table of 8 planes
+    assert w <= s
+    assert s > 0.5
