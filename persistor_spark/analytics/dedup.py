@@ -26,7 +26,7 @@ Data Makes Language Models Better").
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Observation, Window, functions as F
 
 
 def shingles(text: Column | str = "text", k: int = 3) -> Column:
@@ -579,23 +579,24 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
             .agg(F.min("label").alias("nlabel"))
         )
         # localCheckpoint (not persist): truncate the iterative lineage so
-        # Catalyst re-analysis stays O(1) per round (see two-phase CC note)
+        # Catalyst re-analysis stays O(1) per round (see two-phase CC note).
+        # The convergence check RIDES the checkpoint job as an observation
+        # (carrying the old label through the plan) — previously it was a
+        # second shuffle join per round just to count changed labels.
+        obs = Observation()
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
                 F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias("label"),
+                F.col("label").alias("__old"),
             )
+            .observe(obs, F.count(F.when(F.col("label") != F.col("__old"), 1)).alias("changed"))
+            .drop("__old")
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
         labels = new_labels
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     edges.unpersist()
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
@@ -620,8 +621,8 @@ def dedup_clusters_two_phase(pairs: DataFrame, max_iterations: int = 20) -> Data
       minimum of that closed neighborhood — stars flatten to depth 1.
 
     Fixpoint when the oriented edge multiset stops changing (checked with a
-    count + xxhash64 checksum aggregate — one scalar job, no collect of
-    edges).  Equality with `dedup_clusters` is pytest-pinned; the driver
+    count + order-free xxhash64 checksum that rides the round's checkpoint
+    job as an observation — no extra job, no collect of edges).  Equality with `dedup_clusters` is pytest-pinned; the driver
     query a26 shares a11's recursive-CTE oracle because component minima are
     algorithm-independent.
 
@@ -632,7 +633,15 @@ def dedup_clusters_two_phase(pairs: DataFrame, max_iterations: int = 20) -> Data
     lineage per round keeps planning O(1); on a cluster swap in
     `checkpoint()` + setCheckpointDir when executor loss must be survivable.
     """
+    # the fixpoint checksum (edge count + order-free xxhash) RIDES each
+    # round's checkpoint job as an observation — no separate scan job
+    _metrics = (
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    )
+
     # oriented canonical edges (hi -> lo), self-loops dropped
+    obs0 = Observation()
     edges = (
         pairs.select(
             F.greatest(F.col("a"), F.col("b")).alias("u"),
@@ -640,17 +649,10 @@ def dedup_clusters_two_phase(pairs: DataFrame, max_iterations: int = 20) -> Data
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, *_metrics)
         .localCheckpoint()
     )
-
-    def _checksum(e: DataFrame) -> tuple:
-        row = e.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return (row["n"], row["h"])
-
-    prev = _checksum(edges)
+    prev = (obs0.get["n"], obs0.get["h"])
     for _ in range(max_iterations):
         # ---- large-star: m(u) over full neighborhood; link neighbors > u
         nbrs = edges.select("u", "v").unionByName(
@@ -667,14 +669,16 @@ def dedup_clusters_two_phase(pairs: DataFrame, max_iterations: int = 20) -> Data
         # ---- small-star: m over closed LOWER neighborhood; link v<=u and u
         m2 = large.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("mu"))
         linked = large.join(m2, "u")
+        obs = Observation()
         small = (
             linked.select(F.col("v").alias("u"), F.col("mu").alias("v"))
             .unionByName(linked.select("u", F.col("mu").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
+            .observe(obs, *_metrics)
             .localCheckpoint()
         )
-        cur = _checksum(small)
+        cur = (obs.get["n"], obs.get["h"])
         edges = small
         if cur == prev:
             break
