@@ -30,7 +30,7 @@ import random
 import pandas as pd  # module-level: pandas_udf type-hint strings ('pd.Series')
 # only resolve against module globals under `from __future__ import annotations`
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Observation, functions as F
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -302,6 +302,7 @@ def kmeans_train(
     seed: int = 7,
     n_vectors: int | None = None,
     assign: str = "dot",
+    materialize_input: bool = True,
 ) -> list[tuple[int, list[float]]]:
     """Distributed Lloyd k-means for the IVF coarse quantizer, returning the
     centroid list driver-side (C x d floats — broadcastable as literals).
@@ -311,21 +312,26 @@ def kmeans_train(
     argmax of dot - ||c||^2/2 — right for PQ sub-quantizers, where the
     objective is small reconstruction error, not angular closeness).
 
-    Spark-first shape: each iteration is ONE narrow assignment pass (argmax
-    over literal centroids folded into the scan — no join, no window, no
-    shuffle of the corpus) + ONE aggregation whose shuffle carries only
-    C*d rows (posexplode -> per-(cid, dim) mean).  Centroid state lives on
-    the driver between iterations, so every iteration starts a fresh
-    2-stage plan — no nested lineage, no checkpointing needed.  At 100x
-    data the per-iteration cost scales linearly and the centroid list stays
-    a few KiB.
+    Spark-first shape: each iteration is ONE 2-stage job — a narrow
+    assignment pass (argmax over literal centroids folded into the scan —
+    no join, no window, no shuffle of the corpus) feeding a SINGLE hash
+    aggregation with one avg(v[i]) aggregate per dimension, so the shuffle
+    carries C rows of d partial sums (no posexplode: the earlier
+    per-(cid, dim) explode tripled the stage count and shuffled n*d rows).
+    Centroid state lives on the driver between iterations — no nested
+    lineage, no checkpointing needed.  At 100x data the per-iteration cost
+    scales linearly and the centroid list stays a few KiB.
 
     Deterministic: init picks every (n/C)-th vector by id order (seeded
     jitter only shifts the stride phase), so results are reproducible —
     required for oracle-checkable downstream queries.
+
+    `materialize_input=False` skips the input checkpoint — pass it when the
+    input is already a plain-column projection of materialized data
+    (ivfpq_build checkpoints the normalized corpus once and shares it).
     """
     v = _as_double(vectors, id_col, vec_col)
-    if max_iter > 0:
+    if max_iter > 0 and materialize_input:
         # Lloyd re-scans the input max_iter+1 times; materialize it ONCE.
         # Callers hand in lazily-normalized projections whose per-element
         # x/||v|| lambda re-evaluates the whole norm fold per element
@@ -340,20 +346,15 @@ def kmeans_train(
         v.filter(((F.col("id") - phase) % step == 0) & ((F.col("id") - phase) / step < n_centroids))
         .select(((F.col("id") - phase) / step).cast("int").alias("cid"), F.col("v").alias("cv"))
     )
+    dim = len(cents[0][1])
     for _ in range(max_iter):
         assigned = v.select(_argmax_cid(F.col("v"), cents, l2_bias=(assign == "l2")).alias("cid"), "v")
-        # per-(cid, dim) mean -> re-assembled centroid vector; partial
-        # aggregation map-side, final shuffle is only C*d rows
         new_rows = (
-            assigned.select("cid", F.posexplode("v").alias("i", "x"))
-            .groupBy("cid", "i")
-            .agg(F.avg("x").alias("m"))
-            .groupBy("cid")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "m"))).alias("dims"))
-            .select("cid", F.transform("dims", lambda s: s["m"]).alias("cv"))
+            assigned.groupBy("cid")
+            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
             .collect()
         )
-        new = {r["cid"]: list(r["cv"]) for r in new_rows}
+        new = {r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in new_rows}
         # empty clusters keep their previous centroid (standard Lloyd fix)
         cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
     return cents
@@ -553,9 +554,9 @@ def pq_train(
 
     ALL m sub-quantizers train in ONE grouped Lloyd loop: the corpus
     explodes once into (id, subspace, subvec) rows and every iteration is a
-    single broadcast-assign pass + a single (subspace, cid, dim)-keyed mean
-    — m jobs collapse into one, and at 100 TB each iteration stays one scan
-    regardless of m.  `train_mod > 1` trains on the deterministic id-sampled
+    single broadcast-assign pass + a single (subspace, cid)-keyed mean with
+    per-dimension avg aggregates — m jobs collapse into one, and at 100 TB
+    each iteration stays one scan regardless of m.  `train_mod > 1` trains on the deterministic id-sampled
     subset (id % train_mod == 0) — the FAISS practice; train on a sample,
     encode everything.
 
@@ -590,8 +591,8 @@ def pq_train(
     # codebook state lives DRIVER-SIDE between Lloyd rounds (m*ksub*dsub =
     # ksub*dim floats — a few KiB): every iteration is one narrow
     # assignment pass (per-subspace argmax against the 3-D literal
-    # codebook, selected by j) + one (j, cid, dim)-keyed mean whose shuffle
-    # carries m*ksub*dim/m rows, collected back.  No per-iteration
+    # codebook, selected by j) + one (j, cid)-keyed mean whose shuffle
+    # carries m*ksub rows of dsub partials, collected back.  No per-iteration
     # checkpoint, no broadcast join, no nested lineage — each round is a
     # fresh 2-stage job over the persisted subvector table.
     init_rows = sub.filter(
@@ -619,18 +620,18 @@ def pq_train(
             lambda s, b: s - b,
         )
         code = _argmax_pick(scores, list(range(ksub)))
+        # ONE hash agg with dsub avg(sv[i]) aggregates — the shuffle carries
+        # m*ksub rows of dsub partials (the earlier posexplode path tripled
+        # the stage count and shuffled n*m*dsub rows)
         new_rows = (
-            sub.select("j", code.alias("cid"), F.posexplode("sv").alias("i", "x"))
-            .groupBy("j", "cid", "i")
-            .agg(F.avg("x").alias("mu"))
+            sub.select("j", code.alias("cid"), "sv")
             .groupBy("j", "cid")
-            .agg(F.array_sort(F.collect_list(F.struct("i", "mu"))).alias("dims"))
-            .select("j", "cid", F.transform("dims", lambda s: s["mu"]).alias("cv"))
+            .agg(*[F.avg(F.col("sv")[i]).alias(f"m{i}") for i in range(dsub)])
             .collect()
         )
         new: dict[int, dict[int, list[float]]] = {}
         for r in new_rows:
-            new.setdefault(r["j"], {})[r["cid"]] = list(r["cv"])
+            new.setdefault(r["j"], {})[r["cid"]] = [r[f"m{i}"] for i in range(dsub)]
         # empty clusters keep their previous centroid (standard Lloyd fix)
         codebooks = [
             [new.get(j, {}).get(c, codebooks[j][c]) for c in range(ksub)]
@@ -814,40 +815,60 @@ def ivfpq_build(
     uses the L2 assignment rule, matching encode).
     """
     v = _as_double(vectors, id_col, vec_col)
-    # (id, raw, nv) with the norm computed once per row behind the
-    # _normalized-style barrier: residuals need the normalized vector, and
-    # the naive per-element norm lambda costs O(d^2) interpreted ops/row
+    # (id, v, 1/norm) barrier first (the naive per-element norm lambda
+    # costs O(d^2) interpreted ops/row), then a SECOND checkpoint holding
+    # the normalized vector as a PLAIN COLUMN: kmeans, assignment, and the
+    # residual all re-scan nv, and materializing it once keeps every
+    # downstream plan free of transform subtrees (and replaces the input
+    # checkpoint kmeans_train would otherwise make for itself).
     withn = v.select(
         "id", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv")
     ).localCheckpoint()
-    if n_vectors is None:
-        # count once off the checkpoint: kmeans_train AND pq_train would
-        # otherwise each run their own count job for the stride init
-        n_vectors = withn.count()
-    vn = withn.select(
-        "id",
-        F.col("v").alias("raw"),
-        F.transform("v", lambda x: x * F.col("inv")).alias("nv"),
+    obs = Observation()
+    mat = (
+        withn.select(
+            "id",
+            F.col("v").alias("raw"),
+            F.transform("v", lambda x: x * F.col("inv")).alias("nv"),
+        )
+        .observe(obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
+    if n_vectors is None:
+        # corpus count rides the checkpoint job — kmeans_train AND pq_train
+        # would otherwise each run their own count job for the stride init
+        n_vectors = obs.get["n"]
     cents = kmeans_train(
-        vn.select(F.col("id").alias("vec_id"), F.col("nv").alias("embedding")),
+        mat.select(F.col("id").alias("vec_id"), F.col("nv").alias("embedding")),
         n_centroids,
         kmeans_iter,
         n_vectors=n_vectors,
+        materialize_input=False,
     )
-    cents_df = vectors.sparkSession.createDataFrame(
-        [(cid, cv) for cid, cv in cents], "cid int, cv array<double>"
+    # argmax over literal centroids (no shuffle); the centroid vector for
+    # the residual comes from element_at over the SAME literal matrix —
+    # no join stage at all.  localCheckpoint the assignment: it feeds both
+    # the PQ training input (residuals) and the probe-side cells table, and
+    # recomputing the corpus argmax for each consumer would double the
+    # dominant map cost.  Slim to (cid, id, raw, r): nv and the centroid
+    # are not needed downstream.
+    # matrix indexed BY CID (cents is cid-sorted but may have gaps when the
+    # stride init lands on sparse ids); gap slots get a dummy row that the
+    # argmax can never pick
+    by_cid = dict(cents)
+    cmat = _lit_matrix(
+        [by_cid.get(c, cents[0][1]) for c in range(cents[-1][0] + 1)]
     )
-    # argmax over literal centroids (no shuffle), then a broadcast equi-join
-    # on cid to fetch the centroid vector for the residual — map-side only.
-    # localCheckpoint the WHOLE assignment: it feeds both the PQ training
-    # input (residuals) and the probe-side cells table, and recomputing the
-    # corpus argmax for each consumer would double the dominant map cost.
     assigned = (
-        vn.withColumn("cid", _argmax_cid(F.col("nv"), cents))
-        .join(F.broadcast(cents_df), "cid")
-        .select("cid", "id", "raw", "nv", "cv")
-        .withColumn("r", F.zip_with("nv", "cv", lambda a, b: a - b))
+        mat.withColumn("cid", _argmax_cid(F.col("nv"), cents))
+        .select(
+            "cid",
+            "id",
+            "raw",
+            F.zip_with(
+                "nv", F.element_at(cmat, F.col("cid") + 1), lambda a, b: a - b
+            ).alias("r"),
+        )
         .localCheckpoint()
     )
     resid = assigned.select("id", "r")
