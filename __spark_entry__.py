@@ -1464,19 +1464,70 @@ def _ann_recall_oracle() -> str:
     )
 
 
+def _a50_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 and exact-cosine top-20 fused by
+    reciprocal-rank fusion (1/(60+rank), Cormack et al.) — the standard
+    lexical+dense combination; fusion is a join of two bounded lists, so
+    corpus scale only touches the ranking stages."""
+    from persistor_spark.analytics import search, similarity
+
+    idx = search.build_index(_docs(spark, sf_dir))
+    bm = search.search(idx, _BM25_QUERY, k=20)
+    ann = similarity.brute_force_topk(
+        _embs(spark, sf_dir), _embs(spark, sf_dir).filter(F.col("vec_id") == 0), k=20
+    )
+    fused = search.rrf_fuse(
+        [bm.select("id", "rank"), ann.select(F.col("vec_id").alias("id"), "rank")],
+        k=10,
+    )
+    return fused.withColumn("rank", F.col("rank").cast("long")).orderBy("rank")
+
+
+def _a51_vocab_coverage(spark, sf_dir):
+    """Zipf head of the vocabulary with per-term and cumulative token share
+    — the vocab-size/coverage curve; one vocab-bounded count shuffle, then
+    a window over only the top-30 survivors."""
+    from persistor_spark.analytics import text
+
+    return text.vocab_coverage(_docs(spark, sf_dir), top_n=30).orderBy("rank")
+
+
+def _a52_split_leakage(spark, sf_dir):
+    """Train/val/test contamination audit: near-dup (Jaccard >= 0.8) pairs
+    counted by the split pair their endpoints landed in — cross-split rows
+    are evaluation leakage.  Reuses the a2 pair detection and the a39
+    split map; the audit itself is two id-keyed joins + a 6-key groupBy."""
+    from persistor_spark.analytics import dedup, sampling
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.8)
+    splits = sampling.assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
+    return dedup.split_leakage(pairs, splits.select("doc_id", "split"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
     Round-4 rotation policy: first the queries with NO driver row yet
-    (a37/a38/a39, added after the r3 window) and the new r4 queries, then
-    every query whose code or oracle changed this round (a12 verify math,
-    a33 oracle, e11's operator, d19/d9 via the blob-client seam), then the
-    never-or-once-checked remainder.  Multiply-green rows (e1/e5/a1 — 3
-    green rounds each — and other r2+r3 greens) rotate out; they stay
-    pinned by tools/check.py (all queries, every round) and pytest.
+    (a37/a38/a39 from r3, the r4 operators a40–a52), then every query whose
+    code or oracle changed this round (the ANN family via the Lloyd-
+    aggregation rewrite, a11/a26 via the observation-fused CC fixpoint, a12
+    verify math, a33 oracle, e11's operator), then the never-or-once-checked
+    remainder.  Multiply-green rows (d1/d9/d13/d19, e7, e1/e5/a1 and other
+    r2+r3 greens) rotate out; they stay pinned by tools/check.py (all
+    queries, every round) and pytest.
     """
     return {
         # -- no driver row yet (r3 late additions + r4 new operators)
+        "a50_hybrid_rrf": _a50_hybrid_rrf,
+        "a51_vocab_coverage": _a51_vocab_coverage,
+        "a52_split_leakage": _a52_split_leakage,
+        # -- CC internals changed late in r4 (observation-fused fixpoint):
+        # rotate both component queries back under the driver
+        "a11_dedup_clusters": _a_dedup_clusters,
+        "a26_cc_two_phase": _a_cc_two_phase,
         "a44_cluster_reps": _a44_cluster_reps,
         "a45_random_projection": _a45_random_projection,
         "a46_dup_rate_by_source": _a46_dup_rate_by_source,
@@ -1491,7 +1542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a42_int8_quantize": _a42_int8_quantize,
         "a43_norm_fingerprint": _a43_norm_fingerprint,
         # -- once-checked r3 rows kept under watch
-        "e7_string_funcs": _e_string_funcs,
         "e8_tumbling_window": _e_tumbling_window,
         "e9_sessionize": _e9_sessionize,
         "e10_join_topk": _e10_join_topk,
@@ -1525,13 +1575,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a32_ivfpq_topk": _a_ivfpq_topk,
         "a33_semdedup": _a_semdedup,
         "a34_opq_topk": _a_opq_topk,
-        # -- 12 load-bearing pipeline queries kept under driver watch
+        # ---- driver window ends here (50) — below: multiply-green, pinned
+        # by tools/check.py + pytest every round
         "d19_ocf_roundtrip": _d19,
         "d9_position_align_join": _d9,
         "d1_point_lookup": _d1,
         "d13_lineage_counts": _d13,
-        # ---- driver window ends here (50) — below: multiply-green, pinned
-        # by tools/check.py + pytest every round
+        "e7_string_funcs": _e_string_funcs,
         "e13_grouping_sets": _e13_grouping_sets,
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
@@ -1564,8 +1614,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
-        "a11_dedup_clusters": _a_dedup_clusters,
-        "a26_cc_two_phase": _a_cc_two_phase,
         "a27_lm_perplexity": _a_lm_perplexity,
         "a28_weighted_mix": _a_weighted_mix,
         "a30_dup_spans": _a_dup_spans,
@@ -2292,6 +2340,54 @@ def oracle_sql() -> dict[str, str]:
             "  SELECT *, row_number() OVER (ORDER BY score DESC, id) AS rank FROM scored) "
             "WHERE rank <= 10 ORDER BY rank"
         ),
+        # a50: the a14 BM25 ranking (top-20) and the a5-shape exact-cosine
+        # ranking for query vec 0 (top-20), fused with the same
+        # left-to-right coalesce sum rrf_fuse computes
+        "a50_hybrid_rrf": (
+            "WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term "
+            "  FROM documents), "
+            "dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id), "
+            "postings AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term), "
+            "stats AS (SELECT count(*) AS n FROM documents), "
+            "ad AS (SELECT avg(dl) AS avgdl FROM dl), "
+            "idf AS (SELECT term, ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1) AS idf "
+            "  FROM (SELECT term, count(DISTINCT id) AS df FROM toks GROUP BY term) t, stats s), "
+            "hits AS (SELECT p.id, i.idf * (p.tf * 2.2) / "
+            "    (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / a.avgdl)) AS s "
+            "  FROM postings p JOIN idf i USING (term) JOIN dl d USING (id), ad a "
+            "  WHERE p.term IN ('spark', 'join', 'filter')), "
+            "scored AS (SELECT id, round(sum(s), 4) AS score FROM hits GROUP BY id), "
+            "bm AS (SELECT id, rank FROM (SELECT id, "
+            "    row_number() OVER (ORDER BY score DESC, id) AS rank FROM scored) "
+            "  WHERE rank <= 20), "
+            "v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
+            "q AS (SELECT emb AS qv FROM v WHERE vec_id = 0), "
+            "ann AS (SELECT vec_id AS id, rank FROM (SELECT v.vec_id, "
+            "    row_number() OVER (ORDER BY round(list_dot_product(q.qv, v.emb) / "
+            "      (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.emb, v.emb))), 4) "
+            "      DESC, v.vec_id) AS rank "
+            "  FROM v, q WHERE v.vec_id <> 0) WHERE rank <= 20), "
+            "f AS (SELECT coalesce(bm.id, ann.id) AS id, "
+            "    round(coalesce(1.0 / (60 + bm.rank), 0) + coalesce(1.0 / (60 + ann.rank), 0), 6) AS rrf "
+            "  FROM bm FULL JOIN ann ON bm.id = ann.id) "
+            "SELECT id, rrf, rank FROM (SELECT *, "
+            "  row_number() OVER (ORDER BY rrf DESC, id) AS rank FROM f) "
+            "WHERE rank <= 10 ORDER BY rank"
+        ),
+        "a51_vocab_coverage": (
+            "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents), "
+            "c AS (SELECT term, count(*) AS cnt FROM toks GROUP BY term), "
+            "tot AS (SELECT count(*) AS t FROM toks), "
+            "head AS (SELECT term, cnt, "
+            "  row_number() OVER (ORDER BY cnt DESC, term) AS rank FROM c), "
+            "cum AS (SELECT rank, term, cnt, "
+            "  sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum "
+            "  FROM head WHERE rank <= 30) "
+            "SELECT rank, term, cnt, round(cnt::DOUBLE / t, 6) AS share, "
+            "  round(cum::DOUBLE / t, 6) AS cum_share "
+            "FROM cum, tot ORDER BY rank"
+        ),
+        "a52_split_leakage": _split_leakage_oracle(),
         "e13_grouping_sets": (
             "SELECT coalesce(o_orderpriority, 'ALL') AS prio, "
             "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n "
@@ -2467,6 +2563,38 @@ def _split_assign_oracle() -> str:
         "  CAST(CONCAT('0x', substr(md5('42_' || doc_id), 1, 15)) AS BIGINT) "
         "    / 1152921504606846976.0 AS u FROM documents) "
         "ORDER BY doc_id"
+    )
+
+
+def _split_leakage_oracle() -> str:
+    """a52 = the a2 pair detection joined against the a39 split map (both
+    oracles reused verbatim), grouped by the canonical split pair."""
+    from persistor_spark.analytics.sampling import split_thresholds
+
+    t0, t1 = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "s AS (SELECT doc_id, "
+        "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+        "  FROM t), "
+        "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+        "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
+        "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+        "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+        "sp AS (SELECT doc_id, CASE "
+        f"  WHEN u < {t0!r} THEN 'train' "
+        f"  WHEN u < {t1!r} THEN 'val' "
+        "  ELSE 'test' END AS split "
+        "  FROM (SELECT doc_id, "
+        "    CAST(CONCAT('0x', substr(md5('42_' || doc_id), 1, 15)) AS BIGINT) "
+        "      / 1152921504606846976.0 AS u FROM documents)), "
+        "j AS (SELECT least(sa.split, sb.split) AS split_lo, "
+        "    greatest(sa.split, sb.split) AS split_hi, "
+        "    sa.split AS s_a, sb.split AS s_b "
+        "  FROM p JOIN sp sa ON p.a = sa.doc_id JOIN sp sb ON p.b = sb.doc_id) "
+        "SELECT split_lo, split_hi, count(*) AS n_pairs, "
+        "  count(*) FILTER (WHERE s_a <> s_b) AS n_cross "
+        "FROM j GROUP BY split_lo, split_hi ORDER BY split_lo, split_hi"
     )
 
 

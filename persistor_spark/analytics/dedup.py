@@ -976,3 +976,38 @@ def dup_rate_by_source(
         )
         .orderBy("source")
     )
+
+
+def split_leakage(
+    pairs: DataFrame, splits: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-split contamination audit: count near-dup PAIRS by the
+    (canonically ordered) pair of splits their endpoints landed in.  A
+    train/test near-dup pair is evaluation leakage — the check every
+    pretraining pipeline runs after splitting (cf. GPT-3 appx. C's
+    train-test overlap analysis); same-split rows are reported too so the
+    off-diagonal is readable as a fraction of all near-dup mass.
+
+    `pairs` is any (a, b) near-dup pair table (exact, Jaccard, MinHash,
+    SimHash, embedding); `splits` is (id_col, split) from assign_splits.
+
+    Shape at 100 TB: two id-keyed equi-joins of the (already detected,
+    far-smaller-than-corpus) pair list against the split map, then a
+    groupBy on at most |splits|^2 keys — no new quadratic stage, and the
+    expensive part (pair detection) is shared with the dedup pass the
+    pipeline already runs.
+    """
+    sa = splits.select(F.col(id_col).alias("a"), F.col("split").alias("__sa"))
+    sb = splits.select(F.col(id_col).alias("b"), F.col("split").alias("__sb"))
+    joined = pairs.join(sa, "a").join(sb, "b")
+    return (
+        joined.groupBy(
+            F.least("__sa", "__sb").alias("split_lo"),
+            F.greatest("__sa", "__sb").alias("split_hi"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.count(F.when(F.col("__sa") != F.col("__sb"), 1)).alias("n_cross"),
+        )
+        .orderBy("split_lo", "split_hi")
+    )

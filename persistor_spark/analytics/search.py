@@ -18,7 +18,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 K1 = 1.2
 B = 0.75
@@ -91,3 +91,46 @@ def search(index: BM25Index, query_terms: list, k: int = 10) -> DataFrame:
         topk.withColumn("rank", F.row_number().over(w))
         .select("id", "score", "rank")
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    k0: int = 60,
+    id_col: str = "id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of N ranked lists:
+    fused(d) = Σ_i 1/(k0 + rank_i(d)) over the systems that returned d —
+    the standard way to combine lexical (BM25) and dense (embedding
+    cosine) retrieval without score calibration.
+
+    Shape: each input ranking is already a top-N list (bounded, a few
+    rows), so the full-outer joins below are joins of tiny frames — at
+    100 TB the expensive part is PRODUCING the rankings (posting-list /
+    ANN probes); fusion cost is O(Σ list lengths) regardless of corpus.
+
+    Determinism: contributions are added left-to-right with explicit
+    coalesce(·, 0) terms (not a union + float sum agg, whose partial-merge
+    order is partition-dependent), so the fused score is bit-identical to
+    a SQL oracle computing the same left-to-right sum.  Output
+    (id, rrf, rank) with rrf rounded to 6 decimals and rank ordered by
+    (rrf DESC, id ASC).
+    """
+    fused = None
+    for i, r in enumerate(rankings):
+        ri = r.select(
+            F.col(id_col).alias("id"),
+            (F.lit(1.0) / (F.lit(float(k0)) + F.col(rank_col))).alias(f"c{i}"),
+        )
+        fused = ri if fused is None else fused.join(ri, "id", "full_outer")
+    score = F.coalesce(F.col("c0"), F.lit(0.0))
+    for i in range(1, len(rankings)):
+        score = score + F.coalesce(F.col(f"c{i}"), F.lit(0.0))
+    scored = fused.select("id", F.round(score, 6).alias("rrf"))
+    order = [F.col("rrf").desc(), F.col("id").asc()]
+    topk = scored.orderBy(*order).limit(k)
+    # same non-foldable constant partition spec as search(): the window
+    # ranks only the k survivors of TakeOrderedAndProject
+    w = Window.partitionBy(F.pmod(F.col("id"), F.lit(1))).orderBy(*order)
+    return topk.withColumn("rank", F.row_number().over(w)).select("id", "rrf", "rank")

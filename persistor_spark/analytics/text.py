@@ -7,7 +7,7 @@ transforms — no shuffle at all until an aggregation is requested.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Marker-stopword language heuristic: tiny deterministic rule set so the
 # DuckDB oracle can mirror it exactly.  A production system would swap in a
@@ -511,4 +511,45 @@ def normalization_fingerprints(
         F.col(id_col).alias("doc_id"),
         F.length(norm).alias("norm_len"),
         F.md5(norm).alias("norm_md5"),
+    )
+
+
+def vocab_coverage(
+    df: DataFrame, top_n: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Zipf head of the corpus vocabulary: the top_n terms by frequency with
+    each term's share of all tokens and the running cumulative share —
+    the "how small a vocab covers 90% of the corpus" curve a tokenizer /
+    vocab-size decision reads off directly.
+
+    Shape at 100 TB: one term-keyed count shuffle (vocab-bounded output),
+    then TakeOrderedAndProject keeps only the top_n head — the cumulative
+    window runs over those top_n survivors, never the full vocabulary.
+    The single collected scalar is the corpus token total (one BIGINT).
+
+    Output (rank, term, cnt, share, cum_share), rank ordered by
+    (cnt DESC, term ASC), shares rounded to 6 decimals.
+    """
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt")).collect()[0][0]
+    order = [F.col("cnt").desc(), F.col("term").asc()]
+    head = counts.orderBy(*order).limit(top_n)
+    # non-foldable constant partition spec (the search.py trick): the window
+    # sorts only the top_n survivors, not a single global partition
+    w = Window.partitionBy(F.pmod(F.length("term"), F.lit(1))).orderBy(*order)
+    return head.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        "term",
+        "cnt",
+        F.round(F.col("cnt").cast("double") / F.lit(float(total)), 6).alias("share"),
+        F.round(
+            F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double")
+            / F.lit(float(total)),
+            6,
+        ).alias("cum_share"),
     )

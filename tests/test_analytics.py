@@ -1175,3 +1175,48 @@ def test_topk_recall_harness(embs):
     # 16 tables of 4 planes must dominate 1 starved table of 8 planes
     assert w <= s
     assert s > 0.5
+
+
+def test_rrf_fuse_combines_and_ranks(spark):
+    from persistor_spark.analytics import search
+
+    r1 = spark.createDataFrame([(10, 1), (11, 2), (12, 3)], "id int, rank int")
+    r2 = spark.createDataFrame([(11, 1), (13, 2)], "id int, rank int")
+    out = {r["id"]: (r["rrf"], r["rank"]) for r in search.rrf_fuse([r1, r2], k=4).collect()}
+    # 11 appears in both lists -> highest fused score
+    assert out[11][1] == 1
+    assert out[11][0] == round(1 / 62 + 1 / 61, 6)
+    # single-system docs score exactly their one contribution
+    assert out[10][0] == round(1 / 61, 6)
+    assert out[13][0] == round(1 / 62, 6)
+    # rank follows (rrf DESC, id ASC): 10 (1/61) before 13 (1/62)
+    assert out[10][1] == 2 and out[13][1] == 3 and out[12][1] == 4
+
+
+def test_vocab_coverage_shares(spark):
+    rows = [(0, "a a a b b c"), (1, "a b d")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["term"]: r for r in text.vocab_coverage(df, top_n=3).collect()}
+    # 9 tokens total: a=4, b=3, c=1/d=1 (tie -> 'c' first)
+    assert [got[t]["rank"] for t in ("a", "b", "c")] == [1, 2, 3]
+    assert got["a"]["share"] == round(4 / 9, 6)
+    assert got["b"]["cum_share"] == round(7 / 9, 6)
+    assert got["c"]["cum_share"] == round(8 / 9, 6)
+
+
+def test_split_leakage_counts_cross_pairs(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (4, 5)], "a int, b int"
+    )
+    splits = spark.createDataFrame(
+        [(1, "train"), (2, "test"), (3, "train"), (4, "val"), (5, "val")],
+        "doc_id int, split string",
+    )
+    got = {
+        (r["split_lo"], r["split_hi"]): (r["n_pairs"], r["n_cross"])
+        for r in dedup.split_leakage(pairs, splits).collect()
+    }
+    # (1,2) and (2,3) cross train/test; (1,3) stays in train; (4,5) in val
+    assert got[("test", "train")] == (2, 2)
+    assert got[("train", "train")] == (1, 0)
+    assert got[("val", "val")] == (1, 0)
