@@ -1507,6 +1507,29 @@ def _a52_split_leakage(spark, sf_dir):
     return dedup.split_leakage(pairs, splits.select("doc_id", "split"))
 
 
+def _a53_dup_substrings(spark, sf_dir):
+    """Maximal duplicated-substring spans per doc (ExactSubstr-style
+    output): corpus-duplicated 8-grams merged into maximal token intervals
+    by per-doc gaps-and-islands — the span list a substring-dedup pass
+    would cut."""
+    from persistor_spark.analytics import dedup
+
+    return dedup.duplicate_substring_intervals(
+        _docs(spark, sf_dir), gram_len=8, min_count=2
+    )
+
+
+def _a54_boilerplate(spark, sf_dir):
+    """Per-source boilerplate load: fraction of each doc's distinct
+    3-grams appearing in >= 20% of its source's docs (CCNet/RefinedWeb
+    domain-relative boilerplate heuristic)."""
+    from persistor_spark.analytics import text
+
+    return text.boilerplate_stats(
+        _docs(spark, sf_dir), n=3, min_doc_frac=0.2
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -1524,6 +1547,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a50_hybrid_rrf": _a50_hybrid_rrf,
         "a51_vocab_coverage": _a51_vocab_coverage,
         "a52_split_leakage": _a52_split_leakage,
+        "a53_dup_substrings": _a53_dup_substrings,
+        "a54_boilerplate": _a54_boilerplate,
         # -- CC internals changed late in r4 (observation-fused fixpoint):
         # rotate both component queries back under the driver
         "a11_dedup_clusters": _a_dedup_clusters,
@@ -1551,8 +1576,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e19_sliding_window": _e19_sliding_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e21_interval_join": _e21_interval_join,
-        "e22_unpivot": _e22_unpivot,
-        "e23_ntile": _e23_ntile,
         "a12_embedding_pairs": _a12_embedding_pairs,
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a14_bm25_topk": _a14_bm25_topk,
@@ -1582,6 +1605,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_point_lookup": _d1,
         "d13_lineage_counts": _d13,
         "e7_string_funcs": _e_string_funcs,
+        "e22_unpivot": _e22_unpivot,
+        "e23_ntile": _e23_ntile,
         "e13_grouping_sets": _e13_grouping_sets,
         "e14_except": _e14_except,
         "e15_pivot": _e15_pivot,
@@ -2388,6 +2413,46 @@ def oracle_sql() -> dict[str, str]:
             "FROM cum, tot ORDER BY rank"
         ),
         "a52_split_leakage": _split_leakage_oracle(),
+        # a53: duplicated 8-grams -> per-doc gaps-and-islands interval merge
+        # (new island when the position gap exceeds the gram length)
+        "a53_dup_substrings": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram "
+            "  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)), "
+            "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), "
+            "p AS (SELECT doc_id, pos FROM g JOIN d USING (gram)), "
+            "i AS (SELECT doc_id, pos, CASE WHEN pos - "
+            "    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8 "
+            "  THEN 1 ELSE 0 END AS brk FROM p), "
+            "isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id "
+            "  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM i) "
+            "SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end, "
+            "  max(pos) + 7 - min(pos) + 1 AS span_len "
+            "FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"
+        ),
+        # a54: per-source gram doc-frequency vs source doc count; boilerplate
+        # grams flagged back onto each doc
+        "a54_boilerplate": (
+            "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks "
+            "  FROM documents), "
+            "gr AS (SELECT doc_id, source, unnest(list_distinct("
+            "  [array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS gram "
+            "  FROM t), "
+            "sd AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), "
+            "bo AS (SELECT c.source, c.gram FROM "
+            "  (SELECT source, gram, count(*) AS df_ FROM gr GROUP BY source, gram) c "
+            "  JOIN sd ON c.source = sd.source "
+            "  WHERE sd.n_docs >= 2 AND c.df_::DOUBLE / sd.n_docs >= 0.2), "
+            "pd AS (SELECT doc_id, source, count(*) AS n_grams FROM gr "
+            "  GROUP BY doc_id, source), "
+            "fb AS (SELECT gr.doc_id, count(*) AS n_boiler FROM gr "
+            "  JOIN bo ON gr.source = bo.source AND gr.gram = bo.gram "
+            "  GROUP BY gr.doc_id) "
+            "SELECT pd.doc_id, pd.source, pd.n_grams, "
+            "  coalesce(fb.n_boiler, 0) AS n_boiler, "
+            "  round(coalesce(fb.n_boiler, 0)::DOUBLE / pd.n_grams, 4) AS boiler_frac "
+            "FROM pd LEFT JOIN fb ON pd.doc_id = fb.doc_id ORDER BY pd.doc_id"
+        ),
         "e13_grouping_sets": (
             "SELECT coalesce(o_orderpriority, 'ALL') AS prio, "
             "coalesce(o_orderstatus, 'ALL') AS status, count(*) AS n "

@@ -1011,3 +1011,76 @@ def split_leakage(
         )
         .orderBy("split_lo", "split_hi")
     )
+
+
+def duplicate_substring_intervals(
+    df: DataFrame,
+    gram_len: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MAXIMAL duplicated-substring spans per document: merge the positions
+    of corpus-duplicated `gram_len`-grams (duplicate_span_stats' signal)
+    into maximal token intervals — the per-span output ExactSubstr dedup
+    (Lee et al. 2022) cuts out of each document.  Suffix arrays find
+    arbitrary-length repeats in one machine's RAM; fixed grams + interval
+    merge is the shuffle-friendly distributed equivalent (any repeat of
+    length >= gram_len is a run of repeated grams, so its maximal span is
+    recovered exactly).
+
+    Plan: gram posting shuffle (as a30) -> join against the tiny
+    >= min_count gram table -> per-doc gaps-and-islands: a new island
+    starts where pos - lag(pos) > gram_len (coverage gap); islands close
+    under min/max.  The window is partitioned BY DOCUMENT and ordered by
+    position — partition size is a doc's duplicated-gram count, never the
+    corpus.  Output (doc_id, span_start, span_end, span_len), 1-based
+    inclusive token positions.
+    """
+    toks = F.split(F.col(text_col), " ")
+    t = df.select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("n_tokens"))
+    gram_structs = F.when(
+        F.col("n_tokens") >= gram_len,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens") - (gram_len - 1)),
+            lambda i: F.struct(
+                i.alias("pos"), F.array_join(F.slice("toks", i, gram_len), " ").alias("g")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    grams = t.select(id_col, F.explode(gram_structs).alias("gs")).select(
+        id_col, F.col("gs.pos").alias("pos"), F.col("gs.g").alias("g")
+    )
+    dup_g = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= min_count)
+        .select("g")
+    )
+    dup = grams.join(dup_g, "g").select(id_col, "pos")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    islands = (
+        dup.withColumn(
+            "__new",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > gram_len, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn(
+            "grp",
+            F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+        )
+    )
+    return (
+        islands.groupBy(id_col, "grp")
+        .agg(F.min("pos").alias("span_start"), F.max("pos").alias("span_end"))
+        .select(
+            id_col,
+            F.col("span_start").cast("long").alias("span_start"),
+            (F.col("span_end") + (gram_len - 1)).cast("long").alias("span_end"),
+            (F.col("span_end") + (gram_len - 1) - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_len"),
+        )
+        .orderBy(id_col, "span_start")
+    )

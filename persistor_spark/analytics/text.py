@@ -553,3 +553,62 @@ def vocab_coverage(
             6,
         ).alias("cum_share"),
     )
+
+
+def boilerplate_stats(
+    df: DataFrame,
+    n: int = 3,
+    min_doc_frac: float = 0.2,
+    min_docs: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-document boilerplate load: the fraction of a doc's DISTINCT word
+    n-grams that are boilerplate WITHIN ITS SOURCE — an n-gram is
+    boilerplate when it appears in >= `min_doc_frac` of the source's
+    documents (the CCNet/RefinedWeb per-domain heuristic for navigation
+    chrome, footers, and templates; relative-to-source, so a phrase common
+    in one crawl domain is still content in another).  Sources with fewer
+    than `min_docs` documents flag nothing — with one page, every gram is
+    trivially "in 100% of the domain".
+
+    Plan at 100 TB: one (source, gram)-keyed distinct-doc count (the gram
+    posting shuffle the dedup family already pays), a broadcastable
+    per-source doc-count table, and one id-keyed join back — the
+    boilerplate gram table is tiny after the >= min_doc_frac filter.
+    Output (doc_id, source, n_grams, n_boiler, boiler_frac).
+    """
+    grams = df.select(
+        F.col(id_col),
+        F.col(source_col).alias("source"),
+        F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("g"),
+    )
+    src_docs = df.groupBy(F.col(source_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    boiler = (
+        grams.groupBy("source", "g")
+        .agg(F.count(F.lit(1)).alias("df_"))
+        .join(F.broadcast(src_docs), "source")
+        .filter(
+            (F.col("n_docs") >= min_docs)
+            & (F.col("df_").cast("double") / F.col("n_docs") >= min_doc_frac)
+        )
+        .select("source", "g")
+    )
+    flagged = grams.join(boiler, ["source", "g"], "left_semi")
+    per_doc_boiler = flagged.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_boiler"))
+    per_doc = grams.groupBy(id_col, "source").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        per_doc.join(per_doc_boiler, id_col, "left")
+        .select(
+            id_col,
+            "source",
+            "n_grams",
+            F.coalesce("n_boiler", F.lit(0)).cast("long").alias("n_boiler"),
+            F.round(
+                F.coalesce("n_boiler", F.lit(0)).cast("double") / F.col("n_grams"), 4
+            ).alias("boiler_frac"),
+        )
+    )

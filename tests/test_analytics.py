@@ -1220,3 +1220,44 @@ def test_split_leakage_counts_cross_pairs(spark):
     assert got[("test", "train")] == (2, 2)
     assert got[("train", "train")] == (1, 0)
     assert got[("val", "val")] == (1, 0)
+
+
+def test_duplicate_substring_intervals_merge(spark):
+    # ten shared tokens "c0..c9" produce three duplicated 8-grams at
+    # positions 3,4,5 in doc 0 (prefix "x y") and 1,2,3 in doc 1 -> ONE
+    # maximal island each; doc 2 shares nothing
+    shared = " ".join(f"c{i}" for i in range(10))
+    rows = [(0, "x y " + shared), (1, shared + " z"), (2, "entirely different words here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["span_start"], r["span_end"], r["span_len"])
+        for r in dedup.duplicate_substring_intervals(df, gram_len=8).collect()
+    }
+    assert got[0] == (3, 12, 10)  # tokens 3..12 = the shared run
+    assert got[1] == (1, 10, 10)
+    assert 2 not in got
+    # a coverage gap > gram_len splits islands: two far-apart shared runs
+    far = "x " + shared + " " + " ".join(f"f{i}" for i in range(20)) + " " + shared
+    df2 = spark.createDataFrame([(0, far), (1, shared)], "doc_id int, text string")
+    spans0 = [
+        (r["span_start"], r["span_end"])
+        for r in dedup.duplicate_substring_intervals(df2, gram_len=8).collect()
+        if r["doc_id"] == 0
+    ]
+    assert len(spans0) == 2
+
+
+def test_boilerplate_stats_flags_source_common_grams(spark):
+    # "nav home about" appears in every src0 doc (boilerplate); unique tails
+    rows = [
+        (0, "nav home about unique zero tail words", "src0"),
+        (1, "nav home about different one tail words", "src0"),
+        (2, "nav home about third doc tail words", "src0"),
+        (3, "other corpus entirely separate content here", "src1"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string, source string")
+    got = {r["doc_id"]: r for r in text.boilerplate_stats(df, n=3, min_doc_frac=0.9).collect()}
+    # only "nav home about" is in >= 90% of src0 docs
+    assert all(got[i]["n_boiler"] == 1 for i in (0, 1, 2))
+    assert got[3]["n_boiler"] == 0
+    assert got[0]["boiler_frac"] == round(1 / got[0]["n_grams"], 4)
