@@ -1530,6 +1530,25 @@ def _a54_boilerplate(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _a55_ivfpq_persist(spark, sf_dir):
+    """The a32 IVF-PQ search THROUGH a persisted index: build -> save to a
+    parquet layout (cells partitioned by cid = on-disk inverted lists,
+    probes prune partitions) -> load -> search.  Shares a32's exact oracle:
+    a saved+loaded index must return the identical top-k."""
+    import tempfile
+
+    from persistor_spark.analytics import similarity
+
+    embs = _cl_embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 10)
+    idx = similarity.ivfpq_build(embs, n_centroids=8)
+    path = tempfile.mkdtemp(prefix="ivfpq_idx_")
+    similarity.ivfpq_save(idx, path)
+    loaded = similarity.ivfpq_load(spark, path)
+    out = similarity.ivfpq_search(loaded, queries_df, k=5, nprobe=4, rerank_factor=24)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -1549,6 +1568,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a52_split_leakage": _a52_split_leakage,
         "a53_dup_substrings": _a53_dup_substrings,
         "a54_boilerplate": _a54_boilerplate,
+        "a55_ivfpq_persist": _a55_ivfpq_persist,
         # -- CC internals changed late in r4 (observation-fused fixpoint):
         # rotate both component queries back under the driver
         "a11_dedup_clusters": _a_dedup_clusters,
@@ -1575,7 +1595,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e12_percentiles": _e12_percentiles,
         "e19_sliding_window": _e19_sliding_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
-        "e21_interval_join": _e21_interval_join,
         "a12_embedding_pairs": _a12_embedding_pairs,
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a14_bm25_topk": _a14_bm25_topk,
@@ -1605,6 +1624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d1_point_lookup": _d1,
         "d13_lineage_counts": _d13,
         "e7_string_funcs": _e_string_funcs,
+        "e21_interval_join": _e21_interval_join,
         "e22_unpivot": _e22_unpivot,
         "e23_ntile": _e23_ntile,
         "e13_grouping_sets": _e13_grouping_sets,
@@ -1883,6 +1903,8 @@ def oracle_sql() -> dict[str, str]:
         "a7_ivf_topk": _CLUSTERED_TOPK_ORACLE,
         "a25_pq_topk": _CLUSTERED_TOPK_ORACLE,
         "a32_ivfpq_topk": _CLUSTERED_TOPK_ORACLE,
+        # a55 = a32 through a saved+loaded index; identical result contract
+        "a55_ivfpq_persist": _CLUSTERED_TOPK_ORACLE,
         "a33_semdedup": (
             # filter on the UNROUNDED cosine then round for output (matches
             # Spark's order of operations); dup-id offset = max(vec_id)+1

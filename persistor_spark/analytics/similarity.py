@@ -966,6 +966,54 @@ def ivfpq_search(
     )
 
 
+def ivfpq_save(index: IvfPqIndex, path: str) -> None:
+    """Persist a trained IVF-PQ index (the FAISS write_index analogue):
+
+    - `{path}/cells`     — the encoded corpus, PARTITIONED BY cid: the
+      on-disk inverted-list layout.  A probe's broadcast equi-join on cid
+      triggers dynamic partition pruning, so steady-state searches read
+      ~nprobe/C of the files, not the corpus.
+    - `{path}/centroids` — (cid, cv), C rows.
+    - `{path}/codebooks` — (j, code, cv), m*ksub rows.
+
+    Everything goes through Spark writers (parquet), so the same call works
+    against gs://, abfss://, or s3a:// paths on a cluster."""
+    index.cells.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
+    spark = index.cells.sparkSession
+    spark.createDataFrame(
+        [(cid, cv) for cid, cv in index.cents], "cid int, cv array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    spark.createDataFrame(
+        [
+            (j, code, list(cv))
+            for j, cb in enumerate(index.codebooks)
+            for code, cv in enumerate(cb)
+        ],
+        "j int, code int, cv array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def ivfpq_load(spark, path: str) -> IvfPqIndex:
+    """Read a persisted IVF-PQ index back (FAISS read_index analogue).
+    Centroids and codebooks collect to the driver — C*d + ksub*d floats,
+    the same bounded footprint ivfpq_build keeps; cells stay a lazy
+    partition-pruned DataFrame."""
+    cents = sorted(
+        ((r["cid"], list(r["cv"])) for r in spark.read.parquet(f"{path}/centroids").collect()),
+        key=lambda t: t[0],
+    )
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    by_j: dict[int, dict[int, list[float]]] = {}
+    for r in cb_rows:
+        by_j.setdefault(r["j"], {})[r["code"]] = list(r["cv"])
+    codebooks = [
+        [by_j[j][c] for c in sorted(by_j[j])] for j in sorted(by_j)
+    ]
+    # partition column comes back as its own column; restore the cell layout
+    cells = spark.read.parquet(f"{path}/cells").select("cid", "id", "raw", "codes")
+    return IvfPqIndex(cents, codebooks, cells)
+
+
 def ivfpq_topk(
     vectors: DataFrame,
     queries: DataFrame,

@@ -1261,3 +1261,21 @@ def test_boilerplate_stats_flags_source_common_grams(spark):
     assert all(got[i]["n_boiler"] == 1 for i in (0, 1, 2))
     assert got[3]["n_boiler"] == 0
     assert got[0]["boiler_frac"] == round(1 / got[0]["n_grams"], 4)
+
+
+def test_ivfpq_save_load_roundtrip(spark, embs, tmp_path):
+    idx = similarity.ivfpq_build(embs, n_centroids=8)
+    similarity.ivfpq_save(idx, str(tmp_path / "idx"))
+    loaded = similarity.ivfpq_load(spark, str(tmp_path / "idx"))
+    assert loaded.cents == idx.cents
+    assert loaded.codebooks == idx.codebooks
+    q = embs.filter(F.col("vec_id") < 5)
+    a = similarity.ivfpq_search(idx, q, k=5).collect()
+    b = similarity.ivfpq_search(loaded, q, k=5).collect()
+    key = lambda r: (r["query_id"], r["rank"])
+    assert sorted([(r["query_id"], r["vec_id"], r["cos"], r["rank"]) for r in a]) == sorted(
+        [(r["query_id"], r["vec_id"], r["cos"], r["rank"]) for r in b]
+    )
+    # the persisted cells are laid out as per-cell inverted lists
+    import os
+    assert any(d.startswith("cid=") for d in os.listdir(tmp_path / "idx" / "cells"))
