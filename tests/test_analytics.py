@@ -1279,3 +1279,11 @@ def test_ivfpq_save_load_roundtrip(spark, embs, tmp_path):
     # the persisted cells are laid out as per-cell inverted lists
     import os
     assert any(d.startswith("cid=") for d in os.listdir(tmp_path / "idx" / "cells"))
+    # and the probe's broadcast cid-join prunes them dynamically
+    plan = (
+        similarity.ivfpq_search(loaded, q, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "dynamicpruning" in plan.lower()
