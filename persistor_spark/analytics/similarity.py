@@ -1168,20 +1168,33 @@ def opq_train(
         n_vectors = X.count()
     R = np.eye(dim)
     codebooks = None
+    dsub = dim // m
     for _ in range(n_iter):
-        # checkpoint the rotated corpus: pq_train, pq_encode, and the
-        # cross-matrix partial-sum all consume Xr, and each would re-run
-        # the rotation GEMM otherwise
-        Xr = rotate_vectors(
-            X.select(F.col("id").alias(id_col), F.col("x").alias(vec_col)), R, id_col, vec_col
+        # checkpoint (id, x, xr) together: pq_train, the inline encode, and
+        # the cross-matrix partial-sum all consume the rotation, and
+        # carrying the ORIGINAL x through the checkpoint means the
+        # cross-matrix pass needs NO id-keyed join to reunite x with the
+        # codes (that join shuffled the corpus once per iteration)
+        rot = _rotate_udf(R)
+        Xr = X.select(
+            "id", "x", rot(F.col("x").cast("array<double>")).alias("xr")
         ).localCheckpoint()
         codebooks = pq_train(
-            Xr, m, ksub, pq_iter, id_col, vec_col, dim=dim,
+            Xr.select(F.col("id").alias(id_col), F.col("xr").alias(vec_col)),
+            m, ksub, pq_iter, id_col, vec_col, dim=dim,
             n_vectors=n_vectors, normalize=False,
         )
-        enc = pq_encode(Xr, codebooks, id_col, vec_col, normalize=False)
         cb = np.asarray(codebooks, dtype=np.float64)  # (m, ksub, dsub)
-        joined = X.join(enc.select(F.col("id").alias("jid"), "codes"), F.col("id") == F.col("jid")).select("x", "codes")
+        # encode INLINE on the checkpointed rotation (pq_encode's exact
+        # assignment expressions) — a narrow map, like ivfpq_build's encode
+        code_cols = [
+            _argmax_pick(
+                _sub_scores(F.col("xr"), codebooks[j], j, dsub, l2_bias=True),
+                list(range(ksub)),
+            )
+            for j in range(m)
+        ]
+        joined = Xr.select("x", F.array(*code_cols).alias("codes"))
 
         def partial(batches):
             for pdf in batches:
