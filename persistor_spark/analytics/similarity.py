@@ -190,25 +190,37 @@ def cosine_lsh_topk(
     tables = [
         _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
+    # slim-pair pattern (the a12 rewrite): the bucket join and the distinct
+    # carry ONLY ids — deduping (query_id, id, qv, v) rows shuffles two
+    # d-double arrays per candidate.  Vectors re-attach afterwards: the
+    # candidate list is small, so both re-attach joins broadcast it and the
+    # corpus never shuffles.  Norms are hoisted once per SIDE (division by
+    # the norm product keeps float rounding identical to the brute-force
+    # oracle's dot/(sqrt*sqrt)).
     v_buckets = v.select(
-        "id",
-        "v",
-        _all_buckets_expr(F.col("v"), tables).alias("bks"),
-    ).select("id", "v", F.posexplode("bks").alias("table", "bucket"))
+        "id", _all_buckets_expr(F.col("v"), tables).alias("bks")
+    ).select("id", F.posexplode("bks").alias("table", "bucket"))
     q_buckets = q.select(
-        "query_id",
-        "qv",
-        _all_buckets_expr(F.col("qv"), tables).alias("bks"),
-    ).select("query_id", "qv", F.posexplode("bks").alias("table", "bucket"))
+        "query_id", _all_buckets_expr(F.col("qv"), tables).alias("bks")
+    ).select("query_id", F.posexplode("bks").alias("table", "bucket"))
 
-    candidates = (
+    cand_ids = (
         v_buckets.join(F.broadcast(q_buckets), ["table", "bucket"])
-        .select("query_id", "qv", "id", "v")
+        .select("query_id", "id")
         .distinct()
     )
     if exclude_self:
-        candidates = candidates.filter(F.col("id") != F.col("query_id"))
-    scored = candidates.withColumn("cos", F.round(cosine(F.col("qv"), F.col("v")), 4))
+        cand_ids = cand_ids.filter(F.col("id") != F.col("query_id"))
+    vn = v.withColumn("vn", norm(F.col("v")))
+    qn = q.withColumn("qn", norm(F.col("qv")))
+    scored = (
+        cand_ids.join(vn, "id")
+        .join(F.broadcast(qn), "query_id")
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 4),
+        )
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("id").asc())
     return (
         scored.withColumn("rank", F.row_number().over(w))
