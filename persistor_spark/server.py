@@ -1,0 +1,373 @@
+"""HTTP serving surface: the Indexer API and Resubmitter API endpoint sets
+over the in-process engine.
+
+Reference parity:
+- Indexer API routes (indexer-api/lib/server.go:139-163):
+    GET  /exact/<collection>/<id>      -> point lookup (handler.go:35-50)
+    POST /all/<collection>             -> IN-list lookup (handler.go:57-83)
+    GET  /range/<collection>/<broker>  -> interval + pagination (handler.go:87-114)
+    POST /query/<collection>           -> filter query + pagination (handler.go:122-177)
+- Resubmitter API routes (resubmitter-api/lib/resubmitter/server.go:177-195):
+    POST /resubmit/<collection>        -> by ids (handler.go:68-104)
+    POST /range/<collection>           -> by broker interval (handler.go:147-187)
+    POST /query/<collection>           -> by filters (handler.go:203-241)
+
+The Go services run gin in front of a Mongo repo / an HTTP indexer client;
+here the router is a stdlib ThreadingHTTPServer and the "repo" is
+IndexQuery over the parquet index (the SURVEY S7 collapse — no separate
+indexer service to call).  Status-code and envelope semantics mirror the
+handlers cited above: 400 on bad request bodies / unknown ids / invalid
+filter keys / malformed timestamps, 500 on engine failures where the
+reference uses OnFailureMessage, and the resubmitter's 200/206/400 from
+the stage counters (LineageCounts.http_status, resubmitter handler.go:
+115-124).  Deviation (documented): an unknown collection is a 400 here;
+Mongo would silently query an empty collection.
+
+Publishing: brokers are environment-blocked in this container, so the
+default Resubmitter "topic" is a per-key-ordered parquet append under
+`out_root/<topic>` (the K8 file-sink stand-in the streaming tests use);
+swap FileResubmitter for a broker-backed publisher at deploy.
+
+Threading: ThreadingHTTPServer gives the per-request goroutine shape of
+gin (server.go:139-163's waitGroup); Spark jobs from concurrent requests
+interleave across the shared SparkSession's scheduler pools.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import threading
+from datetime import datetime, timezone
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from persistor_spark.functions.filters import InvalidQueryKeys, InvalidTimestamp
+from persistor_spark.functions.timestamps import parse_query_wire
+
+# indexer-api/lib/util.go:30-31
+ON_BAD_REQUEST = "bad request"
+ON_FAILURE = "request failed"
+# resubmitter-api handler.go:36-40
+RESUBMIT_SUCCESS = "resubmission successful"
+RESUBMIT_PARTIAL = "partial resubmission"
+RESUBMIT_BAD_REQUEST = "resubmission failed due to bad request"
+RESUBMIT_NO_TOPIC = (
+    "topic was not defined as a query parameter nor as an environment variable"
+)
+TOPIC_ID_ENV = "TOPIC_ID"  # handler.go:42
+
+DEFAULT_LIMIT = 20  # util.go:39-42
+DEFAULT_OFFSET = 0
+
+
+def _wire(dt: datetime) -> str:
+    """Go dateFormat 2006-01-02T15:04:05.99999999Z (util.go:77): RFC3339,
+    trailing fraction zeros trimmed."""
+    frac = dt.strftime("%f").rstrip("0")
+    base = dt.strftime("%Y-%m-%dT%H:%M:%S")
+    return f"{base}.{frac}Z" if frac else f"{base}Z"
+
+
+def _json_default(obj):
+    if isinstance(obj, datetime):
+        return _wire(obj)
+    return str(obj)
+
+
+def _pagination(params: dict) -> tuple[int, int]:
+    """util.go:49-67: limit > 0 else default, offset >= 0 else default;
+    unparseable values fall back exactly like Go's ignored Atoi error."""
+    try:
+        limit = int(params.get("limit", [""])[0] or 0)
+    except ValueError:
+        limit = 0
+    try:
+        offset = int(params.get("offset", [""])[0] or -1)
+    except ValueError:
+        offset = -1
+    return (limit if limit > 0 else DEFAULT_LIMIT, offset if offset >= 0 else DEFAULT_OFFSET)
+
+
+def _interval_bounds(params: dict) -> tuple[datetime, datetime]:
+    """util.go:80-120: 'from' defaults to the zero time, 'to' defaults to
+    now and must not be in the future.  (The Go code parses 'from' into a
+    variable named `to` and vice versa; the handler swaps them back — the
+    net semantics implemented here, see plans/query.py Q3 note.)"""
+    now = datetime.now(timezone.utc)
+    lb_s = params.get("from", [""])[0]
+    ub_s = params.get("to", [""])[0]
+    lb = parse_query_wire(lb_s) if lb_s else datetime(1, 1, 1, tzinfo=timezone.utc)
+    if ub_s:
+        ub = parse_query_wire(ub_s)
+        if ub > now:
+            raise ValueError(
+                "error during upper interval bound parsing: the given bound "
+                f"can't be in the future (current time: {_wire(now)}, given time:{_wire(ub)})"
+            )
+    else:
+        ub = now
+    return lb.replace(tzinfo=None), ub.replace(tzinfo=None)
+
+
+class _JsonHandler(BaseHTTPRequestHandler):
+    # quiet default request logging (gin's access log is its own concern)
+    def log_message(self, fmt, *args):  # noqa: D401
+        pass
+
+    def _reply(self, status: int, payload) -> None:
+        body = json.dumps(payload, default=_json_default).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _read_json(self):
+        n = int(self.headers.get("Content-Length") or 0)
+        raw = self.rfile.read(n)
+        return json.loads(raw)
+
+    def _route(self):
+        parsed = urlparse(self.path)
+        return [p for p in parsed.path.split("/") if p], parse_qs(parsed.query)
+
+
+class IndexerApiHandler(_JsonHandler):
+    """The four Indexer API endpoints (server.go:139-163)."""
+
+    indexes: dict = {}  # collection -> IndexQuery, set by serve_indexer_api
+
+    def _iq(self, collection: str):
+        iq = self.indexes.get(collection)
+        if iq is None:
+            raise KeyError(f"unknown collection {collection!r}")
+        return iq
+
+    def do_GET(self):  # noqa: N802 — BaseHTTPRequestHandler contract
+        parts, params = self._route()
+        try:
+            if len(parts) == 3 and parts[0] == "exact":
+                return self._get_unique(parts[1], parts[2])
+            if len(parts) == 3 and parts[0] == "range":
+                return self._get_interval(parts[1], parts[2], params)
+            return self._reply(404, {"message": ON_BAD_REQUEST, "error": "no such route"})
+        except (KeyError, ValueError) as exc:
+            return self._reply(400, {"message": ON_BAD_REQUEST, "error": str(exc)})
+        except Exception as exc:  # engine failure -> 500 (handler.go:104-111)
+            return self._reply(500, {"message": ON_FAILURE, "error": str(exc)})
+
+    def do_POST(self):  # noqa: N802
+        parts, params = self._route()
+        try:
+            body = self._read_json()
+        except Exception as exc:
+            return self._reply(400, {"message": ON_BAD_REQUEST, "error": f"invalid JSON body: {exc}"})
+        try:
+            if len(parts) == 2 and parts[0] == "all":
+                return self._get_all(parts[1], body)
+            if len(parts) == 2 and parts[0] == "query":
+                return self._get_queried(parts[1], body, params)
+            return self._reply(404, {"message": ON_BAD_REQUEST, "error": "no such route"})
+        except (KeyError, ValueError, InvalidQueryKeys, InvalidTimestamp) as exc:
+            return self._reply(400, {"message": ON_BAD_REQUEST, "error": str(exc)})
+        except Exception as exc:
+            # GetAll's engine failures are 500 (handler.go:73-80); GetQueried
+            # uses 400 for its engine errors (handler.go:167-174)
+            status = 400 if parts and parts[0] == "query" else 500
+            msg = ON_BAD_REQUEST if status == 400 else ON_FAILURE
+            return self._reply(status, {"message": msg, "error": str(exc)})
+
+    # -- handlers ---------------------------------------------------------
+    def _get_unique(self, collection: str, unique_id: str):
+        rows = self._iq(collection).get(unique_id).collect()
+        if not rows:
+            # Mongo FindOne -> ErrNoDocuments -> 400 (handler.go:39-47)
+            return self._reply(400, {"message": ON_BAD_REQUEST, "error": f"no document with unique_id {unique_id!r}"})
+        return self._reply(200, rows[0].asDict())
+
+    def _get_all(self, collection: str, body):
+        ids = (body or {}).get("ids")
+        if not isinstance(ids, list):
+            raise ValueError("field 'ids' is required")  # binding:"required"
+        rows = [r.asDict() for r in self._iq(collection).get_all(ids).collect()]
+        return self._reply(200, rows)
+
+    def _get_interval(self, collection: str, broker_id: str, params):
+        lb, ub = _interval_bounds(params)
+        limit, offset = _pagination(params)
+        res = self._iq(collection).get_interval(lb, ub, broker_id, limit=limit, offset=offset)
+        try:
+            return self._reply(200, _envelope(res))
+        finally:
+            res.unpersist()
+
+    def _get_queried(self, collection: str, body, params):
+        filters = (body or {}).get("filters")
+        if not isinstance(filters, list):
+            raise ValueError("field 'filters' is required")
+        limit, offset = _pagination(params)
+        res = self._iq(collection).query(filters, limit=limit, offset=offset)
+        try:
+            return self._reply(200, _envelope(res))
+        finally:
+            res.unpersist()
+
+
+def _envelope(res) -> dict:
+    return {
+        "total_count": res.total_count,
+        "returned_count": res.returned_count,
+        "limit": res.limit,
+        "offset": res.offset,
+        "messages": [r.asDict() for r in res.messages.collect()],
+    }
+
+
+# Attributes packaged with each resubmitted record (resubmitter util.go:62-82)
+RESUBMIT_ATTRIBUTES = [
+    "unique_id", "ordering_key", "business_source_key", "business_object_key",
+    "index_source_key", "location_key", "location_position",
+]
+
+
+class FileResubmitter:
+    """R8 pipeline behind the Resubmitter API with a file-sink 'topic':
+    metadata page -> location-pruned blob fetch -> R6 position-align ->
+    per-key-ordered parquet append under out_root/<topic>.  Brokers are
+    environment-blocked in this container; a broker-backed publisher slots
+    in by replacing this class (same resubmit() contract)."""
+
+    def __init__(self, spark, blobs_path: str, out_root: str):
+        self.spark = spark
+        self.blobs_path = blobs_path
+        self.out_root = out_root
+
+    def resubmit(self, topic: str, meta) -> dict:
+        from persistor_spark.plans import resubmit as rs
+        from persistor_spark.sources import blobs as blob_src
+
+        blobs = blob_src.read_blob_records(self.spark, self.blobs_path)
+        pruned = blob_src.prune_to_locations(blobs, meta)
+        records, obs_meta, obs_rec = rs.resubmit_observed(meta, pruned)
+        records.write.mode("append").parquet(f"{self.out_root}/{topic}")
+        counts = rs.LineageCounts(
+            starting=obs_meta.get["starting"],
+            indexed=obs_meta.get["starting"],
+            fetched=obs_rec.get["published"],
+            deserialized=obs_rec.get["published"],
+            published=obs_rec.get["published"],
+        )
+        return {
+            "status": counts.http_status(),
+            "summary": {
+                "starting": counts.starting,
+                "indexed": counts.indexed,
+                "fetched": counts.fetched,
+                "deserialized": counts.deserialized,
+                "published": counts.published,
+            },
+        }
+
+
+class ResubmitterApiHandler(_JsonHandler):
+    """The three Resubmitter API endpoints (server.go:177-195)."""
+
+    indexes: dict = {}
+    resubmitter: FileResubmitter | None = None
+    env_topic: str = ""
+
+    def _topic(self, params) -> str:
+        # query param wins, env TOPIC_ID is the fallback (handler.go:106-113)
+        return params.get("topic", [""])[0] or self.env_topic
+
+    def do_POST(self):  # noqa: N802
+        parts, params = self._route()
+        topic = self._topic(params)
+        if not topic:
+            return self._reply(400, {"msg": RESUBMIT_NO_TOPIC})
+        try:
+            body = self._read_json()
+        except Exception as exc:
+            return self._reply(400, {"msg": RESUBMIT_BAD_REQUEST, "error": str(exc)})
+        try:
+            if len(parts) == 2 and parts[0] == "resubmit":
+                meta = self._meta_for_ids(parts[1], body)
+            elif len(parts) == 2 and parts[0] == "range":
+                meta = self._meta_for_interval(parts[1], body)
+            elif len(parts) == 2 and parts[0] == "query":
+                meta = self._meta_for_query(parts[1], body)
+            else:
+                return self._reply(404, {"msg": RESUBMIT_BAD_REQUEST, "error": "no such route"})
+        except (KeyError, ValueError, InvalidQueryKeys, InvalidTimestamp) as exc:
+            return self._reply(400, {"msg": RESUBMIT_BAD_REQUEST, "error": str(exc)})
+        result = self.resubmitter.resubmit(topic, meta)
+        status = result["status"]
+        msg = {200: RESUBMIT_SUCCESS, 206: RESUBMIT_PARTIAL}.get(status, RESUBMIT_BAD_REQUEST)
+        return self._reply(status, {"status": status, "msg": msg, "summary": result["summary"]})
+
+    def _iq(self, collection: str):
+        iq = self.indexes.get(collection)
+        if iq is None:
+            raise KeyError(f"unknown collection {collection!r}")
+        return iq
+
+    def _meta_for_ids(self, collection: str, body):
+        ids = (body or {}).get("ids")
+        if not isinstance(ids, list):
+            raise ValueError("field 'ids' is required")
+        return self._iq(collection).get_all(ids, RESUBMIT_ATTRIBUTES)
+
+    def _meta_for_interval(self, collection: str, body):
+        broker = (body or {}).get("broker_id")
+        if not broker:
+            raise ValueError("field 'broker_id' is required")
+        # lb/ub default to zero-time/now (handler.go:189-201)
+        params = {}
+        if body.get("lb"):
+            params["from"] = [body["lb"]]
+        if body.get("ub"):
+            params["to"] = [body["ub"]]
+        lb, ub = _interval_bounds(params)
+        iq = self._iq(collection)
+        return iq.idx.filter(iq._interval_filter(lb, ub, broker)).select(*RESUBMIT_ATTRIBUTES)
+
+    def _meta_for_query(self, collection: str, body):
+        filters = (body or {}).get("filters")
+        if not isinstance(filters, list):
+            raise ValueError("field 'filters' is required")
+        return self._iq(collection).query_df(filters, RESUBMIT_ATTRIBUTES)
+
+
+def serve_indexer_api(indexes: dict, addr=("127.0.0.1", 0)) -> ThreadingHTTPServer:
+    """Build (not start) the Indexer API server; port 0 picks a free port.
+    `indexes` maps collection name -> IndexQuery."""
+    handler = type("BoundIndexerApiHandler", (IndexerApiHandler,), {"indexes": indexes})
+    return ThreadingHTTPServer(addr, handler)
+
+
+def serve_resubmitter_api(
+    indexes: dict,
+    resubmitter: FileResubmitter,
+    default_topic: str | None = None,
+    addr=("127.0.0.1", 0),
+) -> ThreadingHTTPServer:
+    handler = type(
+        "BoundResubmitterApiHandler",
+        (ResubmitterApiHandler,),
+        {
+            "indexes": indexes,
+            "resubmitter": resubmitter,
+            "env_topic": default_topic if default_topic is not None else os.environ.get(TOPIC_ID_ENV, ""),
+        },
+    )
+    return ThreadingHTTPServer(addr, handler)
+
+
+def start_background(server: ThreadingHTTPServer) -> threading.Thread:
+    """serve_forever on a daemon thread; shut down with server.shutdown()
+    (the graceful-drain analogue of server.go:180-198 — in-flight requests
+    finish before shutdown returns)."""
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    return t
