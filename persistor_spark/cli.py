@@ -6,10 +6,12 @@ points (persistor/cmd/*, indexer-api/lib/server.go, resubmitter handler):
     python -m persistor_spark query   --index <dir> interval <from> <to> <broker> [--limit N --offset N]
     python -m persistor_spark query   --index <dir> filter '<json filters>' [--limit N --offset N]
     python -m persistor_spark resubmit --index <dir> --blobs <dir> --out <dir> [--filters '<json>']
+    python -m persistor_spark serve    --index <dir> [--blobs <dir> --out <dir>] [--port N --resubmit-port N]
 
-The HTTP servers of the reference are deployment shells around exactly these
-operations; a thin REST layer over this module reproduces them 1:1 (same
-endpoints, same envelope, same 200/206/400 rules).
+`serve` runs the REST layer itself (persistor_spark.server): the Indexer
+API's four endpoints on --port, and — when --blobs/--out are given — the
+Resubmitter API's three on --resubmit-port (same endpoints, same envelope,
+same 200/206/400 rules as the reference handlers).
 """
 
 from __future__ import annotations
@@ -166,6 +168,42 @@ def cmd_resubmit(args) -> int:
     return 0 if counts.http_status() == 200 else 1
 
 
+def cmd_serve(args) -> int:
+    from persistor_spark import server as srv
+    from persistor_spark.plans.query import IndexQuery
+
+    spark = build_session("persistor-serve")
+    indexes = {args.collection: IndexQuery(spark.read.parquet(args.index), cache_counts=True)}
+    servers = [srv.serve_indexer_api(indexes, ("127.0.0.1", args.port))]
+    if args.blobs and args.out:
+        servers.append(
+            srv.serve_resubmitter_api(
+                indexes,
+                srv.FileResubmitter(spark, args.blobs, args.out),
+                addr=("127.0.0.1", args.resubmit_port),
+            )
+        )
+    for s in servers:
+        srv.start_background(s)
+    _emit({
+        "serving": {
+            "indexer": servers[0].server_address[1],
+            **({"resubmitter": servers[1].server_address[1]} if len(servers) > 1 else {}),
+        }
+    })
+    try:
+        import threading
+
+        threading.Event().wait()  # SIGINT unblocks via KeyboardInterrupt
+    except KeyboardInterrupt:
+        pass
+    finally:
+        # graceful drain: in-flight requests finish (server.go:180-198)
+        for s in servers:
+            s.shutdown()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="persistor_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -192,6 +230,15 @@ def main(argv=None) -> int:
     pr.add_argument("--out", required=True)
     pr.add_argument("--filters", default=None)
     pr.set_defaults(fn=cmd_resubmit)
+
+    ps = sub.add_parser("serve")
+    ps.add_argument("--index", required=True)
+    ps.add_argument("--collection", default="messages")
+    ps.add_argument("--blobs", default=None)
+    ps.add_argument("--out", default=None)
+    ps.add_argument("--port", type=int, default=8080)  # server.go:41 default :8080
+    ps.add_argument("--resubmit-port", type=int, default=8081)
+    ps.set_defaults(fn=cmd_serve)
 
     args = p.parse_args(argv)
     return args.fn(args)
