@@ -214,7 +214,10 @@ def minhash_lsh_pairs(
     band_table = build_band_table(df, id_col, text_col, k, num_perm, bands)
     left = band_table.select("band", "bh", F.col("id").alias("a"))
     right = band_table.select("band", "bh", F.col("id").alias("b"))
-    sh = band_table.select("id", "sh").dropDuplicates(["id"])
+    # one (id, sh) row per doc WITHOUT a shuffle: every doc has a band 0,
+    # so a narrow filter on the checkpointed sketch replaces the previous
+    # dropDuplicates, which shuffled the corpus's shingle arrays 16-fold
+    sh = band_table.filter(F.col("band") == 0).select("id", "sh")
     candidates = (
         left.join(right, ["band", "bh"])
         .filter(F.col("a") < F.col("b"))
@@ -518,18 +521,25 @@ def incremental_dup_pairs(
     table on (band, bh), and candidates are exact-Jaccard verified.  Returns
     only cross pairs; intra-batch dups are minhash_lsh_pairs(new_docs)."""
     probe = build_band_table(new_docs, id_col, text_col, k, num_perm, bands)
-    new_side = probe.select(
-        "band", "bh", F.col("id").alias("new_id"), F.col("sh").alias("sh_new")
-    )
-    old_side = band_table.select(
-        "band", "bh", F.col("id").alias("old_id"), F.col("sh").alias("sh_old")
-    )
-    candidates = (
+    # slim-pair pattern: the band join and the dedup carry ONLY ids; both
+    # shingle sets re-attach afterwards via the narrow band==0 slice of
+    # each sketch (the previous plan shuffled BOTH shingle arrays through
+    # the band join and the per-pair dedup)
+    new_side = probe.select("band", "bh", F.col("id").alias("new_id"))
+    old_side = band_table.select("band", "bh", F.col("id").alias("old_id"))
+    cand_ids = (
         new_side.join(old_side, ["band", "bh"])
         .filter(F.col("new_id") != F.col("old_id"))
-        .select("new_id", "old_id", "sh_new", "sh_old")
-        .dropDuplicates(["new_id", "old_id"])
+        .select("new_id", "old_id")
+        .distinct()
     )
+    sh_new = probe.filter(F.col("band") == 0).select(
+        F.col("id").alias("new_id"), F.col("sh").alias("sh_new")
+    )
+    sh_old = band_table.filter(F.col("band") == 0).select(
+        F.col("id").alias("old_id"), F.col("sh").alias("sh_old")
+    )
+    candidates = cand_ids.join(sh_new, "new_id").join(sh_old, "old_id")
     return (
         candidates.withColumn("inter", F.size(F.array_intersect("sh_new", "sh_old")))
         .withColumn(
