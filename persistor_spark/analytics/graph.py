@@ -1,0 +1,68 @@
+"""Iterative graph algorithms over DataFrames: PageRank.
+
+Complements the connected-components family in `dedup.py` (label
+propagation, two-phase large/small-star) with the other canonical
+iterative-join shape a data-curation pipeline needs — source/entity
+importance ranking over an interaction graph (e.g. rank crawl domains by
+link structure before sampling, weight entities by co-occurrence).
+
+Scale shape: each PageRank iteration is ONE shuffle join (edges x ranks on
+src) + ONE aggregation (sum of contributions by dst).  The edge table with
+pre-joined out-degrees is computed once and cached, so the per-iteration
+cost is the join itself; ranks are localCheckpoint-ed per round to keep the
+lineage flat (the same discipline as the CC loops, dedup.py:549-691).  At
+cluster scale, pre-bucketing edges by src makes the per-iteration join
+shuffle-free on the edge side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def bipartite_interaction_edges(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """Symmetric customer<->supplier interaction edges: one edge per DISTINCT
+    (customer, supplier) purchase relationship, emitted in both directions so
+    the graph is undirected (no dangling nodes — every node has out-degree)."""
+    pairs = (
+        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a symmetric edge list (src, dst).
+
+    r_{k+1}(v) = (1-d)/N + d * sum_{u->v} r_k(u) / outdeg(u), r_0 = 1/N.
+
+    Returns (node, rank) for EVERY node, rank rounded to 6 decimals,
+    ordered by node — the stable full-ranking output (top-k is a cheap
+    TakeOrdered over it when needed).  Requires a symmetric graph so the
+    dangling-mass term vanishes (bipartite_interaction_edges guarantees it).
+    """
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # contribution edges with pre-joined degree: computed once, reused per round
+    e = edges.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
+    n = deg.count()
+    base = (1.0 - damping) / n
+    ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
+    for _ in range(iterations):
+        ranks = (
+            e.join(ranks, e.src == ranks.node)
+            .groupBy("dst")
+            .agg((F.lit(base) + F.lit(damping) * F.sum(F.col("rank") / F.col("deg"))).alias("rank"))
+            .select(F.col("dst").alias("node"), "rank")
+            .localCheckpoint()
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")

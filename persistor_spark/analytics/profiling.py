@@ -1,0 +1,41 @@
+"""Data-distribution profiling: join/agg key skew diagnostics.
+
+Before committing to a shuffle strategy at 100 TB you measure the key
+distribution: a handful of hot keys means salting (the d21 skew-salted agg)
+or AQE skew-join handling; near-uniform means a plain hash shuffle is fine.
+`key_skew_profile` is that measurement as ONE aggregation pass over the
+per-key counts — the decision input for the salting/broadcast choices made
+elsewhere in this package.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Top-`top_n` hottest keys with the global distribution stats attached.
+
+    Output: (key, n_rows, total_rows, n_keys, avg_rows, max_share,
+    skew_factor, p50_rows, p99_rows) — `skew_factor` is max over mean per-key
+    count (1.0 = perfectly uniform), `max_share` the hottest key's fraction
+    of all rows.  Two shuffles total: the per-key count and the single-row
+    stats aggregate; the top-n is a TakeOrdered, the stats row attaches via
+    a broadcast single-row join (no cross product at scale).
+    """
+    counts = df.groupBy(F.col(key).alias("key")).agg(F.count(F.lit(1)).alias("n_rows"))
+    stats = counts.agg(
+        F.sum("n_rows").alias("total_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.round(F.avg("n_rows"), 4).alias("avg_rows"),
+        F.round(F.max("n_rows") / F.sum("n_rows"), 6).alias("max_share"),
+        F.round(F.max("n_rows") / F.avg("n_rows"), 4).alias("skew_factor"),
+        F.round(F.percentile("n_rows", F.lit(0.5)), 4).alias("p50_rows"),
+        F.round(F.percentile("n_rows", F.lit(0.99)), 4).alias("p99_rows"),
+    ).withColumn("j", F.lit(1))
+    top = counts.orderBy(F.desc("n_rows"), "key").limit(top_n).withColumn("j", F.lit(1))
+    return (
+        top.join(F.broadcast(stats), "j")
+        .drop("j")
+        .orderBy(F.desc("n_rows"), "key")
+    )

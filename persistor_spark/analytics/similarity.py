@@ -1386,3 +1386,43 @@ def topk_recall(approx: DataFrame, truth: DataFrame) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+def centroid_drift(embs: DataFrame, vec_col: str = "embedding", group_col: str = "label") -> DataFrame:
+    """Embedding-distribution drift audit: pairwise cosine between group
+    centroids (mean vectors).  The dataset-comparison primitive — cosine
+    near 1 between two sources/snapshots means interchangeable
+    distributions; a drop flags drift worth investigating before mixing.
+
+    Scale shape: the per-dimension mean is one hash aggregation keyed by
+    (group, dim) — cost tracks corpus size but reduces to G x d rows — and
+    the pairwise stage is a self-join on dim over that tiny frame (G^2 x d
+    work, corpus-independent).  No vector ever crosses the shuffle twice.
+    """
+    per_dim = (
+        embs.select(
+            F.col(group_col).alias("g"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias("i", "v"),
+        )
+        .groupBy("g", "i")
+        .agg(F.avg("v").alias("m"))
+    )
+    norms = per_dim.groupBy("g").agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("nrm"))
+    a, b = per_dim.alias("a"), per_dim.alias("b")
+    dots = (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.g") < F.col("b.g")))
+        .groupBy(F.col("a.g").alias("ga"), F.col("b.g").alias("gb"))
+        .agg(F.sum(F.col("a.m") * F.col("b.m")).alias("dot"))
+    )
+    na = norms.select(F.col("g").alias("ga"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("g").alias("gb"), F.col("nrm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "ga")
+        .join(F.broadcast(nb), "gb")
+        .select(
+            F.col("ga").alias("label_a"),
+            F.col("gb").alias("label_b"),
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 4).alias("cos"),
+        )
+        .orderBy("label_a", "label_b")
+    )

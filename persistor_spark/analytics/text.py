@@ -612,3 +612,50 @@ def boilerplate_stats(
             ).alias("boiler_frac"),
         )
     )
+
+
+FUNNEL_STAGES = (
+    "flag_words",
+    "flag_mean_len",
+    "flag_symbols",
+    "flag_stopwords",
+    "flag_repetition",
+)
+
+
+def quality_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule funnel: survivors after applying each rule CUMULATIVELY in
+    the canonical order — the ablation report a curation pipeline reads to
+    see which gate costs how much data.
+
+    One pass: all rule flags are evaluated per row (gopher_flags, narrow JVM
+    expressions), every cumulative conjunction is counted in a SINGLE
+    aggregation, and the 5 funnel rows are inlined from that one result row
+    — no per-stage rescan, cost is one scan regardless of stage count.
+    """
+    flags = gopher_flags(df, text_col)
+    cum = F.lit(True)
+    aggs = [F.count(F.lit(1)).alias("n_total")]
+    for i, name in enumerate(FUNNEL_STAGES):
+        cum = cum & F.col(name)
+        aggs.append(F.count(F.when(cum, 1)).alias(f"s{i}"))
+    agg = flags.agg(*aggs)
+    stages = [
+        F.struct(
+            F.lit(i + 1).alias("stage"),
+            F.lit(name).alias("rule"),
+            (F.col("n_total") if i == 0 else F.col(f"s{i-1}")).alias("entered"),
+            F.col(f"s{i}").alias("survivors"),
+        )
+        for i, name in enumerate(FUNNEL_STAGES)
+    ]
+    return agg.select(F.inline(F.array(*stages))).select(
+        "stage",
+        "rule",
+        "entered",
+        "survivors",
+        (F.col("entered") - F.col("survivors")).alias("dropped"),
+        F.round((F.col("entered") - F.col("survivors")) / F.col("entered"), 4).alias(
+            "drop_rate"
+        ),
+    ).orderBy("stage")

@@ -1,0 +1,105 @@
+"""PageRank, key-skew profiling, centroid drift, quality funnel — semantic
+invariants plus the plan shapes the scale story depends on."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from persistor_spark.analytics import graph, profiling, similarity, text
+from persistor_spark.sources.registry import load_table
+
+
+@pytest.fixture(scope="module")
+def edges(spark, sf_dir):
+    return graph.bipartite_interaction_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    ).cache()
+
+
+def test_edges_are_symmetric(edges):
+    fwd = {(r.src, r.dst) for r in edges.collect()}
+    assert fwd == {(d, s) for s, d in fwd}
+    # bipartite: customers only link to suppliers
+    assert all(s[0] != d[0] for s, d in fwd)
+
+
+def test_pagerank_mass_conserved_and_positive(edges):
+    """On a symmetric graph with no dangling nodes total rank mass stays 1
+    (up to rounding) and every node gets >= (1-d)/N."""
+    pr = graph.pagerank(edges, iterations=3)
+    rows = pr.collect()
+    n = len(rows)
+    total = sum(r["rank"] for r in rows)
+    assert abs(total - 1.0) < 1e-3
+    assert all(r["rank"] >= (1 - 0.85) / n - 1e-9 for r in rows)
+    # higher-degree nodes outrank the minimum floor
+    assert max(r["rank"] for r in rows) > min(r["rank"] for r in rows)
+
+
+def test_pagerank_uniform_on_regular_graph(spark):
+    """A 4-cycle is 2-regular: PageRank must be exactly uniform."""
+    e = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    sym = e + [(b, a) for a, b in e]
+    df = spark.createDataFrame(sym, "src string, dst string")
+    ranks = {r["node"]: r["rank"] for r in graph.pagerank(df, iterations=4).collect()}
+    assert set(ranks) == {"a", "b", "c", "d"}
+    assert all(abs(v - 0.25) < 1e-9 for v in ranks.values())
+
+
+def test_skew_profile_stats(spark):
+    rows = [("hot",)] * 90 + [(f"k{i}",) for i in range(10)]
+    df = spark.createDataFrame(rows, "k string")
+    prof = profiling.key_skew_profile(df, "k", top_n=3).collect()
+    assert len(prof) == 3
+    top = prof[0]
+    assert top["key"] == "hot" and top["n_rows"] == 90
+    assert top["total_rows"] == 100 and top["n_keys"] == 11
+    assert top["max_share"] == 0.9
+    # skew factor = max / mean = 90 / (100/11)
+    assert abs(top["skew_factor"] - 90 / (100 / 11)) < 1e-3
+    # ties below the hot key break by key ascending
+    assert [p["key"] for p in prof[1:]] == ["k0", "k1"]
+
+
+def test_skew_profile_no_cartesian(spark):
+    df = spark.createDataFrame([(i % 7,) for i in range(100)], "k int")
+    plan = profiling.key_skew_profile(df, "k")._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_centroid_drift_self_similarity(spark):
+    """Two identical groups => cos 1.0; orthogonal groups => cos 0.0."""
+    rows = (
+        [(i, [1.0, 0.0, float(i % 3)], 0) for i in range(6)]
+        + [(10 + i, [1.0, 0.0, float(i % 3)], 1) for i in range(6)]
+        + [(20 + i, [0.0, 1.0, 0.0], 2) for i in range(6)]
+    )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {(r.label_a, r.label_b): r.cos for r in similarity.centroid_drift(df).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] < out[(0, 1)]
+
+
+def test_quality_funnel_monotone(docs_funnel):
+    rows = docs_funnel
+    assert [r["stage"] for r in rows] == [1, 2, 3, 4, 5]
+    # each stage enters with the previous stage's survivors
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["entered"] == prev["survivors"]
+    assert all(r["dropped"] == r["entered"] - r["survivors"] for r in rows)
+    assert all(r["survivors"] <= r["entered"] for r in rows)
+
+
+@pytest.fixture(scope="module")
+def docs_funnel(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return text.quality_funnel(docs).collect()
+
+
+def test_quality_funnel_single_scan(spark, sf_dir):
+    """The funnel is ONE aggregation pass: exactly one scan of the input in
+    the physical plan, not one per stage."""
+    docs = load_table(spark, sf_dir, "documents")
+    plan = (
+        text.quality_funnel(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1
