@@ -1587,6 +1587,23 @@ def _a58_skew_profile(spark, sf_dir):
     )
 
 
+def _a60_ivfpq_add(spark, sf_dir):
+    """Incremental index maintenance (FAISS add()): train on the even-id
+    half of the clustered corpus, append the odd-id half with the FROZEN
+    quantizer/codebooks, search the union.  The clustered-corpus
+    construction keeps the probed cells covering the true top-5 (verified
+    at both check SFs), so the full-corpus brute-force SQL stays an exact
+    oracle."""
+    from persistor_spark.analytics import similarity
+
+    embs = _cl_embs(spark, sf_dir)
+    idx = similarity.ivfpq_build(embs.filter(F.col("vec_id") % 2 == 0), n_centroids=8)
+    idx = similarity.ivfpq_add(idx, embs.filter(F.col("vec_id") % 2 == 1))
+    q = embs.filter(F.col("vec_id") < 10)
+    out = similarity.ivfpq_search(idx, q, k=5, nprobe=4, rerank_factor=24)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
 def _a59_quality_funnel(spark, sf_dir):
     """Cumulative Gopher-rule funnel: per-stage entered/survivors/drop-rate
     from ONE aggregation pass (all cumulative conjunctions counted in a
@@ -1610,6 +1627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # -- no driver row yet (r3 late additions + r4 new operators)
+        "a60_ivfpq_add": _a60_ivfpq_add,
         "a56_pagerank": _a56_pagerank,
         "a57_centroid_drift": _a57_centroid_drift,
         "a58_skew_profile": _a58_skew_profile,
@@ -1645,7 +1663,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e24_asof_tolerance": _e24_asof_tolerance,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "a12_embedding_pairs": _a12_embedding_pairs,
-        "a13_curation_pipeline": _a13_curation_pipeline,
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a16_label_centroids": _a16_label_centroids,
@@ -1669,6 +1686,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window ends here (50) — below: multiply-green, pinned
         # by tools/check.py + pytest every round
         "e8_tumbling_window": _e_tumbling_window,
+        "a13_curation_pipeline": _a13_curation_pipeline,
         "e10_join_topk": _e10_join_topk,
         "e12_percentiles": _e12_percentiles,
         "e19_sliding_window": _e19_sliding_window,
@@ -1958,6 +1976,9 @@ def oracle_sql() -> dict[str, str]:
         "a32_ivfpq_topk": _CLUSTERED_TOPK_ORACLE,
         # a55 = a32 through a saved+loaded index; identical result contract
         "a55_ivfpq_persist": _CLUSTERED_TOPK_ORACLE,
+        # a60 = a32 built on half the corpus + incremental add of the rest;
+        # probed-cell coverage re-verified at both check SFs
+        "a60_ivfpq_add": _CLUSTERED_TOPK_ORACLE,
         "a33_semdedup": (
             # filter on the UNROUNDED cosine then round for output (matches
             # Spark's order of operations); dup-id offset = max(vec_id)+1

@@ -1426,3 +1426,80 @@ def centroid_drift(embs: DataFrame, vec_col: str = "embedding", group_col: str =
         )
         .orderBy("label_a", "label_b")
     )
+
+
+def ivfpq_encode_cells(
+    cents,
+    codebooks,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode vectors into cell rows (cid, id, raw, codes) with an ALREADY
+    trained coarse quantizer + residual codebooks — the shared kernel of
+    ivfpq_add / ivfpq_add_to_disk.  One narrow map pass: literal-centroid
+    argmax, element_at residual, inline ADC codes; no shuffle, no join."""
+    dsub = len(codebooks[0][0])
+    ksub = len(codebooks[0])
+    v = _as_double(vectors, id_col, vec_col)
+    by_cid = dict(cents)
+    cmat = _lit_matrix([by_cid.get(c, cents[0][1]) for c in range(cents[-1][0] + 1)])
+    assigned = (
+        v.select(
+            "id",
+            F.col("v").alias("raw"),
+            F.transform("v", lambda x: x / norm(F.col("v"))).alias("nv"),
+        )
+        .withColumn("cid", _argmax_cid(F.col("nv"), cents))
+        .select(
+            "cid",
+            "id",
+            "raw",
+            F.zip_with(
+                "nv", F.element_at(cmat, F.col("cid") + 1), lambda a, b: a - b
+            ).alias("r"),
+        )
+    )
+    code_cols = [
+        _argmax_pick(
+            _sub_scores(F.col("r"), codebooks[j], j, dsub, l2_bias=True),
+            list(range(ksub)),
+        )
+        for j in range(len(codebooks))
+    ]
+    return assigned.select("cid", "id", "raw", F.array(*code_cols).alias("codes"))
+
+
+def ivfpq_add(
+    index: IvfPqIndex,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> IvfPqIndex:
+    """FAISS add() analogue: extend a built index with new vectors WITHOUT
+    retraining — encode against the frozen quantizer/codebooks and union
+    into the cells.  The streaming-corpus maintenance step: train once on a
+    representative sample, then keep appending batches; searches see the
+    union immediately.  Quantization error for the new batch depends on how
+    well the frozen codebooks cover it — re-train when drift grows
+    (centroid_drift measures exactly that)."""
+    new_cells = ivfpq_encode_cells(index.cents, index.codebooks, vectors, id_col, vec_col)
+    return IvfPqIndex(index.cents, index.codebooks, index.cells.unionByName(new_cells))
+
+
+def ivfpq_add_to_disk(
+    spark,
+    path: str,
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Append a new batch to a PERSISTED index: encode with the saved
+    quantizer/codebooks and parquet-append into the cid-partitioned cells
+    layout.  Each batch adds one file per touched cell partition — the
+    on-disk inverted lists grow in place, probes keep partition-pruning,
+    and no existing file is rewritten (compact cells periodically the same
+    way any append-heavy parquet layout is compacted)."""
+    idx = ivfpq_load(spark, path)
+    new_cells = ivfpq_encode_cells(idx.cents, idx.codebooks, vectors, id_col, vec_col)
+    new_cells.write.mode("append").partitionBy("cid").parquet(f"{path}/cells")

@@ -1287,3 +1287,32 @@ def test_ivfpq_save_load_roundtrip(spark, embs, tmp_path):
         .toString()
     )
     assert "dynamicpruning" in plan.lower()
+
+
+def test_ivfpq_add_appends_without_retraining(spark, embs, tmp_path):
+    """FAISS add() analogue: quantizer/codebooks frozen, cells extended; the
+    in-memory union and the on-disk parquet append return identical top-k."""
+    base = embs.filter(F.col("vec_id") % 2 == 0)
+    newb = embs.filter(F.col("vec_id") % 2 == 1)
+    idx = similarity.ivfpq_build(base, n_centroids=8)
+    n_base = idx.cells.count()
+    added = similarity.ivfpq_add(idx, newb)
+    # training state untouched, cells grew by exactly the new batch
+    assert added.cents == idx.cents and added.codebooks == idx.codebooks
+    assert added.cells.count() == n_base + newb.count()
+    # encode path is a narrow map: no shuffle in the new-cells plan
+    from persistor_spark.plans import layout
+
+    enc = similarity.ivfpq_encode_cells(idx.cents, idx.codebooks, newb)
+    assert not layout.plan_has_shuffle(enc)
+
+    # disk append equals the in-memory union
+    path = str(tmp_path / "idx")
+    similarity.ivfpq_save(idx, path)
+    similarity.ivfpq_add_to_disk(spark, path, newb)
+    loaded = similarity.ivfpq_load(spark, path)
+    q = embs.filter(F.col("vec_id") < 5)
+    mem = similarity.ivfpq_search(added, q, k=5).collect()
+    dsk = similarity.ivfpq_search(loaded, q, k=5).collect()
+    as_t = lambda rows: sorted((r["query_id"], r["vec_id"], r["cos"], r["rank"]) for r in rows)  # noqa: E731
+    assert as_t(mem) == as_t(dsk)
