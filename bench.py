@@ -278,6 +278,18 @@ def bench_text_stats(ctx: Ctx):
     return text.with_text_stats(docs).agg(F.avg("quality_score")).collect()
 
 
+def bench_graph_pagerank(ctx: Ctx):
+    """Iterative-join workload: 3 PageRank rounds over the symmetric
+    customer<->supplier purchase graph (one shuffle join + one agg per
+    round, degree-joined edges checkpointed once)."""
+    from persistor_spark.analytics import graph
+
+    edges = graph.bipartite_interaction_edges(
+        load_table(ctx.spark, SF_DIR, "orders"), load_table(ctx.spark, SF_DIR, "lineitem")
+    )
+    return graph.pagerank(edges, iterations=3).agg(F.sum("rank")).collect()
+
+
 QUERIES = {
     "ingest_persist": bench_ingest_persist,
     "stream_ingest": bench_stream_ingest,
@@ -295,6 +307,7 @@ QUERIES = {
     "ann_ivfpq_probe": bench_ann_ivfpq_probe,
     "bm25_search": bench_bm25_search,
     "text_stats": bench_text_stats,
+    "graph_pagerank": bench_graph_pagerank,
 }
 
 

@@ -24,13 +24,17 @@ def bipartite_interaction_edges(orders: DataFrame, lineitem: DataFrame) -> DataF
     """Symmetric customer<->supplier interaction edges: one edge per DISTINCT
     (customer, supplier) purchase relationship, emitted in both directions so
     the graph is undirected (no dangling nodes — every node has out-degree)."""
+    # distinct on the integer keys FIRST — the dedup shuffle moves two ints
+    # per row, not formatted strings; node ids are built narrow afterwards
     pairs = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
+        orders.select("o_orderkey", "o_custkey")
+        .join(lineitem.select("l_orderkey", "l_suppkey"), F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
         )
-        .distinct()
     )
     return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
@@ -41,6 +45,7 @@ def pagerank(
     edges: DataFrame,
     iterations: int = 3,
     damping: float = 0.85,
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a symmetric edge list (src, dst).
 
@@ -50,16 +55,31 @@ def pagerank(
     ordered by node — the stable full-ranking output (top-k is a cheap
     TakeOrdered over it when needed).  Requires a symmetric graph so the
     dangling-mass term vanishes (bipartite_interaction_edges guarantees it).
+
+    ``broadcast_ranks`` (default) broadcasts the rank table into the
+    per-iteration join: ranks hold ONE row per node, so while edges may be
+    100 TB the rank side is node-count-bounded, and broadcasting it means
+    the big edge table never re-shuffles — each round is a map-side join +
+    one agg shuffle keyed by dst.  For graphs whose node set outgrows the
+    broadcast budget, pass False and pre-partition the edge input by src so
+    the sort-merge join co-locates instead.
     """
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # contribution edges with pre-joined degree: computed once, reused per round
-    e = edges.join(deg, "src").select("src", "dst", "deg").localCheckpoint()
+    # materialize the edge list ONCE (upstream may be an expensive join +
+    # distinct); everything after re-reads these blocks, not the lineage
+    edges = edges.select("src", "dst").localCheckpoint()
+    # per-node degree: slim one-column shuffle with map-side combine; tiny
+    # result (one row per node) — cache it, it seeds ranks AND the edge join
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
     n = deg.count()
+    # degree-annotated edges: broadcast the node-bounded deg table so the
+    # big edge side never shuffles for this glue join
+    e = edges.join(F.broadcast(deg), "src").select("src", "dst", "deg")
     base = (1.0 - damping) / n
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
     for _ in range(iterations):
+        r = F.broadcast(ranks) if broadcast_ranks else ranks
         ranks = (
-            e.join(ranks, e.src == ranks.node)
+            e.join(r, e.src == r.node)
             .groupBy("dst")
             .agg((F.lit(base) + F.lit(damping) * F.sum(F.col("rank") / F.col("deg"))).alias("rank"))
             .select(F.col("dst").alias("node"), "rank")
