@@ -1587,6 +1587,24 @@ def _a58_skew_profile(spark, sf_dir):
     )
 
 
+def _a61_unigram_kl(spark, sf_dir):
+    """Distribution-shift audit: per-source KL(P_source || P_corpus) over
+    unigram token distributions.  Corpus support is a superset of every
+    source's, so no smoothing; shuffles are vocab-bounded."""
+    from persistor_spark.analytics import text
+
+    return text.unigram_kl_by_source(_docs(spark, sf_dir))
+
+
+def _a62_dataset_card(spark, sf_dir):
+    """One-row dataset-card rollup: doc/source/lang counts, exact-dup rate
+    via distinct fingerprints, token volume, quality-gate pass rate — one
+    aggregation over one scan."""
+    from persistor_spark.analytics import profiling
+
+    return profiling.dataset_card(_docs(spark, sf_dir))
+
+
 def _a60_ivfpq_add(spark, sf_dir):
     """Incremental index maintenance (FAISS add()): train on the even-id
     half of the clustered corpus, append the odd-id half with the FROZEN
@@ -1628,6 +1646,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- no driver row yet (r3 late additions + r4 new operators)
         "a60_ivfpq_add": _a60_ivfpq_add,
+        "a61_unigram_kl": _a61_unigram_kl,
+        "a62_dataset_card": _a62_dataset_card,
         "a56_pagerank": _a56_pagerank,
         "a57_centroid_drift": _a57_centroid_drift,
         "a58_skew_profile": _a58_skew_profile,
@@ -1666,11 +1686,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a16_label_centroids": _a16_label_centroids,
-        "a17_bpe_tokens": _a17_bpe_tokens,
         "a18_winnowing_pairs": _a18_winnowing_pairs,
         "a19_simhash_md5": _a19_simhash_md5,
         "a20_contamination": _a20_contamination,
-        "a21_cms_sketch": _a21_cms_sketch,
         "a22_repetition": _a22_repetition,
         "a23_quality_rules": _a23_quality_rules,
         "a24_pii_scrub": _a24_pii_scrub,
@@ -1687,6 +1705,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tools/check.py + pytest every round
         "e8_tumbling_window": _e_tumbling_window,
         "a13_curation_pipeline": _a13_curation_pipeline,
+        "a17_bpe_tokens": _a17_bpe_tokens,
+        "a21_cms_sketch": _a21_cms_sketch,
         "e10_join_topk": _e10_join_topk,
         "e12_percentiles": _e12_percentiles,
         "e19_sliding_window": _e19_sliding_window,
@@ -1979,6 +1999,53 @@ def oracle_sql() -> dict[str, str]:
         # a60 = a32 built on half the corpus + incremental add of the rest;
         # probed-cell coverage re-verified at both check SFs
         "a60_ivfpq_add": _CLUSTERED_TOPK_ORACLE,
+        "a61_unigram_kl": (
+            "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t "
+            "  FROM documents), "
+            "by_src AS (SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2), "
+            "corpus AS (SELECT t, sum(c)::BIGINT AS cc FROM by_src GROUP BY 1), "
+            "st AS (SELECT source, sum(c)::BIGINT AS n_tokens FROM by_src GROUP BY 1), "
+            "ct AS (SELECT sum(cc)::BIGINT AS nn FROM corpus) "
+            "SELECT s.source, max(st.n_tokens) AS n_tokens, count(*) AS n_terms, "
+            "  round(sum((s.c::DOUBLE / st.n_tokens) "
+            "    * ln((s.c::DOUBLE / st.n_tokens) / (c2.cc::DOUBLE / ct.nn))), 6) "
+            "    AS kl_vs_corpus "
+            "FROM by_src s JOIN corpus c2 USING (t) JOIN st USING (source), ct "
+            "GROUP BY s.source ORDER BY s.source"
+        ),
+        # a62: same flag definitions as a23/a59, folded into the one-row card
+        "a62_dataset_card": (
+            "WITH t AS (SELECT doc_id, text, source, lang, "
+            "  string_split(text, ' ') AS toks, md5(lower(text)) AS fp FROM documents), "
+            "g AS (SELECT *, "
+            "  CASE WHEN len(toks) >= 2 THEN "
+            "    [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] "
+            "    ELSE [] END AS g2, "
+            "  CASE WHEN len(toks) >= 3 THEN "
+            "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] "
+            "    ELSE [] END AS g3 FROM t), "
+            "r AS (SELECT *, "
+            "  len(toks) BETWEEN 20 AND 2000 "
+            "  AND (list_sum([length(x) FOR x IN toks])::DOUBLE / len(toks)) "
+            "    BETWEEN 3.0 AND 10.0 "
+            "  AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE "
+            "    / length(text) <= 0.1 "
+            "  AND len(list_intersect(list_distinct(toks), "
+            "    ['the','a','and','of','to','in','is','on'])) >= 2 "
+            "  AND (CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) "
+            "    ELSE 0.0 END) <= 0.1 "
+            "  AND (CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) "
+            "    ELSE 0.0 END) <= 0.05 AS keep "
+            "FROM g) "
+            "SELECT count(*) AS n_docs, count(DISTINCT source) AS n_sources, "
+            "  count(DISTINCT lang) AS n_langs, count(DISTINCT fp) AS n_distinct_texts, "
+            "  round((count(*) - count(DISTINCT fp))::DOUBLE / count(*), 6) AS dup_rate, "
+            "  sum(len(toks))::BIGINT AS total_tokens, "
+            "  round(avg(len(toks)), 4) AS avg_tokens, "
+            "  round(count(CASE WHEN keep THEN 1 END)::DOUBLE / count(*), 6) "
+            "    AS quality_pass_rate "
+            "FROM r"
+        ),
         "a33_semdedup": (
             # filter on the UNROUNDED cosine then round for output (matches
             # Spark's order of operations); dup-id offset = max(vec_id)+1

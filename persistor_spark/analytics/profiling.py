@@ -39,3 +39,27 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
         .drop("j")
         .orderBy(F.desc("n_rows"), "key")
     )
+
+
+def dataset_card(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One-row dataset summary (the "dataset card" numbers): doc/source/
+    lang counts, exact-dup rate via distinct text fingerprints, token
+    volume, and the quality-gate pass rate.  One aggregation over one scan
+    plus the count-distinct expansions — no per-metric rescans."""
+    from persistor_spark.analytics.text import gopher_flags, token_count
+
+    flags = gopher_flags(df, text_col).withColumn("fp", F.md5(F.lower(F.col(text_col))))
+    return flags.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("fp").alias("n_distinct_texts"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("fp")) / F.count(F.lit(1)), 6
+        ).alias("dup_rate"),
+        F.sum(token_count(text_col)).alias("total_tokens"),
+        F.round(F.avg(token_count(text_col)), 4).alias("avg_tokens"),
+        F.round(F.count(F.when(F.col("keep"), 1)) / F.count(F.lit(1)), 6).alias(
+            "quality_pass_rate"
+        ),
+    )

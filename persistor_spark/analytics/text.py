@@ -659,3 +659,40 @@ def quality_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
             "drop_rate"
         ),
     ).orderBy("stage")
+
+
+def unigram_kl_by_source(df: DataFrame, text_col: str = "text", source_col: str = "source") -> DataFrame:
+    """Distribution-shift audit: KL(P_source || P_corpus) over unigram token
+    distributions, per source.  The mixing diagnostic — a source whose token
+    distribution diverges hard from the corpus shifts the trained model's
+    distribution proportionally to its mixture weight.
+
+    KL is computed against the CORPUS distribution, whose support is a
+    superset of every source's tokens, so no smoothing is needed.  Scale
+    shape: one (source, token) count shuffle + one token-keyed join against
+    the corpus counts — both vocab-bounded, never corpus-row-bounded."""
+    toks = df.select(F.col(source_col).alias("source"), F.explode(tokens(text_col)).alias("t"))
+    by_src = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    corpus = by_src.groupBy("t").agg(F.sum("c").alias("cc"))
+    src_tot = by_src.groupBy("source").agg(F.sum("c").alias("n_tokens"))
+    corpus_tot = corpus.agg(F.sum("cc").alias("nn")).withColumn("j", F.lit(1))
+    contrib = (
+        by_src.join(corpus, "t")
+        .join(F.broadcast(src_tot), "source")
+        .withColumn("j", F.lit(1))
+        .join(F.broadcast(corpus_tot), "j")
+        .withColumn(
+            "kl_term",
+            (F.col("c") / F.col("n_tokens"))
+            * F.log((F.col("c") / F.col("n_tokens")) / (F.col("cc") / F.col("nn"))),
+        )
+    )
+    return (
+        contrib.groupBy("source")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.sum("kl_term"), 6).alias("kl_vs_corpus"),
+        )
+        .orderBy("source")
+    )

@@ -103,3 +103,32 @@ def test_quality_funnel_single_scan(spark, sf_dir):
         text.quality_funnel(docs)._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("Scan parquet") == 1
+
+
+def test_unigram_kl_zero_for_identical_distribution(spark):
+    """Two sources with the same token distribution => KL 0 for both."""
+    rows = [(1, "a b c", "s1"), (2, "a b c", "s2")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r["kl_vs_corpus"] for r in text.unigram_kl_by_source(df).collect()}
+    assert out == {"s1": 0.0, "s2": 0.0}
+
+
+def test_unigram_kl_positive_for_shifted_source(spark):
+    rows = [(1, "a a a a", "skewed"), (2, "a b c d", "mixed")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r["source"]: r["kl_vs_corpus"] for r in text.unigram_kl_by_source(df).collect()}
+    assert out["skewed"] > 0 and out["mixed"] > 0
+
+
+def test_dataset_card_counts(spark):
+    rows = [
+        (1, "the a and of to in is on good text here now", "web", "en"),
+        (2, "the a and of to in is on good text here now", "web", "en"),  # exact dup
+        (3, "the a and of to in is on other words too yes", "books", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+    card = profiling.dataset_card(df).collect()[0]
+    assert card["n_docs"] == 3 and card["n_sources"] == 2 and card["n_langs"] == 1
+    assert card["n_distinct_texts"] == 2
+    assert abs(card["dup_rate"] - 1 / 3) < 1e-4
+    assert card["total_tokens"] == 36
