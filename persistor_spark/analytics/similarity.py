@@ -358,6 +358,14 @@ def kmeans_train(
         v.filter(((F.col("id") - phase) % step == 0) & ((F.col("id") - phase) / step < n_centroids))
         .select(((F.col("id") - phase) / step).cast("int").alias("cid"), F.col("v").alias("cv"))
     )
+    if len(cents) < min(n_centroids, n):
+        # stride init assumes dense contiguous ids (see _hash_seed_ids)
+        seed_ids = _hash_seed_ids(v, n_centroids, seed)
+        cid_of = {i: c for c, i in enumerate(seed_ids)}
+        cents = sorted(
+            (cid_of[r["id"]], list(r["v"]))
+            for r in v.filter(F.col("id").isin(seed_ids)).collect()
+        )
     dim = len(cents[0][1])
     for _ in range(max_iter):
         assigned = v.select(_argmax_cid(F.col("v"), cents, l2_bias=(assign == "l2")).alias("cid"), "v")
@@ -545,6 +553,21 @@ def brute_force_topk_pandas(
 # Nearest Neighbor Search"
 # ---------------------------------------------------------------------------
 
+def _hash_seed_ids(v: DataFrame, k: int, seed: int) -> list:
+    """Distribution-independent Lloyd seeding: the k ids with the smallest
+    md5(seed, id) — a deterministic pseudo-random sample that works for ANY
+    id distribution (filtered/sparse/hashed corpora), collected via a
+    TakeOrdered (no global window).  Fallback for the stride init, which
+    assumes a dense contiguous id space."""
+    return [
+        r["id"]
+        for r in v.select("id")
+        .orderBy(F.md5(F.concat_ws("_", F.lit(seed), F.col("id"))), "id")
+        .limit(k)
+        .collect()
+    ]
+
+
 def pq_train(
     vectors: DataFrame,
     m: int = 16,
@@ -613,6 +636,15 @@ def pq_train(
     by_sub: dict[int, dict[int, list[float]]] = {}
     for r in init_rows:
         by_sub.setdefault(r["j"], {})[r["cid"]] = list(r["sv"])
+    if any(len(by_sub.get(j, {})) < min(ksub, n) for j in range(m)):
+        # stride init assumes dense contiguous ids; a filtered/sparse corpus
+        # (e.g. ivfpq_build on the even-id half — step even, phase odd, zero
+        # hits) under-fills it.  Re-seed distribution-independently.
+        seed_ids = _hash_seed_ids(vn.select("id"), ksub, seed)
+        cid_of = {i: c for c, i in enumerate(seed_ids)}
+        by_sub = {}
+        for r in sub.filter(F.col("id").isin(seed_ids)).collect():
+            by_sub.setdefault(r["j"], {})[cid_of[r["id"]]] = list(r["sv"])
     codebooks = [
         [by_sub[j].get(c, by_sub[j][min(by_sub[j])]) for c in range(ksub)]
         for j in range(m)

@@ -1316,3 +1316,16 @@ def test_ivfpq_add_appends_without_retraining(spark, embs, tmp_path):
     dsk = similarity.ivfpq_search(loaded, q, k=5).collect()
     as_t = lambda rows: sorted((r["query_id"], r["vec_id"], r["cos"], r["rank"]) for r in rows)  # noqa: E731
     assert as_t(mem) == as_t(dsk)
+
+
+def test_lloyd_seeding_survives_sparse_id_spaces(spark, embs):
+    """Stride init assumes dense contiguous ids; filtered corpora (even-only
+    ids, offset blocks) must fall back to hash seeding instead of training
+    zero-codeword quantizers.  Regression for the a60 sf0.1 KeyError."""
+    sparse = embs.filter(F.col("vec_id") % 2 == 0).withColumn(
+        "vec_id", F.col("vec_id") * 1000 + 7
+    )
+    cents = similarity.kmeans_train(sparse, n_centroids=8, max_iter=1)
+    assert len(cents) == 8
+    cbs = similarity.pq_train(sparse, m=8, ksub=8, kmeans_iter=1)
+    assert len(cbs) == 8 and all(len(cb) == 8 for cb in cbs)
