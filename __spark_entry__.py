@@ -1587,6 +1587,33 @@ def _a58_skew_profile(spark, sf_dir):
     )
 
 
+def _a63_temperature_sample(spark, sf_dir):
+    """Materialized temperature mixture: per-source targets from the a47
+    weights (6-dp-rounded before the floor so pow() ULPs can't flip a
+    count), drawn by per-source md5 rank.  total_n=173 exercises uneven
+    allocation."""
+    from persistor_spark.analytics import sampling
+
+    out = sampling.temperature_sample(_docs(spark, sf_dir), total_n=173, alpha=0.3)
+    return out.withColumn("sample_rank", F.col("sample_rank").cast("long")).orderBy(
+        "doc_id"
+    )
+
+
+def _a64_decontaminate(spark, sf_dir):
+    """Benchmark-decontamination REMOVAL: the a20 flag set applied as a
+    broadcast anti-join, returning the clean corpus."""
+    from persistor_spark.analytics import dedup
+
+    docs = _docs(spark, sf_dir)
+    clean = dedup.decontaminate(
+        docs.filter(F.col("doc_id") % 7 != 0),
+        docs.filter(F.col("doc_id") % 7 == 0),
+        n=5,
+    )
+    return clean.select("doc_id", "source", "n_chars").orderBy("doc_id")
+
+
 def _a61_unigram_kl(spark, sf_dir):
     """Distribution-shift audit: per-source KL(P_source || P_corpus) over
     unigram token distributions.  Corpus support is a superset of every
@@ -1648,6 +1675,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
         "a62_dataset_card": _a62_dataset_card,
+        "a63_temperature_sample": _a63_temperature_sample,
+        "a64_decontaminate": _a64_decontaminate,
         "a56_pagerank": _a56_pagerank,
         "a57_centroid_drift": _a57_centroid_drift,
         "a58_skew_profile": _a58_skew_profile,
@@ -1686,8 +1715,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a16_label_centroids": _a16_label_centroids,
-        "a18_winnowing_pairs": _a18_winnowing_pairs,
-        "a19_simhash_md5": _a19_simhash_md5,
         "a20_contamination": _a20_contamination,
         "a22_repetition": _a22_repetition,
         "a23_quality_rules": _a23_quality_rules,
@@ -1706,6 +1733,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e8_tumbling_window": _e_tumbling_window,
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a17_bpe_tokens": _a17_bpe_tokens,
+        "a18_winnowing_pairs": _a18_winnowing_pairs,
+        "a19_simhash_md5": _a19_simhash_md5,
         "a21_cms_sketch": _a21_cms_sketch,
         "e10_join_topk": _e10_join_topk,
         "e12_percentiles": _e12_percentiles,
@@ -1999,6 +2028,34 @@ def oracle_sql() -> dict[str, str]:
         # a60 = a32 built on half the corpus + incremental add of the rest;
         # probed-cell coverage re-verified at both check SFs
         "a60_ivfpq_add": _CLUSTERED_TOPK_ORACLE,
+        # a63: weight rounded to 6dp BEFORE the floor in BOTH engines, so a
+        # pow() ULP can never flip a per-source target count
+        "a63_temperature_sample": (
+            "WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1), "
+            "w AS (SELECT source, n, pow(n, 0.3) AS ww FROM c), "
+            "t AS (SELECT sum(ww) AS tw FROM w), "
+            "tg AS (SELECT source, least(CAST(floor(round(ww / tw, 6) * 173 "
+            "  + 0.000001) AS BIGINT), n) AS target FROM w, t), "
+            "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+            "  ORDER BY md5('7_' || doc_id::VARCHAR), doc_id) AS sample_rank "
+            "  FROM documents) "
+            "SELECT doc_id, source, sample_rank FROM r JOIN tg USING (source) "
+            "WHERE sample_rank <= target ORDER BY doc_id"
+        ),
+        # a64: the a20 flag set applied as NOT IN — the clean-corpus output
+        "a64_decontaminate": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN "
+            "  list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]) "
+            "  ELSE [] END AS grams FROM t), "
+            "c AS (SELECT doc_id AS corpus_id, unnest(grams) AS g FROM s WHERE doc_id % 7 != 0), "
+            "e AS (SELECT doc_id AS eval_id, unnest(grams) AS g FROM s WHERE doc_id % 7 = 0), "
+            "flagged AS (SELECT DISTINCT c.corpus_id FROM c JOIN e USING (g)) "
+            "SELECT d.doc_id, d.source, d.n_chars FROM documents d "
+            "WHERE d.doc_id % 7 != 0 "
+            "  AND d.doc_id NOT IN (SELECT corpus_id FROM flagged) "
+            "ORDER BY d.doc_id"
+        ),
         "a61_unigram_kl": (
             "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t "
             "  FROM documents), "

@@ -1094,3 +1094,24 @@ def duplicate_substring_intervals(
         )
         .orderBy(id_col, "span_start")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_shared: int = 1,
+) -> DataFrame:
+    """The REMOVAL half of benchmark decontamination: drop every corpus doc
+    that ngram_contamination flags against the eval set, returning the clean
+    corpus.  One distinct-project of the flagged ids + a broadcastable
+    left-anti join — the flagged side is bounded by contamination volume,
+    not corpus size, so the anti-join's build side stays small at 100 TB."""
+    flagged = (
+        ngram_contamination(corpus, eval_df, n, id_col, text_col, min_shared)
+        .select(F.col("corpus_id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(F.broadcast(flagged), id_col, "left_anti")

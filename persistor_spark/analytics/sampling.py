@@ -9,7 +9,7 @@ hood, so at 100 TB this is a narrow scan with per-row RNG, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def mixture_fractions(
@@ -270,4 +270,58 @@ def shard_assignments(
         df.select(F.col(id_col), h.alias("__h"), (hb % n_shards).cast("int").alias("shard"))
         .withColumn("position", F.row_number().over(w).cast("long"))
         .select(id_col, "shard", "position")
+    )
+
+
+def temperature_sample(
+    df: DataFrame,
+    total_n: int,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.3,
+    seed: int = 7,
+) -> DataFrame:
+    """Materialize a temperature mixture (temperature_mixture_weights) into
+    an actual sample: per-source target = floor(weight_6dp * total_n + 1e-6),
+    capped by availability, selected by per-source md5(seed,id) rank — the
+    deterministic draw that turns the a47 weights into a training set.
+
+    The weight is rounded to 6 decimals BEFORE the floor (both here and in
+    any SQL twin) so the target count can never flip on a pow() ULP; the
+    +1e-6 absorbs the one remaining representation gap.  Scale shape: one
+    stratum count agg, a broadcast of the S-row target table, and a
+    per-source rank window (partition-bounded, never global)."""
+    counts = df.groupBy(F.col(strata_col).alias("__s")).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w = counts.withColumn(
+        "__w", F.pow(F.col("__n").cast("double"), F.lit(float(alpha)))
+    )
+    tot = w.agg(F.sum("__w").alias("__tw")).withColumn("__j", F.lit(1))
+    targets = (
+        w.withColumn("__j", F.lit(1))
+        .join(F.broadcast(tot), "__j")
+        .select(
+            "__s",
+            F.least(
+                F.floor(
+                    F.round(F.col("__w") / F.col("__tw"), 6) * F.lit(total_n)
+                    + F.lit(1e-6)
+                ).cast("long"),
+                F.col("__n"),
+            ).alias("__target"),
+        )
+    )
+    ranked = df.withColumn(
+        "__r",
+        F.row_number().over(
+            Window.partitionBy(strata_col).orderBy(
+                F.md5(F.concat_ws("_", F.lit(seed), F.col(id_col))), id_col
+            )
+        ),
+    )
+    return (
+        ranked.join(F.broadcast(targets), ranked[strata_col] == F.col("__s"))
+        .filter(F.col("__r") <= F.col("__target"))
+        .select(id_col, strata_col, F.col("__r").alias("sample_rank"))
     )

@@ -132,3 +132,37 @@ def test_dataset_card_counts(spark):
     assert card["n_distinct_texts"] == 2
     assert abs(card["dup_rate"] - 1 / 3) < 1e-4
     assert card["total_tokens"] == 36
+
+
+def test_temperature_sample_targets_and_determinism(spark):
+    from persistor_spark.analytics import sampling
+
+    rows = [(i, "big") for i in range(90)] + [(100 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = sampling.temperature_sample(df, total_n=50, alpha=0.3, seed=7)
+    got = out.collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # alpha<1 up-weights the small source vs proportional (which would be 5)
+    assert len(by_src["small"]) > 5
+    assert len(by_src["small"]) <= 10  # capped by availability
+    # deterministic: same seed -> same ids
+    again = sampling.temperature_sample(df, total_n=50, alpha=0.3, seed=7).collect()
+    assert sorted(r["doc_id"] for r in again) == sorted(r["doc_id"] for r in got)
+
+
+def test_decontaminate_removes_flagged_docs(spark, sf_dir):
+    from persistor_spark.analytics import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    eval_df = docs.filter(F.col("doc_id") % 7 == 0)
+    flagged = {
+        r["corpus_id"]
+        for r in dedup.ngram_contamination(corpus, eval_df, n=5).select("corpus_id").collect()
+    }
+    clean_ids = {r["doc_id"] for r in dedup.decontaminate(corpus, eval_df, n=5).select("doc_id").collect()}
+    corpus_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert clean_ids == corpus_ids - flagged
+    assert flagged  # the fixture plants contamination; the test is non-vacuous
