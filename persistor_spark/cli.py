@@ -7,6 +7,7 @@ points (persistor/cmd/*, indexer-api/lib/server.go, resubmitter handler):
     python -m persistor_spark query   --index <dir> filter '<json filters>' [--limit N --offset N]
     python -m persistor_spark resubmit --index <dir> --blobs <dir> --out <dir> [--filters '<json>']
     python -m persistor_spark serve    --index <dir> [--blobs <dir> --out <dir>] [--port N --resubmit-port N]
+    python -m persistor_spark analyze  <op|list> [--sf-dir <dir> --limit N]
 
 `serve` runs the REST layer itself (persistor_spark.server): the Indexer
 API's four endpoints on --port, and — when --blobs/--out are given — the
@@ -204,6 +205,30 @@ def cmd_serve(args) -> int:
     return 0
 
 
+def cmd_analyze(args) -> int:
+    """Run a registered analytics/query operator by name against a fixture
+    dir and emit its rows (JSON lines) — the ad-hoc entry point for every
+    operator the driver contract exposes."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    if args.op == "list":
+        _emit(sorted(qs))
+        return 0
+    if args.op not in qs:
+        _emit({"error": f"unknown operator {args.op!r}; try 'analyze list'"})
+        return 2
+    spark = build_session("persistor-analyze")
+    try:
+        df = qs[args.op](spark, args.sf_dir)
+        rows = df.limit(args.limit).collect() if args.limit else df.collect()
+        for r in rows:
+            _emit(r.asDict(recursive=True))
+    finally:
+        spark.stop()
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="persistor_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -239,6 +264,12 @@ def main(argv=None) -> int:
     ps.add_argument("--port", type=int, default=8080)  # server.go:41 default :8080
     ps.add_argument("--resubmit-port", type=int, default=8081)
     ps.set_defaults(fn=cmd_serve)
+
+    pa = sub.add_parser("analyze")
+    pa.add_argument("op", help="operator name from the driver contract, or 'list'")
+    pa.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    pa.add_argument("--limit", type=int, default=0, help="0 = all rows")
+    pa.set_defaults(fn=cmd_analyze)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -50,3 +50,14 @@ def test_cli_ingest_parquet_then_query_get(spark, source_dir, tmp_path, capsys):
     rc, rows = _run_cli(capsys, ["query", "--index", f"{out}/index", "get", uid])
     assert rc == 0
     assert len(rows) == 1 and rows[0]["unique_id"] == uid
+
+
+def test_cli_analyze_list_and_run(capsys):
+    import json as _json
+
+    from persistor_spark import cli
+
+    assert cli.main(["analyze", "list"]) == 0
+    names = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "a62_dataset_card" in names
+    assert cli.main(["analyze", "nope"]) == 2
