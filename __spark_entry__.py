@@ -820,6 +820,35 @@ def _e_tumbling_window(spark, sf_dir):
     )
 
 
+def _e25_gap_fill(spark, sf_dir):
+    """Time-series gap filling: per-type hourly counts with MISSING hour
+    buckets generated (sequence over each type's min..max hour) and
+    zero-filled — the densification step before rolling metrics.  The
+    bucket generation is an explode of a per-group sequence (no cross
+    join against a calendar table); the fill is one left join keyed by
+    (type, hour)."""
+    ev = _events(spark, sf_dir)
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    counts = (
+        ev.groupBy(F.col("event_type"), hour.alias("hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    spans = counts.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.lit(3600))).alias("hour"),
+    )
+    return (
+        grid.join(counts, ["event_type", "hour"], "left")
+        .select(
+            "event_type", "hour", F.coalesce("n", F.lit(0)).cast("long").alias("n")
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
 def _e21_interval_join(spark, sf_dir):
     """View->purchase attribution: purchases by the same user within 10
     minutes of a view (streaming.windows.interval_join — the SAME operator
@@ -1677,6 +1706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a62_dataset_card": _a62_dataset_card,
         "a63_temperature_sample": _a63_temperature_sample,
         "a64_decontaminate": _a64_decontaminate,
+        "e25_gap_fill": _e25_gap_fill,
         "a56_pagerank": _a56_pagerank,
         "a57_centroid_drift": _a57_centroid_drift,
         "a58_skew_profile": _a58_skew_profile,
@@ -1716,7 +1746,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a16_label_centroids": _a16_label_centroids,
         "a20_contamination": _a20_contamination,
-        "a22_repetition": _a22_repetition,
         "a23_quality_rules": _a23_quality_rules,
         "a24_pii_scrub": _a24_pii_scrub,
         # -- 8 changed this round: need fresh driver verdicts
@@ -1736,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a18_winnowing_pairs": _a18_winnowing_pairs,
         "a19_simhash_md5": _a19_simhash_md5,
         "a21_cms_sketch": _a21_cms_sketch,
+        "a22_repetition": _a22_repetition,
         "e10_join_topk": _e10_join_topk,
         "e12_percentiles": _e12_percentiles,
         "e19_sliding_window": _e19_sliding_window,
@@ -2028,6 +2058,16 @@ def oracle_sql() -> dict[str, str]:
         # a60 = a32 built on half the corpus + incremental add of the rest;
         # probed-cell coverage re-verified at both check SFs
         "a60_ivfpq_add": _CLUSTERED_TOPK_ORACLE,
+        "e25_gap_fill": (
+            "WITH c AS (SELECT event_type, "
+            "  (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS hour, "
+            "  count(*) AS n FROM events GROUP BY 1, 2), "
+            "s AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1), "
+            "g AS (SELECT event_type, unnest(generate_series(h0, h1, 3600)) AS hour FROM s) "
+            "SELECT g.event_type, g.hour, coalesce(c.n, 0)::BIGINT AS n "
+            "FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour "
+            "ORDER BY g.event_type, g.hour"
+        ),
         # a63: weight rounded to 6dp BEFORE the floor in BOTH engines, so a
         # pow() ULP can never flip a per-source target count
         "a63_temperature_sample": (
