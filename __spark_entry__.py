@@ -1048,6 +1048,24 @@ def _a15_incremental_dedup(spark, sf_dir):
     )
 
 
+def _a65_lsh_persist(spark, sf_dir):
+    """a15 through a SAVED + LOADED LSH index: the even-id corpus band table
+    round-trips band-partitioned parquet before the odd-id batch probes it —
+    proving the on-disk posting layout returns identical pairs (the dedup
+    twin of a55's index persistence)."""
+    import tempfile
+
+    from persistor_spark.analytics import dedup
+
+    docs = _docs(spark, sf_dir)
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = tempfile.mkdtemp(prefix="lsh_idx_")
+    dedup.lsh_index_save(dedup.build_band_table(old), path)
+    loaded = dedup.lsh_index_load(spark, path)
+    return dedup.incremental_dup_pairs(new, loaded, 0.8).orderBy("new_id", "old_id")
+
+
 def _e18_null_safe_join(spark, sf_dir):
     """Null-safe equality join (`<=>` / IS NOT DISTINCT FROM): messages
     self-joined on business_source_key where NULL matches NULL — counts per
@@ -1706,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a62_dataset_card": _a62_dataset_card,
         "a63_temperature_sample": _a63_temperature_sample,
         "a64_decontaminate": _a64_decontaminate,
+        "a65_lsh_persist": _a65_lsh_persist,
         "e25_gap_fill": _e25_gap_fill,
         "a56_pagerank": _a56_pagerank,
         "a57_centroid_drift": _a57_centroid_drift,
@@ -1745,7 +1764,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a16_label_centroids": _a16_label_centroids,
-        "a20_contamination": _a20_contamination,
         "a23_quality_rules": _a23_quality_rules,
         "a24_pii_scrub": _a24_pii_scrub,
         # -- 8 changed this round: need fresh driver verdicts
@@ -1764,6 +1782,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a17_bpe_tokens": _a17_bpe_tokens,
         "a18_winnowing_pairs": _a18_winnowing_pairs,
         "a19_simhash_md5": _a19_simhash_md5,
+        "a20_contamination": _a20_contamination,
         "a21_cms_sketch": _a21_cms_sketch,
         "a22_repetition": _a22_repetition,
         "e10_join_topk": _e10_join_topk,
@@ -2687,21 +2706,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         # incremental LSH probe is exact-verified, so its oracle is the
         # exact-Jaccard pair set restricted to cross-parity pairs
-        "a15_incremental_dedup": (
-            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-            "s AS (SELECT doc_id, "
-            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-            "  FROM t) "
-            "SELECT CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END AS new_id, "
-            "  CASE WHEN a.doc_id % 2 = 1 THEN b.doc_id ELSE a.doc_id END AS old_id, "
-            "  round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard "
-            "FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            "WHERE (a.doc_id % 2) <> (b.doc_id % 2) "
-            "  AND len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8 "
-            "ORDER BY new_id, old_id"
-        ),
+        "a15_incremental_dedup": _INCR_DEDUP_ORACLE,
+        # a65 = a15 through a saved+loaded band-partitioned index;
+        # identical result contract
+        "a65_lsh_persist": _INCR_DEDUP_ORACLE,
         "a14_bm25_topk": (
             "WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term "
             "  FROM documents), "
@@ -3031,6 +3039,22 @@ _BRUTE_TOPK_ORACLE = (
     "SELECT query_id, vec_id, cos, rank FROM ("
     "  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s) "
     "WHERE rank <= 5 ORDER BY query_id, rank"
+)
+
+_INCR_DEDUP_ORACLE = (
+    "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+    "s AS (SELECT doc_id, "
+    "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+    "  FROM t) "
+    "SELECT CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END AS new_id, "
+    "  CASE WHEN a.doc_id % 2 = 1 THEN b.doc_id ELSE a.doc_id END AS old_id, "
+    "  round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
+    "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard "
+    "FROM s a JOIN s b ON a.doc_id < b.doc_id "
+    "WHERE (a.doc_id % 2) <> (b.doc_id % 2) "
+    "  AND len(list_intersect(a.sh, b.sh))::DOUBLE / "
+    "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8 "
+    "ORDER BY new_id, old_id"
 )
 
 _CLUSTERED_TOPK_ORACLE = (

@@ -1115,3 +1115,27 @@ def decontaminate(
         .distinct()
     )
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
+
+
+def lsh_index_save(band_table: DataFrame, path: str) -> None:
+    """Persist a build_band_table output as the on-disk LSH index:
+    parquet PARTITIONED BY band, so a probe's (band, bh) equi-join prunes
+    to the matching band partitions (the posting-list layout; the dedup
+    twin of ivfpq_save's inverted lists).  Spark writers throughout — the
+    same call targets gs://, abfss://, s3a:// on a cluster."""
+    band_table.write.mode("overwrite").partitionBy("band").parquet(path)
+
+
+def lsh_index_load(spark, path: str) -> DataFrame:
+    """Read a persisted LSH index back as a lazy, partition-prunable
+    DataFrame with the build_band_table column contract."""
+    return spark.read.parquet(path).select("id", "sh", "band", "bh")
+
+
+def lsh_index_append(spark, path: str, new_docs: DataFrame, **kwargs) -> None:
+    """Grow a persisted LSH index with a new batch: sketch the batch (batch-
+    sized cost) and parquet-append into the band partitions — each ingest
+    cycle adds one file per band, no existing file rewrites."""
+    build_band_table(new_docs, **kwargs).write.mode("append").partitionBy(
+        "band"
+    ).parquet(path)

@@ -166,3 +166,24 @@ def test_decontaminate_removes_flagged_docs(spark, sf_dir):
     corpus_ids = {r["doc_id"] for r in corpus.select("doc_id").collect()}
     assert clean_ids == corpus_ids - flagged
     assert flagged  # the fixture plants contamination; the test is non-vacuous
+
+
+def test_lsh_index_roundtrip_and_append(spark, sf_dir, tmp_path):
+    from persistor_spark.analytics import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    path = str(tmp_path / "lsh")
+    bt = dedup.build_band_table(old)
+    dedup.lsh_index_save(bt, path)
+    loaded = dedup.lsh_index_load(spark, path)
+    # identical probe results through the disk round-trip
+    mem = {(r.new_id, r.old_id) for r in dedup.incremental_dup_pairs(new, bt, 0.8).collect()}
+    dsk = {(r.new_id, r.old_id) for r in dedup.incremental_dup_pairs(new, loaded, 0.8).collect()}
+    assert mem == dsk and mem
+    # appending a batch grows the band partitions in place
+    batch = new.limit(20)
+    dedup.lsh_index_append(spark, path, batch)
+    grown = dedup.lsh_index_load(spark, path)
+    assert grown.count() == loaded.count() + dedup.build_band_table(batch).count()
