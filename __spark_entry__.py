@@ -1708,14 +1708,16 @@ def _a59_quality_funnel(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
-    Round-4 rotation policy: first the queries with NO driver row yet
-    (a37/a38/a39 from r3, the r4 operators a40–a52), then every query whose
-    code or oracle changed this round (the ANN family via the Lloyd-
-    aggregation rewrite, a11/a26 via the observation-fused CC fixpoint, a12
-    verify math, a33 oracle, e11's operator), then the never-or-once-checked
-    remainder.  Multiply-green rows (d1/d9/d13/d19, e7, e1/e5/a1 and other
-    r2+r3 greens) rotate out; they stay pinned by tools/check.py (all
-    queries, every round) and pytest.
+    Round-4 rotation policy: first the queries with NO driver row yet —
+    the second-session operators (a56–a65, e25) and the earlier r4 set
+    (a37–a55) — then every query whose code changed this round (the ANN
+    family: Lloyd-aggregation rewrite + the sparse-id seeding fallback;
+    a11/a26 CC fixpoint; a12 verify math; e11's operator), then the
+    once-checked rows worth keeping under watch (the e9/e11/e24/e20
+    TIMESTAMP_NTZ class among them).  Multiply-green unchanged rows
+    (d-series, most e-series, a1/a3/a5, and this session's rotations
+    e8/e10/e12/e19, a13/a17/a18/a19/a21/a22) sit below position 50; they
+    stay pinned by tools/check.py (ALL queries, every round) and pytest.
     """
     return {
         # -- no driver row yet (r3 late additions + r4 new operators)
