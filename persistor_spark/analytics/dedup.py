@@ -512,6 +512,7 @@ def incremental_dup_pairs(
     k: int = 3,
     num_perm: int = 64,
     bands: int = 16,
+    probe: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (new_id, existing_id, jaccard) between an incoming
     batch and the existing corpus represented by `band_table`
@@ -519,8 +520,12 @@ def incremental_dup_pairs(
 
     The new batch is sketched (cheap — batch-sized), probed against the band
     table on (band, bh), and candidates are exact-Jaccard verified.  Returns
-    only cross pairs; intra-batch dups are minhash_lsh_pairs(new_docs)."""
-    probe = build_band_table(new_docs, id_col, text_col, k, num_perm, bands)
+    only cross pairs; intra-batch dups are minhash_lsh_pairs(new_docs).
+    Pass `probe` (the batch's own build_band_table output) when the caller
+    already sketched the batch — e.g. to ALSO append it to a persisted
+    index — so the sketch isn't computed twice."""
+    if probe is None:
+        probe = build_band_table(new_docs, id_col, text_col, k, num_perm, bands)
     # slim-pair pattern: the band join and the dedup carry ONLY ids; both
     # shingle sets re-attach afterwards via the narrow band==0 slice of
     # each sketch (the previous plan shuffled BOTH shingle arrays through

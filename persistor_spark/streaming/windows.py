@@ -240,3 +240,48 @@ def interval_join(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
     )
     return lw.join(rw, cond, "inner")
+
+
+def run_incremental_dedup_stream(
+    spark,
+    source_dir: str,
+    index_path: str,
+    out_path: str,
+    checkpoint: str,
+    threshold: float = 0.8,
+    schema: str = "doc_id long, text string",
+):
+    """Continuous near-dup detection against a PERSISTED LSH index: each
+    file-source micro-batch (a) probes the band-partitioned index for
+    cross near-dup pairs (appended to `out_path`), then (b) appends its own
+    sketch into the index — so later batches see earlier ones, exactly the
+    arriving-corpus contract of analytics.dedup.incremental_dup_pairs, but
+    driven by Structured Streaming.
+
+    Shape notes: the probe is the batch-sized sketch joined against the
+    band partitions (cost tracks batch x bucket occupancy, never corpus²);
+    the index append writes one file per band per batch.  foreachBatch is
+    the right tool because the per-batch work is two SINKS (pairs + index)
+    fed by one sketch — a single streaming sink can't fan out."""
+    from persistor_spark.analytics import dedup
+
+    def _process(batch_df, batch_id: int):
+        if not batch_df.head(1):
+            return
+        probe = dedup.build_band_table(batch_df)
+        existing = dedup.lsh_index_load(spark, index_path)
+        pairs = dedup.incremental_dup_pairs(
+            batch_df, existing, threshold, probe=probe
+        ).withColumn("batch_id", F.lit(batch_id).cast("long"))
+        pairs.write.mode("append").parquet(out_path)
+        probe.write.mode("append").partitionBy("band").parquet(index_path)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -421,3 +421,59 @@ def test_dedup_gate_state_survives_restart(spark, sf_dir, tmp_path):
     # redeliveries dropped thanks to RESTORED state; only the new keys added
     assert got.count() == n_first + n_new
     assert got.select("unique_id").distinct().count() == n_first + n_new
+
+
+def test_incremental_dedup_stream_probes_and_grows_index(spark, sf_dir, tmp_path):
+    """run_incremental_dedup_stream: micro-batches probe the persisted LSH
+    index AND append their own sketch, so (a) cross pairs vs the seeded
+    corpus appear, (b) later batches detect dups against earlier BATCHES,
+    and (c) the final pair set equals the batch-mode oracle run."""
+    import json as _json
+
+    from persistor_spark.analytics import dedup
+    from persistor_spark.sources.registry import load_table
+    from persistor_spark.streaming import windows as sw
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    index_path = str(tmp_path / "lsh_index")
+    dedup.lsh_index_save(dedup.build_band_table(old), index_path)
+
+    # two JSON micro-batch files (maxFilesPerTrigger=1 -> two batches)
+    src = tmp_path / "batches"
+    src.mkdir()
+    rows = new.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    out = str(tmp_path / "pairs")
+    q = sw.run_incremental_dedup_stream(
+        spark, str(src), index_path, out, str(tmp_path / "ckpt"), threshold=0.8
+    )
+    q.awaitTermination(300)
+
+    got = {
+        (r["new_id"], r["old_id"])
+        for r in spark.read.parquet(out).select("new_id", "old_id").collect()
+    }
+    # batch-mode truth: each half probed against (seed + everything earlier)
+    bt_old = dedup.build_band_table(old)
+    first_df = new.filter(F.col("doc_id").isin([r["doc_id"] for r in rows[:half]]))
+    second_df = new.filter(F.col("doc_id").isin([r["doc_id"] for r in rows[half:]]))
+    bt_with_first = bt_old.unionByName(dedup.build_band_table(first_df))
+    want = {
+        (r["new_id"], r["old_id"])
+        for r in dedup.incremental_dup_pairs(first_df, bt_old, 0.8).collect()
+    } | {
+        (r["new_id"], r["old_id"])
+        for r in dedup.incremental_dup_pairs(second_df, bt_with_first, 0.8).collect()
+    }
+    assert got == want and got
+    # the index grew by both batches' sketches
+    grown = dedup.lsh_index_load(spark, index_path)
+    assert grown.count() == bt_old.count() + dedup.build_band_table(new).count()
