@@ -1048,6 +1048,31 @@ def _a15_incremental_dedup(spark, sf_dir):
     )
 
 
+def _a66_snapshot_diff(spark, sf_dir):
+    """Dataset-version diff derived in the query: snapshot B drops every
+    11th doc, rewrites every 13th, and appends 5 synthetic docs; the diff
+    must label each id added/removed/changed/unchanged."""
+    from persistor_spark.analytics import profiling
+
+    docs = _docs(spark, sf_dir)
+    kept = docs.filter(F.col("doc_id") % 11 != 0)
+    new_snap = kept.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.lit("edited "), F.col("text"))
+        ).otherwise(F.col("text")),
+    ).unionByName(
+        spark.range(5).select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            F.concat(F.lit("brand new doc "), F.col("id")).alias("text"),
+            F.lit("en").alias("lang"),
+            F.lit("synthetic").alias("source"),
+            F.lit(0).cast("long").alias("n_chars"),
+        )
+    )
+    return profiling.snapshot_diff(docs, new_snap)
+
+
 def _a65_lsh_persist(spark, sf_dir):
     """a15 through a SAVED + LOADED LSH index: the even-id corpus band table
     round-trips band-partitioned parquet before the odd-id batch probes it —
@@ -1727,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a63_temperature_sample": _a63_temperature_sample,
         "a64_decontaminate": _a64_decontaminate,
         "a65_lsh_persist": _a65_lsh_persist,
+        "a66_snapshot_diff": _a66_snapshot_diff,
         "e25_gap_fill": _e25_gap_fill,
         "a56_pagerank": _a56_pagerank,
         "a57_centroid_drift": _a57_centroid_drift,
@@ -1765,7 +1791,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_embedding_pairs": _a12_embedding_pairs,
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
-        "a16_label_centroids": _a16_label_centroids,
         "a23_quality_rules": _a23_quality_rules,
         "a24_pii_scrub": _a24_pii_scrub,
         # -- 8 changed this round: need fresh driver verdicts
@@ -1782,6 +1807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e8_tumbling_window": _e_tumbling_window,
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a17_bpe_tokens": _a17_bpe_tokens,
+        "a16_label_centroids": _a16_label_centroids,
         "a18_winnowing_pairs": _a18_winnowing_pairs,
         "a19_simhash_md5": _a19_simhash_md5,
         "a20_contamination": _a20_contamination,
@@ -2079,6 +2105,22 @@ def oracle_sql() -> dict[str, str]:
         # a60 = a32 built on half the corpus + incremental add of the rest;
         # probed-cell coverage re-verified at both check SFs
         "a60_ivfpq_add": _CLUSTERED_TOPK_ORACLE,
+        "a66_snapshot_diff": (
+            "WITH newsnap AS ("
+            "  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'edited ' || text "
+            "    ELSE text END AS text "
+            "  FROM documents WHERE doc_id % 11 != 0 "
+            "  UNION ALL "
+            "  SELECT 1000000 + i AS doc_id, 'brand new doc ' || i::VARCHAR AS text "
+            "  FROM range(0, 5) t(i)) "
+            "SELECT coalesce(o.doc_id, n.doc_id) AS id, "
+            "  CASE WHEN o.doc_id IS NULL THEN 'added' "
+            "       WHEN n.doc_id IS NULL THEN 'removed' "
+            "       WHEN md5(o.text) != md5(n.text) THEN 'changed' "
+            "       ELSE 'unchanged' END AS status "
+            "FROM documents o FULL OUTER JOIN newsnap n ON o.doc_id = n.doc_id "
+            "ORDER BY id"
+        ),
         "e25_gap_fill": (
             "WITH c AS (SELECT event_type, "
             "  (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS hour, "

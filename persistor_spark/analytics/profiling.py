@@ -63,3 +63,33 @@ def dataset_card(df: DataFrame, text_col: str = "text") -> DataFrame:
             "quality_pass_rate"
         ),
     )
+
+
+def snapshot_diff(
+    old_df: DataFrame,
+    new_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Dataset-version diff: per-id status across two snapshots — 'added'
+    (only in new), 'removed' (only in old), 'changed' (both, different
+    content fingerprint), 'unchanged'.  The audit between two builds of a
+    corpus before retraining: what moved, and how much.
+
+    One full-outer join on the id keyed by content md5 on each side; at
+    scale both snapshots bucket by id so the join co-locates.  Row-level
+    output (id, status) — counts are a groupBy away."""
+    o = old_df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("old_fp"))
+    n = new_df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("new_fp"))
+    return (
+        o.join(n, "id", "full_outer")
+        .select(
+            "id",
+            F.when(F.col("old_fp").isNull(), F.lit("added"))
+            .when(F.col("new_fp").isNull(), F.lit("removed"))
+            .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .orderBy("id")
+    )

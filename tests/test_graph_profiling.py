@@ -187,3 +187,16 @@ def test_lsh_index_roundtrip_and_append(spark, sf_dir, tmp_path):
     dedup.lsh_index_append(spark, path, batch)
     grown = dedup.lsh_index_load(spark, path)
     assert grown.count() == loaded.count() + dedup.build_band_table(batch).count()
+
+
+def test_snapshot_diff_statuses(spark):
+    from persistor_spark.analytics import profiling
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "CHANGED"), (4, "d")], "doc_id long, text string"
+    )
+    got = {r["id"]: r["status"] for r in profiling.snapshot_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
