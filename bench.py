@@ -278,6 +278,43 @@ def bench_text_stats(ctx: Ctx):
     return text.with_text_stats(docs).agg(F.avg("quality_score")).collect()
 
 
+def _lsh_index_path(ctx: Ctx):
+    from persistor_spark.analytics import dedup
+
+    path = getattr(ctx, "lsh_index_path", None)
+    if path is None:
+        docs = load_table(ctx.spark, SF_DIR, "documents")
+        path = f"{ctx.workdir}/lsh_index"
+        dedup.lsh_index_save(
+            dedup.build_band_table(docs.filter(F.col("doc_id") % 2 == 0)), path
+        )
+        ctx.lsh_index_path = path
+    return path
+
+
+def bench_dedup_index_build(ctx: Ctx):
+    """Sketch half the corpus and persist it as the band-partitioned LSH
+    index (posting-list layout).  Paid once per corpus — the dedup analogue
+    of ann_ivfpq_build."""
+    from persistor_spark.analytics import dedup
+
+    path = _lsh_index_path(ctx)
+    return dedup.lsh_index_load(ctx.spark, path).count()
+
+
+def bench_dedup_incremental(ctx: Ctx):
+    """The steady-state continuous-ingestion cost: probe the OTHER half of
+    the corpus (an arriving batch) against the persisted index — batch-sized
+    sketch + bucket equi-join + exact verify.  Compare with dedup_minhash's
+    full corpus-vs-corpus pass."""
+    from persistor_spark.analytics import dedup
+
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    loaded = dedup.lsh_index_load(ctx.spark, _lsh_index_path(ctx))
+    return dedup.incremental_dup_pairs(new, loaded, 0.8).count()
+
+
 def bench_graph_pagerank(ctx: Ctx):
     """Iterative-join workload: 3 PageRank rounds over the symmetric
     customer<->supplier purchase graph (one shuffle join + one agg per
@@ -302,6 +339,8 @@ QUERIES = {
     "lineitem_agg": bench_lineitem_agg,
     "join_agg": bench_join_agg,
     "dedup_minhash": bench_dedup_minhash,
+    "dedup_index_build": bench_dedup_index_build,
+    "dedup_incremental": bench_dedup_incremental,
     "ann_topk": bench_ann_topk,
     "ann_ivfpq_build": bench_ann_ivfpq_build,
     "ann_ivfpq_probe": bench_ann_ivfpq_probe,

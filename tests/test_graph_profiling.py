@@ -200,3 +200,32 @@ def test_snapshot_diff_statuses(spark):
     )
     got = {r["id"]: r["status"] for r in profiling.snapshot_diff(old, new).collect()}
     assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
+    """Append-heavy band partitions compact into few files with identical
+    contents — the periodic maintenance for lsh_index_append /
+    ivfpq_add_to_disk layouts."""
+    from persistor_spark.analytics import dedup
+    from persistor_spark.plans import maintenance
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "lsh")
+    dedup.lsh_index_save(dedup.build_band_table(docs.filter(F.col("doc_id") % 2 == 0)), path)
+    # three appended batches -> many small files per band
+    for i in range(3):
+        dedup.lsh_index_append(
+            spark, path, docs.filter((F.col("doc_id") % 2 == 1) & (F.col("doc_id") % 3 == i))
+        )
+    before = dedup.lsh_index_load(spark, path)
+    rows_before = sorted(
+        (r["id"], r["band"], r["bh"]) for r in before.select("id", "band", "bh").collect()
+    )
+    stats = maintenance.compact_parquet(spark, path, partition_col="band")
+    assert stats["files_after"] < stats["files_before"]
+    after = dedup.lsh_index_load(spark, path)
+    rows_after = sorted(
+        (r["id"], r["band"], r["bh"]) for r in after.select("id", "band", "bh").collect()
+    )
+    assert rows_after == rows_before
+    assert stats["rows"] == len(rows_before)
