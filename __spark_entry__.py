@@ -820,6 +820,23 @@ def _e_tumbling_window(spark, sf_dir):
     )
 
 
+def _e26_array_agg(spark, sf_dir):
+    """Ordered array aggregation: per nation, the sorted supplier roster
+    (collect_list -> array_sort -> array_join; emitted as a joined string
+    so the cross-engine hash stays representation-stable)."""
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    supplier = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return (
+        nation.join(supplier, nation.n_nationkey == supplier.s_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("s_name")), ",").alias("suppliers"),
+            F.count(F.lit(1)).alias("n_suppliers"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def _e25_gap_fill(spark, sf_dir):
     """Time-series gap filling: per-type hourly counts with MISSING hour
     buckets generated (sequence over each type's min..max hour) and
@@ -1754,6 +1771,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a65_lsh_persist": _a65_lsh_persist,
         "a66_snapshot_diff": _a66_snapshot_diff,
         "e25_gap_fill": _e25_gap_fill,
+        "e26_array_agg": _e26_array_agg,
         "a56_pagerank": _a56_pagerank,
         "a57_centroid_drift": _a57_centroid_drift,
         "a58_skew_profile": _a58_skew_profile,
@@ -1792,7 +1810,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a23_quality_rules": _a23_quality_rules,
-        "a24_pii_scrub": _a24_pii_scrub,
         # -- 8 changed this round: need fresh driver verdicts
         "a29_pack_sequences": _a_pack_sequences,
         "a4_simhash_pairs": _a_simhash,
@@ -1813,6 +1830,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_contamination": _a20_contamination,
         "a21_cms_sketch": _a21_cms_sketch,
         "a22_repetition": _a22_repetition,
+        "a24_pii_scrub": _a24_pii_scrub,
         "e10_join_topk": _e10_join_topk,
         "e12_percentiles": _e12_percentiles,
         "e19_sliding_window": _e19_sliding_window,
@@ -2105,6 +2123,13 @@ def oracle_sql() -> dict[str, str]:
         # a60 = a32 built on half the corpus + incremental add of the rest;
         # probed-cell coverage re-verified at both check SFs
         "a60_ivfpq_add": _CLUSTERED_TOPK_ORACLE,
+        "e26_array_agg": (
+            "SELECT n_name, "
+            "  array_to_string(list(s_name ORDER BY s_name), ',') AS suppliers, "
+            "  count(*) AS n_suppliers "
+            "FROM nation JOIN supplier ON n_nationkey = s_nationkey "
+            "GROUP BY n_name ORDER BY n_name"
+        ),
         "a66_snapshot_diff": (
             "WITH newsnap AS ("
             "  SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN 'edited ' || text "
