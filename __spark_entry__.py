@@ -1751,14 +1751,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
     Round-4 rotation policy: first the queries with NO driver row yet —
-    the second-session operators (a56–a65, e25) and the earlier r4 set
+    the second-session operators (a56–a66, e25/e26) and the earlier r4 set
     (a37–a55) — then every query whose code changed this round (the ANN
     family: Lloyd-aggregation rewrite + the sparse-id seeding fallback;
     a11/a26 CC fixpoint; a12 verify math; e11's operator), then the
     once-checked rows worth keeping under watch (the e9/e11/e24/e20
     TIMESTAMP_NTZ class among them).  Multiply-green unchanged rows
     (d-series, most e-series, a1/a3/a5, and this session's rotations
-    e8/e10/e12/e19, a13/a17/a18/a19/a21/a22) sit below position 50; they
+    e8/e10/e12/e19, a13/a16/a17/a18/a19/a21/a22/a24) sit below position
+    50; they
     stay pinned by tools/check.py (ALL queries, every round) and pytest.
     """
     return {
