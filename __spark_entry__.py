@@ -407,6 +407,28 @@ def _a21_cms_sketch(spark, sf_dir):
     )
 
 
+def _a67_cms_merge(spark, sf_dir):
+    """Sketch mergeability — the property that makes CMS work distributed:
+    per-partition sketches (even-id docs, odd-id docs) merged by counter
+    addition MUST equal the sketch of the union, so the oracle is a21's
+    whole-corpus grid.  At 100 TB this is the map-side-combine contract:
+    every executor sketches its split, the reduce is a groupBy-sum of
+    depth x width cells."""
+    from persistor_spark.analytics import sketches
+
+    docs = _docs(spark, sf_dir)
+
+    def grid(part):
+        terms = part.select(F.explode(F.split("text", " ")).alias("term"))
+        return sketches.count_min_sketch(terms, "term", depth=4, width=64)
+
+    merged = sketches.merge_sketches(
+        grid(docs.filter(F.col("doc_id") % 2 == 0)),
+        grid(docs.filter(F.col("doc_id") % 2 == 1)),
+    )
+    return merged.orderBy("row", "bucket")
+
+
 def _a20_contamination(spark, sf_dir):
     """Benchmark decontamination: every 7th document plays the eval set;
     report corpus docs sharing any 5-gram with an eval doc (posting-list
@@ -1773,6 +1795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a66_snapshot_diff": _a66_snapshot_diff,
         "e25_gap_fill": _e25_gap_fill,
         "e26_array_agg": _e26_array_agg,
+        "a67_cms_merge": _a67_cms_merge,
         "a56_pagerank": _a56_pagerank,
         "a57_centroid_drift": _a57_centroid_drift,
         "a58_skew_profile": _a58_skew_profile,
@@ -1810,7 +1833,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_embedding_pairs": _a12_embedding_pairs,
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
-        "a23_quality_rules": _a23_quality_rules,
         # -- 8 changed this round: need fresh driver verdicts
         "a29_pack_sequences": _a_pack_sequences,
         "a4_simhash_pairs": _a_simhash,
@@ -1831,6 +1853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a20_contamination": _a20_contamination,
         "a21_cms_sketch": _a21_cms_sketch,
         "a22_repetition": _a22_repetition,
+        "a23_quality_rules": _a23_quality_rules,
         "a24_pii_scrub": _a24_pii_scrub,
         "e10_join_topk": _e10_join_topk,
         "e12_percentiles": _e12_percentiles,
@@ -2636,14 +2659,10 @@ def oracle_sql() -> dict[str, str]:
             "  round(avg(quality_score), 4) AS avg_quality "
             "FROM kept GROUP BY 1 ORDER BY 1"
         ),
-        "a21_cms_sketch": (
-            "WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents), "
-            "cells AS (SELECT r.r AS row, "
-            "  CAST(CONCAT('0x', substr(md5(concat(r.r, ':', term)), 1, 15)) AS BIGINT) % 64 AS bucket "
-            "  FROM terms, range(0, 4) r(r)) "
-            "SELECT CAST(row AS INT) AS row, CAST(bucket AS INT) AS bucket, "
-            "count(*) AS cnt FROM cells GROUP BY 1, 2 ORDER BY 1, 2"
-        ),
+        "a21_cms_sketch": _CMS_GRID_ORACLE,
+        # a67 = per-partition sketches merged by counter addition; CMS
+        # linearity makes the whole-corpus grid (a21's oracle) exact
+        "a67_cms_merge": _CMS_GRID_ORACLE,
         "a20_contamination": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
             "s AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN "
@@ -3109,6 +3128,15 @@ _BRUTE_TOPK_ORACLE = (
     "SELECT query_id, vec_id, cos, rank FROM ("
     "  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s) "
     "WHERE rank <= 5 ORDER BY query_id, rank"
+)
+
+_CMS_GRID_ORACLE = (
+    "WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term FROM documents), "
+    "cells AS (SELECT r.r AS row, "
+    "  CAST(CONCAT('0x', substr(md5(concat(r.r, ':', term)), 1, 15)) AS BIGINT) % 64 AS bucket "
+    "  FROM terms, range(0, 4) r(r)) "
+    "SELECT CAST(row AS INT) AS row, CAST(bucket AS INT) AS bucket, "
+    "count(*) AS cnt FROM cells GROUP BY 1, 2 ORDER BY 1, 2"
 )
 
 _INCR_DEDUP_ORACLE = (
