@@ -407,6 +407,25 @@ def _a21_cms_sketch(spark, sf_dir):
     )
 
 
+def _a68_grouped_split(spark, sf_dir):
+    """Leakage-SAFE train/val/test split: the split key is the doc's
+    near-dup component (min-id), so every near-duplicate lands in the SAME
+    split — the fix for the contamination a52 audits.  Singletons key on
+    their own id; the assignment stays a pure hash function, so it is
+    repartition/append-stable like a39."""
+    from persistor_spark.analytics import dedup, sampling
+
+    docs = _docs(spark, sf_dir)
+    comp = dedup.dedup_clusters(dedup.ngram_jaccard_pairs(docs, 0.8))
+    grouped = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("group_key")
+    )
+    out = sampling.assign_splits(
+        grouped, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42, id_col="group_key"
+    )
+    return out.select("doc_id", "group_key", "split").orderBy("doc_id")
+
+
 def _a67_cms_merge(spark, sf_dir):
     """Sketch mergeability — the property that makes CMS work distributed:
     per-partition sketches (even-id docs, odd-id docs) merged by counter
@@ -1796,6 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e25_gap_fill": _e25_gap_fill,
         "e26_array_agg": _e26_array_agg,
         "a67_cms_merge": _a67_cms_merge,
+        "a68_grouped_split": _a68_grouped_split,
         "a56_pagerank": _a56_pagerank,
         "a57_centroid_drift": _a57_centroid_drift,
         "a58_skew_profile": _a58_skew_profile,
@@ -1829,7 +1849,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_sessionize": _e9_sessionize,
         "e11_asof_join": _e11_asof_join,
         "e24_asof_tolerance": _e24_asof_tolerance,
-        "e20_time_range_rolling": _e20_time_range_rolling,
         "a12_embedding_pairs": _a12_embedding_pairs,
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
@@ -1845,6 +1864,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window ends here (50) — below: multiply-green, pinned
         # by tools/check.py + pytest every round
         "e8_tumbling_window": _e_tumbling_window,
+        "e20_time_range_rolling": _e20_time_range_rolling,
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a17_bpe_tokens": _a17_bpe_tokens,
         "a16_label_centroids": _a16_label_centroids,
@@ -1852,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_simhash_md5": _a19_simhash_md5,
         "a20_contamination": _a20_contamination,
         "a21_cms_sketch": _a21_cms_sketch,
+        "a22_repetition": _a22_repetition,
         "a22_repetition": _a22_repetition,
         "a23_quality_rules": _a23_quality_rules,
         "a24_pii_scrub": _a24_pii_scrub,
@@ -1951,6 +1972,24 @@ def oracle_sql() -> dict[str, str]:
         "  count(*) OVER (PARTITION BY cluster_id) AS nm FROM alld) "
         "SELECT cluster_id, doc_id AS rep_doc_id, n_chars AS rep_quality, "
         "nm AS n_members, nm - 1 AS n_dropped FROM r WHERE rn = 1 ORDER BY cluster_id"
+    )
+    # a68: the same components, group key = component min (own id for
+    # singletons), then the a39 hash-interval split keyed on the GROUP
+    from persistor_spark.analytics.sampling import split_thresholds as _st
+
+    _t0, _t1 = _st({"train": 0.8, "val": 0.1, "test": 0.1})
+    grouped_split_oracle = cc_with + (
+        ", comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
+        "  FROM reach GROUP BY src), "
+        "alld AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS group_key "
+        "  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id), "
+        "u AS (SELECT doc_id, group_key, "
+        "  CAST(CONCAT('0x', substr(md5('42_' || group_key), 1, 15)) AS BIGINT) "
+        "    / 1152921504606846976.0 AS u FROM alld) "
+        "SELECT doc_id, group_key, CASE "
+        f"WHEN u < {_t0!r} THEN 'train' "
+        f"WHEN u < {_t1!r} THEN 'val' "
+        "ELSE 'test' END AS split FROM u ORDER BY doc_id"
     )
     # a45: the SAME seeded JL matrix the Spark operator folds into its plan,
     # embedded as DOUBLE[] literals (repr round-trips to the identical
@@ -2396,6 +2435,7 @@ def oracle_sql() -> dict[str, str]:
         "a11_dedup_clusters": cc_oracle,
         "a26_cc_two_phase": cc_oracle,
         "a44_cluster_reps": reps_oracle,
+        "a68_grouped_split": grouped_split_oracle,
         "a45_random_projection": jl_oracle,
         "a47_temperature_mix": (
             "WITH c AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source), "

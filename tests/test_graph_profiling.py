@@ -229,3 +229,24 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, sf_dir, tmp_path):
     )
     assert rows_after == rows_before
     assert stats["rows"] == len(rows_before)
+
+
+def test_grouped_split_keeps_near_dups_together(spark, sf_dir):
+    """Leakage-safe splitting: every near-dup pair must land in the SAME
+    split when keyed by component (the a52 audit finds zero cross-split
+    near-dup pairs by construction)."""
+    from persistor_spark.analytics import dedup, sampling
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.8)
+    comp = dedup.dedup_clusters(pairs)
+    grouped = docs.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("group_key")
+    )
+    out = sampling.assign_splits(
+        grouped, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42, id_col="group_key"
+    )
+    split_of = {r["doc_id"]: r["split"] for r in out.collect()}
+    got_pairs = [(r["a"], r["b"]) for r in pairs.collect()]
+    assert got_pairs
+    assert all(split_of[a] == split_of[b] for a, b in got_pairs)
