@@ -861,6 +861,58 @@ def _e_tumbling_window(spark, sf_dir):
     )
 
 
+def _e27_event_funnel(spark, sf_dir):
+    """Sequential event funnel (view -> click -> purchase): a user converts
+    a stage only with an event strictly AFTER their first event of the
+    previous stage.  Each stage is one filtered agg + one keyed join
+    against the prior stage's (user, first_ts) — no window over the raw
+    event stream."""
+    ev = _events(spark, sf_dir)
+
+    def stage(prev, etype):
+        s = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            s = s.join(prev, "user_id").filter(F.col("ts") > F.col("t"))
+        return s.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = stage(None, "view")
+    c = stage(v.select("user_id", "t"), "click")
+    p = stage(c.select("user_id", "t"), "purchase")
+    counts = (
+        v.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit(1)).withColumn("event_type", F.lit("view"))
+        .unionByName(c.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit(2)).withColumn("event_type", F.lit("click")))
+        .unionByName(p.agg(F.count(F.lit(1)).alias("n")).withColumn("stage", F.lit(3)).withColumn("event_type", F.lit("purchase")))
+    )
+    return counts.select("stage", "event_type", F.col("n").alias("n_users")).orderBy("stage")
+
+
+def _e28_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention: cohort = a user's first active week (epoch
+    weeks), retention(k) = share of the cohort active k weeks later
+    (k <= 3).  Two bounded shuffles: distinct (user, week) activity and the
+    (cohort, offset) rollup joined to broadcast cohort sizes."""
+    ev = _events(spark, sf_dir)
+    week = F.floor(F.unix_timestamp("ts") / 604800).cast("long")
+    act = ev.select(F.col("user_id"), week.alias("w")).distinct()
+    first = act.groupBy("user_id").agg(F.min("w").alias("w0"))
+    joined = act.join(first, "user_id").withColumn("k", (F.col("w") - F.col("w0")).cast("int"))
+    sizes = first.groupBy("w0").agg(F.count(F.lit(1)).alias("cohort_size"))
+    ret = (
+        joined.filter(F.col("k") <= 3)
+        .groupBy("w0", "k")
+        .agg(F.count(F.lit(1)).alias("n_active"))
+        .join(F.broadcast(sizes), "w0")
+        .select(
+            F.col("w0").alias("cohort_week"),
+            F.col("k").alias("week_offset"),
+            "n_active",
+            "cohort_size",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+        )
+    )
+    return ret.orderBy("cohort_week", "week_offset")
+
+
 def _e26_array_agg(spark, sf_dir):
     """Ordered array aggregation: per nation, the sorted supplier roster
     (collect_list -> array_sort -> array_join; emitted as a joined string
@@ -1816,6 +1868,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e26_array_agg": _e26_array_agg,
         "a67_cms_merge": _a67_cms_merge,
         "a68_grouped_split": _a68_grouped_split,
+        "e27_event_funnel": _e27_event_funnel,
+        "e28_cohort_retention": _e28_cohort_retention,
         "a56_pagerank": _a56_pagerank,
         "a57_centroid_drift": _a57_centroid_drift,
         "a58_skew_profile": _a58_skew_profile,
@@ -1850,11 +1904,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_asof_join": _e11_asof_join,
         "e24_asof_tolerance": _e24_asof_tolerance,
         "a12_embedding_pairs": _a12_embedding_pairs,
-        "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
         # -- 8 changed this round: need fresh driver verdicts
         "a29_pack_sequences": _a_pack_sequences,
-        "a4_simhash_pairs": _a_simhash,
         "a6_lsh_topk": _a_lsh_topk,
         "a7_ivf_topk": _a_ivf_topk,
         "a25_pq_topk": _a_pq_topk,
@@ -1865,6 +1917,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tools/check.py + pytest every round
         "e8_tumbling_window": _e_tumbling_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
+        "a14_bm25_topk": _a14_bm25_topk,
+        "a4_simhash_pairs": _a_simhash,
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a17_bpe_tokens": _a17_bpe_tokens,
         "a16_label_centroids": _a16_label_centroids,
@@ -2186,6 +2240,34 @@ def oracle_sql() -> dict[str, str]:
         # a60 = a32 built on half the corpus + incremental add of the rest;
         # probed-cell coverage re-verified at both check SFs
         "a60_ivfpq_add": _CLUSTERED_TOPK_ORACLE,
+        "e27_event_funnel": (
+            "WITH v AS (SELECT user_id, min(ts) AS t FROM events "
+            "  WHERE event_type = 'view' GROUP BY user_id), "
+            "c AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "  JOIN v ON e.user_id = v.user_id AND e.ts > v.t "
+            "  WHERE e.event_type = 'click' GROUP BY e.user_id), "
+            "p AS (SELECT e.user_id, min(e.ts) AS t FROM events e "
+            "  JOIN c ON e.user_id = c.user_id AND e.ts > c.t "
+            "  WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+            "SELECT 1 AS stage, 'view' AS event_type, count(*) AS n_users FROM v "
+            "UNION ALL SELECT 2, 'click', count(*) FROM c "
+            "UNION ALL SELECT 3, 'purchase', count(*) FROM p "
+            "ORDER BY stage"
+        ),
+        "e28_cohort_retention": (
+            "WITH act AS (SELECT DISTINCT user_id, "
+            "  CAST(floor(epoch(ts) / 604800) AS BIGINT) AS w FROM events), "
+            "fw AS (SELECT user_id, min(w) AS w0 FROM act GROUP BY user_id), "
+            "sz AS (SELECT w0, count(*) AS cohort_size FROM fw GROUP BY w0), "
+            "j AS (SELECT a.user_id, f.w0, CAST(a.w - f.w0 AS INT) AS k "
+            "  FROM act a JOIN fw f ON a.user_id = f.user_id WHERE a.w - f.w0 <= 3) "
+            "SELECT j.w0 AS cohort_week, j.k AS week_offset, "
+            "  count(*) AS n_active, s.cohort_size, "
+            "  round(count(*)::DOUBLE / s.cohort_size, 4) AS retention "
+            "FROM j JOIN sz s ON j.w0 = s.w0 "
+            "GROUP BY j.w0, j.k, s.cohort_size "
+            "ORDER BY cohort_week, week_offset"
+        ),
         "e26_array_agg": (
             "SELECT n_name, "
             "  array_to_string(list(s_name ORDER BY s_name), ',') AS suppliers, "
