@@ -861,6 +861,31 @@ def _e_tumbling_window(spark, sf_dir):
     )
 
 
+def _e29_event_sequences(spark, sf_dir):
+    """Ordered per-user event-sequence assembly (the session-to-training-
+    example step): collect each user's events as (ts, event_id, type)
+    structs, array_sort gives the deterministic chronological order
+    (event_id breaks ts ties), emit the type sequence as one string.
+    One groupBy shuffle; per-user arrays stay partition-local."""
+    ev = _events(spark, sf_dir)
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            "user_id",
+            F.size("evs").cast("long").alias("n_events"),
+            F.array_join(
+                F.transform("evs", lambda s: s["event_type"]), ">"
+            ).alias("sequence"),
+        )
+    )
+    return seq.orderBy("user_id")
+
+
 def _e27_event_funnel(spark, sf_dir):
     """Sequential event funnel (view -> click -> purchase): a user converts
     a stage only with an event strictly AFTER their first event of the
@@ -1870,6 +1895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a68_grouped_split": _a68_grouped_split,
         "e27_event_funnel": _e27_event_funnel,
         "e28_cohort_retention": _e28_cohort_retention,
+        "e29_event_sequences": _e29_event_sequences,
         "a56_pagerank": _a56_pagerank,
         "a57_centroid_drift": _a57_centroid_drift,
         "a58_skew_profile": _a58_skew_profile,
@@ -1900,7 +1926,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- once-checked r3 rows kept under watch (e8/e10/e12/e19 rotated
         # below the window to make room for a56-a59: unchanged plain-
         # Catalyst queries, still gate-pinned every round)
-        "e9_sessionize": _e9_sessionize,
         "e11_asof_join": _e11_asof_join,
         "e24_asof_tolerance": _e24_asof_tolerance,
         "a12_embedding_pairs": _a12_embedding_pairs,
@@ -1917,6 +1942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # by tools/check.py + pytest every round
         "e8_tumbling_window": _e_tumbling_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
+        "e9_sessionize": _e9_sessionize,
         "a14_bm25_topk": _a14_bm25_topk,
         "a4_simhash_pairs": _a_simhash,
         "a13_curation_pipeline": _a13_curation_pipeline,
@@ -2240,6 +2266,11 @@ def oracle_sql() -> dict[str, str]:
         # a60 = a32 built on half the corpus + incremental add of the rest;
         # probed-cell coverage re-verified at both check SFs
         "a60_ivfpq_add": _CLUSTERED_TOPK_ORACLE,
+        "e29_event_sequences": (
+            "SELECT user_id, count(*) AS n_events, "
+            "  array_to_string(list(event_type ORDER BY ts, event_id), '>') AS sequence "
+            "FROM events GROUP BY user_id ORDER BY user_id"
+        ),
         "e27_event_funnel": (
             "WITH v AS (SELECT user_id, min(ts) AS t FROM events "
             "  WHERE event_type = 'view' GROUP BY user_id), "
