@@ -426,6 +426,23 @@ def _a68_grouped_split(spark, sf_dir):
     return out.select("doc_id", "group_key", "split").orderBy("doc_id")
 
 
+def _a69_filtered_ann(spark, sf_dir):
+    """Metadata-filtered ANN (the FAISS IDSelector analogue): top-5 among
+    the vec_id%3==0 subset only, with the selector applied BEFORE ADC
+    scoring inside ivfpq_search.  On the clustered corpus the probed cells
+    cover the filtered true top-5 (verified at both check SFs), so the
+    filtered brute-force SQL is an exact oracle."""
+    from persistor_spark.analytics import similarity
+
+    embs = _cl_embs(spark, sf_dir)
+    idx = similarity.ivfpq_build(embs, n_centroids=8)
+    q = embs.filter(F.col("vec_id") < 10)
+    out = similarity.ivfpq_search(
+        idx, q, k=5, nprobe=4, rerank_factor=24, id_filter=F.col("id") % 3 == 0
+    )
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy("query_id", "rank")
+
+
 def _a67_cms_merge(spark, sf_dir):
     """Sketch mergeability — the property that makes CMS work distributed:
     per-partition sketches (even-id docs, odd-id docs) merged by counter
@@ -1892,6 +1909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e25_gap_fill": _e25_gap_fill,
         "e26_array_agg": _e26_array_agg,
         "a67_cms_merge": _a67_cms_merge,
+        "a69_filtered_ann": _a69_filtered_ann,
         "a68_grouped_split": _a68_grouped_split,
         "e27_event_funnel": _e27_event_funnel,
         "e28_cohort_retention": _e28_cohort_retention,
@@ -1929,7 +1947,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_asof_join": _e11_asof_join,
         "e24_asof_tolerance": _e24_asof_tolerance,
         "a12_embedding_pairs": _a12_embedding_pairs,
-        "a15_incremental_dedup": _a15_incremental_dedup,
         # -- 8 changed this round: need fresh driver verdicts
         "a29_pack_sequences": _a_pack_sequences,
         "a6_lsh_topk": _a_lsh_topk,
@@ -1944,6 +1961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e9_sessionize": _e9_sessionize,
         "a14_bm25_topk": _a14_bm25_topk,
+        "a15_incremental_dedup": _a15_incremental_dedup,
         "a4_simhash_pairs": _a_simhash,
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a17_bpe_tokens": _a17_bpe_tokens,
@@ -2263,6 +2281,7 @@ def oracle_sql() -> dict[str, str]:
         "a32_ivfpq_topk": _CLUSTERED_TOPK_ORACLE,
         # a55 = a32 through a saved+loaded index; identical result contract
         "a55_ivfpq_persist": _CLUSTERED_TOPK_ORACLE,
+        "a69_filtered_ann": _FILTERED_TOPK_ORACLE,
         # a60 = a32 built on half the corpus + incremental add of the rest;
         # probed-cell coverage re-verified at both check SFs
         "a60_ivfpq_add": _CLUSTERED_TOPK_ORACLE,
@@ -3319,6 +3338,22 @@ _CLUSTERED_TOPK_ORACLE = (
     "  round(list_dot_product(q.qv, v.emb) / "
     "    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(v.emb, v.emb))), 4) AS cos "
     "  FROM q CROSS JOIN v WHERE v.vec_id <> q.qid) "
+    "SELECT query_id, vec_id, cos, rank FROM ("
+    "  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s) "
+    "WHERE rank <= 5 ORDER BY query_id, rank"
+)
+
+# a69: the same brute force restricted to the SELECTOR subset (vec_id % 3 = 0)
+_FILTERED_TOPK_ORACLE = (
+    "WITH v AS (SELECT vec_id, "
+    "  [embedding[i]::DOUBLE + CASE WHEN i = label + 1 THEN 10.0 ELSE 0.0 END "
+    "   FOR i IN range(1, len(embedding) + 1)] AS emb FROM embeddings), "
+    "q AS (SELECT vec_id AS qid, emb AS qv FROM v WHERE vec_id < 10), "
+    "f AS (SELECT * FROM v WHERE vec_id % 3 = 0), "
+    "s AS (SELECT q.qid AS query_id, f.vec_id, "
+    "  round(list_dot_product(q.qv, f.emb) / "
+    "    (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(f.emb, f.emb))), 4) AS cos "
+    "  FROM q CROSS JOIN f WHERE f.vec_id <> q.qid) "
     "SELECT query_id, vec_id, cos, rank FROM ("
     "  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rank FROM s) "
     "WHERE rank <= 5 ORDER BY query_id, rank"

@@ -951,6 +951,7 @@ def ivfpq_search(
     vec_col: str = "embedding",
     query_id_col: str = "vec_id",
     exclude_self: bool = True,
+    id_filter: Column | None = None,
 ) -> DataFrame:
     """Probe a built IVF-PQ index: queries pick their nprobe closest cells,
     candidates score by dot(q, c) + ADC(q, residual codes) — exact for the
@@ -958,10 +959,20 @@ def ivfpq_search(
     dot(q, c) + dot(q, r) and the residual decomposes over PQ subspaces.
     Exact cosine re-rank of the shortlist, so scores match brute_force_topk
     on returned pairs.  The candidate join is a cell-id equi-join touching
-    nprobe/C of the corpus; per-query window top-k."""
+    nprobe/C of the corpus; per-query window top-k.
+
+    `id_filter` (the FAISS IDSelector analogue) is a boolean Column over the
+    cells table (columns: cid, id, raw, codes) applied BEFORE scoring, so a
+    metadata-restricted search ("top-k among label<5 vectors") never pays
+    ADC for excluded candidates and the filter pushes into the cells scan
+    of a persisted index.  The k results are then exact within the filtered
+    corpus provided the probed cells cover its true top-k — same coverage
+    contract as the unfiltered search."""
     from pyspark.sql import Window
 
     cents, codebooks, cells = index.cents, index.codebooks, index.cells
+    if id_filter is not None:
+        cells = cells.filter(id_filter)
     dsub = len(codebooks[0][0])
     q = _as_double(queries, query_id_col, vec_col)
     qn = q.select(

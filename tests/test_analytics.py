@@ -1329,3 +1329,27 @@ def test_lloyd_seeding_survives_sparse_id_spaces(spark, embs):
     assert len(cents) == 8
     cbs = similarity.pq_train(sparse, m=8, ksub=8, kmeans_iter=1)
     assert len(cbs) == 8 and all(len(cb) == 8 for cb in cbs)
+
+
+def test_ivfpq_filtered_search_subset_and_exact(spark, embs):
+    """The id_filter selector restricts results to the allowed subset and
+    the filtered top-k equals brute force over that subset (clustered
+    fixture => probed-cell coverage)."""
+    clustered = embs.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding").cast("array<double>"),
+            lambda x, i: x + F.when(i == F.col("label"), F.lit(10.0)).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+    idx = similarity.ivfpq_build(clustered, n_centroids=8)
+    q = clustered.filter(F.col("vec_id") < 5)
+    got = similarity.ivfpq_search(
+        idx, q, k=5, nprobe=4, rerank_factor=24, id_filter=F.col("id") % 3 == 0
+    ).collect()
+    assert got and all(r["vec_id"] % 3 == 0 for r in got)
+    truth = similarity.brute_force_topk(
+        clustered.filter(F.col("vec_id") % 3 == 0), q, k=5, exclude_self=True
+    ).collect()
+    key = lambda rows: sorted((r["query_id"], r["vec_id"]) for r in rows)  # noqa: E731
+    assert key(got) == key(truth)
