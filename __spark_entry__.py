@@ -426,6 +426,64 @@ def _a68_grouped_split(spark, sf_dir):
     return out.select("doc_id", "group_key", "split").orderBy("doc_id")
 
 
+def _a71_vocab_overlap(spark, sf_dir):
+    """Pairwise source similarity by vocabulary: Jaccard over each source's
+    DISTINCT token set, for source pairs sharing at least 10 tokens — the
+    corpus-comparison matrix (which crawls duplicate each other's
+    vocabulary).  Posting-list join on token keyed by the shared term, never
+    a source x source cross product over raw text."""
+    docs = _docs(spark, sf_dir)
+    vocab = (
+        docs.select(F.col("source"), F.explode(F.split("text", " ")).alias("t"))
+        .distinct()
+    )
+    sizes = vocab.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(b, (F.col("a.t") == F.col("b.t")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("sa"), F.col("b.source").alias("sb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col("source").alias("sa"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("source").alias("sb"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "sa")
+        .join(F.broadcast(nb), "sb")
+        .filter(F.col("inter") >= 10)
+        .select(
+            F.col("sa").alias("source_a"),
+            F.col("sb").alias("source_b"),
+            "inter",
+            F.round(
+                F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 4
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
+def _a72_threshold_curve(spark, sf_dir):
+    """Dedup threshold tuning curve: pair counts surviving each candidate
+    threshold (0.5..0.9), from ONE pass over the exact-Jaccard pair list —
+    how a pipeline picks its near-dup cutoff without re-running detection
+    per candidate value."""
+    from persistor_spark.analytics import dedup
+
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.5)
+    aggs = [
+        F.count(F.when(F.col("jaccard") >= t, 1)).alias(f"s{i}")
+        for i, t in enumerate((0.5, 0.6, 0.7, 0.8, 0.9))
+    ]
+    row = pairs.agg(*aggs)
+    stages = [
+        F.struct(
+            F.round(F.lit(t), 1).alias("threshold"), F.col(f"s{i}").alias("n_pairs")
+        )
+        for i, t in enumerate((0.5, 0.6, 0.7, 0.8, 0.9))
+    ]
+    return row.select(F.inline(F.array(*stages))).orderBy("threshold")
+
+
 def _a69_filtered_ann(spark, sf_dir):
     """Metadata-filtered ANN (the FAISS IDSelector analogue): top-5 among
     the vec_id%3==0 subset only, with the selector applied BEFORE ADC
@@ -1910,6 +1968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e26_array_agg": _e26_array_agg,
         "a67_cms_merge": _a67_cms_merge,
         "a69_filtered_ann": _a69_filtered_ann,
+        "a71_vocab_overlap": _a71_vocab_overlap,
+        "a72_threshold_curve": _a72_threshold_curve,
         "a68_grouped_split": _a68_grouped_split,
         "e27_event_funnel": _e27_event_funnel,
         "e28_cohort_retention": _e28_cohort_retention,
@@ -1944,11 +2004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- once-checked r3 rows kept under watch (e8/e10/e12/e19 rotated
         # below the window to make room for a56-a59: unchanged plain-
         # Catalyst queries, still gate-pinned every round)
-        "e11_asof_join": _e11_asof_join,
         "e24_asof_tolerance": _e24_asof_tolerance,
         "a12_embedding_pairs": _a12_embedding_pairs,
         # -- 8 changed this round: need fresh driver verdicts
-        "a29_pack_sequences": _a_pack_sequences,
         "a6_lsh_topk": _a_lsh_topk,
         "a7_ivf_topk": _a_ivf_topk,
         "a25_pq_topk": _a_pq_topk,
@@ -1960,6 +2018,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e8_tumbling_window": _e_tumbling_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e9_sessionize": _e9_sessionize,
+        "e11_asof_join": _e11_asof_join,
+        "a29_pack_sequences": _a_pack_sequences,
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a4_simhash_pairs": _a_simhash,
@@ -2282,6 +2342,43 @@ def oracle_sql() -> dict[str, str]:
         # a55 = a32 through a saved+loaded index; identical result contract
         "a55_ivfpq_persist": _CLUSTERED_TOPK_ORACLE,
         "a69_filtered_ann": _FILTERED_TOPK_ORACLE,
+        "a71_vocab_overlap": (
+            "WITH v AS (SELECT DISTINCT source, t FROM "
+            "  (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)), "
+            "sz AS (SELECT source, count(*) AS n FROM v GROUP BY 1), "
+            "i AS (SELECT a.source AS sa, b.source AS sb, count(*) AS inter "
+            "  FROM v a JOIN v b ON a.t = b.t AND a.source < b.source GROUP BY 1, 2) "
+            "SELECT sa AS source_a, sb AS source_b, inter, "
+            "  round(inter::DOUBLE / (na.n + nb.n - inter), 4) AS vocab_jaccard "
+            "FROM i JOIN sz na ON na.source = sa JOIN sz nb ON nb.source = sb "
+            "WHERE inter >= 10 ORDER BY source_a, source_b"
+        ),
+        # a72: filter on the UNROUNDED jaccard at 0.5 (the operator's
+        # candidate cut), then count thresholds on the ROUNDED value —
+        # Spark's exact order of operations
+        "a72_threshold_curve": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+            "  FROM t), "
+            "p AS (SELECT round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS j "
+            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5), "
+            "agg AS (SELECT "
+            "  count(CASE WHEN j >= 0.5 THEN 1 END) AS s0, "
+            "  count(CASE WHEN j >= 0.6 THEN 1 END) AS s1, "
+            "  count(CASE WHEN j >= 0.7 THEN 1 END) AS s2, "
+            "  count(CASE WHEN j >= 0.8 THEN 1 END) AS s3, "
+            "  count(CASE WHEN j >= 0.9 THEN 1 END) AS s4 FROM p) "
+            "SELECT 0.5::DOUBLE AS threshold, s0 AS n_pairs FROM agg "
+            "UNION ALL SELECT 0.6::DOUBLE, s1 FROM agg "
+            "UNION ALL SELECT 0.7::DOUBLE, s2 FROM agg "
+            "UNION ALL SELECT 0.8::DOUBLE, s3 FROM agg "
+            "UNION ALL SELECT 0.9::DOUBLE, s4 FROM agg "
+            "ORDER BY threshold"
+        ),
         # a60 = a32 built on half the corpus + incremental add of the rest;
         # probed-cell coverage re-verified at both check SFs
         "a60_ivfpq_add": _CLUSTERED_TOPK_ORACLE,

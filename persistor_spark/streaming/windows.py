@@ -285,3 +285,35 @@ def run_incremental_dedup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_ann_ingest_stream(
+    spark,
+    source_dir: str,
+    index_path: str,
+    checkpoint: str,
+    schema: str = "vec_id long, embedding array<double>",
+):
+    """Continuous vector ingestion into a PERSISTED IVF-PQ index: each
+    micro-batch encodes against the frozen quantizer/codebooks (one narrow
+    map — ivfpq_encode_cells) and parquet-appends into the cid-partitioned
+    inverted lists.  Searches over the loaded index see every ingested
+    batch; the quantizer is NOT retrained per batch (FAISS add semantics —
+    retrain offline when centroid_drift says the codebooks stopped fitting).
+    """
+    from persistor_spark.analytics import similarity
+
+    def _process(batch_df, batch_id: int):
+        if not batch_df.head(1):
+            return
+        similarity.ivfpq_add_to_disk(spark, index_path, batch_df)
+
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

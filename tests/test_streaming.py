@@ -477,3 +477,43 @@ def test_incremental_dedup_stream_probes_and_grows_index(spark, sf_dir, tmp_path
     # the index grew by both batches' sketches
     grown = dedup.lsh_index_load(spark, index_path)
     assert grown.count() == bt_old.count() + dedup.build_band_table(new).count()
+
+
+def test_ann_ingest_stream_grows_persisted_index(spark, sf_dir, tmp_path):
+    """run_ann_ingest_stream: micro-batches encode against the frozen
+    quantizer and append into the cid-partitioned cells; a search over the
+    loaded index equals the in-memory ivfpq_add result."""
+    import json as _json
+
+    from persistor_spark.analytics import similarity
+    from persistor_spark.sources.registry import load_table
+    from persistor_spark.streaming import windows as sw
+
+    embs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = embs.filter(F.col("vec_id") % 2 == 0)
+    newb = embs.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfpq")
+    idx = similarity.ivfpq_build(base, n_centroids=8)
+    similarity.ivfpq_save(idx, path)
+
+    src = tmp_path / "vecs"
+    src.mkdir()
+    rows = newb.collect()
+    half = len(rows) // 2
+    for i, chunk in enumerate((rows[:half], rows[half:])):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps({"vec_id": r["vec_id"], "embedding": list(r["embedding"])}) + "\n")
+
+    q = sw.run_ann_ingest_stream(spark, str(src), path, str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    loaded = similarity.ivfpq_load(spark, path)
+    assert loaded.cells.count() == base.count() + newb.count()
+    queries_df = embs.filter(F.col("vec_id") < 5)
+    got = similarity.ivfpq_search(loaded, queries_df, k=5).collect()
+    mem = similarity.ivfpq_search(similarity.ivfpq_add(idx, newb), queries_df, k=5).collect()
+    as_t = lambda rs: sorted((r["query_id"], r["vec_id"], r["cos"], r["rank"]) for r in rs)  # noqa: E731
+    assert as_t(got) == as_t(mem)
