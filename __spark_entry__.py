@@ -464,22 +464,22 @@ def _a71_vocab_overlap(spark, sf_dir):
 
 def _a72_threshold_curve(spark, sf_dir):
     """Dedup threshold tuning curve: pair counts surviving each candidate
-    threshold (0.5..0.9), from ONE pass over the exact-Jaccard pair list —
+    threshold (0.7..0.9, step 0.05), from ONE pass over the exact-Jaccard pair list —
     how a pipeline picks its near-dup cutoff without re-running detection
     per candidate value."""
     from persistor_spark.analytics import dedup
 
-    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.5)
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), 0.7)
     aggs = [
         F.count(F.when(F.col("jaccard") >= t, 1)).alias(f"s{i}")
-        for i, t in enumerate((0.5, 0.6, 0.7, 0.8, 0.9))
+        for i, t in enumerate((0.7, 0.75, 0.8, 0.85, 0.9))
     ]
     row = pairs.agg(*aggs)
     stages = [
         F.struct(
-            F.round(F.lit(t), 1).alias("threshold"), F.col(f"s{i}").alias("n_pairs")
+            F.round(F.lit(t), 2).alias("threshold"), F.col(f"s{i}").alias("n_pairs")
         )
-        for i, t in enumerate((0.5, 0.6, 0.7, 0.8, 0.9))
+        for i, t in enumerate((0.7, 0.75, 0.8, 0.85, 0.9))
     ]
     return row.select(F.inline(F.array(*stages))).orderBy("threshold")
 
@@ -2365,17 +2365,17 @@ def oracle_sql() -> dict[str, str]:
             "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS j "
             "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
             "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5), "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7), "
             "agg AS (SELECT "
-            "  count(CASE WHEN j >= 0.5 THEN 1 END) AS s0, "
-            "  count(CASE WHEN j >= 0.6 THEN 1 END) AS s1, "
-            "  count(CASE WHEN j >= 0.7 THEN 1 END) AS s2, "
-            "  count(CASE WHEN j >= 0.8 THEN 1 END) AS s3, "
+            "  count(CASE WHEN j >= 0.7 THEN 1 END) AS s0, "
+            "  count(CASE WHEN j >= 0.75 THEN 1 END) AS s1, "
+            "  count(CASE WHEN j >= 0.8 THEN 1 END) AS s2, "
+            "  count(CASE WHEN j >= 0.85 THEN 1 END) AS s3, "
             "  count(CASE WHEN j >= 0.9 THEN 1 END) AS s4 FROM p) "
-            "SELECT 0.5::DOUBLE AS threshold, s0 AS n_pairs FROM agg "
-            "UNION ALL SELECT 0.6::DOUBLE, s1 FROM agg "
-            "UNION ALL SELECT 0.7::DOUBLE, s2 FROM agg "
-            "UNION ALL SELECT 0.8::DOUBLE, s3 FROM agg "
+            "SELECT 0.7::DOUBLE AS threshold, s0 AS n_pairs FROM agg "
+            "UNION ALL SELECT 0.75::DOUBLE, s1 FROM agg "
+            "UNION ALL SELECT 0.8::DOUBLE, s2 FROM agg "
+            "UNION ALL SELECT 0.85::DOUBLE, s3 FROM agg "
             "UNION ALL SELECT 0.9::DOUBLE, s4 FROM agg "
             "ORDER BY threshold"
         ),
