@@ -77,3 +77,29 @@ def register_derived_views(spark: SparkSession) -> list:
         spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sql}")
         created.append(name)
     return created
+
+
+def register_analytics_views(spark: SparkSession, sf_dir: str) -> list:
+    """SQL face for the analytics side: register the corpus tables
+    (`documents`, `embeddings`, `events`) plus derived views computed by the
+    analytics operators — so a SQL-speaking user reads quality flags, text
+    stats, and the dataset card with plain `spark.sql(...)`, every Catalyst
+    capability composing on top.  The views are lazy DataFrames: nothing
+    computes until queried, and filters/projections push through them into
+    the parquet scans."""
+    from persistor_spark.analytics import profiling, text
+    from persistor_spark.sources.registry import load_table
+
+    created = []
+    for t in ("documents", "embeddings", "events"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+        created.append(t)
+    docs = load_table(spark, sf_dir, "documents")
+    for name, df in (
+        ("doc_stats", text.with_text_stats(docs)),
+        ("doc_quality", text.gopher_flags(docs)),
+        ("dataset_card", profiling.dataset_card(docs)),
+    ):
+        df.createOrReplaceTempView(name)
+        created.append(name)
+    return created

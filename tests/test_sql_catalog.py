@@ -56,3 +56,27 @@ def test_reconstructed_messages_view(spark, catalog, ingested):
 def test_blob_manifest_view(spark, catalog, ingested):
     n = spark.sql("SELECT count(*) FROM blob_manifest").collect()[0][0]
     assert n == ingested.index_metadata.select("location_key").distinct().count()
+
+
+def test_analytics_views_queryable_via_sql(spark, sf_dir):
+    from persistor_spark import sql_catalog
+
+    created = sql_catalog.register_analytics_views(spark, sf_dir)
+    assert {"documents", "doc_stats", "doc_quality", "dataset_card"} <= set(created)
+    # plain SQL over the derived views, composing a join + filter
+    row = spark.sql(
+        """
+        SELECT count(*) AS n
+        FROM doc_quality q JOIN doc_stats s ON q.doc_id = s.doc_id
+        WHERE q.keep AND s.token_count >= 20
+        """
+    ).collect()[0]
+    assert row["n"] > 0
+    card = spark.sql("SELECT n_docs, quality_pass_rate FROM dataset_card").collect()[0]
+    assert card["n_docs"] == spark.table("documents").count()
+    # pushdown: a filtered projection over the view reaches the parquet scan
+    plan = (
+        spark.sql("SELECT doc_id FROM doc_stats WHERE doc_id = 7")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [IsNotNull(doc_id), EqualTo(doc_id,7)]" in plan
