@@ -426,6 +426,33 @@ def _a68_grouped_split(spark, sf_dir):
     return out.select("doc_id", "group_key", "split").orderBy("doc_id")
 
 
+def _a74_embedding_outliers(spark, sf_dir):
+    """Embedding quality control: top-20 vectors FARTHEST from their own
+    label's centroid (L2) — the mislabeled/noise detector run before
+    training on an embedding corpus.  Centroids reduce to G x d rows; the
+    per-vector distance is a narrow join against that tiny frame; the
+    top-20 is a TakeOrdered on the rounded distance (4 dp, vec_id
+    tiebreak) so cross-engine ordering is representation-stable."""
+    embs = _embs(spark, sf_dir)
+    per_dim = (
+        embs.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v")
+        )
+        .groupBy("label", "i")
+        .agg(F.avg("v").alias("m"))
+    )
+    flat = embs.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("i", "v"),
+    )
+    dist = (
+        flat.join(per_dim, ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(F.round(F.sqrt(F.sum((F.col("v") - F.col("m")) * (F.col("v") - F.col("m")))), 4).alias("dist"))
+    )
+    return dist.orderBy(F.desc("dist"), "vec_id").limit(20)
+
+
 def _a71_vocab_overlap(spark, sf_dir):
     """Pairwise source similarity by vocabulary: Jaccard over each source's
     DISTINCT token set, for source pairs sharing at least 10 tokens — the
@@ -1969,6 +1996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a67_cms_merge": _a67_cms_merge,
         "a69_filtered_ann": _a69_filtered_ann,
         "a71_vocab_overlap": _a71_vocab_overlap,
+        "a74_embedding_outliers": _a74_embedding_outliers,
         "a72_threshold_curve": _a72_threshold_curve,
         "a68_grouped_split": _a68_grouped_split,
         "e27_event_funnel": _e27_event_funnel,
@@ -1999,7 +2027,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a39_split_assign": _a39_splits,
         "a40_tfidf_topterms": _a40_tfidf,
         "a41_source_rollup": _a41_source_rollup,
-        "a42_int8_quantize": _a42_int8_quantize,
         "a43_norm_fingerprint": _a43_norm_fingerprint,
         # -- once-checked r3 rows kept under watch (e8/e10/e12/e19 rotated
         # below the window to make room for a56-a59: unchanged plain-
@@ -2020,6 +2047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e9_sessionize": _e9_sessionize,
         "e11_asof_join": _e11_asof_join,
         "a29_pack_sequences": _a_pack_sequences,
+        "a42_int8_quantize": _a42_int8_quantize,
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a4_simhash_pairs": _a_simhash,
@@ -2342,6 +2370,16 @@ def oracle_sql() -> dict[str, str]:
         # a55 = a32 through a saved+loaded index; identical result contract
         "a55_ivfpq_persist": _CLUSTERED_TOPK_ORACLE,
         "a69_filtered_ann": _FILTERED_TOPK_ORACLE,
+        "a74_embedding_outliers": (
+            "WITH flat AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS v, "
+            "  generate_subscripts(embedding, 1) AS i FROM embeddings), "
+            "per_dim AS (SELECT label, i, avg(v) AS m FROM flat GROUP BY 1, 2), "
+            "d AS (SELECT f.vec_id, f.label, "
+            "  round(sqrt(sum((f.v - p.m) * (f.v - p.m))), 4) AS dist "
+            "  FROM flat f JOIN per_dim p ON f.label = p.label AND f.i = p.i "
+            "  GROUP BY 1, 2) "
+            "SELECT vec_id, label, dist FROM d ORDER BY dist DESC, vec_id LIMIT 20"
+        ),
         "a71_vocab_overlap": (
             "WITH v AS (SELECT DISTINCT source, t FROM "
             "  (SELECT source, unnest(string_split(text, ' ')) AS t FROM documents)), "
