@@ -426,6 +426,49 @@ def _a68_grouped_split(spark, sf_dir):
     return out.select("doc_id", "group_key", "split").orderBy("doc_id")
 
 
+def _a75_quality_calibration(spark, sf_dir):
+    """Quality-score calibration: decile buckets of the heuristic score vs
+    the Gopher keep-rate — does the cheap score actually rank quality?
+    One pass computes both signals; the decile is an ntile window over the
+    rounded score (4 dp) with doc_id tiebreak, so bucket boundaries are
+    representation-stable cross-engine."""
+    from persistor_spark.analytics import text
+
+    flags = text.gopher_flags(_docs(spark, sf_dir)).withColumn(
+        "score", text.quality_score("text")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("score", "doc_id")
+    return (
+        flags.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+            F.round(F.avg(F.col("keep").cast("double")), 4).alias("keep_rate"),
+        )
+        .orderBy("decile")
+    )
+
+
+def _e30_rank_functions(spark, sf_dir):
+    """percent_rank + cume_dist window coverage: order relative position of
+    each order's totalprice within its priority class (top 40 orders per
+    class by key for a bounded output)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+    )
+    return ranked.orderBy("o_orderpriority", "o_orderkey").limit(200)
+
+
 def _a74_embedding_outliers(spark, sf_dir):
     """Embedding quality control: top-20 vectors FARTHEST from their own
     label's centroid (L2) — the mislabeled/noise detector run before
@@ -1997,6 +2040,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a69_filtered_ann": _a69_filtered_ann,
         "a71_vocab_overlap": _a71_vocab_overlap,
         "a74_embedding_outliers": _a74_embedding_outliers,
+        "a75_quality_calibration": _a75_quality_calibration,
+        "e30_rank_functions": _e30_rank_functions,
         "a72_threshold_curve": _a72_threshold_curve,
         "a68_grouped_split": _a68_grouped_split,
         "e27_event_funnel": _e27_event_funnel,
@@ -2026,8 +2071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a38_pmi_bigrams": _a38_pmi,
         "a39_split_assign": _a39_splits,
         "a40_tfidf_topterms": _a40_tfidf,
-        "a41_source_rollup": _a41_source_rollup,
-        "a43_norm_fingerprint": _a43_norm_fingerprint,
         # -- once-checked r3 rows kept under watch (e8/e10/e12/e19 rotated
         # below the window to make room for a56-a59: unchanged plain-
         # Catalyst queries, still gate-pinned every round)
@@ -2048,6 +2091,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_asof_join": _e11_asof_join,
         "a29_pack_sequences": _a_pack_sequences,
         "a42_int8_quantize": _a42_int8_quantize,
+        "a41_source_rollup": _a41_source_rollup,
+        "a43_norm_fingerprint": _a43_norm_fingerprint,
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a4_simhash_pairs": _a_simhash,
@@ -2370,6 +2415,47 @@ def oracle_sql() -> dict[str, str]:
         # a55 = a32 through a saved+loaded index; identical result contract
         "a55_ivfpq_persist": _CLUSTERED_TOPK_ORACLE,
         "a69_filtered_ann": _FILTERED_TOPK_ORACLE,
+        "a75_quality_calibration": (
+            "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, text, toks, "
+            "  CASE WHEN len(toks) >= 2 THEN "
+            "    [array_to_string(toks[i:i+1], ' ') FOR i IN range(1, len(toks))] "
+            "    ELSE [] END AS g2, "
+            "  CASE WHEN len(toks) >= 3 THEN "
+            "    [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks)-1)] "
+            "    ELSE [] END AS g3 FROM t), "
+            "r AS (SELECT doc_id, "
+            "  len(toks) BETWEEN 20 AND 2000 "
+            "  AND (list_sum([length(x) FOR x IN toks])::DOUBLE / len(toks)) "
+            "    BETWEEN 3.0 AND 10.0 "
+            "  AND (length(text) - length(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')))::DOUBLE "
+            "    / length(text) <= 0.1 "
+            "  AND len(list_intersect(list_distinct(toks), "
+            "    ['the','a','and','of','to','in','is','on'])) >= 2 "
+            "  AND (CASE WHEN len(g2) > 0 THEN 1.0 - len(list_distinct(g2))::DOUBLE / len(g2) "
+            "    ELSE 0.0 END) <= 0.1 "
+            "  AND (CASE WHEN len(g3) > 0 THEN 1.0 - len(list_distinct(g3))::DOUBLE / len(g3) "
+            "    ELSE 0.0 END) <= 0.05 AS keep, "
+            "  round(((CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) "
+            "    + least(len(list_distinct(toks))::DOUBLE / len(toks) * 2, 1.0) "
+            "    + least(len(list_filter(toks, x -> list_contains("
+            "        ['the','a','and','of','to','in','is','on'], x)))::DOUBLE "
+            "      / len(toks) * 10, 1.0)) / 3, 4) AS score "
+            "FROM g), "
+            "d AS (SELECT doc_id, score, keep, "
+            "  CAST(ntile(10) OVER (ORDER BY score, doc_id) AS INT) AS decile FROM r) "
+            "SELECT decile, count(*) AS n_docs, round(avg(score), 4) AS avg_score, "
+            "  round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 4) AS keep_rate "
+            "FROM d GROUP BY decile ORDER BY decile"
+        ),
+        "e30_rank_functions": (
+            "SELECT o_orderpriority, o_orderkey, "
+            "  round(percent_rank() OVER w, 6) AS pr, "
+            "  round(cume_dist() OVER w, 6) AS cd "
+            "FROM orders "
+            "WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) "
+            "ORDER BY o_orderpriority, o_orderkey LIMIT 200"
+        ),
         "a74_embedding_outliers": (
             "WITH flat AS (SELECT vec_id, label, unnest(embedding::DOUBLE[]) AS v, "
             "  generate_subscripts(embedding, 1) AS i FROM embeddings), "
