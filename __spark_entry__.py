@@ -426,6 +426,43 @@ def _a68_grouped_split(spark, sf_dir):
     return out.select("doc_id", "group_key", "split").orderBy("doc_id")
 
 
+_BLOCKLIST = ("error", "null", "undefined", "lorem")
+
+
+def _a76_blocklist_filter(spark, sf_dir):
+    """Safety/blocklist filtering: per-doc count of blocklisted terms and
+    the keep verdict (zero hits) — the wordlist gate every corpus runs
+    before subtler filters.  One narrow array_intersect-style pass; the
+    blocklist is a literal array (at scale: a broadcast set)."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
+    hits = F.size(F.filter(toks, lambda x: F.array_contains(bl, F.lower(x))))
+    return (
+        docs.select(
+            "doc_id",
+            hits.cast("long").alias("n_blocked"),
+            (hits == 0).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _a77_soft_quality_sample(spark, sf_dir):
+    """Soft quality filtering (DCLM-style importance resampling): keep a doc
+    iff hash_unit(seed, id) < quality_score — keep probability proportional
+    to the score instead of a hard cutoff, preserving a calibrated tail of
+    lower-quality data.  Pure hash + score expressions: deterministic,
+    repartition/append-stable, zero shuffle."""
+    from persistor_spark.analytics import text
+    from persistor_spark.analytics.sampling import _hash_unit
+
+    docs = _docs(spark, sf_dir)
+    scored = docs.withColumn("score", text.quality_score("text"))
+    kept = scored.filter(_hash_unit(F.col("doc_id"), 7) < F.col("score"))
+    return kept.select("doc_id", "score").orderBy("doc_id")
+
+
 def _a75_quality_calibration(spark, sf_dir):
     """Quality-score calibration: decile buckets of the heuristic score vs
     the Gopher keep-rate — does the cheap score actually rank quality?
@@ -2041,6 +2078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a71_vocab_overlap": _a71_vocab_overlap,
         "a74_embedding_outliers": _a74_embedding_outliers,
         "a75_quality_calibration": _a75_quality_calibration,
+        "a76_blocklist_filter": _a76_blocklist_filter,
+        "a77_soft_quality_sample": _a77_soft_quality_sample,
         "e30_rank_functions": _e30_rank_functions,
         "a72_threshold_curve": _a72_threshold_curve,
         "a68_grouped_split": _a68_grouped_split,
@@ -2063,8 +2102,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a26_cc_two_phase": _a_cc_two_phase,
         "a44_cluster_reps": _a44_cluster_reps,
         "a45_random_projection": _a45_random_projection,
-        "a46_dup_rate_by_source": _a46_dup_rate_by_source,
-        "a47_temperature_mix": _a47_temperature_mix,
         "a48_shard_assign": _a48_shard_assign,
         "a49_ann_recall": _a49_ann_recall,
         "a37_chunking": _a37_chunking,
@@ -2092,6 +2129,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a29_pack_sequences": _a_pack_sequences,
         "a42_int8_quantize": _a42_int8_quantize,
         "a41_source_rollup": _a41_source_rollup,
+        "a46_dup_rate_by_source": _a46_dup_rate_by_source,
+        "a47_temperature_mix": _a47_temperature_mix,
         "a43_norm_fingerprint": _a43_norm_fingerprint,
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
@@ -2415,6 +2454,29 @@ def oracle_sql() -> dict[str, str]:
         # a55 = a32 through a saved+loaded index; identical result contract
         "a55_ivfpq_persist": _CLUSTERED_TOPK_ORACLE,
         "a69_filtered_ann": _FILTERED_TOPK_ORACLE,
+        "a76_blocklist_filter": (
+            "SELECT doc_id, "
+            "  len(list_filter(string_split(text, ' '), "
+            "    x -> list_contains(['error','null','undefined','lorem'], lower(x))))::BIGINT "
+            "    AS n_blocked, "
+            "  len(list_filter(string_split(text, ' '), "
+            "    x -> list_contains(['error','null','undefined','lorem'], lower(x)))) = 0 "
+            "    AS keep "
+            "FROM documents ORDER BY doc_id"
+        ),
+        # a77: same md5 60-bit hash-unit as a28/a39; score as in a75/a8
+        "a77_soft_quality_sample": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "r AS (SELECT doc_id, "
+            "  round(((CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) "
+            "    + least(len(list_distinct(toks))::DOUBLE / len(toks) * 2, 1.0) "
+            "    + least(len(list_filter(toks, x -> list_contains("
+            "        ['the','a','and','of','to','in','is','on'], x)))::DOUBLE "
+            "      / len(toks) * 10, 1.0)) / 3, 4) AS score, "
+            "  CAST(CONCAT('0x', substr(md5('7_' || doc_id), 1, 15)) AS BIGINT) "
+            "    / 1152921504606846976.0 AS u FROM t) "
+            "SELECT doc_id, score FROM r WHERE u < score ORDER BY doc_id"
+        ),
         "a75_quality_calibration": (
             "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), "
             "g AS (SELECT doc_id, text, toks, "
