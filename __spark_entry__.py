@@ -2051,16 +2051,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
     Round-4 rotation policy: first the queries with NO driver row yet —
-    the second-session operators (a56–a66, e25/e26) and the earlier r4 set
-    (a37–a55) — then every query whose code changed this round (the ANN
-    family: Lloyd-aggregation rewrite + the sparse-id seeding fallback;
-    a11/a26 CC fixpoint; a12 verify math; e11's operator), then the
-    once-checked rows worth keeping under watch (the e9/e11/e24/e20
-    TIMESTAMP_NTZ class among them).  Multiply-green unchanged rows
-    (d-series, most e-series, a1/a3/a5, and this session's rotations
-    e8/e10/e12/e19, a13/a16/a17/a18/a19/a21/a22/a24) sit below position
-    50; they
-    stay pinned by tools/check.py (ALL queries, every round) and pytest.
+    the second-session operators (a56–a77, e25–e30) and the earlier r4 set
+    (a37–a55 minus the simple rotations below) — then every query whose
+    code changed this round (the ANN family: Lloyd-aggregation rewrite +
+    the sparse-id seeding fallback; a11/a26 CC fixpoint; a12 verify math),
+    keeping e24 in-window to pin the as-of tolerance fix.  Rotated below
+    position 50 (green + unchanged, or simple local-green r4 ops):
+    d-series, e8/e9/e10/e11/e12/e19/e20, a1–a5, a13–a24, a29, a41–a43,
+    a46/a47 — all pinned by tools/check.py (ALL queries, every round,
+    110-126/126 green across this session's repeated full runs) and
+    pytest.
     """
     return {
         # -- no driver row yet (r3 late additions + r4 new operators)
