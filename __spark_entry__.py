@@ -489,6 +489,67 @@ def _a75_quality_calibration(spark, sf_dir):
     )
 
 
+def _e31_stats_functions(spark, sf_dir):
+    """Statistical aggregate coverage: per-lang sample correlation,
+    covariance, and stddev between token count and quality score (both
+    engines use the n-1 sample definitions)."""
+    from persistor_spark.analytics import text
+
+    docs = _docs(spark, sf_dir).select(
+        "lang",
+        text.token_count("text").cast("double").alias("tc"),
+        text.quality_score("text").alias("qs"),
+    )
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.corr("tc", "qs"), 4).alias("corr_tc_qs"),
+            F.round(F.covar_samp("tc", "qs"), 4).alias("covar_tc_qs"),
+            F.round(F.stddev_samp("tc"), 4).alias("stddev_tc"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _e32_anomaly_zscore(spark, sf_dir):
+    """Monitoring composition: hourly event counts (gap-filled like e25) ->
+    per-type mean/stddev -> z-scores -> |z| >= 2 anomalies.  The ingest
+    anomaly detector a persistence pipeline runs over its own metrics; two
+    bounded aggs over the hour grid, never the raw stream twice."""
+    ev = _events(spark, sf_dir)
+    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    counts = ev.groupBy(F.col("event_type"), hour.alias("hour")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    spans = counts.groupBy("event_type").agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
+    )
+    grid = spans.select(
+        "event_type",
+        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.lit(3600))).alias("hour"),
+    )
+    filled = grid.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).cast("double").alias("n")
+    )
+    stats = filled.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
+    )
+    return (
+        filled.join(F.broadcast(stats), "event_type")
+        .withColumn("zr", (F.col("n") - F.col("mu")) / F.col("sd"))
+        # filter on the RAW z, round only for output — the oracle's order
+        .filter(F.abs(F.col("zr")) >= 2)
+        .select(
+            "event_type",
+            "hour",
+            F.col("n").cast("long").alias("n"),
+            F.round("zr", 4).alias("z"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
 def _e30_rank_functions(spark, sf_dir):
     """percent_rank + cume_dist window coverage: order relative position of
     each order's totalprice within its priority class (top 40 orders per
@@ -2081,6 +2142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a76_blocklist_filter": _a76_blocklist_filter,
         "a77_soft_quality_sample": _a77_soft_quality_sample,
         "e30_rank_functions": _e30_rank_functions,
+        "e31_stats_functions": _e31_stats_functions,
+        "e32_anomaly_zscore": _e32_anomaly_zscore,
         "a72_threshold_curve": _a72_threshold_curve,
         "a68_grouped_split": _a68_grouped_split,
         "e27_event_funnel": _e27_event_funnel,
@@ -2101,8 +2164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a11_dedup_clusters": _a_dedup_clusters,
         "a26_cc_two_phase": _a_cc_two_phase,
         "a44_cluster_reps": _a44_cluster_reps,
-        "a45_random_projection": _a45_random_projection,
-        "a48_shard_assign": _a48_shard_assign,
         "a49_ann_recall": _a49_ann_recall,
         "a37_chunking": _a37_chunking,
         "a38_pmi_bigrams": _a38_pmi,
@@ -2130,6 +2191,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a42_int8_quantize": _a42_int8_quantize,
         "a41_source_rollup": _a41_source_rollup,
         "a46_dup_rate_by_source": _a46_dup_rate_by_source,
+        "a45_random_projection": _a45_random_projection,
+        "a48_shard_assign": _a48_shard_assign,
         "a47_temperature_mix": _a47_temperature_mix,
         "a43_norm_fingerprint": _a43_norm_fingerprint,
         "a14_bm25_topk": _a14_bm25_topk,
@@ -2509,6 +2572,34 @@ def oracle_sql() -> dict[str, str]:
             "SELECT decile, count(*) AS n_docs, round(avg(score), 4) AS avg_score, "
             "  round(avg(CASE WHEN keep THEN 1.0 ELSE 0.0 END), 4) AS keep_rate "
             "FROM d GROUP BY decile ORDER BY decile"
+        ),
+        "e31_stats_functions": (
+            "WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents), "
+            "r AS (SELECT lang, len(toks)::DOUBLE AS tc, "
+            "  round(((CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) "
+            "    + least(len(list_distinct(toks))::DOUBLE / len(toks) * 2, 1.0) "
+            "    + least(len(list_filter(toks, x -> list_contains("
+            "        ['the','a','and','of','to','in','is','on'], x)))::DOUBLE "
+            "      / len(toks) * 10, 1.0)) / 3, 4) AS qs FROM t) "
+            "SELECT lang, count(*) AS n, round(corr(tc, qs), 4) AS corr_tc_qs, "
+            "  round(covar_samp(tc, qs), 4) AS covar_tc_qs, "
+            "  round(stddev_samp(tc), 4) AS stddev_tc "
+            "FROM r GROUP BY lang ORDER BY lang"
+        ),
+        "e32_anomaly_zscore": (
+            "WITH c AS (SELECT event_type, "
+            "  (CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600) AS hour, "
+            "  count(*) AS n FROM events GROUP BY 1, 2), "
+            "s AS (SELECT event_type, min(hour) AS h0, max(hour) AS h1 FROM c GROUP BY 1), "
+            "g AS (SELECT event_type, unnest(generate_series(h0, h1, 3600)) AS hour FROM s), "
+            "f AS (SELECT g.event_type, g.hour, coalesce(c.n, 0)::DOUBLE AS n "
+            "  FROM g LEFT JOIN c ON g.event_type = c.event_type AND g.hour = c.hour), "
+            "st AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd FROM f GROUP BY 1) "
+            "SELECT f.event_type, f.hour, f.n::BIGINT AS n, "
+            "  round((f.n - st.mu) / st.sd, 4) AS z "
+            "FROM f JOIN st ON f.event_type = st.event_type "
+            "WHERE abs((f.n - st.mu) / st.sd) >= 2 "
+            "ORDER BY f.event_type, f.hour"
         ),
         "e30_rank_functions": (
             "SELECT o_orderpriority, o_orderkey, "
