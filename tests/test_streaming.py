@@ -457,23 +457,28 @@ def test_incremental_dedup_stream_probes_and_grows_index(spark, sf_dir, tmp_path
     )
     q.awaitTermination(300)
 
-    got = {
-        (r["new_id"], r["old_id"])
-        for r in spark.read.parquet(out).select("new_id", "old_id").collect()
-    }
-    # batch-mode truth: each half probed against (seed + everything earlier)
+    got_rows = spark.read.parquet(out).select("new_id", "old_id").collect()
+    # the file source may process b0/b1 in EITHER order, which flips the
+    # (new, old) direction of cross-batch pairs — compare the two invariant
+    # components instead: directed pairs vs the SEED corpus (old_id even),
+    # and UNORDERED pairs between the two batches (both odd)
+    got_seed = {(r["new_id"], r["old_id"]) for r in got_rows if r["old_id"] % 2 == 0}
+    got_cross = {frozenset((r["new_id"], r["old_id"])) for r in got_rows if r["old_id"] % 2 == 1}
     bt_old = dedup.build_band_table(old)
     first_df = new.filter(F.col("doc_id").isin([r["doc_id"] for r in rows[:half]]))
     second_df = new.filter(F.col("doc_id").isin([r["doc_id"] for r in rows[half:]]))
-    bt_with_first = bt_old.unionByName(dedup.build_band_table(first_df))
-    want = {
+    want_seed = {
         (r["new_id"], r["old_id"])
-        for r in dedup.incremental_dup_pairs(first_df, bt_old, 0.8).collect()
-    } | {
-        (r["new_id"], r["old_id"])
-        for r in dedup.incremental_dup_pairs(second_df, bt_with_first, 0.8).collect()
+        for r in dedup.incremental_dup_pairs(new, bt_old, 0.8).collect()
     }
-    assert got == want and got
+    want_cross = {
+        frozenset((r["new_id"], r["old_id"]))
+        for r in dedup.incremental_dup_pairs(
+            second_df, dedup.build_band_table(first_df), 0.8
+        ).collect()
+    }
+    assert got_seed == want_seed and got_seed
+    assert got_cross == want_cross
     # the index grew by both batches' sketches
     grown = dedup.lsh_index_load(spark, index_path)
     assert grown.count() == bt_old.count() + dedup.build_band_table(new).count()
