@@ -429,6 +429,41 @@ def _a68_grouped_split(spark, sf_dir):
 _BLOCKLIST = ("error", "null", "undefined", "lorem")
 
 
+def _a78_eval_overlap_severity(spark, sf_dir):
+    """Eval-side contamination severity: for each eval doc (doc_id%7==0),
+    the fraction of its distinct 5-grams that appear ANYWHERE in the
+    training corpus — the 'is this benchmark burned' score deciding whether
+    an eval set is still trustworthy (a20 lists the pairs; this aggregates
+    the eval side).  Gram-keyed semi-join against the corpus's distinct
+    gram set; cost tracks posting volume, never docs²."""
+    from persistor_spark.analytics.dedup import shingles
+
+    docs = _docs(spark, sf_dir)
+    g = docs.select(
+        "doc_id", F.explode(shingles("text", 5)).alias("g")
+    )
+    eval_g = g.filter(F.col("doc_id") % 7 == 0)
+    corpus_g = g.filter(F.col("doc_id") % 7 != 0).select("g").distinct()
+    matched = (
+        eval_g.join(corpus_g, "g", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    totals = eval_g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        totals.join(matched, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("eval_id"),
+            "n_grams",
+            F.coalesce("n_matched", F.lit(0)).cast("long").alias("n_matched"),
+            F.round(
+                F.coalesce("n_matched", F.lit(0)) / F.col("n_grams"), 4
+            ).alias("severity"),
+        )
+        .orderBy("eval_id")
+    )
+
+
 def _a76_blocklist_filter(spark, sf_dir):
     """Safety/blocklist filtering: per-doc count of blocklisted terms and
     the keep verdict (zero hits) — the wordlist gate every corpus runs
@@ -2141,6 +2176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a75_quality_calibration": _a75_quality_calibration,
         "a76_blocklist_filter": _a76_blocklist_filter,
         "a77_soft_quality_sample": _a77_soft_quality_sample,
+        "a78_eval_overlap_severity": _a78_eval_overlap_severity,
         "e30_rank_functions": _e30_rank_functions,
         "e31_stats_functions": _e31_stats_functions,
         "e32_anomaly_zscore": _e32_anomaly_zscore,
@@ -2168,7 +2204,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a37_chunking": _a37_chunking,
         "a38_pmi_bigrams": _a38_pmi,
         "a39_split_assign": _a39_splits,
-        "a40_tfidf_topterms": _a40_tfidf,
         # -- once-checked r3 rows kept under watch (e8/e10/e12/e19 rotated
         # below the window to make room for a56-a59: unchanged plain-
         # Catalyst queries, still gate-pinned every round)
@@ -2192,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a41_source_rollup": _a41_source_rollup,
         "a46_dup_rate_by_source": _a46_dup_rate_by_source,
         "a45_random_projection": _a45_random_projection,
+        "a40_tfidf_topterms": _a40_tfidf,
         "a48_shard_assign": _a48_shard_assign,
         "a47_temperature_mix": _a47_temperature_mix,
         "a43_norm_fingerprint": _a43_norm_fingerprint,
@@ -2517,6 +2553,21 @@ def oracle_sql() -> dict[str, str]:
         # a55 = a32 through a saved+loaded index; identical result contract
         "a55_ivfpq_persist": _CLUSTERED_TOPK_ORACLE,
         "a69_filtered_ann": _FILTERED_TOPK_ORACLE,
+        "a78_eval_overlap_severity": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN "
+            "  list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]) "
+            "  ELSE [] END AS grams FROM t), "
+            "e AS (SELECT doc_id, unnest(grams) AS g FROM s WHERE doc_id % 7 = 0), "
+            "c AS (SELECT DISTINCT g FROM "
+            "  (SELECT unnest(grams) AS g FROM s WHERE doc_id % 7 != 0)), "
+            "m AS (SELECT e.doc_id, count(*) AS n_matched FROM e JOIN c USING (g) GROUP BY 1), "
+            "tot AS (SELECT doc_id, count(*) AS n_grams FROM e GROUP BY 1) "
+            "SELECT tot.doc_id AS eval_id, tot.n_grams, "
+            "  coalesce(m.n_matched, 0)::BIGINT AS n_matched, "
+            "  round(coalesce(m.n_matched, 0)::DOUBLE / tot.n_grams, 4) AS severity "
+            "FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id ORDER BY eval_id"
+        ),
         "a76_blocklist_filter": (
             "SELECT doc_id, "
             "  len(list_filter(string_split(text, ' '), "
