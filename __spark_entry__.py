@@ -429,6 +429,46 @@ def _a68_grouped_split(spark, sf_dir):
 _BLOCKLIST = ("error", "null", "undefined", "lorem")
 
 
+def _a79_cluster_size_dist(spark, sf_dir):
+    """Near-dup cluster SIZE DISTRIBUTION: how many components of each size
+    the corpus contains (singletons = docs untouched by any near-dup edge).
+    The shape metric that distinguishes scattered pairwise dups from viral
+    boilerplate blobs; two tiny aggs over the CC output."""
+    from persistor_spark.analytics import dedup
+
+    docs = _docs(spark, sf_dir)
+    comp = dedup.dedup_clusters(dedup.ngram_jaccard_pairs(docs, 0.8))
+    grouped = docs.join(comp, "doc_id", "left").select(
+        F.coalesce("cluster_id", F.col("doc_id")).alias("cid")
+    )
+    sizes = grouped.groupBy("cid").agg(F.count(F.lit(1)).alias("size"))
+    return (
+        sizes.groupBy("size")
+        .agg(F.count(F.lit(1)).alias("n_clusters"))
+        .orderBy("size")
+    )
+
+
+def _a80_token_spectrum(spark, sf_dir):
+    """Token frequency-of-frequency spectrum (Zipf tail / hapax curve): for
+    each occurrence count f, how many distinct tokens occur exactly f times
+    — the curve BPE-vocab and min-count choices are read off.  Two
+    vocab-bounded aggregations, capped at the 40 lowest frequencies (the
+    decision region)."""
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    return (
+        freq.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n_tokens"))
+        .orderBy("f")
+        .limit(40)
+    )
+
+
 def _a78_eval_overlap_severity(spark, sf_dir):
     """Eval-side contamination severity: for each eval doc (doc_id%7==0),
     the fraction of its distinct 5-grams that appear ANYWHERE in the
@@ -2177,6 +2217,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a76_blocklist_filter": _a76_blocklist_filter,
         "a77_soft_quality_sample": _a77_soft_quality_sample,
         "a78_eval_overlap_severity": _a78_eval_overlap_severity,
+        "a79_cluster_size_dist": _a79_cluster_size_dist,
+        "a80_token_spectrum": _a80_token_spectrum,
         "e30_rank_functions": _e30_rank_functions,
         "e31_stats_functions": _e31_stats_functions,
         "e32_anomaly_zscore": _e32_anomaly_zscore,
@@ -2190,10 +2232,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a58_skew_profile": _a58_skew_profile,
         "a59_quality_funnel": _a59_quality_funnel,
         "a50_hybrid_rrf": _a50_hybrid_rrf,
-        "a51_vocab_coverage": _a51_vocab_coverage,
         "a52_split_leakage": _a52_split_leakage,
         "a53_dup_substrings": _a53_dup_substrings,
-        "a54_boilerplate": _a54_boilerplate,
         "a55_ivfpq_persist": _a55_ivfpq_persist,
         # -- CC internals changed late in r4 (observation-fused fixpoint):
         # rotate both component queries back under the driver
@@ -2228,6 +2268,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a46_dup_rate_by_source": _a46_dup_rate_by_source,
         "a45_random_projection": _a45_random_projection,
         "a40_tfidf_topterms": _a40_tfidf,
+        "a51_vocab_coverage": _a51_vocab_coverage,
+        "a54_boilerplate": _a54_boilerplate,
         "a48_shard_assign": _a48_shard_assign,
         "a47_temperature_mix": _a47_temperature_mix,
         "a43_norm_fingerprint": _a43_norm_fingerprint,
@@ -2359,6 +2401,15 @@ def oracle_sql() -> dict[str, str]:
         f"WHEN u < {_t0!r} THEN 'train' "
         f"WHEN u < {_t1!r} THEN 'val' "
         "ELSE 'test' END AS split FROM u ORDER BY doc_id"
+    )
+    # a79: same components, singleton fill, then the size-of-sizes rollup
+    cluster_size_oracle = cc_with + (
+        ", comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
+        "  FROM reach GROUP BY src), "
+        "alld AS (SELECT d.doc_id, coalesce(c.cluster_id, d.doc_id) AS cid "
+        "  FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id), "
+        "sz AS (SELECT cid, count(*) AS size FROM alld GROUP BY cid) "
+        "SELECT size, count(*) AS n_clusters FROM sz GROUP BY size ORDER BY size"
     )
     # a45: the SAME seeded JL matrix the Spark operator folds into its plan,
     # embedded as DOUBLE[] literals (repr round-trips to the identical
@@ -2553,6 +2604,13 @@ def oracle_sql() -> dict[str, str]:
         # a55 = a32 through a saved+loaded index; identical result contract
         "a55_ivfpq_persist": _CLUSTERED_TOPK_ORACLE,
         "a69_filtered_ann": _FILTERED_TOPK_ORACLE,
+        # a79: recursive-CC components + singleton fill, then size-of-sizes
+        "a79_cluster_size_dist": cluster_size_oracle,
+        "a80_token_spectrum": (
+            "WITH f AS (SELECT t, count(*) AS f FROM "
+            "  (SELECT unnest(string_split(text, ' ')) AS t FROM documents) GROUP BY t) "
+            "SELECT f, count(*) AS n_tokens FROM f GROUP BY f ORDER BY f LIMIT 40"
+        ),
         "a78_eval_overlap_severity": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
             "s AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN "
