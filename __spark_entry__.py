@@ -2044,6 +2044,18 @@ def _a53_dup_substrings(spark, sf_dir):
     )
 
 
+def _a81_exactsubstr_clean(spark, sf_dir):
+    """ExactSubstr REMOVAL (the output Lee et al. 2022 actually ships):
+    every maximal duplicated-substring span (a53's intervals) cut out of
+    its document, surviving tokens reassembled in order.  One doc-keyed
+    join + pure JVM array expressions — no Python, no per-token shuffle."""
+    from persistor_spark.analytics import dedup
+
+    return dedup.remove_duplicate_substrings(
+        _docs(spark, sf_dir), gram_len=8, min_count=2
+    )
+
+
 def _a54_boilerplate(spark, sf_dir):
     """Per-source boilerplate load: fraction of each doc's distinct
     3-grams appearing in >= 20% of its source's docs (CCNet/RefinedWeb
@@ -2234,6 +2246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a50_hybrid_rrf": _a50_hybrid_rrf,
         "a52_split_leakage": _a52_split_leakage,
         "a53_dup_substrings": _a53_dup_substrings,
+        "a81_exactsubstr_clean": _a81_exactsubstr_clean,
         "a55_ivfpq_persist": _a55_ivfpq_persist,
         # -- CC internals changed late in r4 (observation-fused fixpoint):
         # rotate both component queries back under the driver
@@ -3536,6 +3549,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end, "
             "  max(pos) + 7 - min(pos) + 1 AS span_len "
             "FROM isl GROUP BY doc_id, grp ORDER BY doc_id, span_start"
+        ),
+        # a81: a53's spans applied — tokens inside any span dropped, survivors
+        # reassembled in order (anti-join expressed as left-join-IS-NULL; the
+        # merged islands are provably disjoint so no row duplication)
+        "a81_exactsubstr_clean": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram "
+            "  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)), "
+            "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), "
+            "p AS (SELECT doc_id, pos FROM g JOIN d USING (gram)), "
+            "i AS (SELECT doc_id, pos, CASE WHEN pos - "
+            "    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8 "
+            "  THEN 1 ELSE 0 END AS brk FROM p), "
+            "isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id "
+            "  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM i), "
+            "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e "
+            "  FROM isl GROUP BY doc_id, grp), "
+            "tok AS (SELECT doc_id, i AS pos, toks[i] AS tok "
+            "  FROM t, unnest(range(1, len(toks) + 1)) AS u(i)), "
+            "keep AS (SELECT tok.doc_id, tok.pos, tok.tok FROM tok "
+            "  LEFT JOIN sp ON tok.doc_id = sp.doc_id AND tok.pos BETWEEN sp.s AND sp.e "
+            "  WHERE sp.doc_id IS NULL), "
+            "agg AS (SELECT doc_id, count(*) AS n_kept, "
+            "  string_agg(tok, ' ' ORDER BY pos) AS clean_text "
+            "  FROM keep GROUP BY doc_id) "
+            "SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens, "
+            "  (len(t.toks) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed, "
+            "  coalesce(agg.clean_text, '') AS clean_text "
+            "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id"
         ),
         # a54: per-source gram doc-frequency vs source doc count; boilerplate
         # grams flagged back onto each doc

@@ -1101,6 +1101,70 @@ def duplicate_substring_intervals(
     )
 
 
+def remove_duplicate_substrings(
+    df: DataFrame,
+    gram_len: int = 8,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022): cut every
+    maximal duplicated-substring span (duplicate_substring_intervals) out of
+    each document and reassemble the surviving tokens in order.
+
+    Plan: spans collapse to one array per doc (groupBy on `id_col`), then a
+    single doc-keyed left join re-attaches them to the corpus; the cut itself
+    is a pure JVM array expression — positions covered by any span are
+    filtered out with nested higher-order functions (`filter` + `exists`),
+    no Python, no per-token shuffle.  Both the groupBy and the join key on
+    `id_col`, so AQE co-partitions them into one exchange; the span array is
+    bounded by a doc's own duplicated-gram count, never the corpus.  Docs
+    with no duplicated spans pass through untouched (left join + empty-array
+    coalesce).  `exists` is order-independent, so the nondeterministic
+    collect_list order cannot change the output.
+    """
+    spans = duplicate_substring_intervals(df, gram_len, min_count, id_col, text_col)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    toks = F.split(F.col(text_col), " ")
+    empty = F.array().cast("array<struct<span_start:long,span_end:long>>")
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.size("__toks")),
+            lambda i: F.struct(
+                i.alias("i"), F.element_at("__toks", i).alias("tok")
+            ),
+        ),
+        lambda s: ~F.exists(
+            "__spans",
+            lambda sp: (s["i"] >= sp["span_start"]) & (s["i"] <= sp["span_end"]),
+        ),
+    )
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            toks.alias("__toks"),
+            F.coalesce("__spans", empty).alias("__spans"),
+        )
+        .select(
+            F.col(id_col),
+            F.size("__toks").cast("long").alias("n_tokens"),
+            kept.alias("__kept"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            (F.col("n_tokens") - F.size("__kept")).cast("long").alias("n_removed"),
+            F.array_join(
+                F.transform("__kept", lambda s: s["tok"]), " "
+            ).alias("clean_text"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_df: DataFrame,

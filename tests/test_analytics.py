@@ -1247,6 +1247,26 @@ def test_duplicate_substring_intervals_merge(spark):
     assert len(spans0) == 2
 
 
+def test_remove_duplicate_substrings_cuts_spans(spark):
+    # same fixture as the interval test: the shared 10-token run is cut
+    # from both docs, prefixes/suffixes survive, untouched doc passes as-is
+    shared = " ".join(f"c{i}" for i in range(10))
+    rows = [(0, "x y " + shared), (1, shared + " z"), (2, "entirely different words here")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dedup.remove_duplicate_substrings(df, gram_len=8).collect()
+    }
+    assert got[0] == (12, 10, "x y")
+    assert got[1] == (11, 10, "z")
+    assert got[2] == (4, 0, "entirely different words here")
+    # a doc that is ONE duplicated span comes back empty, not dropped
+    df2 = spark.createDataFrame([(0, shared), (1, shared)], "doc_id int, text string")
+    got2 = {r["doc_id"]: r["clean_text"] for r in
+            dedup.remove_duplicate_substrings(df2, gram_len=8).collect()}
+    assert got2 == {0: "", 1: ""}
+
+
 def test_boilerplate_stats_flags_source_common_grams(spark):
     # "nav home about" appears in every src0 doc (boilerplate); unique tails
     rows = [
