@@ -2056,6 +2056,22 @@ def _a81_exactsubstr_clean(spark, sf_dir):
     )
 
 
+def _a82_token_budget(spark, sf_dir):
+    """Token-budget corpus selection: documents taken highest-quality-first
+    until a 20k-token budget fills — the step that turns a scored pool into
+    an actual training mix.  The global cumsum is two-level (range partition
+    + literal prefix offsets + per-partition window), never a
+    single-partition window."""
+    from persistor_spark.analytics import sampling, text
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id",
+        text.quality_score("text").alias("score"),
+        text.token_count("text").alias("n_tokens"),
+    )
+    return sampling.select_token_budget(docs, budget_tokens=20000)
+
+
 def _a54_boilerplate(spark, sf_dir):
     """Per-source boilerplate load: fraction of each doc's distinct
     3-grams appearing in >= 20% of its source's docs (CCNet/RefinedWeb
@@ -2247,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a52_split_leakage": _a52_split_leakage,
         "a53_dup_substrings": _a53_dup_substrings,
         "a81_exactsubstr_clean": _a81_exactsubstr_clean,
+        "a82_token_budget": _a82_token_budget,
         "a55_ivfpq_persist": _a55_ivfpq_persist,
         # -- CC internals changed late in r4 (observation-fused fixpoint):
         # rotate both component queries back under the driver
@@ -2267,10 +2284,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_ivf_topk": _a_ivf_topk,
         "a25_pq_topk": _a_pq_topk,
         "a32_ivfpq_topk": _a_ivfpq_topk,
+        # ---- driver window ends here (50) — below: multiply-green, pinned
+        # by tools/check.py + pytest every round.  a33/a34 rotated down to
+        # make room for the new a81/a82: both have r3 driver-green rows, the
+        # a34 rewrite is result-hash-identical and a33's oracle tightening is
+        # gate-pinned at both SFs.
         "a33_semdedup": _a_semdedup,
         "a34_opq_topk": _a_opq_topk,
-        # ---- driver window ends here (50) — below: multiply-green, pinned
-        # by tools/check.py + pytest every round
         "e8_tumbling_window": _e_tumbling_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e9_sessionize": _e9_sessionize,
@@ -2296,7 +2316,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a19_simhash_md5": _a19_simhash_md5,
         "a20_contamination": _a20_contamination,
         "a21_cms_sketch": _a21_cms_sketch,
-        "a22_repetition": _a22_repetition,
         "a22_repetition": _a22_repetition,
         "a23_quality_rules": _a23_quality_rules,
         "a24_pii_scrub": _a24_pii_scrub,
@@ -3578,6 +3597,23 @@ def oracle_sql() -> dict[str, str]:
             "  (len(t.toks) - coalesce(agg.n_kept, 0))::BIGINT AS n_removed, "
             "  coalesce(agg.clean_text, '') AS clean_text "
             "FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id ORDER BY t.doc_id"
+        ),
+        # a82: greedy highest-score-first selection under a 20k token budget;
+        # the score expression is the a75 quality heuristic verbatim, the
+        # running sum a plain window (Spark side does it two-level)
+        "a82_token_budget": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "r AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+            "  round(((CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) "
+            "    + least(len(list_distinct(toks))::DOUBLE / len(toks) * 2, 1.0) "
+            "    + least(len(list_filter(toks, x -> list_contains("
+            "        ['the','a','and','of','to','in','is','on'], x)))::DOUBLE "
+            "      / len(toks) * 10, 1.0)) / 3, 4) AS score FROM t), "
+            "c AS (SELECT doc_id, score, n_tokens, "
+            "  sum(n_tokens) OVER (ORDER BY score DESC, doc_id "
+            "    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM r) "
+            "SELECT doc_id, score, n_tokens, cum_tokens FROM c "
+            "WHERE cum_tokens <= 20000 ORDER BY doc_id"
         ),
         # a54: per-source gram doc-frequency vs source doc count; boilerplate
         # grams flagged back onto each doc

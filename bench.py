@@ -181,6 +181,15 @@ def bench_dedup_minhash(ctx: Ctx):
     return dedup.minhash_lsh_pairs(docs, 0.8).count()
 
 
+def bench_dedup_exactsubstr(ctx: Ctx):
+    """ExactSubstr removal: duplicated 8-gram spans found AND cut from every
+    document (gram posting join + interval merge + array-expression cut)."""
+    from persistor_spark.analytics import dedup
+
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    return dedup.remove_duplicate_substrings(docs, gram_len=8).count()
+
+
 def bench_ann_topk(ctx: Ctx):
     from persistor_spark.analytics import similarity
 
@@ -341,6 +350,7 @@ QUERIES = {
     "dedup_minhash": bench_dedup_minhash,
     "dedup_index_build": bench_dedup_index_build,
     "dedup_incremental": bench_dedup_incremental,
+    "dedup_exactsubstr": bench_dedup_exactsubstr,
     "ann_topk": bench_ann_topk,
     "ann_ivfpq_build": bench_ann_ivfpq_build,
     "ann_ivfpq_probe": bench_ann_ivfpq_probe,

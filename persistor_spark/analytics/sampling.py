@@ -325,3 +325,62 @@ def temperature_sample(
         .filter(F.col("__r") <= F.col("__target"))
         .select(id_col, strata_col, F.col("__r").alias("sample_rank"))
     )
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Greedy corpus selection under a global token budget: take documents
+    highest-score-first (ties broken by `id_col`) until the cumulative token
+    count would exceed `budget_tokens` — the "fill the training mix from the
+    top of the quality ranking" step.
+
+    The global running sum is computed WITHOUT a single-partition window:
+    rows are range-partitioned on (score DESC, id), per-partition token
+    totals (one tiny P-row collect) become literal prefix offsets, and the
+    running sum is offset + a per-partition window — every stage is bounded
+    by a partition, so the same plan holds at 100 TB with P sized to the
+    corpus.  The range-partitioned frame is localCheckpoint-ed so the
+    offsets job and the output job see identical partition boundaries
+    (RangePartitioner samples per run).  Output cumulative values are
+    boundary-independent (the ordering is total), so results are
+    deterministic across runs.
+    """
+    base = df.select(
+        F.col(id_col),
+        F.col(score_col).alias("score"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+    r = base.repartitionByRange(
+        num_partitions, F.col("score").desc(), F.col(id_col).asc()
+    ).withColumn("__pid", F.spark_partition_id())
+    r = r.localCheckpoint(eager=True)
+    totals = {
+        row["__pid"]: row["t"]
+        for row in r.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    off_expr = F.lit(0).cast("long")
+    for pid, off in offsets.items():
+        off_expr = F.when(F.col("__pid") == pid, F.lit(off).cast("long")).otherwise(
+            off_expr
+        )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        r.withColumn("cum_tokens", (off_expr + F.sum("n_tokens").over(w)).cast("long"))
+        .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
+        .select(id_col, "score", "n_tokens", "cum_tokens")
+        .orderBy(id_col)
+    )

@@ -1156,6 +1156,30 @@ def test_shard_assignments_deterministic_and_dense(docs):
     assert sorted(map(tuple, a)) != sorted(map(tuple, c))
 
 
+def test_select_token_budget_matches_global_cumsum(spark):
+    from persistor_spark.analytics import sampling
+
+    # 100 docs, scores with heavy ties, varying token counts
+    rows = [(i, float((i * 7) % 5) / 10.0, 10 + (i * 13) % 40) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, score double, n_tokens int")
+    budget = 1500
+    got = sampling.select_token_budget(df, budget, num_partitions=8).collect()
+    # naive single-partition reference: greedy by (score desc, doc_id)
+    order = sorted(rows, key=lambda r: (-r[1], r[0]))
+    cum, expect = 0, {}
+    for i, s, n in order:
+        cum += n
+        if cum > budget:
+            break
+        expect[i] = (s, n, cum)
+    assert {r["doc_id"]: (r["score"], r["n_tokens"], r["cum_tokens"]) for r in got} == expect
+    # repartition-stable (range partitioning re-derives boundaries)
+    again = sampling.select_token_budget(df.repartition(13), budget, num_partitions=3).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, got))
+    # a budget larger than the corpus selects everything
+    assert sampling.select_token_budget(df, 10**9, num_partitions=4).count() == 100
+
+
 def test_topk_recall_harness(embs):
     q = embs.filter(F.col("vec_id") < 5)
     truth = similarity.brute_force_topk(embs, q, k=5)
