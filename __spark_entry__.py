@@ -2072,6 +2072,27 @@ def _a82_token_budget(spark, sf_dir):
     return sampling.select_token_budget(docs, budget_tokens=20000)
 
 
+def _a83_source_dup_matrix(spark, sf_dir):
+    """Cross-source duplication matrix: near-dup (Jaccard >= 0.8) pair
+    counts by canonical source pair — which feeds copy from which; reuses
+    the a2 pair detection and the split_leakage join shape."""
+    from persistor_spark.analytics import dedup
+
+    docs = _docs(spark, sf_dir)
+    pairs = dedup.ngram_jaccard_pairs(docs, 0.8)
+    return dedup.source_dup_matrix(pairs, docs.select("doc_id", "source"))
+
+
+def _a84_novelty(spark, sf_dir):
+    """Per-document novelty: fraction of each doc's distinct 8-grams not
+    seen in any earlier doc (by id order) — the marginal-information curve
+    of an ordered corpus.  Gram-keyed min-owner agg + self-join; shuffles
+    track posting lists, never the corpus."""
+    from persistor_spark.analytics import dedup
+
+    return dedup.novelty_fraction(_docs(spark, sf_dir), gram_len=8)
+
+
 def _a54_boilerplate(spark, sf_dir):
     """Per-source boilerplate load: fraction of each doc's distinct
     3-grams appearing in >= 20% of its source's docs (CCNet/RefinedWeb
@@ -2264,6 +2285,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a53_dup_substrings": _a53_dup_substrings,
         "a81_exactsubstr_clean": _a81_exactsubstr_clean,
         "a82_token_budget": _a82_token_budget,
+        "a83_source_dup_matrix": _a83_source_dup_matrix,
+        "a84_novelty": _a84_novelty,
         "a55_ivfpq_persist": _a55_ivfpq_persist,
         # -- CC internals changed late in r4 (observation-fused fixpoint):
         # rotate both component queries back under the driver
@@ -2282,13 +2305,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- 8 changed this round: need fresh driver verdicts
         "a6_lsh_topk": _a_lsh_topk,
         "a7_ivf_topk": _a_ivf_topk,
+        # ---- driver window ends here (50) — below: multiply-green, pinned
+        # by tools/check.py + pytest every round.  a25/a32/a33/a34 rotated
+        # down to make room for the new a81-a84: all four have r3
+        # driver-green rows, the shared IVF-PQ/kmeans rewrite stays
+        # driver-pinned through in-window a55/a60/a69, the a34 rewrite is
+        # result-hash-identical, and a33's oracle tightening is gate-pinned
+        # at both SFs.
         "a25_pq_topk": _a_pq_topk,
         "a32_ivfpq_topk": _a_ivfpq_topk,
-        # ---- driver window ends here (50) — below: multiply-green, pinned
-        # by tools/check.py + pytest every round.  a33/a34 rotated down to
-        # make room for the new a81/a82: both have r3 driver-green rows, the
-        # a34 rewrite is result-hash-identical and a33's oracle tightening is
-        # gate-pinned at both SFs.
         "a33_semdedup": _a_semdedup,
         "a34_opq_topk": _a_opq_topk,
         "e8_tumbling_window": _e_tumbling_window,
@@ -3614,6 +3639,41 @@ def oracle_sql() -> dict[str, str]:
             "    ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens FROM r) "
             "SELECT doc_id, score, n_tokens, cum_tokens FROM c "
             "WHERE cum_tokens <= 20000 ORDER BY doc_id"
+        ),
+        # a83: the a2 pair CTE joined to each endpoint's source, counted by
+        # canonical source pair
+        "a83_source_dup_matrix": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+            "  FROM t), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+            "j AS (SELECT da.source AS s_a, db.source AS s_b FROM p "
+            "  JOIN documents da ON p.a = da.doc_id "
+            "  JOIN documents db ON p.b = db.doc_id) "
+            "SELECT least(s_a, s_b) AS source_lo, greatest(s_a, s_b) AS source_hi, "
+            "  count(*) AS n_pairs, "
+            "  count(*) FILTER (WHERE s_a <> s_b) AS n_cross "
+            "FROM j GROUP BY source_lo, source_hi ORDER BY source_lo, source_hi"
+        ),
+        # a84: gram -> min(doc_id) first-owner table; a doc's novel grams are
+        # the ones it owns
+        "a84_novelty": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct("
+            "  [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)])) AS g "
+            "  FROM t WHERE len(toks) >= 8), "
+            "f AS (SELECT g, min(doc_id) AS first_id FROM g GROUP BY g), "
+            "pd AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id), "
+            "nv AS (SELECT g.doc_id, count(*) AS n_novel FROM g "
+            "  JOIN f ON g.g = f.g AND g.doc_id = f.first_id GROUP BY g.doc_id) "
+            "SELECT pd.doc_id, pd.n_grams::BIGINT AS n_grams, "
+            "  coalesce(nv.n_novel, 0)::BIGINT AS n_novel, "
+            "  round(coalesce(nv.n_novel, 0)::DOUBLE / pd.n_grams, 4) AS novelty "
+            "FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id ORDER BY pd.doc_id"
         ),
         # a54: per-source gram doc-frequency vs source doc count; boilerplate
         # grams flagged back onto each doc

@@ -1028,6 +1028,83 @@ def split_leakage(
     )
 
 
+def source_dup_matrix(
+    pairs: DataFrame, sources: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-source duplication matrix: near-dup pair counts by the
+    canonically ordered pair of SOURCES their endpoints came from — the
+    provenance view of duplication (which feeds copy from which; the
+    diagonal is within-source boilerplate).  Same pair-x-label-map shape as
+    split_leakage, so it reuses it outright: two id-keyed joins of the
+    already-detected pair list, then a groupBy bounded by |sources|².
+
+    `sources` is (id_col, source) — e.g. documents.select("doc_id",
+    "source")."""
+    labeled = sources.select(id_col, F.col("source").alias("split"))
+    out = split_leakage(pairs, labeled, id_col)
+    return out.select(
+        F.col("split_lo").alias("source_lo"),
+        F.col("split_hi").alias("source_hi"),
+        "n_pairs",
+        "n_cross",
+    )
+
+
+def novelty_fraction(
+    df: DataFrame,
+    gram_len: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's distinct
+    `gram_len`-grams not seen in any EARLIER document (by `id_col` order) —
+    the marginal-information curve that tells a pipeline how much each
+    increment of an ordered corpus actually adds (near 0 = the doc is
+    assembled from text the corpus already has).
+
+    Plan: one distinct-gram explode, a gram-keyed min(id) agg (the "first
+    owner" posting table), and a self-join back — a doc's novel grams are
+    exactly those it owns.  Both shuffles key on the gram, so partition
+    sizes track posting lists, never the corpus; docs shorter than
+    `gram_len` have no grams and are excluded (novelty is undefined)."""
+    toks = F.split(F.col(text_col), " ")
+    t = df.select(F.col(id_col), toks.alias("toks"), F.size(toks).alias("n"))
+    grams = (
+        t.filter(F.col("n") >= gram_len)
+        .select(
+            id_col,
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("n") - (gram_len - 1)),
+                        lambda i: F.array_join(F.slice("toks", i, gram_len), " "),
+                    )
+                )
+            ).alias("g"),
+        )
+    )
+    first = grams.groupBy("g").agg(F.min(id_col).alias("__first"))
+    per_doc = grams.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = (
+        grams.join(first, "g")
+        .filter(F.col(id_col) == F.col("__first"))
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_novel"))
+    )
+    return (
+        per_doc.join(novel, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce("n_novel", F.lit(0)).cast("double") / F.col("n_grams"), 4
+            ).alias("novelty"),
+        )
+        .orderBy(id_col)
+    )
+
+
 def duplicate_substring_intervals(
     df: DataFrame,
     gram_len: int = 8,

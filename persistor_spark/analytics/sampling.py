@@ -364,22 +364,26 @@ def select_token_budget(
         row["__pid"]: row["t"]
         for row in r.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
     }
-    offsets, acc = {}, 0
+    offsets, acc = [], 0
     for pid in sorted(totals):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += totals[pid]
-    off_expr = F.lit(0).cast("long")
-    for pid, off in offsets.items():
-        off_expr = F.when(F.col("__pid") == pid, F.lit(off).cast("long")).otherwise(
-            off_expr
-        )
+    # P-row broadcast join, not a chained CASE: expression depth stays O(1)
+    # however many range partitions the corpus needs
+    off_df = r.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __offset long"
+    )
     w = (
         Window.partitionBy("__pid")
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        r.withColumn("cum_tokens", (off_expr + F.sum("n_tokens").over(w)).cast("long"))
+        r.join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(
+            "cum_tokens",
+            (F.coalesce("__offset", F.lit(0)) + F.sum("n_tokens").over(w)).cast("long"),
+        )
         .filter(F.col("cum_tokens") <= F.lit(int(budget_tokens)))
         .select(id_col, "score", "n_tokens", "cum_tokens")
         .orderBy(id_col)

@@ -1291,6 +1291,39 @@ def test_remove_duplicate_substrings_cuts_spans(spark):
     assert got2 == {0: "", 1: ""}
 
 
+def test_source_dup_matrix_counts_by_canonical_pair(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "a int, b int"
+    )
+    sources = spark.createDataFrame(
+        [(1, "web"), (2, "web"), (3, "books"), (4, "books"), (5, "web")],
+        "doc_id int, source string",
+    )
+    got = {
+        (r["source_lo"], r["source_hi"]): (r["n_pairs"], r["n_cross"])
+        for r in dedup.source_dup_matrix(pairs, sources).collect()
+    }
+    assert got == {("web", "web"): (1, 0), ("books", "web"): (2, 2)}
+
+
+def test_novelty_fraction_first_owner_wins(spark):
+    base = " ".join(f"w{i}" for i in range(20))
+    half = " ".join(f"w{i}" for i in range(10)) + " " + " ".join(f"u{i}" for i in range(10))
+    rows = [(0, base), (1, base), (2, half)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in dedup.novelty_fraction(df, gram_len=8).collect()
+    }
+    assert got[0] == (13, 13, 1.0)       # first owner of everything it has
+    assert got[1] == (13, 0, 0.0)        # verbatim copy of doc 0
+    # doc 2: grams starting at pos 1..3 are copies of doc 0's prefix run
+    # (w0..w9 only covers 8-grams at positions 1-3); the rest are new
+    n_grams, n_novel, novelty = got[2]
+    assert n_grams == 13 and n_novel == 10
+    assert abs(novelty - round(10 / 13, 4)) < 1e-9
+
+
 def test_boilerplate_stats_flags_source_common_grams(spark):
     # "nav home about" appears in every src0 doc (boilerplate); unique tails
     rows = [
