@@ -1180,6 +1180,18 @@ def test_select_token_budget_matches_global_cumsum(spark):
     assert sampling.select_token_budget(df, 10**9, num_partitions=4).count() == 100
 
 
+def test_select_token_budget_plan_has_no_single_partition_window(spark):
+    from persistor_spark.analytics import sampling
+
+    rows = [(i, float(i % 7), 10 + i % 5) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id int, score double, n_tokens int")
+    out = sampling.select_token_budget(df, 10**6, num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cumsum window partitions by __pid; the only global ordering is the
+    # final presentation sort (rangepartitioning), never SinglePartition
+    assert "SinglePartition" not in plan
+
+
 def test_topk_recall_harness(embs):
     q = embs.filter(F.col("vec_id") < 5)
     truth = similarity.brute_force_topk(embs, q, k=5)
