@@ -278,6 +278,54 @@ def _d20_first_seen(spark, sf_dir):
     ).orderBy("unique_id")
 
 
+def _d22_mongo_payload_fetch(spark, sf_dir):
+    """S6 Mongo payload fetcher (mongo.go:100-162) through the driver
+    contract: orders rows become two keyed 'collections' (split by orderkey
+    parity, payload = o_comment bytes), then a location list containing 50
+    hits, one missing id, and one malformed key fetches through the
+    per-collection scan + (collection,id) join — errors route row-wise, the
+    reference's per-key FindOne failures as data."""
+    import tempfile
+
+    from persistor_spark.sources import mongo_payloads as mp
+    from persistor_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    recs = orders.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("id"),
+        F.encode("o_orderpriority", "UTF-8").alias("data"),
+        (F.col("o_orderkey") % 2).alias("par"),
+    )
+    root = tempfile.mkdtemp(prefix="mongostore_")
+    mp.write_collection(recs.filter("par = 0").select("id", "data"), root, "even")
+    mp.write_collection(recs.filter("par = 1").select("id", "data"), root, "odd")
+    locs = (
+        orders.select(F.col("o_orderkey").alias("k"))
+        .orderBy("k")
+        .limit(50)
+        .select(
+            F.concat(
+                F.when(F.col("k") % 2 == 0, F.lit("even")).otherwise(F.lit("odd")),
+                F.lit("/o"),
+                F.col("k").cast("string"),
+            ).alias("location_key")
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [("even/o999999999",), ("malformed",)], "location_key string"
+            )
+        )
+    )
+    out = mp.fetch_payloads(spark, root, locs)
+    return out.select(
+        "location_key",
+        "collection",
+        "msg_id",
+        F.decode("data", "UTF-8").alias("payload"),
+        "error_category",
+    ).orderBy("location_key")
+
+
 def _d21_salted_agg(spark, sf_dir):
     """Skew-safe two-phase aggregation (operators/skew.py): the hot key
     spreads over `factor` reducers in phase 1; phase 2 shuffles only
@@ -2287,6 +2335,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a82_token_budget": _a82_token_budget,
         "a83_source_dup_matrix": _a83_source_dup_matrix,
         "a84_novelty": _a84_novelty,
+        "d22_mongo_payload_fetch": _d22_mongo_payload_fetch,
         "a55_ivfpq_persist": _a55_ivfpq_persist,
         # -- CC internals changed late in r4 (observation-fused fixpoint):
         # rotate both component queries back under the driver
@@ -2304,14 +2353,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a12_embedding_pairs": _a12_embedding_pairs,
         # -- 8 changed this round: need fresh driver verdicts
         "a6_lsh_topk": _a_lsh_topk,
-        "a7_ivf_topk": _a_ivf_topk,
         # ---- driver window ends here (50) — below: multiply-green, pinned
         # by tools/check.py + pytest every round.  a25/a32/a33/a34 rotated
         # down to make room for the new a81-a84: all four have r3
         # driver-green rows, the shared IVF-PQ/kmeans rewrite stays
         # driver-pinned through in-window a55/a60/a69, the a34 rewrite is
         # result-hash-identical, and a33's oracle tightening is gate-pinned
-        # at both SFs.
+        # at both SFs.  a7 joins them for the same reason (d22 takes its
+        # slot).
+        "a7_ivf_topk": _a_ivf_topk,
         "a25_pq_topk": _a_pq_topk,
         "a32_ivfpq_topk": _a_ivfpq_topk,
         "a33_semdedup": _a_semdedup,
@@ -2532,6 +2582,33 @@ def oracle_sql() -> dict[str, str]:
             "JOIN blob_records b ON m.location_key = b.location_key "
             "WHERE m.location_position IS NULL "
             "ORDER BY unique_id"
+        ),
+        # d22: the S6 store rebuilt relationally — same parity split, same
+        # location list (50 hits + 1 missing + 1 malformed), same row-level
+        # error routing
+        "d22_mongo_payload_fetch": (
+            "WITH k AS (SELECT o_orderkey AS k FROM orders ORDER BY k LIMIT 50), "
+            "loc AS (SELECT (CASE WHEN k % 2 = 0 THEN 'even' ELSE 'odd' END) "
+            "    || '/o' || k::VARCHAR AS location_key FROM k "
+            "  UNION ALL SELECT 'even/o999999999' UNION ALL SELECT 'malformed'), "
+            "p AS (SELECT location_key, string_split(location_key, '/') AS parts "
+            "  FROM loc), "
+            "parsed AS (SELECT location_key, "
+            "  CASE WHEN len(parts) = 2 AND length(parts[1]) > 0 "
+            "    AND length(parts[2]) > 0 THEN parts[1] END AS collection, "
+            "  CASE WHEN len(parts) = 2 AND length(parts[1]) > 0 "
+            "    AND length(parts[2]) > 0 THEN parts[2] END AS msg_id FROM p), "
+            "store AS (SELECT (CASE WHEN o_orderkey % 2 = 0 THEN 'even' ELSE 'odd' END) "
+            "    AS collection, 'o' || o_orderkey::VARCHAR AS msg_id, "
+            "  o_orderpriority AS payload FROM orders) "
+            "SELECT parsed.location_key, parsed.collection, parsed.msg_id, "
+            "  store.payload, "
+            "  CASE WHEN parsed.collection IS NULL THEN 'invalid_location_key' "
+            "    WHEN store.msg_id IS NULL THEN 'document_not_found' END "
+            "    AS error_category "
+            "FROM parsed LEFT JOIN store "
+            "  ON parsed.collection = store.collection AND parsed.msg_id = store.msg_id "
+            "ORDER BY location_key"
         ),
         "d21_salted_agg": (
             "SELECT event_type, count(*) AS n, round(sum(value), 2) AS total "

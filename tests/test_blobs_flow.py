@@ -97,3 +97,73 @@ def test_guard_batch_policy():
         fc.guard_batch(budget, temp_fail)
     with pytest.raises(fc.FatalIngestError):
         fc.guard_batch(budget, fatal_fail)
+
+
+# ---------------------------------------------------------------------------
+# S6: Mongo payload fetcher (directory-store stand-in, reference mongo.go)
+# ---------------------------------------------------------------------------
+
+def _mongo_store(spark, tmp_path):
+    from persistor_spark.sources import mongo_payloads as mp
+
+    root = str(tmp_path / "mongostore")
+    a = spark.createDataFrame(
+        [(f"m{i}", bytes(f"payload-a-{i}", "utf8")) for i in range(5)],
+        "id string, data binary",
+    )
+    b = spark.createDataFrame(
+        [(f"m{i}", bytes(f"payload-b-{i}", "utf8")) for i in range(3)],
+        "id string, data binary",
+    )
+    mp.write_collection(a, root, "colA")
+    mp.write_collection(b, root, "colB")
+    return root
+
+
+def test_mongo_fetch_joins_per_collection(spark, tmp_path):
+    from persistor_spark.sources import mongo_payloads as mp
+
+    root = _mongo_store(spark, tmp_path)
+    locs = spark.createDataFrame(
+        [("colA/m1",), ("colA/m4",), ("colB/m0",)], "location_key string"
+    )
+    got = {r["location_key"]: r for r in mp.fetch_payloads(spark, root, locs).collect()}
+    assert got["colA/m1"]["data"] == b"payload-a-1"
+    assert got["colA/m4"]["data"] == b"payload-a-4"
+    assert got["colB/m0"]["data"] == b"payload-b-0"
+    assert all(r["error_category"] is None for r in got.values())
+
+
+def test_mongo_fetch_routes_errors_rowwise(spark, tmp_path):
+    from persistor_spark.sources import mongo_payloads as mp
+
+    root = _mongo_store(spark, tmp_path)
+    locs = spark.createDataFrame(
+        [("colA/m1",), ("colA/m99",), ("noslash",), ("a/b/c",), ("/m1",)],
+        "location_key string",
+    )
+    got = {r["location_key"]: r for r in mp.fetch_payloads(spark, root, locs).collect()}
+    assert got["colA/m1"]["error_category"] is None
+    assert got["colA/m99"]["error_category"] == mp.NOT_FOUND
+    for bad in ("noslash", "a/b/c", "/m1"):
+        assert got[bad]["error_category"] == mp.INVALID_KEY
+        assert got[bad]["data"] is None
+
+
+def test_mongo_connector_env_contract(monkeypatch):
+    from persistor_spark.sources import mongo_payloads as mp
+
+    monkeypatch.delenv(mp.CONNECTION_STRING_ENV, raising=False)
+    monkeypatch.setenv(mp.STORAGE_DATABASE_ENV, "persistor")
+    try:
+        mp.mongo_connector_options("colA")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+    monkeypatch.setenv(mp.CONNECTION_STRING_ENV, "mongodb://h:27017")
+    opts = mp.mongo_connector_options("colA")
+    assert opts == {
+        "spark.mongodb.read.connection.uri": "mongodb://h:27017",
+        "spark.mongodb.read.database": "persistor",
+        "spark.mongodb.read.collection": "colA",
+    }
