@@ -2141,6 +2141,25 @@ def _a84_novelty(spark, sf_dir):
     return dedup.novelty_fraction(_docs(spark, sf_dir), gram_len=8)
 
 
+def _a85_length_histogram(spark, sf_dir):
+    """Per-source document-length histogram in log2 buckets (the dataset-
+    report staple: length distribution shape per source).  One aggregation
+    over one scan, output bounded by sources x ~64 buckets; bucket
+    boundaries are powers of two, where IEEE log2 is exact in both engines,
+    so floor() can't flip cross-engine."""
+    docs = _docs(spark, sf_dir)
+    b = F.floor(F.log2(F.col("n_chars"))).cast("long")
+    return (
+        docs.filter(F.col("n_chars") > 0)
+        .groupBy(F.col("source"), b.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("n_chars").alias("min_chars"),
+             F.max("n_chars").alias("max_chars"))
+        .withColumn("bucket_lo", F.pow(F.lit(2.0), F.col("bucket")).cast("long"))
+        .select("source", "bucket", "bucket_lo", "n_docs", "min_chars", "max_chars")
+        .orderBy("source", "bucket")
+    )
+
+
 def _a54_boilerplate(spark, sf_dir):
     """Per-source boilerplate load: fraction of each doc's distinct
     3-grams appearing in >= 20% of its source's docs (CCNet/RefinedWeb
@@ -2372,6 +2391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a32_ivfpq_topk": _a_ivfpq_topk,
         "a33_semdedup": _a_semdedup,
         "a34_opq_topk": _a_opq_topk,
+        # -- new after the r4 window froze; enters the r5 window
+        "a85_length_histogram": _a85_length_histogram,
         "e8_tumbling_window": _e_tumbling_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e9_sessionize": _e9_sessionize,
@@ -3757,6 +3778,16 @@ def oracle_sql() -> dict[str, str]:
             "  coalesce(nv.n_novel, 0)::BIGINT AS n_novel, "
             "  round(coalesce(nv.n_novel, 0)::DOUBLE / pd.n_grams, 4) AS novelty "
             "FROM pd LEFT JOIN nv ON pd.doc_id = nv.doc_id ORDER BY pd.doc_id"
+        ),
+        # a85: log2-bucket length histogram; power-of-two boundaries are
+        # IEEE-exact in both engines
+        "a85_length_histogram": (
+            "SELECT source, floor(log2(n_chars))::BIGINT AS bucket, "
+            "  (2 ** floor(log2(n_chars)))::BIGINT AS bucket_lo, "
+            "  count(*) AS n_docs, min(n_chars) AS min_chars, "
+            "  max(n_chars) AS max_chars "
+            "FROM documents WHERE n_chars > 0 "
+            "GROUP BY source, bucket, bucket_lo ORDER BY source, bucket"
         ),
         # a54: per-source gram doc-frequency vs source doc count; boilerplate
         # grams flagged back onto each doc
