@@ -2160,6 +2160,53 @@ def _a85_length_histogram(spark, sf_dir):
     )
 
 
+def _a86_type_token_stats(spark, sf_dir):
+    """Per-source vocabulary richness (Heaps-law inputs): total tokens,
+    distinct tokens, and the type-token ratio — the cheap lexical-diversity
+    read on each feed.  One explode + one agg; distinct is per-source
+    vocab-bounded."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("source", F.explode(F.split("text", " ")).alias("t"))
+    return (
+        toks.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("t").alias("n_types"),
+        )
+        .withColumn(
+            "ttr", F.round(F.col("n_types") / F.col("n_tokens"), 4)
+        )
+        .orderBy("source")
+    )
+
+
+def _a87_split_balance(spark, sf_dir):
+    """Split balance audit: after the a39 hash split, per-split doc count,
+    token volume, and mean quality score — did the split skew size or
+    quality?  Reuses assign_splits + the a75 score; one join + one agg."""
+    from persistor_spark.analytics import sampling, text
+
+    docs = _docs(spark, sf_dir)
+    splits = sampling.assign_splits(
+        docs, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    )
+    scored = docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.quality_score("text").alias("score"),
+    )
+    return (
+        scored.join(splits.select("doc_id", "split"), "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.round(F.avg("score"), 4).alias("avg_score"),
+        )
+        .orderBy("split")
+    )
+
+
 def _a54_boilerplate(spark, sf_dir):
     """Per-source boilerplate load: fraction of each doc's distinct
     3-grams appearing in >= 20% of its source's docs (CCNet/RefinedWeb
@@ -2391,8 +2438,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a32_ivfpq_topk": _a_ivfpq_topk,
         "a33_semdedup": _a_semdedup,
         "a34_opq_topk": _a_opq_topk,
-        # -- new after the r4 window froze; enters the r5 window
+        # -- new after the r4 window froze; enter the r5 window
         "a85_length_histogram": _a85_length_histogram,
+        "a86_type_token_stats": _a86_type_token_stats,
+        "a87_split_balance": _a87_split_balance,
         "e8_tumbling_window": _e_tumbling_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e9_sessionize": _e9_sessionize,
@@ -3789,6 +3838,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE n_chars > 0 "
             "GROUP BY source, bucket, bucket_lo ORDER BY source, bucket"
         ),
+        # a86: lexical richness per source (one explode + one agg)
+        "a86_type_token_stats": (
+            "WITH tk AS (SELECT source, unnest(string_split(text, ' ')) AS t "
+            "  FROM documents) "
+            "SELECT source, count(*) AS n_tokens, "
+            "  count(DISTINCT t) AS n_types, "
+            "  round(count(DISTINCT t)::DOUBLE / count(*), 4) AS ttr "
+            "FROM tk GROUP BY source ORDER BY source"
+        ),
+        "a87_split_balance": _split_balance_oracle(),
         # a54: per-source gram doc-frequency vs source doc count; boilerplate
         # grams flagged back onto each doc
         "a54_boilerplate": (
@@ -3968,6 +4027,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a39_split_assign": _split_assign_oracle(),
     }
+
+
+def _split_balance_oracle() -> str:
+    """a87 = the a39 split map joined to per-doc token counts + the a75
+    quality score, aggregated per split."""
+    from persistor_spark.analytics.sampling import split_thresholds
+
+    t0, t1 = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
+    return (
+        "WITH sp AS (SELECT doc_id, CASE "
+        f"  WHEN u < {t0!r} THEN 'train' "
+        f"  WHEN u < {t1!r} THEN 'val' "
+        "  ELSE 'test' END AS split "
+        "  FROM (SELECT doc_id, "
+        "    CAST(CONCAT('0x', substr(md5('42_' || doc_id), 1, 15)) AS BIGINT) "
+        "      / 1152921504606846976.0 AS u FROM documents)), "
+        "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+        "r AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens, "
+        "  round(((CASE WHEN len(toks) BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) "
+        "    + least(len(list_distinct(toks))::DOUBLE / len(toks) * 2, 1.0) "
+        "    + least(len(list_filter(toks, x -> list_contains("
+        "        ['the','a','and','of','to','in','is','on'], x)))::DOUBLE "
+        "      / len(toks) * 10, 1.0)) / 3, 4) AS score FROM t) "
+        "SELECT sp.split, count(*) AS n_docs, sum(r.n_tokens)::BIGINT AS n_tokens, "
+        "  round(avg(r.score), 4) AS avg_score "
+        "FROM r JOIN sp ON r.doc_id = sp.doc_id "
+        "GROUP BY sp.split ORDER BY sp.split"
+    )
 
 
 def _split_assign_oracle() -> str:
