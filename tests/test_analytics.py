@@ -1336,6 +1336,66 @@ def test_novelty_fraction_first_owner_wins(spark):
     assert abs(novelty - round(10 / 13, 4)) < 1e-9
 
 
+def test_remove_duplicate_substrings_invariants_random_corpus(spark):
+    # seeded pseudo-random corpus with planted shared runs: the removal
+    # output must (1) be a subsequence of the original token stream,
+    # (2) account exactly for n_removed, (3) remove exactly the positions
+    # the span finder covers
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"v{i}" for i in range(30)]
+    shared = [" ".join(rng.choice(vocab) for _ in range(12)) for _ in range(3)]
+    rows = []
+    for i in range(40):
+        toks = [rng.choice(vocab) for _ in range(rng.randint(3, 25))]
+        if i % 3 == 0:
+            run = shared[i % len(shared)]
+            pos = rng.randint(0, len(toks))
+            toks = toks[:pos] + run.split(" ") + toks[pos:]
+        rows.append((i, " ".join(toks)))
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cleaned = {
+        r["doc_id"]: r for r in dedup.remove_duplicate_substrings(df, gram_len=8).collect()
+    }
+    spans = {}
+    for r in dedup.duplicate_substring_intervals(df, gram_len=8).collect():
+        spans.setdefault(r["doc_id"], []).append((r["span_start"], r["span_end"]))
+    for i, text in rows:
+        orig = text.split(" ")
+        out = cleaned[i]
+        kept = out["clean_text"].split(" ") if out["clean_text"] else []
+        assert out["n_tokens"] == len(orig)
+        assert out["n_removed"] == len(orig) - len(kept)
+        # subsequence check
+        it = iter(orig)
+        assert all(any(tok == o for o in it) for tok in kept)
+        # exact agreement with the span finder's coverage
+        covered = set()
+        for lo, hi in spans.get(i, []):
+            covered.update(range(lo, hi + 1))
+        expect = [t for p, t in enumerate(orig, start=1) if p not in covered]
+        assert kept == expect
+
+
+def test_select_token_budget_monotone_in_budget(spark):
+    from persistor_spark.analytics import sampling
+
+    rows = [(i, float((i * 11) % 13), 5 + (i * 7) % 30) for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id int, score double, n_tokens int")
+    small = {r["doc_id"] for r in sampling.select_token_budget(df, 500, num_partitions=6).collect()}
+    large_rows = sampling.select_token_budget(df, 2000, num_partitions=6).collect()
+    large = {r["doc_id"] for r in large_rows}
+    # a larger budget can only extend the greedy prefix
+    assert small <= large
+    # cum_tokens is the exact running sum along (score desc, doc_id)
+    ordered = sorted(large_rows, key=lambda r: (-r["score"], r["doc_id"]))
+    acc = 0
+    for r in ordered:
+        acc += r["n_tokens"]
+        assert r["cum_tokens"] == acc
+
+
 def test_boilerplate_stats_flags_source_common_grams(spark):
     # "nav home about" appears in every src0 doc (boilerplate); unique tails
     rows = [
