@@ -2207,6 +2207,41 @@ def _a87_split_balance(spark, sf_dir):
     )
 
 
+def _a88_dup_gram_report(spark, sf_dir):
+    """Duplicated-passage provenance: the top-20 corpus-duplicated 8-grams
+    by document frequency, with how many docs and distinct sources carry
+    each — the review queue a53/a81's span cutting is justified by.
+    One posting agg + TakeOrdered; ties broken on the gram string so the
+    top-k is total-order deterministic."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(
+                F.size(toks) >= 8,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 7),
+                        lambda i: F.array_join(F.slice(toks, i, 8), " "),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    return (
+        grams.groupBy("g")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.desc("n_docs"), F.asc("g"))
+        .limit(20)
+    )
+
+
 def _a54_boilerplate(spark, sf_dir):
     """Per-source boilerplate load: fraction of each doc's distinct
     3-grams appearing in >= 20% of its source's docs (CCNet/RefinedWeb
@@ -2442,6 +2477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a85_length_histogram": _a85_length_histogram,
         "a86_type_token_stats": _a86_type_token_stats,
         "a87_split_balance": _a87_split_balance,
+        "a88_dup_gram_report": _a88_dup_gram_report,
         "e8_tumbling_window": _e_tumbling_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e9_sessionize": _e9_sessionize,
@@ -3848,6 +3884,19 @@ def oracle_sql() -> dict[str, str]:
             "FROM tk GROUP BY source ORDER BY source"
         ),
         "a87_split_balance": _split_balance_oracle(),
+        # a88: distinct 8-grams per doc -> doc/source frequency -> top-20
+        # with a total-order tie-break on the gram string
+        "a88_dup_gram_report": (
+            "WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks "
+            "  FROM documents), "
+            "g AS (SELECT doc_id, source, unnest(list_distinct("
+            "  [array_to_string(toks[i:i+7], ' ') for i in range(1, len(toks)-6)])) AS g "
+            "  FROM t WHERE len(toks) >= 8) "
+            "SELECT g, count(DISTINCT doc_id) AS n_docs, "
+            "  count(DISTINCT source) AS n_sources "
+            "FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2 "
+            "ORDER BY n_docs DESC, g ASC LIMIT 20"
+        ),
         # a54: per-source gram doc-frequency vs source doc count; boilerplate
         # grams flagged back onto each doc
         "a54_boilerplate": (
