@@ -2242,6 +2242,53 @@ def _a88_dup_gram_report(spark, sf_dir):
     )
 
 
+def _a89_removal_impact(spark, sf_dir):
+    """ExactSubstr removal impact by source: what fraction of each feed's
+    tokens the a81 pass would cut — the per-source cost/benefit sheet for
+    turning span removal on.  Composes remove_duplicate_substrings with a
+    doc-keyed source join + one agg."""
+    from persistor_spark.analytics import dedup
+
+    docs = _docs(spark, sf_dir)
+    cleaned = dedup.remove_duplicate_substrings(docs, gram_len=8)
+    return (
+        cleaned.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.sum("n_removed").alias("n_removed"),
+            F.count(F.when(F.col("n_removed") > 0, 1)).alias("n_docs_touched"),
+            F.round(F.sum("n_removed") / F.sum("n_tokens"), 4).alias("removed_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+def _a90_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility by source: BPE-ish subword count over whitespace
+    word count — the metric that says how expensive each feed is per word
+    under the target tokenizer (fertility ~1 = cheap English-like text,
+    high = digits/punctuation-heavy).  Pure JVM expressions, one agg."""
+    from persistor_spark.analytics import text
+
+    docs = _docs(spark, sf_dir)
+    per = docs.select(
+        "source",
+        text.token_count("text").alias("ws"),
+        text.bpe_token_count("text").alias("bpe"),
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.sum("ws").alias("ws_tokens"),
+            F.sum("bpe").alias("bpe_tokens"),
+            F.round(F.sum("bpe") / F.sum("ws"), 4).alias("fertility"),
+        )
+        .orderBy("source")
+    )
+
+
 def _a54_boilerplate(spark, sf_dir):
     """Per-source boilerplate load: fraction of each doc's distinct
     3-grams appearing in >= 20% of its source's docs (CCNet/RefinedWeb
@@ -2478,6 +2525,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a86_type_token_stats": _a86_type_token_stats,
         "a87_split_balance": _a87_split_balance,
         "a88_dup_gram_report": _a88_dup_gram_report,
+        "a89_removal_impact": _a89_removal_impact,
+        "a90_tokenizer_fertility": _a90_tokenizer_fertility,
         "e8_tumbling_window": _e_tumbling_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e9_sessionize": _e9_sessionize,
@@ -3896,6 +3945,43 @@ def oracle_sql() -> dict[str, str]:
             "  count(DISTINCT source) AS n_sources "
             "FROM g GROUP BY g HAVING count(DISTINCT doc_id) >= 2 "
             "ORDER BY n_docs DESC, g ASC LIMIT 20"
+        ),
+        # a89: the a81 span CTEs aggregated per source (spans are disjoint,
+        # so removed tokens = sum of span lengths)
+        "a89_removal_impact": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, i AS pos, array_to_string(toks[i:i+7], ' ') AS gram "
+            "  FROM t, unnest(range(1, len(toks) - 6)) AS u(i)), "
+            "d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2), "
+            "p AS (SELECT doc_id, pos FROM g JOIN d USING (gram)), "
+            "i AS (SELECT doc_id, pos, CASE WHEN pos - "
+            "    lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 8 "
+            "  THEN 1 ELSE 0 END AS brk FROM p), "
+            "isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id "
+            "  ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM i), "
+            "sp AS (SELECT doc_id, min(pos) AS s, max(pos) + 7 AS e "
+            "  FROM isl GROUP BY doc_id, grp), "
+            "rm AS (SELECT doc_id, sum(e - s + 1) AS removed FROM sp GROUP BY doc_id) "
+            "SELECT doc.source, count(*) AS n_docs, "
+            "  sum(len(t.toks))::BIGINT AS n_tokens, "
+            "  sum(coalesce(rm.removed, 0))::BIGINT AS n_removed, "
+            "  count(CASE WHEN coalesce(rm.removed, 0) > 0 THEN 1 END) "
+            "    AS n_docs_touched, "
+            "  round(sum(coalesce(rm.removed, 0))::DOUBLE / sum(len(t.toks)), 4) "
+            "    AS removed_frac "
+            "FROM t JOIN documents doc USING (doc_id) "
+            "LEFT JOIN rm ON t.doc_id = rm.doc_id "
+            "GROUP BY doc.source ORDER BY doc.source"
+        ),
+        # a90: the a17 token expressions aggregated per source
+        "a90_tokenizer_fertility": (
+            "SELECT source, "
+            "  sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens, "
+            "  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::BIGINT "
+            "    AS bpe_tokens, "
+            "  round(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::DOUBLE "
+            "    / sum(len(string_split(text, ' '))), 4) AS fertility "
+            "FROM documents GROUP BY source ORDER BY source"
         ),
         # a54: per-source gram doc-frequency vs source doc count; boilerplate
         # grams flagged back onto each doc
