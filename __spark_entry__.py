@@ -2440,14 +2440,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     position 50 (green + unchanged, or simple local-green r4 ops):
     d-series (minus the new d22), e8/e9/e10/e11/e12/e19/e20, a1–a5,
     a13–a24, a29, a41–a43, a46/a47 — all pinned by tools/check.py (ALL
-    queries, every round, 110-136/136 green across this round's repeated
+    queries, every round, 110-142/142 green across this round's repeated
     full runs) and pytest.
 
     Third-session adjustments: the new a81–a84 + d22 enter the window;
     a7/a25/a32/a33/a34 rotate below it (all r3-driver-green; the shared
     IVF-PQ/kmeans rewrite stays driver-pinned through in-window
     a55/a60/a69, the a34 rewrite is result-hash-identical, a33's oracle
-    tightening is gate-pinned at both SFs).
+    tightening is gate-pinned at both SFs).  a85-a90, added after the
+    window froze, sit below it — all oracle-green at both SFs, first in
+    line for the r5 rotation.
     """
     return {
         # -- no driver row yet (r3 late additions + r4 new operators)
