@@ -2495,7 +2495,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a55_ivfpq_persist": _a55_ivfpq_persist,
         # -- CC internals changed late in r4 (observation-fused fixpoint):
         # rotate both component queries back under the driver
-        "a11_dedup_clusters": _a_dedup_clusters,
         "a26_cc_two_phase": _a_cc_two_phase,
         "a44_cluster_reps": _a44_cluster_reps,
         "a49_ann_recall": _a49_ann_recall,
@@ -2507,8 +2506,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Catalyst queries, still gate-pinned every round)
         "e24_asof_tolerance": _e24_asof_tolerance,
         "a12_embedding_pairs": _a12_embedding_pairs,
-        # -- 8 changed this round: need fresh driver verdicts
-        "a6_lsh_topk": _a_lsh_topk,
+        # -- changed this round: need fresh driver verdicts.  The simhash
+        # candidate join was rewritten late (slim id-only join + packed
+        # signatures), so both its queries re-enter; a6/a11 rotate below
+        # (their code paths stay driver-pinned through in-window a49 and
+        # a44/a79 respectively).
+        "a4_simhash_pairs": _a_simhash,
+        "a19_simhash_md5": _a19_simhash_md5,
         # ---- driver window ends here (50) — below: multiply-green, pinned
         # by tools/check.py + pytest every round.  a25/a32/a33/a34 rotated
         # down to make room for the new a81-a84: all four have r3
@@ -2546,12 +2550,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a43_norm_fingerprint": _a43_norm_fingerprint,
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
-        "a4_simhash_pairs": _a_simhash,
+        "a6_lsh_topk": _a_lsh_topk,
+        "a11_dedup_clusters": _a_dedup_clusters,
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a17_bpe_tokens": _a17_bpe_tokens,
         "a16_label_centroids": _a16_label_centroids,
         "a18_winnowing_pairs": _a18_winnowing_pairs,
-        "a19_simhash_md5": _a19_simhash_md5,
         "a20_contamination": _a20_contamination,
         "a21_cms_sketch": _a21_cms_sketch,
         "a22_repetition": _a22_repetition,

@@ -339,15 +339,53 @@ def simhash_pairs(
             )
         ).alias("band", "chunk"),
     )
-    left = chunks.select("band", "chunk", F.col("id").alias("a"), F.col("bits").alias("bits_a"))
-    right = chunks.select("band", "chunk", F.col("id").alias("b"), F.col("bits").alias("bits_b"))
-    return (
+    # slim candidate join (the a12 lesson): the band shuffle carries IDS
+    # ONLY — a pair sharing k bands collapses to one row via distinct
+    # BEFORE any Hamming work, instead of paying a k-times-replicated
+    # shuffle of both bit arrays plus k Hamming evaluations per pair
+    left = chunks.select("band", "chunk", F.col("id").alias("a"))
+    right = chunks.select("band", "chunk", F.col("id").alias("b"))
+    cand = (
         left.join(right, ["band", "chunk"])
         .filter(F.col("a") < F.col("b"))
-        .select("a", "b", hamming_bits(F.col("bits_a"), F.col("bits_b")).alias("distance"))
+        .select("a", "b")
         .distinct()
-        .filter(F.col("distance") <= max_distance)
     )
+    if bits <= 62:
+        # pack the whole signature into one long: the verify becomes a
+        # single bit_count(xor) per pair instead of a 60-element zip
+        sig = h.select(
+            "id",
+            F.aggregate(
+                "bits", F.lit(0).cast("long"), lambda acc, x: acc * 2 + x
+            ).alias("__sig"),
+        )
+        sa = sig.select(F.col("id").alias("a"), F.col("__sig").alias("__sa"))
+        sb = sig.select(F.col("id").alias("b"), F.col("__sig").alias("__sb"))
+        verified = (
+            cand.join(sa, "a")
+            .join(sb, "b")
+            .select(
+                "a",
+                "b",
+                F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias(
+                    "distance"
+                ),
+            )
+        )
+    else:
+        # 63/64-bit signatures would overflow the ANSI fold; keep the
+        # bit-array Hamming for those
+        ba = h.select(F.col("id").alias("a"), F.col("bits").alias("__ba"))
+        bb = h.select(F.col("id").alias("b"), F.col("bits").alias("__bb"))
+        verified = (
+            cand.join(ba, "a")
+            .join(bb, "b")
+            .select(
+                "a", "b", hamming_bits(F.col("__ba"), F.col("__bb")).alias("distance")
+            )
+        )
+    return verified.filter(F.col("distance") <= max_distance)
 
 
 # ---------------------------------------------------------------------------
