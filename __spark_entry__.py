@@ -278,27 +278,46 @@ def _d20_first_seen(spark, sf_dir):
     ).orderBy("unique_id")
 
 
+#: per-session cache of the d22 fixture store, keyed by sf_dir — the store
+#: is deterministic in the input, so repeated driver/gate runs reuse one
+#: tempdir instead of leaking a fresh mkdtemp per run
+_D22_STORES: dict = {}
+
+
+def _d22_store(spark, sf_dir, orders):
+    if sf_dir not in _D22_STORES:
+        import tempfile
+
+        from persistor_spark.sources import mongo_payloads as mp
+
+        recs = orders.select(
+            F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("id"),
+            F.encode("o_orderpriority", "UTF-8").alias("data"),
+            (F.col("o_orderkey") % 2).alias("par"),
+        )
+        import atexit
+        import shutil
+
+        root = tempfile.mkdtemp(prefix="mongostore_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        mp.write_collection(recs.filter("par = 0").select("id", "data"), root, "even")
+        mp.write_collection(recs.filter("par = 1").select("id", "data"), root, "odd")
+        _D22_STORES[sf_dir] = root
+    return _D22_STORES[sf_dir]
+
+
 def _d22_mongo_payload_fetch(spark, sf_dir):
     """S6 Mongo payload fetcher (mongo.go:100-162) through the driver
     contract: orders rows become two keyed 'collections' (split by orderkey
-    parity, payload = o_comment bytes), then a location list containing 50
-    hits, one missing id, and one malformed key fetches through the
-    per-collection scan + (collection,id) join — errors route row-wise, the
-    reference's per-key FindOne failures as data."""
-    import tempfile
-
+    parity, payload = o_orderpriority bytes), then a location list
+    containing 50 hits, one missing id, and one malformed key fetches
+    through the per-collection scan + (collection,id) join — errors route
+    row-wise, the reference's per-key FindOne failures as data."""
     from persistor_spark.sources import mongo_payloads as mp
     from persistor_spark.sources.registry import load_table
 
     orders = load_table(spark, sf_dir, "orders")
-    recs = orders.select(
-        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("id"),
-        F.encode("o_orderpriority", "UTF-8").alias("data"),
-        (F.col("o_orderkey") % 2).alias("par"),
-    )
-    root = tempfile.mkdtemp(prefix="mongostore_")
-    mp.write_collection(recs.filter("par = 0").select("id", "data"), root, "even")
-    mp.write_collection(recs.filter("par = 1").select("id", "data"), root, "odd")
+    root = _d22_store(spark, sf_dir, orders)
     locs = (
         orders.select(F.col("o_orderkey").alias("k"))
         .orderBy("k")

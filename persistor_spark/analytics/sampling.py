@@ -354,7 +354,10 @@ def select_token_budget(
     base = df.select(
         F.col(id_col),
         F.col(score_col).alias("score"),
-        F.col(token_col).cast("long").alias("n_tokens"),
+        # NULL token counts cost nothing against the budget; without the
+        # coalesce an all-null partition sums to NULL and the driver-side
+        # offset accumulation below would TypeError
+        F.coalesce(F.col(token_col).cast("long"), F.lit(0)).alias("n_tokens"),
     )
     r = base.repartitionByRange(
         num_partitions, F.col("score").desc(), F.col(id_col).asc()
@@ -367,7 +370,7 @@ def select_token_budget(
     offsets, acc = [], 0
     for pid in sorted(totals):
         offsets.append((pid, acc))
-        acc += totals[pid]
+        acc += totals[pid] or 0
     # P-row broadcast join, not a chained CASE: expression depth stays O(1)
     # however many range partitions the corpus needs
     off_df = r.sparkSession.createDataFrame(

@@ -64,16 +64,15 @@ def mongo_connector_options(collection: str) -> dict:
 
 def parse_location_keys(locations: DataFrame) -> DataFrame:
     """Split `location_key` into (collection, msg_id); keys without exactly
-    two non-empty segments get `error_category = invalid_location_key`
-    (mongo.go:155-162 rejects them per key)."""
+    two segments get `error_category = invalid_location_key`
+    (mongo.go:155-162 rejects them per key).  Keys with EMPTY segments
+    ('/m1', 'colA/') pass parsing — the reference's split only checks the
+    segment count, so such keys reach FindOne and surface as not-found;
+    here they miss the store join and route as `document_not_found`."""
     parts = F.split(F.col("location_key"), "/")
     # try_element_at: a malformed key must route, not throw (ANSI element_at
     # raises on out-of-bounds)
-    valid = (
-        (F.size(parts) == 2)
-        & (F.length(F.try_element_at(parts, F.lit(1))) > 0)
-        & (F.length(F.try_element_at(parts, F.lit(2))) > 0)
-    )
+    valid = F.size(parts) == 2
     return locations.withColumn(
         "collection", F.when(valid, F.try_element_at(parts, F.lit(1)))
     ).withColumn("msg_id", F.when(valid, F.try_element_at(parts, F.lit(2)))).withColumn(
@@ -108,21 +107,44 @@ def fetch_payloads(
     parsed = parse_location_keys(locations)
     wanted = parsed.filter(F.col("error_category").isNull())
     names = [r[0] for r in wanted.select("collection").distinct().collect()]
-    if names:
-        store = None
-        for name in sorted(names):
-            one = read_collection(spark, root, name, fmt).select(
-                F.lit(name).alias("collection"),
-                F.col("id").alias("msg_id"),
-                F.col("data"),
+    store = None
+    for name in sorted(names):
+        # A referenced collection absent from the store must route its rows
+        # as document_not_found (the reference's per-key ErrNoDocuments,
+        # mongo.go:143-151), never abort the replay — so probe the load
+        # driver-side and simply leave missing collections out of the
+        # union; their rows miss the join below.  Empty collection names
+        # (from '/m1'-style keys) are always absent.
+        if not name:
+            continue
+        try:
+            one = read_collection(spark, root, name, fmt)
+        except Exception:
+            continue
+        one = one.select(
+            F.lit(name).alias("collection"),
+            F.col("id").alias("msg_id"),
+            F.col("data"),
+            # presence marker: a stored document whose data is legitimately
+            # NULL decodes as an empty payload with NO error (the reference
+            # returns record.Data as-is) — join-miss and null-payload must
+            # stay distinguishable after the left join
+            F.lit(True).alias("__found"),
+        )
+        store = one if store is None else store.unionByName(one)
+    if store is not None:
+        fetched = (
+            wanted.join(store, ["collection", "msg_id"], "left")
+            .withColumn(
+                "error_category",
+                F.when(~F.coalesce("__found", F.lit(False)), F.lit(NOT_FOUND)),
             )
-            store = one if store is None else store.unionByName(one)
-        fetched = wanted.join(store, ["collection", "msg_id"], "left").withColumn(
-            "error_category",
-            F.when(F.col("data").isNull(), F.lit(NOT_FOUND)),
+            .drop("__found")
         )
     else:
-        fetched = wanted.withColumn("data", F.lit(None).cast("binary"))
+        fetched = wanted.withColumn("data", F.lit(None).cast("binary")).withColumn(
+            "error_category", F.lit(NOT_FOUND)
+        )
     bad = parsed.filter(F.col("error_category").isNotNull()).withColumn(
         "data", F.lit(None).cast("binary")
     )

@@ -145,9 +145,51 @@ def test_mongo_fetch_routes_errors_rowwise(spark, tmp_path):
     got = {r["location_key"]: r for r in mp.fetch_payloads(spark, root, locs).collect()}
     assert got["colA/m1"]["error_category"] is None
     assert got["colA/m99"]["error_category"] == mp.NOT_FOUND
-    for bad in ("noslash", "a/b/c", "/m1"):
+    for bad in ("noslash", "a/b/c"):
         assert got[bad]["error_category"] == mp.INVALID_KEY
         assert got[bad]["data"] is None
+    # empty-segment keys parse (reference only checks segment COUNT,
+    # mongo.go:155-162) and surface as not-found, like FindOne would
+    assert got["/m1"]["error_category"] == mp.NOT_FOUND
+    assert got["/m1"]["data"] is None
+
+
+def test_mongo_fetch_missing_collection_routes_not_found(spark, tmp_path):
+    # a well-formed key referencing an absent collection must NOT abort the
+    # replay: the reference's FindOne yields per-key ErrNoDocuments
+    from persistor_spark.sources import mongo_payloads as mp
+
+    root = _mongo_store(spark, tmp_path)
+    locs = spark.createDataFrame(
+        [("colA/m1",), ("ghost/m1",), ("ghost/m2",)], "location_key string"
+    )
+    got = {r["location_key"]: r for r in mp.fetch_payloads(spark, root, locs).collect()}
+    assert got["colA/m1"]["error_category"] is None
+    assert got["ghost/m1"]["error_category"] == mp.NOT_FOUND
+    assert got["ghost/m2"]["error_category"] == mp.NOT_FOUND
+    # ... including when EVERY referenced collection is absent
+    only_ghost = spark.createDataFrame([("ghost/m1",)], "location_key string")
+    rows = mp.fetch_payloads(spark, root, only_ghost).collect()
+    assert rows[0]["error_category"] == mp.NOT_FOUND
+
+
+def test_mongo_fetch_null_payload_is_not_an_error(spark, tmp_path):
+    # a stored document whose data is legitimately NULL decodes as an empty
+    # payload with NO error (the reference returns record.Data as-is)
+    from persistor_spark.sources import mongo_payloads as mp
+
+    root = str(tmp_path / "nullstore")
+    recs = spark.createDataFrame(
+        [("m0", b"x"), ("m1", None)], "id string, data binary"
+    )
+    mp.write_collection(recs, root, "colN")
+    locs = spark.createDataFrame(
+        [("colN/m0",), ("colN/m1",), ("colN/m9",)], "location_key string"
+    )
+    got = {r["location_key"]: r for r in mp.fetch_payloads(spark, root, locs).collect()}
+    assert got["colN/m0"]["error_category"] is None
+    assert got["colN/m1"]["error_category"] is None and got["colN/m1"]["data"] is None
+    assert got["colN/m9"]["error_category"] == mp.NOT_FOUND
 
 
 def test_mongo_connector_env_contract(monkeypatch):
