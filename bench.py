@@ -324,6 +324,40 @@ def bench_dedup_incremental(ctx: Ctx):
     return dedup.incremental_dup_pairs(new, loaded, 0.8).count()
 
 
+def bench_index_compaction(ctx: Ctx):
+    """Periodic maintenance for the append-only persisted-index layouts
+    (plans.maintenance): 40 appended micro-batches (10x the stream_ingest
+    fixture) fragment the band-partitioned LSH index to bands x batches
+    small files; the timed step is compact_parquet rewriting it back to
+    ~one file per band with an atomic swap.  Prep (the appends, off one
+    checkpointed sketch) is excluded — self-timed.  Companion measurement
+    (ARCHITECTURE §6): the steady-state probe on the fragmented layout vs
+    after compaction."""
+    from persistor_spark.analytics import dedup
+    from persistor_spark.plans import maintenance
+
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    idx = f"{ctx.workdir}/frag_lsh_index"
+    dedup.lsh_index_save(
+        dedup.build_band_table(docs.filter(F.col("doc_id") % 2 == 0)), idx
+    )
+    bt = dedup.build_band_table(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    ).localCheckpoint()
+    for i in range(40):
+        bt.filter(F.col("id") % 40 == i).write.mode("append").partitionBy(
+            "band"
+        ).parquet(idx)
+    t0 = time.time()
+    stats = maintenance.compact_parquet(ctx.spark, idx, partition_col="band")
+    elapsed = time.time() - t0
+    assert stats["files_after"] < stats["files_before"], stats
+    return elapsed
+
+
+bench_index_compaction.self_timed = True
+
+
 def bench_graph_pagerank(ctx: Ctx):
     """Iterative-join workload: 3 PageRank rounds over the symmetric
     customer<->supplier purchase graph (one shuffle join + one agg per
@@ -351,6 +385,7 @@ QUERIES = {
     "dedup_index_build": bench_dedup_index_build,
     "dedup_incremental": bench_dedup_incremental,
     "dedup_exactsubstr": bench_dedup_exactsubstr,
+    "index_compaction": bench_index_compaction,
     "ann_topk": bench_ann_topk,
     "ann_ivfpq_build": bench_ann_ivfpq_build,
     "ann_ivfpq_probe": bench_ann_ivfpq_probe,

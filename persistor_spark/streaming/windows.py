@@ -250,6 +250,7 @@ def run_incremental_dedup_stream(
     checkpoint: str,
     threshold: float = 0.8,
     schema: str = "doc_id long, text string",
+    compact_every: int | None = None,
 ):
     """Continuous near-dup detection against a PERSISTED LSH index: each
     file-source micro-batch (a) probes the band-partitioned index for
@@ -262,8 +263,16 @@ def run_incremental_dedup_stream(
     band partitions (cost tracks batch x bucket occupancy, never corpus²);
     the index append writes one file per band per batch.  foreachBatch is
     the right tool because the per-batch work is two SINKS (pairs + index)
-    fed by one sketch — a single streaming sink can't fan out."""
+    fed by one sketch — a single streaming sink can't fan out.
+
+    `compact_every=N` runs plans.maintenance.compact_parquet on the index
+    after every Nth append: per-band file count otherwise grows one file
+    per batch and the probe goes listing/open-bound.  The swap is atomic
+    (rename pair), so a concurrent reader sees either layout, never a mix;
+    production would run the same call from a maintenance scheduler
+    instead of the ingest loop."""
     from persistor_spark.analytics import dedup
+    from persistor_spark.plans import maintenance
 
     def _process(batch_df, batch_id: int):
         if not batch_df.head(1):
@@ -275,6 +284,8 @@ def run_incremental_dedup_stream(
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
         pairs.write.mode("append").parquet(out_path)
         probe.write.mode("append").partitionBy("band").parquet(index_path)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            maintenance.compact_parquet(spark, index_path, partition_col="band")
 
     return (
         spark.readStream.schema(schema)
@@ -293,6 +304,7 @@ def run_ann_ingest_stream(
     index_path: str,
     checkpoint: str,
     schema: str = "vec_id long, embedding array<double>",
+    compact_every: int | None = None,
 ):
     """Continuous vector ingestion into a PERSISTED IVF-PQ index: each
     micro-batch encodes against the frozen quantizer/codebooks (one narrow
@@ -300,13 +312,21 @@ def run_ann_ingest_stream(
     inverted lists.  Searches over the loaded index see every ingested
     batch; the quantizer is NOT retrained per batch (FAISS add semantics —
     retrain offline when centroid_drift says the codebooks stopped fitting).
-    """
+
+    `compact_every=N` compacts the cid-partitioned cells after every Nth
+    append (see run_incremental_dedup_stream) — the inverted lists grow one
+    file per cell per batch otherwise."""
     from persistor_spark.analytics import similarity
+    from persistor_spark.plans import maintenance
 
     def _process(batch_df, batch_id: int):
         if not batch_df.head(1):
             return
         similarity.ivfpq_add_to_disk(spark, index_path, batch_df)
+        if compact_every and (batch_id + 1) % compact_every == 0:
+            maintenance.compact_parquet(
+                spark, f"{index_path}/cells", partition_col="cid"
+            )
 
     return (
         spark.readStream.schema(schema)

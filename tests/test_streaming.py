@@ -484,6 +484,66 @@ def test_incremental_dedup_stream_probes_and_grows_index(spark, sf_dir, tmp_path
     assert grown.count() == bt_old.count() + dedup.build_band_table(new).count()
 
 
+def test_incremental_dedup_stream_periodic_compaction(spark, sf_dir, tmp_path):
+    """compact_every=N: after every Nth appended micro-batch the
+    band-partitioned index is rewritten to ~one file per band, the pair
+    output and the index CONTENTS are unchanged vs an uncompacted run, and
+    the final file count is far below the one-file-per-band-per-batch
+    growth path."""
+    import json as _json
+    import os
+
+    from persistor_spark.analytics import dedup
+    from persistor_spark.sources.registry import load_table
+    from persistor_spark.streaming import windows as sw
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    def run(index_path, out, ckpt, compact_every):
+        dedup.lsh_index_save(dedup.build_band_table(old), index_path)
+        src = tmp_path / f"batches_{compact_every}"
+        src.mkdir()
+        rows = new.collect()
+        n_batches = 6
+        per = max(1, len(rows) // n_batches)
+        for i in range(n_batches):
+            chunk = rows[i * per : (i + 1) * per] if i < n_batches - 1 else rows[(n_batches - 1) * per :]
+            with open(src / f"b{i}.json", "w") as f:
+                for r in chunk:
+                    f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+        q = sw.run_incremental_dedup_stream(
+            spark, str(src), index_path, out, ckpt,
+            threshold=0.8, compact_every=compact_every,
+        )
+        q.awaitTermination(300)
+
+    def n_files(p):
+        return sum(
+            1 for _, _, fs in os.walk(p) for f in fs if f.endswith(".parquet")
+        )
+
+    plain_idx, plain_out = str(tmp_path / "idx_plain"), str(tmp_path / "out_plain")
+    comp_idx, comp_out = str(tmp_path / "idx_comp"), str(tmp_path / "out_comp")
+    run(plain_idx, plain_out, str(tmp_path / "ck1"), compact_every=None)
+    run(comp_idx, comp_out, str(tmp_path / "ck2"), compact_every=3)
+
+    # same pairs (unordered: the file source may process batches in either
+    # order, flipping the new/old direction of cross-batch pairs), same
+    # index contents (as row sets)
+    key = lambda r: frozenset((r["new_id"], r["old_id"]))  # noqa: E731
+    assert sorted(
+        map(sorted, map(key, spark.read.parquet(comp_out).collect()))
+    ) == sorted(map(sorted, map(key, spark.read.parquet(plain_out).collect())))
+    assert (
+        dedup.lsh_index_load(spark, comp_idx).count()
+        == dedup.lsh_index_load(spark, plain_idx).count()
+    )
+    # the compacted layout beat the one-file-per-band-per-batch growth
+    assert n_files(comp_idx) < n_files(plain_idx)
+
+
 def test_ann_ingest_stream_grows_persisted_index(spark, sf_dir, tmp_path):
     """run_ann_ingest_stream: micro-batches encode against the frozen
     quantizer and append into the cid-partitioned cells; a search over the
