@@ -339,11 +339,85 @@ class ResubmitterApiHandler(_JsonHandler):
         return self._iq(collection).query_df(filters, RESUBMIT_ATTRIBUTES)
 
 
-def serve_indexer_api(indexes: dict, addr=("127.0.0.1", 0)) -> ThreadingHTTPServer:
+# -- transport parity: TLS, read-header timeout, graceful drain --------------
+# (indexer-api/lib/server.go:30-198; the resubmitter's server.go carries the
+# identical option surface with RSB_-prefixed env names)
+
+CERTS_ENV = "CERTS"  # server.go:66 — dir holding server.crt / server.key
+ADDRESS_ENV = "IDX_API_SERVER_ADDRESS"  # server.go:68
+USE_TLS_ENV = "IDX_API_USE_TLS"  # server.go:69
+READ_TIMEOUT_ENV = "IDX_API_SERVER_TIMEOUT"  # server.go:70
+DEFAULT_READ_HEADER_TIMEOUT_S = 2.0  # DefaultServerConfig, server.go:39-43
+SHUTDOWN_BUDGET_S = 5.0  # initiateGracefulShutdown, server.go:189-198
+
+_DURATION_UNITS = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m": 60.0, "h": 3600.0}
+
+
+def parse_go_duration(s: str) -> float:
+    """Seconds from a Go time.ParseDuration string ('2s', '300ms', '1m30s')
+    — the wire format of IDX_API_SERVER_TIMEOUT (server.go:97-105)."""
+    import re
+
+    parts = re.findall(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)", s)
+    if not parts or "".join(n + u for n, u in parts) != s.lstrip("+"):
+        raise ValueError(f"invalid duration: {s!r}")
+    return sum(float(n) * _DURATION_UNITS[u] for n, u in parts)
+
+
+def server_options_from_env(environ=None, prefix: str = "IDX_API") -> dict:
+    """The loadServerOptionsFromEnv mapping (server.go:82-108): address,
+    TLS flag, read-header timeout.  Malformed values raise, mirroring the
+    reference's startup failure (ParsingEnvVariableFailed)."""
+    env = os.environ if environ is None else environ
+    opts: dict = {}
+    if addr := env.get(f"{prefix}_SERVER_ADDRESS"):
+        host, _, port = addr.rpartition(":")
+        opts["addr"] = (host or "0.0.0.0", int(port))
+    if tls := env.get(f"{prefix}_USE_TLS"):
+        if tls.lower() not in ("true", "false", "1", "0"):
+            raise ValueError(f"invalid bool: {tls!r}")
+        opts["tls"] = tls.lower() in ("true", "1")
+    if timeout := env.get(f"{prefix}_SERVER_TIMEOUT"):
+        opts["read_header_timeout_s"] = parse_go_duration(timeout)
+    return opts
+
+
+def _apply_transport(
+    server: ThreadingHTTPServer,
+    handler: type,
+    tls: bool,
+    certs_path: str | None,
+    read_header_timeout_s: float,
+) -> ThreadingHTTPServer:
+    # BaseHTTPRequestHandler.timeout: socket timeout while reading the
+    # request line/headers — a stalled client gets dropped instead of
+    # pinning a handler thread (ReadHeaderTimeout, server.go:126)
+    handler.timeout = read_header_timeout_s
+    if tls:
+        import ssl
+
+        certs = certs_path if certs_path is not None else os.environ.get(CERTS_ENV, "")
+        ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+        # startServer (server.go:176): ListenAndServeTLS(certs+"/server.crt",
+        # certs+"/server.key")
+        ctx.load_cert_chain(f"{certs}/server.crt", f"{certs}/server.key")
+        server.socket = ctx.wrap_socket(server.socket, server_side=True)
+    return server
+
+
+def serve_indexer_api(
+    indexes: dict,
+    addr=("127.0.0.1", 0),
+    tls: bool = False,
+    certs_path: str | None = None,
+    read_header_timeout_s: float = DEFAULT_READ_HEADER_TIMEOUT_S,
+) -> ThreadingHTTPServer:
     """Build (not start) the Indexer API server; port 0 picks a free port.
     `indexes` maps collection name -> IndexQuery."""
     handler = type("BoundIndexerApiHandler", (IndexerApiHandler,), {"indexes": indexes})
-    return ThreadingHTTPServer(addr, handler)
+    return _apply_transport(
+        ThreadingHTTPServer(addr, handler), handler, tls, certs_path, read_header_timeout_s
+    )
 
 
 def serve_resubmitter_api(
@@ -351,6 +425,9 @@ def serve_resubmitter_api(
     resubmitter: FileResubmitter,
     default_topic: str | None = None,
     addr=("127.0.0.1", 0),
+    tls: bool = False,
+    certs_path: str | None = None,
+    read_header_timeout_s: float = DEFAULT_READ_HEADER_TIMEOUT_S,
 ) -> ThreadingHTTPServer:
     handler = type(
         "BoundResubmitterApiHandler",
@@ -361,13 +438,35 @@ def serve_resubmitter_api(
             "env_topic": default_topic if default_topic is not None else os.environ.get(TOPIC_ID_ENV, ""),
         },
     )
-    return ThreadingHTTPServer(addr, handler)
+    return _apply_transport(
+        ThreadingHTTPServer(addr, handler), handler, tls, certs_path, read_header_timeout_s
+    )
 
 
 def start_background(server: ThreadingHTTPServer) -> threading.Thread:
-    """serve_forever on a daemon thread; shut down with server.shutdown()
-    (the graceful-drain analogue of server.go:180-198 — in-flight requests
-    finish before shutdown returns)."""
+    """serve_forever on a daemon thread; shut down with shutdown_graceful
+    (or server.shutdown() directly)."""
     t = threading.Thread(target=server.serve_forever, daemon=True)
     t.start()
     return t
+
+
+def shutdown_graceful(server: ThreadingHTTPServer, budget_s: float = SHUTDOWN_BUDGET_S) -> bool:
+    """The initiateGracefulShutdown sequence (server.go:180-198): stop
+    accepting, wait for in-flight request threads (the waitGroup), give the
+    listener `budget_s` seconds to close.  Returns False if in-flight work
+    outlived the budget (the reference logs a fatal there)."""
+    import time as _time
+
+    deadline = _time.monotonic() + budget_s
+    server.shutdown()  # stops serve_forever; new connections refused
+    drained = True
+    # ThreadingMixIn tracks per-request threads; daemon threads are not
+    # joined by server_close, so drain them against the budget ourselves
+    threads = list(getattr(server, "_threads", None) or [])
+    for t in threads:
+        t.join(max(0.0, deadline - _time.monotonic()))
+        if t.is_alive():
+            drained = False
+    server.server_close()
+    return drained

@@ -172,3 +172,122 @@ def test_resubmit_query_filters(resub_server, ingested):
     )
     n_b2 = ingested.index_metadata.filter("broker_id = 'b2'").count()
     assert status == 200 and body["summary"]["published"] == n_b2
+
+
+# ---------------------------------------------------------------------------
+# transport parity: TLS / read-header timeout / graceful drain
+# (indexer-api/lib/server.go:30-198)
+# ---------------------------------------------------------------------------
+
+def test_go_duration_parse():
+    assert srv.parse_go_duration("2s") == 2.0
+    assert srv.parse_go_duration("300ms") == 0.3
+    assert srv.parse_go_duration("1m30s") == 90.0
+    assert srv.parse_go_duration("1.5s") == 1.5
+    for bad in ("", "2", "s", "2 s", "2x"):
+        with pytest.raises(ValueError):
+            srv.parse_go_duration(bad)
+
+
+def test_server_options_from_env():
+    env = {
+        "IDX_API_SERVER_ADDRESS": "0.0.0.0:8080",
+        "IDX_API_USE_TLS": "true",
+        "IDX_API_SERVER_TIMEOUT": "5s",
+    }
+    opts = srv.server_options_from_env(env)
+    assert opts == {
+        "addr": ("0.0.0.0", 8080),
+        "tls": True,
+        "read_header_timeout_s": 5.0,
+    }
+    assert srv.server_options_from_env({}) == {}
+    # malformed values fail startup (ParsingEnvVariableFailed, server.go:90-105)
+    with pytest.raises(ValueError):
+        srv.server_options_from_env({"IDX_API_USE_TLS": "yep"})
+    with pytest.raises(ValueError):
+        srv.server_options_from_env({"IDX_API_SERVER_TIMEOUT": "fast"})
+
+
+def _self_signed(tmp_path):
+    """server.crt / server.key under a CERTS-style dir (server.go:176)."""
+    import datetime as dt
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "localhost")])
+    now = dt.datetime.now(dt.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - dt.timedelta(minutes=1))
+        .not_valid_after(now + dt.timedelta(days=1))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.DNSName("localhost"), x509.IPAddress(__import__("ipaddress").ip_address("127.0.0.1"))]),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    certs = tmp_path / "certs"
+    certs.mkdir()
+    (certs / "server.crt").write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    (certs / "server.key").write_bytes(
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption(),
+        )
+    )
+    return str(certs)
+
+
+def test_tls_roundtrip(tmp_path):
+    pytest.importorskip("cryptography")
+    import ssl
+
+    certs = _self_signed(tmp_path)
+    s = srv.serve_indexer_api({}, tls=True, certs_path=certs)
+    srv.start_background(s)
+    try:
+        port = s.server_address[1]
+        ctx = ssl.create_default_context(cafile=f"{certs}/server.crt")
+        req = urllib.request.Request(f"https://127.0.0.1:{port}/exact/none/x")
+        try:
+            with urllib.request.urlopen(req, timeout=30, context=ctx) as r:
+                status, body = r.status, json.loads(r.read())
+        except urllib.error.HTTPError as e:
+            status, body = e.code, json.loads(e.read())
+        # served OVER TLS with the reference's envelope semantics
+        assert status == 400 and body["message"] == srv.ON_BAD_REQUEST
+        # plaintext client against the TLS listener fails the handshake
+        with pytest.raises(Exception):
+            urllib.request.urlopen(f"http://127.0.0.1:{port}/exact/none/x", timeout=5)
+    finally:
+        assert srv.shutdown_graceful(s)
+
+
+def test_read_header_timeout_drops_stalled_client():
+    import socket
+    import time as _time
+
+    s = srv.serve_indexer_api({}, read_header_timeout_s=0.5)
+    srv.start_background(s)
+    try:
+        port = s.server_address[1]
+        conn = socket.create_connection(("127.0.0.1", port), timeout=30)
+        conn.settimeout(30)
+        t0 = _time.monotonic()
+        # send NOTHING: a stalled client must be dropped ~at the timeout
+        # instead of pinning a handler thread (ReadHeaderTimeout parity)
+        assert conn.recv(1) == b""  # server closed the connection
+        assert _time.monotonic() - t0 < 10
+        conn.close()
+    finally:
+        assert srv.shutdown_graceful(s)
