@@ -2373,6 +2373,149 @@ def _a90_tokenizer_fertility(spark, sf_dir):
     )
 
 
+def _a91_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-term sketch + mergeability (the a67 contract
+    for distinct counts): per-half register tables (even-/odd-id docs)
+    merged by register-wise MAX must equal the whole-corpus sketch, so the
+    whole-corpus SQL rebuild is an exact oracle.  Shuffle bounded by 2^p
+    registers regardless of corpus size; rho is computed with integer/
+    string ops only (bin()), so both engines agree bit for bit."""
+    from persistor_spark.analytics import sketches
+
+    docs = _docs(spark, sf_dir)
+
+    def regs(part):
+        terms = part.select(F.explode(F.split("text", " ")).alias("term"))
+        return sketches.hll_registers(terms, "term", p=8)
+
+    merged = sketches.hll_merge(
+        regs(docs.filter(F.col("doc_id") % 2 == 0)),
+        regs(docs.filter(F.col("doc_id") % 2 == 1)),
+    )
+    return merged.select(
+        "register", F.col("max_rho").cast("int").alias("max_rho")
+    ).orderBy("register")
+
+
+def _a92_bloom_decontaminate(spark, sf_dir):
+    """Bloom-prefiltered decontamination: the a20 eval-overlap check with a
+    broadcastable m-bit Bloom filter of the eval set's 5-grams in front —
+    at 100 TB the filter (<= m bits) ships to executors instead of the eval
+    gram table, and only maybe-hits reach the exact verify join.  Output:
+    per corpus doc, gram count, Bloom maybe-hits, and the flag at >= 10%
+    hit fraction.  False positives only (never negatives), and the hash
+    family is md5-portable, so the SQL twin rebuilds the SAME filter."""
+    from persistor_spark.analytics import dedup, sketches
+
+    docs = _docs(spark, sf_dir)
+    grams = docs.select(
+        "doc_id", F.explode(dedup.shingles("text", 5)).alias("gram")
+    )
+    bits = sketches.bloom_bits(
+        grams.filter(F.col("doc_id") % 7 == 0).select("gram").distinct(),
+        "gram",
+        m_bits=4096,
+        k=4,
+    )
+    corpus = grams.filter(F.col("doc_id") % 7 != 0)
+    probed = sketches.bloom_probe(
+        corpus.select("gram").distinct(), bits, "gram", m_bits=4096, k=4
+    )
+    per_doc = (
+        corpus.join(probed, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.count(F.when(F.col("maybe_member"), 1)).alias("n_maybe_hits"),
+        )
+        .withColumn(
+            "flagged", (F.col("n_maybe_hits") / F.col("n_grams")) >= 0.1
+        )
+    )
+    return per_doc.orderBy("doc_id")
+
+
+def _a93_containment(spark, sf_dir):
+    """Directional near-superset pairs: shingle containment |A∩B|/|A| >=
+    0.9 with a != b — the doc-inside-doc case symmetric Jaccard misses when
+    the container is much larger.  Same posting-list join shape as a2."""
+    from persistor_spark.analytics import dedup
+
+    return dedup.containment_pairs(_docs(spark, sf_dir), 0.9).orderBy("a", "b")
+
+
+def _e33_scd2(spark, sf_dir):
+    """SCD-2 history build: per user, collapse the event stream into
+    type-change intervals (valid_from/valid_to, open current row, version
+    number) — the warehouse pattern for reconstructing state-as-of from an
+    append-only log.  One window partition per user; no global sort."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") % 50 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(
+            F.col("prev_type").isNull()
+            | (F.col("event_type") != F.col("prev_type"))
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        changes.select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("valid_from"),
+            F.lead("ts").over(w2).alias("valid_to"),
+            F.row_number().over(w2).cast("int").alias("version"),
+        )
+        .orderBy("user_id", "version")
+    )
+
+
+def _e34_band_join(spark, sf_dir):
+    """Band join (|x - y| <= eps) WITHOUT a cross join: bucket acctbal by
+    eps, explode each row into its {b-1, b, b+1} candidate buckets, equi-
+    join on (nation, bucket), exact-filter the band — candidate volume
+    tracks bucket occupancy, never n².  Output: per customer, how many
+    same-nation customers sit within 1.00 of their balance."""
+    from persistor_spark.sources.registry import load_table
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_acctbal"
+    )
+    eps = 1.0
+    # eps == 1.0 makes the bucket an exact decimal floor — no float
+    # division anywhere, so bucket assignment can never disagree with the
+    # exact band filter at the boundary
+    bucket = F.floor(F.col("c_acctbal")).cast("long")
+    left = cust.withColumn(
+        "__b", F.explode(F.array(bucket - 1, bucket, bucket + 1))
+    )
+    right = cust.select(
+        F.col("c_nationkey").alias("r_nat"),
+        bucket.alias("__b"),
+        F.col("c_custkey").alias("r_key"),
+        F.col("c_acctbal").alias("r_bal"),
+    )
+    pairs = left.join(
+        right,
+        (left["c_nationkey"] == right["r_nat"])
+        & (left["__b"] == right["__b"])
+        & (left["c_custkey"] != right["r_key"])
+        & (F.abs(left["c_acctbal"] - right["r_bal"]) <= eps),
+    )
+    counts = pairs.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_close"))
+    return (
+        cust.select("c_custkey")
+        .join(counts, "c_custkey", "left")
+        .select(
+            "c_custkey", F.coalesce("n_close", F.lit(0)).cast("long").alias("n_close")
+        )
+        .orderBy("c_custkey")
+    )
+
+
 def _a54_boilerplate(spark, sf_dir):
     """Per-source boilerplate load: fraction of each doc's distinct
     3-grams appearing in >= 20% of its source's docs (CCNet/RefinedWeb
@@ -2620,6 +2763,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a88_dup_gram_report": _a88_dup_gram_report,
         "a89_removal_impact": _a89_removal_impact,
         "a90_tokenizer_fertility": _a90_tokenizer_fertility,
+        "a91_hll_distinct": _a91_hll_distinct,
+        "a92_bloom_decontaminate": _a92_bloom_decontaminate,
+        "a93_containment": _a93_containment,
+        "e33_scd2": _e33_scd2,
+        "e34_band_join": _e34_band_join,
         "e8_tumbling_window": _e_tumbling_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e9_sessionize": _e9_sessionize,
@@ -4065,6 +4213,80 @@ def oracle_sql() -> dict[str, str]:
             "FROM t JOIN documents doc USING (doc_id) "
             "LEFT JOIN rm ON t.doc_id = rm.doc_id "
             "GROUP BY doc.source ORDER BY doc.source"
+        ),
+        # a91: the HLL register table rebuilt whole-corpus — equal to the
+        # merged per-half sketch by max-associativity; rho via bin() string
+        # length, so no float log2 crosses the engine boundary
+        "a91_hll_distinct": (
+            "WITH terms AS (SELECT unnest(string_split(text, ' ')) AS term "
+            "  FROM documents), "
+            "h AS (SELECT CAST(CONCAT('0x', substr(md5(term), 1, 15)) AS BIGINT) AS h "
+            "  FROM terms), "
+            "r AS (SELECT h >> 52 AS register, h & 4503599627370495 AS w FROM h), "
+            "rh AS (SELECT register, CASE WHEN w = 0 THEN 53 "
+            "  ELSE 52 - length(bin(w)) + 1 END AS rho FROM r) "
+            "SELECT register::INT AS register, max(rho)::INT AS max_rho "
+            "FROM rh GROUP BY register ORDER BY register"
+        ),
+        # a92: the SAME md5 hash family rebuilds the Bloom bit set and the
+        # probe — flag semantics (all 4 positions set) match row for row
+        "a92_bloom_decontaminate": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN "
+            "  list_distinct([array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)]) "
+            "  ELSE [] END AS grams FROM t), "
+            "g AS (SELECT doc_id, unnest(grams) AS gram FROM s), "
+            "rr AS (SELECT unnest([0, 1, 2, 3]) AS r), "
+            "bits AS (SELECT DISTINCT "
+            "  CAST(CONCAT('0x', substr(md5(concat(r, ':', gram)), 1, 15)) AS BIGINT) % 4096 AS bit "
+            "  FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0), rr), "
+            "pb AS (SELECT gram, "
+            "  CAST(CONCAT('0x', substr(md5(concat(r, ':', gram)), 1, 15)) AS BIGINT) % 4096 AS bit "
+            "  FROM (SELECT DISTINCT gram FROM g WHERE doc_id % 7 != 0), rr), "
+            "hits AS (SELECT pb.gram, "
+            "  count(CASE WHEN b.bit IS NOT NULL THEN 1 END) = 4 AS maybe "
+            "  FROM pb LEFT JOIN bits b USING (bit) GROUP BY pb.gram) "
+            "SELECT c.doc_id, count(*)::BIGINT AS n_grams, "
+            "  count(CASE WHEN h.maybe THEN 1 END)::BIGINT AS n_maybe_hits, "
+            "  (count(CASE WHEN h.maybe THEN 1 END)::DOUBLE / count(*)) >= 0.1 AS flagged "
+            "FROM g c JOIN hits h USING (gram) WHERE c.doc_id % 7 != 0 "
+            "GROUP BY c.doc_id ORDER BY c.doc_id"
+        ),
+        # a93: directional containment over the same 3-gram shingle sets as
+        # a2; filter on the unrounded value, round in the projection
+        "a93_containment": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, CASE WHEN len(toks) >= 3 THEN "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)]) "
+            "  ELSE [] END AS sh FROM t) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, "
+            "  round(len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh), 3) AS containment "
+            "FROM s a JOIN s b ON a.doc_id != b.doc_id "
+            "WHERE len(a.sh) > 0 "
+            "  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.9 "
+            "ORDER BY a, b"
+        ),
+        # e33: SCD-2 change intervals from the event log
+        "e33_scd2": (
+            "WITH e AS (SELECT * FROM events WHERE user_id % 50 = 0), "
+            "o AS (SELECT user_id, event_type, ts, event_id, "
+            "  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type "
+            "  FROM e), "
+            "c AS (SELECT user_id, event_type, ts, event_id FROM o "
+            "  WHERE prev_type IS NULL OR event_type != prev_type) "
+            "SELECT user_id, event_type, ts AS valid_from, "
+            "  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to, "
+            "  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)::INT AS version "
+            "FROM c ORDER BY user_id, version"
+        ),
+        # e34: the exact band join the bucketed plan must reproduce
+        "e34_band_join": (
+            "WITH c AS (SELECT c_custkey, c_nationkey, c_acctbal FROM customer) "
+            "SELECT a.c_custkey, count(b.c_custkey)::BIGINT AS n_close "
+            "FROM c a LEFT JOIN c b ON a.c_nationkey = b.c_nationkey "
+            "  AND a.c_custkey != b.c_custkey "
+            "  AND abs(a.c_acctbal - b.c_acctbal) <= 1.0 "
+            "GROUP BY a.c_custkey ORDER BY a.c_custkey"
         ),
         # a90: the a17 token expressions aggregated per source
         "a90_tokenizer_fertility": (

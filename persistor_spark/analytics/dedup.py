@@ -1323,3 +1323,42 @@ def lsh_index_append(spark, path: str, new_docs: DataFrame, **kwargs) -> None:
     build_band_table(new_docs, **kwargs).write.mode("append").partitionBy(
         "band"
     ).parquet(path)
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directional near-SUPERSET detection: pairs (a, b) with shingle
+    containment C(a in b) = |A ∩ B| / |A| >= threshold and a != b — the
+    doc-inside-doc case (quotes, boilerplate wrappers, page-in-crawl) that
+    symmetric Jaccard misses when the containing doc is much larger.
+
+    Same posting-list shape as ngram_jaccard_pairs (shuffle key = shingle,
+    work tracks posting lists, never n²); each unordered candidate pair
+    yields up to TWO directed rows, one per containment direction.
+    `max_doc_freq` is the same hot-shingle cap."""
+    sh = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")).withColumn(
+        "sh_n", F.size("sh")
+    )
+    posting = sh.select("id", "sh_n", F.explode("sh").alias("shingle"))
+    if max_doc_freq is not None:
+        freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        posting = posting.join(
+            F.broadcast(freq.filter(F.col("df") <= max_doc_freq).select("shingle")), "shingle"
+        )
+    a = posting.select("shingle", F.col("id").alias("a"), F.col("sh_n").alias("a_n"))
+    b = posting.select("shingle", F.col("id").alias("b"))
+    return (
+        a.join(b, "shingle")
+        .filter(F.col("a") != F.col("b"))
+        .groupBy("a", "b", "a_n")
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .withColumn("containment", F.col("inter").cast("double") / F.col("a_n"))
+        .filter(F.col("containment") >= threshold)
+        .select("a", "b", F.round("containment", 3).alias("containment"))
+    )

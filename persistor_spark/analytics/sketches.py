@@ -92,3 +92,108 @@ def merge_sketches(a: DataFrame, b: DataFrame) -> DataFrame:
         .groupBy("row", "bucket")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct-count sketch
+# ---------------------------------------------------------------------------
+
+def hll_registers(
+    df: DataFrame, item_col: str, p: int = 8, hash_prefix: str = ""
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007): (register INT,
+    max_rho INT), one row per non-empty register (absent = 0).
+
+    The 60-bit md5 hash splits into a p-bit register index (top bits) and a
+    (60-p)-bit suffix w; rho = leading zeros of w + 1, computed EXACTLY in
+    integers via the minimal binary string (`bin`, identical in DuckDB —
+    no float log2, so the oracle matches bit for bit).  Like the count-min
+    grid, the shuffle is bounded by 2^p keys regardless of corpus size —
+    the sketch is what a 100 TB distinct-count profiling pass ships around,
+    and `hll_merge` (register-wise MAX) is the map-side-combine contract.
+    """
+    suffix_bits = 60 - p
+    h = md5_hash64(F.concat(F.lit(hash_prefix), F.col(item_col)))
+    reg = F.shiftright(h, suffix_bits)
+    w = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    rho = F.when(w == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.lit(suffix_bits) - F.length(F.bin(w)) + 1
+    )
+    return (
+        df.select(reg.cast("int").alias("register"), rho.cast("int").alias("rho"))
+        .groupBy("register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
+def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Registers merge by MAX — the union sketch equals the sketch of the
+    union, so per-partition/per-day sketches combine losslessly."""
+    return (
+        a.unionByName(b)
+        .groupBy("register")
+        .agg(F.max("max_rho").alias("max_rho"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> float:
+    """Distinct-count estimate from a register table (driver-side — the
+    table is <= 2^p rows by construction).  Standard bias-corrected raw
+    estimate with the small-range (linear counting) correction."""
+    import math
+
+    m = 1 << p
+    rows = {r["register"]: r["max_rho"] for r in registers.collect()}
+    alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
+    raw = alpha * m * m / sum(2.0 ** -rows.get(j, 0) for j in range(m))
+    zeros = m - len(rows)
+    if raw <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return raw
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (set-membership pre-filter)
+# ---------------------------------------------------------------------------
+
+def bloom_bits(
+    df: DataFrame, item_col: str, m_bits: int = 1 << 16, k: int = 4
+) -> DataFrame:
+    """Bloom filter as a set-bit table: (bit INT), distinct positions set by
+    the k md5-derived hash rows.  <= m_bits rows however large the input —
+    at scale this is the broadcastable stand-in for shipping an eval/block
+    set to every executor (false positives only, never false negatives;
+    pair with an exact verify join downstream)."""
+    item = F.col(item_col)
+    return (
+        df.select(
+            F.explode(
+                F.array(*[_row_hash(item, r, m_bits) for r in range(k)])
+            ).alias("bit")
+        )
+        .distinct()
+        .select(F.col("bit").cast("int"))
+    )
+
+
+def bloom_probe(
+    items: DataFrame,
+    bits: DataFrame,
+    item_col: str,
+    m_bits: int = 1 << 16,
+    k: int = 4,
+) -> DataFrame:
+    """Membership probe: adds `maybe_member` (true iff ALL k positions are
+    set).  The bits table broadcasts; the probe never shuffles the corpus
+    side."""
+    item = F.col(item_col)
+    probed = items.withColumn(
+        "__bits", F.array(*[_row_hash(item, r, m_bits) for r in range(k)])
+    )
+    exploded = probed.select(item_col, F.explode("__bits").alias("bit"))
+    hits = (
+        exploded.join(F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left")
+        .groupBy(item_col)
+        .agg((F.count(F.when(F.col("__set").isNotNull(), 1)) == k).alias("maybe_member"))
+    )
+    return items.join(hits, item_col, "left")

@@ -806,6 +806,64 @@ def test_cms_merge_equals_whole(spark, docs):
     assert merged.exceptAll(whole).count() == 0
 
 
+def test_hll_estimate_accuracy_and_merge(spark):
+    from persistor_spark.analytics import sketches
+
+    n = 5000
+    items = spark.range(n).select(F.concat(F.lit("item-"), F.col("id")).alias("x"))
+    regs = sketches.hll_registers(items, "x", p=8)
+    est = sketches.hll_estimate(regs, p=8)
+    # standard error ~1.04/sqrt(256) ~ 6.5%; allow 3 sigma
+    assert abs(est - n) / n < 0.2
+    # merge(halves) == whole, register for register
+    merged = sketches.hll_merge(
+        sketches.hll_registers(items.filter(F.col("x").substr(-1, 1).isin("0", "2", "4", "6", "8")), "x", p=8),
+        sketches.hll_registers(items.filter(F.col("x").substr(-1, 1).isin("1", "3", "5", "7", "9")), "x", p=8),
+    )
+    assert regs.exceptAll(merged).count() == 0
+    assert merged.exceptAll(regs).count() == 0
+    # duplicates don't move the sketch (distinct-count, not frequency)
+    doubled = sketches.hll_registers(items.unionAll(items), "x", p=8)
+    assert regs.exceptAll(doubled).count() == 0
+
+
+def test_hll_small_range_linear_counting(spark):
+    from persistor_spark.analytics import sketches
+
+    items = spark.createDataFrame([(f"t{i}",) for i in range(40)], "x string")
+    est = sketches.hll_estimate(sketches.hll_registers(items, "x", p=8), p=8)
+    # 40 distinct across 256 registers -> linear counting, tight
+    assert abs(est - 40) < 6
+
+
+def test_bloom_no_false_negatives_and_some_rejects(spark):
+    from persistor_spark.analytics import sketches
+
+    members = spark.createDataFrame([(f"m{i}",) for i in range(500)], "x string")
+    others = spark.createDataFrame([(f"z{i}",) for i in range(500)], "x string")
+    bits = sketches.bloom_bits(members, "x", m_bits=1 << 14, k=4)
+    got_m = sketches.bloom_probe(members, bits, "x", m_bits=1 << 14, k=4)
+    # NEVER a false negative
+    assert got_m.filter(~F.col("maybe_member")).count() == 0
+    got_o = sketches.bloom_probe(others, bits, "x", m_bits=1 << 14, k=4)
+    fp = got_o.filter(F.col("maybe_member")).count() / 500
+    # 500 items / 16384 bits / 4 hashes -> fp ~ (1-e^(-4*500/16384))^4 ~ 0.0002
+    assert fp < 0.05
+
+
+def test_containment_directional(spark):
+    from persistor_spark.analytics import dedup
+
+    inner = "alpha beta gamma delta epsilon zeta"
+    outer = inner + " eta theta iota kappa " + "lorem ipsum dolor sit amet " * 4
+    df = spark.createDataFrame([(1, inner), (2, outer)], "doc_id long, text string")
+    rows = {(r["a"], r["b"]): r["containment"] for r in dedup.containment_pairs(df, 0.9).collect()}
+    # doc 1 is fully contained in doc 2 -> (1, 2) qualifies at 1.0 ...
+    assert rows.get((1, 2)) == 1.0
+    # ... but the container is NOT contained in the fragment
+    assert (2, 1) not in rows
+
+
 def test_duplicate_ngram_fraction_values(spark):
     df = spark.createDataFrame(
         [
