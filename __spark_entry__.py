@@ -2516,6 +2516,46 @@ def _e34_band_join(spark, sf_dir):
     )
 
 
+def _a94_power_iteration(spark, sf_dir):
+    """Top principal axis of the embedding matrix (uncentered PCA /
+    anisotropy direction) by 3 power-iteration rounds on X^T X — computed
+    as one projection + one d-expression agg per round, never
+    materializing the d x d Gram matrix; driver state is d floats.  The
+    per-round rounding (sums to 4dp, direction to 6dp) pins every round's
+    state bit-identically across engines, so the unrolled SQL twin is an
+    exact oracle."""
+    from persistor_spark.analytics import similarity
+
+    v = similarity.power_iteration_direction(_embs(spark, sf_dir), iterations=3)
+    return spark.createDataFrame(
+        [(i + 1, w) for i, w in enumerate(v)], "dim int, weight double"
+    )
+
+
+def _power_iteration_oracle(iterations: int = 3, dim: int = 64) -> str:
+    """DuckDB twin of a94: the same rounds unrolled as CTE chains, rounding
+    at the same two points per round."""
+    import math
+
+    w0 = round(1.0 / math.sqrt(dim), 6)
+    sql = [
+        "WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), ",
+        f"x AS (SELECT vec_id, t.i, emb[t.i] AS val FROM e, generate_series(1, {dim}) AS t(i)), ",
+        f"v0 AS (SELECT t.i, {w0!r} AS w FROM generate_series(1, {dim}) AS t(i)), ",
+    ]
+    for k in range(1, iterations + 1):
+        sql.append(
+            f"s{k} AS (SELECT x.vec_id, sum(x.val * v.w) AS s "
+            f"  FROM x JOIN v{k - 1} v USING (i) GROUP BY x.vec_id), "
+            f"u{k} AS (SELECT x.i, round(sum(x.val * s{k}.s), 4) AS su "
+            f"  FROM x JOIN s{k} USING (vec_id) GROUP BY x.i), "
+            f"n{k} AS (SELECT sqrt(sum(su * su)) AS nrm FROM u{k}), "
+            f"v{k} AS (SELECT i, round(su / (SELECT nrm FROM n{k}), 6) AS w FROM u{k}), "
+        )
+    body = "".join(sql).rstrip().rstrip(",")
+    return f"{body} SELECT i::INT AS dim, w AS weight FROM v{iterations} ORDER BY dim"
+
+
 def _a54_boilerplate(spark, sf_dir):
     """Per-source boilerplate load: fraction of each doc's distinct
     3-grams appearing in >= 20% of its source's docs (CCNet/RefinedWeb
@@ -2766,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a91_hll_distinct": _a91_hll_distinct,
         "a92_bloom_decontaminate": _a92_bloom_decontaminate,
         "a93_containment": _a93_containment,
+        "a94_power_iteration": _a94_power_iteration,
         "e33_scd2": _e33_scd2,
         "e34_band_join": _e34_band_join,
         "e8_tumbling_window": _e_tumbling_window,
@@ -4266,6 +4307,8 @@ def oracle_sql() -> dict[str, str]:
             "  AND len(list_intersect(a.sh, b.sh))::DOUBLE / len(a.sh) >= 0.9 "
             "ORDER BY a, b"
         ),
+        # a94: the unrolled power-iteration CTE chain (generator above)
+        "a94_power_iteration": _power_iteration_oracle(3, 64),
         # e33: SCD-2 change intervals from the event log
         "e33_scd2": (
             "WITH e AS (SELECT * FROM events WHERE user_id % 50 = 0), "

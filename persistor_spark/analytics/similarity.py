@@ -1546,3 +1546,52 @@ def ivfpq_add_to_disk(
     idx = ivfpq_load(spark, path)
     new_cells = ivfpq_encode_cells(idx.cents, idx.codebooks, vectors, id_col, vec_col)
     new_cells.write.mode("append").partitionBy("cid").parquet(f"{path}/cells")
+
+
+def power_iteration_direction(
+    df: DataFrame,
+    iterations: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    sum_digits: int = 4,
+    vec_digits: int = 6,
+) -> list[float]:
+    """Top right-singular direction of the (uncentered) embedding matrix by
+    power iteration on X^T X — the first principal axis used for embedding
+    whitening / anisotropy removal — WITHOUT materializing the d x d Gram
+    matrix: each round computes u_i = sum_rows emb[i] * (emb . v) as one
+    projection + one d-expression aggregation (two narrow passes fused by
+    Catalyst into a single job; no shuffle wider than d values).  Driver
+    state is d floats per round, the kmeans-centroid pattern.
+
+    Cross-engine float parity (the a45 literal-roundtrip trick extended to
+    ITERATED state): the per-dimension sums round to `sum_digits` inside
+    the aggregation expression, and the normalized direction rounds to
+    `vec_digits` before becoming the next round's literal — so a SQL twin
+    that rounds at the same points sees bit-identical state at every round
+    regardless of summation order."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r(x: float, nd: int) -> float:
+        # HALF_UP on the exact binary value — matches F.round / SQL round
+        return float(Decimal(x).quantize(Decimal(1).scaleb(-nd), rounding=ROUND_HALF_UP))
+
+    v_df = _as_double(df, id_col, vec_col)
+    if dim is None:
+        dim = len(v_df.select("v").head()[0])
+    v = [_r(1.0 / math.sqrt(dim), vec_digits)] * dim
+    for _ in range(iterations):
+        vc = F.array(*[F.lit(x) for x in v])
+        scored = v_df.select("v", dot(F.col("v"), vc).alias("s"))
+        row = scored.agg(
+            *[
+                F.round(F.sum(F.element_at("v", i + 1) * F.col("s")), sum_digits).alias(f"u{i}")
+                for i in range(dim)
+            ]
+        ).first()
+        sums = [row[i] for i in range(dim)]
+        nrm = math.sqrt(sum(x * x for x in sums))
+        v = [_r(x / nrm, vec_digits) for x in sums]
+    return v

@@ -864,6 +864,27 @@ def test_containment_directional(spark):
     assert (2, 1) not in rows
 
 
+def test_power_iteration_matches_numpy_top_direction(spark):
+    import numpy as np
+
+    from persistor_spark.analytics import similarity
+
+    rng = np.random.default_rng(11)
+    # anisotropic cloud: one dominant direction baked in
+    base = rng.standard_normal((400, 16))
+    base[:, 3] *= 8.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id long, embedding array<double>",
+    )
+    v = np.array(similarity.power_iteration_direction(df, iterations=8, dim=16))
+    _, _, vt = np.linalg.svd(base, full_matrices=False)
+    cos = abs(float(np.dot(v, vt[0]) / (np.linalg.norm(v) * np.linalg.norm(vt[0]))))
+    assert cos > 0.999
+    # unit length (up to the 6dp rounding of components)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-3
+
+
 def test_duplicate_ngram_fraction_values(spark):
     df = spark.createDataFrame(
         [
