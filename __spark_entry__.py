@@ -278,6 +278,41 @@ def _d20_first_seen(spark, sf_dir):
     ).orderBy("unique_id")
 
 
+def _d23_integrity_audit(spark, sf_dir):
+    """Index <-> blob integrity audit, the ops tool a persistor deployment
+    runs after incidents: rows the index references that are missing from
+    blob storage (dangling — lost payloads) and blob records with no index
+    row (orphans — invisible to every query path).  Deterministic fault
+    injection (every blob position % 97 == 5 dropped; every index row with
+    msg number % 89 == 3 dropped) makes both directions non-empty.  Both
+    directions are key-anti-joins: column-pruned scans, shuffle on the id
+    key only — at 100 TB this audits in one pass per direction."""
+    res = fixtures.run_fixture_ingest(spark, sf_dir)
+    blobs = res.blob_records.filter(~(F.col("position") % 97 == 5))
+    msgnum = F.substring("broker_msg_id", 2, 20).cast("long")
+    idx = res.index_metadata.filter(~(msgnum % 89 == 3))
+    dangling = idx.join(
+        blobs.select("location_key", F.col("record_id").alias("unique_id")),
+        ["location_key", "unique_id"],
+        "left_anti",
+    )
+    orphans = blobs.join(
+        idx.select(F.col("unique_id").alias("record_id")), "record_id", "left_anti"
+    )
+    def _count(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit(name).alias("check"), "n"
+        )
+
+    return (
+        _count("index_rows", idx)
+        .unionByName(_count("blob_records", blobs))
+        .unionByName(_count("dangling_index", dangling))
+        .unionByName(_count("orphan_blobs", orphans))
+        .orderBy("check")
+    )
+
+
 #: per-session cache of the d22 fixture store, keyed by sf_dir — the store
 #: is deterministic in the input, so repeated driver/gate runs reuse one
 #: tempdir instead of leaking a fresh mkdtemp per run
@@ -2807,6 +2842,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a92_bloom_decontaminate": _a92_bloom_decontaminate,
         "a93_containment": _a93_containment,
         "a94_power_iteration": _a94_power_iteration,
+        "d23_integrity_audit": _d23_integrity_audit,
         "e33_scd2": _e33_scd2,
         "e34_band_join": _e34_band_join,
         "e8_tumbling_window": _e_tumbling_window,
@@ -3097,6 +3133,24 @@ def oracle_sql() -> dict[str, str]:
         "d13_lineage_counts": P(
             "SELECT count(*) AS indexed, count(location_position) AS positioned, "
             "count(DISTINCT location_key) AS blobs FROM index_metadata"
+        ),
+        # d23: both integrity directions as anti-joins over the derived
+        # tables, with the same deterministic fault injection
+        "d23_integrity_audit": P(
+            ", blobs AS (SELECT * FROM blob_records WHERE position % 97 != 5), "
+            "idx AS (SELECT * FROM index_metadata "
+            "  WHERE CAST(substr(broker_msg_id, 2) AS BIGINT) % 89 != 3), "
+            "dangling AS (SELECT i.unique_id FROM idx i "
+            "  LEFT JOIN blobs b ON i.location_key = b.location_key "
+            "    AND i.unique_id = b.record_id WHERE b.record_id IS NULL), "
+            "orphans AS (SELECT b.record_id FROM blobs b "
+            "  LEFT JOIN idx i ON b.record_id = i.unique_id "
+            "  WHERE i.unique_id IS NULL) "
+            "SELECT 'index_rows' AS check, count(*)::BIGINT AS n FROM idx "
+            "UNION ALL SELECT 'blob_records', count(*)::BIGINT FROM blobs "
+            "UNION ALL SELECT 'dangling_index', count(*)::BIGINT FROM dangling "
+            "UNION ALL SELECT 'orphan_blobs', count(*)::BIGINT FROM orphans "
+            "ORDER BY \"check\""
         ),
         "d14_window_topk": P(
             "SELECT broker_id, unique_id FROM ("
