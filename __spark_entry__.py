@@ -2736,28 +2736,87 @@ def _a59_quality_funnel(spark, sf_dir):
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
-    Round-4 rotation policy: first the queries with NO driver row yet —
-    the second-session operators (a56–a77, e25–e30) and the earlier r4 set
-    (a37–a55 minus the simple rotations below) — then every query whose
-    code changed this round (the ANN family: Lloyd-aggregation rewrite +
-    the sparse-id seeding fallback; a11/a26 CC fixpoint; a12 verify math),
-    keeping e24 in-window to pin the as-of tolerance fix.  Rotated below
-    position 50 (green + unchanged, or simple local-green r4 ops):
-    d-series (minus the new d22), e8/e9/e10/e11/e12/e19/e20, a1–a5,
-    a13–a24, a29, a41–a43, a46/a47 — all pinned by tools/check.py (ALL
-    queries, every round, 110-142/142 green across this round's repeated
-    full runs) and pytest.
+    Round-6 rotation policy (fixes the r5 miss where the window duplicated
+    r4's exactly): the window is rebuilt around verification debt.  In
+    order: (1) the 23 queries that had NEVER had a driver CORRECTNESS row
+    (a85-a94, d23, e33, e34, a40-a43, a45-a48, a51, a54 -- previously at
+    positions 56-83); (2) queries whose CODE changed this round -- a75
+    (global ntile window replaced by the distributed two-level exact-rank
+    bucketing; same result, new plan) and the ANN family members that now
+    seed from the shared 8-centroid kmeans (a7/a25/a34; result
+    hash-identical by construction but re-pinned anyway); (3) new round-6
+    operators are inserted just above the window-end marker as they land,
+    displacing top-up entries; (4) the window is topped up to 50 with the
+    queries holding the OLDEST driver rows (r2-era d-series/e-series/a1-a5)
+    so row age stays bounded.  Everything below the marker is
+    multiply-driver-green AND re-verified by tools/check.py (full-registry
+    gate at sf0.001 + sf0.01) plus pytest every round.
 
-    Third-session adjustments: the new a81–a84 + d22 enter the window;
-    a7/a25/a32/a33/a34 rotate below it (all r3-driver-green; the shared
-    IVF-PQ/kmeans rewrite stays driver-pinned through in-window
-    a55/a60/a69, the a34 rewrite is result-hash-identical, a33's oracle
-    tightening is gate-pinned at both SFs).  a85-a90, added after the
-    window froze, sit below it — all oracle-green at both SFs, first in
-    line for the r5 rotation.
+    Verify the actual window before round end with:
+      python -c "import __spark_entry__ as e; print(list(e.queries())[:50])"
     """
     return {
-        # -- no driver row yet (r3 late additions + r4 new operators)
+        # ==== r6 DRIVER WINDOW (positions 1-50) ====
+        # -- (1) never driver-checked before r6: 23 queries
+        "a85_length_histogram": _a85_length_histogram,
+        "a86_type_token_stats": _a86_type_token_stats,
+        "a87_split_balance": _a87_split_balance,
+        "a88_dup_gram_report": _a88_dup_gram_report,
+        "a89_removal_impact": _a89_removal_impact,
+        "a90_tokenizer_fertility": _a90_tokenizer_fertility,
+        "a91_hll_distinct": _a91_hll_distinct,
+        "a92_bloom_decontaminate": _a92_bloom_decontaminate,
+        "a93_containment": _a93_containment,
+        "a94_power_iteration": _a94_power_iteration,
+        "d23_integrity_audit": _d23_integrity_audit,
+        "e33_scd2": _e33_scd2,
+        "e34_band_join": _e34_band_join,
+        "a40_tfidf_topterms": _a40_tfidf,
+        "a41_source_rollup": _a41_source_rollup,
+        "a42_int8_quantize": _a42_int8_quantize,
+        "a43_norm_fingerprint": _a43_norm_fingerprint,
+        "a45_random_projection": _a45_random_projection,
+        "a46_dup_rate_by_source": _a46_dup_rate_by_source,
+        "a47_temperature_mix": _a47_temperature_mix,
+        "a48_shard_assign": _a48_shard_assign,
+        "a51_vocab_coverage": _a51_vocab_coverage,
+        "a54_boilerplate": _a54_boilerplate,
+        # -- (2) code changed in r6: a75 ntile -> two-level exact-rank
+        # plan (oracle unchanged); a7/a25/a34 seed from shared kmeans
+        "a75_quality_calibration": _a75_quality_calibration,
+        "a7_ivf_topk": _a_ivf_topk,
+        "a25_pq_topk": _a_pq_topk,
+        "a34_opq_topk": _a_opq_topk,
+        # -- (3) new r6 operators land HERE, displacing top-up entries
+        # -- (4) top-up to 50: oldest (r2-era) driver rows, refreshed
+        "d2_in_list": _d2,
+        "d3_interval_page": _d3,
+        "d4_interval_count": _d4,
+        "d5_or_of_ands": _d5,
+        "d6_key_derivation": _d6,
+        "d7_version_partition": _d7,
+        "d8_time_partition": _d8,
+        "d10_group_by_location": _d10,
+        "d11_unique_invariant": _d11,
+        "d12_deadletter_antijoin": _d12,
+        "d17_message_size": _d17,
+        "d18_wire_timestamps": _d18,
+        "e1_rollup": _e_rollup,
+        "e2_cube": _e_cube,
+        "e3_set_ops": _e_set_ops,
+        "e4_semi_anti_join": _e_semi_anti,
+        "e5_window_lag_lead_frames": _e_window_lag,
+        "e6_scalar_subquery": _e_scalar_subquery,
+        "e7_string_funcs": _e_string_funcs,
+        "a1_dedup_exact": _a_dedup_exact,
+        "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
+        "a3_minhash_lsh_pairs": _a_minhash_lsh,
+        "a5_embedding_topk": _a_embedding_topk,
+        # ---- driver window ends here (50) ---- below: multiply-
+        # driver-green, re-verified by the full tools/check.py gate at
+        # both SFs + pytest every round.  The r4/r5 window block
+        # (a56-a84, e24-e32, d22, CC/chunking/split set, a4/a19,
+        # a32/a33, a55/a60/a69, a12) rotates down on double-green rows.
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
         "a62_dataset_card": _a62_dataset_card,
@@ -2771,7 +2830,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a69_filtered_ann": _a69_filtered_ann,
         "a71_vocab_overlap": _a71_vocab_overlap,
         "a74_embedding_outliers": _a74_embedding_outliers,
-        "a75_quality_calibration": _a75_quality_calibration,
         "a76_blocklist_filter": _a76_blocklist_filter,
         "a77_soft_quality_sample": _a77_soft_quality_sample,
         "a78_eval_overlap_severity": _a78_eval_overlap_severity,
@@ -2798,68 +2856,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a84_novelty": _a84_novelty,
         "d22_mongo_payload_fetch": _d22_mongo_payload_fetch,
         "a55_ivfpq_persist": _a55_ivfpq_persist,
-        # -- CC internals changed late in r4 (observation-fused fixpoint):
-        # rotate both component queries back under the driver
         "a26_cc_two_phase": _a_cc_two_phase,
         "a44_cluster_reps": _a44_cluster_reps,
         "a49_ann_recall": _a49_ann_recall,
         "a37_chunking": _a37_chunking,
         "a38_pmi_bigrams": _a38_pmi,
         "a39_split_assign": _a39_splits,
-        # -- once-checked r3 rows kept under watch (e8/e10/e12/e19 rotated
-        # below the window to make room for a56-a59: unchanged plain-
-        # Catalyst queries, still gate-pinned every round)
         "e24_asof_tolerance": _e24_asof_tolerance,
         "a12_embedding_pairs": _a12_embedding_pairs,
-        # -- changed this round: need fresh driver verdicts.  The simhash
-        # candidate join was rewritten late (slim id-only join + packed
-        # signatures), so both its queries re-enter; a6/a11 rotate below
-        # (their code paths stay driver-pinned through in-window a49 and
-        # a44/a79 respectively).
         "a4_simhash_pairs": _a_simhash,
         "a19_simhash_md5": _a19_simhash_md5,
-        # ---- driver window ends here (50) — below: multiply-green, pinned
-        # by tools/check.py + pytest every round.  a25/a32/a33/a34 rotated
-        # down to make room for the new a81-a84: all four have r3
-        # driver-green rows, the shared IVF-PQ/kmeans rewrite stays
-        # driver-pinned through in-window a55/a60/a69, the a34 rewrite is
-        # result-hash-identical, and a33's oracle tightening is gate-pinned
-        # at both SFs.  a7 joins them for the same reason (d22 takes its
-        # slot).
-        "a7_ivf_topk": _a_ivf_topk,
-        "a25_pq_topk": _a_pq_topk,
         "a32_ivfpq_topk": _a_ivfpq_topk,
         "a33_semdedup": _a_semdedup,
-        "a34_opq_topk": _a_opq_topk,
-        # -- new after the r4 window froze; enter the r5 window
-        "a85_length_histogram": _a85_length_histogram,
-        "a86_type_token_stats": _a86_type_token_stats,
-        "a87_split_balance": _a87_split_balance,
-        "a88_dup_gram_report": _a88_dup_gram_report,
-        "a89_removal_impact": _a89_removal_impact,
-        "a90_tokenizer_fertility": _a90_tokenizer_fertility,
-        "a91_hll_distinct": _a91_hll_distinct,
-        "a92_bloom_decontaminate": _a92_bloom_decontaminate,
-        "a93_containment": _a93_containment,
-        "a94_power_iteration": _a94_power_iteration,
-        "d23_integrity_audit": _d23_integrity_audit,
-        "e33_scd2": _e33_scd2,
-        "e34_band_join": _e34_band_join,
         "e8_tumbling_window": _e_tumbling_window,
         "e20_time_range_rolling": _e20_time_range_rolling,
         "e9_sessionize": _e9_sessionize,
         "e11_asof_join": _e11_asof_join,
         "a29_pack_sequences": _a_pack_sequences,
-        "a42_int8_quantize": _a42_int8_quantize,
-        "a41_source_rollup": _a41_source_rollup,
-        "a46_dup_rate_by_source": _a46_dup_rate_by_source,
-        "a45_random_projection": _a45_random_projection,
-        "a40_tfidf_topterms": _a40_tfidf,
-        "a51_vocab_coverage": _a51_vocab_coverage,
-        "a54_boilerplate": _a54_boilerplate,
-        "a48_shard_assign": _a48_shard_assign,
-        "a47_temperature_mix": _a47_temperature_mix,
-        "a43_norm_fingerprint": _a43_norm_fingerprint,
         "a14_bm25_topk": _a14_bm25_topk,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a6_lsh_topk": _a_lsh_topk,
@@ -2880,7 +2893,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d9_position_align_join": _d9,
         "d1_point_lookup": _d1,
         "d13_lineage_counts": _d13,
-        "e7_string_funcs": _e_string_funcs,
         "e21_interval_join": _e21_interval_join,
         "e22_unpivot": _e22_unpivot,
         "e23_ntile": _e23_ntile,
@@ -2893,26 +2905,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d14_window_topk": _d14,
         "d20_first_seen": _d20_first_seen,
         "d21_salted_agg": _d21_salted_agg,
-        "a3_minhash_lsh_pairs": _a_minhash_lsh,
-        "a5_embedding_topk": _a_embedding_topk,
-        "a1_dedup_exact": _a_dedup_exact,
-        "e1_rollup": _e_rollup,
-        "e5_window_lag_lead_frames": _e_window_lag,
-        "d2_in_list": _d2,
-        "d3_interval_page": _d3,
-        "d4_interval_count": _d4,
-        "d5_or_of_ands": _d5,
-        "d6_key_derivation": _d6,
-        "d7_version_partition": _d7,
-        "d8_time_partition": _d8,
-        "d10_group_by_location": _d10,
-        "d11_unique_invariant": _d11,
-        "d12_deadletter_antijoin": _d12,
         "d15_orders_agg": _d15,
         "d16_customer_nation_join": _d16,
-        "d17_message_size": _d17,
-        "d18_wire_timestamps": _d18,
-        "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
@@ -2922,10 +2916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a31_quota_sample": _a_quota_sample,
         "a35_audio_features": _a_audio_features,
         "a36_frame_samples": _a_frame_samples,
-        "e2_cube": _e_cube,
-        "e3_set_ops": _e_set_ops,
-        "e4_semi_anti_join": _e_semi_anti,
-        "e6_scalar_subquery": _e_scalar_subquery,
     }
 
 
