@@ -683,20 +683,28 @@ def _a77_soft_quality_sample(spark, sf_dir):
 def _a75_quality_calibration(spark, sf_dir):
     """Quality-score calibration: decile buckets of the heuristic score vs
     the Gopher keep-rate — does the cheap score actually rank quality?
-    One pass computes both signals; the decile is an ntile window over the
+    One pass computes both signals; the decile is ntile(10) over the
     rounded score (4 dp) with doc_id tiebreak, so bucket boundaries are
-    representation-stable cross-engine."""
+    representation-stable cross-engine.  The decile comes from
+    `sampling.ntile_exact` — bit-identical to a global ntile window but
+    computed as range-partition + literal prefix offsets + per-partition
+    row_number, so the plan has NO single-partition WindowExec (the
+    global-sort-on-one-executor hazard at 100 TB); the DuckDB oracle keeps
+    plain ntile because the arithmetic rule is the same."""
     from persistor_spark.analytics import text
+    from persistor_spark.analytics.sampling import ntile_exact
 
     flags = text.gopher_flags(_docs(spark, sf_dir)).withColumn(
         "score", text.quality_score("text")
     )
-    from pyspark.sql import Window
-
-    w = Window.orderBy("score", "doc_id")
+    bucketed = ntile_exact(
+        flags.select("doc_id", "score", "keep"),
+        10,
+        [F.col("score").asc(), F.col("doc_id").asc()],
+        out_col="decile",
+    )
     return (
-        flags.withColumn("decile", F.ntile(10).over(w))
-        .groupBy("decile")
+        bucketed.groupBy("decile")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.round(F.avg("score"), 4).alias("avg_score"),

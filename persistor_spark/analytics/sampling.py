@@ -391,3 +391,83 @@ def select_token_budget(
         .select(id_col, "score", "n_tokens", "cum_tokens")
         .orderBy(id_col)
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols,
+    out_col: str = "rn",
+    num_partitions: int = 32,
+) -> tuple[DataFrame, int]:
+    """Global 1-based row_number over a total ordering WITHOUT a
+    single-partition window, plus the total row count.
+
+    Same two-level shape as `select_token_budget`: rows are range-
+    partitioned on the ordering, per-partition row counts (one P-row
+    collect) become literal prefix offsets broadcast-joined back, and the
+    global rank is offset + a per-partition row_number.  Every stage is
+    bounded by a partition, so the plan holds at 100 TB with
+    `num_partitions` sized to the corpus.  The range-partitioned frame is
+    localCheckpoint-ed so the counts job and the output job see identical
+    partition boundaries (RangePartitioner samples per run); the output
+    ranks are boundary-independent because the ordering is total.
+
+    `order_cols` must be a total ordering (include a unique tiebreak
+    column) or ranks are nondeterministic across runs.
+    """
+    r = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    r = r.localCheckpoint(eager=True)
+    counts = {
+        row["__pid"]: row["c"]
+        for row in r.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = r.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __offset long"
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    out = (
+        r.join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(
+            out_col,
+            (F.coalesce("__offset", F.lit(0)) + F.row_number().over(w)).cast(
+                "long"
+            ),
+        )
+        .drop("__pid", "__offset")
+    )
+    return out, acc
+
+
+def ntile_exact(
+    df: DataFrame,
+    n: int,
+    order_cols,
+    out_col: str = "bucket",
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Distributed `ntile(n)`: bit-identical bucket assignment to
+    `F.ntile(n).over(Window.orderBy(*order_cols))` but with NO
+    single-partition window — the global rank comes from
+    `global_row_number` and the bucket from ntile's arithmetic rule
+    (the first N % n buckets get one extra row), evaluated in exact
+    integer `div` so no float boundary can flip a row cross-engine.
+    """
+    ranked, total = global_row_number(df, order_cols, "__rn", num_partitions)
+    base, rem = divmod(total, n)
+    big = base + 1
+    cut = big * rem
+    rn = F.col("__rn")
+    # rows 1..cut fill the `rem` buckets of size base+1; the rest fill
+    # buckets of size base.  base can be 0 only when total < n, where
+    # every row lands in the first branch (cut == total), so the
+    # otherwise-branch divisor is clamped without changing any result.
+    bucket = F.when(
+        rn <= F.lit(cut), F.expr(f"((__rn - 1) div {big}) + 1")
+    ).otherwise(F.expr(f"{rem} + ((__rn - 1 - {cut}) div {max(base, 1)}) + 1"))
+    return ranked.withColumn(out_col, bucket.cast("int")).drop("__rn")

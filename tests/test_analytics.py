@@ -1581,3 +1581,56 @@ def test_ivfpq_filtered_search_subset_and_exact(spark, embs):
     ).collect()
     key = lambda rows: sorted((r["query_id"], r["vec_id"]) for r in rows)  # noqa: E731
     assert key(got) == key(truth)
+
+
+def test_ntile_exact_matches_window_ntile_and_avoids_single_partition(spark):
+    from pyspark.sql import Window
+
+    from persistor_spark.analytics import sampling
+
+    # sizes that exercise both ntile branches (remainder and none) plus
+    # the total < n edge where every row gets its own bucket
+    for n_rows, n_buckets in [(203, 10), (200, 10), (7, 10), (1, 3)]:
+        rows = [(i, float((i * 37) % 11)) for i in range(n_rows)]
+        df = spark.createDataFrame(rows, "doc_id int, score double")
+        order = [F.col("score").asc(), F.col("doc_id").asc()]
+        got = {
+            r["doc_id"]: r["bucket"]
+            for r in sampling.ntile_exact(
+                df, n_buckets, order, num_partitions=4
+            ).collect()
+        }
+        want = {
+            r["doc_id"]: r["nt"]
+            for r in df.withColumn(
+                "nt", F.ntile(n_buckets).over(Window.orderBy(*order))
+            ).collect()
+        }
+        assert got == want
+    # the a75 hazard: the plan must never collapse to one partition
+    df = spark.createDataFrame(
+        [(i, float(i % 7)) for i in range(500)], "doc_id int, score double"
+    )
+    out = sampling.ntile_exact(
+        df, 10, [F.col("score").asc(), F.col("doc_id").asc()], num_partitions=8
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_global_row_number_is_dense_and_repartition_stable(spark):
+    from persistor_spark.analytics import sampling
+
+    rows = [(i, float((i * 13) % 17)) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, score double")
+    order = [F.col("score").asc(), F.col("doc_id").asc()]
+    ranked, total = sampling.global_row_number(df, order, num_partitions=6)
+    assert total == 300
+    got = ranked.orderBy("rn").collect()
+    assert [r["rn"] for r in got] == list(range(1, 301))
+    # ranks follow the total ordering exactly
+    keys = [(r["score"], r["doc_id"]) for r in got]
+    assert keys == sorted(keys)
+    # input partitioning must not change the ranks
+    again, _ = sampling.global_row_number(df.repartition(23), order, num_partitions=3)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, ranked.collect()))
