@@ -6,23 +6,51 @@ streaming ingest's per-trigger writes).  Appending is the right write path
 — no rewrites in the hot loop — but after many cycles each partition holds
 many small files and scan cost goes listing/open-bound.  `compact_parquet`
 is the periodic fix: rewrite each partition's row set into ~target-sized
-files, atomically.
+files, swapping the layouts with deferred cleanup of the old one.
 
-Atomicity: the compacted copy is written to a sibling temp dir first, then
-swapped in with two renames (old -> trash, new -> live) and the trash
-removed.  A reader that grabbed the old path keeps its snapshot (parquet
-files are immutable); a crash between the renames leaves either the old or
-the new layout fully intact, never a mix.  On object stores, swap the
-rename for the store's atomic-commit mechanism (or compact into a new
-versioned prefix and flip a pointer — the Iceberg/Delta pattern this
-hand-rolled layout approximates).
+Swap semantics (be precise — this runs inside live streaming loops via
+`compact_every`):
+
+- The compacted copy is fully written to a sibling temp dir before any
+  rename, so the data itself is never at risk.
+- The swap is TWO renames (old -> trash, new -> live).  Plain POSIX rename
+  can't exchange two directories atomically, so there is a brief window
+  between them where the live path does not exist: a reader LISTING the
+  dataset exactly then sees FileNotFound, and a crash there leaves the
+  layout only under the trash name (recover by renaming it back).  Readers
+  that already listed the old layout keep their snapshot — parquet files
+  are immutable and the old files live on under the trash name.
+- The old layout is NOT deleted in the same call.  Deleting immediately
+  would yank files out from under a concurrent scan that listed the old
+  file set but hasn't opened every file yet.  Instead each call removes
+  the trash dirs left by PREVIOUS compactions of the same path — an
+  in-flight scan gets at least one full compaction interval to finish,
+  which bounds trash growth at one extra copy of the dataset.  Pass
+  `drop_trash_now=True` only when no concurrent readers exist (tests,
+  offline maintenance).
+
+On object stores, swap the rename pair for the store's atomic-commit
+mechanism (or compact into a new versioned prefix and flip a pointer — the
+Iceberg/Delta pattern this hand-rolled layout approximates); that also
+removes the no-live-path window.
 """
 
 from __future__ import annotations
 
+import glob
 import os
 import shutil
 import uuid
+
+
+def sweep_trash(path: str) -> int:
+    """Remove trash dirs left by previous `compact_parquet` calls on
+    `path`.  Returns the number of dirs removed."""
+    removed = 0
+    for old in glob.glob(f"{glob.escape(path)}.__trash_*"):
+        shutil.rmtree(old, ignore_errors=True)
+        removed += 1
+    return removed
 
 
 def compact_parquet(
@@ -30,17 +58,23 @@ def compact_parquet(
     path: str,
     partition_col: str | None = None,
     target_rows_per_file: int = 1_000_000,
+    drop_trash_now: bool = False,
 ) -> dict:
     """Rewrite a (optionally partitioned) parquet dataset into ~target-sized
     files per partition.  Returns {"files_before": n, "files_after": m,
-    "rows": r}.
+    "rows": r, "trash_swept": t}.
 
     File count per partition = ceil(partition_rows / target_rows_per_file),
     applied via a repartition on the partition column (each partition's data
     shuffles once; at 100 TB run this per-partition-subset instead of
     whole-table).  Row contents and the column contract are unchanged —
     callers like lsh_index_load / ivfpq_load read the compacted layout
-    transparently."""
+    transparently.
+
+    The displaced layout is parked under a trash name and deleted on the
+    NEXT compaction of the same path (deferred cleanup — see the module
+    docstring for the exact swap/visibility guarantees), unless
+    `drop_trash_now` asserts there are no concurrent readers."""
 
     def _count_files(p):
         total = 0
@@ -48,6 +82,9 @@ def compact_parquet(
             total += sum(1 for f in files if f.endswith(".parquet"))
         return total
 
+    # deferred cleanup: trash from prior cycles has had a full compaction
+    # interval for in-flight scans to drain
+    swept = sweep_trash(path)
     before = _count_files(path)
     df = spark.read.parquet(path)
     rows = df.count()
@@ -63,5 +100,11 @@ def compact_parquet(
     trash = f"{path}.__trash_{uuid.uuid4().hex[:8]}"
     os.rename(path, trash)
     os.rename(tmp, path)
-    shutil.rmtree(trash)
-    return {"files_before": before, "files_after": _count_files(path), "rows": rows}
+    if drop_trash_now:
+        shutil.rmtree(trash)
+    return {
+        "files_before": before,
+        "files_after": _count_files(path),
+        "rows": rows,
+        "trash_swept": swept,
+    }

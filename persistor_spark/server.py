@@ -125,7 +125,15 @@ class _JsonHandler(BaseHTTPRequestHandler):
 
     def _read_json(self):
         n = int(self.headers.get("Content-Length") or 0)
-        raw = self.rfile.read(n)
+        # Go's ReadHeaderTimeout bounds only the request line + headers
+        # (server.go:126); lift the socket deadline for the body read so a
+        # slow-but-legitimate POST body isn't dropped, then restore it for
+        # the next request on a keep-alive connection
+        try:
+            self.connection.settimeout(None)
+            raw = self.rfile.read(n)
+        finally:
+            self.connection.settimeout(self.timeout)
         return json.loads(raw)
 
     def _route(self):
@@ -355,13 +363,22 @@ _DURATION_UNITS = {"ns": 1e-9, "us": 1e-6, "µs": 1e-6, "ms": 1e-3, "s": 1.0, "m
 
 def parse_go_duration(s: str) -> float:
     """Seconds from a Go time.ParseDuration string ('2s', '300ms', '1m30s')
-    — the wire format of IDX_API_SERVER_TIMEOUT (server.go:97-105)."""
+    — the wire format of IDX_API_SERVER_TIMEOUT (server.go:97-105).
+    ParseDuration parity: an optional leading sign and the bare-zero form
+    '0' (the only unit-less value Go accepts — e.g. SERVER_TIMEOUT=0
+    disables the timeout) are valid."""
     import re
 
-    parts = re.findall(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)", s)
-    if not parts or "".join(n + u for n, u in parts) != s.lstrip("+"):
+    body, sign = s, 1.0
+    if body[:1] in ("+", "-"):
+        sign = -1.0 if body[0] == "-" else 1.0
+        body = body[1:]
+    if body == "0":
+        return 0.0
+    parts = re.findall(r"(\d+(?:\.\d+)?)(ns|us|µs|ms|s|m|h)", body)
+    if not parts or "".join(n + u for n, u in parts) != body:
         raise ValueError(f"invalid duration: {s!r}")
-    return sum(float(n) * _DURATION_UNITS[u] for n, u in parts)
+    return sign * sum(float(n) * _DURATION_UNITS[u] for n, u in parts)
 
 
 def server_options_from_env(environ=None, prefix: str = "IDX_API") -> dict:
@@ -382,6 +399,34 @@ def server_options_from_env(environ=None, prefix: str = "IDX_API") -> dict:
     return opts
 
 
+class TrackedThreadingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that records its live handler threads.
+
+    The stock ThreadingMixIn registry is useless here: ThreadingHTTPServer
+    sets daemon_threads=True and socketserver's _Threads.append silently
+    SKIPS daemon threads, so `server._threads` is always empty and a
+    join-based drain would be a vacuous no-op.  We keep our own registry in
+    process_request_thread (runs inside each handler thread) so
+    shutdown_graceful can actually wait for in-flight requests — the
+    waitGroup drain of server.go:189-198 — while keeping daemon semantics
+    (a hung handler can't block process exit after the budget)."""
+
+    def __init__(self, *args, **kwargs):
+        super().__init__(*args, **kwargs)
+        self._handler_threads: set = set()
+        self._handler_lock = threading.Lock()
+
+    def process_request_thread(self, request, client_address):
+        t = threading.current_thread()
+        with self._handler_lock:
+            self._handler_threads.add(t)
+        try:
+            super().process_request_thread(request, client_address)
+        finally:
+            with self._handler_lock:
+                self._handler_threads.discard(t)
+
+
 def _apply_transport(
     server: ThreadingHTTPServer,
     handler: type,
@@ -391,8 +436,10 @@ def _apply_transport(
 ) -> ThreadingHTTPServer:
     # BaseHTTPRequestHandler.timeout: socket timeout while reading the
     # request line/headers — a stalled client gets dropped instead of
-    # pinning a handler thread (ReadHeaderTimeout, server.go:126)
-    handler.timeout = read_header_timeout_s
+    # pinning a handler thread (ReadHeaderTimeout, server.go:126).  Go
+    # treats a zero/negative ReadHeaderTimeout as "no timeout"; a Python
+    # socket timeout of 0 would mean non-blocking, so map it to None.
+    handler.timeout = read_header_timeout_s if read_header_timeout_s > 0 else None
     if tls:
         import ssl
 
@@ -416,7 +463,7 @@ def serve_indexer_api(
     `indexes` maps collection name -> IndexQuery."""
     handler = type("BoundIndexerApiHandler", (IndexerApiHandler,), {"indexes": indexes})
     return _apply_transport(
-        ThreadingHTTPServer(addr, handler), handler, tls, certs_path, read_header_timeout_s
+        TrackedThreadingHTTPServer(addr, handler), handler, tls, certs_path, read_header_timeout_s
     )
 
 
@@ -439,7 +486,7 @@ def serve_resubmitter_api(
         },
     )
     return _apply_transport(
-        ThreadingHTTPServer(addr, handler), handler, tls, certs_path, read_header_timeout_s
+        TrackedThreadingHTTPServer(addr, handler), handler, tls, certs_path, read_header_timeout_s
     )
 
 
@@ -461,9 +508,15 @@ def shutdown_graceful(server: ThreadingHTTPServer, budget_s: float = SHUTDOWN_BU
     deadline = _time.monotonic() + budget_s
     server.shutdown()  # stops serve_forever; new connections refused
     drained = True
-    # ThreadingMixIn tracks per-request threads; daemon threads are not
-    # joined by server_close, so drain them against the budget ourselves
-    threads = list(getattr(server, "_threads", None) or [])
+    # our TrackedThreadingHTTPServer registry (stock _threads skips daemon
+    # threads, so it is always empty — see the class docstring); fall back
+    # to _threads for a plain ThreadingHTTPServer with daemon_threads off
+    lock = getattr(server, "_handler_lock", None)
+    if lock is not None:
+        with lock:
+            threads = list(server._handler_threads)
+    else:
+        threads = list(getattr(server, "_threads", None) or [])
     for t in threads:
         t.join(max(0.0, deadline - _time.monotonic()))
         if t.is_alive():

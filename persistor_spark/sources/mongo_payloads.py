@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import os
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 CONNECTION_STRING_ENV = "MONGO_CONNECTION_STRING"
@@ -114,13 +115,21 @@ def fetch_payloads(
         # mongo.go:143-151), never abort the replay — so probe the load
         # driver-side and simply leave missing collections out of the
         # union; their rows miss the join below.  Empty collection names
-        # (from '/m1'-style keys) are always absent.
+        # (from '/m1'-style keys) are always absent.  ONLY the
+        # missing-path case routes as not-found: the reference
+        # distinguishes ErrNoDocuments from decode/IO errors
+        # (mongo.go:128-133), so corrupt files, permission failures, or a
+        # bad root propagate instead of silently dead-lettering the rows.
         if not name:
             continue
         try:
             one = read_collection(spark, root, name, fmt)
-        except Exception:
-            continue
+        except AnalysisException as exc:
+            cond = getattr(exc, "getCondition", None)
+            cond = cond() if callable(cond) else None
+            if cond == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(exc):
+                continue
+            raise
         one = one.select(
             F.lit(name).alias("collection"),
             F.col("id").alias("msg_id"),

@@ -267,10 +267,13 @@ def run_incremental_dedup_stream(
 
     `compact_every=N` runs plans.maintenance.compact_parquet on the index
     after every Nth append: per-band file count otherwise grows one file
-    per batch and the probe goes listing/open-bound.  The swap is atomic
-    (rename pair), so a concurrent reader sees either layout, never a mix;
-    production would run the same call from a maintenance scheduler
-    instead of the ingest loop."""
+    per batch and the probe goes listing/open-bound.  A reader never sees
+    a MIX of layouts (parquet files are immutable and the old ones survive
+    under a trash name until the next compaction cycle — the deferred
+    cleanup in plans.maintenance), but the rename pair does have a brief
+    no-live-path window; see that module's docstring for the exact
+    guarantees.  Production would run the same call from a maintenance
+    scheduler instead of the ingest loop."""
     from persistor_spark.analytics import dedup
     from persistor_spark.plans import maintenance
 

@@ -209,3 +209,25 @@ def test_mongo_connector_env_contract(monkeypatch):
         "spark.mongodb.read.database": "persistor",
         "spark.mongodb.read.collection": "colA",
     }
+
+
+def test_mongo_fetch_corrupt_collection_propagates(spark, tmp_path):
+    """Only the missing-path case routes as document_not_found; a genuine
+    store failure (corrupt parquet footer here) must propagate — the
+    reference distinguishes ErrNoDocuments from decode/IO errors
+    (mongo.go:128-133)."""
+    import pytest
+
+    from persistor_spark.sources import mongo_payloads as mp
+
+    root = _mongo_store(spark, tmp_path)
+    corrupt = tmp_path / "mongostore" / "colX"
+    corrupt.mkdir(parents=True, exist_ok=True)
+    (corrupt / "part-00000.parquet").write_bytes(b"this is not parquet")
+    locs = spark.createDataFrame(
+        [("colA/m1",), ("colX/m1",)], "location_key string"
+    )
+    with pytest.raises(Exception) as exc_info:
+        mp.fetch_payloads(spark, root, locs).collect()
+    # never misreported as the per-document not-found route
+    assert mp.NOT_FOUND not in str(exc_info.value)

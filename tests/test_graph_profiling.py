@@ -250,3 +250,38 @@ def test_grouped_split_keeps_near_dups_together(spark, sf_dir):
     got_pairs = [(r["a"], r["b"]) for r in pairs.collect()]
     assert got_pairs
     assert all(split_of[a] == split_of[b] for a, b in got_pairs)
+
+
+def test_compact_parquet_defers_trash_to_next_cycle(spark, tmp_path):
+    """The displaced layout survives the compaction that displaced it (a
+    concurrent scan that listed the old files can still open them) and is
+    swept by the NEXT compaction of the same path."""
+    import glob
+
+    from persistor_spark.plans import maintenance
+
+    path = str(tmp_path / "ds")
+    spark.range(100).withColumn("p", F.col("id") % 4).write.partitionBy("p").parquet(path)
+    for i in range(3):
+        spark.range(100 * (i + 2), 100 * (i + 2) + 10).withColumn(
+            "p", F.col("id") % 4
+        ).write.mode("append").partitionBy("p").parquet(path)
+
+    stats1 = maintenance.compact_parquet(spark, path, partition_col="p")
+    assert stats1["trash_swept"] == 0
+    trash = glob.glob(f"{path}.__trash_*")
+    assert len(trash) == 1  # old layout parked, not deleted
+    # the parked copy is still a readable snapshot of the OLD layout
+    assert spark.read.parquet(trash[0]).count() == 130
+
+    stats2 = maintenance.compact_parquet(spark, path, partition_col="p")
+    assert stats2["trash_swept"] == 1
+    assert glob.glob(f"{path}.__trash_*") != trash  # old trash gone, new parked
+    # rows always intact through both swaps
+    assert spark.read.parquet(path).count() == 130
+
+    # the no-concurrent-readers escape hatch removes its own trash
+    maintenance.sweep_trash(path)
+    stats3 = maintenance.compact_parquet(spark, path, partition_col="p", drop_trash_now=True)
+    assert glob.glob(f"{path}.__trash_*") == []
+    assert stats3["rows"] == 130

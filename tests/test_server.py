@@ -4,6 +4,7 @@ indexer-api/lib/handler.go:35-177, resubmitter-api handler.go:68-241)."""
 
 import datetime
 import json
+import threading
 import urllib.error
 import urllib.request
 
@@ -288,6 +289,118 @@ def test_read_header_timeout_drops_stalled_client():
         # instead of pinning a handler thread (ReadHeaderTimeout parity)
         assert conn.recv(1) == b""  # server closed the connection
         assert _time.monotonic() - t0 < 10
+        conn.close()
+    finally:
+        assert srv.shutdown_graceful(s)
+
+
+def test_go_duration_zero_and_signed():
+    # ParseDuration accepts the bare-zero form and a leading sign
+    assert srv.parse_go_duration("0") == 0.0
+    assert srv.parse_go_duration("+0") == 0.0
+    assert srv.parse_go_duration("-0") == 0.0
+    assert srv.parse_go_duration("-2s") == -2.0
+    assert srv.parse_go_duration("+1m30s") == 90.0
+    # but a unit is still required for any non-zero value
+    for bad in ("00", "5", "-5", "0s0"):
+        with pytest.raises(ValueError):
+            srv.parse_go_duration(bad)
+    # IDX_API_SERVER_TIMEOUT=0 (disable) passes env loading
+    opts = srv.server_options_from_env({"IDX_API_SERVER_TIMEOUT": "0"})
+    assert opts == {"read_header_timeout_s": 0.0}
+    # and a zero timeout builds a server whose handler has NO socket
+    # deadline (0 would mean non-blocking in Python)
+    s = srv.serve_indexer_api({}, read_header_timeout_s=0.0)
+    try:
+        assert s.RequestHandlerClass.timeout is None
+    finally:
+        s.server_close()
+
+
+def test_shutdown_graceful_waits_for_in_flight_requests():
+    """The waitGroup drain (server.go:189-198): a request already being
+    handled must complete before server_close, even though handler threads
+    are daemons (the stock _threads registry skips daemons entirely, which
+    made the old join loop vacuous)."""
+    import socket
+    import time as _time
+
+    release = threading.Event()
+    entered = threading.Event()
+
+    class SlowHandler(srv._JsonHandler):
+        def do_GET(self):  # noqa: N802
+            entered.set()
+            release.wait(10)
+            self._reply(200, {"ok": True})
+
+    server = srv.TrackedThreadingHTTPServer(("127.0.0.1", 0), SlowHandler)
+    srv.start_background(server)
+    port = server.server_address[1]
+    conn = socket.create_connection(("127.0.0.1", port), timeout=30)
+    conn.sendall(b"GET /x HTTP/1.1\r\nHost: h\r\nConnection: close\r\n\r\n")
+    assert entered.wait(10)
+    # release the handler shortly after shutdown starts draining
+    t = threading.Timer(0.3, release.set)
+    t.start()
+    t0 = _time.monotonic()
+    assert srv.shutdown_graceful(server, budget_s=10.0)  # True = drained
+    waited = _time.monotonic() - t0
+    assert waited >= 0.25  # it actually waited for the in-flight request
+    resp = conn.recv(65536)
+    assert b"200" in resp and b'"ok"' in resp
+    conn.close()
+
+
+def test_shutdown_graceful_reports_overrun():
+    """A handler that outlives the budget yields drained=False — the case
+    where the reference logs fatal (server.go:196-198)."""
+    import socket
+
+    release = threading.Event()
+    entered = threading.Event()
+
+    class StuckHandler(srv._JsonHandler):
+        def do_GET(self):  # noqa: N802
+            entered.set()
+            release.wait(30)
+
+    server = srv.TrackedThreadingHTTPServer(("127.0.0.1", 0), StuckHandler)
+    srv.start_background(server)
+    port = server.server_address[1]
+    conn = socket.create_connection(("127.0.0.1", port), timeout=30)
+    conn.sendall(b"GET /x HTTP/1.1\r\nHost: h\r\n\r\n")
+    assert entered.wait(10)
+    try:
+        assert srv.shutdown_graceful(server, budget_s=0.2) is False
+    finally:
+        release.set()
+        conn.close()
+
+
+def test_slow_body_not_dropped_by_header_timeout():
+    """A client that sends headers promptly but trickles the POST body
+    past the read-header timeout must still get its request served — Go's
+    ReadHeaderTimeout only bounds header reading (ADVICE r5)."""
+    import socket
+    import time as _time
+
+    s = srv.serve_indexer_api({}, read_header_timeout_s=0.5)
+    srv.start_background(s)
+    try:
+        port = s.server_address[1]
+        conn = socket.create_connection(("127.0.0.1", port), timeout=30)
+        body = b'{"ids": []}'
+        conn.sendall(
+            b"POST /all/none HTTP/1.1\r\nHost: h\r\nContent-Type: application/json\r\n"
+            + f"Content-Length: {len(body)}\r\n\r\n".encode()
+        )
+        _time.sleep(1.2)  # stall mid-body, past the 0.5 s header timeout
+        conn.sendall(body)
+        resp = conn.recv(65536)
+        # reaches the handler (unknown collection -> 400 envelope), not a
+        # silent connection drop
+        assert b"400" in resp and srv.ON_BAD_REQUEST.encode() in resp
         conn.close()
     finally:
         assert srv.shutdown_graceful(s)
