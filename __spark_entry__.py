@@ -974,13 +974,32 @@ def _cl_embs(spark, sf_dir):
     the cells where the neighbors live — and makes their candidate set
     provably cover the true top-k, so the brute-force SQL twin is an exact
     oracle.  The same arithmetic reproduces in DuckDB."""
-    return _embs(spark, sf_dir).select(
-        "vec_id",
-        F.transform(
-            F.col("embedding").cast("array<double>"),
-            lambda x, i: x + F.when(i == F.col("label"), F.lit(10.0)).otherwise(F.lit(0.0)),
-        ).alias("embedding"),
-    )
+    key = (spark.sparkContext.applicationId, sf_dir)
+    with _CL_EMBS_LOCK:
+        if key not in _CL_EMBS_CACHE:
+            _CL_EMBS_CACHE[key] = (
+                _embs(spark, sf_dir)
+                .select(
+                    "vec_id",
+                    F.transform(
+                        F.col("embedding").cast("array<double>"),
+                        lambda x, i: x
+                        + F.when(i == F.col("label"), F.lit(10.0)).otherwise(F.lit(0.0)),
+                    ).alias("embedding"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return _CL_EMBS_CACHE[key]
+
+
+#: session-scoped materialization of the clustered corpus: SEVEN ANN
+#: queries (a7/a25/a32/a49/a55/a60/a69) start from this same derived
+#: table, and the per-element clustering lambda is an interpreted
+#: higher-order function — paying the parquet scan + HOF once per session
+#: instead of once per query is the same amortization as _IVFPQ_CACHE,
+#: with identical results by construction (it is the same rows).
+_CL_EMBS_CACHE: dict = {}
+_CL_EMBS_LOCK = __import__("threading").Lock()
 
 
 def _a_lsh_topk(spark, sf_dir):

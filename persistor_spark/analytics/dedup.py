@@ -1306,8 +1306,13 @@ def lsh_index_save(band_table: DataFrame, path: str) -> None:
     parquet PARTITIONED BY band, so a probe's (band, bh) equi-join prunes
     to the matching band partitions (the posting-list layout; the dedup
     twin of ivfpq_save's inverted lists).  Spark writers throughout — the
-    same call targets gs://, abfss://, s3a:// on a cluster."""
-    band_table.write.mode("overwrite").partitionBy("band").parquet(path)
+    same call targets gs://, abfss://, s3a:// on a cluster.
+
+    Repartition ON band before the partitioned write: without it every
+    input partition writes a sliver into every band directory
+    (input_parts x bands small files); with it each band is one
+    contiguous file per shuffle partition holding it."""
+    band_table.repartition("band").write.mode("overwrite").partitionBy("band").parquet(path)
 
 
 def lsh_index_load(spark, path: str) -> DataFrame:

@@ -1021,7 +1021,7 @@ def ivfpq_search(
     )
 
 
-def ivfpq_save(index: IvfPqIndex, path: str) -> None:
+def ivfpq_save(index: IvfPqIndex, path: str, files_per_cell: int = 1) -> None:
     """Persist a trained IVF-PQ index (the FAISS write_index analogue):
 
     - `{path}/cells`     — the encoded corpus, PARTITIONED BY cid: the
@@ -1032,8 +1032,23 @@ def ivfpq_save(index: IvfPqIndex, path: str) -> None:
     - `{path}/codebooks` — (j, code, cv), m*ksub rows.
 
     Everything goes through Spark writers (parquet), so the same call works
-    against gs://, abfss://, or s3a:// paths on a cluster."""
-    index.cells.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
+    against gs://, abfss://, or s3a:// paths on a cluster.
+
+    The cells are repartitioned ON cid before the partitioned write:
+    without it every input partition writes its own sliver into every cell
+    directory (the dynamic-partition small-file explosion — input_parts x C
+    files), whereas an inverted LIST should be one-or-few contiguous
+    files.  `files_per_cell > 1` salts the repartition for cells too big
+    for one task at scale; rows are identical either way."""
+    cells = index.cells
+    if files_per_cell <= 1:
+        cells = cells.repartition("cid")
+    else:
+        cells = cells.repartition(
+            F.col("cid"),
+            F.pmod(F.crc32(F.col("id").cast("string")), F.lit(files_per_cell)),
+        )
+    cells.write.mode("overwrite").partitionBy("cid").parquet(f"{path}/cells")
     spark = index.cells.sparkSession
     spark.createDataFrame(
         [(cid, cv) for cid, cv in index.cents], "cid int, cv array<double>"
