@@ -2500,7 +2500,17 @@ def _a92_bloom_decontaminate(spark, sf_dir):
 def _a93_containment(spark, sf_dir):
     """Directional near-superset pairs: shingle containment |A∩B|/|A| >=
     0.9 with a != b — the doc-inside-doc case symmetric Jaccard misses when
-    the container is much larger.  Same posting-list join shape as a2."""
+    the container is much larger.  Same posting-list join shape as a2.
+
+    This entry runs UNCAPPED (max_doc_freq=None) because the oracle is the
+    exact answer and the fixture has no hot shingles.  In production, set
+    `max_doc_freq` (the a2-style hot-shingle cap; start around 1000): one
+    boilerplate shingle shared by f documents contributes f² candidate
+    rows, so an uncapped run on a crawl with headers/footers is quadratic
+    in the hottest posting list.  Dropping shingles with df > cap can only
+    LOWER a pair's measured containment (|A∩B| shrinks, |A| doesn't), so
+    the capped result is a subset of the exact one — a recall/cost knob,
+    never false positives.  ARCHITECTURE §6 records the measured blow-up."""
     from persistor_spark.analytics import dedup
 
     return dedup.containment_pairs(_docs(spark, sf_dir), 0.9).orderBy("a", "b")
