@@ -2770,6 +2770,112 @@ def _a59_quality_funnel(spark, sf_dir):
     return text.quality_funnel(_docs(spark, sf_dir))
 
 
+def _e35_equidepth_histogram(spark, sf_dir):
+    """Global equi-depth (equal-height) histogram of order totals: 20
+    buckets of equal row count with per-bucket bounds — the optimizer-
+    statistics / data-profiling staple.  Bucketing is `sampling.
+    ntile_exact` (bit-identical to a global ntile(20) window) so the plan
+    is the two-level range-partition + literal-offsets shape with NO
+    single-partition sort; the oracle keeps plain window ntile."""
+    from persistor_spark.analytics.sampling import ntile_exact
+    from persistor_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    b = ntile_exact(
+        o, 20, [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()], out_col="bucket"
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _a95_source_entropy(spark, sf_dir):
+    """Per-source token-distribution Shannon entropy (plus vocab size and
+    token volume) — the corpus-diversity read on each feed: low entropy =
+    templated/repetitive source, high = diverse.  H = log2(N) -
+    sum(c*log2 c)/N over per-source term counts, so the shuffles are
+    (source, term)- then source-keyed — bounded by vocab, never corpus² —
+    and the entropy algebra avoids per-row p*log p underflow."""
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    cnt = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    per = cnt.groupBy("source").agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("s"),
+    )
+    return per.select(
+        "source",
+        "vocab",
+        F.col("n").alias("n_tokens"),
+        F.round(F.log2("n") - F.col("s") / F.col("n"), 4).alias("entropy_bits"),
+    ).orderBy("source")
+
+
+def _a96_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirtakis A-Res): top-100 docs by key ln(u)/w with w = token count —
+    sample-proportional-to-size selection for token-budget-aware corpus
+    subsetting.  u is the engine-shared md5 hash-unit (seed 9), the key
+    rounds to 8 dp with doc_id tiebreak so the cut line is representation-
+    stable cross-engine; selection is a global top-k (TakeOrdered — no
+    single-partition sort)."""
+    from persistor_spark.analytics import text
+    from persistor_spark.analytics.sampling import _hash_unit
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", text.token_count("text").cast("double").alias("w")
+    )
+    key = F.round(F.log(_hash_unit(F.col("doc_id"), 9)) / F.col("w"), 8)
+    return (
+        docs.withColumn("key", key)
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
+        .limit(100)
+        .select("doc_id", F.col("w").cast("long").alias("n_tokens"), "key")
+    )
+
+
+def _a97_sparse_cosine_pairs(spark, sf_dir):
+    """Sparse TF-IDF cosine near-dup pairs (threshold 0.5): the lexical-
+    weighted similarity join complementing dense ANN and set Jaccard.
+    Posting-list shape throughout; terms in more than half the corpus are
+    dropped (near-zero idf anyway), which bounds the hot-list quadratic —
+    the cap compares df*2 <= N in exact integers, so both engines drop
+    the same terms."""
+    from persistor_spark.analytics import similarity
+
+    return similarity.tfidf_cosine_pairs(
+        _docs(spark, sf_dir), 0.5
+    ).orderBy("a", "b")
+
+
+def _e36_graph_bfs(spark, sf_dir):
+    """Multi-source BFS to depth 3 over the customer<->supplier purchase
+    graph: minimum hop distance from the seed customers (c_custkey <= 3)
+    — the reachability/impact query.  Frontier-expansion joins with
+    visited anti-join pruning, rounds bounded by depth; oracle is the
+    bounded recursive CTE with UNION dedup."""
+    from persistor_spark.analytics import graph
+    from persistor_spark.sources.registry import load_table
+
+    edges = graph.bipartite_interaction_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+    )
+    return graph.bfs_distances(edges, seeds, max_depth=3).orderBy("node")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -2824,7 +2930,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_ivf_topk": _a_ivf_topk,
         "a25_pq_topk": _a_pq_topk,
         "a34_opq_topk": _a_opq_topk,
-        # -- (3) new r6 operators land HERE, displacing top-up entries
+        # -- (3) new r6 operators: global-rank histogram (the ntile_exact
+        # primitive through the driver in a second shape), per-source
+        # entropy, A-Res weighted sampling, sparse TF-IDF cosine join,
+        # bounded multi-source BFS
+        "e35_equidepth_histogram": _e35_equidepth_histogram,
+        "a95_source_entropy": _a95_source_entropy,
+        "a96_weighted_sample": _a96_weighted_sample,
+        "a97_sparse_cosine_pairs": _a97_sparse_cosine_pairs,
+        "e36_graph_bfs": _e36_graph_bfs,
         # -- (4) top-up to 50: oldest (r2-era) driver rows, refreshed
         "d2_in_list": _d2,
         "d3_interval_page": _d3,
@@ -4600,6 +4714,63 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY pmi DESC, w1, w2 LIMIT 50"
         ),
         "a39_split_assign": _split_assign_oracle(),
+        # -- round-6 additions ------------------------------------------
+        "e35_equidepth_histogram": (
+            "WITH r AS (SELECT o_orderkey, o_totalprice, "
+            "  CAST(ntile(20) OVER (ORDER BY o_totalprice, o_orderkey) AS INT) AS bucket "
+            "  FROM orders) "
+            "SELECT bucket, count(*) AS n, round(min(o_totalprice), 2) AS lo, "
+            "  round(max(o_totalprice), 2) AS hi "
+            "FROM r GROUP BY bucket ORDER BY bucket"
+        ),
+        "a95_source_entropy": (
+            "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t "
+            "  FROM documents), "
+            "c AS (SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2), "
+            "p AS (SELECT source, count(*) AS vocab, sum(c) AS n, "
+            "  sum(c * log2(c)) AS s FROM c GROUP BY source) "
+            "SELECT source, CAST(vocab AS BIGINT) AS vocab, "
+            "  CAST(n AS BIGINT) AS n_tokens, "
+            "  round(log2(n) - s / n, 4) AS entropy_bits "
+            "FROM p ORDER BY source"
+        ),
+        "a96_weighted_sample": (
+            "WITH t AS (SELECT doc_id, "
+            "  len(string_split(text, ' '))::DOUBLE AS w FROM documents), "
+            "r AS (SELECT doc_id, w, "
+            "  round(ln(CAST(CONCAT('0x', substr(md5('9_' || doc_id), 1, 15)) AS BIGINT) "
+            "    / 1152921504606846976.0) / w, 8) AS key FROM t) "
+            "SELECT doc_id, CAST(w AS BIGINT) AS n_tokens, key "
+            "FROM r ORDER BY key DESC, doc_id ASC LIMIT 100"
+        ),
+        "a97_sparse_cosine_pairs": (
+            "WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term "
+            "  FROM documents), "
+            "tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY 1, 2), "
+            "nn AS (SELECT count(*) AS nd FROM documents), "
+            "dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "w AS (SELECT id, tf.term, tf * ln((SELECT nd FROM nn)::DOUBLE / df) AS w "
+            "  FROM tf JOIN dfq USING (term) WHERE df * 2 <= (SELECT nd FROM nn)), "
+            "norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY id), "
+            "d AS (SELECT a.id AS a, b.id AS b, sum(a.w * b.w) AS dot "
+            "  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id GROUP BY 1, 2) "
+            "SELECT a, b, round(dot / (na.nrm * nb.nrm), 3) AS cos "
+            "FROM d JOIN norms na ON d.a = na.id JOIN norms nb ON d.b = nb.id "
+            "WHERE dot / (na.nrm * nb.nrm) >= 0.5 ORDER BY a, b"
+        ),
+        "e36_graph_bfs": (
+            "WITH RECURSIVE pairs AS (SELECT DISTINCT o_custkey, l_suppkey "
+            "  FROM orders JOIN lineitem ON o_orderkey = l_orderkey), "
+            "edges AS (SELECT 'c' || o_custkey AS src, 's' || l_suppkey AS dst FROM pairs "
+            "  UNION ALL SELECT 's' || l_suppkey, 'c' || o_custkey FROM pairs), "
+            "reach(node, d) AS ("
+            "  SELECT 'c' || c_custkey, 0 FROM customer WHERE c_custkey <= 3 "
+            "  UNION "
+            "  SELECT e.dst, r.d + 1 FROM reach r JOIN edges e ON r.node = e.src "
+            "  WHERE r.d < 3) "
+            "SELECT node, CAST(min(d) AS INT) AS dist FROM reach GROUP BY node "
+            "ORDER BY node"
+        ),
     }
 
 

@@ -86,3 +86,40 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+
+def bfs_distances(
+    edges: DataFrame, seeds: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node, bounded
+    by `max_depth` — the reachability/impact query (which suppliers sit
+    within k hops of these customers) over the same symmetric edge list
+    PageRank and CC use.
+
+    Iterative-join shape: each round expands only the NEW frontier
+    (anti-joined against visited), so per-round volume is frontier x
+    average degree — never the whole reach set re-expanded, and rounds are
+    bounded by `max_depth`, not graph diameter.  The visited set is
+    localCheckpoint-ed per round (the CC fixpoint pattern: the plan stays
+    flat instead of growing one join per round).  Returns (node, dist),
+    dist in [0, max_depth]; unreached nodes are absent.
+
+    `seeds` is a 1-column (node) DataFrame.  Distances are exact BFS
+    minima: a node first reached in round i has dist i, and later longer
+    paths can't lower it, so no final min-aggregation is needed.
+    """
+    visited = seeds.select(
+        F.col(seeds.columns[0]).alias("node"), F.lit(0).alias("dist")
+    ).distinct().localCheckpoint(eager=True)
+    frontier = visited.select("node")
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(edges, frontier["node"] == edges["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(depth))
+        )
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt.select("node")
+    return visited

@@ -1610,3 +1610,56 @@ def power_iteration_direction(
         nrm = math.sqrt(sum(x * x for x in sums))
         v = [_r(x / nrm, vec_digits) for x in sums]
     return v
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df_frac: float = 0.5,
+    n_docs: int | None = None,
+) -> DataFrame:
+    """Sparse TF-IDF cosine near-dup pairs — the lexical-weighted
+    complement to dense-embedding similarity (a5/a33) and set-overlap
+    Jaccard (a2): pairs (a < b) whose TF-IDF vectors have cosine >=
+    `threshold`.
+
+    Scale shape is the posting-list family's: the only wide stages are
+    term-keyed joins and (a, b)-keyed partial-sum aggs, so work tracks
+    posting-list occupancy, never n².  `max_df_frac` is the hot-list cap
+    with a principled default — a term in more than half the corpus
+    carries near-zero idf anyway, so dropping it bounds the worst-case
+    join quadratic at negligible cosine loss (the tf-idf analogue of
+    a93's max_doc_freq).  The cap compares df*2 <= N in exact integers so
+    engines can't disagree at the boundary.  Pass `n_docs` when known to
+    skip the count job.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    if n_docs is None:
+        n_docs = df.count()
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(dfreq.filter(F.col("df") * 2 <= F.lit(n_docs)), "term")
+        .withColumn("w", F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")))
+        .select("id", "term", "w")
+    )
+    norms = w.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    a = w.select("term", F.col("id").alias("a"), F.col("w").alias("wa"))
+    b = w.select("term", F.col("id").alias("b"), F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    return (
+        dots.join(norms.select(F.col("id").alias("a"), F.col("nrm").alias("na")), "a")
+        .join(norms.select(F.col("id").alias("b"), F.col("nrm").alias("nb")), "b")
+        .withColumn("cos", F.col("dot") / (F.col("na") * F.col("nb")))
+        .filter(F.col("cos") >= F.lit(threshold))
+        .select("a", "b", F.round("cos", 3).alias("cos"))
+    )

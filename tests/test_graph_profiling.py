@@ -285,3 +285,52 @@ def test_compact_parquet_defers_trash_to_next_cycle(spark, tmp_path):
     stats3 = maintenance.compact_parquet(spark, path, partition_col="p", drop_trash_now=True)
     assert glob.glob(f"{path}.__trash_*") == []
     assert stats3["rows"] == 130
+
+
+def test_bfs_distances_exact_minima_and_depth_bound(spark):
+    # path graph a-b-c-d-e (symmetric) plus an isolated island x-y
+    undirected = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")]
+    edges = spark.createDataFrame(
+        [(s, d) for s, d in undirected] + [(d, s) for s, d in undirected],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    got = {r["node"]: r["dist"] for r in graph.bfs_distances(edges, seeds, 3).collect()}
+    # exact hop minima; e is 4 hops away -> absent; island unreachable
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # multi-source: min over seeds, and a seeded node keeps dist 0
+    seeds2 = spark.createDataFrame([("a",), ("e",)], "node string")
+    got2 = {r["node"]: r["dist"] for r in graph.bfs_distances(edges, seeds2, 3).collect()}
+    assert got2 == {"a": 0, "e": 0, "b": 1, "d": 1, "c": 2}
+    # a cycle must not re-lengthen distances (first reach wins)
+    tri = [("p", "q"), ("q", "r"), ("r", "p")]
+    edges3 = spark.createDataFrame(
+        [(s, d) for s, d in tri] + [(d, s) for s, d in tri], "src string, dst string"
+    )
+    got3 = {
+        r["node"]: r["dist"]
+        for r in graph.bfs_distances(
+            edges3, spark.createDataFrame([("p",)], "node string"), 3
+        ).collect()
+    }
+    assert got3 == {"p": 0, "q": 1, "r": 1}
+
+
+def test_tfidf_cosine_pairs_duplicates_and_max_df_cap(spark):
+    rows = [
+        (1, "alpha beta gamma delta"),
+        (2, "alpha beta gamma delta"),          # exact dup of 1 -> cos 1.0
+        (3, "epsilon zeta eta theta"),          # disjoint from 1/2
+        (4, "alpha beta gamma epsilon"),        # partial overlap with 1/2
+        (5, "iota kappa lambda mu"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {(r["a"], r["b"]): r["cos"] for r in similarity.tfidf_cosine_pairs(df, 0.5).collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) not in got and (2, 3) not in got
+    # universal terms are dropped by the df*2 <= N cap: with 'alpha' in 3
+    # of 5 docs it survives, but a term in ALL docs must not join
+    rows2 = [(i, f"common unique{i}") for i in range(1, 7)]
+    df2 = spark.createDataFrame(rows2, "doc_id int, text string")
+    # 'common' has df=6 > 6/2 -> dropped; remaining vectors are disjoint
+    assert similarity.tfidf_cosine_pairs(df2, 0.1).count() == 0
