@@ -2876,6 +2876,131 @@ def _e36_graph_bfs(spark, sf_dir):
     return graph.bfs_distances(edges, seeds, max_depth=3).orderBy("node")
 
 
+def _d24_targeted_delete(spark, sf_dir):
+    """Targeted delete (GDPR shape) against the persisted sorted-file +
+    min/max-manifest index layout: build the d1-style layout in a tempdir,
+    delete three unique_ids via `maintenance.delete_by_key` — which
+    consults the manifest and REWRITES ONLY the files whose [min,max]
+    range can contain a key — and return the surviving index.  At 10^6
+    files a handful-of-ids delete touches a handful of files; the oracle
+    is the plain anti-join semantics the rewrite must preserve."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from persistor_spark.plans import layout, maintenance
+
+    t = _tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="del_layout_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table, mf = f"{root}/index", f"{root}/manifest"
+    (
+        t.index_metadata.repartitionByRange(8, "unique_id")
+        .sortWithinPartitions("unique_id")
+        .write.mode("overwrite")
+        .parquet(table)
+    )
+    layout.write_minmax_manifest(spark, table, mf)
+    victims = ["b0_m000000004", "b1_m000000001", "b3_m000000123"]
+    maintenance.delete_by_key(spark, table, mf, victims)
+    return (
+        spark.read.parquet(table)
+        .select("unique_id", "broker_id", "location_key")
+        .orderBy("unique_id")
+    )
+
+
+def _e37_mad_outliers(spark, sf_dir):
+    """Robust per-source outlier profile: exact median and median absolute
+    deviation of token counts, plus the count of docs beyond 3 MAD — the
+    monitoring-grade length-anomaly read (median/MAD survive the heavy
+    tails that wreck mean/stddev).  Exact interpolated percentiles on both
+    engines; medians of integers land on .0/.5 so every comparison is
+    float-exact.  Two grouped aggs + one broadcastable S-row join — no
+    corpus-wide sort."""
+    from persistor_spark.analytics import text
+
+    docs = _docs(spark, sf_dir).select(
+        "source", text.token_count("text").cast("double").alias("tc")
+    )
+    med = docs.groupBy("source").agg(F.expr("percentile(tc, 0.5)").alias("med"))
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("tc") - F.col("med"))
+    )
+    return (
+        dev.groupBy("source")
+        .agg(
+            F.min("med").alias("median_tc"),
+            F.expr("percentile(adev, 0.5)").alias("mad_tc"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .join(
+            dev.groupBy("source")
+            .agg(F.expr("percentile(adev, 0.5)").alias("__mad"))
+            .join(dev, "source")
+            .filter(F.col("adev") > 3 * F.col("__mad"))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_outliers")),
+            "source",
+            "left",
+        )
+        .select(
+            "source",
+            "median_tc",
+            "mad_tc",
+            "n_docs",
+            F.coalesce("n_outliers", F.lit(0)).alias("n_outliers"),
+        )
+        .orderBy("source")
+    )
+
+
+def _a98_zipf_slope(spark, sf_dir):
+    """Zipf-law fit per source: least-squares slope of ln(freq) on
+    ln(rank) over the top-100 terms — natural text sits near -1, templated
+    or synthetic feeds drift off it.  The ranking window runs on the
+    vocab-bounded count table (partitioned by source), and the fit is the
+    built-in regr_slope aggregate — cost tracks vocab, never the corpus."""
+    from pyspark.sql import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("t")
+    )
+    cnt = toks.groupBy("source", "t").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("t").asc())
+    top = cnt.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 100)
+    return (
+        top.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.round(F.regr_slope(F.log("c"), F.log("rank")), 4).alias("zipf_slope"),
+        )
+        .orderBy("source")
+    )
+
+
+def _a99_triangle_count(spark, sf_dir):
+    """Per-document triangle participation in the near-dup graph (Jaccard
+    >= 0.7): the clustering-structure audit — triangles mean dup CLUSTERS,
+    bare edges mean pairwise coincidences.  Ordered-edge triangle join
+    (a < b < c, two hash joins over the pair list, never the corpus);
+    reuses the session-shared a2 pair detection."""
+    pairs = _shared_pairs(spark, sf_dir, 0.7).select("a", "b")
+    p2 = pairs.select(F.col("a").alias("p2a"), F.col("b").alias("p2b"))
+    p3 = pairs.select(F.col("a").alias("p3a"), F.col("b").alias("p3b"))
+    tri = (
+        pairs.join(p2, F.col("b") == F.col("p2a"))
+        .join(p3, (F.col("a") == F.col("p3a")) & (F.col("p2b") == F.col("p3b")))
+        .select("a", "b", F.col("p2b").alias("c"))
+    )
+    nodes = tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+    return (
+        nodes.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -2939,6 +3064,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a96_weighted_sample": _a96_weighted_sample,
         "a97_sparse_cosine_pairs": _a97_sparse_cosine_pairs,
         "e36_graph_bfs": _e36_graph_bfs,
+        "d24_targeted_delete": _d24_targeted_delete,
+        "e37_mad_outliers": _e37_mad_outliers,
+        "a98_zipf_slope": _a98_zipf_slope,
+        "a99_triangle_count": _a99_triangle_count,
         # -- (4) top-up to 50: oldest (r2-era) driver rows, refreshed
         "d2_in_list": _d2,
         "d3_interval_page": _d3,
@@ -4757,6 +4886,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a, b, round(dot / (na.nrm * nb.nrm), 3) AS cos "
             "FROM d JOIN norms na ON d.a = na.id JOIN norms nb ON d.b = nb.id "
             "WHERE dot / (na.nrm * nb.nrm) >= 0.5 ORDER BY a, b"
+        ),
+        "d24_targeted_delete": P(
+            "SELECT unique_id, broker_id, location_key FROM index_metadata "
+            "WHERE unique_id NOT IN "
+            "('b0_m000000004', 'b1_m000000001', 'b3_m000000123') "
+            "ORDER BY unique_id"
+        ),
+        "e37_mad_outliers": (
+            "WITH t AS (SELECT source, len(string_split(text, ' '))::DOUBLE AS tc "
+            "  FROM documents), "
+            "m AS (SELECT source, quantile_cont(tc, 0.5) AS med FROM t GROUP BY source), "
+            "d AS (SELECT t.source, tc, abs(tc - med) AS adev, med "
+            "  FROM t JOIN m USING (source)), "
+            "md AS (SELECT source, min(med) AS median_tc, "
+            "  quantile_cont(adev, 0.5) AS mad_tc, count(*) AS n_docs "
+            "  FROM d GROUP BY source), "
+            "o AS (SELECT d.source, count(*) AS n_outliers FROM d "
+            "  JOIN md ON d.source = md.source WHERE adev > 3 * mad_tc "
+            "  GROUP BY d.source) "
+            "SELECT md.source, median_tc, mad_tc, CAST(n_docs AS BIGINT) AS n_docs, "
+            "  CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers "
+            "FROM md LEFT JOIN o ON md.source = o.source ORDER BY md.source"
+        ),
+        "a98_zipf_slope": (
+            "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t "
+            "  FROM documents), "
+            "c AS (SELECT source, t, count(*) AS c FROM toks GROUP BY 1, 2), "
+            "r AS (SELECT source, c, "
+            "  row_number() OVER (PARTITION BY source ORDER BY c DESC, t ASC) AS rank "
+            "  FROM c QUALIFY rank <= 100) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_terms, "
+            "  round(regr_slope(ln(c), ln(rank)), 4) AS zipf_slope "
+            "FROM r GROUP BY source ORDER BY source"
+        ),
+        "a99_triangle_count": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+            "  FROM t), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7), "
+            "tri AS (SELECT p1.a, p1.b, p2.b AS c FROM p p1 "
+            "  JOIN p p2 ON p1.b = p2.a "
+            "  JOIN p p3 ON p1.a = p3.a AND p2.b = p3.b), "
+            "nodes AS (SELECT a AS doc_id FROM tri UNION ALL "
+            "  SELECT b FROM tri UNION ALL SELECT c FROM tri) "
+            "SELECT doc_id, count(*) AS n_triangles FROM nodes "
+            "GROUP BY doc_id ORDER BY doc_id"
         ),
         "e36_graph_bfs": (
             "WITH RECURSIVE pairs AS (SELECT DISTINCT o_custkey, l_suppkey "

@@ -334,3 +334,43 @@ def test_tfidf_cosine_pairs_duplicates_and_max_df_cap(spark):
     df2 = spark.createDataFrame(rows2, "doc_id int, text string")
     # 'common' has df=6 > 6/2 -> dropped; remaining vectors are disjoint
     assert similarity.tfidf_cosine_pairs(df2, 0.1).count() == 0
+
+
+def test_delete_by_key_rewrites_only_manifest_affected_files(spark, tmp_path):
+    """The GDPR-delete contract: rows gone, and files whose manifest range
+    cannot contain a key are NOT rewritten (same inode/content on disk)."""
+    import glob
+    import os
+
+    from persistor_spark.plans import layout, maintenance
+
+    table, mf = str(tmp_path / "idx"), str(tmp_path / "mf")
+    df = spark.range(1000).select(
+        F.format_string("id%06d", F.col("id")).alias("unique_id"),
+        (F.col("id") % 7).alias("payload"),
+    )
+    df.repartitionByRange(8, "unique_id").sortWithinPartitions("unique_id").write.parquet(table)
+    layout.write_minmax_manifest(spark, table, mf)
+    before = {f: os.stat(f).st_ino for f in glob.glob(f"{table}/part-*.parquet")}
+    assert len(before) == 8
+
+    # two victims in adjacent id space -> land in few files
+    stats = maintenance.delete_by_key(spark, table, mf, ["id000010", "id000020"])
+    assert stats["files_total"] == 8
+    assert stats["rows_deleted"] == 2
+    assert 1 <= stats["files_rewritten"] <= 2
+
+    after = spark.read.parquet(table)
+    assert after.count() == 998
+    assert after.filter(F.col("unique_id").isin("id000010", "id000020")).count() == 0
+    # untouched files survive byte-for-byte (same inode)
+    untouched = [f for f in glob.glob(f"{table}/part-*.parquet") if f in before]
+    assert len(untouched) == 8 - stats["files_rewritten"]
+    assert all(os.stat(f).st_ino == before[f] for f in untouched)
+    # the rebuilt manifest still serves pruned point lookups
+    rows = layout.load_manifest(spark, mf)
+    hit = layout.manifest_pruned_scan_cached(spark, table, rows, ["id000011"])
+    assert hit.count() == 1
+    # a delete with no manifest hit rewrites nothing
+    stats2 = maintenance.delete_by_key(spark, table, mf, ["zzz999999"])
+    assert stats2["files_rewritten"] == 0 and stats2["rows_deleted"] == 0
