@@ -3001,6 +3001,103 @@ def _a99_triangle_count(spark, sf_dir):
     )
 
 
+def _e38_datetime_suite(spark, sf_dir):
+    """Date/time function coverage over order dates — the same calendar
+    arithmetic the blob-naming masks run (T4's year/month/day path
+    building): per month, order count, first/last date, month-end, and
+    the day span.  One month-keyed agg; output bounded by the calendar."""
+    from persistor_spark.sources.registry import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").alias("d"), "o_orderkey"
+    )
+    return (
+        o.groupBy(F.to_date(F.date_trunc("month", F.col("d"))).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("d").alias("first_order"),
+            F.max("d").alias("last_order"),
+            F.date_diff(F.max("d"), F.min("d")).alias("span_days"),
+        )
+        .withColumn("month_end", F.last_day(F.col("month")))
+        .withColumn("quarter", F.quarter("month"))
+        .select(
+            "month", "quarter", "month_end", "n_orders", "first_order",
+            "last_order", "span_days",
+        )
+        .orderBy("month")
+    )
+
+
+def _e39_json_extract(spark, sf_dir):
+    """JSON extraction over the events props column — the engine-side
+    analogue of the reference's strict JSON metadata decode (T7,
+    indexer/transform.go): pull $.k out of every event's JSON payload,
+    validate it parsed, and profile per event type.  get_json_object is a
+    narrow per-row expression; the agg is type-bounded."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_parsed"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.round(F.avg("k"), 4).alias("avg_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _a100_epoch_upsample(spark, sf_dir):
+    """Epoch-based upsampling (the data-mixing step that repeats
+    under-represented sources): each source gets 1-3 epochs from a
+    deterministic md5 bucket, and every doc materializes one row per
+    epoch via a sequence explode — narrow fan-out, no shuffle until the
+    consumer.  Returns the materialized (doc_id, source, epoch) plan."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    epochs = (
+        F.conv(F.substring(F.md5(F.col("source")), 1, 2), 16, 10).cast("long") % 3 + 1
+    )
+    return (
+        docs.withColumn("n_epochs", epochs)
+        .withColumn("epoch", F.explode(F.sequence(F.lit(1), F.col("n_epochs"))))
+        .select("doc_id", "source", F.col("epoch").cast("int").alias("epoch"))
+        .orderBy("doc_id", "epoch")
+    )
+
+
+def _e40_array_functions(spark, sf_dir):
+    """Higher-order array function coverage over the embedding vectors:
+    per vector, L2 norm via F.aggregate, element min/max/mean, and the
+    positive-element count via F.filter — all narrow per-row expressions
+    that pipeline with the scan (the building blocks the ANN family
+    composes)."""
+    v = _embs(spark, sf_dir).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    l2 = F.sqrt(
+        F.aggregate("e", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # `+ 0.0` after every round: IEEE -0.0 formats as "-0.000000" in the
+    # driver's hasher while comparing == 0.0, so a tiny negative mean that
+    # rounds to zero would hash-differ cross-engine; adding +0.0 maps -0.0
+    # to +0.0 identically in both engines
+    return v.select(
+        "vec_id",
+        (F.round(l2, 4) + F.lit(0.0)).alias("l2_norm"),
+        (F.round(F.array_min("e"), 4) + F.lit(0.0)).alias("min_v"),
+        (F.round(F.array_max("e"), 4) + F.lit(0.0)).alias("max_v"),
+        (
+            F.round(F.aggregate("e", F.lit(0.0), lambda a, x: a + x) / F.size("e"), 4)
+            + F.lit(0.0)
+        ).alias("mean_v"),
+        F.size(F.filter("e", lambda x: x > 0)).alias("n_pos"),
+    ).orderBy("vec_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -3068,6 +3165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e37_mad_outliers": _e37_mad_outliers,
         "a98_zipf_slope": _a98_zipf_slope,
         "a99_triangle_count": _a99_triangle_count,
+        "e38_datetime_suite": _e38_datetime_suite,
+        "e39_json_extract": _e39_json_extract,
+        "a100_epoch_upsample": _a100_epoch_upsample,
+        "e40_array_functions": _e40_array_functions,
         # -- (4) top-up to 50: oldest (r2-era) driver rows, refreshed
         "d2_in_list": _d2,
         "d3_interval_page": _d3,
@@ -4886,6 +4987,38 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a, b, round(dot / (na.nrm * nb.nrm), 3) AS cos "
             "FROM d JOIN norms na ON d.a = na.id JOIN norms nb ON d.b = nb.id "
             "WHERE dot / (na.nrm * nb.nrm) >= 0.5 ORDER BY a, b"
+        ),
+        "e38_datetime_suite": (
+            "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, "
+            "  o_orderdate AS d FROM orders) "
+            "SELECT month, CAST(quarter(month) AS INT) AS quarter, "
+            "  last_day(month) AS month_end, count(*) AS n_orders, "
+            "  min(d) AS first_order, max(d) AS last_order, "
+            "  CAST(date_diff('day', min(d), max(d)) AS INT) AS span_days "
+            "FROM m GROUP BY month ORDER BY month"
+        ),
+        "e39_json_extract": (
+            "WITH e AS (SELECT event_type, "
+            "  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events) "
+            "SELECT event_type, count(*) AS n, count(k) AS n_parsed, "
+            "  min(k) AS min_k, max(k) AS max_k, round(avg(k), 4) AS avg_k "
+            "FROM e GROUP BY event_type ORDER BY event_type"
+        ),
+        "a100_epoch_upsample": (
+            "WITH d AS (SELECT doc_id, source, "
+            "  CAST(CONCAT('0x', substr(md5(source), 1, 2)) AS BIGINT) % 3 + 1 AS ne "
+            "  FROM documents) "
+            "SELECT doc_id, source, "
+            "  CAST(unnest(generate_series(1, ne)) AS INT) AS epoch "
+            "FROM d ORDER BY doc_id, epoch"
+        ),
+        "e40_array_functions": (
+            "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings) "
+            "SELECT vec_id, round(sqrt(list_sum([x * x FOR x IN e])), 4) + 0.0 AS l2_norm, "
+            "  round(list_min(e), 4) + 0.0 AS min_v, round(list_max(e), 4) + 0.0 AS max_v, "
+            "  round(list_sum(e) / len(e), 4) + 0.0 AS mean_v, "
+            "  CAST(len(list_filter(e, x -> x > 0)) AS INT) AS n_pos "
+            "FROM v ORDER BY vec_id"
         ),
         "d24_targeted_delete": P(
             "SELECT unique_id, broker_id, location_key FROM index_metadata "

@@ -358,6 +358,34 @@ def bench_index_compaction(ctx: Ctx):
 bench_index_compaction.self_timed = True
 
 
+def bench_targeted_delete(ctx: Ctx):
+    """d24 at bench scale: manifest-pruned delete of three unique_ids from
+    a COPY of the optimized index layout (copy + manifest rebuild are
+    untimed setup; the manifest must be rebuilt on the copy because its
+    rows embed absolute file paths).  The timed step is delete_by_key:
+    manifest consult, rewrite of ONLY the affected files, manifest
+    rebuild."""
+    import shutil as _sh
+
+    from persistor_spark.plans import maintenance
+
+    tbl = f"{ctx.workdir}/index_delcopy"
+    mf = f"{ctx.workdir}/manifest_delcopy"
+    _sh.copytree(ctx.index_path, tbl)
+    layout.write_minmax_manifest(ctx.spark, tbl, mf)
+    t0 = time.time()
+    stats = maintenance.delete_by_key(
+        ctx.spark, tbl, mf, ["b0_m000000004", "b1_m000000001", "b3_m000000123"]
+    )
+    elapsed = time.time() - t0
+    assert stats["rows_deleted"] >= 1, stats
+    assert stats["files_rewritten"] < stats["files_total"], stats
+    return elapsed
+
+
+bench_targeted_delete.self_timed = True
+
+
 def bench_graph_pagerank(ctx: Ctx):
     """Iterative-join workload: 3 PageRank rounds over the symmetric
     customer<->supplier purchase graph (one shuffle join + one agg per
@@ -386,6 +414,7 @@ QUERIES = {
     "dedup_incremental": bench_dedup_incremental,
     "dedup_exactsubstr": bench_dedup_exactsubstr,
     "index_compaction": bench_index_compaction,
+    "targeted_delete": bench_targeted_delete,
     "ann_topk": bench_ann_topk,
     "ann_ivfpq_build": bench_ann_ivfpq_build,
     "ann_ivfpq_probe": bench_ann_ivfpq_probe,
