@@ -3098,6 +3098,117 @@ def _e40_array_functions(spark, sf_dir):
     ).orderBy("vec_id")
 
 
+def _a101_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (lang, source, log2 length
+    bucket): equivalence classes with fewer than k=5 members are
+    re-identification risks a privacy-aware corpus release must suppress
+    or generalize.  One grouped count + a bounded class-level agg — the
+    privacy twin of the a85 histogram."""
+    docs = _docs(spark, sf_dir)
+    b = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast("long")
+    classes = docs.groupBy(
+        "lang", "source", b.alias("len_bucket")
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    return (
+        classes.withColumn("at_risk", F.col("class_size") < 5)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum(F.when(F.col("at_risk"), 1).otherwise(0)).alias("n_risky_classes"),
+            F.sum(F.when(F.col("at_risk"), F.col("class_size")).otherwise(0)).alias(
+                "n_risky_docs"
+            ),
+            F.min("class_size").alias("min_class_size"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _e41_upsert_merge(spark, sf_dir):
+    """Upsert / MERGE semantics (last-writer-wins by key): the even-id
+    half of the index is the base table, rows with msg number % 3 == 0
+    arrive as updates with a bumped confirmation flag; the merge keeps
+    exactly one row per unique_id preferring the update — the Delta MERGE
+    shape as a full-outer coalesce, one key-partitioned join, no sort."""
+    t = _tables(spark, sf_dir)
+    msgnum = F.substring("broker_msg_id", 2, 20).cast("long")
+    base = t.index_metadata.filter(msgnum % 2 == 0).select(
+        "unique_id", "broker_id", F.col("confirmation_flag").alias("flag")
+    )
+    updates = t.index_metadata.filter(msgnum % 3 == 0).select(
+        "unique_id", "broker_id", F.lit(True).alias("flag")
+    )
+    merged = base.alias("b").join(updates.alias("u"), "unique_id", "full_outer").select(
+        "unique_id",
+        F.coalesce(F.col("u.broker_id"), F.col("b.broker_id")).alias("broker_id"),
+        F.coalesce(F.col("u.flag"), F.col("b.flag")).alias("flag"),
+        F.col("u.unique_id").isNotNull().alias("updated"),
+    )
+    return merged.orderBy("unique_id")
+
+
+def _e42_revenue_share(spark, sf_dir):
+    """Contribution analysis (ratio-to-report): per-nation revenue share
+    of its region and rank within region, from one customer x orders join
+    + region-partitioned windows — the percent-of-total reporting shape.
+    Windows partition by region (bounded groups), never globally."""
+    from pyspark.sql import Window
+
+    from persistor_spark.sources.registry import load_table
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    rev = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    wr = Window.partitionBy("n_regionkey").orderBy(
+        F.col("revenue").desc(), F.col("n_name").asc()
+    )
+    return (
+        rev.withColumn(
+            "share", F.round(F.col("revenue") / F.sum("revenue").over(w), 4)
+        )
+        .withColumn("rank_in_region", F.row_number().over(wr))
+        .select("n_regionkey", "n_name", "revenue", "share", "rank_in_region")
+        .orderBy("n_regionkey", "n_name")
+    )
+
+
+def _a102_term_churn(spark, sf_dir):
+    """Vocabulary churn between corpus halves (even vs odd doc ids as
+    snapshot stand-ins): per-term frequency delta, top-30 movers by
+    absolute change with deterministic tiebreak — the drift detector for
+    a feed's language shifting between crawls.  Vocab-bounded counts,
+    one full-outer term join, TakeOrdered head."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        (F.col("doc_id") % 2 == 0).alias("even"),
+        F.explode(F.split("text", " ")).alias("t"),
+    )
+    old = toks.filter("even").groupBy("t").agg(F.count(F.lit(1)).alias("c_old"))
+    new = toks.filter(~F.col("even")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c_new")
+    )
+    return (
+        old.join(new, "t", "full_outer")
+        .select(
+            "t",
+            F.coalesce("c_old", F.lit(0)).alias("c_old"),
+            F.coalesce("c_new", F.lit(0)).alias("c_new"),
+        )
+        .withColumn("delta", F.col("c_new") - F.col("c_old"))
+        .orderBy(F.abs("delta").desc(), F.col("t").asc())
+        .limit(30)
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -3169,6 +3280,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e39_json_extract": _e39_json_extract,
         "a100_epoch_upsample": _a100_epoch_upsample,
         "e40_array_functions": _e40_array_functions,
+        "a101_k_anonymity": _a101_k_anonymity,
+        "e41_upsert_merge": _e41_upsert_merge,
+        "e42_revenue_share": _e42_revenue_share,
+        "a102_term_churn": _a102_term_churn,
         # -- (4) top-up to 50: oldest (r2-era) driver rows, refreshed
         "d2_in_list": _d2,
         "d3_interval_page": _d3,
@@ -4987,6 +5102,53 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a, b, round(dot / (na.nrm * nb.nrm), 3) AS cos "
             "FROM d JOIN norms na ON d.a = na.id JOIN norms nb ON d.b = nb.id "
             "WHERE dot / (na.nrm * nb.nrm) >= 0.5 ORDER BY a, b"
+        ),
+        "a101_k_anonymity": (
+            "WITH cls AS (SELECT lang, source, "
+            "  CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS len_bucket, "
+            "  count(*) AS class_size FROM documents GROUP BY 1, 2, 3) "
+            "SELECT lang, count(*) AS n_classes, "
+            "  CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+            "    AS n_risky_classes, "
+            "  CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT) "
+            "    AS n_risky_docs, "
+            "  min(class_size) AS min_class_size "
+            "FROM cls GROUP BY lang ORDER BY lang"
+        ),
+        "e41_upsert_merge": P(
+            ", b AS (SELECT unique_id, broker_id, confirmation_flag AS flag "
+            "  FROM index_metadata "
+            "  WHERE CAST(substr(broker_msg_id, 2) AS BIGINT) % 2 = 0), "
+            "u AS (SELECT unique_id, broker_id, TRUE AS flag FROM index_metadata "
+            "  WHERE CAST(substr(broker_msg_id, 2) AS BIGINT) % 3 = 0) "
+            "SELECT coalesce(u.unique_id, b.unique_id) AS unique_id, "
+            "  coalesce(u.broker_id, b.broker_id) AS broker_id, "
+            "  coalesce(u.flag, b.flag) AS flag, "
+            "  u.unique_id IS NOT NULL AS updated "
+            "FROM b FULL OUTER JOIN u ON b.unique_id = u.unique_id ORDER BY unique_id"
+        ),
+        "e42_revenue_share": (
+            "WITH rev AS (SELECT n_regionkey, n_name, "
+            "  round(sum(o_totalprice), 2) AS revenue "
+            "  FROM orders JOIN customer ON o_custkey = c_custkey "
+            "  JOIN nation ON c_nationkey = n_nationkey "
+            "  GROUP BY n_regionkey, n_name) "
+            "SELECT n_regionkey, n_name, revenue, "
+            "  round(revenue / sum(revenue) OVER (PARTITION BY n_regionkey), 4) AS share, "
+            "  CAST(row_number() OVER (PARTITION BY n_regionkey "
+            "    ORDER BY revenue DESC, n_name ASC) AS INT) AS rank_in_region "
+            "FROM rev ORDER BY n_regionkey, n_name"
+        ),
+        "a102_term_churn": (
+            "WITH toks AS (SELECT doc_id % 2 = 0 AS even, "
+            "  unnest(string_split(text, ' ')) AS t FROM documents), "
+            "o AS (SELECT t, count(*) AS c_old FROM toks WHERE even GROUP BY t), "
+            "n AS (SELECT t, count(*) AS c_new FROM toks WHERE NOT even GROUP BY t) "
+            "SELECT coalesce(o.t, n.t) AS t, coalesce(c_old, 0) AS c_old, "
+            "  coalesce(c_new, 0) AS c_new, "
+            "  coalesce(c_new, 0) - coalesce(c_old, 0) AS delta "
+            "FROM o FULL OUTER JOIN n ON o.t = n.t "
+            "ORDER BY abs(delta) DESC, t ASC LIMIT 30"
         ),
         "e38_datetime_suite": (
             "WITH m AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, "
