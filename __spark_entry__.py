@@ -3209,6 +3209,115 @@ def _a102_term_churn(spark, sf_dir):
     )
 
 
+def _e43_rolling_distinct(spark, sf_dir):
+    """Trailing 7-day distinct users per day — the rolling-retention /
+    active-user metric that resists plain windowing because DISTINCT
+    doesn't decompose over frames.  Exact contribution form: each
+    (day, user) row fans out to the <=7 grid days it contributes to
+    (narrow sequence explode), one distinct + one count shuffle — no
+    range join, no BroadcastNestedLoop, cost tracks days x daily actives."""
+    ev = _events(spark, sf_dir)
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    contrib = du.select(
+        F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+            "gday"
+        ),
+        "user_id",
+    ).distinct()
+    days = du.select(F.col("day").alias("gday")).distinct()
+    return (
+        contrib.join(days, "gday")
+        .groupBy("gday")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+        .orderBy("gday")
+    )
+
+
+def _d25_replay_estimate(spark, sf_dir):
+    """Resubmit dry-run estimate: before running a replay, how many
+    messages, how many blob fetches, and how many payload bytes will this
+    filter touch?  One metadata filter + one id-keyed join + one agg —
+    the ops pre-flight a real resubmitter UI shows before the expensive
+    fetch fan-out."""
+    t = _tables(spark, sf_dir)
+    meta = t.index_metadata.filter(F.col("broker_id") == "b1")
+    joined = meta.join(
+        t.blob_records.select(F.col("record_id").alias("unique_id"), "payload"),
+        "unique_id",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_messages"),
+        F.count_distinct("location_key").alias("n_blobs"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+    )
+
+
+def _d26_blob_skew_report(spark, sf_dir):
+    """Blob-layout skew report: per-blob record/byte stats rolled into one
+    row (min/max/avg records, max-over-avg skew factor) — the write-path
+    health check that catches a hot version key producing one giant blob.
+    Two bounded aggs (per-blob, then scalar)."""
+    t = _tables(spark, sf_dir)
+    per = t.blob_records.groupBy("location_key").agg(
+        F.count(F.lit(1)).alias("n_recs"),
+        F.sum(F.octet_length("payload")).alias("n_bytes"),
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.min("n_recs").alias("min_recs"),
+        F.max("n_recs").alias("max_recs"),
+        F.round(F.avg("n_recs"), 4).alias("avg_recs"),
+        F.max("n_bytes").alias("max_bytes"),
+        F.round(F.max("n_recs") / F.avg("n_recs"), 4).alias("skew_factor"),
+    )
+
+
+def _a103_dup_pair_qa_sample(spark, sf_dir):
+    """Deterministic QA sample of near-dup pairs: 20 pairs drawn by the
+    engine-shared md5 hash-unit over the pair key, with 40-char snippets
+    of both sides — the human-review queue every dedup rollout feeds.
+    Reuses the session-shared pair list; the sample is a bounded
+    TakeOrdered, snippets attach via two id-keyed joins."""
+    from persistor_spark.analytics.sampling import _hash_unit
+
+    pairs = _shared_pairs(spark, sf_dir, 0.8).select("a", "b", "jaccard")
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", F.substring("text", 1, 40).alias("snippet")
+    )
+    key = F.round(
+        _hash_unit(F.concat_ws("_", F.col("a"), F.col("b")), 7), 8
+    )
+    return (
+        pairs.withColumn("qa_key", key)
+        .orderBy(F.col("qa_key").asc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+        .join(docs.select(F.col("doc_id").alias("a"), F.col("snippet").alias("snippet_a")), "a")
+        .join(docs.select(F.col("doc_id").alias("b"), F.col("snippet").alias("snippet_b")), "b")
+        .select("a", "b", "jaccard", "qa_key", "snippet_a", "snippet_b")
+        .orderBy("qa_key", "a", "b")
+    )
+
+
+def _a104_reshard_moves(spark, sf_dir):
+    """Consistent-hash resharding audit: when the shard count changes
+    8 -> 10, which documents move?  The (old_shard, new_shard) move
+    matrix with counts — the data-migration cost estimate before a
+    repartition of a 100 TB corpus.  Narrow md5 maps + one bounded
+    (8 x 10) agg."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    h = F.conv(F.substring(F.md5(F.concat(F.lit("s_"), F.col("doc_id"))), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (
+        docs.withColumn("shard_old", (h % 8).cast("int"))
+        .withColumn("shard_new", (h % 10).cast("int"))
+        .groupBy("shard_old", "shard_new")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("moved", F.col("shard_old") != F.col("shard_new"))
+        .orderBy("shard_old", "shard_new")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -3284,6 +3393,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e41_upsert_merge": _e41_upsert_merge,
         "e42_revenue_share": _e42_revenue_share,
         "a102_term_churn": _a102_term_churn,
+        "e43_rolling_distinct": _e43_rolling_distinct,
+        "d25_replay_estimate": _d25_replay_estimate,
+        "d26_blob_skew_report": _d26_blob_skew_report,
+        "a103_dup_pair_qa_sample": _a103_dup_pair_qa_sample,
+        "a104_reshard_moves": _a104_reshard_moves,
         # -- (4) top-up to 50: oldest (r2-era) driver rows, refreshed
         "d2_in_list": _d2,
         "d3_interval_page": _d3,
@@ -5102,6 +5216,59 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a, b, round(dot / (na.nrm * nb.nrm), 3) AS cos "
             "FROM d JOIN norms na ON d.a = na.id JOIN norms nb ON d.b = nb.id "
             "WHERE dot / (na.nrm * nb.nrm) >= 0.5 ORDER BY a, b"
+        ),
+        "e43_rolling_distinct": (
+            "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
+            "e AS (SELECT DISTINCT day + CAST(i AS INT) AS gday, user_id FROM du, range(0, 7) r(i)), "
+            "g AS (SELECT DISTINCT day AS gday FROM du) "
+            "SELECT e.gday, count(DISTINCT user_id) AS users_7d "
+            "FROM e JOIN g ON e.gday = g.gday GROUP BY e.gday ORDER BY e.gday"
+        ),
+        "d25_replay_estimate": P(
+            "SELECT count(*) AS n_messages, "
+            "  count(DISTINCT i.location_key) AS n_blobs, "
+            "  CAST(sum(octet_length(encode(b.payload))) AS BIGINT) AS total_bytes "
+            "FROM index_metadata i JOIN blob_records b ON i.unique_id = b.record_id "
+            "WHERE i.broker_id = 'b1'"
+        ),
+        "d26_blob_skew_report": P(
+            ", per AS (SELECT location_key, count(*) AS n_recs, "
+            "  sum(octet_length(encode(payload))) AS n_bytes FROM blob_records "
+            "  GROUP BY location_key) "
+            "SELECT count(*) AS n_blobs, min(n_recs) AS min_recs, "
+            "  max(n_recs) AS max_recs, round(avg(n_recs), 4) AS avg_recs, "
+            "  CAST(max(n_bytes) AS BIGINT) AS max_bytes, "
+            "  round(max(n_recs) / avg(n_recs), 4) AS skew_factor "
+            "FROM per"
+        ),
+        "a103_dup_pair_qa_sample": (
+            "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+            "  FROM t), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+            "  round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard "
+            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+            "k AS (SELECT a, b, jaccard, "
+            "  round(CAST(CONCAT('0x', substr(md5('7_' || a || '_' || b), 1, 15)) AS BIGINT) "
+            "    / 1152921504606846976.0, 8) AS qa_key FROM p "
+            "  ORDER BY qa_key, a, b LIMIT 20) "
+            "SELECT k.a, k.b, jaccard, qa_key, "
+            "  substr(da.text, 1, 40) AS snippet_a, substr(db.text, 1, 40) AS snippet_b "
+            "FROM k JOIN documents da ON k.a = da.doc_id "
+            "JOIN documents db ON k.b = db.doc_id ORDER BY qa_key, k.a, k.b"
+        ),
+        "a104_reshard_moves": (
+            "WITH d AS (SELECT "
+            "  CAST(CONCAT('0x', substr(md5('s_' || doc_id), 1, 15)) AS BIGINT) AS h "
+            "  FROM documents), "
+            "m AS (SELECT CAST(h % 8 AS INT) AS so, CAST(h % 10 AS INT) AS sn FROM d) "
+            "SELECT so AS shard_old, sn AS shard_new, count(*) AS n_docs, "
+            "  so <> sn AS moved "
+            "FROM m GROUP BY so, sn ORDER BY so, sn"
         ),
         "a101_k_anonymity": (
             "WITH cls AS (SELECT lang, source, "
