@@ -3327,13 +3327,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     (a85-a94, d23, e33, e34, a40-a43, a45-a48, a51, a54 -- previously at
     positions 56-83); (2) queries whose CODE changed this round -- a75
     (global ntile window replaced by the distributed two-level exact-rank
-    bucketing; same result, new plan) and the ANN family members that now
-    seed from the shared 8-centroid kmeans (a7/a25/a34; result
-    hash-identical by construction but re-pinned anyway); (3) new round-6
-    operators are inserted just above the window-end marker as they land,
-    displacing top-up entries; (4) the window is topped up to 50 with the
-    queries holding the OLDEST driver rows (r2-era d-series/e-series/a1-a5)
-    so row age stays bounded.  Everything below the marker is
+    bucketing; same result, new plan) and the ANN family members now
+    reading the session-cached clustered corpus (a7/a25/a34; result
+    hash-identical by construction but re-pinned anyway); (3) the 22 new
+    round-6 operators (e35-e43, a95-a104, d24-d26).  Final r6 window =
+    23 debt + 4 changed + 22 new + d2 (the oldest remaining r2-era row)
+    = 50 exactly; the rest of the r2-era top-ups rotated back out when
+    the new-operator block grew.  Everything below the marker is
     multiply-driver-green AND re-verified by tools/check.py (full-registry
     gate at sf0.001 + sf0.01) plus pytest every round.
 
