@@ -2917,7 +2917,10 @@ def _e37_mad_outliers(spark, sf_dir):
     tails that wreck mean/stddev).  Exact interpolated percentiles on both
     engines; medians of integers land on .0/.5 so every comparison is
     float-exact.  Two grouped aggs + one broadcastable S-row join — no
-    corpus-wide sort."""
+    corpus-wide sort.  Production note: Spark's exact `percentile`
+    buffers each group's values in the agg state, so at 100 TB swap it
+    for `percentile_approx` (t-digest state, bounded memory) and accept
+    the approximation — the oracle here pins the exact variant."""
     from persistor_spark.analytics import text
 
     docs = _docs(spark, sf_dir).select(
