@@ -3401,8 +3401,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d26_blob_skew_report": _d26_blob_skew_report,
         "a103_dup_pair_qa_sample": _a103_dup_pair_qa_sample,
         "a104_reshard_moves": _a104_reshard_moves,
-        # -- (4) top-up to 50: oldest (r2-era) driver rows, refreshed
-        "d2_in_list": _d2,
+        # -- (4) late r6 change: simhash_pairs gained a checkpoint barrier
+        # (25 s -> 10 s at sf0.1, rows hash-identical); a4 re-pins the
+        # changed function through the driver, a19 (same function, other
+        # geometry) stays gate-pinned below with its two driver rows
+        "a4_simhash_pairs": _a_simhash,
         "d3_interval_page": _d3,
         "d4_interval_count": _d4,
         "d5_or_of_ands": _d5,
@@ -3428,8 +3431,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- driver window ends here (50) ---- below: multiply-
         # driver-green, re-verified by the full tools/check.py gate at
         # both SFs + pytest every round.  The r4/r5 window block
-        # (a56-a84, e24-e32, d22, CC/chunking/split set, a4/a19,
+        # (a56-a84, e24-e32, d22, CC/chunking/split set, a19,
         # a32/a33, a55/a60/a69, a12) rotates down on double-green rows.
+        "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
         "a62_dataset_card": _a62_dataset_card,
@@ -3477,7 +3481,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a39_split_assign": _a39_splits,
         "e24_asof_tolerance": _e24_asof_tolerance,
         "a12_embedding_pairs": _a12_embedding_pairs,
-        "a4_simhash_pairs": _a_simhash,
         "a19_simhash_md5": _a19_simhash_md5,
         "a32_ivfpq_topk": _a_ivfpq_topk,
         "a33_semdedup": _a_semdedup,

@@ -313,14 +313,18 @@ def simhash_pairs(
     distance.  `hash_fn=md5_hash64` + bits=60 gives the oracle-portable
     variant."""
     width = bits // n_bands
-    # first repartition parallelizes the bit-vote computation across cores;
-    # the second is a materialization barrier keeping CollapseProject from
-    # re-inlining the bit-vote expression into each band lambda.
+    # repartition parallelizes the bit-vote computation across cores; the
+    # localCheckpoint MATERIALIZES (id, bits) once — the banding pass and
+    # the packed-signature verify pass both consume it, and their differing
+    # projections defeat exchange reuse, so without the checkpoint the
+    # whole expensive bit-vote expression runs twice (measured 25 s -> 15 s
+    # at sf0.1).  (id, bits) is one small array per doc — the same bounded
+    # footprint the MinHash band table carries.
     h = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .repartition("id")
         .select("id", simhash_bits("__text", bits, hash_fn).alias("bits"))
-        .repartition("id")
+        .localCheckpoint(eager=True)
     )
     # band value = the packed bit-slice (aggregate works with the lambda-var
     # band index; a shiftright formulation can't — shift amounts must be
