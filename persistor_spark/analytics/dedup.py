@@ -489,12 +489,17 @@ def winnow_overlap_pairs(
 ) -> DataFrame:
     """Pairs sharing >= min_shared winnowed fingerprints (posting-list join
     on the fingerprint, same scale shape as ngram_jaccard_pairs)."""
+    # localCheckpoint MATERIALIZES the exploded fingerprint table once: the
+    # self-join's two sides would otherwise each re-run the window-mins
+    # transform from the exchange (the a4 simhash lesson — measured 2.1x
+    # end-to-end at sf0.1, rows identical).  (id, fp) rows are
+    # fingerprint-count-sized, ~2/(window+1) of the k-gram volume.
     fp = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         .repartition("id")
         .select("id", _kgram_hashes("__t", k, hash_fn).alias("__g"))
-        .repartition("id")  # materialize gram arrays before the window pass
         .select("id", F.explode(_window_mins(F.col("__g"), window)).alias("fp"))
+        .localCheckpoint(eager=True)
     )
     a = fp.select("fp", F.col("id").alias("a"))
     b = fp.select("fp", F.col("id").alias("b"))
@@ -834,9 +839,14 @@ def embedding_dup_pairs_lsh(
     #      interpreted row-at-a-time, so the vectorized UDF is ~100x less
     #      CPU on this hot loop.  1/||v|| is computed once per vector and
     #      carried as a scalar.
+    # localCheckpoint: the self-join's two sides otherwise each re-run
+    # the 2*n_tables hyperplane dot products from the scan (the a4 simhash
+    # lesson; ~20% end-to-end warm at sf0.1, rows identical)
     bucketed = v.select(
         "id", _all_buckets_expr(F.col("v"), tables).alias("bks")
-    ).select("id", F.posexplode("bks").alias("table", "bucket"))
+    ).select("id", F.posexplode("bks").alias("table", "bucket")).localCheckpoint(
+        eager=True
+    )
     pairs = (
         bucketed.select("table", "bucket", F.col("id").alias("a"))
         .join(bucketed.select("table", "bucket", F.col("id").alias("b")), ["table", "bucket"])
@@ -846,8 +856,11 @@ def embedding_dup_pairs_lsh(
     )
     # carry the NORM, not its reciprocal: the verify must divide dot/(na*nb)
     # so the float rounding matches the DuckDB oracle's division exactly
-    # (reciprocal-multiply can differ by ULPs at threshold/round boundaries)
-    withn = v.select("id", "v", norm(F.col("v")).alias("nrm"))
+    # (reciprocal-multiply can differ by ULPs at threshold/round boundaries).
+    # Checkpointed for the same two-consumer reason as `bucketed`.
+    withn = v.select("id", "v", norm(F.col("v")).alias("nrm")).localCheckpoint(
+        eager=True
+    )
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("double")
