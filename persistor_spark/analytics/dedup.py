@@ -90,7 +90,15 @@ def ngram_jaccard_pairs(
     sh = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")).withColumn(
         "sh_n", F.size("sh")
     )
-    posting = sh.select("id", "sh_n", F.explode("sh").alias("shingle"))
+    # localCheckpoint: the posting table feeds BOTH sides of the self-join
+    # (and the df-cap count when enabled) — without it the shingle
+    # explode+split recomputes per consumer (the a4 simhash lesson;
+    # measured 1.7x end-to-end at sf0.1, rows identical).  The
+    # materialization is shingle-volume, the same footprint the banded
+    # MinHash sketch table carries.
+    posting = sh.select("id", "sh_n", F.explode("sh").alias("shingle")).localCheckpoint(
+        eager=True
+    )
     if max_doc_freq is not None:
         freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         posting = posting.join(
@@ -1367,7 +1375,10 @@ def containment_pairs(
     sh = df.select(F.col(id_col).alias("id"), shingles(text_col, k).alias("sh")).withColumn(
         "sh_n", F.size("sh")
     )
-    posting = sh.select("id", "sh_n", F.explode("sh").alias("shingle"))
+    # two-consumer posting table: materialize once (see ngram_jaccard_pairs)
+    posting = sh.select("id", "sh_n", F.explode("sh").alias("shingle")).localCheckpoint(
+        eager=True
+    )
     if max_doc_freq is not None:
         freq = posting.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         posting = posting.join(
