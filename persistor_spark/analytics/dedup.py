@@ -935,16 +935,20 @@ def duplicate_span_stats(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    # grams feeds the dup-gram count AND the join probe; dup feeds the
+    # per-doc count AND the coverage explode — materialize each once (the
+    # a4 two-consumer lesson) instead of re-running the slice+array_join
+    # gram construction per consumer
     grams = t.select(id_col, F.explode(gram_structs).alias("gs")).select(
         id_col, F.col("gs.pos").alias("pos"), F.col("gs.g").alias("g")
-    )
+    ).localCheckpoint(eager=True)
     dup_g = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
         .select("g")
     )
-    dup = grams.join(dup_g, "g")
+    dup = grams.join(dup_g, "g").localCheckpoint(eager=True)
     per_doc = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_grams"))
     covered = (
         dup.select(
@@ -1203,16 +1207,20 @@ def duplicate_substring_intervals(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    # grams feeds the dup-gram count AND the join probe; dup feeds the
+    # per-doc count AND the coverage explode — materialize each once (the
+    # a4 two-consumer lesson) instead of re-running the slice+array_join
+    # gram construction per consumer
     grams = t.select(id_col, F.explode(gram_structs).alias("gs")).select(
         id_col, F.col("gs.pos").alias("pos"), F.col("gs.g").alias("g")
-    )
+    ).localCheckpoint(eager=True)
     dup_g = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
         .select("g")
     )
-    dup = grams.join(dup_g, "g").select(id_col, "pos")
+    dup = grams.join(dup_g, "g").localCheckpoint(eager=True).select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         dup.withColumn(

@@ -108,6 +108,10 @@ def bfs_distances(
     minima: a node first reached in round i has dist i, and later longer
     paths can't lower it, so no final min-aggregation is needed.
     """
+    # the edge list is probed every round — materialize it once instead of
+    # re-deriving it (for the purchase graph that derivation is a
+    # join+distinct over orders x lineitem) per depth
+    edges = edges.select("src", "dst").localCheckpoint(eager=True)
     visited = seeds.select(
         F.col(seeds.columns[0]).alias("node"), F.lit(0).alias("dist")
     ).distinct().localCheckpoint(eager=True)
