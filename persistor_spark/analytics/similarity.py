@@ -1154,9 +1154,12 @@ def semdedup_pairs(
         cents = kmeans_train(nvec, n_centroids, kmeans_iter, n_vectors=n_vectors)
     else:
         cents = _collect_centroids(centroids)
+    # materialize the assignment once: both self-join sides consume it, and
+    # without the checkpoint each re-runs the C-dot-product argmax per row
+    # (the a4 two-consumer lesson)
     assigned = v.select(
         _argmax_cid(F.col("v"), cents).alias("cid"), "id", F.col("v").alias("raw")
-    )
+    ).localCheckpoint(eager=True)
     a = assigned.select("cid", F.col("id").alias("a"), F.col("raw").alias("va"))
     b = assigned.select("cid", F.col("id").alias("b"), F.col("raw").alias("vb"))
     return (
