@@ -935,20 +935,23 @@ def duplicate_span_stats(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
-    # grams feeds the dup-gram count AND the join probe; dup feeds the
-    # per-doc count AND the coverage explode — materialize each once (the
-    # a4 two-consumer lesson) instead of re-running the slice+array_join
-    # gram construction per consumer
+    # NO checkpoint despite the multiple consumers: A/B at sf0.1 measured
+    # the no-checkpoint form 3-4x FASTER (0.4 s vs 1.6 s warm) — the gram
+    # construction is a narrow, cheap expression while materializing the
+    # token-volume gram strings is pure I/O.  The two-consumer checkpoint
+    # only pays when the recomputed expression is expensive per row
+    # (simhash bit votes, hyperplane dots, window-mins) — see
+    # simhash_pairs/winnow_overlap_pairs for the cases where it does.
     grams = t.select(id_col, F.explode(gram_structs).alias("gs")).select(
         id_col, F.col("gs.pos").alias("pos"), F.col("gs.g").alias("g")
-    ).localCheckpoint(eager=True)
+    )
     dup_g = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
         .select("g")
     )
-    dup = grams.join(dup_g, "g").localCheckpoint(eager=True)
+    dup = grams.join(dup_g, "g")
     per_doc = dup.groupBy(id_col).agg(F.count(F.lit(1)).alias("dup_grams"))
     covered = (
         dup.select(
@@ -1207,20 +1210,20 @@ def duplicate_substring_intervals(
             ),
         ),
     ).otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
-    # grams feeds the dup-gram count AND the join probe; dup feeds the
-    # per-doc count AND the coverage explode — materialize each once (the
-    # a4 two-consumer lesson) instead of re-running the slice+array_join
-    # gram construction per consumer
+    # NO checkpoint here, unlike duplicate_span_stats: `dup` has a single
+    # consumer (the islands window) and the gram re-compute for the count
+    # agg is cheaper than materializing the gram-struct strings (measured
+    # 0.5 s vs 1.0+ s for the bench line at sf0.1)
     grams = t.select(id_col, F.explode(gram_structs).alias("gs")).select(
         id_col, F.col("gs.pos").alias("pos"), F.col("gs.g").alias("g")
-    ).localCheckpoint(eager=True)
+    )
     dup_g = (
         grams.groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
         .filter(F.col("c") >= min_count)
         .select("g")
     )
-    dup = grams.join(dup_g, "g").localCheckpoint(eager=True).select(id_col, "pos")
+    dup = grams.join(dup_g, "g").select(id_col, "pos")
     w = Window.partitionBy(id_col).orderBy("pos")
     islands = (
         dup.withColumn(
