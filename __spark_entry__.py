@@ -3321,6 +3321,139 @@ def _a104_reshard_moves(spark, sf_dir):
     )
 
 
+def _d27_table_checksum(spark, sf_dir):
+    """Order-insensitive per-broker table checksum: XOR + SUM + COUNT of a
+    60-bit md5 row digest over the canonical index projection — the
+    replication/migration verification primitive (two stores agree iff
+    their checksums agree, no row shipping).  One map + one bounded agg;
+    commutative combiners, so the same number at any partitioning."""
+    t = _tables(spark, sf_dir)
+    digest = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", "unique_id", "broker_id", "location_key",
+                    F.coalesce(F.col("location_position").cast("string"), F.lit("")),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        t.index_metadata.select("broker_id", digest.alias("d"))
+        # sum the digest MOD 1e9+7: the raw 60-bit digests overflow an
+        # ANSI long sum within ~10^4 rows; the xor (overflow-free,
+        # commutative) is the primary checksum, the modular sum is the
+        # secondary.  At extreme row counts re-mod the partial sums.
+        .withColumn("d", F.col("d") % F.lit(1000000007))
+        .groupBy("broker_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("d").alias("sum_digest"),
+            # bit_xor is a true partial aggregate (map-side combinable) —
+            # never a collect_list
+            F.bit_xor("d").alias("xor_digest"),
+        )
+        .orderBy("broker_id")
+    )
+
+
+def _a105_lang_purity(spark, sf_dir):
+    """Per-source language purity: how monolingual is each feed?  Detected-
+    language count, majority language (deterministic tiebreak), and the
+    majority share — the mixed-language-feed detector a multilingual
+    curation run uses to route sources to per-language pipelines.  One
+    (source, lang)-bounded agg + one source-bounded rollup."""
+    from pyspark.sql import Window
+
+    from persistor_spark.analytics import text
+
+    docs = _docs(spark, sf_dir).select(
+        "source", text.detect_language("text").alias("det")
+    )
+    counts = docs.groupBy("source", "det").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("det").asc())
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_langs"),
+            F.max(F.when(F.col("rn") == 1, F.col("det"))).alias("majority_lang"),
+            F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("majority_n"),
+        )
+        .withColumn("purity", F.round(F.col("majority_n") / F.col("n_docs"), 4))
+        .select("source", "n_docs", "n_langs", "majority_lang", "purity")
+        .orderBy("source")
+    )
+
+
+def _e44_user_mode(spark, sf_dir):
+    """Per-user modal event type with deterministic tie-break (most
+    frequent; ties to the lexically first type) — mode as a
+    max-over-struct aggregate, one user-keyed shuffle, no window."""
+    ev = _events(spark, sf_dir)
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    # mode = the (c, type) pair maximal by count then REVERSED lexical
+    # order, so the lexically-first type wins ties under max(); encode the
+    # tiebreak by negating nothing — use min over (-c, event_type)
+    return (
+        counts.groupBy("user_id")
+        .agg(
+            F.min(F.struct((-F.col("c")).alias("nc"), F.col("event_type").alias("t")))
+            .alias("m")
+        )
+        .select(
+            "user_id",
+            F.col("m.t").alias("modal_type"),
+            (-F.col("m.nc")).cast("long").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _a106_transitivity_gap(spark, sf_dir):
+    """Transitivity-gap audit of the near-dup graph: open wedges a-b-c
+    (edges a-b and b-c, no a-c) counted per hinge node b, with the node's
+    closure rate — how far the 0.8-Jaccard relation is from an
+    equivalence relation, i.e. how much damage single-link clustering can
+    do.  Two pair-list joins (wedges) + one anti-join (missing closures);
+    never touches the corpus."""
+    pairs = _shared_pairs(spark, sf_dir, 0.8).select("a", "b")
+    # undirected adjacency
+    adj = pairs.unionByName(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    # wedges centered at `h`: neighbors x < y of h
+    nb = adj.select(F.col("a").alias("h"), F.col("b").alias("n"))
+    wedges = (
+        nb.select("h", F.col("n").alias("x"))
+        .join(nb.select(F.col("h").alias("h"), F.col("n").alias("y")), "h")
+        .filter(F.col("x") < F.col("y"))
+    )
+    closed = wedges.join(
+        pairs.select(F.col("a").alias("x"), F.col("b").alias("y")), ["x", "y"], "left_semi"
+    ).groupBy("h").agg(F.count(F.lit(1)).alias("n_closed"))
+    total = wedges.groupBy("h").agg(F.count(F.lit(1)).alias("n_wedges"))
+    return (
+        total.join(closed, "h", "left")
+        .select(
+            F.col("h").alias("doc_id"),
+            "n_wedges",
+            F.coalesce("n_closed", F.lit(0)).alias("n_closed"),
+            F.round(
+                F.coalesce("n_closed", F.lit(0)) / F.col("n_wedges"), 4
+            ).alias("closure_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -3433,6 +3566,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # both SFs + pytest every round.  The r4/r5 window block
         # (a56-a84, e24-e32, d22, CC/chunking/split set, a19,
         # a32/a33, a55/a60/a69, a12) rotates down on double-green rows.
+        # -- added AFTER the r6 window filled (gate-green both SFs):
+        # FIRST IN LINE for the r7 window, per the rotation policy
+        "d27_table_checksum": _d27_table_checksum,
+        "a105_lang_purity": _a105_lang_purity,
+        "e44_user_mode": _e44_user_mode,
+        "a106_transitivity_gap": _a106_transitivity_gap,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -5222,6 +5361,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT a, b, round(dot / (na.nrm * nb.nrm), 3) AS cos "
             "FROM d JOIN norms na ON d.a = na.id JOIN norms nb ON d.b = nb.id "
             "WHERE dot / (na.nrm * nb.nrm) >= 0.5 ORDER BY a, b"
+        ),
+        "d27_table_checksum": P(
+            ", dd AS (SELECT broker_id, "
+            "  CAST(CONCAT('0x', substr(md5(unique_id || '|' || broker_id || '|' "
+            "    || location_key || '|' "
+            "    || coalesce(CAST(location_position AS VARCHAR), '')), 1, 15)) "
+            "    AS BIGINT) % 1000000007 AS d "
+            "  FROM index_metadata) "
+            "SELECT broker_id, count(*) AS n_rows, "
+            "  CAST(sum(d) AS BIGINT) AS sum_digest, bit_xor(d) AS xor_digest "
+            "FROM dd GROUP BY broker_id ORDER BY broker_id"
+        ),
+        "a105_lang_purity": (
+            "WITH t AS (SELECT source, string_split(text, ' ') AS toks "
+            "  FROM documents), "
+            "d AS (SELECT source, CASE "
+            "  WHEN len(list_intersect(list_distinct(toks), ['le','la','et','les'])) >= 2 THEN 'fr' "
+            "  WHEN len(list_intersect(list_distinct(toks), ['der','die','und','das'])) >= 2 THEN 'de' "
+            "  WHEN len(list_intersect(list_distinct(toks), ['el','los','las','una'])) >= 2 THEN 'es' "
+            "  WHEN len(list_intersect(list_distinct(toks), ['the','and','of','to'])) >= 2 THEN 'en' "
+            "  ELSE 'und' END AS det FROM t), "
+            "c AS (SELECT source, det, count(*) AS c FROM d GROUP BY 1, 2), "
+            "r AS (SELECT source, det, c, row_number() OVER (PARTITION BY source "
+            "  ORDER BY c DESC, det ASC) AS rn FROM c) "
+            "SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, "
+            "  count(*) AS n_langs, "
+            "  max(CASE WHEN rn = 1 THEN det END) AS majority_lang, "
+            "  round(max(CASE WHEN rn = 1 THEN c END) / sum(c)::DOUBLE, 4) AS purity "
+            "FROM r GROUP BY source ORDER BY source"
+        ),
+        "e44_user_mode": (
+            "WITH c AS (SELECT user_id, event_type, count(*) AS c FROM events "
+            "  GROUP BY 1, 2), "
+            "r AS (SELECT user_id, event_type, c, row_number() OVER "
+            "  (PARTITION BY user_id ORDER BY c DESC, event_type ASC) AS rn FROM c) "
+            "SELECT user_id, event_type AS modal_type, CAST(c AS BIGINT) AS n_events "
+            "FROM r WHERE rn = 1 ORDER BY user_id"
+        ),
+        "a106_transitivity_gap": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+            "  FROM t), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
+            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+            "adj AS (SELECT a AS h, b AS n FROM p UNION ALL SELECT b, a FROM p), "
+            "w AS (SELECT l.h, l.n AS x, r.n AS y FROM adj l JOIN adj r ON l.h = r.h "
+            "  WHERE l.n < r.n), "
+            "cl AS (SELECT h, count(*) AS n_closed FROM w "
+            "  WHERE EXISTS (SELECT 1 FROM p WHERE p.a = w.x AND p.b = w.y) "
+            "  GROUP BY h), "
+            "tt AS (SELECT h, count(*) AS n_wedges FROM w GROUP BY h) "
+            "SELECT tt.h AS doc_id, n_wedges, coalesce(n_closed, 0) AS n_closed, "
+            "  round(coalesce(n_closed, 0) / n_wedges::DOUBLE, 4) AS closure_rate "
+            "FROM tt LEFT JOIN cl ON tt.h = cl.h ORDER BY doc_id"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
