@@ -1634,3 +1634,45 @@ def test_global_row_number_is_dense_and_repartition_stable(spark):
     # input partitioning must not change the ranks
     again, _ = sampling.global_row_number(df.repartition(23), order, num_partitions=3)
     assert sorted(map(tuple, again.collect())) == sorted(map(tuple, ranked.collect()))
+
+
+def test_r6_entry_primitives_partitioning_independent(spark):
+    """The round-6 entry primitives whose VALUES must not depend on the
+    physical partitioning: the d27 checksum (commutative combiners), the
+    e44 mode aggregate (deterministic struct tiebreak), and the a96
+    weighted-sample key cut (pure hash function of the row)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("d27_table_checksum", "e44_user_mode", "a96_weighted_sample"):
+        fn = entrymod.queries()[name]
+        base = [tuple(r) for r in fn(spark, sf).collect()]
+        again = [tuple(r) for r in fn(spark, sf).collect()]
+        assert base == again, name
+        assert len(base) > 0, name
+
+
+def test_epoch_upsample_volume_and_determinism(spark):
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    rows = entrymod.queries()["a100_epoch_upsample"](spark, sf).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # every doc appears with epochs 1..n for some n in [1, 3], and all
+    # docs of one source share the same n (the md5 bucket is per-source)
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], set()).add(max(per_doc[r["doc_id"]]))
+    for doc_id, epochs in per_doc.items():
+        n = max(epochs)
+        assert sorted(epochs) == list(range(1, n + 1)) and 1 <= n <= 3
+    for source, ns in by_source.items():
+        assert len(ns) == 1, (source, ns)
