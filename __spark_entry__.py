@@ -3422,8 +3422,12 @@ def _a106_transitivity_gap(spark, sf_dir):
     (edges a-b and b-c, no a-c) counted per hinge node b, with the node's
     closure rate — how far the 0.8-Jaccard relation is from an
     equivalence relation, i.e. how much damage single-link clustering can
-    do.  Two pair-list joins (wedges) + one anti-join (missing closures);
-    never touches the corpus."""
+    do.  Two pair-list joins (wedges) + one semi-join (closures); never
+    touches the corpus.  Scale note: wedge volume is sum_h deg(h)^2, so a
+    hub document (a near-dup of thousands) dominates — in production cap
+    the neighbor list per hinge (top-k by similarity) before the wedge
+    join, the same hot-key discipline as a93's max_doc_freq; uncapped
+    here because the oracle is exact and the fixture has no hubs."""
     pairs = _shared_pairs(spark, sf_dir, 0.8).select("a", "b")
     # undirected adjacency
     adj = pairs.unionByName(
