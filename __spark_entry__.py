@@ -3458,6 +3458,111 @@ def _a106_transitivity_gap(spark, sf_dir):
     )
 
 
+def _a107_sorted_neighborhood(spark, sf_dir):
+    """Sorted-neighborhood dedup (Hernandez-Stolfo merge/purge): sort on
+    the text's 20-char prefix, compare each doc to its 10 successors,
+    keep Jaccard >= 0.5.  Candidate volume is EXACTLY n*w independent of
+    key skew — the deterministic-cost complement to LSH (a3), at the
+    recall cost of prefix-distant dups.  Global ranks via the two-level
+    range-partition primitive (no SinglePartition window); candidates are
+    a rank-block equi-join."""
+    from persistor_spark.analytics import dedup
+
+    return dedup.sorted_neighborhood_pairs(
+        _docs(spark, sf_dir), window=10, threshold=0.5
+    ).orderBy("a", "b")
+
+
+def _a108_basket_rules(spark, sf_dir):
+    """Market-basket association rules over order baskets: item pairs
+    co-bought in >= 3 orders with support / directional confidence /
+    lift — the a-priori pairwise stage.  Basket-keyed self-join bounded
+    by basket size (never corpus-quadratic), map-side-combinable counts,
+    broadcast item marginals."""
+    from persistor_spark.analytics import profiling
+    from persistor_spark.sources.registry import load_table
+
+    return profiling.market_basket_rules(
+        load_table(spark, sf_dir, "lineitem"),
+        "l_orderkey",
+        "l_partkey",
+        min_pair_count=3,
+    ).orderBy("p1", "p2")
+
+
+def _a109_edit_distance_join(spark, sf_dir):
+    """Levenshtein-bounded fuzzy self-join: typo-level duplicate
+    prefixes (40 chars, distance <= 8) found via (first-token, length
+    band) blocking — candidates are a pure equi-join (band probe is a
+    3-way explode, not a range predicate), exact edit distance only on
+    candidates.  Word-order-sensitive where shingle Jaccard is not."""
+    from persistor_spark.analytics import dedup
+
+    return dedup.edit_distance_pairs(
+        _docs(spark, sf_dir), max_dist=8
+    ).orderBy("a", "b")
+
+
+def _e45_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of the event stream: P(next
+    type | type) from consecutive per-user events (ts, event_id total
+    order).  One per-user-partitioned lead window + one (from, to)
+    bounded agg + broadcast row marginals — the session-behavior model
+    behind funnel (e27) and next-event prediction."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("to_type", F.lead("event_type").over(w))
+        .filter(F.col("to_type").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), "to_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n").alias("tot"))
+    return (
+        trans.join(F.broadcast(totals), "from_type")
+        .select(
+            "from_type",
+            "to_type",
+            "n",
+            F.round(F.col("n") / F.col("tot"), 4).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+def _e46_time_weighted_avg(spark, sf_dir):
+    """Per-user time-weighted average event value: each value holds until
+    the user's next event; weight = whole seconds held (integer in both
+    engines: floor-epoch difference).  The irregular-sampling average
+    (billing meters, position marks) a plain AVG mis-states.  One lead
+    window per user + one user-keyed agg."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    held = (
+        ev.withColumn("nxt", F.lead("ts").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .withColumn(
+            "dt", (F.unix_timestamp("nxt") - F.unix_timestamp("ts")).cast("long")
+        )
+    )
+    return (
+        held.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_intervals"),
+            F.sum("dt").alias("held_seconds"),
+            F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 4).alias(
+                "twa_value"
+            ),
+            F.round(F.avg("value"), 4).alias("plain_avg"),
+        )
+        .orderBy("user_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -3576,6 +3681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a105_lang_purity": _a105_lang_purity,
         "e44_user_mode": _e44_user_mode,
         "a106_transitivity_gap": _a106_transitivity_gap,
+        "a107_sorted_neighborhood": _a107_sorted_neighborhood,
+        "a108_basket_rules": _a108_basket_rules,
+        "a109_edit_distance_join": _a109_edit_distance_join,
+        "e45_markov_transitions": _e45_markov_transitions,
+        "e46_time_weighted_avg": _e46_time_weighted_avg,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -5422,6 +5532,67 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tt.h AS doc_id, n_wedges, coalesce(n_closed, 0) AS n_closed, "
             "  round(coalesce(n_closed, 0) / n_wedges::DOUBLE, 4) AS closure_rate "
             "FROM tt LEFT JOIN cl ON tt.h = cl.h ORDER BY doc_id"
+        ),
+        "a107_sorted_neighborhood": (
+            "WITH t AS (SELECT doc_id, substr(text, 1, 20) AS key, "
+            "  string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, key, "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+            "  FROM t), "
+            "r AS (SELECT doc_id, key, sh, row_number() OVER (ORDER BY key, doc_id) AS rn "
+            "  FROM s), "
+            "c AS (SELECT l.doc_id AS da, q.doc_id AS db, l.sh AS sa, q.sh AS sb "
+            "  FROM r l JOIN r q ON q.rn > l.rn AND q.rn - l.rn <= 10), "
+            "j AS (SELECT least(da, db) AS a, greatest(da, db) AS b, "
+            "  len(list_intersect(sa, sb))::DOUBLE / "
+            "    (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jraw FROM c) "
+            "SELECT a, b, round(jraw, 3) AS jaccard FROM j WHERE jraw >= 0.5 "
+            "ORDER BY a, b"
+        ),
+        "a108_basket_rules": (
+            "WITH it AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem), "
+            "nb AS (SELECT count(DISTINCT bk) AS n FROM it), "
+            "im AS (SELECT item, count(*) AS n_i FROM it GROUP BY item), "
+            "pr AS (SELECT x.item AS p1, y.item AS p2, count(*) AS pair_n "
+            "  FROM it x JOIN it y ON x.bk = y.bk AND x.item < y.item "
+            "  GROUP BY 1, 2 HAVING count(*) >= 3) "
+            "SELECT p1, p2, pair_n, "
+            "  round(pair_n / (SELECT n FROM nb)::DOUBLE, 6) AS support, "
+            "  round(pair_n / n1::DOUBLE, 4) AS conf_1_2, "
+            "  round(pair_n / n2::DOUBLE, 4) AS conf_2_1, "
+            "  round(pair_n * (SELECT n FROM nb)::DOUBLE / (n1 * n2), 4) AS lift "
+            "FROM pr "
+            "JOIN (SELECT item AS p1, n_i AS n1 FROM im) USING (p1) "
+            "JOIN (SELECT item AS p2, n_i AS n2 FROM im) USING (p2) "
+            "ORDER BY p1, p2"
+        ),
+        "a109_edit_distance_join": (
+            "WITH t AS (SELECT doc_id, substr(text, 1, 40) AS pre, "
+            "  string_split(text, ' ')[1] AS tok1, n_chars // 20 AS lb FROM documents) "
+            "SELECT a.doc_id AS a, b.doc_id AS b, levenshtein(a.pre, b.pre) AS dist "
+            "FROM t a JOIN t b ON a.tok1 = b.tok1 AND abs(a.lb - b.lb) <= 1 "
+            "  AND a.doc_id < b.doc_id "
+            "WHERE levenshtein(a.pre, b.pre) <= 8 ORDER BY a, b"
+        ),
+        "e45_markov_transitions": (
+            "WITH nx AS (SELECT event_type AS from_type, lead(event_type) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events), "
+            "c AS (SELECT from_type, to_type, count(*) AS n FROM nx "
+            "  WHERE to_type IS NOT NULL GROUP BY 1, 2), "
+            "tt AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1) "
+            "SELECT from_type, to_type, n, round(n / tot::DOUBLE, 4) AS p "
+            "FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type"
+        ),
+        "e46_time_weighted_avg": (
+            "WITH h AS (SELECT user_id, value, ts, lead(ts) OVER "
+            "  (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), "
+            "d AS (SELECT user_id, value, date_diff('second', ts, nxt) AS dt "
+            "  FROM h WHERE nxt IS NOT NULL) "
+            "SELECT user_id, count(*) AS n_intervals, "
+            "  CAST(sum(dt) AS BIGINT) AS held_seconds, "
+            "  round(sum(value * dt) / sum(dt), 4) AS twa_value, "
+            "  round(avg(value), 4) AS plain_avg "
+            "FROM d GROUP BY user_id ORDER BY user_id"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "

@@ -1406,3 +1406,107 @@ def containment_pairs(
         .filter(F.col("containment") >= threshold)
         .select("a", "b", F.round("containment", 3).alias("containment"))
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    window: int = 10,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key_prefix_len: int = 20,
+    k: int = 3,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (Hernandez & Stolfo 1995,
+    the merge/purge method): sort the corpus on a blocking key (here the
+    text's first `key_prefix_len` chars), compare each record only to its
+    `window` successors in sort order, keep pairs with shingle Jaccard >=
+    `threshold`.  The classic record-linkage complement to LSH: candidate
+    volume is EXACTLY n*window regardless of key skew, at the cost of
+    missing dups whose keys sort far apart (multi-pass with rotated keys
+    is the standard recall fix).
+
+    Scale shape: the global sort rank comes from `global_row_number`
+    (range partition -> literal prefix offsets -> per-partition window, no
+    SinglePartition); candidates join rank-block r//window to {block,
+    block+1} — a bounded equi-join, never a range join.  Verification is
+    per-pair shingle intersection, volume n*window."""
+    from .sampling import global_row_number
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, key_prefix_len).alias("key"),
+        shingles(text_col, k).alias("sh"),
+    )
+    ranked, _n = global_row_number(sh, ["key", "id"], "rn", num_partitions)
+    ranked = ranked.withColumn("blk", ((F.col("rn") - F.lit(1)) / F.lit(window)).cast("long"))
+    left = ranked.select(
+        F.col("rn").alias("rn_a"), F.col("id").alias("a"), F.col("sh").alias("sha"), "blk"
+    )
+    # each left row probes its own block and the next one: any successor
+    # within `window` ranks lives in one of the two
+    left2 = left.withColumn("blk", F.explode(F.array(F.col("blk"), F.col("blk") + 1)))
+    right = ranked.select(
+        F.col("rn").alias("rn_b"), F.col("id").alias("b"), F.col("sh").alias("shb"), "blk"
+    )
+    inter = F.size(F.array_intersect("sha", "shb"))
+    union = F.size("sha") + F.size("shb") - inter
+    jac = inter.cast("double") / union
+    return (
+        left2.join(right, "blk")
+        .filter(
+            (F.col("rn_b") > F.col("rn_a"))
+            & (F.col("rn_b") - F.col("rn_a") <= F.lit(window))
+        )
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= F.lit(threshold))
+        .select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            F.round("jac", 3).alias("jaccard"),
+        )
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    max_dist: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefix_len: int = 40,
+    length_band: int = 20,
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Levenshtein-bounded fuzzy pairs over a text prefix: candidates are
+    blocked on (first token, length band) with each left row probing its
+    own band and both neighbors, then verified with the exact edit
+    distance on the first `prefix_len` chars.  The record-linkage
+    primitive for typo-level duplicates that token-set Jaccard overshoots
+    (word-order invariant) and that full-text edit distance can't afford.
+
+    Scale shape: a pure equi-join on the block key (the band probe is an
+    explode to 3 keys, not a range predicate), so Catalyst plans a hash
+    join; levenshtein runs only on candidates, never n².  A hot first
+    token (e.g. 'the') concentrates a block — cap or salt the block key in
+    production, the a93/a106 hot-key discipline."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("pre"),
+        F.split(F.col(text_col), " ").getItem(0).alias("tok1"),
+        F.expr(f"{length_col} div {length_band}").alias("lb"),
+    )
+    left = t.select(
+        F.col("id").alias("a"), F.col("pre").alias("pa"), "tok1",
+        F.explode(
+            F.array(F.col("lb") - 1, F.col("lb"), F.col("lb") + 1)
+        ).alias("lb"),
+    )
+    right = t.select(F.col("id").alias("b"), F.col("pre").alias("pb"), "tok1", "lb")
+    return (
+        left.join(right, ["tok1", "lb"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("dist", F.levenshtein("pa", "pb"))
+        .filter(F.col("dist") <= F.lit(max_dist))
+        .select("a", "b", "dist")
+    )

@@ -93,3 +93,54 @@ def snapshot_diff(
         )
         .orderBy("id")
     )
+
+
+def market_basket_rules(
+    items: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_pair_count: int = 3,
+) -> DataFrame:
+    """Association rules over (basket, item) rows: for every unordered
+    item pair co-occurring in >= `min_pair_count` baskets, the support,
+    both directional confidences, and the lift — the classic a-priori
+    first stage (pairs only; higher-order itemsets compose by re-joining
+    the survivors, which the min-count threshold keeps sparse).
+
+    Scale shape: one distinct on (basket, item), a basket-keyed self-join
+    whose fan-out is bounded by basket size (a TPC-H order holds a
+    handful of parts — never a corpus-wide quadratic), and item-pair /
+    item aggregations that combine map-side.  The scalar basket count
+    rides in as a literal (one count job), not a cross join."""
+    it = items.select(
+        F.col(basket_col).alias("bk"), F.col(item_col).alias("item")
+    ).distinct()
+    n_baskets = it.select("bk").distinct().count()
+    item_n = it.groupBy(F.col("item").alias("i")).agg(
+        F.count(F.lit(1)).alias("n_i")
+    )
+    pairs = (
+        it.alias("x")
+        .join(it.alias("y"), "bk")
+        .filter(F.col("x.item") < F.col("y.item"))
+        .groupBy(
+            F.col("x.item").alias("p1"), F.col("y.item").alias("p2")
+        )
+        .agg(F.count(F.lit(1)).alias("pair_n"))
+        .filter(F.col("pair_n") >= F.lit(min_pair_count))
+    )
+    return (
+        pairs.join(F.broadcast(item_n.select(F.col("i").alias("p1"), F.col("n_i").alias("n1"))), "p1")
+        .join(F.broadcast(item_n.select(F.col("i").alias("p2"), F.col("n_i").alias("n2"))), "p2")
+        .select(
+            "p1",
+            "p2",
+            "pair_n",
+            F.round(F.col("pair_n") / F.lit(float(n_baskets)), 6).alias("support"),
+            F.round(F.col("pair_n") / F.col("n1"), 4).alias("conf_1_2"),
+            F.round(F.col("pair_n") / F.col("n2"), 4).alias("conf_2_1"),
+            F.round(
+                F.col("pair_n") * F.lit(float(n_baskets)) / (F.col("n1") * F.col("n2")), 4
+            ).alias("lift"),
+        )
+    )

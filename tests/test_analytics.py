@@ -1676,3 +1676,89 @@ def test_epoch_upsample_volume_and_determinism(spark):
         assert sorted(epochs) == list(range(1, n + 1)) and 1 <= n <= 3
     for source, ns in by_source.items():
         assert len(ns) == 1, (source, ns)
+
+
+# -- round-6 late additions: sorted-neighborhood / edit-distance / baskets ---
+
+def test_sorted_neighborhood_finds_prefix_near_dups(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),   # near-dup of 1
+        (3, "zzz totally different text about other things entirely"),
+        (4, "mmm middle text sits between the two clusters here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.sorted_neighborhood_pairs(df, window=3, threshold=0.5).collect()
+    }
+    assert (1, 2) in got
+    assert (1, 3) not in got and (2, 3) not in got
+
+
+def test_sorted_neighborhood_window_limits_candidates(spark):
+    # docs 1 and 2 are identical but their sort keys are far apart
+    # (window smaller than their rank distance) -> MISSED by design; the
+    # recall limitation is the documented trade-off of the method
+    rows = [(1, "aaa x y z w v u t")] + [
+        (10 + i, f"bbb{i} filler text number {i} pad pad pad") for i in range(8)
+    ] + [(2, "zzz x y z w v u t")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"])
+        for r in dedup.sorted_neighborhood_pairs(df, window=2, threshold=0.4).collect()
+    }
+    assert (1, 2) not in got
+
+
+def test_sorted_neighborhood_plan_has_no_single_partition_or_cartesian(docs):
+    q = dedup.sorted_neighborhood_pairs(docs, window=5, threshold=0.5)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SinglePartition" not in plan
+
+
+def test_edit_distance_pairs_finds_typo_prefixes(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon", 30),
+        (2, "alpha beta gamme delta epsilon", 30),   # one substitution
+        (3, "alpha beta gamma delta epsilon", 95),   # same tok1, far length band
+        (4, "omega beta gamma delta epsilon", 30),   # different first token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = {(r["a"], r["b"], r["dist"]) for r in dedup.edit_distance_pairs(df, max_dist=3).collect()}
+    assert (1, 2, 1) in got
+    # blocking excludes (1,3) [length band] and (1,4) [first token]
+    assert all(p[:2] not in {(1, 3), (1, 4)} for p in got)
+
+
+def test_edit_distance_pairs_adjacent_band_still_matches(spark):
+    # length bands differ by exactly 1 -> the neighbor-band explode keeps it
+    rows = [(1, "alpha beta gamma", 19), (2, "alpha beta gamma", 21)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = dedup.edit_distance_pairs(df, max_dist=3).collect()
+    assert [(r["a"], r["b"], r["dist"]) for r in got] == [(1, 2, 0)]
+
+
+def test_market_basket_rules_arithmetic(spark):
+    from persistor_spark.analytics import profiling
+
+    # 4 baskets: {A,B} x3, {A} x1 -> pair (A,B): n=3, supp=0.75,
+    # conf(A->B)=3/4, conf(B->A)=1, lift=(3*4)/(4*3)=1.0
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "B"), (3, "A"), (3, "B"), (4, "A"),
+            (4, "A")]  # duplicate line collapses via distinct
+    df = spark.createDataFrame(rows, "bk long, item string")
+    got = profiling.market_basket_rules(df, "bk", "item", min_pair_count=3).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["p1"], r["p2"], r["pair_n"]) == ("A", "B", 3)
+    assert r["support"] == 0.75 and r["conf_1_2"] == 0.75
+    assert r["conf_2_1"] == 1.0 and r["lift"] == 1.0
+
+
+def test_market_basket_rules_min_count_filters(spark):
+    from persistor_spark.analytics import profiling
+
+    rows = [(1, "A"), (1, "B"), (2, "A"), (2, "C")]
+    df = spark.createDataFrame(rows, "bk long, item string")
+    assert profiling.market_basket_rules(df, "bk", "item", min_pair_count=2).count() == 0
