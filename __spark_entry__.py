@@ -3563,6 +3563,187 @@ def _e46_time_weighted_avg(spark, sf_dir):
     )
 
 
+def _a110_heaps_curve(spark, sf_dir):
+    """Vocabulary-growth (Heaps-law) curve: corpus split into 10 equal
+    doc-count buckets in doc_id order; each distinct 3-gram shingle is
+    charged to the bucket where it FIRST appears; per-bucket new grams +
+    running total.  The curve data-mixing reads to see whether more of a
+    source still buys new content.  Bucket assignment via `ntile_exact`
+    (no SinglePartition); first-owner = min(doc_id) per gram (map-side
+    combinable); the running total is a triangular self-join of the
+    10-row bucket aggregate (bounded by bucket count squared, never the
+    corpus — no global window, so no SinglePartition anywhere)."""
+    from persistor_spark.analytics import dedup
+    from persistor_spark.analytics.sampling import ntile_exact
+
+    docs = _docs(spark, sf_dir)
+    buckets = ntile_exact(docs.select("doc_id"), 10, ["doc_id"], "bucket")
+    grams = docs.select(
+        "doc_id", F.explode(dedup.shingles("text", 3)).alias("gram")
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    new_per = (
+        first.join(
+            buckets.select(F.col("doc_id").alias("first_doc"), "bucket"), "first_doc"
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("new_grams"))
+    )
+    n_docs = buckets.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_docs"))
+    per = (
+        n_docs.join(new_per, "bucket", "left")
+        .withColumn("new_grams", F.coalesce("new_grams", F.lit(0).cast("long")))
+    )
+    prior = per.select(F.col("bucket").alias("b2"), F.col("new_grams").alias("g2"))
+    return (
+        per.join(F.broadcast(prior), F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket", "n_docs", "new_grams")
+        .agg(F.sum("g2").alias("cum_grams"))
+        .select("bucket", "n_docs", "new_grams", "cum_grams")
+        .orderBy("bucket")
+    )
+
+
+def _a111_skipgram_cooccurrence(spark, sf_dir):
+    """Skip-gram co-occurrence counts (word2vec/GloVe first stage): top 30
+    unordered token pairs co-occurring within 3 positions.  The window
+    join is an EQUI-join — each position explodes to its 3 target
+    offsets and joins (doc_id, pos) exactly, never a per-doc range
+    predicate — so fan-out is exactly 3n and Catalyst plans a hash
+    join.  Output bounded by TakeOrdered."""
+    docs = _docs(spark, sf_dir)
+    pos = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    lefts = pos.select(
+        "doc_id",
+        F.col("w").alias("wa"),
+        F.explode(
+            F.array(F.col("pos") + 1, F.col("pos") + 2, F.col("pos") + 3)
+        ).alias("tpos"),
+    )
+    rights = pos.select("doc_id", F.col("pos").alias("tpos"), F.col("w").alias("wb"))
+    return (
+        lefts.join(rights, ["doc_id", "tpos"])
+        .groupBy(
+            F.least("wa", "wb").alias("w1"), F.greatest("wa", "wb").alias("w2")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "w1", "w2")
+        .limit(30)
+    )
+
+
+def _a112_term_burstiness(spark, sf_dir):
+    """Church-Gale term burstiness: variance-to-mean ratio of per-doc
+    term counts (zeros included via exact integer sums over all N docs).
+    Bursty terms concentrate in few docs (content words); VMR ~ 1 means
+    Poisson scatter (function words) — the signal behind stopword-list
+    induction and TF-IDF sanity checks.  All inputs are exact integer
+    aggregates (sum c, sum c^2, df), so the double expression is
+    order-independent and cross-engine stable."""
+    docs = _docs(spark, sf_dir)
+    n_docs = float(docs.count())
+    tf = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    stats = tf.groupBy("w").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("c").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).alias("sc2"),
+    )
+    nn = F.lit(n_docs)
+    mean = F.col("sc") / nn
+    vmr = (F.col("sc2") / nn - mean * mean) / mean
+    return (
+        stats.filter(F.col("df") >= 20)
+        .select(
+            F.col("w").alias("term"),
+            "df",
+            F.col("sc").alias("total_n"),
+            F.round(vmr, 4).alias("vmr"),
+        )
+        .orderBy(F.col("vmr").desc(), "term")
+        .limit(30)
+    )
+
+
+def _e47_weekly_churn(spark, sf_dir):
+    """Weekly active users, retained (also active the following week) and
+    churned, per ISO week — the product-health counterpart of cohort
+    retention (e28).  Distinct (week, user) grid + one self-join shifted
+    by 7 days; weeks without a successor week in the data are excluded
+    (their churn is right-censored, not real)."""
+    ev = _events(spark, sf_dir)
+    wu = ev.select(
+        F.date_trunc("week", F.col("ts")).alias("week"), "user_id"
+    ).distinct()
+    # the same grid shifted back one week: membership = "active next week"
+    nxt = wu.select(
+        (F.col("week") - F.expr("INTERVAL 7 DAYS")).alias("week"), "user_id"
+    )
+    weeks = wu.select("week").distinct()
+    observable = weeks.join(nxt.select("week").distinct(), "week", "left_semi")
+    base = wu.join(F.broadcast(observable), "week", "left_semi")
+    active = base.groupBy("week").agg(F.count(F.lit(1)).alias("active"))
+    retained = (
+        base.join(nxt, ["week", "user_id"], "left_semi")
+        .groupBy("week")
+        .agg(F.count(F.lit(1)).alias("retained"))
+    )
+    return (
+        active.join(retained, "week", "left")
+        .withColumn("retained", F.coalesce("retained", F.lit(0)))
+        .select(
+            "week",
+            "active",
+            "retained",
+            (F.col("active") - F.col("retained")).alias("churned"),
+            F.round(
+                (F.col("active") - F.col("retained")) / F.col("active"), 4
+            ).alias("churn_rate"),
+        )
+        .orderBy("week")
+    )
+
+
+def _d28_storage_tiering(spark, sf_dir):
+    """Storage lifecycle plan: blobs classified hot / warm / cold by age
+    of their NEWEST record relative to the table's max ingestion time
+    (no wall clock — deterministic), with per-tier blob / message / byte
+    totals.  The pre-flight for a tiering policy (hot on SSD, cold to
+    archive class): one bounded agg per blob + a broadcast scalar + a
+    3-row rollup."""
+    t = _tables(spark, sf_dir)
+    max_t = t.index_metadata.agg(F.max("ingestion_time")).collect()[0][0]
+    blob_age = t.index_metadata.groupBy("location_key").agg(
+        F.max("ingestion_time").alias("newest"),
+        F.count(F.lit(1)).alias("n_msgs"),
+    )
+    blob_bytes = t.blob_records.groupBy("location_key").agg(
+        F.sum(F.octet_length("payload")).alias("n_bytes")
+    )
+    age_days = F.datediff(F.lit(max_t), F.col("newest"))
+    tier = (
+        F.when(age_days <= 7, F.lit("1_hot"))
+        .when(age_days <= 21, F.lit("2_warm"))
+        .otherwise(F.lit("3_cold"))
+    )
+    return (
+        blob_age.join(blob_bytes, "location_key")
+        .withColumn("tier", tier)
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.sum("n_msgs").alias("n_messages"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+        .orderBy("tier")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -3686,6 +3867,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a109_edit_distance_join": _a109_edit_distance_join,
         "e45_markov_transitions": _e45_markov_transitions,
         "e46_time_weighted_avg": _e46_time_weighted_avg,
+        "a110_heaps_curve": _a110_heaps_curve,
+        "a111_skipgram_cooccurrence": _a111_skipgram_cooccurrence,
+        "a112_term_burstiness": _a112_term_burstiness,
+        "e47_weekly_churn": _e47_weekly_churn,
+        "d28_storage_tiering": _d28_storage_tiering,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -5593,6 +5779,71 @@ def oracle_sql() -> dict[str, str]:
             "  round(sum(value * dt) / sum(dt), 4) AS twa_value, "
             "  round(avg(value), 4) AS plain_avg "
             "FROM d GROUP BY user_id ORDER BY user_id"
+        ),
+        "a110_heaps_curve": (
+            "WITH b AS (SELECT doc_id, ntile(10) OVER (ORDER BY doc_id) AS bucket "
+            "  FROM documents), "
+            "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "g AS (SELECT doc_id, "
+            "  unnest(list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS gram "
+            "  FROM t), "
+            "f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY gram), "
+            "np AS (SELECT b.bucket, count(*) AS new_grams FROM f "
+            "  JOIN b ON f.first_doc = b.doc_id GROUP BY 1), "
+            "nd AS (SELECT bucket, count(*) AS n_docs FROM b GROUP BY bucket) "
+            "SELECT bucket, n_docs, coalesce(new_grams, 0) AS new_grams, "
+            "  CAST(sum(coalesce(new_grams, 0)) OVER (ORDER BY bucket "
+            "    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_grams "
+            "FROM nd LEFT JOIN np USING (bucket) ORDER BY bucket"
+        ),
+        "a111_skipgram_cooccurrence": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "p AS (SELECT doc_id, unnest([{'pos': i, 'w': toks[i]} for i in range(1, len(toks)+1)], recursive := true) FROM t), "
+            "pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2, count(*) AS n "
+            "  FROM p a JOIN p b ON a.doc_id = b.doc_id "
+            "    AND b.pos BETWEEN a.pos + 1 AND a.pos + 3 GROUP BY 1, 2) "
+            "SELECT w1, w2, n FROM pr ORDER BY n DESC, w1, w2 LIMIT 30"
+        ),
+        "a112_term_burstiness": (
+            "WITH n AS (SELECT count(*)::DOUBLE AS nn FROM documents), "
+            "t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), "
+            "tf AS (SELECT doc_id, w, count(*) AS c FROM t GROUP BY 1, 2), "
+            "s AS (SELECT w, count(*) AS df, CAST(sum(c) AS BIGINT) AS sc, "
+            "  CAST(sum(c * c) AS BIGINT) AS sc2 FROM tf GROUP BY w) "
+            "SELECT w AS term, df, sc AS total_n, "
+            "  round((sc2 / nn - (sc / nn) * (sc / nn)) / (sc / nn), 4) AS vmr "
+            "FROM s, n WHERE df >= 20 ORDER BY vmr DESC, term LIMIT 30"
+        ),
+        "e47_weekly_churn": (
+            "WITH wu AS (SELECT DISTINCT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week, "
+            "  user_id FROM events), "
+            "nxt AS (SELECT week - INTERVAL 7 DAY AS week, user_id FROM wu), "
+            "obs AS (SELECT DISTINCT week FROM wu "
+            "  WHERE week IN (SELECT week FROM nxt)), "
+            "base AS (SELECT * FROM wu WHERE week IN (SELECT week FROM obs)), "
+            "a AS (SELECT week, count(*) AS active FROM base GROUP BY week), "
+            "r AS (SELECT week, count(*) AS retained FROM base "
+            "  WHERE EXISTS (SELECT 1 FROM nxt WHERE nxt.week = base.week "
+            "    AND nxt.user_id = base.user_id) GROUP BY week) "
+            "SELECT a.week, active, coalesce(retained, 0) AS retained, "
+            "  active - coalesce(retained, 0) AS churned, "
+            "  round((active - coalesce(retained, 0)) / active::DOUBLE, 4) AS churn_rate "
+            "FROM a LEFT JOIN r ON a.week = r.week ORDER BY a.week"
+        ),
+        "d28_storage_tiering": P(
+            ", ba AS (SELECT location_key, max(ingestion_time) AS newest, "
+            "  count(*) AS n_msgs FROM index_metadata GROUP BY location_key), "
+            "mt AS (SELECT max(ingestion_time) AS mx FROM index_metadata), "
+            "bb AS (SELECT location_key, sum(octet_length(encode(payload))) AS n_bytes "
+            "  FROM blob_records GROUP BY location_key), "
+            "tt AS (SELECT CASE "
+            "  WHEN date_diff('day', newest, (SELECT mx FROM mt)) <= 7 THEN '1_hot' "
+            "  WHEN date_diff('day', newest, (SELECT mx FROM mt)) <= 21 THEN '2_warm' "
+            "  ELSE '3_cold' END AS tier, n_msgs, n_bytes "
+            "  FROM ba JOIN bb USING (location_key)) "
+            "SELECT tier, count(*) AS n_blobs, CAST(sum(n_msgs) AS BIGINT) AS n_messages, "
+            "  CAST(sum(n_bytes) AS BIGINT) AS total_bytes "
+            "FROM tt GROUP BY tier ORDER BY tier"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
