@@ -1477,6 +1477,7 @@ def edit_distance_pairs(
     prefix_len: int = 40,
     length_band: int = 20,
     length_col: str = "n_chars",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Levenshtein-bounded fuzzy pairs over a text prefix: candidates are
     blocked on (first token, length band) with each left row probing its
@@ -1488,14 +1489,28 @@ def edit_distance_pairs(
     Scale shape: a pure equi-join on the block key (the band probe is an
     explode to 3 keys, not a range predicate), so Catalyst plans a hash
     join; levenshtein runs only on candidates, never n².  A hot first
-    token (e.g. 'the') concentrates a block — cap or salt the block key in
-    production, the a93/a106 hot-key discipline."""
+    token (e.g. 'the') concentrates one block and its candidate count
+    goes quadratic — measured 1.4 s -> 21 s at 5k docs when every doc
+    shares tok1 (ARCHITECTURE §6).  `max_block_size` is the production
+    cap: (tok1, band) blocks holding more rows are dropped entirely
+    (bounded work, recall loss only inside pathological blocks — the
+    a93 max_doc_freq discipline; pair it with a second pass on a
+    different blocking key if those blocks matter)."""
     t = df.select(
         F.col(id_col).alias("id"),
         F.substring(F.col(text_col), 1, prefix_len).alias("pre"),
         F.split(F.col(text_col), " ").getItem(0).alias("tok1"),
         F.expr(f"{length_col} div {length_band}").alias("lb"),
     )
+    if max_block_size is not None:
+        sizes = t.groupBy("tok1", "lb").agg(F.count(F.lit(1)).alias("__bn"))
+        t = t.join(
+            F.broadcast(
+                sizes.filter(F.col("__bn") <= max_block_size).select("tok1", "lb")
+            ),
+            ["tok1", "lb"],
+            "left_semi",
+        )
     left = t.select(
         F.col("id").alias("a"), F.col("pre").alias("pa"), "tok1",
         F.explode(

@@ -1762,3 +1762,17 @@ def test_market_basket_rules_min_count_filters(spark):
     rows = [(1, "A"), (1, "B"), (2, "A"), (2, "C")]
     df = spark.createDataFrame(rows, "bk long, item string")
     assert profiling.market_basket_rules(df, "bk", "item", min_pair_count=2).count() == 0
+
+
+def test_edit_distance_pairs_block_cap_drops_hot_block(spark):
+    # 5 docs share the hot first token (block size 5 > cap 4) -> dropped;
+    # the pair in the small block survives
+    rows = [(i, "the common text here", 20) for i in range(1, 6)] + [
+        (10, "rare alpha beta gamma", 21),
+        (11, "rare alpha beta gamme", 21),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+    got = {(r["a"], r["b"]) for r in dedup.edit_distance_pairs(df, 3, max_block_size=4).collect()}
+    assert got == {(10, 11)}
+    uncapped = {(r["a"], r["b"]) for r in dedup.edit_distance_pairs(df, 3).collect()}
+    assert (10, 11) in uncapped and len(uncapped) > 1
