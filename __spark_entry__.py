@@ -3744,6 +3744,129 @@ def _d28_storage_tiering(spark, sf_dir):
     )
 
 
+def _a113_histogram_quantiles(spark, sf_dir):
+    """Quantile estimates from a 128-bin mergeable histogram sketch of
+    o_totalprice, with the exact interpolated percentile and the sketch
+    error alongside — percentiles WITHOUT a global sort (the sketch
+    answer to percentile_approx, and the quantile member of the
+    CMS/HLL/Bloom family: bin grids are additive, so per-partition /
+    per-day grids merge by summation).  Shuffle bounded by n_bins
+    forever; the cumulative table is a triangular join of the 128-row
+    grid; exact percentile is one reduce for the error column."""
+    from persistor_spark.analytics import sketches
+    from persistor_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    LO, HI, NB = 0.0, 500000.0, 128
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    bins = sketches.histogram_sketch(orders, "o_totalprice", LO, HI, NB)
+    est = sketches.histogram_quantiles(bins, qs, LO, HI, NB)
+    qarr = "array(" + ", ".join(f"{q}D" for q in qs) + ")"
+    exact = orders.select(
+        F.posexplode(F.expr(f"percentile(o_totalprice, {qarr})")).alias(
+            "pos", "exact_raw"
+        )
+    ).select(
+        F.element_at(F.array(*[F.lit(q) for q in qs]), F.col("pos") + 1).alias("q"),
+        "exact_raw",
+    )
+    return (
+        est.join(exact, "q")
+        .select(
+            "q",
+            "est",
+            F.round("exact_raw", 4).alias("exact"),
+            F.round(F.col("est") - F.col("exact_raw"), 4).alias("err"),
+        )
+        .orderBy("q")
+    )
+
+
+def _a114_mutual_information(spark, sf_dir):
+    """Source-language dependency table: pointwise mutual information and
+    MI contribution per (source, lang) cell — does source identity
+    predict language (route sources to per-language pipelines) or are
+    they independent?  All inputs are exact integer counts (joint +
+    two broadcast marginals + one scalar), so the log2 arithmetic is
+    deterministic cross-engine."""
+    docs = _docs(spark, sf_dir)
+    n_total = docs.count()
+    joint = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    ms = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    ml = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    pmi = F.log2(
+        (F.col("n") * F.lit(n_total)) / (F.col("n_s") * F.col("n_l"))
+    )
+    return (
+        joint.join(F.broadcast(ms), "source")
+        .join(F.broadcast(ml), "lang")
+        .select(
+            "source",
+            "lang",
+            "n",
+            F.round(pmi, 4).alias("pmi"),
+            F.round((F.col("n") / F.lit(float(n_total))) * pmi, 6).alias(
+                "mi_contrib"
+            ),
+        )
+        .orderBy("source", "lang")
+    )
+
+
+def _a115_chao1_richness(spark, sf_dir):
+    """Chao1 species-richness estimate of each source's 3-gram vocabulary:
+    observed grams V plus the f1/f2 (singleton/doubleton incidence)
+    correction V + f1(f1-1)/(2(f2+1)) — how much unseen vocabulary more
+    crawling of this source would surface, the ecology estimator behind
+    'is this source exhausted'.  Gram incidence = docs-containing counts
+    (map-side combinable); per-source rollup is source-bounded; the
+    estimator is exact-integer in, single double expression out."""
+    from persistor_spark.analytics import dedup
+
+    docs = _docs(spark, sf_dir)
+    inc = (
+        docs.select(
+            "source", "doc_id", F.explode(dedup.shingles("text", 3)).alias("gram")
+        )
+        .groupBy("source", "gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    chao = F.col("v") + (F.col("f1") * (F.col("f1") - 1)) / (
+        F.lit(2.0) * (F.col("f2") + 1)
+    )
+    return (
+        inc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("v"),
+            F.count(F.when(F.col("df") == 1, 1)).alias("f1"),
+            F.count(F.when(F.col("df") == 2, 1)).alias("f2"),
+        )
+        .select("source", "v", "f1", "f2", F.round(chao, 2).alias("chao1"))
+        .orderBy("source")
+    )
+
+
+def _d29_ingest_heatmap(spark, sf_dir):
+    """Write-load heatmap: index rows per (ISO day-of-week, hour) of
+    ingestion time with each cell's share of total — the capacity-planning
+    view of when the brokers actually deliver (and the input to choosing
+    the blob-mask time granularity, T4).  One 168-cell-bounded agg + a
+    scalar; ISO dow derived portably (Spark dayofweek is Sunday=1, so
+    ((dow+5)%7)+1 == DuckDB isodow)."""
+    t = _tables(spark, sf_dir)
+    n_total = t.index_metadata.count()
+    return (
+        t.index_metadata.select(
+            (((F.dayofweek("ingestion_time") + 5) % 7) + 1).alias("iso_dow"),
+            F.hour("ingestion_time").alias("hh"),
+        )
+        .groupBy("iso_dow", "hh")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", F.round(F.col("n") / F.lit(float(n_total)), 5))
+        .orderBy("iso_dow", "hh")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -3872,6 +3995,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a112_term_burstiness": _a112_term_burstiness,
         "e47_weekly_churn": _e47_weekly_churn,
         "d28_storage_tiering": _d28_storage_tiering,
+        "a113_histogram_quantiles": _a113_histogram_quantiles,
+        "a114_mutual_information": _a114_mutual_information,
+        "a115_chao1_richness": _a115_chao1_richness,
+        "d29_ingest_heatmap": _d29_ingest_heatmap,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -5844,6 +5971,62 @@ def oracle_sql() -> dict[str, str]:
             "SELECT tier, count(*) AS n_blobs, CAST(sum(n_msgs) AS BIGINT) AS n_messages, "
             "  CAST(sum(n_bytes) AS BIGINT) AS total_bytes "
             "FROM tt GROUP BY tier ORDER BY tier"
+        ),
+        "a113_histogram_quantiles": (
+            "WITH b AS (SELECT CAST(least(greatest(floor((o_totalprice - 0.0) "
+            "  / 500000.0 * 128), 0), 127) AS INT) AS bin FROM orders), "
+            "g AS (SELECT bin, count(*) AS n FROM b GROUP BY bin), "
+            "c AS (SELECT g.bin, g.n, CAST(sum(g2.n) AS BIGINT) AS cum "
+            "  FROM g JOIN g g2 ON g2.bin <= g.bin GROUP BY g.bin, g.n), "
+            "c2 AS (SELECT bin, n, cum, cum - n AS cum_prev FROM c), "
+            "nn AS (SELECT max(cum) AS N FROM c2), "
+            "qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q), "
+            "hit AS (SELECT q, q * (SELECT N FROM nn) AS t, bin, n, cum_prev "
+            "  FROM qs JOIN c2 ON cum_prev < q * (SELECT N FROM nn) "
+            "    AND q * (SELECT N FROM nn) <= cum), "
+            "exl AS (SELECT quantile_cont(o_totalprice, [0.25, 0.5, 0.75, 0.9, 0.99]) AS l "
+            "  FROM orders), "
+            "ex AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q, "
+            "  unnest(l) AS exact_raw FROM exl) "
+            "SELECT hit.q AS q, "
+            "  round(0.0 + (bin + (t - cum_prev) / n) * 3906.25, 4) AS est, "
+            "  round(exact_raw, 4) AS exact, "
+            "  round(round(0.0 + (bin + (t - cum_prev) / n) * 3906.25, 4) "
+            "    - exact_raw, 4) AS err "
+            "FROM hit JOIN ex ON hit.q = ex.q ORDER BY q"
+        ),
+        "a114_mutual_information": (
+            "WITH n AS (SELECT count(*) AS nt FROM documents), "
+            "j AS (SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2), "
+            "s AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1), "
+            "l AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1) "
+            "SELECT source, lang, n, "
+            "  round(log2((n * (SELECT nt FROM n)) / (n_s * n_l)), 4) AS pmi, "
+            "  round((n / (SELECT nt FROM n)::DOUBLE) "
+            "    * log2((n * (SELECT nt FROM n)) / (n_s * n_l)), 6) AS mi_contrib "
+            "FROM j JOIN s USING (source) JOIN l USING (lang) "
+            "ORDER BY source, lang"
+        ),
+        "a115_chao1_richness": (
+            "WITH t AS (SELECT source, doc_id, string_split(text, ' ') AS toks "
+            "  FROM documents), "
+            "g AS (SELECT source, doc_id, "
+            "  unnest(list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)])) AS gram "
+            "  FROM t), "
+            "i AS (SELECT source, gram, count(*) AS df FROM g GROUP BY 1, 2), "
+            "a AS (SELECT source, count(*) AS v, count(*) FILTER (df = 1) AS f1, "
+            "  count(*) FILTER (df = 2) AS f2 FROM i GROUP BY source) "
+            "SELECT source, v, f1, f2, "
+            "  round(v + (f1 * (f1 - 1)) / (2.0 * (f2 + 1)), 2) AS chao1 "
+            "FROM a ORDER BY source"
+        ),
+        "d29_ingest_heatmap": P(
+            ", h AS (SELECT isodow(ingestion_time) AS iso_dow, "
+            "  hour(ingestion_time) AS hh FROM index_metadata), "
+            "nn AS (SELECT count(*) AS nt FROM h) "
+            "SELECT iso_dow, hh, count(*) AS n, "
+            "  round(count(*) / (SELECT nt FROM nn)::DOUBLE, 5) AS share "
+            "FROM h GROUP BY 1, 2 ORDER BY iso_dow, hh"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "

@@ -197,3 +197,80 @@ def bloom_probe(
         .agg((F.count(F.when(F.col("__set").isNotNull(), 1)) == k).alias("maybe_member"))
     )
     return items.join(hits, item_col, "left")
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Mergeable equi-width histogram sketch: (bin, n) counts over
+    [lo, hi), values clamped into the edge bins.  The quantile member of
+    the sketch family (CMS = frequency, HLL = distinct, Bloom =
+    membership): ADDITIVE like CMS — hist(A union B) = hist(A) + hist(B)
+    bin-wise — so per-partition grids combine map-side and per-day grids
+    merge by summation (`merge_sketches`-style) without touching rows.
+
+    Scale shape: one narrow map + one agg whose key space is <= n_bins
+    regardless of corpus size.  Bin assignment is exact-integer-safe:
+    floor((x - lo) / (hi - lo) * n_bins) computed in double is the same
+    in any engine for the same doubles."""
+    x = F.col(value_col).cast("double")
+    raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(n_bins))
+    bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
+    return (
+        df.select(bin_.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def histogram_quantiles(
+    bins: DataFrame,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+) -> DataFrame:
+    """Quantile estimates from a histogram sketch: for each q, locate the
+    bin where the cumulative count crosses q*N and interpolate linearly
+    inside it — percentiles WITHOUT a global sort, the sketch answer to
+    `percentile_approx`.  Error is bounded by one bin width.
+
+    The cumulative table is a triangular self-join of the <= n_bins-row
+    grid (bounded by n_bins^2, never the data; no global window, so no
+    SinglePartition).  All inputs are exact integer counts + literals,
+    so the double arithmetic is order-independent and cross-engine
+    stable."""
+    spark = bins.sparkSession
+    width = (hi - lo) / n_bins
+    prior = bins.select(F.col("bin").alias("b2"), F.col("n").alias("n2"))
+    cum = (
+        bins.join(F.broadcast(prior), F.col("b2") <= F.col("bin"))
+        .groupBy("bin", "n")
+        .agg(F.sum("n2").alias("cum"))
+        .withColumn("cum_prev", F.col("cum") - F.col("n"))
+    )
+    total = cum.agg(F.max("cum").alias("grand_n"))
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    # target rank t = q*N; the containing bin is the one with
+    # cum_prev < t <= cum (clamp q=0 to the first bin's floor)
+    hit = (
+        qdf.crossJoin(F.broadcast(total))
+        .withColumn("t", F.col("q") * F.col("grand_n"))
+        .join(
+            F.broadcast(cum),
+            (F.col("cum_prev") < F.col("t")) & (F.col("t") <= F.col("cum")),
+        )
+    )
+    est = (
+        F.lit(float(lo))
+        + (
+            F.col("bin")
+            + (F.col("t") - F.col("cum_prev")) / F.col("n")
+        )
+        * F.lit(float(width))
+    )
+    return hit.select("q", F.round(est, 4).alias("est")).orderBy("q")

@@ -1776,3 +1776,39 @@ def test_edit_distance_pairs_block_cap_drops_hot_block(spark):
     assert got == {(10, 11)}
     uncapped = {(r["a"], r["b"]) for r in dedup.edit_distance_pairs(df, 3).collect()}
     assert (10, 11) in uncapped and len(uncapped) > 1
+
+
+def test_histogram_sketch_additive_and_bounded(spark):
+    from persistor_spark.analytics import sketches
+
+    df = spark.range(1000).select((F.col("id") % 97).cast("double").alias("x"))
+    a = df.filter(F.col("x") < 50)
+    b = df.filter(F.col("x") >= 50)
+    whole = {(r["bin"], r["n"]) for r in sketches.histogram_sketch(df, "x", 0, 100, 16).collect()}
+    ga = {r["bin"]: r["n"] for r in sketches.histogram_sketch(a, "x", 0, 100, 16).collect()}
+    gb = {r["bin"]: r["n"] for r in sketches.histogram_sketch(b, "x", 0, 100, 16).collect()}
+    merged = {(k, ga.get(k, 0) + gb.get(k, 0)) for k in set(ga) | set(gb)}
+    # hist(A ∪ B) == hist(A) + hist(B) bin-wise: the mergeability contract
+    assert whole == merged
+    assert all(0 <= k < 16 for k, _ in whole)
+
+
+def test_histogram_quantiles_within_bin_width(spark):
+    from persistor_spark.analytics import sketches
+
+    df = spark.range(10000).select(F.col("id").cast("double").alias("x"))
+    bins = sketches.histogram_sketch(df, "x", 0, 10000, 128)
+    got = {r["q"]: r["est"] for r in
+           sketches.histogram_quantiles(bins, [0.25, 0.5, 0.9], 0, 10000, 128).collect()}
+    width = 10000 / 128
+    # uniform data: estimate within one bin width of the true quantile
+    for q, est in got.items():
+        assert abs(est - q * 10000) <= width, (q, est)
+
+
+def test_histogram_clamps_out_of_range(spark):
+    from persistor_spark.analytics import sketches
+
+    df = spark.createDataFrame([(-5.0,), (50.0,), (999.0,)], "x double")
+    got = {r["bin"]: r["n"] for r in sketches.histogram_sketch(df, "x", 0, 100, 10).collect()}
+    assert got == {0: 1, 5: 1, 9: 1}
