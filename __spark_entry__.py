@@ -3867,6 +3867,38 @@ def _d29_ingest_heatmap(spark, sf_dir):
     )
 
 
+def _d30_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering audit: lineitem keyed by the MSB-
+    aligned interleave of (l_partkey, l_suppkey), cut into 32 equal-count
+    z-runs (the file boundaries `layout.write_zordered` would produce),
+    with each run's min/max envelope on BOTH dimensions — the zone-map
+    evidence that one layout serves range predicates on either key
+    (Delta OPTIMIZE ZORDER analogue; single-column sort bounds only its
+    own column).  Pure integer bit arithmetic (cross-engine exact);
+    bucketing via ntile_exact (no SinglePartition); pruning effect
+    pytest-pinned in test_layout.py."""
+    from persistor_spark.analytics.sampling import ntile_exact
+    from persistor_spark.plans import layout
+    from persistor_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    z = li.withColumn("z", layout.zorder_code("l_partkey", "l_suppkey", 16, 10))
+    b = ntile_exact(z, 32, ["z", "l_orderkey", "l_linenumber"], "bucket")
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("l_partkey").alias("min_part"),
+            F.max("l_partkey").alias("max_part"),
+            F.min("l_suppkey").alias("min_supp"),
+            F.max("l_suppkey").alias("max_supp"),
+        )
+        .orderBy("bucket")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -3999,6 +4031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a114_mutual_information": _a114_mutual_information,
         "a115_chao1_richness": _a115_chao1_richness,
         "d29_ingest_heatmap": _d29_ingest_heatmap,
+        "d30_zorder_layout": _d30_zorder_layout,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -4102,6 +4135,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # -- DuckDB oracles ----------------------------------------------------------
+
+def _zorder_sql(cx: str, cy: str, bits_x: int, bits_y: int) -> str:
+    """The d30 Morton expression as portable SQL, emitted from the SAME
+    interleave schedule the Spark side uses (layout.zorder_plan) — pure
+    integer shifts/masks, so the two engines agree bit-for-bit."""
+    from persistor_spark.plans.layout import zorder_plan
+
+    cols = {"x": cx, "y": cy}
+    return " | ".join(
+        f"((({cols[d]} >> {s}) & 1) << {t})" for d, s, t in zorder_plan(bits_x, bits_y)
+    )
+
 
 def oracle_sql() -> dict[str, str]:
     P = oracle.with_prologue
@@ -6027,6 +6072,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT iso_dow, hh, count(*) AS n, "
             "  round(count(*) / (SELECT nt FROM nn)::DOUBLE, 5) AS share "
             "FROM h GROUP BY 1, 2 ORDER BY iso_dow, hh"
+        ),
+        "d30_zorder_layout": (
+            "WITH z AS (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+            f"  {_zorder_sql('l_partkey', 'l_suppkey', 16, 10)} AS z "
+            "  FROM lineitem), "
+            "b AS (SELECT *, ntile(32) OVER (ORDER BY z, l_orderkey, l_linenumber) "
+            "  AS bucket FROM z) "
+            "SELECT bucket, count(*) AS n, "
+            "  min(l_partkey) AS min_part, max(l_partkey) AS max_part, "
+            "  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp "
+            "FROM b GROUP BY bucket ORDER BY bucket"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "

@@ -184,3 +184,89 @@ def manifest_pruned_scan_cached(
     if not files:
         return spark.read.parquet(table_path).filter(F.lit(False))
     return spark.read.parquet(*files).filter(F.col(col).isin(values))
+
+
+def zorder_plan(bits_x: int, bits_y: int) -> list[tuple[str, int, int]]:
+    """The (dimension, source_bit, target_bit) interleave schedule for a
+    variable-width MSB-aligned Morton code.  Interleaving MSB-first at
+    each dimension's OWN scale is what makes unequal domains work: the
+    j-th step takes bit (bits_x-1-j) of x and bit (bits_y-1-j) of y, so
+    the top output bits alternate x's MSB, y's MSB, ... and every prefix
+    of the code splits BOTH domains evenly.  (A fixed-width or
+    value-aligned interleave gives a small domain — e.g. suppkey < 2^4
+    against partkey < 2^16 — only LOW code bits; every file-sized code
+    range then spans its entire domain and pruning on it is lost.)
+    Shared so the SQL oracle can emit the byte-identical expression."""
+    width = bits_x + bits_y
+    p = width
+    plan = []
+    for j in range(max(bits_x, bits_y)):
+        if j < bits_x:
+            p -= 1
+            plan.append(("x", bits_x - 1 - j, p))
+        if j < bits_y:
+            p -= 1
+            plan.append(("y", bits_y - 1 - j, p))
+    return plan
+
+
+def zorder_code(col_x: str, col_y: str, bits_x: int = 16, bits_y: int = 16):
+    """Morton (Z-order) interleave of two non-negative integer columns,
+    MSB-aligned per dimension (see zorder_plan).  Rows close in code are
+    close in BOTH dimensions at their own scales, so sorting by the code
+    gives every file a tight min/max envelope on x AND y simultaneously —
+    the multi-column data-skipping layout (Delta OPTIMIZE ZORDER
+    analogue) that a single-column sort can only provide for its own
+    column.
+
+    Pure JVM bit arithmetic (bits_x + bits_y shift/and/or terms folded
+    into one expression), no shuffle of its own."""
+    from pyspark.sql import functions as F
+
+    cols = {"x": F.col(col_x).cast("long"), "y": F.col(col_y).cast("long")}
+    code = F.lit(0).cast("long")
+    for dim, src, dst in zorder_plan(bits_x, bits_y):
+        code = code.bitwiseOR(
+            F.shiftleft(F.shiftright(cols[dim], src).bitwiseAND(F.lit(1)), dst)
+        )
+    return code
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits_x: int = 16,
+    bits_y: int = 16,
+    n_files: int = 16,
+) -> None:
+    """Write `df` as parquet clustered by the Z-order of (col_x, col_y):
+    range-partition on the Morton code into `n_files` and sort within each
+    file, so parquet footer min/max stats prune files for range predicates
+    on EITHER dimension (~sqrt locality per dim), not just a lead sort
+    column.  The code is layout-only — dropped before write."""
+    coded = df.withColumn("__z", zorder_code(col_x, col_y, bits_x, bits_y))
+    (
+        coded.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def files_containing(spark: SparkSession, path: str, predicate) -> int:
+    """Number of distinct parquet files holding rows matching `predicate`
+    — the observable zone-map effectiveness metric: a well-clustered
+    layout concentrates any selective box predicate into few files (and
+    footer-stats pruning then skips the rest)."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.read.parquet(path)
+        .filter(predicate)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )

@@ -162,3 +162,64 @@ def test_manifest_cached_scan_matches_uncached(spark, tmp_path, ingested):
     # miss keeps schema
     empty = layout.manifest_pruned_scan_cached(spark, tbl, rows, ["zz_missing"])
     assert empty.count() == 0 and empty.columns == spark.read.parquet(tbl).columns
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path, sf_dir):
+    """A Z-ordered layout concentrates box predicates on EITHER key into
+    few files; a single-column range layout only does so for its lead
+    column.  Uses files-containing-matches as the observable zone-map
+    metric (footer pruning then skips the rest)."""
+    from pyspark.sql import functions as F
+
+    from persistor_spark.plans import layout
+    from persistor_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    zpath = str(tmp_path / "z")
+    lpath = str(tmp_path / "linear")
+    layout.write_zordered(li, zpath, "l_partkey", "l_suppkey", bits_x=8, bits_y=4, n_files=16)
+    (
+        li.repartitionByRange(16, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+    # suppkey-only box: invisible to the partkey-linear layout
+    supp_pred = F.col("l_suppkey").between(2, 3)
+    z_supp = layout.files_containing(spark, zpath, supp_pred)
+    lin_supp = layout.files_containing(spark, lpath, supp_pred)
+    assert z_supp < lin_supp, (z_supp, lin_supp)
+    # partkey box: z-order stays sub-linear there too (within 2x of the
+    # dedicated lead-column sort's locality)
+    part_pred = F.col("l_partkey").between(40, 60)
+    z_part = layout.files_containing(spark, zpath, part_pred)
+    assert z_part < 16
+
+
+def test_zorder_code_interleaves_bits(spark):
+    from pyspark.sql import functions as F
+
+    from persistor_spark.plans import layout
+
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (65535, 65535)], "x long, y long"
+    )
+    got = [
+        r["z"]
+        for r in df.select(layout.zorder_code("x", "y").alias("z"))
+        .orderBy("x", "y")
+        .collect()
+    ]
+
+    def morton(x, y):
+        # MSB-aligned equal-width interleave: at each level x's bit lands
+        # just above y's
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i + 1) | ((y >> i) & 1) << (2 * i)
+        return z
+
+    exp = [morton(x, y) for x, y in [(0, 0), (0, 1), (1, 0), (3, 5), (65535, 65535)]]
+    assert got == exp
