@@ -3899,6 +3899,90 @@ def _d30_zorder_layout(spark, sf_dir):
     )
 
 
+def _e48_longest_streak(spark, sf_dir):
+    """Longest consecutive-day activity streak per user (gaps-and-islands
+    on the distinct user-day grid: island id = day minus row_number days,
+    constant within a run).  Per-user windows only — partition-bounded,
+    no global sort; the engagement metric behind 'daily streak' features."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    du = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    runs = (
+        du.withColumn("rn", F.row_number().over(w))
+        .withColumn("grp", F.date_sub(F.col("day"), F.col("rn")))
+        .groupBy("user_id", "grp")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("len").alias("longest_streak"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.sum("len").alias("active_days"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _a116_bpe_merge_pairs(spark, sf_dir):
+    """First BPE merge iteration (Sennrich 2016): frequency of every
+    adjacent character pair inside corpus tokens — the statistic a
+    tokenizer trainer maximizes at each merge step.  One narrow double
+    explode (token positions are array expressions, no Python) + one
+    pair-keyed agg bounded by the character-bigram alphabet; top 30 via
+    TakeOrderedAndProject."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN length(w) >= 2 THEN "
+                    "  transform(sequence(1, length(w) - 1), i -> substring(w, i, 2)) "
+                    "ELSE CAST(array() AS ARRAY<STRING>) END"
+                )
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(30)
+    )
+
+
+def _e49_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth per nation: the lag-window BI
+    staple.  Revenue rounded to cents BEFORE the growth ratio in both
+    engines so the float division sees identical inputs; first month's
+    growth is NULL by definition.  Nation-partitioned windows only."""
+    from pyspark.sql import Window
+
+    from persistor_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.date_trunc("month", "o_orderdate").alias("month"),
+        )
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("nation").orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return rev.select(
+        "nation",
+        "month",
+        "revenue",
+        F.round((F.col("revenue") - prev) / prev, 4).alias("mom_growth"),
+    ).orderBy("nation", "month")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -4032,6 +4116,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a115_chao1_richness": _a115_chao1_richness,
         "d29_ingest_heatmap": _d29_ingest_heatmap,
         "d30_zorder_layout": _d30_zorder_layout,
+        "e48_longest_streak": _e48_longest_streak,
+        "a116_bpe_merge_pairs": _a116_bpe_merge_pairs,
+        "e49_mom_growth": _e49_mom_growth,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -6083,6 +6170,34 @@ def oracle_sql() -> dict[str, str]:
             "  min(l_partkey) AS min_part, max(l_partkey) AS max_part, "
             "  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp "
             "FROM b GROUP BY bucket ORDER BY bucket"
+        ),
+        "e48_longest_streak": (
+            "WITH du AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), "
+            "r AS (SELECT user_id, day, row_number() OVER (PARTITION BY user_id "
+            "  ORDER BY day) AS rn FROM du), "
+            "g AS (SELECT user_id, day - CAST(rn AS INT) AS grp FROM r), "
+            "runs AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2) "
+            "SELECT user_id, max(len) AS longest_streak, count(*) AS n_streaks, "
+            "  CAST(sum(len) AS BIGINT) AS active_days "
+            "FROM runs GROUP BY user_id ORDER BY user_id"
+        ),
+        "a116_bpe_merge_pairs": (
+            "WITH t AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), "
+            "p AS (SELECT unnest([substr(w, i, 2) for i in range(1, len(w))]) AS pair "
+            "  FROM t) "
+            "SELECT pair, count(*) AS n FROM p GROUP BY pair "
+            "ORDER BY n DESC, pair LIMIT 30"
+        ),
+        "e49_mom_growth": (
+            "WITH rev AS (SELECT n_name AS nation, "
+            "  CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month, "
+            "  round(sum(o_totalprice), 2) AS revenue "
+            "  FROM orders JOIN customer ON o_custkey = c_custkey "
+            "  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2) "
+            "SELECT nation, month, revenue, "
+            "  round((revenue - lag(revenue) OVER (PARTITION BY nation ORDER BY month)) "
+            "    / lag(revenue) OVER (PARTITION BY nation ORDER BY month), 4) AS mom_growth "
+            "FROM rev ORDER BY nation, month"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
