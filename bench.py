@@ -386,6 +386,26 @@ def bench_targeted_delete(ctx: Ctx):
 bench_targeted_delete.self_timed = True
 
 
+def bench_zorder_layout(ctx: Ctx):
+    """d30 at bench scale: write lineitem (600k rows at sf0.1) Z-ordered
+    by (l_partkey, l_suppkey) into 16 clustered files, then answer a
+    two-dimension box query (5% x 10% selectivity) and verify the
+    zone-map effect — the box concentrates into a fraction of the files,
+    which footer-stats pruning then skips.  Times layout build + probe."""
+    li = load_table(ctx.spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+    )
+    zp = f"{ctx.workdir}/lineitem_z"
+    layout.write_zordered(li, zp, "l_partkey", "l_suppkey", 16, 10, n_files=16)
+    touched = layout.files_containing(
+        ctx.spark,
+        zp,
+        F.col("l_partkey").between(1000, 2000)
+        & F.col("l_suppkey").between(100, 200),
+    )
+    assert touched < 8, f"z-order box query touched {touched}/16 files"
+
+
 def bench_graph_pagerank(ctx: Ctx):
     """Iterative-join workload: 3 PageRank rounds over the symmetric
     customer<->supplier purchase graph (one shuffle join + one agg per
@@ -415,6 +435,7 @@ QUERIES = {
     "dedup_exactsubstr": bench_dedup_exactsubstr,
     "index_compaction": bench_index_compaction,
     "targeted_delete": bench_targeted_delete,
+    "zorder_layout": bench_zorder_layout,
     "ann_topk": bench_ann_topk,
     "ann_ivfpq_build": bench_ann_ivfpq_build,
     "ann_ivfpq_probe": bench_ann_ivfpq_probe,
