@@ -3983,6 +3983,141 @@ def _e49_mom_growth(spark, sf_dir):
     ).orderBy("nation", "month")
 
 
+def _a117_kmv_intersection(spark, sf_dir):
+    """KMV (bottom-k theta) sketch estimates over per-source vocabularies:
+    distinct-count per source plus pairwise union / Jaccard / intersection
+    estimates for the first four sources — the set-operation sketch HLL
+    registers cannot answer (persistor's index-profiling analogue of
+    "how much does src_a's vocabulary overlap src_b's" at 100 TB, where
+    the exact distinct-join is the thing you must avoid).  Sketch build is
+    a distinct-hash groupBy + TWO-LEVEL bottom-k (no partition ever sorts
+    a source's full hash set); all pair math runs on the <= k-row
+    sketches, never the corpus."""
+    from persistor_spark.analytics import sketches
+
+    srcs = ["src0", "src1", "src2", "src3"]
+    toks = (
+        _docs(spark, sf_dir)
+        .filter(F.col("source").isin(srcs))
+        .select("source", F.explode(F.split("text", " ")).alias("w"))
+    )
+    sk = sketches.kmv_sketch(toks, "w", k=64, group_col="source")
+    est = sketches.kmv_estimate(sk, k=64)
+    pairs = sketches.kmv_pair_estimates(sk, k=64)
+    return (
+        pairs.join(
+            est.select(F.col("g").alias("a"), F.col("est_distinct").alias("est_a")),
+            "a",
+        )
+        .join(
+            est.select(F.col("g").alias("b"), F.col("est_distinct").alias("est_b")),
+            "b",
+        )
+        .select(
+            "a", "b", "est_a", "est_b", "est_union", "est_jaccard",
+            "est_intersection",
+        )
+        .orderBy("a", "b")
+    )
+
+
+def _a118_two_stage_rerank(spark, sf_dir):
+    """Two-stage retrieval: BM25 recall (top-50 candidates) then exact
+    TF-IDF-cosine re-ranking of ONLY those candidates — the classic
+    cheap-recall / expensive-precision funnel every production search and
+    RAG pipeline runs.  Stage 2's cost is bounded by the candidate list:
+    candidates broadcast into the posting-list join, norms aggregate over
+    candidate rows only, the query vector is a 3-row broadcast.  Scale
+    shape: stage 1 touches only the query terms' posting lists, stage 2
+    only the 50 winners' postings — the corpus is never rescanned."""
+    from pyspark.sql import Window
+
+    from persistor_spark.analytics import search
+
+    docs = _docs(spark, sf_dir)
+    idx = search.build_index(docs)
+    cands = search.search(idx, _BM25_QUERY, k=50).select(
+        "id", F.col("score").alias("bm25")
+    )
+    n = idx.n_docs
+    dfreq = idx.postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        idx.postings.join(dfreq, "term")
+        .withColumn("w", F.col("tf") * F.log(F.lit(float(n)) / F.col("df")))
+        .select("id", "term", "w")
+    )
+    cw = w.join(F.broadcast(cands.select("id")), "id")
+    norms = cw.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm"))
+    qw = dfreq.filter(F.col("term").isin(_BM25_QUERY)).select(
+        "term", F.log(F.lit(float(n)) / F.col("df")).alias("qw")
+    )
+    qn = qw.agg(F.sqrt(F.sum(F.col("qw") * F.col("qw"))).alias("qn"))
+    dots = (
+        cw.join(F.broadcast(qw), "term")
+        .groupBy("id")
+        .agg(F.sum(F.col("w") * F.col("qw")).alias("dot"))
+    )
+    rer = (
+        cands.join(dots, "id")
+        .join(norms, "id")
+        .crossJoin(F.broadcast(qn))
+        .select(
+            "id",
+            "bm25",
+            F.round(F.col("dot") / (F.col("nrm") * F.col("qn")), 4).alias("cosine"),
+        )
+    )
+    order = [F.col("cosine").desc(), F.col("id").asc()]
+    top = rer.orderBy(*order).limit(10)
+    w10 = Window.partitionBy(F.pmod(F.col("id"), F.lit(1))).orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w10).cast("long"))
+        .select("id", "bm25", "cosine", "rank")
+        .orderBy("rank")
+    )
+
+
+def _e50_ewma_smoothing(spark, sf_dir):
+    """Per-event-type EWMA of the daily mean value (decay 0.8, trailing
+    14-day support): the time-series smoothing primitive behind every
+    ingest-rate / latency trend line.  EWMA's recursion doesn't decompose
+    over window frames, so this uses the e43 contribution form — each
+    daily point fans out to the <= 14 grid days it contributes to with
+    weight 0.8^lag (narrow sequence explode), then ONE agg; gap days
+    contribute nothing and the weight sum renormalizes.  No range join,
+    no per-type global sort; cost tracks types x days x 14.  Daily means
+    are rounded to 6 decimals BEFORE weighting so both engines smooth
+    identical inputs."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.round(F.avg("value"), 6).alias("v"))
+    contrib = daily.select(
+        "event_type",
+        "v",
+        F.col("day").alias("src_day"),
+        F.explode(F.sequence(F.lit(0), F.lit(13))).alias("k"),
+    ).select(
+        "event_type",
+        F.date_add(F.col("src_day"), F.col("k")).alias("day"),
+        (F.col("v") * F.pow(F.lit(0.8), F.col("k"))).alias("wv"),
+        F.pow(F.lit(0.8), F.col("k")).alias("wt"),
+    )
+    sm = contrib.groupBy("event_type", "day").agg(
+        F.sum("wv").alias("swv"), F.sum("wt").alias("swt")
+    )
+    return (
+        daily.join(sm, ["event_type", "day"])
+        .select(
+            "event_type",
+            "day",
+            "v",
+            F.round(F.col("swv") / F.col("swt"), 4).alias("ewma"),
+        )
+        .orderBy("event_type", "day")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -4119,6 +4254,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e48_longest_streak": _e48_longest_streak,
         "a116_bpe_merge_pairs": _a116_bpe_merge_pairs,
         "e49_mom_growth": _e49_mom_growth,
+        "a117_kmv_intersection": _a117_kmv_intersection,
+        "a118_two_stage_rerank": _a118_two_stage_rerank,
+        "e50_ewma_smoothing": _e50_ewma_smoothing,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -6198,6 +6336,98 @@ def oracle_sql() -> dict[str, str]:
             "  round((revenue - lag(revenue) OVER (PARTITION BY nation ORDER BY month)) "
             "    / lag(revenue) OVER (PARTITION BY nation ORDER BY month), 4) AS mom_growth "
             "FROM rev ORDER BY nation, month"
+        ),
+        # a117: the full KMV pipeline replicated — same 60-bit md5 hash
+        # domain, same two-level == one-level bottom-k equivalence (the
+        # oracle uses the direct one-level form), same (k-1)/theta
+        # estimator with the unsaturated-sketch exact branch
+        "a117_kmv_intersection": (
+            "WITH toks AS (SELECT source AS g, "
+            "    CAST(CONCAT('0x', substr(md5(w), 1, 15)) AS BIGINT) AS h "
+            "  FROM (SELECT source, unnest(string_split(text, ' ')) AS w "
+            "        FROM documents WHERE source IN ('src0','src1','src2','src3')) "
+            "  GROUP BY 1, 2), "
+            "sk AS (SELECT g, h FROM (SELECT g, h, "
+            "    row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM toks) "
+            "  WHERE rn <= 64), "
+            "est AS (SELECT g, CASE WHEN count(*) < 64 THEN CAST(count(*) AS DOUBLE) "
+            "    ELSE 63.0 / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END AS e "
+            "  FROM sk GROUP BY g), "
+            "pairs AS (SELECT ga.g AS a, gb.g AS b "
+            "  FROM (SELECT DISTINCT g FROM sk) ga "
+            "  JOIN (SELECT DISTINCT g FROM sk) gb ON ga.g < gb.g), "
+            "merged AS (SELECT DISTINCT p.a, p.b, s.h "
+            "  FROM pairs p JOIN sk s ON s.g = p.a OR s.g = p.b), "
+            "usk AS (SELECT a, b, h FROM (SELECT a, b, h, "
+            "    row_number() OVER (PARTITION BY a, b ORDER BY h) AS rn FROM merged) "
+            "  WHERE rn <= 64), "
+            "per AS (SELECT u.a, u.b, count(*) AS nu, max(u.h) AS hku, "
+            "    sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL "
+            "        THEN 1 ELSE 0 END) AS m "
+            "  FROM usk u "
+            "  LEFT JOIN sk sa ON sa.g = u.a AND sa.h = u.h "
+            "  LEFT JOIN sk sb ON sb.g = u.b AND sb.h = u.h "
+            "  GROUP BY u.a, u.b) "
+            "SELECT p.a, p.b, round(ea.e, 4) AS est_a, round(eb.e, 4) AS est_b, "
+            "  round(CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE) "
+            "    ELSE 63.0 / (CAST(hku AS DOUBLE) / 1152921504606846976.0) END, 4) "
+            "    AS est_union, "
+            "  round(CAST(m AS DOUBLE) / CAST(nu AS DOUBLE), 4) AS est_jaccard, "
+            "  round((CAST(m AS DOUBLE) / CAST(nu AS DOUBLE)) * "
+            "    CASE WHEN nu < 64 THEN CAST(nu AS DOUBLE) "
+            "    ELSE 63.0 / (CAST(hku AS DOUBLE) / 1152921504606846976.0) END, 4) "
+            "    AS est_intersection "
+            "FROM per p JOIN est ea ON ea.g = p.a JOIN est eb ON eb.g = p.b "
+            "ORDER BY a, b"
+        ),
+        # a118: a14's BM25 CTE chain widened to top-50, then the exact
+        # TF-IDF cosine rerank over candidates only
+        "a118_two_stage_rerank": (
+            "WITH toks AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS term "
+            "  FROM documents), "
+            "dl AS (SELECT id, count(*) AS dl FROM toks GROUP BY id), "
+            "postings AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term), "
+            "stats AS (SELECT count(*) AS n FROM documents), "
+            "ad AS (SELECT avg(dl) AS avgdl FROM dl), "
+            "idf AS (SELECT term, ln((s.n - t.df + 0.5) / (t.df + 0.5) + 1) AS idf "
+            "  FROM (SELECT term, count(DISTINCT id) AS df FROM toks GROUP BY term) t, stats s), "
+            "hits AS (SELECT p.id, i.idf * (p.tf * 2.2) / "
+            "    (p.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / a.avgdl)) AS s "
+            "  FROM postings p JOIN idf i USING (term) JOIN dl d USING (id), ad a "
+            "  WHERE p.term IN ('spark', 'join', 'filter')), "
+            "scored AS (SELECT id, round(sum(s), 4) AS score FROM hits GROUP BY id), "
+            "cands AS (SELECT id, score AS bm25 FROM (SELECT id, score, "
+            "    row_number() OVER (ORDER BY score DESC, id) AS rk FROM scored) "
+            "  WHERE rk <= 50), "
+            "dfreq AS (SELECT term, count(*) AS df FROM postings GROUP BY term), "
+            "w AS (SELECT p.id, p.term, p.tf * ln(s.n * 1.0 / f.df) AS w "
+            "  FROM postings p JOIN dfreq f USING (term), stats s), "
+            "cw AS (SELECT w.* FROM w JOIN cands USING (id)), "
+            "norms AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM cw GROUP BY id), "
+            "qw AS (SELECT term, ln(s.n * 1.0 / f.df) AS qw FROM dfreq f, stats s "
+            "  WHERE term IN ('spark', 'join', 'filter')), "
+            "qn AS (SELECT sqrt(sum(qw * qw)) AS qn FROM qw), "
+            "dots AS (SELECT id, sum(w * qw) AS dot FROM cw JOIN qw USING (term) "
+            "  GROUP BY id), "
+            "rer AS (SELECT c.id, c.bm25, round(d.dot / (nm.nrm * q.qn), 4) AS cosine "
+            "  FROM cands c JOIN dots d USING (id) JOIN norms nm USING (id), qn q) "
+            "SELECT id, bm25, cosine, rank FROM (SELECT *, "
+            "  row_number() OVER (ORDER BY cosine DESC, id) AS rank FROM rer) "
+            "WHERE rank <= 10 ORDER BY rank"
+        ),
+        # e50: same contribution-form fan-out (range 0..13), same
+        # round-6-then-weight discipline
+        "e50_ewma_smoothing": (
+            "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+            "    round(avg(value), 6) AS v FROM events GROUP BY 1, 2), "
+            "contrib AS (SELECT event_type, day + CAST(k AS INT) AS day, "
+            "    v * pow(0.8, k) AS wv, pow(0.8, k) AS wt "
+            "  FROM daily, range(0, 14) r(k)), "
+            "sm AS (SELECT event_type, day, sum(wv) AS swv, sum(wt) AS swt "
+            "  FROM contrib GROUP BY 1, 2) "
+            "SELECT d.event_type, d.day, d.v, round(sm.swv / sm.swt, 4) AS ewma "
+            "FROM daily d JOIN sm ON sm.event_type = d.event_type AND sm.day = d.day "
+            "ORDER BY d.event_type, d.day"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "

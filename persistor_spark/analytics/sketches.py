@@ -274,3 +274,132 @@ def histogram_quantiles(
         * F.lit(float(width))
     )
     return hit.select("q", F.round(est, 4).alias("est")).orderBy("q")
+
+
+def kmv_sketch(
+    df: DataFrame,
+    item_col: str,
+    k: int = 64,
+    group_col: str = "source",
+    shards: int = 32,
+) -> DataFrame:
+    """KMV (k-minimum-values / bottom-k theta) sketch per group: the k
+    smallest distinct 60-bit item hashes (Bar-Yossef 2002, Beyer 2007).
+    The fourth sketch family member: HLL answers "how many distinct",
+    KMV additionally supports UNION (bottom-k of merged sketches) and
+    INTERSECTION/Jaccard (matching hashes in the union sketch), which
+    registers cannot.
+
+    Scale shape: distinct-hash dedup is one groupBy; the bottom-k is
+    TWO-LEVEL so no partition ever holds a group's full hash set — level
+    1 takes k per (group, hash mod `shards`) shard (parallelism = groups
+    x shards), level 2 reduces the <= k*shards survivors per group.
+    Exact equivalence to a single global bottom-k holds because the k
+    smallest of a group are each the smallest of their own shard's k.
+    Output: (g, h) with <= k rows per group, hashes distinct-by-build."""
+    from pyspark.sql import Window
+
+    from persistor_spark.analytics.dedup import md5_hash64
+
+    hashes = (
+        df.select(
+            F.col(group_col).alias("g"), md5_hash64(F.col(item_col)).alias("h")
+        )
+        .groupBy("g", "h")
+        .agg(F.lit(1))
+        .select("g", "h")
+    )
+    w1 = Window.partitionBy("g", F.pmod(F.col("h"), F.lit(shards))).orderBy("h")
+    lvl1 = (
+        hashes.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    w2 = Window.partitionBy("g").orderBy("h")
+    return (
+        lvl1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+# the hash domain of md5_hash64: 60 bits of md5, values in [0, 2^60)
+_KMV_DOMAIN = float(1 << 60)
+
+
+def _kmv_est(n_col: Column, hk_col: Column, k: int) -> Column:
+    """The KMV estimator as a Column: exact when the sketch is unsaturated
+    (n < k holds every distinct hash), else (k-1)/theta with
+    theta = h_k / 2^60.  Double math only — (k-1)*2^60 would overflow
+    BIGINT."""
+    return F.when(n_col < k, n_col.cast("double")).otherwise(
+        F.lit(float(k - 1)) / (hk_col.cast("double") / F.lit(_KMV_DOMAIN))
+    )
+
+
+def kmv_estimate(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Per-group distinct-count estimate from a `kmv_sketch`:
+    (g, est_distinct).  One bounded agg over <= k rows per group."""
+    per = sketch.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")
+    )
+    return per.select(
+        "g", F.round(_kmv_est(F.col("n"), F.col("hk"), k), 4).alias("est_distinct")
+    )
+
+
+def kmv_pair_estimates(sketch: DataFrame, k: int = 64) -> DataFrame:
+    """Pairwise union / Jaccard / intersection estimates for every group
+    pair (a < b) from ONE shared sketch table.
+
+    Method (Beyer 2007): the union sketch of (a, b) is the bottom-k of
+    the merged hash sets — computable from the two k-row sketches alone;
+    with K = |union sketch| rows of which `m` appear in BOTH input
+    sketches, jaccard_est = m/K and intersection_est = jaccard_est *
+    union_est.  Everything is bounded by pairs x 2k rows: the sketches
+    ARE the data, the corpus is never touched again."""
+    from pyspark.sql import Window
+
+    groups = sketch.select("g").distinct()
+    pairs = (
+        groups.select(F.col("g").alias("a"))
+        .join(groups.select(F.col("g").alias("b")), F.col("a") < F.col("b"))
+    )
+    # per-pair merged hash multiset -> distinct -> bottom-k union sketch
+    sk_a = sketch.select(F.col("g").alias("a"), "h")
+    sk_b = sketch.select(F.col("g").alias("b"), "h")
+    merged = (
+        pairs.join(sk_a, "a").select("a", "b", "h")
+        .unionByName(pairs.join(sk_b, "b").select("a", "b", "h"))
+        .groupBy("a", "b", "h")
+        .agg(F.lit(1))
+        .select("a", "b", "h")
+    )
+    wu = Window.partitionBy("a", "b").orderBy("h")
+    union_sk = (
+        merged.withColumn("rn", F.row_number().over(wu))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    # membership of each union-sketch hash in both sides
+    in_a = sk_a.withColumn("in_a", F.lit(1))
+    in_b = sk_b.withColumn("in_b", F.lit(1))
+    tagged = (
+        union_sk.join(in_a, ["a", "h"], "left").join(in_b, ["b", "h"], "left")
+    )
+    per = tagged.groupBy("a", "b").agg(
+        F.count(F.lit(1)).alias("nu"),
+        F.max("h").alias("hku"),
+        F.sum(
+            F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1).otherwise(0)
+        ).alias("m"),
+    )
+    union_est = _kmv_est(F.col("nu"), F.col("hku"), k)
+    jacc = F.col("m").cast("double") / F.col("nu").cast("double")
+    return per.select(
+        "a",
+        "b",
+        F.round(union_est, 4).alias("est_union"),
+        F.round(jacc, 4).alias("est_jaccard"),
+        F.round(jacc * union_est, 4).alias("est_intersection"),
+    )

@@ -1812,3 +1812,57 @@ def test_histogram_clamps_out_of_range(spark):
     df = spark.createDataFrame([(-5.0,), (50.0,), (999.0,)], "x double")
     got = {r["bin"]: r["n"] for r in sketches.histogram_sketch(df, "x", 0, 100, 10).collect()}
     assert got == {0: 1, 5: 1, 9: 1}
+
+
+def test_kmv_estimate_accuracy_and_exact_branch(spark):
+    from persistor_spark.analytics import sketches
+
+    # two groups sharing 1000 of their items -> known distinct/overlap
+    a = spark.range(3000).select(
+        F.lit("ga").alias("source"), F.concat(F.lit("i-"), F.col("id")).alias("x")
+    )
+    b = spark.range(2000, 6000).select(
+        F.lit("gb").alias("source"), F.concat(F.lit("i-"), F.col("id")).alias("x")
+    )
+    sk = sketches.kmv_sketch(a.unionAll(b), "x", k=256, group_col="source")
+    est = {r["g"]: r["est_distinct"] for r in sketches.kmv_estimate(sk, k=256).collect()}
+    # KMV std err ~ 1/sqrt(k-2) ~ 6.3%; allow 3 sigma
+    assert abs(est["ga"] - 3000) / 3000 < 0.2
+    assert abs(est["gb"] - 4000) / 4000 < 0.2
+    pair = sketches.kmv_pair_estimates(sk, k=256).collect()[0]
+    assert abs(pair["est_union"] - 6000) / 6000 < 0.2
+    # true jaccard = 1000/6000; intersection = 1000 (looser: product of errors)
+    assert abs(pair["est_jaccard"] - 1 / 6) < 0.1
+    assert abs(pair["est_intersection"] - 1000) / 1000 < 0.5
+    # unsaturated sketch (distinct < k) -> estimate is EXACT
+    small = spark.createDataFrame(
+        [("gs", f"t{i % 17}") for i in range(100)], "source string, x string"
+    )
+    ssk = sketches.kmv_sketch(small, "x", k=64, group_col="source")
+    assert ssk.count() == 17
+    sest = sketches.kmv_estimate(ssk, k=64).collect()[0]["est_distinct"]
+    assert sest == 17.0
+
+
+def test_kmv_two_level_matches_one_level(spark):
+    from pyspark.sql import Window
+
+    from persistor_spark.analytics import sketches
+    from persistor_spark.analytics.dedup import md5_hash64
+
+    items = spark.range(5000).select(
+        (F.col("id") % 3).cast("string").alias("source"),
+        F.concat(F.lit("v-"), F.col("id")).alias("x"),
+    )
+    two = sketches.kmv_sketch(items, "x", k=64, group_col="source", shards=32)
+    # direct one-level bottom-k (the oracle's form)
+    hashes = (
+        items.select(F.col("source").alias("g"), md5_hash64(F.col("x")).alias("h"))
+        .distinct()
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    one = hashes.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= 64
+    ).drop("rn")
+    assert two.exceptAll(one).count() == 0
+    assert one.exceptAll(two).count() == 0
