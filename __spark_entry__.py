@@ -4118,6 +4118,154 @@ def _e50_ewma_smoothing(spark, sf_dir):
     )
 
 
+def _a119_nucleus_vocab(spark, sf_dir):
+    """Nucleus (top-p, p=0.9) vocabulary per source: the smallest
+    frequency-ranked token prefix covering 90% of the source's token
+    mass — the LLM-sampling statistic repurposed as a corpus-diversity
+    audit (a flat source needs many tokens to reach 90%, a templated one
+    very few).  Per-source ranked windows only (partition = one source's
+    VOCABULARY, bounded by the token domain, never the corpus); the 90%
+    cut compares 10*cum_prev < 9*total in exact integers so the boundary
+    token is the same in both engines."""
+    from pyspark.sql import Window
+
+    toks = _docs(spark, sf_dir).select(
+        "source", F.explode(F.split("text", " ")).alias("w")
+    )
+    cnt = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    ws = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("w"))
+    wt = Window.partitionBy("source")
+    ranked = cnt.select(
+        "source",
+        "c",
+        F.sum("c").over(ws).alias("cum"),
+        F.sum("c").over(wt).alias("total"),
+        F.count(F.lit(1)).over(wt).alias("vocab_size"),
+    )
+    nucleus = ranked.filter((F.col("cum") - F.col("c")) * 10 < F.col("total") * 9)
+    return (
+        nucleus.groupBy("source")
+        .agg(
+            F.max("vocab_size").alias("vocab_size"),
+            F.count(F.lit(1)).alias("nucleus_size"),
+            F.round(F.sum("c") / F.max("total"), 4).alias("nucleus_share"),
+        )
+        .orderBy("source")
+    )
+
+
+def _a120_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of doc lengths across sources: each
+    (source, n_chars) value maps to the GLOBAL value at the same CDF
+    position — the cross-source score-calibration transform (quantile
+    transform / microarray quantile normalization) that makes per-source
+    quality thresholds comparable.  Exact CDF matching, no interpolation
+    ambiguity: v_norm = min global v' with cdf_g(v') >= cdf_s(v), and the
+    CDF comparison is cross-multiplied to exact integers (cum_g * n_s >=
+    cum_s * n_g) so engines cannot disagree at a quantile boundary.
+    Scale shape: both CDFs live on DISTINCT-VALUE tables (bounded by the
+    value domain, not the corpus); the global cumsum is the triangular
+    broadcast self-join (no partitionless window), the match is a
+    broadcast inequality join of two value-domain tables."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    n_g = docs.count()
+    src = docs.groupBy("source", F.col("n_chars").alias("v")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ws = Window.partitionBy("source").orderBy("v")
+    wt = Window.partitionBy("source")
+    src_cdf = src.select(
+        "source",
+        "v",
+        "c",
+        F.sum("c").over(ws).alias("cum_s"),
+        F.sum("c").over(wt).alias("n_s"),
+    )
+    g = docs.groupBy(F.col("n_chars").alias("gv")).agg(
+        F.count(F.lit(1)).alias("gc")
+    )
+    g2 = g.select(F.col("gv").alias("gv2"), F.col("gc").alias("gc2"))
+    g_cdf = (
+        g.join(F.broadcast(g2), F.col("gv2") <= F.col("gv"))
+        .groupBy("gv")
+        .agg(F.sum("gc2").alias("cum_g"))
+    )
+    matched = src_cdf.join(
+        F.broadcast(g_cdf),
+        F.col("cum_g") * F.col("n_s") >= F.col("cum_s") * F.lit(n_g),
+    )
+    return (
+        matched.groupBy("source", "v", "c", "cum_s", "n_s")
+        .agg(F.min("gv").alias("v_norm"))
+        .select(
+            "source",
+            "v",
+            "c",
+            F.round(F.col("cum_s") / F.col("n_s"), 4).alias("cdf"),
+            "v_norm",
+        )
+        .orderBy("source", "v")
+    )
+
+
+def _a121_entity_resolution(spark, sf_dir):
+    """Blocked entity-resolution scoring (Fellegi–Sunter shape) over
+    customers: block on (nation, market segment) — the cheap equi-join
+    that bounds the candidate quadratic — then score each in-block pair
+    with weighted field agreements (0.7 * name edit-similarity + 0.3 *
+    balance closeness) and keep the top-50 match candidates.  The
+    record-linkage primitive behind every dedup-people/merge-accounts
+    pipeline.  Scale shape: candidate volume is sum of block-size^2, so
+    block keys must stay selective (at 100 TB add a hot-block cap the
+    same way a93 caps hot shingles); scoring is pure expressions, the
+    top-k is TakeOrderedAndProject."""
+    from pyspark.sql import Window
+
+    from persistor_spark.sources.registry import load_table
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+    a = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("a"),
+        F.col("c_name").alias("name_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = c.select(
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("b"),
+        F.col("c_name").alias("name_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    pairs = a.join(b, ["nk", "seg"]).filter(F.col("a") < F.col("b"))
+    name_sim = F.lit(1.0) - F.levenshtein("name_a", "name_b") / F.greatest(
+        F.length("name_a"), F.length("name_b")
+    )
+    bal_sim = F.lit(1.0) - F.least(
+        F.abs(F.col("bal_a") - F.col("bal_b")) / F.lit(10000.0), F.lit(1.0)
+    )
+    scored = pairs.select(
+        "nk",
+        "seg",
+        "a",
+        "b",
+        F.round(F.lit(0.7) * name_sim + F.lit(0.3) * bal_sim, 4).alias("score"),
+    )
+    order = [F.col("score").desc(), F.col("a").asc(), F.col("b").asc()]
+    top = scored.orderBy(*order).limit(50)
+    w = Window.partitionBy(F.pmod(F.col("a"), F.lit(1))).orderBy(*order)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("long"))
+        .select("rank", "nk", "seg", "a", "b", "score")
+        .orderBy("rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -4257,6 +4405,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a117_kmv_intersection": _a117_kmv_intersection,
         "a118_two_stage_rerank": _a118_two_stage_rerank,
         "e50_ewma_smoothing": _e50_ewma_smoothing,
+        "a119_nucleus_vocab": _a119_nucleus_vocab,
+        "a120_quantile_normalize": _a120_quantile_normalize,
+        "a121_entity_resolution": _a121_entity_resolution,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -6428,6 +6579,59 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.event_type, d.day, d.v, round(sm.swv / sm.swt, 4) AS ewma "
             "FROM daily d JOIN sm ON sm.event_type = d.event_type AND sm.day = d.day "
             "ORDER BY d.event_type, d.day"
+        ),
+        # a119: same integer boundary rule 10*(cum-c) < 9*total
+        "a119_nucleus_vocab": (
+            "WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS w "
+            "  FROM documents), "
+            "cnt AS (SELECT source, w, count(*) AS c FROM t GROUP BY 1, 2), "
+            "r AS (SELECT source, c, "
+            "    sum(c) OVER (PARTITION BY source ORDER BY c DESC, w "
+            "      ROWS UNBOUNDED PRECEDING) AS cum, "
+            "    sum(c) OVER (PARTITION BY source) AS total, "
+            "    count(*) OVER (PARTITION BY source) AS vocab_size "
+            "  FROM cnt) "
+            "SELECT source, max(vocab_size) AS vocab_size, "
+            "  count(*) AS nucleus_size, "
+            "  round(sum(c) / CAST(max(total) AS DOUBLE), 4) AS nucleus_share "
+            "FROM r WHERE (cum - c) * 10 < total * 9 "
+            "GROUP BY source ORDER BY source"
+        ),
+        # a120: CDF match with the same cross-multiplied integer compare
+        "a120_quantile_normalize": (
+            "WITH src AS (SELECT source, n_chars AS v, count(*) AS c "
+            "  FROM documents GROUP BY 1, 2), "
+            "sc AS (SELECT source, v, c, "
+            "    sum(c) OVER (PARTITION BY source ORDER BY v "
+            "      ROWS UNBOUNDED PRECEDING) AS cum_s, "
+            "    sum(c) OVER (PARTITION BY source) AS n_s "
+            "  FROM src), "
+            "g AS (SELECT n_chars AS gv, count(*) AS gc FROM documents GROUP BY 1), "
+            "gc AS (SELECT gv, sum(gc) OVER (ORDER BY gv ROWS UNBOUNDED PRECEDING) "
+            "    AS cum_g FROM g), "
+            "ng AS (SELECT count(*) AS n FROM documents) "
+            "SELECT sc.source, sc.v, sc.c, "
+            "  round(sc.cum_s / CAST(sc.n_s AS DOUBLE), 4) AS cdf, "
+            "  min(gc.gv) AS v_norm "
+            "FROM sc JOIN gc ON gc.cum_g * sc.n_s >= sc.cum_s * (SELECT n FROM ng) "
+            "GROUP BY sc.source, sc.v, sc.c, sc.cum_s, sc.n_s "
+            "ORDER BY source, v"
+        ),
+        # a121: identical blocking + weighted-agreement score
+        "a121_entity_resolution": (
+            "WITH p AS (SELECT a.c_nationkey AS nk, a.c_mktsegment AS seg, "
+            "    a.c_custkey AS a, b.c_custkey AS b, "
+            "    round(0.7 * (1.0 - levenshtein(a.c_name, b.c_name) / "
+            "      CAST(greatest(length(a.c_name), length(b.c_name)) AS DOUBLE)) "
+            "      + 0.3 * (1.0 - least(abs(a.c_acctbal - b.c_acctbal) / 10000.0, "
+            "        1.0)), 4) AS score "
+            "  FROM customer a JOIN customer b "
+            "    ON a.c_nationkey = b.c_nationkey "
+            "    AND a.c_mktsegment = b.c_mktsegment "
+            "    AND a.c_custkey < b.c_custkey) "
+            "SELECT rank, nk, seg, a, b, score FROM (SELECT *, "
+            "  row_number() OVER (ORDER BY score DESC, a, b) AS rank FROM p) "
+            "WHERE rank <= 50 ORDER BY rank"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
