@@ -4266,6 +4266,132 @@ def _a121_entity_resolution(spark, sf_dir):
     )
 
 
+def _a122_ols_sufficient_stats(spark, sf_dir):
+    """Per-source 2-feature OLS (n_chars ~ word_count + distinct_words)
+    solved in CLOSED FORM from sufficient statistics: ONE aggregation
+    pass collects the ten exact-integer sums (n, Σx, Σy, Σz, Σx², Σy²,
+    Σxy, Σxz, Σyz, Σz²), then the normal equations' 2x2 inverse runs as
+    plain per-group expressions — the distributed-regression pattern
+    (no driver loop, no per-row Python, no iterative solver) that scales
+    to any corpus because model fitting costs exactly one map-side-
+    combinable agg.  All covariance math derives from exact integer
+    sums, so both engines compute identical doubles."""
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    feats = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("x"),
+        F.size(F.array_distinct(toks)).cast("long").alias("y"),
+        F.col("n_chars").cast("long").alias("z"),
+    )
+    s = feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("z").alias("sz"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("z")).alias("sxz"),
+        F.sum(F.col("y") * F.col("z")).alias("syz"),
+        F.sum(F.col("z") * F.col("z")).alias("szz"),
+    )
+    nd = F.col("n").cast("double")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / nd
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / nd
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / nd
+    cxz = F.col("sxz") - F.col("sx") * F.col("sz") / nd
+    cyz = F.col("syz") - F.col("sy") * F.col("sz") / nd
+    czz = F.col("szz") - F.col("sz") * F.col("sz") / nd
+    det = cxx * cyy - cxy * cxy
+    b1 = (cyy * cxz - cxy * cyz) / det
+    b2 = (cxx * cyz - cxy * cxz) / det
+    icept = F.col("sz") / nd - b1 * F.col("sx") / nd - b2 * F.col("sy") / nd
+    r2 = (b1 * cxz + b2 * cyz) / czz
+    return s.select(
+        "source",
+        "n",
+        F.round(b1, 6).alias("b_words"),
+        F.round(b2, 6).alias("b_distinct"),
+        F.round(icept, 4).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    ).orderBy("source")
+
+
+def _d31_compaction_plan(spark, sf_dir):
+    """Compaction PLANNING (the step before d-series compaction runs):
+    bin-pack each partition directory's blobs into target-size rewrite
+    groups with first-fit-decreasing — blobs ordered by size descending,
+    running cumulative sum, bin = the 8 KiB boundary the blob's prefix
+    sum crosses.  Output is the work list a compactor executes (one
+    rewrite task per (dir, bin)).  Per-directory windows only (partition
+    = one directory's file list, bounded by files-per-partition, never
+    the record count); all math is exact integers."""
+    from pyspark.sql import Window
+
+    target = 8192
+    t = _tables(spark, sf_dir)
+    per = t.blob_records.groupBy("location_key").agg(
+        F.sum(F.octet_length("payload")).alias("bytes")
+    )
+    per = per.withColumn("dir", F.regexp_replace("location_key", "/[^/]*$", ""))
+    w = Window.partitionBy("dir").orderBy(F.col("bytes").desc(), "location_key")
+    cum = F.sum("bytes").over(w)
+    binned = per.select(
+        "dir",
+        "bytes",
+        F.floor((cum - F.col("bytes")) / F.lit(float(target))).alias("bin"),
+    )
+    return (
+        binned.groupBy("dir", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("bytes").alias("bin_bytes"),
+        )
+        .orderBy("dir", "bin")
+    )
+
+
+def _e51_map_functions(spark, sf_dir):
+    """MAP-typed column surface: per user bucket, build an event_type ->
+    count map with map_from_entries(sorted entries), total it with the
+    higher-order `aggregate` over map_values, keep only entries carrying
+    >= 10% of the bucket's events via `map_filter` (the lambda captures
+    the outer total column), then explode back to rows.  The integer
+    share compare (v * 10 >= total) makes the filter boundary exact in
+    both engines; the oracle states the same result relationally (maps
+    are the Spark-side representation under audit, not the semantics)."""
+    ev = _events(spark, sf_dir)
+    per = ev.groupBy(
+        (F.col("user_id") % 10).cast("long").alias("user_bucket"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    m = per.groupBy("user_bucket").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    totaled = m.select(
+        "user_bucket",
+        "m",
+        F.size("m").alias("n_types"),
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("long"), lambda acc, v: acc + v
+        ).alias("total"),
+    )
+    kept = totaled.select(
+        "user_bucket",
+        "n_types",
+        "total",
+        F.explode(
+            F.map_filter("m", lambda k, v: v * 10 >= F.col("total"))
+        ).alias("event_type", "n"),
+    )
+    return kept.select(
+        "user_bucket", "n_types", "total", "event_type", "n"
+    ).orderBy("user_bucket", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -4408,6 +4534,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a119_nucleus_vocab": _a119_nucleus_vocab,
         "a120_quantile_normalize": _a120_quantile_normalize,
         "a121_entity_resolution": _a121_entity_resolution,
+        "a122_ols_sufficient_stats": _a122_ols_sufficient_stats,
+        "d31_compaction_plan": _d31_compaction_plan,
+        "e51_map_functions": _e51_map_functions,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -6632,6 +6761,63 @@ def oracle_sql() -> dict[str, str]:
             "SELECT rank, nk, seg, a, b, score FROM (SELECT *, "
             "  row_number() OVER (ORDER BY score DESC, a, b) AS rank FROM p) "
             "WHERE rank <= 50 ORDER BY rank"
+        ),
+        # a122: identical sufficient-statistic sums and normal-equation
+        # expressions — doubles derived from the same exact integers
+        "a122_ols_sufficient_stats": (
+            "WITH f AS (SELECT source, "
+            "    CAST(len(string_split(text, ' ')) AS BIGINT) AS x, "
+            "    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y, "
+            "    CAST(n_chars AS BIGINT) AS z FROM documents), "
+            "s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+            "    sum(z) AS sz, sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy, "
+            "    sum(x*z) AS sxz, sum(y*z) AS syz, sum(z*z) AS szz "
+            "  FROM f GROUP BY source), "
+            "c AS (SELECT source, n, "
+            "    sxx - sx*sx/CAST(n AS DOUBLE) AS cxx, "
+            "    syy - sy*sy/CAST(n AS DOUBLE) AS cyy, "
+            "    sxy - sx*sy/CAST(n AS DOUBLE) AS cxy, "
+            "    sxz - sx*sz/CAST(n AS DOUBLE) AS cxz, "
+            "    syz - sy*sz/CAST(n AS DOUBLE) AS cyz, "
+            "    szz - sz*sz/CAST(n AS DOUBLE) AS czz, "
+            "    sx/CAST(n AS DOUBLE) AS mx, sy/CAST(n AS DOUBLE) AS my, "
+            "    sz/CAST(n AS DOUBLE) AS mz "
+            "  FROM s), "
+            "b AS (SELECT source, n, "
+            "    (cyy*cxz - cxy*cyz) / (cxx*cyy - cxy*cxy) AS b1, "
+            "    (cxx*cyz - cxy*cxz) / (cxx*cyy - cxy*cxy) AS b2, "
+            "    cxz, cyz, czz, mx, my, mz FROM c) "
+            "SELECT source, n, round(b1, 6) AS b_words, round(b2, 6) AS b_distinct, "
+            "  round(mz - b1*mx - b2*my, 4) AS intercept, "
+            "  round((b1*cxz + b2*cyz) / czz, 6) AS r2 "
+            "FROM b ORDER BY source"
+        ),
+        # d31: same FFD prefix-sum binning in exact integers
+        "d31_compaction_plan": P(
+            ", per AS (SELECT location_key, "
+            "    sum(octet_length(encode(payload))) AS bytes FROM blob_records "
+            "  GROUP BY location_key), "
+            "d AS (SELECT regexp_replace(location_key, '/[^/]*$', '') AS dir, "
+            "    location_key, bytes FROM per), "
+            "c AS (SELECT dir, bytes, "
+            "    floor((sum(bytes) OVER (PARTITION BY dir ORDER BY bytes DESC, "
+            "      location_key ROWS UNBOUNDED PRECEDING) - bytes) / 8192.0) AS bin "
+            "  FROM d) "
+            "SELECT dir, CAST(bin AS BIGINT) AS bin, count(*) AS n_files, "
+            "  CAST(sum(bytes) AS BIGINT) AS bin_bytes "
+            "FROM c GROUP BY dir, bin ORDER BY dir, bin"
+        ),
+        # e51: the map pipeline stated relationally — counts, bucket
+        # totals, the same integer 10%-share filter
+        "e51_map_functions": (
+            "WITH per AS (SELECT CAST(user_id % 10 AS BIGINT) AS user_bucket, "
+            "    event_type, count(*) AS n FROM events GROUP BY 1, 2), "
+            "tot AS (SELECT user_bucket, count(*) AS n_types, "
+            "    CAST(sum(n) AS BIGINT) AS total FROM per GROUP BY user_bucket) "
+            "SELECT p.user_bucket, t.n_types, t.total, p.event_type, p.n "
+            "FROM per p JOIN tot t USING (user_bucket) "
+            "WHERE p.n * 10 >= t.total "
+            "ORDER BY user_bucket, event_type"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
