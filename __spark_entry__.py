@@ -4392,6 +4392,119 @@ def _e51_map_functions(spark, sf_dir):
     ).orderBy("user_bucket", "event_type")
 
 
+def _a123_ams_f2(spark, sf_dir):
+    """AMS second-frequency-moment sketch (Alon–Matias–Szegedy 1996) over
+    the token stream: F2 = Σ f_t² — the self-join-size statistic a
+    planner uses to cost a term-keyed join — estimated with 16 ±1-sign
+    counters instead of the full term histogram.  Each estimator r keeps
+    Z_r = Σ_occurrences sign_r(term) (ONE 16-key agg, map-side
+    combinable, state = 16 longs no matter the corpus); E[Z_r²] = F2.
+    Signs come from the md5-derived hash family's parity, so both
+    engines draw identical signs.  Output compares the sketch mean
+    against exact F2 (one term-keyed agg, the thing the sketch avoids
+    shipping at 100 TB)."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.split("text", " ")).alias("w")
+    )
+    from persistor_spark.analytics.dedup import md5_hash64
+
+    signs = toks.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("r"),
+                    (
+                        F.pmod(
+                            md5_hash64(F.concat(F.lit(f"ams{r}:"), F.col("w"))),
+                            F.lit(2),
+                        )
+                        * 2
+                        - 1
+                    ).cast("long").alias("s"),
+                )
+                for r in range(16)
+            ])
+        ).alias("rs")
+    ).select(F.col("rs.r").alias("r"), F.col("rs.s").alias("s"))
+    z = signs.groupBy("r").agg(F.sum("s").alias("z"))
+    est = z.agg(
+        F.round(F.avg(F.col("z") * F.col("z")), 4).alias("f2_est"),
+        F.count(F.lit(1)).alias("n_estimators"),
+    )
+    exact = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).alias("f2_exact"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "n_estimators",
+            "f2_exact",
+            "f2_est",
+            F.round(F.col("f2_est") / F.col("f2_exact"), 4).alias("ratio"),
+        )
+    )
+
+
+def _a124_image_dhash_pairs(spark, sf_dir):
+    """Multimodal near-dup detection: perceptual dHash over REAL decoded
+    BMP pixels (Arrow-batched mapInPandas decode, the a10 pipeline) +
+    SimHash-style 9-band LSH join + Hamming verify — the image analogue
+    of the text dedup family.  The oracle recomputes the hash
+    ANALYTICALLY from the procedural pixel formula (same closed-form-twin
+    contract as a10/a35/a36: the Spark side must decode real bytes to
+    reach the same 63-bit value).  Candidate volume tracks 7-bit band
+    occupancy, never image-pairs²."""
+    from persistor_spark.analytics import multimodal
+
+    media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
+    hashes = multimodal.image_dhash(media)
+    return multimodal.dhash_near_pairs(hashes, max_hamming=20, k=10).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+def _e52_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2-shaped min-cost supplier: for each low-key part, the
+    supplier whose best observed line price is the part's minimum —
+    the correlated-aggregate join pattern (offer table -> per-part min ->
+    equality join back, ties broken by supplier key).  All comparisons
+    are exact MINs of raw doubles (no float summation), so engines
+    cannot disagree; the per-part reduction is two shuffles on p_partkey,
+    broadcast-joined to the bounded winner set."""
+    from pyspark.sql import Window
+
+    from persistor_spark.sources.registry import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") <= 200)
+    supp = load_table(spark, sf_dir, "supplier")
+    offers = li.groupBy(
+        F.col("l_partkey").alias("p"), F.col("l_suppkey").alias("s")
+    ).agg(F.min("l_extendedprice").alias("price"))
+    best = offers.groupBy(F.col("p").alias("bp")).agg(
+        F.min("price").alias("best_price")
+    )
+    winners = offers.join(
+        F.broadcast(best),
+        (F.col("p") == F.col("bp")) & (F.col("price") == F.col("best_price")),
+    ).select("p", "s", "best_price")
+    w = Window.partitionBy("p").orderBy("s")
+    first = winners.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        first.join(supp, first.s == supp.s_suppkey)
+        .select(
+            F.col("p").alias("p_partkey"),
+            F.col("s").alias("s_suppkey"),
+            "s_name",
+            F.round("best_price", 2).alias("best_price"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -4537,6 +4650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a122_ols_sufficient_stats": _a122_ols_sufficient_stats,
         "d31_compaction_plan": _d31_compaction_plan,
         "e51_map_functions": _e51_map_functions,
+        "a123_ams_f2": _a123_ams_f2,
+        "a124_image_dhash_pairs": _a124_image_dhash_pairs,
+        "e52_min_cost_supplier": _e52_min_cost_supplier,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -6818,6 +6934,63 @@ def oracle_sql() -> dict[str, str]:
             "FROM per p JOIN tot t USING (user_bucket) "
             "WHERE p.n * 10 >= t.total "
             "ORDER BY user_bucket, event_type"
+        ),
+        # a123: identical 16-member ±1 sign family from the shared 60-bit
+        # md5 hash's parity
+        "a123_ams_f2": (
+            "WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), "
+            "signs AS (SELECT r, CAST((CAST(CONCAT('0x', substr(md5('ams' || r || ':' || w), 1, 15)) "
+            "    AS BIGINT) % 2) * 2 - 1 AS BIGINT) AS s "
+            "  FROM toks, range(0, 16) rr(r)), "
+            "z AS (SELECT r, sum(s) AS z FROM signs GROUP BY r), "
+            "est AS (SELECT round(avg(CAST(z AS DOUBLE) * z), 4) AS f2_est, "
+            "    count(*) AS n_estimators FROM z), "
+            "ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM "
+            "  (SELECT count(*) AS c FROM toks GROUP BY w)) "
+            "SELECT n_estimators, f2_exact, f2_est, "
+            "  round(f2_est / f2_exact, 4) AS ratio FROM est, ex"
+        ),
+        # a124: the dHash recomputed analytically from the procedural
+        # pixel formula (x*7+did, y*13+did*3, x+y+did*5 mod 256) — the
+        # closed-form twin of the real BMP decode
+        "a124_image_dhash_pairs": (
+            "WITH imgs AS (SELECT doc_id AS did, doc_id % 120 + 8 AS w, "
+            "    doc_id % 90 + 8 AS h FROM documents WHERE doc_id % 3 = 0), "
+            "g AS (SELECT did, j, i, (i * w) // 8 AS sx, (j * h) // 9 AS sy "
+            "  FROM imgs, range(0, 8) ri(i), range(0, 9) rj(j)), "
+            "l AS (SELECT did, j, i, "
+            "    0.2126 * ((sx * 7 + did) % 256) + 0.7152 * ((sy * 13 + did * 3) % 256) "
+            "    + 0.0722 * ((sx + sy + did * 5) % 256) AS lum FROM g), "
+            "bits AS (SELECT l1.did, l1.j, l1.i, "
+            "    CASE WHEN l2.lum > l1.lum THEN 1 ELSE 0 END AS b "
+            "  FROM l l1 JOIN l l2 ON l2.did = l1.did AND l2.j = l1.j "
+            "    AND l2.i = l1.i + 1 WHERE l1.i < 7), "
+            "hh AS (SELECT did, CAST(sum(b * (1::BIGINT << (j * 7 + i))) AS BIGINT) "
+            "    AS dhash FROM bits GROUP BY did), "
+            "bands AS (SELECT 'media-' || did AS id, dhash, k, "
+            "    (dhash >> (7 * k)) & 127 AS band FROM hh, range(0, 9) rk(k)), "
+            "cand AS (SELECT DISTINCT ba.id AS a, bb.id AS b, ba.dhash AS ha, "
+            "    bb.dhash AS hb FROM bands ba JOIN bands bb "
+            "  ON ba.k = bb.k AND ba.band = bb.band AND ba.id < bb.id), "
+            "ham AS (SELECT a, b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming "
+            "  FROM cand WHERE bit_count(xor(ha, hb)) <= 20) "
+            "SELECT a, b, hamming FROM (SELECT *, "
+            "  row_number() OVER (ORDER BY hamming, a, b) AS rn FROM ham) "
+            "WHERE rn <= 10 ORDER BY hamming, a, b"
+        ),
+        # e52: same exact-MIN offer reduction and tie rule
+        "e52_min_cost_supplier": (
+            "WITH offers AS (SELECT l_partkey AS p, l_suppkey AS s, "
+            "    min(l_extendedprice) AS price FROM lineitem "
+            "  WHERE l_partkey <= 200 GROUP BY 1, 2), "
+            "best AS (SELECT p, min(price) AS best_price FROM offers GROUP BY p), "
+            "win AS (SELECT o.p, o.s, b.best_price, "
+            "    row_number() OVER (PARTITION BY o.p ORDER BY o.s) AS rn "
+            "  FROM offers o JOIN best b ON o.p = b.p AND o.price = b.best_price) "
+            "SELECT w.p AS p_partkey, w.s AS s_suppkey, sp.s_name, "
+            "  round(w.best_price, 2) AS best_price "
+            "FROM win w JOIN supplier sp ON w.s = sp.s_suppkey "
+            "WHERE w.rn = 1 ORDER BY p_partkey"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "

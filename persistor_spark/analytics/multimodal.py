@@ -615,3 +615,86 @@ def sample_frames_real(df: DataFrame, every_ms: int = 200) -> DataFrame:
         "media_id string, n_frames int, fps int, frame_idx int, "
         "frame_ts_ms int, height int, width int, mean_lum double",
     )
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash over REAL decoded BMP pixels: sample an
+    8-column x 9-row luminance grid (nearest-neighbor, the no-averaging
+    dHash variant), set bit j*7+i when lum(col i+1, row j) > lum(col i,
+    row j) — a 63-BIT hash (not the classic 64) so the value lives in a
+    signed 64-bit lane in every engine without unsigned-wrap tricks.
+
+    Arrow-batched mapInPandas, no shuffle: (media_id, dhash).  Near-dup
+    candidates then come from a SimHash-style band join on 9 disjoint
+    7-bit bands (Hamming distance <= 8 guarantees >= 1 intact band by
+    pigeonhole), never an all-pairs compare."""
+    import pandas as pd
+
+    def one(content) -> int:
+        import numpy as np
+
+        px = decode_bmp(bytes(content)).astype(np.float64)
+        lum = 0.2126 * px[:, :, 0] + 0.7152 * px[:, :, 1] + 0.0722 * px[:, :, 2]
+        h, w = lum.shape
+        cols = [i * w // 8 for i in range(8)]
+        rows = [j * h // 9 for j in range(9)]
+        g = lum[np.ix_(rows, cols)]
+        bits = 0
+        for j in range(9):
+            for i in range(7):
+                if g[j, i + 1] > g[j, i]:
+                    bits |= 1 << (j * 7 + i)
+        return bits
+
+    def run(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "dhash": [one(c) for c in pdf["content"]],
+                }
+            )
+
+    return df.filter(F.col("media_type") == "image").mapInPandas(
+        run, "media_id string, dhash long"
+    )
+
+
+def dhash_near_pairs(hashes: DataFrame, max_hamming: int = 20, k: int = 10) -> DataFrame:
+    """Banded near-dup join over 63-bit dHashes: explode each hash into 9
+    disjoint 7-bit bands, equi-join on (band index, band value) — the
+    SimHash candidate-generation shape, cost tracks band-bucket occupancy,
+    never n² — then verify with bit_count(xor) and keep the k closest
+    pairs (Hamming asc, then ids).  Pairs at Hamming <= 8 are guaranteed
+    candidates (pigeonhole over 9 bands); the looser `max_hamming` cut
+    only filters what the bands happened to surface."""
+    bands = hashes.select(
+        F.col("media_id").alias("id"),
+        F.col("dhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(kk).alias("k"),
+                    F.shiftright(F.col("dhash"), 7 * kk)
+                    .bitwiseAND(F.lit(127))
+                    .alias("band"),
+                )
+                for kk in range(9)
+            ])
+        ).alias("bk"),
+    ).select("id", "dhash", F.col("bk.k").alias("k"), F.col("bk.band").alias("band"))
+    a = bands.select("k", "band", F.col("id").alias("a"), F.col("dhash").alias("ha"))
+    b = bands.select("k", "band", F.col("id").alias("b"), F.col("dhash").alias("hb"))
+    cand = (
+        a.join(b, ["k", "band"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        cand.select("a", "b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy(F.col("hamming").asc(), F.col("a").asc(), F.col("b").asc())
+        .limit(k)
+    )

@@ -1866,3 +1866,37 @@ def test_kmv_two_level_matches_one_level(spark):
     ).drop("rn")
     assert two.exceptAll(one).count() == 0
     assert one.exceptAll(two).count() == 0
+
+
+def test_image_dhash_matches_analytic_formula(spark):
+    from persistor_spark.analytics import multimodal
+
+    docs = spark.createDataFrame(
+        [(did, "x y z", "en", "s", 5) for did in (0, 3, 366)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    media = multimodal.synthesize_media(spark, docs)
+    got = {
+        r["media_id"]: r["dhash"]
+        for r in multimodal.image_dhash(media).collect()
+    }
+
+    def analytic(did):
+        w, h = did % 120 + 8, did % 90 + 8
+        lum = lambda x, y: (
+            0.2126 * ((x * 7 + did) % 256)
+            + 0.7152 * ((y * 13 + did * 3) % 256)
+            + 0.0722 * ((x + y + did * 5) % 256)
+        )
+        bits = 0
+        for j in range(9):
+            for i in range(7):
+                sy = j * h // 9
+                if lum((i + 1) * w // 8, sy) > lum(i * w // 8, sy):
+                    bits |= 1 << (j * 7 + i)
+        return bits
+
+    for did in (0, 3, 366):
+        assert got[f"media-{did}"] == analytic(did)
+    # 63-bit contract: always non-negative in a signed 64-bit lane
+    assert all(v >= 0 for v in got.values())
