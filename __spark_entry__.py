@@ -4505,6 +4505,91 @@ def _e52_min_cost_supplier(spark, sf_dir):
     )
 
 
+def _e53_pareto_abc(spark, sf_dir):
+    """Pareto / ABC revenue classification: rank customers by revenue,
+    classify the prefix carrying 80% of total revenue as A, the next
+    15% as B, the tail as C — the inventory-analysis staple.  Revenue is
+    quantized to EXACT integer cents per ORDER ROW before any summation
+    (round(price*100) is the same integer in both engines because the
+    inputs are identical doubles within 1e-9 of an integer), so every
+    cumulative value and class boundary compares exact integers.  The
+    global running sum uses the two-level prefix-sum primitive
+    (`sampling.global_cumsum`) — range partition + literal offsets —
+    never a single-partition window."""
+    from persistor_spark.analytics.sampling import global_cumsum
+    from persistor_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy(F.col("o_custkey").alias("cust")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("cents")
+    )
+    ranked, total = global_cumsum(
+        rev, "cents", [F.col("cents").desc(), F.col("cust").asc()], "cum"
+    )
+    classed = ranked.withColumn(
+        "class",
+        F.when(F.col("cum") * 5 <= F.lit(total) * 4, "A")
+        .when(F.col("cum") * 20 <= F.lit(total) * 19, "B")
+        .otherwise("C"),
+    )
+    return (
+        classed.groupBy("class")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("cents").alias("class_cents"),
+        )
+        .select(
+            "class",
+            "n_customers",
+            "class_cents",
+            F.round(F.col("class_cents") / F.lit(float(total)), 4).alias("share"),
+        )
+        .orderBy("class")
+    )
+
+
+def _d32_column_drift(spark, sf_dir):
+    """Column-statistics drift between the early (< 1998) and late order
+    epochs: per-column count / nulls / min / max / mean side by side with
+    the mean delta — the batch-over-batch data-quality gate that catches
+    an upstream break before the bad data lands.  One scan, one bounded
+    agg (columns x 2 keys) via `profiling.column_stats_drift`."""
+    from persistor_spark.analytics.profiling import column_stats_drift
+    from persistor_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "half",
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("date"), "a").otherwise(
+            "b"
+        ),
+    )
+    return column_stats_drift(
+        orders, "half", ["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+
+
+def _a125_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank from the first three customers over the
+    customer<->supplier purchase graph: restart mass returns to the seed
+    set, so ranks measure importance RELATIVE to those seeds (related-
+    entity discovery / contamination spread from flagged nodes) — the
+    localized counterpart of global a56.  Same per-round shape: broadcast
+    node-bounded ranks, one agg shuffle per round; mass stays inside the
+    seeds' 3-hop neighborhood."""
+    from persistor_spark.analytics import graph
+    from persistor_spark.sources.registry import load_table
+
+    edges = graph.bipartite_interaction_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    )
+    seeds = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 3)
+        .select(F.concat(F.lit("c"), F.col("c_custkey")).alias("node"))
+    )
+    return graph.personalized_pagerank(edges, seeds, iterations=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -4653,6 +4738,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a123_ams_f2": _a123_ams_f2,
         "a124_image_dhash_pairs": _a124_image_dhash_pairs,
         "e52_min_cost_supplier": _e52_min_cost_supplier,
+        "e53_pareto_abc": _e53_pareto_abc,
+        "d32_column_drift": _d32_column_drift,
+        "a125_personalized_pagerank": _a125_personalized_pagerank,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -6991,6 +7079,80 @@ def oracle_sql() -> dict[str, str]:
             "  round(w.best_price, 2) AS best_price "
             "FROM win w JOIN supplier sp ON w.s = sp.s_suppkey "
             "WHERE w.rn = 1 ORDER BY p_partkey"
+        ),
+        # e53: same per-row cents quantization and integer boundary compares
+        "e53_pareto_abc": (
+            "WITH rev AS (SELECT o_custkey AS cust, "
+            "    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents "
+            "  FROM orders GROUP BY 1), "
+            "c AS (SELECT cust, cents, "
+            "    sum(cents) OVER (ORDER BY cents DESC, cust "
+            "      ROWS UNBOUNDED PRECEDING) AS cum, "
+            "    sum(cents) OVER () AS total FROM rev), "
+            "k AS (SELECT CASE WHEN cum * 5 <= total * 4 THEN 'A' "
+            "    WHEN cum * 20 <= total * 19 THEN 'B' ELSE 'C' END AS class, "
+            "    cents, total FROM c) "
+            "SELECT class, count(*) AS n_customers, "
+            "  CAST(sum(cents) AS BIGINT) AS class_cents, "
+            "  round(sum(cents) / CAST(max(total) AS DOUBLE), 4) AS share "
+            "FROM k GROUP BY class ORDER BY class"
+        ),
+        # d32: the long-format profile stated as a UNION ALL
+        "d32_column_drift": (
+            "WITH o AS (SELECT CASE WHEN o_orderdate < DATE '1998-01-01' "
+            "    THEN 'a' ELSE 'b' END AS half, "
+            "    CAST(o_custkey AS DOUBLE) AS c1, CAST(o_orderkey AS DOUBLE) AS c2, "
+            "    CAST(o_totalprice AS DOUBLE) AS c3 FROM orders), "
+            "lf AS (SELECT half, 'o_custkey' AS col, c1 AS v FROM o "
+            "  UNION ALL SELECT half, 'o_orderkey', c2 FROM o "
+            "  UNION ALL SELECT half, 'o_totalprice', c3 FROM o), "
+            "per AS (SELECT col, half, count(*) AS n, "
+            "    sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS nulls, "
+            "    min(v) AS vmin, max(v) AS vmax, round(avg(v), 4) AS vavg "
+            "  FROM lf GROUP BY 1, 2) "
+            "SELECT a.col AS \"column\", a.n AS n_a, CAST(a.nulls AS BIGINT) AS nulls_a, "
+            "  a.vmin AS min_a, a.vmax AS max_a, a.vavg AS avg_a, "
+            "  b.n AS n_b, CAST(b.nulls AS BIGINT) AS nulls_b, "
+            "  b.vmin AS min_b, b.vmax AS max_b, b.vavg AS avg_b, "
+            "  round(b.vavg - a.vavg, 4) AS avg_delta "
+            "FROM per a JOIN per b ON a.col = b.col AND a.half = 'a' AND b.half = 'b' "
+            "ORDER BY 1"
+        ),
+        # a125: a56's unrolled-round twin with the restart mass FULL-JOINed
+        # back onto the seed set each round
+        "a125_personalized_pagerank": (
+            "WITH p AS (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS c, "
+            "    's' || l_suppkey::VARCHAR AS s "
+            "  FROM orders JOIN lineitem ON l_orderkey = o_orderkey), "
+            "e AS (SELECT c AS src, s AS dst FROM p "
+            "  UNION ALL SELECT s AS src, c AS dst FROM p), "
+            "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src), "
+            "seeds AS (SELECT 'c' || c_custkey::VARCHAR AS node FROM customer "
+            "  WHERE c_custkey <= 3), "
+            "ns AS (SELECT count(*)::DOUBLE AS n FROM seeds), "
+            "r0 AS (SELECT node, 1.0 / (SELECT n FROM ns) AS rank FROM seeds), "
+            "p1 AS (SELECT e.dst AS node, 0.85 * sum(r.rank / deg.deg) AS prop "
+            "  FROM e JOIN deg ON e.src = deg.src JOIN r0 r ON r.node = e.src "
+            "  GROUP BY e.dst), "
+            "r1 AS (SELECT coalesce(p.node, s.node) AS node, "
+            "    (CASE WHEN s.node IS NOT NULL THEN 0.15 / (SELECT n FROM ns) "
+            "      ELSE 0 END) + coalesce(p.prop, 0) AS rank "
+            "  FROM p1 p FULL JOIN seeds s ON p.node = s.node), "
+            "p2 AS (SELECT e.dst AS node, 0.85 * sum(r.rank / deg.deg) AS prop "
+            "  FROM e JOIN deg ON e.src = deg.src JOIN r1 r ON r.node = e.src "
+            "  GROUP BY e.dst), "
+            "r2 AS (SELECT coalesce(p.node, s.node) AS node, "
+            "    (CASE WHEN s.node IS NOT NULL THEN 0.15 / (SELECT n FROM ns) "
+            "      ELSE 0 END) + coalesce(p.prop, 0) AS rank "
+            "  FROM p2 p FULL JOIN seeds s ON p.node = s.node), "
+            "p3 AS (SELECT e.dst AS node, 0.85 * sum(r.rank / deg.deg) AS prop "
+            "  FROM e JOIN deg ON e.src = deg.src JOIN r2 r ON r.node = e.src "
+            "  GROUP BY e.dst), "
+            "r3 AS (SELECT coalesce(p.node, s.node) AS node, "
+            "    (CASE WHEN s.node IS NOT NULL THEN 0.15 / (SELECT n FROM ns) "
+            "      ELSE 0 END) + coalesce(p.prop, 0) AS rank "
+            "  FROM p3 p FULL JOIN seeds s ON p.node = s.node) "
+            "SELECT node, round(rank, 6) AS rank FROM r3 ORDER BY node"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "

@@ -144,3 +144,60 @@ def market_basket_rules(
             ).alias("lift"),
         )
     )
+
+
+def column_stats_drift(
+    df: DataFrame,
+    split_col: str,
+    numeric_cols: list,
+) -> DataFrame:
+    """Per-column statistics drift between two halves of a table (the
+    split column must yield exactly the labels 'a' and 'b'): count /
+    null-count / min / max / mean for each half, side by side with the
+    mean delta — the schema-on-read data-quality check that catches a
+    broken upstream (nulls spiking, a value domain shifting) BEFORE the
+    bad batch lands in training data.
+
+    One narrow explode to long format (column, value, half) + ONE
+    bounded agg (key space = columns x 2), so the pass costs a single
+    corpus scan no matter how many columns are profiled.  min/max/counts
+    are exact; means are rounded to 4 (float-sum tolerance discipline)."""
+    longf = df.select(
+        F.col(split_col).alias("half"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(c).alias("column"), F.col(c).cast("double").alias("v")
+                )
+                for c in numeric_cols
+            ])
+        ).alias("s"),
+    ).select("half", F.col("s.column").alias("column"), F.col("s.v").alias("v"))
+    per = longf.groupBy("column", "half").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("nulls"),
+        F.min("v").alias("vmin"),
+        F.max("v").alias("vmax"),
+        F.round(F.avg("v"), 4).alias("vavg"),
+    )
+    a = per.filter(F.col("half") == "a").select(
+        "column",
+        F.col("n").alias("n_a"),
+        F.col("nulls").alias("nulls_a"),
+        F.col("vmin").alias("min_a"),
+        F.col("vmax").alias("max_a"),
+        F.col("vavg").alias("avg_a"),
+    )
+    b = per.filter(F.col("half") == "b").select(
+        "column",
+        F.col("n").alias("n_b"),
+        F.col("nulls").alias("nulls_b"),
+        F.col("vmin").alias("min_b"),
+        F.col("vmax").alias("max_b"),
+        F.col("vavg").alias("avg_b"),
+    )
+    return (
+        a.join(b, "column", "full_outer")
+        .withColumn("avg_delta", F.round(F.col("avg_b") - F.col("avg_a"), 4))
+        .orderBy("column")
+    )

@@ -471,3 +471,53 @@ def ntile_exact(
         rn <= F.lit(cut), F.expr(f"((__rn - 1) div {big}) + 1")
     ).otherwise(F.expr(f"{rem} + ((__rn - 1 - {cut}) div {max(base, 1)}) + 1"))
     return ranked.withColumn(out_col, bucket.cast("int")).drop("__rn")
+
+
+def global_cumsum(
+    df: DataFrame,
+    value_col: str,
+    order_cols,
+    out_col: str = "cum",
+    num_partitions: int = 32,
+) -> tuple[DataFrame, int]:
+    """Global running sum of a LONG column over a total ordering WITHOUT a
+    single-partition window, plus the grand total — the generalization of
+    `select_token_budget`'s two-level prefix-sum (range partition ->
+    per-partition totals as literal offsets -> per-partition running
+    window).  Long values only: integer prefix sums are associative, so
+    the offset + window decomposition is EXACT and order-noise-free
+    (float inputs should be quantized to integers first — the engine-
+    parity discipline every cents/token-count caller already follows).
+
+    `order_cols` must be a total ordering or the running sum is
+    nondeterministic across runs.  Returns (df + out_col, grand_total).
+    """
+    r = df.withColumn("__v", F.col(value_col).cast("long")).repartitionByRange(
+        num_partitions, *order_cols
+    ).withColumn("__pid", F.spark_partition_id())
+    r = r.localCheckpoint(eager=True)
+    totals = {
+        row["__pid"]: row["t"]
+        for row in r.groupBy("__pid").agg(F.sum("__v").alias("t")).collect()
+    }
+    offsets, acc = [], 0
+    for pid in sorted(totals):
+        offsets.append((pid, acc))
+        acc += totals[pid] or 0
+    off_df = r.sparkSession.createDataFrame(
+        offsets or [(0, 0)], "__pid int, __offset long"
+    )
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        r.join(F.broadcast(off_df), "__pid", "left")
+        .withColumn(
+            out_col,
+            (F.coalesce("__offset", F.lit(0)) + F.sum("__v").over(w)).cast("long"),
+        )
+        .drop("__pid", "__offset", "__v")
+    )
+    return out, acc
