@@ -1900,3 +1900,59 @@ def test_image_dhash_matches_analytic_formula(spark):
         assert got[f"media-{did}"] == analytic(did)
     # 63-bit contract: always non-negative in a signed 64-bit lane
     assert all(v >= 0 for v in got.values())
+
+
+def test_global_cumsum_matches_window_and_total(spark):
+    from pyspark.sql import Window
+
+    from persistor_spark.analytics.sampling import global_cumsum
+
+    df = spark.range(1000).select(
+        F.col("id"), (F.pmod(F.col("id") * 37, F.lit(100))).alias("v")
+    )
+    got, total = global_cumsum(df, "v", [F.col("v").desc(), F.col("id").asc()], "cum")
+    assert total == df.agg(F.sum("v")).collect()[0][0]
+    w = Window.orderBy(F.col("v").desc(), F.col("id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    want = df.withColumn("cum", F.sum("v").over(w))
+    assert got.select("id", "v", "cum").exceptAll(want.select("id", "v", "cum")).count() == 0
+    assert want.select("id", "v", "cum").exceptAll(got.select("id", "v", "cum")).count() == 0
+    # no SinglePartition exchange in the distributed plan
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_personalized_pagerank_mass_and_locality(spark):
+    from persistor_spark.analytics import graph
+
+    # path graph a-b-c-d (symmetric); seed at a
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c")],
+        "src string, dst string",
+    )
+    seeds = spark.createDataFrame([("a",)], "node string")
+    r = graph.personalized_pagerank(edges, seeds, iterations=2)
+    ranks = {row["node"]: row["rank"] for row in r.collect()}
+    # total mass conserved (symmetric graph, no dangling loss): sums to 1
+    assert abs(sum(ranks.values()) - 1.0) < 1e-4
+    # seed keeps the restart mass; 2 rounds cannot reach d (3 hops)
+    assert ranks["a"] > ranks.get("c", 0.0)
+    assert "d" not in ranks
+    # hand-computed rounds: r0={a:1}; r1={a:.15, b:.85};
+    # r2={a:.15+.85*(.85/2)=.51125, b:.85*.15=.1275, c:.85*(.85/2)=.36125}
+    assert ranks == {"a": 0.51125, "b": 0.1275, "c": 0.36125}
+
+
+def test_column_stats_drift_exact_counts(spark):
+    from persistor_spark.analytics.profiling import column_stats_drift
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, None), ("b", 3, 30.0), ("b", 4, 50.0)],
+        "half string, k long, v double",
+    )
+    out = {r["column"]: r for r in column_stats_drift(df, "half", ["k", "v"]).collect()}
+    assert out["k"]["n_a"] == 2 and out["k"]["n_b"] == 2
+    assert out["v"]["nulls_a"] == 1 and out["v"]["nulls_b"] == 0
+    assert out["v"]["min_b"] == 30.0 and out["v"]["max_b"] == 50.0
+    assert out["v"]["avg_delta"] == round(40.0 - 10.0, 4)
