@@ -4735,6 +4735,45 @@ def _d33_zonemap_audit(spark, sf_dir):
     )
 
 
+def _a127_hard_negatives(spark, sf_dir):
+    """Contrastive-pair mining (anchors = vec_id < 10): per anchor the
+    most-similar same-label positive and most-similar different-label
+    hard negative with the margin — the triplet-builder behind embedding
+    fine-tunes.  Exact a5-shape baseline (broadcast anchors, one dot per
+    pair); the LSH/IVF candidate join substitutes at scale."""
+    from persistor_spark.analytics import similarity
+
+    embs = _embs(spark, sf_dir)
+    anchors = embs.filter(F.col("vec_id") < 10)
+    return similarity.hard_negative_mining(embs, anchors)
+
+
+def _a128_lang_confusion(spark, sf_dir):
+    """Declared-vs-detected language confusion matrix: per (declared,
+    detected) cell the doc count and the share of the declared row — the
+    labeling-quality eval every multilingual curation run publishes
+    (where does the metadata disagree with the content?).  Two bounded
+    aggs (cells <= langs², rows-per-lang window)."""
+    from pyspark.sql import Window
+
+    from persistor_spark.analytics import text
+
+    docs = _docs(spark, sf_dir).select(
+        "lang", text.detect_language("text").alias("det")
+    )
+    cells = docs.groupBy("lang", "det").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "det",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 4).alias("row_share"),
+        F.when(F.col("lang") == F.col("det"), 1).otherwise(0).cast("long").alias(
+            "agree"
+        ),
+    ).orderBy("lang", "det")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -4889,6 +4928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a126_coverage_selection": _a126_coverage_selection,
         "e54_sequence_gaps": _e54_sequence_gaps,
         "d33_zonemap_audit": _d33_zonemap_audit,
+        "a127_hard_negatives": _a127_hard_negatives,
+        "a128_lang_confusion": _a128_lang_confusion,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -7381,6 +7422,44 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(rows_scanned AS BIGINT) AS rows_scanned, rows_matched, "
             "  round(rows_scanned / CAST(rows_matched AS DOUBLE), 4) AS amplification "
             "FROM s, m"
+        ),
+        # a127: the a5/a50 cosine formula; per-(anchor, same) argmax
+        "a127_hard_negatives": (
+            "WITH v AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings), "
+            "q AS (SELECT vec_id AS anchor, label AS qlab, v AS qv FROM v "
+            "  WHERE vec_id < 10), "
+            "s AS (SELECT q.anchor, v.vec_id AS id, "
+            "    CASE WHEN v.label = q.qlab THEN 1 ELSE 0 END AS same, "
+            "    round(list_dot_product(q.qv, v.v) / "
+            "      (sqrt(list_dot_product(q.qv, q.qv)) * "
+            "       sqrt(list_dot_product(v.v, v.v))), 4) AS cos "
+            "  FROM q JOIN v ON v.vec_id <> q.anchor), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY anchor, same "
+            "  ORDER BY cos DESC, id) AS rn FROM s) "
+            "SELECT anchor, "
+            "  max(CASE WHEN same = 1 THEN id END) AS pos_id, "
+            "  max(CASE WHEN same = 1 THEN cos END) AS pos_cos, "
+            "  max(CASE WHEN same = 0 THEN id END) AS neg_id, "
+            "  max(CASE WHEN same = 0 THEN cos END) AS neg_cos, "
+            "  round(max(CASE WHEN same = 1 THEN cos END) - "
+            "    max(CASE WHEN same = 0 THEN cos END), 4) AS margin "
+            "FROM r WHERE rn = 1 GROUP BY anchor ORDER BY anchor"
+        ),
+        # a128: the a105 detection CASE, cells + declared-row share
+        "a128_lang_confusion": (
+            "WITH t AS (SELECT lang, string_split(text, ' ') AS toks FROM documents), "
+            "d AS (SELECT lang, CASE "
+            "  WHEN len(list_intersect(list_distinct(toks), ['le','la','et','les'])) >= 2 THEN 'fr' "
+            "  WHEN len(list_intersect(list_distinct(toks), ['der','die','und','das'])) >= 2 THEN 'de' "
+            "  WHEN len(list_intersect(list_distinct(toks), ['el','los','las','una'])) >= 2 THEN 'es' "
+            "  WHEN len(list_intersect(list_distinct(toks), ['the','and','of','to'])) >= 2 THEN 'en' "
+            "  ELSE 'und' END AS det FROM t), "
+            "c AS (SELECT lang, det, count(*) AS n FROM d GROUP BY 1, 2) "
+            "SELECT lang, det, n, "
+            "  round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 4) "
+            "    AS row_share, "
+            "  CAST(CASE WHEN lang = det THEN 1 ELSE 0 END AS BIGINT) AS agree "
+            "FROM c ORDER BY lang, det"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "

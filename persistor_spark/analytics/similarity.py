@@ -1666,3 +1666,75 @@ def tfidf_cosine_pairs(
         .filter(F.col("cos") >= F.lit(threshold))
         .select("a", "b", F.round("cos", 3).alias("cos"))
     )
+
+
+def hard_negative_mining(
+    vectors: DataFrame,
+    anchors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Contrastive-pair mining for embedding training: per anchor, the
+    most-similar SAME-label vector (the positive) and the most-similar
+    DIFFERENT-label vector (the hard negative), plus the margin between
+    them — the data-prep step behind every triplet/contrastive fine-tune.
+
+    Exact brute-force shape (the a5 baseline contract): anchors broadcast
+    against the corpus, one dot per pair with side-norms precomputed, and
+    the per-(anchor, same-label) argmax via window over the scored rows.
+    Ranking key (round(cos,4) DESC, id ASC) keeps ties reproducible.  At
+    scale, swap the scored cross for the LSH/IVF candidate join (a6/a32)
+    — the mining agg is unchanged."""
+    from pyspark.sql import Window
+
+    v = (
+        _as_double(vectors, id_col, vec_col)
+        .join(
+            vectors.select(
+                F.col(id_col).alias("id"), F.col(label_col).alias("lab")
+            ),
+            "id",
+        )
+        .withColumn("vn", norm(F.col("v")))
+    )
+    q = (
+        _as_double(anchors, id_col, vec_col)
+        .join(
+            anchors.select(
+                F.col(id_col).alias("id"), F.col(label_col).alias("qlab")
+            ),
+            "id",
+        )
+        .select(
+            F.col("id").alias("anchor"), F.col("v").alias("qv"), "qlab"
+        )
+        .withColumn("qn", norm(F.col("qv")))
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("id") != F.col("anchor"))
+        .withColumn(
+            "cos",
+            F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("vn")), 4),
+        )
+        .withColumn(
+            "same", F.when(F.col("lab") == F.col("qlab"), 1).otherwise(0)
+        )
+    )
+    w = Window.partitionBy("anchor", "same").orderBy(
+        F.col("cos").desc(), F.col("id").asc()
+    )
+    top1 = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        top1.groupBy("anchor")
+        .agg(
+            F.max(F.when(F.col("same") == 1, F.col("id"))).alias("pos_id"),
+            F.max(F.when(F.col("same") == 1, F.col("cos"))).alias("pos_cos"),
+            F.max(F.when(F.col("same") == 0, F.col("id"))).alias("neg_id"),
+            F.max(F.when(F.col("same") == 0, F.col("cos"))).alias("neg_cos"),
+        )
+        .withColumn(
+            "margin", F.round(F.col("pos_cos") - F.col("neg_cos"), 4)
+        )
+        .orderBy("anchor")
+    )

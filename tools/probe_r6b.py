@@ -1,18 +1,6 @@
-"""Late-round-6 scaling probes for ARCHITECTURE section 6: the a107-a112 /
-e45-e47 / d28 additions at 10x and under their worst-case skew.
-
-- a107 sorted-neighborhood: candidate volume is n*w BY CONSTRUCTION, so a
-  total sort-key collision (every doc identical prefix) must NOT change the
-  runtime — the property that distinguishes it from LSH banding under skew.
-- a109 edit-distance join: blocking on (first token, length band); the hot
-  first-token worst case concentrates one block and goes quadratic in the
-  block — probe it to justify the production cap note in the docstring.
-- a111 skip-gram: fan-out is exactly 3 tokens per position; linear at 10x.
-- a108 basket rules / e45 / e46 / e47 / d28 ride the natural sf0.01 ->
-  sf0.1 10x of lineitem/events.
-
-Prints one line per probe.
-"""
+"""Second round-6 probe session: the late-r6 additions at 10x growth
+(sf0.01 -> sf0.1) plus engineered worst cases.  Prints one line per probe;
+results recorded in ARCHITECTURE section 6."""
 import sys
 import time
 
@@ -37,96 +25,118 @@ def t(label, fn):
     return dt, out
 
 
-def replicate_docs(docs, k):
-    """k copies with distinct doc_ids (replicas are exact dups of the
-    original — the worst case for any dedup candidate generator)."""
-    reps = spark.range(k).select(F.col("id").alias("rep"))
-    return docs.crossJoin(reps).select(
-        (F.col("doc_id") * k + F.col("rep")).alias("doc_id"),
-        "text",
-        "lang",
-        "source",
-        "n_chars",
-    )
+Q = e.queries()
 
+# -- 10x growth: run each new entry at both SFs --------------------------
+for key in [
+    "a117_kmv_intersection",
+    "a118_two_stage_rerank",
+    "e50_ewma_smoothing",
+    "a119_nucleus_vocab",
+    "a120_quantile_normalize",
+    "a121_entity_resolution",
+    "a122_ols_sufficient_stats",
+    "a123_ams_f2",
+    "a124_image_dhash_pairs",
+    "a126_coverage_selection",
+    "e53_pareto_abc",
+    "e54_sequence_gaps",
+    "d33_zonemap_audit",
+    "a125_personalized_pagerank",
+]:
+    for sf, name in [(SF01, "sf0.01"), (SF1, "sf0.1")]:
+        t(f"{key} {name}", lambda k=key, s=sf: Q[k](spark, s).count())
 
-from persistor_spark.analytics import dedup, profiling  # noqa: E402
-
-docs = load_table(spark, SF01, "documents")
-
-# -- a107 sorted-neighborhood: 1x / 10x / 10x-with-constant-sort-key ------
-t("a107 1x (500 docs)", lambda: dedup.sorted_neighborhood_pairs(docs, 10, 0.5).count())
-d10 = replicate_docs(docs, 10).localCheckpoint(eager=True)
-t("a107 10x (5k docs)", lambda: dedup.sorted_neighborhood_pairs(d10, 10, 0.5).count())
-# total key collision: every doc gets the same 20-char prefix -> sort
-# degenerates to doc_id order; candidates stay exactly n*w
-collide = d10.withColumn("text", F.concat(F.lit("xxxxxxxxxxxxxxxxxxxx "), "text"))
-t(
-    "a107 10x constant-key worst case",
-    lambda: dedup.sorted_neighborhood_pairs(collide, 10, 0.5).count(),
+# -- worst case: entity resolution with ONE block (every customer in the
+# same nation+segment) — candidate volume n(n-1)/2, the hot-block hazard
+# the a121 docstring warns about ----------------------------------------
+cust = load_table(spark, SF1, "customer")  # 15 000 customers
+one_block = cust.select(
+    F.lit(0).alias("c_nationkey_orig"),
+    F.col("c_custkey"),
+    F.col("c_name"),
+    F.lit(0).alias("c_nationkey"),
+    F.col("c_acctbal"),
+    F.lit("X").alias("c_mktsegment"),
 )
 
-# -- a109 edit-distance join: 10x, then hot-first-token worst case --------
-t("a109 1x", lambda: dedup.edit_distance_pairs(docs, 8).count())
-t("a109 10x", lambda: dedup.edit_distance_pairs(d10, 8).count())
-hot = d10.withColumn("text", F.concat(F.lit("the "), "text"))
+
+def er_one_block():
+    a = one_block.select(
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("a"), F.col("c_name").alias("name_a"),
+        F.col("c_acctbal").alias("bal_a"),
+    )
+    b = one_block.select(
+        F.col("c_nationkey").alias("nk"), F.col("c_mktsegment").alias("seg"),
+        F.col("c_custkey").alias("b"), F.col("c_name").alias("name_b"),
+        F.col("c_acctbal").alias("bal_b"),
+    )
+    pairs = a.join(b, ["nk", "seg"]).filter(F.col("a") < F.col("b"))
+    name_sim = F.lit(1.0) - F.levenshtein("name_a", "name_b") / F.greatest(
+        F.length("name_a"), F.length("name_b")
+    )
+    bal_sim = F.lit(1.0) - F.least(
+        F.abs(F.col("bal_a") - F.col("bal_b")) / F.lit(10000.0), F.lit(1.0)
+    )
+    scored = pairs.select(
+        (F.lit(0.7) * name_sim + F.lit(0.3) * bal_sim).alias("score")
+    )
+    return scored.filter(F.col("score") >= 0.97).count()
+
+
+t("a121 WORST one-block 15k customers (112M pairs)", er_one_block)
+
+# -- worst case: KMV with one group holding the whole corpus vocabulary --
+from persistor_spark.analytics import sketches
+
+toks1 = load_table(spark, SF1, "documents").select(
+    F.lit("all").alias("source"), F.explode(F.split("text", " ")).alias("w")
+)
 t(
-    "a109 10x hot-token worst case (single block)",
-    lambda: dedup.edit_distance_pairs(hot, 8).count(),
+    "a117 WORST single-group whole-corpus vocab (sf0.1)",
+    lambda: sketches.kmv_estimate(
+        sketches.kmv_sketch(toks1, "w", k=64, group_col="source"), 64
+    ).count(),
 )
 
-# -- a111 skip-gram co-occurrence: linear fan-out (3 per position) --------
-t("a111 1x", lambda: e._a111_skipgram_cooccurrence.__wrapped__(spark, SF01).count()
-  if hasattr(e._a111_skipgram_cooccurrence, "__wrapped__")
-  else len(e._a111_skipgram_cooccurrence(spark, SF01).collect()))
+# -- worst case: coverage selection when every doc is identical (the
+# greedy degenerates: round 1 covers everything, rounds 2-5 must still
+# terminate on the empty remainder) --------------------------------------
+dup_docs = (
+    load_table(spark, SF1, "documents")
+    .select(F.col("doc_id"), F.lit("a b c d e f g h").alias("text"))
+)
 
 
-def skipgram_on(d):
-    pos = d.select("doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w"))
-    lefts = pos.select(
-        "doc_id",
-        F.col("w").alias("wa"),
-        F.explode(F.array(F.col("pos") + 1, F.col("pos") + 2, F.col("pos") + 3)).alias("tpos"),
-    )
-    rights = pos.select("doc_id", F.col("pos").alias("tpos"), F.col("w").alias("wb"))
-    return (
-        lefts.join(rights, ["doc_id", "tpos"])
-        .groupBy(F.least("wa", "wb").alias("w1"), F.greatest("wa", "wb").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "w1", "w2")
-        .limit(30)
-    )
+def coverage_degenerate():
+    from persistor_spark.analytics.dedup import shingles
+
+    s = dup_docs.select(
+        "doc_id", F.explode(shingles("text", 2)).alias("sh")
+    ).localCheckpoint()
+    remaining = s
+    picked = 0
+    for _ in range(5):
+        top = (
+            remaining.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.col("n").desc(), F.col("doc_id").asc())
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        picked += 1
+        newly = s.filter(F.col("doc_id") == top[0]["doc_id"]).select("sh")
+        remaining = (
+            remaining.filter(F.col("doc_id") != top[0]["doc_id"])
+            .join(newly, "sh", "left_anti")
+            .localCheckpoint()
+        )
+    return f"picked={picked}"
 
 
-t("a111 10x docs", lambda: skipgram_on(d10).count())
-
-# -- a110 Heaps curve at 10x docs ----------------------------------------
-from persistor_spark.analytics.sampling import ntile_exact  # noqa: E402
-
-
-def heaps_on(d):
-    buckets = ntile_exact(d.select("doc_id"), 10, ["doc_id"], "bucket")
-    grams = d.select("doc_id", F.explode(dedup.shingles("text", 3)).alias("gram"))
-    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    return first.join(
-        buckets.select(F.col("doc_id").alias("first_doc"), "bucket"), "first_doc"
-    ).groupBy("bucket").count()
-
-
-t("a110 1x", lambda: heaps_on(docs).count())
-t("a110 10x", lambda: heaps_on(d10).count())
-
-# -- a108 / e45 / e46 / e47 / d28: natural 10x via sf0.01 -> sf0.1 --------
-for sf, name in [(SF01, "sf0.01"), (SF1, "sf0.1")]:
-    li = load_table(spark, sf, "lineitem")
-    t(
-        f"a108 basket rules {name}",
-        lambda l=li: profiling.market_basket_rules(l, "l_orderkey", "l_partkey", 3).count(),
-    )
-for sf, name in [(SF01, "sf0.01"), (SF1, "sf0.1")]:
-    t(f"e45 markov {name}", lambda s=sf: e._e45_markov_transitions(spark, s).count())
-    t(f"e46 twa {name}", lambda s=sf: e._e46_time_weighted_avg(spark, s).count())
-    t(f"e47 churn {name}", lambda s=sf: e._e47_weekly_churn(spark, s).count())
-    t(f"d28 tiering {name}", lambda s=sf: e._d28_storage_tiering(spark, s).count())
+t("a126 WORST all-identical corpus (sf0.1 doc count)", coverage_degenerate)
 
 spark.stop()
