@@ -4218,9 +4218,12 @@ def _a121_entity_resolution(spark, sf_dir):
     balance closeness) and keep the top-50 match candidates.  The
     record-linkage primitive behind every dedup-people/merge-accounts
     pipeline.  Scale shape: candidate volume is sum of block-size^2, so
-    block keys must stay selective (at 100 TB add a hot-block cap the
-    same way a93 caps hot shingles); scoring is pure expressions, the
-    top-k is TakeOrderedAndProject."""
+    block keys must stay selective — the engineered worst case (ALL 15k
+    sf0.1 customers in ONE block = 112M pairs) measured 341 s purely
+    pair-volume-bound (tools/probe_r6b.py), so at 100 TB sub-block hot
+    keys (e.g. add an acctbal bucket to the key) the same way a93 caps
+    hot shingles; scoring is pure expressions, the top-k is
+    TakeOrderedAndProject."""
     from pyspark.sql import Window
 
     from persistor_spark.sources.registry import load_table
@@ -4774,6 +4777,143 @@ def _a128_lang_confusion(spark, sf_dir):
     ).orderBy("lang", "det")
 
 
+def _a129_minhash_calibration(spark, sf_dir):
+    """MinHash estimator calibration: for every true near-dup pair (the
+    session-shared a2 exact-Jaccard list), the 32-permutation MinHash
+    ESTIMATE (matching signature components / 32) next to the exact
+    Jaccard and the error — the sketch-audit that tells you whether your
+    banding thresholds are honest before you trust them at 100 TB.
+    Signatures use the md5-derived permutation family (hash p||':'||sh),
+    so both engines draw identical minima; signature build is one
+    (doc, perm)-keyed MIN agg — map-side combinable, 32 keys per doc."""
+    from persistor_spark.analytics.dedup import md5_hash64, shingles
+
+    n_perm = 32
+    pairs = _shared_pairs(spark, sf_dir, 0.8).select("a", "b", "jaccard")
+    # SAME k=3 shingle sets the shared pair list scored — the estimate
+    # must approximate the jaccard of the sets it actually sketches
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", F.explode(shingles("text", 3)).alias("sh")
+    )
+    hp = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_perm - 1))).alias("p"),
+        "sh",
+    ).select(
+        "doc_id",
+        "p",
+        md5_hash64(
+            F.concat(F.col("p").cast("string"), F.lit(":"), F.col("sh"))
+        ).alias("h"),
+    )
+    sig = hp.groupBy("doc_id", "p").agg(F.min("h").alias("h"))
+    sa = sig.select(F.col("doc_id").alias("a"), "p", F.col("h").alias("ha"))
+    sb = sig.select(F.col("doc_id").alias("b"), "p", F.col("h").alias("hb"))
+    est = (
+        pairs.join(sa, "a")
+        .join(sb, ["b", "p"])
+        .groupBy("a", "b", "jaccard")
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0))
+                / F.lit(float(n_perm)),
+                4,
+            ).alias("minhash_est")
+        )
+    )
+    return est.select(
+        "a",
+        "b",
+        "jaccard",
+        "minhash_est",
+        F.round(F.col("minhash_est") - F.col("jaccard"), 4).alias("err"),
+    ).orderBy("a", "b")
+
+
+def _d34_ingest_lag(spark, sf_dir):
+    """Per-broker distribution of BLOB ingest windows (max ingestion_time
+    - min publish_time inside each blob, seconds): blobs / min / max /
+    mean / exact p50/p90/p99 — the batch-exact twin of the latency
+    quantiles the reference exports as Prometheus summaries
+    (metrics.go:58-81), lifted to the blob granularity where the spread
+    actually lives (per-record lag is a constant by fixture
+    construction).  Two bounded aggs: per-blob min/max (map-side
+    combinable), then a broker-keyed percentile rollup.  NTZ timestamps
+    go through a timestamp cast before the epoch-seconds cast; the
+    difference cancels any zone interpretation."""
+    t = _tables(spark, sf_dir)
+    per_blob = (
+        t.index_metadata.filter(F.col("publish_time").isNotNull())
+        .groupBy("broker_id", "location_key")
+        .agg(
+            (
+                F.max(F.col("ingestion_time").cast("timestamp").cast("double"))
+                - F.min(F.col("publish_time").cast("timestamp").cast("double"))
+            ).alias("window_s")
+        )
+    )
+    return (
+        per_blob.groupBy("broker_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_blobs"),
+            F.round(F.min("window_s"), 4).alias("min_s"),
+            F.round(F.max("window_s"), 4).alias("max_s"),
+            F.round(F.avg("window_s"), 4).alias("avg_s"),
+            F.round(F.expr("percentile(window_s, 0.5)"), 4).alias("p50"),
+            F.round(F.expr("percentile(window_s, 0.9)"), 4).alias("p90"),
+            F.round(F.expr("percentile(window_s, 0.99)"), 4).alias("p99"),
+        )
+        .orderBy("broker_id")
+    )
+
+
+def _e55_rolling_correlation(spark, sf_dir):
+    """Trailing-14-day Pearson correlation between daily click and
+    purchase counts — the rolling cross-metric health signal.  Pearson
+    doesn't decompose over window frames, so this reuses the e43/e50
+    contribution form: each day's (x, y) fans out to the <= 14 grid days
+    it supports, ONE agg collects the five sufficient sums — all EXACT
+    integers (daily counts), so r's closed form computes identical
+    doubles in both engines.  Days with < 2 observations or zero
+    variance yield NULL r by definition."""
+    ev = _events(spark, sf_dir)
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("x"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "y"
+        ),
+    )
+    contrib = daily.select(
+        F.col("day").alias("src_day"),
+        "x",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(13))).alias("k"),
+    ).select(
+        F.date_add(F.col("src_day"), F.col("k")).alias("day"), "x", "y"
+    )
+    sums = contrib.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when(
+        (F.col("n") >= 2) & (varx > 0) & (vary > 0),
+        F.round(num / F.sqrt(varx.cast("double") * vary.cast("double")), 4),
+    )
+    return (
+        sums.join(daily.select("day"), "day")
+        .select("day", "n", F.col("sx").alias("clicks_14d"),
+                F.col("sy").alias("purchases_14d"), r.alias("r"))
+        .orderBy("day")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -4930,6 +5070,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d33_zonemap_audit": _d33_zonemap_audit,
         "a127_hard_negatives": _a127_hard_negatives,
         "a128_lang_confusion": _a128_lang_confusion,
+        "a129_minhash_calibration": _a129_minhash_calibration,
+        "d34_ingest_lag": _d34_ingest_lag,
+        "e55_rolling_correlation": _e55_rolling_correlation,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -7460,6 +7603,68 @@ def oracle_sql() -> dict[str, str]:
             "    AS row_share, "
             "  CAST(CASE WHEN lang = det THEN 1 ELSE 0 END AS BIGINT) AS agree "
             "FROM c ORDER BY lang, det"
+        ),
+        # a129: the a2 exact-jaccard CTE + the md5 permutation family
+        "a129_minhash_calibration": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+            "  FROM t), "
+            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
+            "  round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard "
+            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
+            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
+            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+            "e AS (SELECT doc_id, unnest(sh) AS sh FROM s), "
+            "hp AS (SELECT doc_id, pp, min(CAST(CONCAT('0x', "
+            "    substr(md5(pp || ':' || sh), 1, 15)) AS BIGINT)) AS h "
+            "  FROM e, range(0, 32) rp(pp) GROUP BY doc_id, pp), "
+            "m AS (SELECT p.a, p.b, p.jaccard, "
+            "    round(sum(CASE WHEN ha.h = hb.h THEN 1 ELSE 0 END) / 32.0, 4) "
+            "      AS minhash_est "
+            "  FROM p JOIN hp ha ON ha.doc_id = p.a "
+            "  JOIN hp hb ON hb.doc_id = p.b AND hb.pp = ha.pp "
+            "  GROUP BY 1, 2, 3) "
+            "SELECT a, b, jaccard, minhash_est, "
+            "  round(minhash_est - jaccard, 4) AS err FROM m ORDER BY a, b"
+        ),
+        # d34: quantile_cont is DuckDB's exact interpolated percentile
+        # (the e12-established twin of Spark's percentile())
+        "d34_ingest_lag": P(
+            ", pb AS (SELECT broker_id, location_key, "
+            "    max(epoch(ingestion_time)) - min(epoch(publish_time)) AS window_s "
+            "  FROM index_metadata WHERE publish_time IS NOT NULL "
+            "  GROUP BY broker_id, location_key) "
+            "SELECT broker_id, count(*) AS n_blobs, "
+            "  round(min(window_s), 4) AS min_s, round(max(window_s), 4) AS max_s, "
+            "  round(avg(window_s), 4) AS avg_s, "
+            "  round(quantile_cont(window_s, 0.5), 4) AS p50, "
+            "  round(quantile_cont(window_s, 0.9), 4) AS p90, "
+            "  round(quantile_cont(window_s, 0.99), 4) AS p99 "
+            "FROM pb GROUP BY broker_id ORDER BY broker_id"
+        ),
+        # e55: same contribution fan-out; sufficient sums exact integers
+        "e55_rolling_correlation": (
+            "WITH daily AS (SELECT CAST(ts AS DATE) AS day, "
+            "    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS x, "
+            "    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y "
+            "  FROM events GROUP BY 1), "
+            "contrib AS (SELECT day + CAST(k AS INT) AS day, x, y "
+            "  FROM daily, range(0, 14) r(k)), "
+            "sums AS (SELECT day, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+            "    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy "
+            "  FROM contrib GROUP BY day) "
+            "SELECT s.day, s.n, CAST(s.sx AS BIGINT) AS clicks_14d, "
+            "  CAST(s.sy AS BIGINT) AS purchases_14d, "
+            "  CASE WHEN s.n >= 2 AND s.n * s.sxx - s.sx * s.sx > 0 "
+            "    AND s.n * s.syy - s.sy * s.sy > 0 "
+            "    THEN round((s.n * s.sxy - s.sx * s.sy) / "
+            "      sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE) * "
+            "           CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE)), 4) "
+            "    END AS r "
+            "FROM sums s JOIN (SELECT DISTINCT day FROM daily) d ON d.day = s.day "
+            "ORDER BY s.day"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
