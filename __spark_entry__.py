@@ -4914,6 +4914,106 @@ def _e55_rolling_correlation(spark, sf_dir):
     )
 
 
+def _a130_waterfill_mixture(spark, sf_dir):
+    """Token-budget waterfilling: allocate an 80%-of-corpus token budget
+    across sources at a uniform fair share, letting sources whose supply
+    caps out keep their cap and redistributing the freed budget among the
+    rest — the mixture-solver step between "target weights" (a28/a47)
+    and "what the corpus can actually supply".  Three unrolled
+    redistribution rounds (enough for fixture-scale cap spreads; the
+    fixpoint is monotone), every quantity an exact integer (floor DIV),
+    source table bounded — each round is a broadcast join of 20-row
+    frames, never a corpus shuffle."""
+    caps = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum(F.size(F.split("text", " ")).cast("long")).alias("cap"))
+    )
+    tot = caps.agg(
+        F.sum("cap").alias("t"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    budget, n = (tot["t"] * 4) // 5, tot["n"]
+    fair1 = budget // n
+    r1 = caps.withColumn(
+        "fixed1", F.when(F.col("cap") <= F.lit(fair1), F.col("cap"))
+    )
+    a1 = r1.agg(
+        F.sum(F.when(F.col("fixed1").isNull(), 1).otherwise(0)).alias("n2"),
+        (F.lit(budget) - F.coalesce(F.sum("fixed1"), F.lit(0))).alias("b2"),
+    ).collect()[0]
+    fair2 = (a1["b2"] // a1["n2"]) if a1["n2"] else 0
+    r2 = r1.withColumn(
+        "fixed2",
+        F.when(
+            F.col("fixed1").isNull() & (F.col("cap") <= F.lit(fair2)),
+            F.col("cap"),
+        ),
+    )
+    a2 = r2.agg(
+        F.sum(
+            F.when(F.col("fixed1").isNull() & F.col("fixed2").isNull(), 1).otherwise(0)
+        ).alias("n3"),
+        (
+            F.lit(budget)
+            - F.coalesce(F.sum("fixed1"), F.lit(0))
+            - F.coalesce(F.sum("fixed2"), F.lit(0))
+        ).alias("b3"),
+    ).collect()[0]
+    fair3 = (a2["b3"] // a2["n3"]) if a2["n3"] else 0
+    alloc = F.coalesce(
+        F.col("fixed1"), F.col("fixed2"), F.least(F.col("cap"), F.lit(fair3))
+    )
+    return (
+        r2.select(
+            "source",
+            "cap",
+            alloc.alias("alloc"),
+            (alloc == F.col("cap")).cast("long").alias("capped"),
+        )
+        .orderBy("source")
+    )
+
+
+def _a131_label_dispersion(spark, sf_dir):
+    """Intra-label embedding dispersion: the EXACT mean pairwise cosine
+    within each label from ONE aggregation — for unit vectors,
+    sum_{i!=j} cos(v_i,v_j) = ||Σv̂||² - n, so mean pairwise cosine =
+    (||Σv̂||² - n) / (n(n-1)) with no pairwise join at any scale (the
+    compactness twin of a57's inter-label centroid similarity; low
+    dispersion = a tight, near-duplicate label).  Normalization cost is
+    one narrow map; the agg is d-bounded per label."""
+    from persistor_spark.analytics.similarity import norm
+
+    embs = _embs(spark, sf_dir).select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    nrm = embs.select(
+        "label", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv")
+    ).localCheckpoint()
+    unit = nrm.select(
+        "label", F.transform("v", lambda x: x * F.col("inv")).alias("u")
+    )
+    flat = unit.select(
+        "label", F.posexplode("u").alias("i", "x")
+    )
+    dims = flat.groupBy("label", "i").agg(F.sum("x").alias("s"))
+    per = dims.groupBy("label").agg(
+        F.sum(F.col("s") * F.col("s")).alias("sq")
+    )
+    cnt = embs.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        per.join(cnt, "label")
+        .select(
+            "label",
+            "n",
+            F.round(
+                (F.col("sq") - F.col("n")) / (F.col("n") * (F.col("n") - 1)), 4
+            ).alias("mean_pairwise_cos"),
+        )
+        .orderBy("label")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -5073,6 +5173,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a129_minhash_calibration": _a129_minhash_calibration,
         "d34_ingest_lag": _d34_ingest_lag,
         "e55_rolling_correlation": _e55_rolling_correlation,
+        "a130_waterfill_mixture": _a130_waterfill_mixture,
+        "a131_label_dispersion": _a131_label_dispersion,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -7665,6 +7767,44 @@ def oracle_sql() -> dict[str, str]:
             "    END AS r "
             "FROM sums s JOIN (SELECT DISTINCT day FROM daily) d ON d.day = s.day "
             "ORDER BY s.day"
+        ),
+        # a130: the same three unrolled integer-DIV redistribution rounds
+        "a130_waterfill_mixture": (
+            "WITH caps AS (SELECT source, "
+            "    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap "
+            "  FROM documents GROUP BY source), "
+            "t AS (SELECT CAST((sum(cap) * 4) // 5 AS BIGINT) AS budget, "
+            "    count(*) AS n FROM caps), "
+            "r1 AS (SELECT source, cap, CASE WHEN cap <= "
+            "    (SELECT budget // n FROM t) THEN cap END AS fixed1 FROM caps), "
+            "a1 AS (SELECT sum(CASE WHEN fixed1 IS NULL THEN 1 ELSE 0 END) AS n2, "
+            "    (SELECT budget FROM t) - coalesce(sum(fixed1), 0) AS b2 FROM r1), "
+            "r2 AS (SELECT source, cap, fixed1, CASE WHEN fixed1 IS NULL AND cap <= "
+            "    (SELECT CASE WHEN n2 > 0 THEN b2 // n2 ELSE 0 END FROM a1) "
+            "    THEN cap END AS fixed2 FROM r1), "
+            "a2 AS (SELECT sum(CASE WHEN fixed1 IS NULL AND fixed2 IS NULL "
+            "      THEN 1 ELSE 0 END) AS n3, "
+            "    (SELECT budget FROM t) - coalesce(sum(fixed1), 0) "
+            "      - coalesce(sum(fixed2), 0) AS b3 FROM r2), "
+            "f AS (SELECT source, cap, CAST(coalesce(fixed1, fixed2, least(cap, "
+            "    (SELECT CASE WHEN n3 > 0 THEN b3 // n3 ELSE 0 END FROM a2))) "
+            "    AS BIGINT) AS alloc FROM r2) "
+            "SELECT source, cap, alloc, CAST(alloc = cap AS BIGINT) AS capped "
+            "FROM f ORDER BY source"
+        ),
+        # a131: the ||sum of unit vectors||^2 identity, per-dim sums
+        "a131_label_dispersion": (
+            "WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings), "
+            "u AS (SELECT label, "
+            "    [x * (1.0 / sqrt(list_dot_product(v, v))) for x in v] AS u FROM v), "
+            "flat AS (SELECT label, generate_subscripts(u, 1) AS i, unnest(u) AS x "
+            "  FROM u), "
+            "dims AS (SELECT label, i, sum(x) AS s FROM flat GROUP BY 1, 2), "
+            "per AS (SELECT label, sum(s * s) AS sq FROM dims GROUP BY label), "
+            "cnt AS (SELECT label, count(*) AS n FROM v GROUP BY label) "
+            "SELECT label, n, "
+            "  round((sq - n) / (n * (n - 1)), 4) AS mean_pairwise_cos "
+            "FROM per JOIN cnt USING (label) ORDER BY label"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
