@@ -5014,6 +5014,108 @@ def _a131_label_dispersion(spark, sf_dir):
     )
 
 
+def _e57_chi_square(spark, sf_dir):
+    """Chi-square independence test for event_type x user-bucket: the
+    contingency table, expected counts under independence, and the chi²
+    statistic with degrees of freedom — the categorical-drift test a
+    data-quality monitor runs between segments.  Observed counts are
+    exact integers; expected = row_total * col_total / grand_total
+    computes identical doubles in both engines.  Three bounded aggs
+    (cells, margins, one scalar)."""
+    ev = _events(spark, sf_dir)
+    cells = ev.groupBy(
+        (F.col("user_id") % 5).cast("long").alias("bucket"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("o"))
+    rows_ = cells.groupBy("bucket").agg(F.sum("o").alias("row_n"))
+    cols_ = cells.groupBy("event_type").agg(F.sum("o").alias("col_n"))
+    grand = ev.count()
+    joined = cells.join(F.broadcast(rows_), "bucket").join(
+        F.broadcast(cols_), "event_type"
+    )
+    e = F.col("row_n") * F.col("col_n") / F.lit(float(grand))
+    contrib = (F.col("o") - e) * (F.col("o") - e) / e
+    stats = joined.agg(
+        F.round(F.sum(contrib), 4).alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.count_distinct("bucket").alias("n_rows"),
+        F.count_distinct("event_type").alias("n_cols"),
+    )
+    return stats.select(
+        "chi2",
+        "n_cells",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        F.lit(grand).alias("grand_n"),
+    )
+
+
+def _a132_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit of order totals: observed
+    digit shares vs Benford's log10(1 + 1/d) expectation with the
+    per-digit deviation — the fraud/corruption forensic every financial
+    data-quality pass runs.  First digit extracted with pure integer/log
+    arithmetic on identical doubles; one 9-key agg."""
+    from persistor_spark.sources.registry import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    x = F.col("o_totalprice")
+    digit = F.floor(x / F.pow(F.lit(10.0), F.floor(F.log10(x)))).cast("long")
+    n = orders.count()
+    obs = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    share = F.col("o") / F.lit(float(n))
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return obs.select(
+        "digit",
+        "o",
+        F.round(share, 4).alias("obs_share"),
+        F.round(benford, 4).alias("benford_share"),
+        F.round(share - benford, 4).alias("deviation"),
+    ).orderBy("digit")
+
+
+def _d35_ingest_forecast(spark, sf_dir):
+    """Per-broker ingest-volume trend + 7-day forecast: OLS slope and
+    intercept of daily payload bytes over the day index (regr_slope /
+    regr_intercept — one agg pass, the sufficient-stats pattern), then
+    the linear forecast for horizon day +7 — the capacity-planning
+    deliverable an ops dashboard shows.  Day indexes are exact integers
+    (datediff from each broker's first day); bytes are exact integer
+    sums."""
+    t = _tables(spark, sf_dir)
+    daily = t.index_metadata.join(
+        t.blob_records.select(
+            F.col("record_id").alias("unique_id"), F.octet_length("payload").alias("b")
+        ),
+        "unique_id",
+    ).groupBy(
+        "broker_id", F.to_date("ingestion_time").alias("day")
+    ).agg(F.sum("b").alias("bytes"))
+    first = daily.groupBy("broker_id").agg(F.min("day").alias("d0"))
+    idx = daily.join(F.broadcast(first), "broker_id").select(
+        "broker_id",
+        F.datediff(F.col("day"), F.col("d0")).cast("double").alias("di"),
+        F.col("bytes").cast("double").alias("y"),
+    )
+    fit = idx.groupBy("broker_id").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.round(F.expr("regr_slope(y, di)"), 4).alias("slope"),
+        F.round(F.expr("regr_intercept(y, di)"), 4).alias("intercept"),
+        F.max("di").alias("last_di"),
+    )
+    forecast = F.round(
+        F.expr("regr_intercept(y, di)")
+        + F.expr("regr_slope(y, di)") * (F.max("di") + 7),
+        4,
+    )
+    fc = idx.groupBy("broker_id").agg(forecast.alias("forecast_7d"))
+    return (
+        fit.join(fc, "broker_id")
+        .select("broker_id", "n_days", "slope", "intercept", "forecast_7d")
+        .orderBy("broker_id")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -5175,6 +5277,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e55_rolling_correlation": _e55_rolling_correlation,
         "a130_waterfill_mixture": _a130_waterfill_mixture,
         "a131_label_dispersion": _a131_label_dispersion,
+        "e57_chi_square": _e57_chi_square,
+        "a132_benford_audit": _a132_benford_audit,
+        "d35_ingest_forecast": _d35_ingest_forecast,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -7805,6 +7910,56 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, n, "
             "  round((sq - n) / (n * (n - 1)), 4) AS mean_pairwise_cos "
             "FROM per JOIN cnt USING (label) ORDER BY label"
+        ),
+        # e57: same exact-integer margins, expected in identical doubles
+        "e57_chi_square": (
+            "WITH cells AS (SELECT CAST(user_id % 5 AS BIGINT) AS bucket, "
+            "    event_type, count(*) AS o FROM events GROUP BY 1, 2), "
+            "rw AS (SELECT bucket, sum(o) AS row_n FROM cells GROUP BY bucket), "
+            "cl AS (SELECT event_type, sum(o) AS col_n FROM cells GROUP BY event_type), "
+            "g AS (SELECT count(*) AS grand_n FROM events), "
+            "j AS (SELECT c.o, rw.row_n, cl.col_n, "
+            "    rw.row_n * cl.col_n / CAST((SELECT grand_n FROM g) AS DOUBLE) AS e "
+            "  FROM cells c JOIN rw USING (bucket) JOIN cl USING (event_type)) "
+            "SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2, "
+            "  count(*) AS n_cells, "
+            "  (SELECT CAST((count(DISTINCT bucket) - 1) * "
+            "      (count(DISTINCT event_type) - 1) AS BIGINT) FROM cells) AS dof, "
+            "  (SELECT grand_n FROM g) AS grand_n "
+            "FROM j"
+        ),
+        # a132: Benford expectation log10(1 + 1/d), digit via the same
+        # floor/log10 arithmetic
+        "a132_benford_audit": (
+            "WITH o AS (SELECT o_totalprice AS x FROM orders WHERE o_totalprice > 0), "
+            "n AS (SELECT count(*) AS n FROM o), "
+            "d AS (SELECT CAST(floor(x / pow(10.0, floor(log10(x)))) AS BIGINT) "
+            "    AS digit FROM o), "
+            "obs AS (SELECT digit, count(*) AS o FROM d GROUP BY digit) "
+            "SELECT digit, o, "
+            "  round(o / CAST((SELECT n FROM n) AS DOUBLE), 4) AS obs_share, "
+            "  round(log10(1.0 + 1.0 / digit), 4) AS benford_share, "
+            "  round(o / CAST((SELECT n FROM n) AS DOUBLE) "
+            "    - log10(1.0 + 1.0 / digit), 4) AS deviation "
+            "FROM obs ORDER BY digit"
+        ),
+        # d35: regr_slope/regr_intercept over exact-integer day indexes
+        "d35_ingest_forecast": P(
+            ", daily AS (SELECT i.broker_id, CAST(i.ingestion_time AS DATE) AS day, "
+            "    sum(octet_length(encode(b.payload))) AS bytes "
+            "  FROM index_metadata i JOIN blob_records b ON b.record_id = i.unique_id "
+            "  GROUP BY 1, 2), "
+            "fst AS (SELECT broker_id, min(day) AS d0 FROM daily GROUP BY broker_id), "
+            "idx AS (SELECT d.broker_id, "
+            "    CAST(datediff('day', f.d0, d.day) AS DOUBLE) AS di, "
+            "    CAST(d.bytes AS DOUBLE) AS y "
+            "  FROM daily d JOIN fst f USING (broker_id)) "
+            "SELECT broker_id, count(*) AS n_days, "
+            "  round(regr_slope(y, di), 4) AS slope, "
+            "  round(regr_intercept(y, di), 4) AS intercept, "
+            "  round(regr_intercept(y, di) + regr_slope(y, di) * (max(di) + 7), 4) "
+            "    AS forecast_7d "
+            "FROM idx GROUP BY broker_id ORDER BY broker_id"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
