@@ -5116,6 +5116,92 @@ def _d35_ingest_forecast(spark, sf_dir):
     )
 
 
+def _e58_time_to_convert(spark, sf_dir):
+    """Signup -> first-purchase conversion latency distribution: per user
+    the first signup and the first purchase AFTER it (min-filter joins,
+    never a row-wise scan), then exact p25/p50/p75/p90 and the conversion
+    rate — the funnel-latency metric behind every growth dashboard.
+    Two user-keyed min-aggs + one join; percentile state is scalar."""
+    ev = _events(spark, sf_dir)
+    signup = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min(F.col("ts").cast("timestamp").cast("double")).alias("t_signup")
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").cast("double").alias("t_p")
+    )
+    conv = (
+        signup.join(purch, "user_id")
+        .filter(F.col("t_p") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min(F.col("t_p") - F.col("t_signup")).alias("lat_s"))
+    )
+    n_signup = signup.count()
+    return conv.agg(
+        F.lit(n_signup).alias("n_signups"),
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.count(F.lit(1)) / F.lit(float(n_signup)), 4).alias(
+            "conversion_rate"
+        ),
+        F.round(F.expr("percentile(lat_s, 0.25)"), 4).alias("p25_s"),
+        F.round(F.expr("percentile(lat_s, 0.5)"), 4).alias("p50_s"),
+        F.round(F.expr("percentile(lat_s, 0.75)"), 4).alias("p75_s"),
+        F.round(F.expr("percentile(lat_s, 0.9)"), 4).alias("p90_s"),
+    )
+
+
+def _d36_consistent_hashing(spark, sf_dir):
+    """Consistent-hashing ring rebalance audit: assign every index key to
+    its next-clockwise virtual node (4 nodes x 8 vnodes, md5 ring
+    positions), add a 5th node, and measure what fraction of keys move —
+    the ~1/(N+1) guarantee that makes consistent hashing the resharding
+    story at 100 TB (a104's mod-N sharding moves ~N/(N+1)).  The ring is
+    a tiny broadcast table; assignment is min-over-successors on an
+    inequality join against <= 40 rows, wrap handled by a global-min
+    fallback — the corpus shuffles once per assignment, never all-pairs."""
+    from persistor_spark.analytics.dedup import md5_hash64
+
+    t = _tables(spark, sf_dir)
+    keys = t.index_metadata.select(
+        "unique_id", md5_hash64(F.col("unique_id")).alias("h")
+    )
+
+    def ring(n_nodes):
+        rows = []
+        for node in range(n_nodes):
+            for v in range(8):
+                rows.append((f"n{node}", f"n{node}#v{v}"))
+        df = spark.createDataFrame(rows, "node string, vnode string")
+        return df.select("node", md5_hash64(F.col("vnode")).alias("pos"))
+
+    def assign(ring_df, out):
+        r = F.broadcast(ring_df)
+        # successor = min ring position >= key hash; wrap to global min
+        succ = (
+            keys.join(r, F.col("pos") >= F.col("h"), "left")
+            .groupBy("unique_id", "h")
+            .agg(F.min(F.struct("pos", "node")).alias("s"))
+        )
+        wrap = ring_df.agg(F.min(F.struct("pos", "node")).alias("w"))
+        return succ.crossJoin(F.broadcast(wrap)).select(
+            "unique_id",
+            F.coalesce(F.col("s.node"), F.col("w.node")).alias(out),
+        )
+    a4 = assign(ring(4), "node4")
+    a5 = assign(ring(5), "node5")
+    both = a4.join(a5, "unique_id")
+    return both.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(
+            F.when(F.col("node4") != F.col("node5"), 1).otherwise(0)
+        ).alias("moved"),
+        F.round(
+            F.sum(F.when(F.col("node4") != F.col("node5"), 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("moved_frac"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -5280,6 +5366,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e57_chi_square": _e57_chi_square,
         "a132_benford_audit": _a132_benford_audit,
         "d35_ingest_forecast": _d35_ingest_forecast,
+        "e58_time_to_convert": _e58_time_to_convert,
+        "d36_consistent_hashing": _d36_consistent_hashing,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -7960,6 +8048,59 @@ def oracle_sql() -> dict[str, str]:
             "  round(regr_intercept(y, di) + regr_slope(y, di) * (max(di) + 7), 4) "
             "    AS forecast_7d "
             "FROM idx GROUP BY broker_id ORDER BY broker_id"
+        ),
+        # e58: min-filter joins + quantile_cont (the e12/d34 twin)
+        "e58_time_to_convert": (
+            "WITH signup AS (SELECT user_id, min(epoch(ts)) AS t_signup "
+            "  FROM events WHERE event_type = 'signup' GROUP BY user_id), "
+            "p AS (SELECT user_id, epoch(ts) AS t_p FROM events "
+            "  WHERE event_type = 'purchase'), "
+            "conv AS (SELECT s.user_id, min(t_p - t_signup) AS lat_s "
+            "  FROM signup s JOIN p USING (user_id) WHERE t_p >= t_signup "
+            "  GROUP BY s.user_id), "
+            "ns AS (SELECT count(*) AS n FROM signup) "
+            "SELECT (SELECT n FROM ns) AS n_signups, count(*) AS n_converted, "
+            "  round(count(*) / CAST((SELECT n FROM ns) AS DOUBLE), 4) "
+            "    AS conversion_rate, "
+            "  round(quantile_cont(lat_s, 0.25), 4) AS p25_s, "
+            "  round(quantile_cont(lat_s, 0.5), 4) AS p50_s, "
+            "  round(quantile_cont(lat_s, 0.75), 4) AS p75_s, "
+            "  round(quantile_cont(lat_s, 0.9), 4) AS p90_s "
+            "FROM conv"
+        ),
+        # d36: same md5 ring, successor via ranked inequality join with
+        # the wrap-to-global-min fallback
+        "d36_consistent_hashing": P(
+            ", keys AS (SELECT unique_id, "
+            "    CAST(CONCAT('0x', substr(md5(unique_id), 1, 15)) AS BIGINT) AS h "
+            "  FROM index_metadata), "
+            "ring4 AS (SELECT 'n' || n AS node, CAST(CONCAT('0x', "
+            "    substr(md5('n' || n || '#v' || v), 1, 15)) AS BIGINT) AS pos "
+            "  FROM range(0, 4) rn(n), range(0, 8) rv(v)), "
+            "ring5 AS (SELECT 'n' || n AS node, CAST(CONCAT('0x', "
+            "    substr(md5('n' || n || '#v' || v), 1, 15)) AS BIGINT) AS pos "
+            "  FROM range(0, 5) rn(n), range(0, 8) rv(v)), "
+            "w4 AS (SELECT node FROM ring4 ORDER BY pos, node LIMIT 1), "
+            "w5 AS (SELECT node FROM ring5 ORDER BY pos, node LIMIT 1), "
+            "s4 AS (SELECT u, node FROM (SELECT k.unique_id AS u, r.node, "
+            "    row_number() OVER (PARTITION BY k.unique_id "
+            "      ORDER BY r.pos, r.node) AS rn "
+            "  FROM keys k JOIN ring4 r ON r.pos >= k.h) WHERE rn = 1), "
+            "s5 AS (SELECT u, node FROM (SELECT k.unique_id AS u, r.node, "
+            "    row_number() OVER (PARTITION BY k.unique_id "
+            "      ORDER BY r.pos, r.node) AS rn "
+            "  FROM keys k JOIN ring5 r ON r.pos >= k.h) WHERE rn = 1), "
+            "a AS (SELECT k.unique_id, "
+            "    coalesce(s4.node, (SELECT node FROM w4)) AS node4, "
+            "    coalesce(s5.node, (SELECT node FROM w5)) AS node5 "
+            "  FROM keys k LEFT JOIN s4 ON s4.u = k.unique_id "
+            "  LEFT JOIN s5 ON s5.u = k.unique_id) "
+            "SELECT count(*) AS n_keys, "
+            "  CAST(sum(CASE WHEN node4 <> node5 THEN 1 ELSE 0 END) AS BIGINT) "
+            "    AS moved, "
+            "  round(sum(CASE WHEN node4 <> node5 THEN 1 ELSE 0 END) "
+            "    / CAST(count(*) AS DOUBLE), 4) AS moved_frac "
+            "FROM a"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
