@@ -5202,6 +5202,81 @@ def _d36_consistent_hashing(spark, sf_dir):
     )
 
 
+def _e59_forward_fill(spark, sf_dir):
+    """Forward fill (last-observation-carried-forward) of a gappy sensor
+    column: values blanked on a deterministic rule, then refilled with
+    last_value(IGNORE NULLS) over per-user time order — the imputation
+    primitive every time-series feature pipeline needs.  Per-user windows
+    only; the fill marker survives so the oracle can pin which cells
+    were imputed.  Summed per user to keep output bounded."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    gappy = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts"),
+        F.when(F.col("event_id") % 7 != 3, F.round("value", 4)).alias("v"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = gappy.select(
+        "user_id",
+        "v",
+        F.last("v", ignorenulls=True).over(w).alias("ff"),
+    )
+    return (
+        filled.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.when(F.col("v").isNull(), 1).otherwise(0)).alias("n_gaps"),
+            F.sum(
+                F.when(F.col("v").isNull() & F.col("ff").isNotNull(), 1).otherwise(0)
+            ).alias("n_filled"),
+            F.round(F.sum("ff"), 4).alias("sum_filled_series"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def _d37_position_density(spark, sf_dir):
+    """Blob position-density invariant: inside every blob the positions
+    the writer assigned must be EXACTLY 1..n (dense, duplicate-free) or
+    all-NULL for single-record blobs — the replay-ordering contract the
+    resubmitter depends on (R6's position-align join is only correct if
+    this holds).  One blob-keyed agg comparing count / distinct-count /
+    min / max; violations surface per blob, the summary row asserts
+    none."""
+    t = _tables(spark, sf_dir)
+    per = t.blob_records.groupBy("location_key").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("position").alias("n_pos"),
+        F.count_distinct("position").alias("n_distinct"),
+        F.min("position").alias("mn"),
+        F.max("position").alias("mx"),
+    )
+    ok = (
+        ((F.col("n_pos") == 0) & (F.col("n") == 1))
+        | (
+            (F.col("n_pos") == F.col("n"))
+            & (F.col("n_distinct") == F.col("n"))
+            & (F.col("mn") == 1)
+            & (F.col("mx") == F.col("n"))
+        )
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_blobs"),
+        F.sum(F.when(ok, 0).otherwise(1)).alias("violations"),
+        F.sum(F.when(F.col("n_pos") == 0, 1).otherwise(0)).alias(
+            "single_record_blobs"
+        ),
+        F.max("mx").alias("max_position"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -5368,6 +5443,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d35_ingest_forecast": _d35_ingest_forecast,
         "e58_time_to_convert": _e58_time_to_convert,
         "d36_consistent_hashing": _d36_consistent_hashing,
+        "e59_forward_fill": _e59_forward_fill,
+        "d37_position_density": _d37_position_density,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -8101,6 +8178,37 @@ def oracle_sql() -> dict[str, str]:
             "  round(sum(CASE WHEN node4 <> node5 THEN 1 ELSE 0 END) "
             "    / CAST(count(*) AS DOUBLE), 4) AS moved_frac "
             "FROM a"
+        ),
+        # e59: DuckDB's IGNORE NULLS last_value is the LOCF twin
+        "e59_forward_fill": (
+            "WITH g AS (SELECT user_id, event_id, ts, "
+            "    CASE WHEN event_id % 7 <> 3 THEN round(value, 4) END AS v "
+            "  FROM events), "
+            "f AS (SELECT user_id, v, last_value(v IGNORE NULLS) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, event_id "
+            "    ROWS UNBOUNDED PRECEDING) AS ff FROM g) "
+            "SELECT user_id, count(*) AS n, "
+            "  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, "
+            "  CAST(sum(CASE WHEN v IS NULL AND ff IS NOT NULL THEN 1 ELSE 0 END) "
+            "    AS BIGINT) AS n_filled, "
+            "  round(sum(ff), 4) AS sum_filled_series "
+            "FROM f GROUP BY user_id ORDER BY user_id"
+        ),
+        # d37: the dense-1..n invariant, stated identically
+        "d37_position_density": P(
+            ", per AS (SELECT location_key, count(*) AS n, "
+            "    count(position) AS n_pos, "
+            "    count(DISTINCT position) AS n_distinct, "
+            "    min(position) AS mn, max(position) AS mx "
+            "  FROM blob_records GROUP BY location_key) "
+            "SELECT count(*) AS n_blobs, "
+            "  CAST(sum(CASE WHEN (n_pos = 0 AND n = 1) OR (n_pos = n "
+            "    AND n_distinct = n AND mn = 1 AND mx = n) THEN 0 ELSE 1 END) "
+            "    AS BIGINT) AS violations, "
+            "  CAST(sum(CASE WHEN n_pos = 0 THEN 1 ELSE 0 END) AS BIGINT) "
+            "    AS single_record_blobs, "
+            "  max(mx) AS max_position "
+            "FROM per"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
