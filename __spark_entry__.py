@@ -5277,6 +5277,130 @@ def _d37_position_density(spark, sf_dir):
     )
 
 
+def _a133_davies_bouldin(spark, sf_dir):
+    """Davies–Bouldin clustering quality over the embedding labels: per
+    label the scatter sigma = sqrt(E||v||² - ||c||²) and DB_i = max over
+    j != i of (sigma_i + sigma_j) / ||c_i - c_j|| — the
+    cluster-separation score that needs NO pairwise point join: one
+    d-bounded agg yields centroids and scatters, the pairwise stage runs
+    on the LABELS x d table (bounded by the label count), completing the
+    clustering-eval family (a57 inter-centroid similarity, a131
+    intra-label dispersion)."""
+    embs = _embs(spark, sf_dir).select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    flat = embs.select("label", F.posexplode("v").alias("i", "x"))
+    dims = flat.groupBy("label", "i").agg(
+        F.avg("x").alias("c"), F.avg(F.col("x") * F.col("x")).alias("xx")
+    )
+    per = dims.groupBy("label").agg(
+        F.sqrt(F.sum(F.col("xx")) - F.sum(F.col("c") * F.col("c"))).alias(
+            "sigma"
+        )
+    )
+    a = dims.select(F.col("label").alias("la"), "i", F.col("c").alias("ca"))
+    b = dims.select(F.col("label").alias("lb"), "i", F.col("c").alias("cb"))
+    dist = (
+        a.join(b, ["i"])
+        .filter(F.col("la") != F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))
+            ).alias("d")
+        )
+    )
+    sa = per.select(F.col("label").alias("la"), F.col("sigma").alias("siga"))
+    sb = per.select(F.col("label").alias("lb"), F.col("sigma").alias("sigb"))
+    ratio = (
+        dist.join(sa, "la")
+        .join(sb, "lb")
+        .select(
+            "la", ((F.col("siga") + F.col("sigb")) / F.col("d")).alias("r")
+        )
+    )
+    return (
+        ratio.groupBy(F.col("la").alias("label"))
+        .agg(F.round(F.max("r"), 4).alias("db_index"))
+        .join(
+            per.select(
+                "label", F.round("sigma", 4).alias("sigma")
+            ),
+            "label",
+        )
+        .select("label", "sigma", "db_index")
+        .orderBy("label")
+    )
+
+
+def _a134_ols_pandas(spark, sf_dir):
+    """a122's per-source OLS re-executed through the Arrow path: one
+    applyInPandas per source computes the IDENTICAL closed form from the
+    IDENTICAL exact-integer sufficient sums in numpy float64 — the
+    grouped-map UDF surface pinned against the same DuckDB oracle as the
+    pure-SQL twin, proving the two execution paths agree bit-for-bit
+    after rounding.  At scale the grouped-map shuffle is keyed by
+    source; per-group state is ten floats."""
+    import pandas as pd
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    feats = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("x"),
+        F.size(F.array_distinct(toks)).cast("long").alias("y"),
+        F.col("n_chars").cast("long").alias("z"),
+    )
+
+    def fit(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        n = np.float64(len(pdf))
+        x = pdf["x"].to_numpy(np.int64)
+        y = pdf["y"].to_numpy(np.int64)
+        z = pdf["z"].to_numpy(np.int64)
+        sx, sy, sz = (
+            np.float64(int(x.sum())),
+            np.float64(int(y.sum())),
+            np.float64(int(z.sum())),
+        )
+        sxx = np.float64(int((x * x).sum()))
+        syy = np.float64(int((y * y).sum()))
+        sxy = np.float64(int((x * y).sum()))
+        sxz = np.float64(int((x * z).sum()))
+        syz = np.float64(int((y * z).sum()))
+        szz = np.float64(int((z * z).sum()))
+        cxx, cyy = sxx - sx * sx / n, syy - sy * sy / n
+        cxy = sxy - sx * sy / n
+        cxz, cyz = sxz - sx * sz / n, syz - sy * sz / n
+        czz = szz - sz * sz / n
+        det = cxx * cyy - cxy * cxy
+        b1 = (cyy * cxz - cxy * cyz) / det
+        b2 = (cxx * cyz - cxy * cxz) / det
+        icept = sz / n - b1 * sx / n - b2 * sy / n
+        r2 = (b1 * cxz + b2 * cyz) / czz
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n": [len(pdf)],
+                "b_words": [round(float(b1), 6)],
+                "b_distinct": [round(float(b2), 6)],
+                "intercept": [round(float(icept), 4)],
+                "r2": [round(float(r2), 6)],
+            }
+        )
+
+    return (
+        feats.groupBy("source")
+        .applyInPandas(
+            fit,
+            "source string, n long, b_words double, b_distinct double, "
+            "intercept double, r2 double",
+        )
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -5445,6 +5569,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d36_consistent_hashing": _d36_consistent_hashing,
         "e59_forward_fill": _e59_forward_fill,
         "d37_position_density": _d37_position_density,
+        "a133_davies_bouldin": _a133_davies_bouldin,
+        "a134_ols_pandas": _a134_ols_pandas,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -5559,6 +5685,36 @@ def _zorder_sql(cx: str, cy: str, bits_x: int, bits_y: int) -> str:
     return " | ".join(
         f"((({cols[d]} >> {s}) & 1) << {t})" for d, s, t in zorder_plan(bits_x, bits_y)
     )
+
+
+_OLS_ORACLE = (
+    "WITH f AS (SELECT source, "
+    "    CAST(len(string_split(text, ' ')) AS BIGINT) AS x, "
+    "    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y, "
+    "    CAST(n_chars AS BIGINT) AS z FROM documents), "
+    "s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
+    "    sum(z) AS sz, sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy, "
+    "    sum(x*z) AS sxz, sum(y*z) AS syz, sum(z*z) AS szz "
+    "  FROM f GROUP BY source), "
+    "c AS (SELECT source, n, "
+    "    sxx - sx*sx/CAST(n AS DOUBLE) AS cxx, "
+    "    syy - sy*sy/CAST(n AS DOUBLE) AS cyy, "
+    "    sxy - sx*sy/CAST(n AS DOUBLE) AS cxy, "
+    "    sxz - sx*sz/CAST(n AS DOUBLE) AS cxz, "
+    "    syz - sy*sz/CAST(n AS DOUBLE) AS cyz, "
+    "    szz - sz*sz/CAST(n AS DOUBLE) AS czz, "
+    "    sx/CAST(n AS DOUBLE) AS mx, sy/CAST(n AS DOUBLE) AS my, "
+    "    sz/CAST(n AS DOUBLE) AS mz "
+    "  FROM s), "
+    "b AS (SELECT source, n, "
+    "    (cyy*cxz - cxy*cyz) / (cxx*cyy - cxy*cxy) AS b1, "
+    "    (cxx*cyz - cxy*cxz) / (cxx*cyy - cxy*cxy) AS b2, "
+    "    cxz, cyz, czz, mx, my, mz FROM c) "
+    "SELECT source, n, round(b1, 6) AS b_words, round(b2, 6) AS b_distinct, "
+    "  round(mz - b1*mx - b2*my, 4) AS intercept, "
+    "  round((b1*cxz + b2*cyz) / czz, 6) AS r2 "
+    "FROM b ORDER BY source"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -7672,34 +7828,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # a122: identical sufficient-statistic sums and normal-equation
         # expressions — doubles derived from the same exact integers
-        "a122_ols_sufficient_stats": (
-            "WITH f AS (SELECT source, "
-            "    CAST(len(string_split(text, ' ')) AS BIGINT) AS x, "
-            "    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS y, "
-            "    CAST(n_chars AS BIGINT) AS z FROM documents), "
-            "s AS (SELECT source, count(*) AS n, sum(x) AS sx, sum(y) AS sy, "
-            "    sum(z) AS sz, sum(x*x) AS sxx, sum(y*y) AS syy, sum(x*y) AS sxy, "
-            "    sum(x*z) AS sxz, sum(y*z) AS syz, sum(z*z) AS szz "
-            "  FROM f GROUP BY source), "
-            "c AS (SELECT source, n, "
-            "    sxx - sx*sx/CAST(n AS DOUBLE) AS cxx, "
-            "    syy - sy*sy/CAST(n AS DOUBLE) AS cyy, "
-            "    sxy - sx*sy/CAST(n AS DOUBLE) AS cxy, "
-            "    sxz - sx*sz/CAST(n AS DOUBLE) AS cxz, "
-            "    syz - sy*sz/CAST(n AS DOUBLE) AS cyz, "
-            "    szz - sz*sz/CAST(n AS DOUBLE) AS czz, "
-            "    sx/CAST(n AS DOUBLE) AS mx, sy/CAST(n AS DOUBLE) AS my, "
-            "    sz/CAST(n AS DOUBLE) AS mz "
-            "  FROM s), "
-            "b AS (SELECT source, n, "
-            "    (cyy*cxz - cxy*cyz) / (cxx*cyy - cxy*cxy) AS b1, "
-            "    (cxx*cyz - cxy*cxz) / (cxx*cyy - cxy*cxy) AS b2, "
-            "    cxz, cyz, czz, mx, my, mz FROM c) "
-            "SELECT source, n, round(b1, 6) AS b_words, round(b2, 6) AS b_distinct, "
-            "  round(mz - b1*mx - b2*my, 4) AS intercept, "
-            "  round((b1*cxz + b2*cyz) / czz, 6) AS r2 "
-            "FROM b ORDER BY source"
-        ),
+        "a122_ols_sufficient_stats": _OLS_ORACLE,
+        # a134: the applyInPandas twin computes the SAME closed form
+        "a134_ols_pandas": _OLS_ORACLE,
         # d31: same FFD prefix-sum binning in exact integers
         "d31_compaction_plan": P(
             ", per AS (SELECT location_key, "
@@ -8209,6 +8340,27 @@ def oracle_sql() -> dict[str, str]:
             "    AS single_record_blobs, "
             "  max(mx) AS max_position "
             "FROM per"
+        ),
+        # a133: same one-agg scatter + label-bounded centroid distances
+        "a133_davies_bouldin": (
+            "WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings), "
+            "flat AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x "
+            "  FROM v), "
+            "dims AS (SELECT label, i, avg(x) AS c, avg(x * x) AS xx "
+            "  FROM flat GROUP BY 1, 2), "
+            "per AS (SELECT label, sqrt(sum(xx) - sum(c * c)) AS sigma "
+            "  FROM dims GROUP BY label), "
+            "dist AS (SELECT a.label AS la, b.label AS lb, "
+            "    sqrt(sum((a.c - b.c) * (a.c - b.c))) AS d "
+            "  FROM dims a JOIN dims b ON a.i = b.i AND a.label <> b.label "
+            "  GROUP BY 1, 2), "
+            "r AS (SELECT la, (sa.sigma + sb.sigma) / d AS r "
+            "  FROM dist JOIN per sa ON sa.label = dist.la "
+            "  JOIN per sb ON sb.label = dist.lb) "
+            "SELECT p.label, round(p.sigma, 4) AS sigma, "
+            "  round(max(r.r), 4) AS db_index "
+            "FROM per p JOIN r ON r.la = p.label "
+            "GROUP BY p.label, p.sigma ORDER BY label"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
