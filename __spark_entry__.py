@@ -5401,6 +5401,59 @@ def _a134_ols_pandas(spark, sf_dir):
     )
 
 
+def _e60_max_concurrency(spark, sf_dir):
+    """Peak concurrent sessions via the sweep line: e9's 30-minute-gap
+    sessions become (+1 at start, -1 at end) points, the globally ordered
+    running sum is the live-session count, its max is the capacity
+    answer.  Ends sort before starts at the same instant (touching
+    sessions don't overlap).  The global ordered cumsum is the two-level
+    `sampling.global_cumsum` — range partition + literal offsets, exact
+    integers, no single-partition window; sessionization itself is
+    user-partitioned windows."""
+    from pyspark.sql import Window
+
+    from persistor_spark.analytics.sampling import global_cumsum
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    epoch = F.unix_timestamp("ts")
+    flagged = ev.withColumn(
+        "new_session", (epoch - F.lag(epoch).over(w) > 1800).cast("int")
+    ).withColumn(
+        "session_id", F.sum(F.coalesce("new_session", F.lit(1))).over(w_sum)
+    )
+    sess = flagged.groupBy("user_id", "session_id").agg(
+        F.min(epoch).alias("t0"), F.max(epoch).alias("t1")
+    )
+    n_sessions = sess.count()
+    points = sess.select(
+        F.col("t0").alias("t"), F.lit(1).cast("long").alias("d"),
+        "user_id", "session_id",
+    ).unionByName(
+        sess.select(
+            F.col("t1").alias("t"), F.lit(-1).cast("long").alias("d"),
+            "user_id", "session_id",
+        )
+    )
+    swept, _total = global_cumsum(
+        points,
+        "d",
+        [F.col("t").asc(), F.col("d").asc(), F.col("user_id").asc(),
+         F.col("session_id").asc()],
+        "live",
+    )
+    peak = swept.agg(F.max("live").alias("mx")).collect()[0]["mx"]
+    first = swept.filter(F.col("live") == peak).agg(
+        F.min("t").alias("t_first_peak")
+    )
+    return first.select(
+        F.lit(n_sessions).alias("n_sessions"),
+        F.lit(peak).alias("max_concurrent"),
+        "t_first_peak",
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -5571,6 +5624,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d37_position_density": _d37_position_density,
         "a133_davies_bouldin": _a133_davies_bouldin,
         "a134_ols_pandas": _a134_ols_pandas,
+        "e60_max_concurrency": _e60_max_concurrency,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -8361,6 +8415,32 @@ def oracle_sql() -> dict[str, str]:
             "  round(max(r.r), 4) AS db_index "
             "FROM per p JOIN r ON r.la = p.label "
             "GROUP BY p.label, p.sigma ORDER BY label"
+        ),
+        # e60: the e9 session CTE + the sweep-line running sum
+        "e60_max_concurrency": (
+            "WITH f AS (SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ep, "
+            "    CASE WHEN lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id) IS NULL THEN 1 "
+            "    WHEN CAST(floor(epoch(ts)) AS BIGINT) - lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER "
+            "      (PARTITION BY user_id ORDER BY ts, event_id) > 1800 "
+            "      THEN 1 ELSE 0 END AS ns "
+            "  FROM events), "
+            "s AS (SELECT user_id, ep, sum(coalesce(ns, 1)) OVER ("
+            "    PARTITION BY user_id ORDER BY ts, event_id "
+            "    ROWS UNBOUNDED PRECEDING) AS session_id FROM f), "
+            "sess AS (SELECT user_id, session_id, min(ep) AS t0, max(ep) AS t1 "
+            "  FROM s GROUP BY 1, 2), "
+            "pts AS (SELECT t0 AS t, CAST(1 AS BIGINT) AS d, user_id, session_id "
+            "    FROM sess "
+            "  UNION ALL SELECT t1, CAST(-1 AS BIGINT), user_id, session_id "
+            "    FROM sess), "
+            "sw AS (SELECT t, sum(d) OVER (ORDER BY t, d, user_id, session_id "
+            "    ROWS UNBOUNDED PRECEDING) AS live FROM pts), "
+            "mx AS (SELECT max(live) AS m FROM sw) "
+            "SELECT (SELECT count(*) FROM sess) AS n_sessions, "
+            "  CAST((SELECT m FROM mx) AS BIGINT) AS max_concurrent, "
+            "  CAST(min(t) AS BIGINT) AS t_first_peak "
+            "FROM sw WHERE live = (SELECT m FROM mx)"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
