@@ -5454,6 +5454,29 @@ def _e60_max_concurrency(spark, sf_dir):
     )
 
 
+def _a135_matryoshka_quality(spark, sf_dir):
+    """Matryoshka truncation quality: for prefix dims 8/16/32, the mean
+    cosine between each full embedding and its truncated prefix — which
+    for a zero-padded prefix is exactly sqrt(prefix energy / total
+    energy) — the audit that decides how small a serving index can go
+    before recall collapses (MRL).  Pure per-row expressions (two
+    bounded folds per dim choice), one label-keyed agg; no joins at any
+    scale."""
+    embs = _embs(spark, sf_dir).select(
+        "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    total = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x * x)
+    cols = [F.count(F.lit(1)).alias("n")]
+    for d in (8, 16, 32):
+        part = F.aggregate(
+            F.slice(F.col("v"), 1, d), F.lit(0.0), lambda a, x: a + x * x
+        )
+        cols.append(
+            F.round(F.avg(F.sqrt(part / total)), 4).alias(f"mean_cos_d{d}")
+        )
+    return embs.groupBy("label").agg(*cols).orderBy("label")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -5625,6 +5648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a133_davies_bouldin": _a133_davies_bouldin,
         "a134_ols_pandas": _a134_ols_pandas,
         "e60_max_concurrency": _e60_max_concurrency,
+        "a135_matryoshka_quality": _a135_matryoshka_quality,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -8441,6 +8465,18 @@ def oracle_sql() -> dict[str, str]:
             "  CAST((SELECT m FROM mx) AS BIGINT) AS max_concurrent, "
             "  CAST(min(t) AS BIGINT) AS t_first_peak "
             "FROM sw WHERE live = (SELECT m FROM mx)"
+        ),
+        # a135: identical sqrt-energy-ratio means per prefix dim
+        "a135_matryoshka_quality": (
+            "WITH v AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings), "
+            "per AS (SELECT label, "
+            "    sqrt(list_dot_product(v[1:8], v[1:8]) / list_dot_product(v, v)) AS c8, "
+            "    sqrt(list_dot_product(v[1:16], v[1:16]) / list_dot_product(v, v)) AS c16, "
+            "    sqrt(list_dot_product(v[1:32], v[1:32]) / list_dot_product(v, v)) AS c32 "
+            "  FROM v) "
+            "SELECT label, count(*) AS n, round(avg(c8), 4) AS mean_cos_d8, "
+            "  round(avg(c16), 4) AS mean_cos_d16, round(avg(c32), 4) AS mean_cos_d32 "
+            "FROM per GROUP BY label ORDER BY label"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
