@@ -4613,13 +4613,18 @@ def _a126_coverage_selection(spark, sf_dir):
     remaining = s
     picks, covered_total = [], 0
     for rnd in range(1, 6):
-        top = (
+        rows = (
             remaining.groupBy("doc_id")
             .agg(F.count(F.lit(1)).alias("n"))
             .orderBy(F.col("n").desc(), F.col("doc_id").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # degenerate corpus: everything already covered (probe-pinned
+            # worst case — an all-identical corpus ends after round 1)
+            break
+        top = rows[0]
         covered_total += top["n"]
         picks.append((rnd, top["doc_id"], top["n"], covered_total))
         newly = s.filter(F.col("doc_id") == top["doc_id"]).select("sh")
