@@ -5482,6 +5482,79 @@ def _a135_matryoshka_quality(spark, sf_dir):
     return embs.groupBy("label").agg(*cols).orderBy("label")
 
 
+def _a136_curriculum_interleave(spark, sf_dir):
+    """Curriculum training order with stratified interleave: rank docs
+    inside each source by difficulty (ascending n_chars — easy first),
+    then emit in (rank, source) order so every source appears once per
+    round-robin pass — the training-order scheduler that prevents one
+    source from front-loading an epoch.  Per-source ranked windows
+    (partition = one source) + a global TakeOrdered head; output bounded
+    to the first 60 schedule slots."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").asc(), F.col("doc_id").asc()
+    )
+    ranked = docs.select(
+        "source", "doc_id", "n_chars", F.row_number().over(w).alias("pass_rank")
+    )
+    order = [F.col("pass_rank").asc(), F.col("source").asc()]
+    top = ranked.orderBy(*order).limit(60)
+    ws = Window.partitionBy(F.pmod(F.col("doc_id"), F.lit(1))).orderBy(*order)
+    return (
+        top.withColumn("slot", F.row_number().over(ws).cast("long"))
+        .select("slot", "source", "doc_id", "n_chars", "pass_rank")
+        .orderBy("slot")
+    )
+
+
+def _e61_fk_integrity(spark, sf_dir):
+    """Schema-wide referential-integrity audit: one row per foreign-key
+    edge with child row count, orphan count (children whose parent key is
+    absent — a left anti join per edge), and the orphan rate — the
+    relational counterpart of d23's index<->blob audit.  Every probe is a
+    key-only anti-join (column-pruned scans, broadcastable parent key
+    sets when dims are small)."""
+    from persistor_spark.sources.registry import load_table
+
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ["region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem"]
+    }
+    edges = [
+        ("orders.o_custkey -> customer", t["orders"], "o_custkey",
+         t["customer"], "c_custkey"),
+        ("lineitem.l_orderkey -> orders", t["lineitem"], "l_orderkey",
+         t["orders"], "o_orderkey"),
+        ("lineitem.l_partkey -> part", t["lineitem"], "l_partkey",
+         t["part"], "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", t["lineitem"], "l_suppkey",
+         t["supplier"], "s_suppkey"),
+        ("customer.c_nationkey -> nation", t["customer"], "c_nationkey",
+         t["nation"], "n_nationkey"),
+        ("nation.n_regionkey -> region", t["nation"], "n_regionkey",
+         t["region"], "r_regionkey"),
+    ]
+    parts = []
+    for name, child, ck, parent, pk in edges:
+        n_child = child.count()
+        orphans = child.select(F.col(ck).alias("k")).join(
+            parent.select(F.col(pk).alias("k")), "k", "left_anti"
+        ).count()
+        parts.append((name, n_child, orphans))
+    out = spark.createDataFrame(
+        parts, "fk_edge string, n_child long, n_orphans long"
+    )
+    return out.select(
+        "fk_edge",
+        "n_child",
+        "n_orphans",
+        F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_rate"),
+    ).orderBy("fk_edge")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -5654,6 +5727,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a134_ols_pandas": _a134_ols_pandas,
         "e60_max_concurrency": _e60_max_concurrency,
         "a135_matryoshka_quality": _a135_matryoshka_quality,
+        "a136_curriculum_interleave": _a136_curriculum_interleave,
+        "e61_fk_integrity": _e61_fk_integrity,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -8482,6 +8557,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT label, count(*) AS n, round(avg(c8), 4) AS mean_cos_d8, "
             "  round(avg(c16), 4) AS mean_cos_d16, round(avg(c32), 4) AS mean_cos_d32 "
             "FROM per GROUP BY label ORDER BY label"
+        ),
+        # a136: same per-source rank + (rank, source) schedule
+        "a136_curriculum_interleave": (
+            "WITH r AS (SELECT source, doc_id, n_chars, row_number() OVER ("
+            "    PARTITION BY source ORDER BY n_chars, doc_id) AS pass_rank "
+            "  FROM documents) "
+            "SELECT slot, source, doc_id, n_chars, pass_rank FROM (SELECT *, "
+            "  row_number() OVER (ORDER BY pass_rank, source) AS slot FROM r) "
+            "WHERE slot <= 60 ORDER BY slot"
+        ),
+        # e61: the same six anti-join edge probes, unioned
+        "e61_fk_integrity": (
+            "WITH e1 AS (SELECT 'orders.o_custkey -> customer' AS fk_edge, "
+            "    (SELECT count(*) FROM orders) AS n_child, "
+            "    (SELECT count(*) FROM orders o WHERE o.o_custkey NOT IN "
+            "      (SELECT c_custkey FROM customer)) AS n_orphans), "
+            "e2 AS (SELECT 'lineitem.l_orderkey -> orders', "
+            "    (SELECT count(*) FROM lineitem), "
+            "    (SELECT count(*) FROM lineitem l WHERE l.l_orderkey NOT IN "
+            "      (SELECT o_orderkey FROM orders))), "
+            "e3 AS (SELECT 'lineitem.l_partkey -> part', "
+            "    (SELECT count(*) FROM lineitem), "
+            "    (SELECT count(*) FROM lineitem l WHERE l.l_partkey NOT IN "
+            "      (SELECT p_partkey FROM part))), "
+            "e4 AS (SELECT 'lineitem.l_suppkey -> supplier', "
+            "    (SELECT count(*) FROM lineitem), "
+            "    (SELECT count(*) FROM lineitem l WHERE l.l_suppkey NOT IN "
+            "      (SELECT s_suppkey FROM supplier))), "
+            "e5 AS (SELECT 'customer.c_nationkey -> nation', "
+            "    (SELECT count(*) FROM customer), "
+            "    (SELECT count(*) FROM customer c WHERE c.c_nationkey NOT IN "
+            "      (SELECT n_nationkey FROM nation))), "
+            "e6 AS (SELECT 'nation.n_regionkey -> region', "
+            "    (SELECT count(*) FROM nation), "
+            "    (SELECT count(*) FROM nation n WHERE n.n_regionkey NOT IN "
+            "      (SELECT r_regionkey FROM region))), "
+            "u AS (SELECT * FROM e1 UNION ALL SELECT * FROM e2 "
+            "  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4 "
+            "  UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6) "
+            "SELECT fk_edge, n_child, n_orphans, "
+            "  round(n_orphans / CAST(n_child AS DOUBLE), 6) AS orphan_rate "
+            "FROM u ORDER BY fk_edge"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
