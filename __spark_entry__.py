@@ -4462,7 +4462,10 @@ def _a124_image_dhash_pairs(spark, sf_dir):
     from persistor_spark.analytics import multimodal
 
     media = multimodal.synthesize_media(spark, _docs(spark, sf_dir))
-    hashes = multimodal.image_dhash(media)
+    # the hash table feeds BOTH band-join sides; without the barrier the
+    # Arrow BMP decode runs twice (A/B at sf0.1: 12.0 s -> 5.6 s warm,
+    # hash-identical) — the r6 two-consumer-recompute rule
+    hashes = multimodal.image_dhash(media).localCheckpoint()
     return multimodal.dhash_near_pairs(hashes, max_hamming=20, k=10).select(
         "a", "b", F.col("hamming").cast("long").alias("hamming")
     )
