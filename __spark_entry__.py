@@ -5558,6 +5558,86 @@ def _e61_fk_integrity(spark, sf_dir):
     ).orderBy("fk_edge")
 
 
+def _a137_rolling_distinct_sketch(spark, sf_dir):
+    """Trailing-7-day distinct users ESTIMATED from mergeable daily KMV
+    sketches — the sketch answer to e43's exact rolling distinct (at
+    100 TB the exact version re-touches every (day, user) row per grid
+    day; the sketch version keeps k=64 hashes PER DAY and unions 7 tiny
+    sketches per window).  Daily sketch = bottom-k of user-id hashes
+    (one day-keyed MIN-k agg); the window union fans each day's k rows
+    to <= 7 grid days (e43's contribution form) and re-takes bottom-k —
+    exact bottom-k-of-union semantics, the KMV merge property.  Output
+    joins the exact count for the honesty column (relative error)."""
+    from pyspark.sql import Window
+
+    from persistor_spark.analytics.dedup import md5_hash64
+    from persistor_spark.analytics.sketches import _kmv_est
+
+    k = 64
+    ev = _events(spark, sf_dir)
+    dh = (
+        ev.select(
+            F.to_date("ts").alias("day"), md5_hash64(F.col("user_id").cast("string")).alias("h")
+        )
+        .groupBy("day", "h")
+        .agg(F.lit(1))
+        .select("day", "h")
+    )
+    wd = Window.partitionBy("day").orderBy("h")
+    daily_sk = (
+        dh.withColumn("rn", F.row_number().over(wd))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    contrib = (
+        daily_sk.select(
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+                "gday"
+            ),
+            "h",
+        )
+        .groupBy("gday", "h")
+        .agg(F.lit(1))
+        .select("gday", "h")
+    )
+    wg = Window.partitionBy("gday").orderBy("h")
+    union_sk = (
+        contrib.withColumn("rn", F.row_number().over(wg))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    est = union_sk.groupBy("gday").agg(
+        F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")
+    ).select(
+        "gday", F.round(_kmv_est(F.col("n"), F.col("hk"), k), 4).alias("est_users_7d")
+    )
+    du = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    exact = (
+        du.select(
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias(
+                "gday"
+            ),
+            "user_id",
+        )
+        .distinct()
+        .join(du.select(F.col("day").alias("gday")).distinct(), "gday")
+        .groupBy("gday")
+        .agg(F.count_distinct("user_id").alias("users_7d"))
+    )
+    return (
+        est.join(exact, "gday")
+        .select(
+            "gday",
+            "users_7d",
+            "est_users_7d",
+            F.round(
+                (F.col("est_users_7d") - F.col("users_7d")) / F.col("users_7d"), 4
+            ).alias("rel_err"),
+        )
+        .orderBy("gday")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -5732,6 +5812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a135_matryoshka_quality": _a135_matryoshka_quality,
         "a136_curriculum_interleave": _a136_curriculum_interleave,
         "e61_fk_integrity": _e61_fk_integrity,
+        "a137_rolling_distinct_sketch": _a137_rolling_distinct_sketch,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -8602,6 +8683,35 @@ def oracle_sql() -> dict[str, str]:
             "SELECT fk_edge, n_child, n_orphans, "
             "  round(n_orphans / CAST(n_child AS DOUBLE), 6) AS orphan_rate "
             "FROM u ORDER BY fk_edge"
+        ),
+        # a137: daily bottom-k + the e43 contribution fan-out + the
+        # (k-1)/theta estimator with the unsaturated exact branch
+        "a137_rolling_distinct_sketch": (
+            "WITH dh AS (SELECT DISTINCT CAST(ts AS DATE) AS day, "
+            "    CAST(CONCAT('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) "
+            "      AS BIGINT) AS h FROM events), "
+            "dsk AS (SELECT day, h FROM (SELECT day, h, "
+            "    row_number() OVER (PARTITION BY day ORDER BY h) AS rn FROM dh) "
+            "  WHERE rn <= 64), "
+            "c AS (SELECT DISTINCT day + CAST(i AS INT) AS gday, h "
+            "  FROM dsk, range(0, 7) r(i)), "
+            "usk AS (SELECT gday, h FROM (SELECT gday, h, "
+            "    row_number() OVER (PARTITION BY gday ORDER BY h) AS rn FROM c) "
+            "  WHERE rn <= 64), "
+            "est AS (SELECT gday, CASE WHEN count(*) < 64 "
+            "    THEN CAST(count(*) AS DOUBLE) "
+            "    ELSE 63.0 / (CAST(max(h) AS DOUBLE) / 1152921504606846976.0) END "
+            "    AS e FROM usk GROUP BY gday), "
+            "du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
+            "ex AS (SELECT e2.gday, count(DISTINCT e2.user_id) AS users_7d "
+            "  FROM (SELECT DISTINCT day + CAST(i AS INT) AS gday, user_id "
+            "        FROM du, range(0, 7) r(i)) e2 "
+            "  JOIN (SELECT DISTINCT day AS gday FROM du) g ON g.gday = e2.gday "
+            "  GROUP BY e2.gday) "
+            "SELECT ex.gday, ex.users_7d, round(est.e, 4) AS est_users_7d, "
+            "  round((round(est.e, 4) - ex.users_7d) / CAST(ex.users_7d AS DOUBLE), 4) "
+            "    AS rel_err "
+            "FROM est JOIN ex ON ex.gday = est.gday ORDER BY ex.gday"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
