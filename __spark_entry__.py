@@ -5638,6 +5638,42 @@ def _a137_rolling_distinct_sketch(spark, sf_dir):
     )
 
 
+def _a138_kcore_peel(spark, sf_dir):
+    """k-core peeling over the purchase graph (k = integer mean degree
+    + 1, so the threshold scales with the graph): four rounds of
+    remove-nodes-below-k / restrict-edges-to-survivors, reporting nodes
+    and directed edges remaining per round — the dense-subgraph
+    extraction behind spam-cluster and power-user detection.  Each round
+    is one degree agg + two semi-joins, edge table localCheckpointed per
+    round (the CC/BFS flat-plan pattern); rounds are a constant, so the
+    plan never grows."""
+    from persistor_spark.analytics import graph
+    from persistor_spark.sources.registry import load_table
+
+    edges = graph.bipartite_interaction_edges(
+        load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    ).localCheckpoint()
+    d0 = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    tot = d0.agg(F.sum("deg").alias("s"), F.count(F.lit(1)).alias("n")).collect()[0]
+    k = tot["s"] // tot["n"] + 1
+    rows = []
+    cur = edges
+    for rnd in range(1, 5):
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select(F.col("src").alias("node"))
+        cur = (
+            cur.join(keep.select(F.col("node").alias("src")), "src", "left_semi")
+            .join(keep.select(F.col("node").alias("dst")), "dst", "left_semi")
+            .localCheckpoint()
+        )
+        rows.append((rnd, keep.count(), cur.count()))
+    return spark.createDataFrame(
+        rows, "round long, n_nodes long, n_edges long"
+    ).select("round", "n_nodes", "n_edges", F.lit(int(k)).alias("k")).orderBy(
+        "round"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -5813,6 +5849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a136_curriculum_interleave": _a136_curriculum_interleave,
         "e61_fk_integrity": _e61_fk_integrity,
         "a137_rolling_distinct_sketch": _a137_rolling_distinct_sketch,
+        "a138_kcore_peel": _a138_kcore_peel,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -8712,6 +8749,42 @@ def oracle_sql() -> dict[str, str]:
             "  round((round(est.e, 4) - ex.users_7d) / CAST(ex.users_7d AS DOUBLE), 4) "
             "    AS rel_err "
             "FROM est JOIN ex ON ex.gday = est.gday ORDER BY ex.gday"
+        ),
+        # a138: four unrolled peel rounds with the same integer k rule
+        "a138_kcore_peel": (
+            "WITH p AS (SELECT DISTINCT 'c' || o_custkey::VARCHAR AS c, "
+            "    's' || l_suppkey::VARCHAR AS s "
+            "  FROM orders JOIN lineitem ON l_orderkey = o_orderkey), "
+            "e0 AS (SELECT c AS src, s AS dst FROM p "
+            "  UNION ALL SELECT s AS src, c AS dst FROM p), "
+            "d0 AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src), "
+            "kk AS (SELECT (sum(deg) // count(*)) + 1 AS k FROM d0), "
+            "k1 AS (SELECT src AS node FROM d0, kk WHERE deg >= k), "
+            "e1 AS (SELECT e.* FROM e0 e WHERE e.src IN (SELECT node FROM k1) "
+            "  AND e.dst IN (SELECT node FROM k1)), "
+            "d1 AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src), "
+            "k2 AS (SELECT src AS node FROM d1, kk WHERE deg >= k), "
+            "e2 AS (SELECT e.* FROM e1 e WHERE e.src IN (SELECT node FROM k2) "
+            "  AND e.dst IN (SELECT node FROM k2)), "
+            "d2 AS (SELECT src, count(*) AS deg FROM e2 GROUP BY src), "
+            "k3 AS (SELECT src AS node FROM d2, kk WHERE deg >= k), "
+            "e3 AS (SELECT e.* FROM e2 e WHERE e.src IN (SELECT node FROM k3) "
+            "  AND e.dst IN (SELECT node FROM k3)), "
+            "d3 AS (SELECT src, count(*) AS deg FROM e3 GROUP BY src), "
+            "k4 AS (SELECT src AS node FROM d3, kk WHERE deg >= k), "
+            "e4 AS (SELECT e.* FROM e3 e WHERE e.src IN (SELECT node FROM k4) "
+            "  AND e.dst IN (SELECT node FROM k4)), "
+            "u AS (SELECT 1 AS round, (SELECT count(*) FROM k1) AS n_nodes, "
+            "    (SELECT count(*) FROM e1) AS n_edges "
+            "  UNION ALL SELECT 2, (SELECT count(*) FROM k2), "
+            "    (SELECT count(*) FROM e2) "
+            "  UNION ALL SELECT 3, (SELECT count(*) FROM k3), "
+            "    (SELECT count(*) FROM e3) "
+            "  UNION ALL SELECT 4, (SELECT count(*) FROM k4), "
+            "    (SELECT count(*) FROM e4)) "
+            "SELECT CAST(round AS BIGINT) AS round, n_nodes, n_edges, "
+            "  CAST((SELECT k FROM kk) AS BIGINT) AS k "
+            "FROM u ORDER BY round"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
