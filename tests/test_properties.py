@@ -204,3 +204,69 @@ def test_asof_join_matches_model(spark, left_rows, right_rows):
         cands = [(rt, v) for (rk, rt), v in dedup_right.items() if rk == k and rt <= t]
         want = max(cands)[1] if cands else None
         assert got[i] == want, f"row {i} key {k} t {t}: {got[i]} != {want}"
+
+
+# -- KMV estimator model (pure python twin of sketches.kmv) ------------------
+
+@given(
+    st.lists(st.text(alphabet="abcdef012345", min_size=1, max_size=8),
+             min_size=1, max_size=300),
+    st.integers(min_value=4, max_value=64),
+)
+@settings(max_examples=60)
+def test_kmv_model_exact_when_unsaturated_and_bottom_k_property(items, k):
+    """Pure-python model of the KMV build: the bottom-k of distinct 60-bit
+    md5 hashes; when distinct < k the estimator must be EXACT, and the
+    two-level shard decomposition must equal the direct bottom-k for any
+    shard count (the property the Spark implementation's exactness claim
+    rests on)."""
+    import hashlib
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    hashes = sorted({h60(x) for x in items})
+    sketch = hashes[:k]
+    # estimator: exact below saturation
+    if len(hashes) < k:
+        est = float(len(sketch))
+        assert est == len(set(items)) * 1.0
+    # two-level == one-level for any shard count
+    for shards in (2, 7, 32):
+        lvl1 = []
+        for sh in range(shards):
+            bucket = sorted(x for x in hashes if x % shards == sh)[:k]
+            lvl1.extend(bucket)
+        assert sorted(lvl1)[:k] == sketch
+
+
+# -- global cumsum / prefix-offset decomposition ------------------------------
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=1000), min_size=1, max_size=200),
+    st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=60)
+def test_prefix_offset_decomposition_model(values, n_parts):
+    """Model of sampling.global_cumsum's two-level split: cutting the
+    ordered sequence into any partitioning and adding per-partition
+    offsets reproduces the sequential prefix sums exactly (integer
+    associativity — the reason the primitive demands quantized inputs)."""
+    seq = sorted(values)
+    want, acc = [], 0
+    for v in seq:
+        acc += v
+        want.append(acc)
+    # arbitrary contiguous partitioning into n_parts
+    import math
+
+    size = math.ceil(len(seq) / n_parts)
+    got, offset = [], 0
+    for p in range(0, len(seq), size):
+        part = seq[p : p + size]
+        run = 0
+        for v in part:
+            run += v
+            got.append(offset + run)
+        offset += run
+    assert got == want
