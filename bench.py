@@ -190,6 +190,19 @@ def bench_dedup_exactsubstr(ctx: Ctx):
     return dedup.remove_duplicate_substrings(docs, gram_len=8).count()
 
 
+def bench_dedup_dhash(ctx: Ctx):
+    """Multimodal near-dup: synthesize media, decode REAL BMPs via Arrow
+    mapInPandas into 63-bit perceptual dHashes (localCheckpointed — the
+    hash table feeds both band-join sides), 9-band LSH join + Hamming
+    verify, top-10 closest image pairs."""
+    from persistor_spark.analytics import multimodal
+
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    media = multimodal.synthesize_media(ctx.spark, docs)
+    hashes = multimodal.image_dhash(media).localCheckpoint()
+    return multimodal.dhash_near_pairs(hashes, max_hamming=20, k=10).count()
+
+
 def bench_ann_topk(ctx: Ctx):
     from persistor_spark.analytics import similarity
 
@@ -436,6 +449,7 @@ QUERIES = {
     "index_compaction": bench_index_compaction,
     "targeted_delete": bench_targeted_delete,
     "zorder_layout": bench_zorder_layout,
+    "dedup_dhash": bench_dedup_dhash,
     "ann_topk": bench_ann_topk,
     "ann_ivfpq_build": bench_ann_ivfpq_build,
     "ann_ivfpq_probe": bench_ann_ivfpq_probe,
