@@ -5695,6 +5695,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     Verify the actual window before round end with:
       python -c "import __spark_entry__ as e; print(list(e.queries())[:50])"
+
+    r7 ROTATION PLAN (write the window in the FIRST session of round 7):
+    the post-window block below the marker (d27 .. a138, ~88 entries) is
+    all never-driver-checked — more than one 50-slot window.  Order for
+    r7: (1) any query whose code changes in r7, then (2) the post-window
+    block OLDEST-FIRST exactly as listed (d27, a105, e44, ... a138) up to
+    slot 50; the remainder carries to r8 under the same rule.  Every
+    post-window entry already has full-registry tools/check.py green runs
+    at sf0.001 AND sf0.01 from the session that added it (plus the round's
+    final 233/233 sweeps), so this is verification-surface debt, not
+    suspected breakage.
     """
     return {
         # ==== r6 DRIVER WINDOW (positions 1-50) ====
