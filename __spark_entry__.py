@@ -5674,6 +5674,47 @@ def _a138_kcore_peel(spark, sf_dir):
     )
 
 
+def _a139_length_bucket_waste(spark, sf_dir):
+    """Sequence-length bucketing efficiency: assign each doc to its
+    next-power-of-two token-length bucket and compare padding waste
+    against padding everything to the global max — the batching decision
+    (bucketed batches cut pad FLOPs) quantified per bucket plus the
+    summary row.  Bucket cap is exact integer bit math (2^ceil(log2 n)
+    via the shift loop both engines express as POW on exact ints after a
+    floor-log2); one bounded agg, key space = log2(max_len) buckets."""
+    docs = _docs(spark, sf_dir)
+    n = F.size(F.split("text", " ")).cast("long")
+    # next power of two >= n (n >= 1): 2^ceil(log2(n)) with exact-integer
+    # comparisons — pow/log floats only pick the EXPONENT, and a final
+    # integer compare repairs any boundary rounding
+    exp = F.ceil(F.log2(n.cast("double"))).cast("long")
+    cap0 = F.pow(F.lit(2.0), exp.cast("double")).cast("long")
+    cap = F.when(cap0 < n, cap0 * 2).when(
+        (cap0 >= n * 2) & (n > 0), cap0 / F.lit(2)
+    ).otherwise(cap0).cast("long")
+    lens = docs.select(n.alias("len"), cap.alias("cap"))
+    mx = lens.agg(F.max("len").alias("m")).collect()[0]["m"]
+    per = lens.groupBy("cap").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len").alias("tokens"),
+        F.sum(F.col("cap") - F.col("len")).alias("pad_bucketed"),
+        F.sum(F.lit(mx) - F.col("len")).alias("pad_global"),
+    )
+    return per.select(
+        "cap",
+        "n_docs",
+        "tokens",
+        "pad_bucketed",
+        "pad_global",
+        F.round(
+            F.col("pad_bucketed") / (F.col("tokens") + F.col("pad_bucketed")), 4
+        ).alias("bucketed_waste_frac"),
+        F.round(
+            F.col("pad_global") / (F.col("tokens") + F.col("pad_global")), 4
+        ).alias("global_waste_frac"),
+    ).orderBy("cap")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
@@ -5861,6 +5902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e61_fk_integrity": _e61_fk_integrity,
         "a137_rolling_distinct_sketch": _a137_rolling_distinct_sketch,
         "a138_kcore_peel": _a138_kcore_peel,
+        "a139_length_bucket_waste": _a139_length_bucket_waste,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
@@ -8796,6 +8838,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(round AS BIGINT) AS round, n_nodes, n_edges, "
             "  CAST((SELECT k FROM kk) AS BIGINT) AS k "
             "FROM u ORDER BY round"
+        ),
+        # a139: same next-pow2 exponent + integer boundary repair
+        "a139_length_bucket_waste": (
+            "WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n "
+            "  FROM documents), "
+            "c0 AS (SELECT n, CAST(pow(2.0, ceil(log2(CAST(n AS DOUBLE)))) "
+            "    AS BIGINT) AS cap0 FROM l), "
+            "c AS (SELECT n AS len, CAST(CASE WHEN cap0 < n THEN cap0 * 2 "
+            "    WHEN cap0 >= n * 2 AND n > 0 THEN cap0 / 2 "
+            "    ELSE cap0 END AS BIGINT) AS cap FROM c0), "
+            "m AS (SELECT max(len) AS mx FROM c) "
+            "SELECT cap, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS tokens, "
+            "  CAST(sum(cap - len) AS BIGINT) AS pad_bucketed, "
+            "  CAST(sum((SELECT mx FROM m) - len) AS BIGINT) AS pad_global, "
+            "  round(sum(cap - len) / CAST(sum(len) + sum(cap - len) AS DOUBLE), 4) "
+            "    AS bucketed_waste_frac, "
+            "  round(sum((SELECT mx FROM m) - len) / "
+            "    CAST(sum(len) + sum((SELECT mx FROM m) - len) AS DOUBLE), 4) "
+            "    AS global_waste_frac "
+            "FROM c GROUP BY cap ORDER BY cap"
         ),
         "e43_rolling_distinct": (
             "WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events), "
