@@ -2060,10 +2060,21 @@ def _a41_source_rollup(spark, sf_dir):
 
 def _a42_int8_quantize(spark, sf_dir):
     """Symmetric per-vector int8 quantization (FAISS SQ8 analogue) with max
-    reconstruction error — narrow JVM expressions, zero shuffle."""
+    reconstruction error — narrow JVM expressions, zero shuffle.
+
+    Driver shape (r7): the library returns `codes` as array<int>; the driver
+    harness canonicalizes via pandas sort_values, which cannot order list
+    cells — so the ENTRY serializes codes to a comma-joined string (integers
+    format identically in Spark and DuckDB, so this is exact)."""
     from persistor_spark.analytics import similarity
 
-    return similarity.quantize_int8(_embs(spark, sf_dir)).orderBy("vec_id")
+    q = similarity.quantize_int8(_embs(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        "scale",
+        F.concat_ws(",", F.col("codes").cast("array<string>")).alias("codes_csv"),
+        "max_abs_err",
+    ).orderBy("vec_id")
 
 
 def _a43_norm_fingerprint(spark, sf_dir):
@@ -2087,12 +2098,20 @@ def _a44_cluster_reps(spark, sf_dir):
 
 def _a45_random_projection(spark, sf_dir):
     """Johnson-Lindenstrauss projection 64 -> 16 dims: narrow per-row map
-    over a folded literal matrix, zero shuffle, zero Python."""
+    over a folded literal matrix, zero shuffle, zero Python.
+
+    Driver shape (r7): the library returns `proj` as array<double>; the
+    driver's pandas canonicalizer cannot sort list cells, so the ENTRY
+    posexplodes into scalar (vec_id, dim, proj) rows — doubles go through
+    the harness's %.6f float normalization, same as every other query."""
     from persistor_spark.analytics import similarity
 
-    return similarity.random_projection(
+    projected = similarity.random_projection(
         _embs(spark, sf_dir), in_dim=64, out_dim=16, seed=7
-    ).orderBy("vec_id")
+    )
+    return projected.select(
+        "vec_id", F.posexplode("proj").alias("dim", "proj")
+    ).orderBy("vec_id", "dim")
 
 
 def _a46_dup_rate_by_source(spark, sf_dir):
@@ -6124,9 +6143,14 @@ def oracle_sql() -> dict[str, str]:
         f"round(list_dot_product(emb, {json.dumps(row)}::DOUBLE[]), 4)"
         for row in _jl(64, 16, 7)
     )
+    # r7: exploded to scalar (vec_id, dim, proj) rows — the driver harness
+    # cannot canonicalize array-typed cells (the only red rows it ever
+    # produced, r6 a42/a45); dim is 0-based to match Spark's posexplode.
     jl_oracle = (
-        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings) "
-        f"SELECT vec_id, [{_jl_dims}] AS proj FROM v ORDER BY vec_id"
+        "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
+        f"p AS (SELECT vec_id, [{_jl_dims}] AS proj FROM v) "
+        "SELECT vec_id, CAST(t.i AS INT) AS dim, proj[t.i + 1] AS proj "
+        "FROM p, range(0, 16) t(i) ORDER BY vec_id, dim"
     )
     return {
         "d1_point_lookup": P(
@@ -7649,12 +7673,16 @@ def oracle_sql() -> dict[str, str]:
             "  count(DISTINCT lang) AS n_langs "
             "FROM r GROUP BY source ORDER BY source"
         ),
+        # r7: codes serialized to a comma-joined string (integers format
+        # identically in both engines) — the driver harness cannot
+        # canonicalize array-typed cells.
         "a42_int8_quantize": (
             "WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings), "
             "s AS (SELECT vec_id, emb, "
             "  greatest(list_max(list_transform(emb, x -> abs(x))), 1e-12) / 127.0 AS scale FROM v) "
             "SELECT vec_id, round(scale, 9) AS scale, "
-            "  list_transform(emb, x -> floor(x / scale + 0.5)::INT) AS codes, "
+            "  array_to_string(list_transform(emb, x -> (floor(x / scale + 0.5)::INT)::VARCHAR), ',') "
+            "    AS codes_csv, "
             "  round(list_max(list_transform(emb, x -> abs(x - floor(x / scale + 0.5) * scale))), 9) "
             "    AS max_abs_err "
             "FROM s ORDER BY vec_id"
