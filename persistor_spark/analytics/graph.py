@@ -151,6 +151,10 @@ def personalized_pagerank(
     round's (oracle: the unrolled-round SQL twin, a56-style)."""
     edges = edges.select("src", "dst").localCheckpoint()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).cache()
+    # Accept any 1-column seed frame (mirroring bfs_distances) and dedup:
+    # duplicate seed rows would inflate |S| and double-count restart mass
+    # through the broadcast joins.
+    seeds = seeds.select(F.col(seeds.columns[0]).alias("node")).distinct()
     n_seeds = seeds.count()
     base = (1.0 - damping) / n_seeds
     seed_base = seeds.select(

@@ -256,13 +256,17 @@ def histogram_quantiles(
     total = cum.agg(F.max("cum").alias("grand_n"))
     qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
     # target rank t = q*N; the containing bin is the one with
-    # cum_prev < t <= cum (clamp q=0 to the first bin's floor)
+    # cum_prev < t <= cum.  q=0 gives t=0, which no (cum_prev, cum] interval
+    # contains — the extra arm clamps it to the first POPULATED bin (the
+    # unique row with cum_prev = 0), whose floor the interpolation then
+    # returns (t - cum_prev = 0).
     hit = (
         qdf.crossJoin(F.broadcast(total))
         .withColumn("t", F.col("q") * F.col("grand_n"))
         .join(
             F.broadcast(cum),
-            (F.col("cum_prev") < F.col("t")) & (F.col("t") <= F.col("cum")),
+            ((F.col("cum_prev") < F.col("t")) & (F.col("t") <= F.col("cum")))
+            | ((F.col("t") == F.lit(0.0)) & (F.col("cum_prev") == F.lit(0))),
         )
     )
     est = (

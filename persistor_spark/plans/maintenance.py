@@ -129,7 +129,20 @@ def delete_by_key(
     manifest would replace just the affected entries).  Same swap caveats
     as compact_parquet: new files land before old ones are removed, so a
     concurrent reader sees duplicates-or-old rather than missing data,
-    and parquet immutability keeps already-open scans consistent."""
+    and parquet immutability keeps already-open scans consistent.
+
+    Crash safety: BEFORE the rewritten files move in, a journal
+    (`<table>.__delete_journal_*.json`) records the originals to remove;
+    it is deleted only after the originals are gone and the manifest is
+    rebuilt.  A crash mid-swap therefore leaves a detectable, resumable
+    marker — run `recover_pending_deletes` on startup to finish the
+    removal instead of serving permanently duplicated rows against a
+    stale manifest.
+
+    NOTE: the file swap uses local-filesystem os.replace/os.remove — on
+    gs:// / abfss:// / s3a:// deploys route this module's file ops through
+    the Hadoop FileSystem API (the read/write sides above are already
+    URI-agnostic; only the swap is local-only)."""
     import glob as _glob
     from urllib.parse import urlparse
 
@@ -158,6 +171,12 @@ def delete_by_key(
     ).parquet(tmp)
     n_kept = spark.read.parquet(tmp).count()
     stats["rows_deleted"] = sum(n for _, n in affected) - n_kept
+    # journal the originals-to-remove BEFORE any file moves: a crash
+    # between "new files in" and "originals removed" is then detectable
+    # and resumable (recover_pending_deletes) instead of silently leaving
+    # duplicated rows behind a stale manifest
+    journal = _journal_path(table_path)
+    _write_journal(journal, [urlparse(f).path or f for f in paths], manifest_path, col)
     # move the rewritten files in (unique names), then drop the originals
     for nf in _glob.glob(f"{_glob.escape(tmp)}/part-*.parquet"):
         os.replace(
@@ -171,4 +190,47 @@ def delete_by_key(
         os.remove(local)
     shutil.rmtree(tmp, ignore_errors=True)
     layout.write_minmax_manifest(spark, table_path, manifest_path, col)
+    os.remove(journal)
+    return stats
+
+
+def _journal_path(table_path: str) -> str:
+    return f"{table_path.rstrip('/')}.__delete_journal_{uuid.uuid4().hex[:8]}.json"
+
+
+def _write_journal(path: str, originals, manifest_path: str, col: str) -> None:
+    import json
+
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"remove": originals, "manifest": manifest_path, "col": col}, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, path)
+
+
+def recover_pending_deletes(spark, table_path: str) -> dict:
+    """Finish any delete_by_key swap that crashed mid-flight: for each
+    journal next to `table_path`, remove the listed original files that
+    still exist (the rewritten del-* replacements are already in place —
+    they moved in only after the journal was written), rebuild the
+    manifest, and drop the journal.  Idempotent; call on startup before
+    serving queries.  Returns {"journals", "files_removed"}."""
+    import glob as _glob
+    import json
+
+    from persistor_spark.plans import layout
+
+    stats = {"journals": 0, "files_removed": 0}
+    pattern = f"{_glob.escape(table_path.rstrip('/'))}.__delete_journal_*.json"
+    for journal in sorted(_glob.glob(pattern)):
+        with open(journal) as fh:
+            j = json.load(fh)
+        stats["journals"] += 1
+        for f in j["remove"]:
+            if os.path.exists(f):
+                os.remove(f)
+                stats["files_removed"] += 1
+        layout.write_minmax_manifest(spark, table_path, j["manifest"], j["col"])
+        os.remove(journal)
     return stats

@@ -123,14 +123,19 @@ class _JsonHandler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    # Body reads get 10x the header deadline instead of None: a client that
+    # sends headers then stalls mid-body must not pin a handler thread
+    # forever (it would also wedge shutdown_graceful's drain budget), but a
+    # slow-but-legitimate POST body still gets far more than the
+    # ReadHeaderTimeout Go applies only to the request line + headers
+    # (server.go:126).
+    BODY_TIMEOUT_FACTOR = 10
+
     def _read_json(self):
         n = int(self.headers.get("Content-Length") or 0)
-        # Go's ReadHeaderTimeout bounds only the request line + headers
-        # (server.go:126); lift the socket deadline for the body read so a
-        # slow-but-legitimate POST body isn't dropped, then restore it for
-        # the next request on a keep-alive connection
         try:
-            self.connection.settimeout(None)
+            if self.timeout is not None:
+                self.connection.settimeout(self.timeout * self.BODY_TIMEOUT_FACTOR)
             raw = self.rfile.read(n)
         finally:
             self.connection.settimeout(self.timeout)

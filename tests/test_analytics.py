@@ -1806,6 +1806,21 @@ def test_histogram_quantiles_within_bin_width(spark):
         assert abs(est - q * 10000) <= width, (q, est)
 
 
+def test_histogram_quantiles_q0_first_bin_floor(spark):
+    """q=0 must return the floor of the first POPULATED bin, not vanish
+    (r6 ADVICE: the (cum_prev < t) condition can never hold for t=0)."""
+    from persistor_spark.analytics import sketches
+
+    # values live in [300, 400): first populated bin is bin 3 of width 100
+    df = spark.createDataFrame([(305.0,), (350.0,), (399.0,)], "x double")
+    bins = sketches.histogram_sketch(df, "x", 0, 1000, 10)
+    got = {r["q"]: r["est"] for r in
+           sketches.histogram_quantiles(bins, [0.0, 0.5, 1.0], 0, 1000, 10).collect()}
+    assert set(got) == {0.0, 0.5, 1.0}
+    assert got[0.0] == 300.0  # first populated bin's floor, exactly one row
+    assert got[1.0] == 400.0  # rank N lands at the top of bin 3
+
+
 def test_histogram_clamps_out_of_range(spark):
     from persistor_spark.analytics import sketches
 
@@ -1942,6 +1957,24 @@ def test_personalized_pagerank_mass_and_locality(spark):
     # hand-computed rounds: r0={a:1}; r1={a:.15, b:.85};
     # r2={a:.15+.85*(.85/2)=.51125, b:.85*.15=.1275, c:.85*(.85/2)=.36125}
     assert ranks == {"a": 0.51125, "b": 0.1275, "c": 0.36125}
+
+
+def test_personalized_pagerank_dedups_and_renames_seeds(spark):
+    """r6 ADVICE: duplicate seed rows must not inflate |S| or double-count
+    restart mass, and any 1-column seed frame is accepted (bfs parity)."""
+    from persistor_spark.analytics import graph
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "d"), ("d", "c")],
+        "src string, dst string",
+    )
+    clean = spark.createDataFrame([("a",)], "node string")
+    dirty = spark.createDataFrame([("a",), ("a",), ("a",)], "seed_doc string")
+    want = {r["node"]: r["rank"]
+            for r in graph.personalized_pagerank(edges, clean, iterations=2).collect()}
+    got = {r["node"]: r["rank"]
+           for r in graph.personalized_pagerank(edges, dirty, iterations=2).collect()}
+    assert got == want
 
 
 def test_column_stats_drift_exact_counts(spark):

@@ -374,3 +374,56 @@ def test_delete_by_key_rewrites_only_manifest_affected_files(spark, tmp_path):
     # a delete with no manifest hit rewrites nothing
     stats2 = maintenance.delete_by_key(spark, table, mf, ["zzz999999"])
     assert stats2["files_rewritten"] == 0 and stats2["rows_deleted"] == 0
+    # a clean run leaves no journal behind
+    assert glob.glob(f"{table}.__delete_journal_*.json") == []
+
+
+def test_delete_by_key_crash_recovery(spark, tmp_path):
+    """r6 ADVICE: a crash after the rewritten del-* files move in but
+    before the originals are removed must leave a resumable journal, and
+    recover_pending_deletes must finish the swap (no duplicate rows, no
+    stale manifest, journal gone)."""
+    import glob
+    import json
+    import os
+
+    from persistor_spark.plans import layout, maintenance
+
+    table, mf = str(tmp_path / "idx"), str(tmp_path / "mf")
+    df = spark.range(200).select(
+        F.format_string("id%06d", F.col("id")).alias("unique_id"),
+        (F.col("id") % 7).alias("payload"),
+    )
+    df.repartitionByRange(4, "unique_id").sortWithinPartitions("unique_id").write.parquet(table)
+    layout.write_minmax_manifest(spark, table, mf)
+
+    # simulate the crash window: run a real delete, then RESTORE one
+    # original file from a pre-delete copy and re-create its journal —
+    # exactly the on-disk state of a crash before os.remove(original)
+    originals = sorted(glob.glob(f"{table}/part-*.parquet"))
+    backup = {f: open(f, "rb").read() for f in originals}
+    maintenance.delete_by_key(spark, table, mf, ["id000010"])
+    victim = [f for f in originals if not os.path.exists(f)]
+    assert victim, "delete should have removed at least one original"
+    for f in victim:
+        with open(f, "wb") as fh:
+            fh.write(backup[f])
+    journal = f"{table}.__delete_journal_deadbeef.json"
+    with open(journal, "w") as fh:
+        json.dump({"remove": victim, "manifest": mf, "col": "unique_id"}, fh)
+    # crash state: duplicated rows are visible (old + rewritten file)
+    assert spark.read.parquet(table).count() > 199
+
+    stats = maintenance.recover_pending_deletes(spark, table)
+    assert stats["journals"] == 1 and stats["files_removed"] == len(victim)
+    after = spark.read.parquet(table)
+    assert after.count() == 199
+    assert after.filter(F.col("unique_id") == "id000010").count() == 0
+    assert glob.glob(f"{table}.__delete_journal_*.json") == []
+    # manifest rebuilt over the recovered layout still prunes correctly
+    rows = layout.load_manifest(spark, mf)
+    assert layout.manifest_pruned_scan_cached(spark, table, rows, ["id000011"]).count() == 1
+    # idempotent: a second recovery pass is a no-op
+    assert maintenance.recover_pending_deletes(spark, table) == {
+        "journals": 0, "files_removed": 0,
+    }
