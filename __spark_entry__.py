@@ -4239,32 +4239,32 @@ def _a121_entity_resolution(spark, sf_dir):
     pipeline.  Scale shape: candidate volume is sum of block-size^2, so
     block keys must stay selective — the engineered worst case (ALL 15k
     sf0.1 customers in ONE block = 112M pairs) measured 341 s purely
-    pair-volume-bound (tools/probe_r6b.py), so at 100 TB sub-block hot
-    keys (e.g. add an acctbal bucket to the key) the same way a93 caps
-    hot shingles; scoring is pure expressions, the top-k is
+    pair-volume-bound (tools/probe_r6b.py).  r7: the hot-block cap is now
+    ENFORCED via dedup.blocked_candidate_pairs(max_block_size=2000) —
+    oversized blocks sub-block by id rank, bounding per-key candidates at
+    ~n*cap/2.  The cap never bites at test SFs (largest (nation, segment)
+    block is ~120 customers at sf0.1), so the full-quadratic SQL oracle
+    stays exact; scoring is pure expressions, the top-k is
     TakeOrderedAndProject."""
     from pyspark.sql import Window
 
+    from persistor_spark.analytics import dedup
     from persistor_spark.sources.registry import load_table
 
     c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
-    )
-    a = c.select(
         F.col("c_nationkey").alias("nk"),
         F.col("c_mktsegment").alias("seg"),
-        F.col("c_custkey").alias("a"),
-        F.col("c_name").alias("name_a"),
-        F.col("c_acctbal").alias("bal_a"),
+        F.col("c_custkey").alias("cid"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
     )
-    b = c.select(
-        F.col("c_nationkey").alias("nk"),
-        F.col("c_mktsegment").alias("seg"),
-        F.col("c_custkey").alias("b"),
-        F.col("c_name").alias("name_b"),
-        F.col("c_acctbal").alias("bal_b"),
+    pairs = dedup.blocked_candidate_pairs(
+        c, ["nk", "seg"], id_col="cid", max_block_size=2000
+    ).select(
+        "nk", "seg",
+        F.col("cid_a").alias("a"), F.col("name_a"), F.col("bal_a"),
+        F.col("cid_b").alias("b"), F.col("name_b"), F.col("bal_b"),
     )
-    pairs = a.join(b, ["nk", "seg"]).filter(F.col("a") < F.col("b"))
     name_sim = F.lit(1.0) - F.levenshtein("name_a", "name_b") / F.greatest(
         F.length("name_a"), F.length("name_b")
     )

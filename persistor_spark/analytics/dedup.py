@@ -1525,3 +1525,53 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= F.lit(max_dist))
         .select("a", "b", "dist")
     )
+
+
+def blocked_candidate_pairs(
+    df: DataFrame,
+    block_cols: list[str],
+    id_col: str,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Blocked candidate generation for entity resolution (the Fellegi–
+    Sunter front half): self-join on `block_cols`, each unordered pair
+    kept once (id_a < id_b).  All non-block columns come back twice with
+    `_a` / `_b` suffixes for the caller's scoring expressions.
+
+    `max_block_size` is the ENFORCED hot-block cap (r6 ADVICE — it was
+    docstring-only): any block larger than the cap is SUB-BLOCKED by id
+    rank, so per-key candidate volume is bounded by ~n*max_block_size/2
+    instead of n²/2 (the engineered worst case — all 15k sf0.1 customers
+    in ONE block = 112M pairs, measured 341 s — drops ~8x under cap 2000).
+    Pairs crossing sub-blocks inside a hot block are the documented recall
+    loss; a second pass with a rotated blocking key recovers them (same
+    discipline as a93's max_doc_freq / edit_distance_pairs' drop-cap,
+    but splitting loses only cross-sub pairs where dropping loses the
+    whole block).  Blocks at or under the cap are split-free, so capped
+    and uncapped output are IDENTICAL on a corpus with no hot keys —
+    which keeps the full-quadratic SQL oracle valid wherever block sizes
+    stay under the cap.
+
+    Scale shape: sub-block assignment is one row_number window PER BLOCK
+    (parallel across blocks; a pathological single block costs one
+    per-block sort — O(n log n), vastly cheaper than its n² join); the
+    candidate join is a pure equi-join on block key + sub-block id."""
+    from pyspark.sql import Window
+
+    other = [c for c in df.columns if c not in block_cols]
+    if max_block_size is not None:
+        w = Window.partitionBy(*[F.col(c) for c in block_cols]).orderBy(id_col)
+        t = df.withColumn(
+            "__sub",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(max_block_size)).cast("long"),
+        )
+    else:
+        t = df.withColumn("__sub", F.lit(0))
+    key = [*block_cols, "__sub"]
+    left = t.select(*key, *[F.col(c).alias(f"{c}_a") for c in other])
+    right = t.select(*key, *[F.col(c).alias(f"{c}_b") for c in other])
+    return (
+        left.join(right, key)
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .drop("__sub")
+    )
