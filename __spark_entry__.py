@@ -2977,6 +2977,67 @@ def _e37_mad_outliers(spark, sf_dir):
     )
 
 
+def _e37b_approx_percentile(spark, sf_dir):
+    """The PRODUCTION twin of e37 (r6 VERDICT #5 — previously a docstring
+    pointer): per-source median / MAD via `percentile_approx` (t-digest /
+    Greenwald-Khanna state, BOUNDED memory per agg group), which is what a
+    100 TB deployment must run instead of e37's exact `percentile` (whose
+    agg state buffers every group value).
+
+    Oracle shape (tolerance-banded): an approximate answer can't be
+    hash-pinned value-for-value, so the TOLERANCE CHECK runs Spark-side —
+    for each group the query counts the empirical rank of the returned
+    approx median/MAD and emits whether it sits within the GK rank-error
+    bound (1/accuracy, plus slack for ties).  DuckDB pins the group keys,
+    exact doc counts, and the guaranteed all-true outcome.  A broken
+    percentile_approx (rank error beyond its contract) flips a boolean and
+    fails the hash."""
+    from persistor_spark.analytics import text
+
+    acc, tol = 1000, 0.002  # GK rank error <= 1/acc; 2x slack
+    docs = _docs(spark, sf_dir).select(
+        "source", text.token_count("text").cast("double").alias("tc")
+    )
+    med = docs.groupBy("source").agg(
+        F.percentile_approx("tc", 0.5, acc).alias("med_a"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    dev = docs.join(F.broadcast(med), "source").withColumn(
+        "adev", F.abs(F.col("tc") - F.col("med_a"))
+    )
+    mad = dev.groupBy("source").agg(
+        F.percentile_approx("adev", 0.5, acc).alias("mad_a")
+    )
+    # empirical rank of the approx statistic inside its own group: the
+    # returned value is a real data point, so rank-below / rank-at-or-below
+    # bracket the mass; within tolerance iff the 0.5 target falls in
+    # [frac_lt - tol, frac_le + tol]
+    checked = (
+        dev.join(F.broadcast(mad), "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_docs").alias("n_docs"),
+            (F.sum((F.col("tc") < F.col("med_a")).cast("long"))
+             / F.count(F.lit(1))).alias("med_lt"),
+            (F.sum((F.col("tc") <= F.col("med_a")).cast("long"))
+             / F.count(F.lit(1))).alias("med_le"),
+            (F.sum((F.col("adev") < F.col("mad_a")).cast("long"))
+             / F.count(F.lit(1))).alias("mad_lt"),
+            (F.sum((F.col("adev") <= F.col("mad_a")).cast("long"))
+             / F.count(F.lit(1))).alias("mad_le"),
+        )
+    )
+    within = lambda lt, le: (  # noqa: E731
+        (F.col(lt) - F.lit(tol) <= F.lit(0.5)) & (F.lit(0.5) <= F.col(le) + F.lit(tol))
+    )
+    return checked.select(
+        "source",
+        "n_docs",
+        within("med_lt", "med_le").alias("median_within_tol"),
+        within("mad_lt", "mad_le").alias("mad_within_tol"),
+    ).orderBy("source")
+
+
 def _a98_zipf_slope(spark, sf_dir):
     """Zipf-law fit per source: least-squares slope of ln(freq) on
     ln(rank) over the top-100 terms — natural text sits near -1, templated
@@ -5734,42 +5795,108 @@ def _a139_length_bucket_waste(spark, sf_dir):
     ).orderBy("cap")
 
 
+# Queries whose code changed this round (or are new this round): they claim
+# the head of the driver window ahead of the never-checked backlog.  UPDATE
+# EVERY ROUND — tests/test_rotation_window.py enforces that every other
+# window slot holds a query with no green driver row yet, until that
+# backlog is exhausted (r6 VERDICT #7: the rotation policy as a checked
+# invariant, not prose).
+ROTATION_HEAD = [
+    "a42_int8_quantize",
+    "a45_random_projection",
+    "a121_entity_resolution",
+    "a113_histogram_quantiles",
+    "a125_personalized_pagerank",
+    "d24_targeted_delete",
+    "e37b_approx_percentile",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
-    Round-6 rotation policy (fixes the r5 miss where the window duplicated
-    r4's exactly): the window is rebuilt around verification debt.  In
-    order: (1) the 23 queries that had NEVER had a driver CORRECTNESS row
-    (a85-a94, d23, e33, e34, a40-a43, a45-a48, a51, a54 -- previously at
-    positions 56-83); (2) queries whose CODE changed this round -- a75
-    (global ntile window replaced by the distributed two-level exact-rank
-    bucketing; same result, new plan) and the ANN family members now
-    reading the session-cached clustered corpus (a7/a25/a34; result
-    hash-identical by construction but re-pinned anyway); (3) the 22 new
-    round-6 operators (e35-e43, a95-a104, d24-d26).  Final r6 window =
-    23 debt + 4 changed + 22 new + d2 (the oldest remaining r2-era row)
-    = 50 exactly; the rest of the r2-era top-ups rotated back out when
-    the new-operator block grew.  Everything below the marker is
-    multiply-driver-green AND re-verified by tools/check.py (full-registry
-    gate at sf0.001 + sf0.01) plus pytest every round.
+    r7 ROTATION (executes the written r6 plan, NOTES_r6.md "Debt statement
+    for r7" + r6 VERDICT #2): the window is (1) every query whose CODE
+    changed this round — a42/a45 (array outputs serialized for the driver
+    canonicalizer; their r6 rows were the repo's only-ever reds), a121
+    (hot-block cap now enforced via blocked_candidate_pairs), a113
+    (histogram q=0 clamp), a125 (PPR seed dedup), d24 (delete_by_key
+    gained the crash-safe journal); (2) the one r7 addition e37b (the
+    percentile_approx production twin); (3) the never-driver-checked
+    backlog — ALL 11 d* (d27-d37), ALL 17 e* (e44-e55, e57-e61), then the
+    a-family in the r6 judge's plan-complexity priority order (a129, a124,
+    a117, a133, a134, a137, a138), then oldest-first (a105-a112) to fill
+    slot 50.  Remaining never-checked backlog carried to r8 (top of the
+    post-marker block, oldest-first): a114-a116, a118-a120, a122, a123,
+    a126-a128, a130-a132, a135, a136, a139 — 17 queries, down from 63 at
+    r6 end.  Everything below the marker is driver-green at least once AND
+    re-verified by tools/check.py (full-registry gate at sf0.001 + sf0.01)
+    plus pytest every round; tests/test_rotation_window.py enforces the
+    rotation policy as a checked invariant.
 
     Verify the actual window before round end with:
       python -c "import __spark_entry__ as e; print(list(e.queries())[:50])"
-
-    r7 ROTATION PLAN (write the window in the FIRST session of round 7):
-    the post-window block below the marker (d27 .. a138, ~88 entries) is
-    all never-driver-checked — more than one 50-slot window.  Order for
-    r7: (1) any query whose code changes in r7, then (2) the post-window
-    block OLDEST-FIRST exactly as listed (d27, a105, e44, ... a138) up to
-    slot 50; the remainder carries to r8 under the same rule.  Every
-    post-window entry already has full-registry tools/check.py green runs
-    at sf0.001 AND sf0.01 from the session that added it (plus the round's
-    final 233/233 sweeps), so this is verification-surface debt, not
-    suspected breakage.
     """
     return {
-        # ==== r6 DRIVER WINDOW (positions 1-50) ====
-        # -- (1) never driver-checked before r6: 23 queries
+        # ==== r7 DRIVER WINDOW (positions 1-50) ====
+        # -- (1) code changed in r7
+        "a42_int8_quantize": _a42_int8_quantize,
+        "a45_random_projection": _a45_random_projection,
+        "a121_entity_resolution": _a121_entity_resolution,
+        "a113_histogram_quantiles": _a113_histogram_quantiles,
+        "a125_personalized_pagerank": _a125_personalized_pagerank,
+        "d24_targeted_delete": _d24_targeted_delete,
+        # -- (2) new in r7
+        "e37b_approx_percentile": _e37b_approx_percentile,
+        # -- (3) never driver-checked: all d*, all e*, judge-priority a*,
+        # then oldest-first a-family
+        "d27_table_checksum": _d27_table_checksum,
+        "d28_storage_tiering": _d28_storage_tiering,
+        "d29_ingest_heatmap": _d29_ingest_heatmap,
+        "d30_zorder_layout": _d30_zorder_layout,
+        "d31_compaction_plan": _d31_compaction_plan,
+        "d32_column_drift": _d32_column_drift,
+        "d33_zonemap_audit": _d33_zonemap_audit,
+        "d34_ingest_lag": _d34_ingest_lag,
+        "d35_ingest_forecast": _d35_ingest_forecast,
+        "d36_consistent_hashing": _d36_consistent_hashing,
+        "d37_position_density": _d37_position_density,
+        "e44_user_mode": _e44_user_mode,
+        "e45_markov_transitions": _e45_markov_transitions,
+        "e46_time_weighted_avg": _e46_time_weighted_avg,
+        "e47_weekly_churn": _e47_weekly_churn,
+        "e48_longest_streak": _e48_longest_streak,
+        "e49_mom_growth": _e49_mom_growth,
+        "e50_ewma_smoothing": _e50_ewma_smoothing,
+        "e51_map_functions": _e51_map_functions,
+        "e52_min_cost_supplier": _e52_min_cost_supplier,
+        "e53_pareto_abc": _e53_pareto_abc,
+        "e54_sequence_gaps": _e54_sequence_gaps,
+        "e55_rolling_correlation": _e55_rolling_correlation,
+        "e57_chi_square": _e57_chi_square,
+        "e58_time_to_convert": _e58_time_to_convert,
+        "e59_forward_fill": _e59_forward_fill,
+        "e60_max_concurrency": _e60_max_concurrency,
+        "e61_fk_integrity": _e61_fk_integrity,
+        "a129_minhash_calibration": _a129_minhash_calibration,
+        "a124_image_dhash_pairs": _a124_image_dhash_pairs,
+        "a117_kmv_intersection": _a117_kmv_intersection,
+        "a133_davies_bouldin": _a133_davies_bouldin,
+        "a134_ols_pandas": _a134_ols_pandas,
+        "a137_rolling_distinct_sketch": _a137_rolling_distinct_sketch,
+        "a138_kcore_peel": _a138_kcore_peel,
+        "a105_lang_purity": _a105_lang_purity,
+        "a106_transitivity_gap": _a106_transitivity_gap,
+        "a107_sorted_neighborhood": _a107_sorted_neighborhood,
+        "a108_basket_rules": _a108_basket_rules,
+        "a109_edit_distance_join": _a109_edit_distance_join,
+        "a110_heaps_curve": _a110_heaps_curve,
+        "a111_skipgram_cooccurrence": _a111_skipgram_cooccurrence,
+        "a112_term_burstiness": _a112_term_burstiness,
+        # ---- driver window ends here (50) ---- below: driver-green at
+        # least once + full-gate re-verified every round.  FIRST IN LINE
+        # for the r8 window: the 17 never-driver-checked carryovers
+        # (a114..a139, oldest-first), then rotation by oldest driver row.
         "a85_length_histogram": _a85_length_histogram,
         "a86_type_token_stats": _a86_type_token_stats,
         "a87_split_balance": _a87_split_balance,
@@ -5785,30 +5912,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e34_band_join": _e34_band_join,
         "a40_tfidf_topterms": _a40_tfidf,
         "a41_source_rollup": _a41_source_rollup,
-        "a42_int8_quantize": _a42_int8_quantize,
         "a43_norm_fingerprint": _a43_norm_fingerprint,
-        "a45_random_projection": _a45_random_projection,
         "a46_dup_rate_by_source": _a46_dup_rate_by_source,
         "a47_temperature_mix": _a47_temperature_mix,
         "a48_shard_assign": _a48_shard_assign,
         "a51_vocab_coverage": _a51_vocab_coverage,
         "a54_boilerplate": _a54_boilerplate,
-        # -- (2) code changed in r6: a75 ntile -> two-level exact-rank
-        # plan (oracle unchanged); a7/a25/a34 seed from shared kmeans
         "a75_quality_calibration": _a75_quality_calibration,
         "a7_ivf_topk": _a_ivf_topk,
         "a25_pq_topk": _a_pq_topk,
         "a34_opq_topk": _a_opq_topk,
-        # -- (3) new r6 operators: global-rank histogram (the ntile_exact
-        # primitive through the driver in a second shape), per-source
-        # entropy, A-Res weighted sampling, sparse TF-IDF cosine join,
-        # bounded multi-source BFS
         "e35_equidepth_histogram": _e35_equidepth_histogram,
         "a95_source_entropy": _a95_source_entropy,
         "a96_weighted_sample": _a96_weighted_sample,
         "a97_sparse_cosine_pairs": _a97_sparse_cosine_pairs,
         "e36_graph_bfs": _e36_graph_bfs,
-        "d24_targeted_delete": _d24_targeted_delete,
         "e37_mad_outliers": _e37_mad_outliers,
         "a98_zipf_slope": _a98_zipf_slope,
         "a99_triangle_count": _a99_triangle_count,
@@ -5825,10 +5943,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d26_blob_skew_report": _d26_blob_skew_report,
         "a103_dup_pair_qa_sample": _a103_dup_pair_qa_sample,
         "a104_reshard_moves": _a104_reshard_moves,
-        # -- (4) late r6 change: simhash_pairs gained a checkpoint barrier
-        # (25 s -> 10 s at sf0.1, rows hash-identical); a4 re-pins the
-        # changed function through the driver, a19 (same function, other
-        # geometry) stays gate-pinned below with its two driver rows
         "a4_simhash_pairs": _a_simhash,
         "d3_interval_page": _d3,
         "d4_interval_count": _d4,
@@ -5852,75 +5966,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
         "a3_minhash_lsh_pairs": _a_minhash_lsh,
         "a5_embedding_topk": _a_embedding_topk,
-        # ---- driver window ends here (50) ---- below: multiply-
-        # driver-green, re-verified by the full tools/check.py gate at
-        # both SFs + pytest every round.  The r4/r5 window block
-        # (a56-a84, e24-e32, d22, CC/chunking/split set, a19,
-        # a32/a33, a55/a60/a69, a12) rotates down on double-green rows.
-        # -- added AFTER the r6 window filled (gate-green both SFs):
-        # FIRST IN LINE for the r7 window, per the rotation policy
-        "d27_table_checksum": _d27_table_checksum,
-        "a105_lang_purity": _a105_lang_purity,
-        "e44_user_mode": _e44_user_mode,
-        "a106_transitivity_gap": _a106_transitivity_gap,
-        "a107_sorted_neighborhood": _a107_sorted_neighborhood,
-        "a108_basket_rules": _a108_basket_rules,
-        "a109_edit_distance_join": _a109_edit_distance_join,
-        "e45_markov_transitions": _e45_markov_transitions,
-        "e46_time_weighted_avg": _e46_time_weighted_avg,
-        "a110_heaps_curve": _a110_heaps_curve,
-        "a111_skipgram_cooccurrence": _a111_skipgram_cooccurrence,
-        "a112_term_burstiness": _a112_term_burstiness,
-        "e47_weekly_churn": _e47_weekly_churn,
-        "d28_storage_tiering": _d28_storage_tiering,
-        "a113_histogram_quantiles": _a113_histogram_quantiles,
         "a114_mutual_information": _a114_mutual_information,
         "a115_chao1_richness": _a115_chao1_richness,
-        "d29_ingest_heatmap": _d29_ingest_heatmap,
-        "d30_zorder_layout": _d30_zorder_layout,
-        "e48_longest_streak": _e48_longest_streak,
         "a116_bpe_merge_pairs": _a116_bpe_merge_pairs,
-        "e49_mom_growth": _e49_mom_growth,
-        "a117_kmv_intersection": _a117_kmv_intersection,
         "a118_two_stage_rerank": _a118_two_stage_rerank,
-        "e50_ewma_smoothing": _e50_ewma_smoothing,
         "a119_nucleus_vocab": _a119_nucleus_vocab,
         "a120_quantile_normalize": _a120_quantile_normalize,
-        "a121_entity_resolution": _a121_entity_resolution,
         "a122_ols_sufficient_stats": _a122_ols_sufficient_stats,
-        "d31_compaction_plan": _d31_compaction_plan,
-        "e51_map_functions": _e51_map_functions,
         "a123_ams_f2": _a123_ams_f2,
-        "a124_image_dhash_pairs": _a124_image_dhash_pairs,
-        "e52_min_cost_supplier": _e52_min_cost_supplier,
-        "e53_pareto_abc": _e53_pareto_abc,
-        "d32_column_drift": _d32_column_drift,
-        "a125_personalized_pagerank": _a125_personalized_pagerank,
         "a126_coverage_selection": _a126_coverage_selection,
-        "e54_sequence_gaps": _e54_sequence_gaps,
-        "d33_zonemap_audit": _d33_zonemap_audit,
         "a127_hard_negatives": _a127_hard_negatives,
         "a128_lang_confusion": _a128_lang_confusion,
-        "a129_minhash_calibration": _a129_minhash_calibration,
-        "d34_ingest_lag": _d34_ingest_lag,
-        "e55_rolling_correlation": _e55_rolling_correlation,
         "a130_waterfill_mixture": _a130_waterfill_mixture,
         "a131_label_dispersion": _a131_label_dispersion,
-        "e57_chi_square": _e57_chi_square,
         "a132_benford_audit": _a132_benford_audit,
-        "d35_ingest_forecast": _d35_ingest_forecast,
-        "e58_time_to_convert": _e58_time_to_convert,
-        "d36_consistent_hashing": _d36_consistent_hashing,
-        "e59_forward_fill": _e59_forward_fill,
-        "d37_position_density": _d37_position_density,
-        "a133_davies_bouldin": _a133_davies_bouldin,
-        "a134_ols_pandas": _a134_ols_pandas,
-        "e60_max_concurrency": _e60_max_concurrency,
         "a135_matryoshka_quality": _a135_matryoshka_quality,
         "a136_curriculum_interleave": _a136_curriculum_interleave,
-        "e61_fk_integrity": _e61_fk_integrity,
-        "a137_rolling_distinct_sketch": _a137_rolling_distinct_sketch,
-        "a138_kcore_peel": _a138_kcore_peel,
         "a139_length_bucket_waste": _a139_length_bucket_waste,
         "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
@@ -9040,6 +9101,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT md.source, median_tc, mad_tc, CAST(n_docs AS BIGINT) AS n_docs, "
             "  CAST(coalesce(n_outliers, 0) AS BIGINT) AS n_outliers "
             "FROM md LEFT JOIN o ON md.source = o.source ORDER BY md.source"
+        ),
+        # e37b: the tolerance check runs SPARK-side (empirical rank of the
+        # approx statistic vs the GK error bound); the oracle pins group
+        # keys, exact counts, and the guaranteed all-within-tolerance
+        # outcome — a broken percentile_approx flips a boolean.
+        "e37b_approx_percentile": (
+            "SELECT source, count(*) AS n_docs, true AS median_within_tol, "
+            "true AS mad_within_tol FROM documents GROUP BY source ORDER BY source"
         ),
         "a98_zipf_slope": (
             "WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS t "

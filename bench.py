@@ -3,7 +3,17 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {"<name>": sec, ...}, "sf": <sf>}
+   "queries": {"<name>": sec, ...}, "sf": <sf>,
+   "repeats": N, "runs": {"<name>": [sec, ...]}, "variance": {...}}
+
+Repeat protocol (r7, VERDICT #6 re-baseline): each query runs
+$SPARK_GRAFT_BENCH_REPEATS times (default 3) and "queries" records the
+WARM MEDIAN — r5 vs r6 showed ambient machine drift (+16% uniform) larger
+than most real per-query deltas, so single-shot numbers conflate weather
+with code.  "runs" keeps every raw timing and "variance" the per-query
+relative spread ((max-min)/median) so cross-round regression calls can
+check dispersion before blaming code.  Stateful benches allocate fresh
+working dirs per repeat (ctx.fresh), so every repeat does identical work.
 
 Shape mirrors production: `ingest_persist` runs the full ingest and WRITES
 the partitioned blob + index tables to disk once; the query/resubmit benches
@@ -44,10 +54,18 @@ class Ctx:
     def __init__(self, spark, workdir):
         self.spark = spark
         self.workdir = workdir
+        self._fresh_n = 0
         self.index_raw_path = f"{workdir}/index_raw"
         self.index_path = f"{workdir}/index"
         self.manifest_path = f"{workdir}/index_manifest"
         self.blob_path = f"{workdir}/blobs"
+
+    def fresh(self, name: str) -> str:
+        """A unique working path per call: repeated runs of a stateful
+        bench (append-mode writes, stream checkpoints, copytree targets)
+        must not collide with their own earlier repeats."""
+        self._fresh_n += 1
+        return f"{self.workdir}/{name}_r{self._fresh_n}"
 
     def index(self):
         return self.spark.read.parquet(self.index_path)
@@ -64,6 +82,10 @@ def bench_ingest_persist(ctx: Ctx):
     index writes don't each recompute it.  The unique_id range-sort that r2
     folded in here is now its own bench line (`index_layout`) so the two
     costs are visible separately; their sum is comparable to the old line."""
+    # fresh dirs per repeat: write_index appends, so re-running into the
+    # same path would double rows for every downstream query
+    ctx.blob_path = ctx.fresh("blobs")
+    ctx.index_raw_path = ctx.fresh("index_raw")
     result = fixtures.run_fixture_ingest(ctx.spark, SF_DIR, persist_intermediate=True)
     ingest.write_blobs(result, ctx.blob_path, fmt="parquet")
     ingest.write_index(result, ctx.index_raw_path, optimize_layout=False)
@@ -78,6 +100,8 @@ def bench_index_layout(ctx: Ctx):
     file-listing bound (3.4x time for 10x rows); fewer files + a manifest is
     the deploy-grade fix — lookups open one manifest + the one matching data
     file.  Downstream query benches read THIS layout."""
+    ctx.index_path = ctx.fresh("index")
+    ctx.manifest_path = ctx.fresh("index_manifest")
     (
         ctx.spark.read.parquet(ctx.index_raw_path)
         .repartitionByRange(8, "unique_id")
@@ -254,7 +278,7 @@ def bench_stream_ingest(ctx: Ctx):
     from persistor_spark.streaming import ingest_stream
 
     msgs = fixtures.load_messages(ctx.spark, SF_DIR)
-    src = f"{ctx.workdir}/stream_src"
+    src = ctx.fresh("stream_src")
     # exactly ONE parquet file per chunk -> deterministic 4 micro-batches
     # (hash-repartition by chunk can leave collisions/empty partitions)
     for i in range(4):
@@ -265,10 +289,10 @@ def bench_stream_ingest(ctx: Ctx):
             .parquet(src)
         )
     sinks = ingest_stream.StreamSinks(
-        blob_path=f"{ctx.workdir}/stream_blobs",
-        index_path=f"{ctx.workdir}/stream_index",
-        deadletter_path=f"{ctx.workdir}/stream_dlq",
-        checkpoint_path=f"{ctx.workdir}/stream_ckpt",
+        blob_path=ctx.fresh("stream_blobs"),
+        index_path=ctx.fresh("stream_index"),
+        deadletter_path=ctx.fresh("stream_dlq"),
+        checkpoint_path=ctx.fresh("stream_ckpt"),
     )
     cfg = fixtures.fixture_ingest_config()
     stream = ingest_stream.file_stream(ctx.spark, src, max_files_per_trigger=1)
@@ -317,10 +341,16 @@ def _lsh_index_path(ctx: Ctx):
 def bench_dedup_index_build(ctx: Ctx):
     """Sketch half the corpus and persist it as the band-partitioned LSH
     index (posting-list layout).  Paid once per corpus — the dedup analogue
-    of ann_ivfpq_build."""
+    of ann_ivfpq_build.  Each repeat REBUILDS into a fresh dir (identical
+    work per repeat); the last build is what dedup_incremental probes."""
     from persistor_spark.analytics import dedup
 
-    path = _lsh_index_path(ctx)
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    path = ctx.fresh("lsh_index")
+    dedup.lsh_index_save(
+        dedup.build_band_table(docs.filter(F.col("doc_id") % 2 == 0)), path
+    )
+    ctx.lsh_index_path = path
     return dedup.lsh_index_load(ctx.spark, path).count()
 
 
@@ -350,7 +380,7 @@ def bench_index_compaction(ctx: Ctx):
     from persistor_spark.plans import maintenance
 
     docs = load_table(ctx.spark, SF_DIR, "documents")
-    idx = f"{ctx.workdir}/frag_lsh_index"
+    idx = ctx.fresh("frag_lsh_index")
     dedup.lsh_index_save(
         dedup.build_band_table(docs.filter(F.col("doc_id") % 2 == 0)), idx
     )
@@ -382,8 +412,8 @@ def bench_targeted_delete(ctx: Ctx):
 
     from persistor_spark.plans import maintenance
 
-    tbl = f"{ctx.workdir}/index_delcopy"
-    mf = f"{ctx.workdir}/manifest_delcopy"
+    tbl = ctx.fresh("index_delcopy")
+    mf = ctx.fresh("manifest_delcopy")
     _sh.copytree(ctx.index_path, tbl)
     layout.write_minmax_manifest(ctx.spark, tbl, mf)
     t0 = time.time()
@@ -408,7 +438,7 @@ def bench_zorder_layout(ctx: Ctx):
     li = load_table(ctx.spark, SF_DIR, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
     )
-    zp = f"{ctx.workdir}/lineitem_z"
+    zp = ctx.fresh("lineitem_z")
     layout.write_zordered(li, zp, "l_partkey", "l_suppkey", 16, 10, n_files=16)
     touched = layout.files_containing(
         ctx.spark,
@@ -459,25 +489,39 @@ QUERIES = {
 }
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def main():
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     spark = build_session("persistor-bench")
     workdir = tempfile.mkdtemp(prefix="persistor-bench-")
     ctx = Ctx(spark, workdir)
     # warm the JVM + file listing so per-query times reflect plan execution
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
-    times: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     try:
         for name, fn in QUERIES.items():
-            t0 = time.time()
-            ret = fn(ctx)
-            # self_timed benches exclude their own setup (e.g. writing the
-            # stream's source chunks) and return the seconds to record
-            elapsed = ret if getattr(fn, "self_timed", False) else time.time() - t0
-            times[name] = round(elapsed, 3)
+            runs[name] = []
+            for _ in range(repeats):
+                t0 = time.time()
+                ret = fn(ctx)
+                # self_timed benches exclude their own setup (e.g. writing
+                # the stream's source chunks) and return seconds to record
+                elapsed = ret if getattr(fn, "self_timed", False) else time.time() - t0
+                runs[name].append(round(elapsed, 3))
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
+    times = {name: round(_median(r), 3) for name, r in runs.items()}
+    spread = {
+        name: round((max(r) - min(r)) / max(_median(r), 1e-9), 3)
+        for name, r in runs.items()
+    }
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -487,6 +531,9 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": _sf(),
+                "repeats": repeats,
+                "runs": runs,
+                "variance": spread,
             }
         )
     )

@@ -1,0 +1,92 @@
+"""The driver-window rotation policy as a checked invariant (r6 VERDICT #7).
+
+The driver's per-round CORRECTNESS gate verifies only the FIRST 50 entries
+of `__spark_entry__.queries()`.  The policy (NOTES_r6.md "Debt statement
+for r7"): code-changed/new queries claim the head of the window
+(`ROTATION_HEAD`), and every remaining slot must go to a query that has
+never had a GREEN driver row — until that backlog is exhausted, at which
+point slots are free.  These tests fail the build when a round's window
+wastes slots on already-verified queries while never-checked debt exists
+(the r4/r5 miss that let 63 queries accumulate without a driver row).
+
+No Spark session needed — this is registry + JSON bookkeeping.
+"""
+
+import glob
+import json
+import os
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WINDOW = 50
+
+
+def _registry():
+    import sys
+
+    sys.path.insert(0, REPO)
+    import __spark_entry__ as entrymod
+
+    return entrymod
+
+
+def _green_ever():
+    """Query names with at least one green driver row in any round's
+    CORRECTNESS file (green = ran without error and nothing mismatched;
+    rows-only records count — the driver records hash_match=None there)."""
+    green = set()
+    for path in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        with open(path) as fh:
+            rounds = json.load(fh)
+        for name, rec in rounds.items():
+            if rec.get("err") is None and all(
+                rec.get(k) is not False
+                for k in ("rows_match", "schema_match", "hash_match")
+            ):
+                green.add(name)
+    return green
+
+
+def test_rotation_head_is_declared_and_small():
+    e = _registry()
+    window = list(e.queries())[:WINDOW]
+    assert len(e.ROTATION_HEAD) <= 15, (
+        "ROTATION_HEAD is the code-changed/new head, not a parking lot"
+    )
+    missing = [q for q in e.ROTATION_HEAD if q not in window]
+    assert not missing, f"ROTATION_HEAD entries outside the window: {missing}"
+
+
+def test_window_prioritizes_never_green_queries():
+    e = _registry()
+    names = list(e.queries())
+    window = names[:WINDOW]
+    green = _green_ever()
+    never = [q for q in names if q not in green]
+    backlog_outside = [q for q in never if q not in window]
+    # any slot spent on an already-green, non-head query while never-green
+    # debt waits outside the window is a wasted slot — the exact failure
+    # mode of rounds 4-5
+    wasted = [q for q in window if q in green and q not in e.ROTATION_HEAD]
+    if backlog_outside:
+        assert not wasted, (
+            f"window wastes {len(wasted)} slot(s) on already-green queries "
+            f"({wasted[:5]}...) while {len(backlog_outside)} never-checked "
+            f"queries wait outside: {backlog_outside[:5]}..."
+        )
+
+
+def test_every_query_has_an_oracle_or_is_known_rows_only():
+    e = _registry()
+    missing = [q for q in e.queries() if q not in e.oracle_sql()]
+    assert missing == [], f"queries with no oracle entry: {missing}"
+
+
+@pytest.mark.parametrize("dup_check", ["queries", "oracle_sql"])
+def test_registry_has_no_duplicate_keys(dup_check):
+    # dict literals silently drop duplicate keys; a dropped query would
+    # vanish from the gate without an error — pin the expected sizes
+    e = _registry()
+    d = getattr(e, dup_check)()
+    assert len(d) == len(set(d)) >= 235
