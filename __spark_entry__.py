@@ -1768,18 +1768,23 @@ def _e17_term_heavy_hitters(spark, sf_dir):
 def _a22_repetition(spark, sf_dir):
     """Gopher duplicate n-gram fraction (Rae et al. 2021 §A1.1): per-doc
     repetition signal at n=2 and n=3.  Pure per-row JVM array expressions —
-    zero shuffle; at 100 TB this is a narrow map over the scan."""
+    zero data shuffle beyond the presentation sort; at 100 TB this is a
+    narrow map over the scan.
+
+    Two plan choices, both measured at sf0.1 (r7): the staged helper
+    evaluates tokens/grams once per row (5x over the expression form, which
+    gets no CSE in an interpreted HOF Project), and the sort runs BEFORE the
+    expensive projection — a global sort ABOVE it would range-sample the
+    projected child and evaluate the whole gram build twice (18.8 s -> 3.6 s
+    cold together)."""
     from persistor_spark.analytics import text
 
-    return (
-        _docs(spark, sf_dir)
-        .select(
-            "doc_id",
-            F.round(text.duplicate_ngram_fraction("text", 2), 4).alias("dup_2gram"),
-            F.round(text.duplicate_ngram_fraction("text", 3), 4).alias("dup_3gram"),
-        )
-        .orderBy("doc_id")
-    )
+    return text.with_duplicate_ngram_fractions(
+        _docs(spark, sf_dir).orderBy("doc_id"),
+        "text",
+        (2, 3),
+        round_digits=4,
+    ).select("doc_id", "dup_2gram", "dup_3gram")
 
 
 def _a23_quality_rules(spark, sf_dir):

@@ -112,6 +112,59 @@ def duplicate_ngram_fraction(text: Column | str = "text", n: int = 3) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def with_duplicate_ngram_fractions(
+    df: DataFrame,
+    text_col: str = "text",
+    ns: tuple[int, ...] = (2, 3),
+    col_fmt: str = "dup_{n}gram",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Staged (multi-Project) form of `duplicate_ngram_fraction` for one or
+    more n at once: tokenize ONCE, build each n's gram array ONCE, then
+    derive the fractions.
+
+    Why a DataFrame helper instead of the Column expression: higher-order
+    functions (`transform`) are not whole-stage-codegen-supported, so the
+    single-expression form gets an interpreted Project with NO runtime
+    common-subexpression elimination — the plan re-evaluates the gram build
+    3x per n (guard, distinct, total) and `split` ~12x.  Staging through
+    intermediate columns keeps each expensive expression in its own Project
+    (CollapseProject refuses to inline non-cheap aliases referenced more
+    than once), so tokenization and each gram array are evaluated exactly
+    once per row.  Measured at sf0.1: 5x faster than the expression form.
+    Narrow per-row map either way — no shuffle; the win is pure CPU.
+    """
+    toks = tokens(text_col)
+    temps = ["_dnf_toks", "_dnf_m"] + [f"_dnf_g{n}" for n in ns]
+    out = df.withColumns({"_dnf_toks": toks, "_dnf_m": F.size(toks)})
+
+    def gram_builder(n: int):
+        # closure factory: a default-arg lambda would have arity 2 and be
+        # (mis)treated by F.transform as an (element, index) lambda
+        return lambda i: F.array_join(F.slice(F.col("_dnf_toks"), i, n), " ")
+
+    for n in ns:
+        g = F.when(
+            F.col("_dnf_m") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.col("_dnf_m") - (n - 1)), gram_builder(n)
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        out = out.withColumn(f"_dnf_g{n}", g)
+    fracs = {}
+    for n in ns:
+        total = F.size(F.col(f"_dnf_g{n}"))
+        frac = F.when(
+            total > 0,
+            F.lit(1.0)
+            - F.size(F.array_distinct(F.col(f"_dnf_g{n}"))).cast("double") / total,
+        ).otherwise(F.lit(0.0))
+        if round_digits is not None:
+            frac = F.round(frac, round_digits)
+        fracs[col_fmt.format(n=n)] = frac
+    return out.withColumns(fracs).drop(*temps)
+
+
 def symbol_ratio(text: Column | str = "text") -> Column:
     """Fraction of characters outside [A-Za-z0-9 ]."""
     c = F.col(text) if isinstance(text, str) else text
@@ -137,11 +190,13 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     the conjunction `keep` — the cheap pre-filter stage before model-based
     scoring in a training-data pipeline.  All flags are narrow per-row JVM
     expressions; filtering on `keep` pushes to the scan."""
-    t = tokens(text_col)
     sw = F.array(*[F.lit(w) for w in QUALITY_STOPWORDS])
-    n_stop = F.size(F.array_intersect(F.array_distinct(t), sw))
+    # Staged via with_duplicate_ngram_fractions (see its docstring): the
+    # repetition flag needs BOTH n=2 and n=3 fractions, and the expression
+    # form would rebuild tokens + grams several times per row with no CSE.
     out = (
-        df.withColumn(
+        with_duplicate_ngram_fractions(df, text_col, (2, 3), "_gf_dup{n}")
+        .withColumn(
             "flag_words",
             token_count(text_col).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
         )
@@ -152,12 +207,17 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
         .withColumn("flag_symbols", symbol_ratio(text_col) <= GOPHER_MAX_SYMBOL_RATIO)
-        .withColumn("flag_stopwords", n_stop >= GOPHER_MIN_STOPWORDS)
+        .withColumn(
+            "flag_stopwords",
+            F.size(F.array_intersect(F.array_distinct(tokens(text_col)), sw))
+            >= GOPHER_MIN_STOPWORDS,
+        )
         .withColumn(
             "flag_repetition",
-            (duplicate_ngram_fraction(text_col, 2) <= GOPHER_MAX_DUP_2GRAM)
-            & (duplicate_ngram_fraction(text_col, 3) <= GOPHER_MAX_DUP_3GRAM),
+            (F.col("_gf_dup2") <= GOPHER_MAX_DUP_2GRAM)
+            & (F.col("_gf_dup3") <= GOPHER_MAX_DUP_3GRAM),
         )
+        .drop("_gf_dup2", "_gf_dup3")
     )
     return out.withColumn(
         "keep",
