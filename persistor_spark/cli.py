@@ -88,6 +88,11 @@ def cmd_query(args) -> int:
     from persistor_spark.plans.query import IndexQuery
 
     spark = build_session("persistor-query")
+    # finish any delete_by_key swap that crashed mid-flight BEFORE serving
+    # rows — otherwise the stale layout answers with duplicated rows
+    from persistor_spark.plans import maintenance
+
+    maintenance.recover_pending_deletes(spark, args.index)
     iq = IndexQuery(spark.read.parquet(args.index), cache_counts=True)
     try:
         return _run_query_op(args, iq)
@@ -174,6 +179,13 @@ def cmd_serve(args) -> int:
     from persistor_spark.plans.query import IndexQuery
 
     spark = build_session("persistor-serve")
+    # startup recovery contract (plans.maintenance): a crash between the
+    # delete swap's "new files in" and "originals removed" steps must be
+    # resumed before queries see the table, or every affected lookup
+    # returns duplicated rows against a stale manifest
+    from persistor_spark.plans import maintenance
+
+    maintenance.recover_pending_deletes(spark, args.index)
     indexes = {args.collection: IndexQuery(spark.read.parquet(args.index), cache_counts=True)}
     servers = [srv.serve_indexer_api(indexes, ("127.0.0.1", args.port))]
     if args.blobs and args.out:

@@ -1,0 +1,141 @@
+"""URI-agnostic file operations via the Hadoop FileSystem API.
+
+Spark's own read/write paths already work against any store the cluster
+can reach (file:/, hdfs://, gs://, abfss://, s3a:// — `spark.read.parquet`
+resolves the scheme through Hadoop).  What was NOT agnostic were the
+maintenance-time steps around those reads/writes — the compaction swap,
+the delete-journal, trash sweeping, file listing — which used
+`os.rename`/`os.remove`/`glob` and silently assumed a local filesystem
+(flagged in the r6 ADVICE on `plans.maintenance`).  This module routes
+those steps through `org.apache.hadoop.fs.FileSystem` obtained from the
+session JVM, so `compact_parquet` / `delete_by_key` /
+`recover_pending_deletes` operate on exactly the set of stores Spark
+itself can write.
+
+Object-store semantics (public Hadoop connector docs; relevant because
+the reference targets GCS/Azure blob storage — storage.go):
+
+- `rename()` is a metadata op on HDFS and local FS, but COPY+DELETE
+  (O(data), non-atomic for directories) on gs://abfss://s3a://.  The swap
+  caveats in `plans.maintenance`'s module docstring apply doubly there;
+  at serious scale prefer compacting into a versioned prefix and flipping
+  a pointer (the Iceberg/Delta pattern this layout approximates).
+- `create(overwrite=True)` + single-file `rename` gives last-writer-wins
+  visibility for the delete journal — sufficient, since the journal is
+  written before any destructive step and removed only after recovery
+  completes.
+- The local scheme goes through Hadoop's checksummed LocalFileSystem, so
+  sibling `.crc` files are created/renamed/removed consistently with
+  their data files.
+"""
+
+from __future__ import annotations
+
+
+def _conf(spark):
+    return spark._jsc.hadoopConfiguration()
+
+
+def jpath(spark, path: str):
+    """A jvm org.apache.hadoop.fs.Path for a path string of any scheme."""
+    return spark._jvm.org.apache.hadoop.fs.Path(path)
+
+
+def fs_for(spark, path: str):
+    """The FileSystem instance owning `path`'s scheme+authority."""
+    return jpath(spark, path).getFileSystem(_conf(spark))
+
+
+def exists(spark, path: str) -> bool:
+    return fs_for(spark, path).exists(jpath(spark, path))
+
+
+def delete(spark, path: str, recursive: bool = True) -> bool:
+    """Delete a file or directory tree.  Returns False if absent."""
+    fs = fs_for(spark, path)
+    p = jpath(spark, path)
+    if not fs.exists(p):
+        return False
+    return fs.delete(p, recursive)
+
+
+def rename(spark, src: str, dst: str, overwrite: bool = False) -> None:
+    """Rename/move `src` to `dst`, raising on failure (Hadoop's rename
+    returns False instead of raising for most failure modes — surface
+    those).  With `overwrite`, an existing destination FILE is removed
+    first (Hadoop rename never clobbers)."""
+    fs = fs_for(spark, src)
+    s, d = jpath(spark, src), jpath(spark, dst)
+    if overwrite and fs.exists(d):
+        fs.delete(d, False)
+    if not fs.rename(s, d):
+        raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def glob(spark, pattern: str) -> list[str]:
+    """Paths (full URI strings) matching a Hadoop glob pattern."""
+    fs = fs_for(spark, pattern)
+    statuses = fs.globStatus(jpath(spark, pattern))
+    if statuses is None:
+        return []
+    return [s.getPath().toString() for s in statuses]
+
+
+def list_files(spark, path: str, suffix: str = ".parquet") -> list[str]:
+    """Recursively list files under `path` with the given suffix (full URI
+    strings).  Uses the FileSystem's recursive iterator — one listing call
+    per store page, not one per directory."""
+    fs = fs_for(spark, path)
+    p = jpath(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(suffix):
+            out.append(name)
+    return out
+
+
+def total_size(spark, path: str, suffix: str = ".parquet") -> int:
+    """Sum of file lengths under `path` with the given suffix (bytes)."""
+    fs = fs_for(spark, path)
+    p = jpath(spark, path)
+    if not fs.exists(p):
+        return 0
+    total = 0
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        if st.getPath().toString().endswith(suffix):
+            total += st.getLen()
+    return total
+
+
+def write_text(spark, path: str, text: str) -> None:
+    """Write a small text file with last-writer-wins visibility: create a
+    sibling `.tmp` (overwrite), hflush/close, then rename over `path`."""
+    fs = fs_for(spark, path)
+    tmp = path + ".tmp"
+    out = fs.create(jpath(spark, tmp), True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+        out.hflush()
+    finally:
+        out.close()
+    rename(spark, tmp, path, overwrite=True)
+
+
+def read_text(spark, path: str) -> str:
+    """Read a small text file fully into a string."""
+    jvm = spark._jvm
+    fs = fs_for(spark, path)
+    stream = fs.open(jpath(spark, path))
+    try:
+        buf = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, buf, 8192)
+        return bytes(buf.toByteArray()).decode("utf-8")
+    finally:
+        stream.close()

@@ -61,28 +61,24 @@ def compact(
     open/footer costs dominate scans).  Returns the new file count.
 
     Rewrite is atomic-by-rename at the directory level: write to a temp dir,
-    then swap.  On object stores use a manifest/Delta instead; locally the
-    rename is safe."""
+    then swap.  Sizing + swap route through the Hadoop FileSystem API
+    (plans.fsutil), so this works on any scheme Spark can write; on object
+    stores prefer a manifest/Delta (rename is copy+delete there)."""
     import math
-    import os
-    import shutil
     import uuid
 
+    from persistor_spark.plans import fsutil
+
     df = spark.read.parquet(path)
-    total_bytes = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, files in os.walk(path)
-        for f in files
-        if f.endswith(".parquet")
-    )
+    total_bytes = fsutil.total_size(spark, path)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
     tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
     out = df.repartition(n_files)
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
     out.write.parquet(tmp)
-    shutil.rmtree(path)
-    os.rename(tmp, path)
+    fsutil.delete(spark, path, recursive=True)
+    fsutil.rename(spark, tmp, path)
     return n_files
 
 

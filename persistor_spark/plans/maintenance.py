@@ -8,18 +8,24 @@ many small files and scan cost goes listing/open-bound.  `compact_parquet`
 is the periodic fix: rewrite each partition's row set into ~target-sized
 files, swapping the layouts with deferred cleanup of the old one.
 
+All file manipulation here goes through `plans.fsutil` (the Hadoop
+FileSystem API), so these routines run against any store Spark itself can
+reach — file:/, hdfs://, gs://, abfss://, s3a:// — not just the local
+filesystem (r6 ADVICE item; the earlier implementation used
+os.rename/os.remove and was local-only).
+
 Swap semantics (be precise — this runs inside live streaming loops via
 `compact_every`):
 
 - The compacted copy is fully written to a sibling temp dir before any
   rename, so the data itself is never at risk.
-- The swap is TWO renames (old -> trash, new -> live).  Plain POSIX rename
-  can't exchange two directories atomically, so there is a brief window
-  between them where the live path does not exist: a reader LISTING the
-  dataset exactly then sees FileNotFound, and a crash there leaves the
-  layout only under the trash name (recover by renaming it back).  Readers
-  that already listed the old layout keep their snapshot — parquet files
-  are immutable and the old files live on under the trash name.
+- The swap is TWO renames (old -> trash, new -> live).  Rename can't
+  exchange two directories atomically, so there is a brief window between
+  them where the live path does not exist: a reader LISTING the dataset
+  exactly then sees FileNotFound, and a crash there leaves the layout
+  only under the trash name (recover by renaming it back).  Readers that
+  already listed the old layout keep their snapshot — parquet files are
+  immutable and the old files live on under the trash name.
 - The old layout is NOT deleted in the same call.  Deleting immediately
   would yank files out from under a concurrent scan that listed the old
   file set but hasn't opened every file yet.  Instead each call removes
@@ -29,26 +35,27 @@ Swap semantics (be precise — this runs inside live streaming loops via
   `drop_trash_now=True` only when no concurrent readers exist (tests,
   offline maintenance).
 
-On object stores, swap the rename pair for the store's atomic-commit
-mechanism (or compact into a new versioned prefix and flip a pointer — the
-Iceberg/Delta pattern this hand-rolled layout approximates); that also
-removes the no-live-path window.
+On object stores, directory rename is the connector's copy+delete
+(O(data), non-atomic) — the two-rename swap still yields
+duplicates-or-old rather than data loss, but at serious scale compact
+into a new versioned prefix and flip a pointer instead (the Iceberg/
+Delta pattern this hand-rolled layout approximates); that also removes
+the no-live-path window.
 """
 
 from __future__ import annotations
 
-import glob
-import os
-import shutil
 import uuid
 
+from persistor_spark.plans import fsutil
 
-def sweep_trash(path: str) -> int:
+
+def sweep_trash(spark, path: str) -> int:
     """Remove trash dirs left by previous `compact_parquet` calls on
     `path`.  Returns the number of dirs removed."""
     removed = 0
-    for old in glob.glob(f"{glob.escape(path)}.__trash_*"):
-        shutil.rmtree(old, ignore_errors=True)
+    for old in fsutil.glob(spark, f"{path}.__trash_*"):
+        fsutil.delete(spark, old, recursive=True)
         removed += 1
     return removed
 
@@ -75,17 +82,10 @@ def compact_parquet(
     NEXT compaction of the same path (deferred cleanup — see the module
     docstring for the exact swap/visibility guarantees), unless
     `drop_trash_now` asserts there are no concurrent readers."""
-
-    def _count_files(p):
-        total = 0
-        for _, _, files in os.walk(p):
-            total += sum(1 for f in files if f.endswith(".parquet"))
-        return total
-
     # deferred cleanup: trash from prior cycles has had a full compaction
     # interval for in-flight scans to drain
-    swept = sweep_trash(path)
-    before = _count_files(path)
+    swept = sweep_trash(spark, path)
+    before = len(fsutil.list_files(spark, path))
     df = spark.read.parquet(path)
     rows = df.count()
     n_files = max(1, -(-rows // target_rows_per_file))
@@ -98,13 +98,13 @@ def compact_parquet(
         w = w.partitionBy(partition_col)
     w.parquet(tmp)
     trash = f"{path}.__trash_{uuid.uuid4().hex[:8]}"
-    os.rename(path, trash)
-    os.rename(tmp, path)
+    fsutil.rename(spark, path, trash)
+    fsutil.rename(spark, tmp, path)
     if drop_trash_now:
-        shutil.rmtree(trash)
+        fsutil.delete(spark, trash, recursive=True)
     return {
         "files_before": before,
-        "files_after": _count_files(path),
+        "files_after": len(fsutil.list_files(spark, path)),
         "rows": rows,
         "trash_swept": swept,
     }
@@ -139,12 +139,10 @@ def delete_by_key(
     removal instead of serving permanently duplicated rows against a
     stale manifest.
 
-    NOTE: the file swap uses local-filesystem os.replace/os.remove — on
-    gs:// / abfss:// / s3a:// deploys route this module's file ops through
-    the Hadoop FileSystem API (the read/write sides above are already
-    URI-agnostic; only the swap is local-only)."""
-    import glob as _glob
-    from urllib.parse import urlparse
+    File ops route through the Hadoop FileSystem API (fsutil), so this
+    works unchanged on gs://abfss://s3a://hdfs:// table paths; the
+    manifest's file entries are full URIs and are used as such."""
+    import json
 
     from pyspark.sql import functions as F
 
@@ -176,37 +174,25 @@ def delete_by_key(
     # and resumable (recover_pending_deletes) instead of silently leaving
     # duplicated rows behind a stale manifest
     journal = _journal_path(table_path)
-    _write_journal(journal, [urlparse(f).path or f for f in paths], manifest_path, col)
+    fsutil.write_text(
+        spark, journal, json.dumps({"remove": paths, "manifest": manifest_path, "col": col})
+    )
     # move the rewritten files in (unique names), then drop the originals
-    for nf in _glob.glob(f"{_glob.escape(tmp)}/part-*.parquet"):
-        os.replace(
-            nf,
-            os.path.join(
-                table_path, f"del-{uuid.uuid4().hex[:8]}-{os.path.basename(nf)}"
-            ),
+    for nf in fsutil.glob(spark, f"{tmp}/part-*.parquet"):
+        base = nf.rsplit("/", 1)[1]
+        fsutil.rename(
+            spark, nf, f"{table_path.rstrip('/')}/del-{uuid.uuid4().hex[:8]}-{base}"
         )
     for f in paths:
-        local = urlparse(f).path or f
-        os.remove(local)
-    shutil.rmtree(tmp, ignore_errors=True)
+        fsutil.delete(spark, f, recursive=False)
+    fsutil.delete(spark, tmp, recursive=True)
     layout.write_minmax_manifest(spark, table_path, manifest_path, col)
-    os.remove(journal)
+    fsutil.delete(spark, journal, recursive=False)
     return stats
 
 
 def _journal_path(table_path: str) -> str:
     return f"{table_path.rstrip('/')}.__delete_journal_{uuid.uuid4().hex[:8]}.json"
-
-
-def _write_journal(path: str, originals, manifest_path: str, col: str) -> None:
-    import json
-
-    tmp = path + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump({"remove": originals, "manifest": manifest_path, "col": col}, fh)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, path)
 
 
 def recover_pending_deletes(spark, table_path: str) -> dict:
@@ -216,21 +202,18 @@ def recover_pending_deletes(spark, table_path: str) -> dict:
     they moved in only after the journal was written), rebuild the
     manifest, and drop the journal.  Idempotent; call on startup before
     serving queries.  Returns {"journals", "files_removed"}."""
-    import glob as _glob
     import json
 
     from persistor_spark.plans import layout
 
     stats = {"journals": 0, "files_removed": 0}
-    pattern = f"{_glob.escape(table_path.rstrip('/'))}.__delete_journal_*.json"
-    for journal in sorted(_glob.glob(pattern)):
-        with open(journal) as fh:
-            j = json.load(fh)
+    pattern = f"{table_path.rstrip('/')}.__delete_journal_*.json"
+    for journal in sorted(fsutil.glob(spark, pattern)):
+        j = json.loads(fsutil.read_text(spark, journal))
         stats["journals"] += 1
         for f in j["remove"]:
-            if os.path.exists(f):
-                os.remove(f)
+            if fsutil.delete(spark, f, recursive=False):
                 stats["files_removed"] += 1
         layout.write_minmax_manifest(spark, table_path, j["manifest"], j["col"])
-        os.remove(journal)
+        fsutil.delete(spark, journal, recursive=False)
     return stats

@@ -281,7 +281,7 @@ def test_compact_parquet_defers_trash_to_next_cycle(spark, tmp_path):
     assert spark.read.parquet(path).count() == 130
 
     # the no-concurrent-readers escape hatch removes its own trash
-    maintenance.sweep_trash(path)
+    maintenance.sweep_trash(spark, path)
     stats3 = maintenance.compact_parquet(spark, path, partition_col="p", drop_trash_now=True)
     assert glob.glob(f"{path}.__trash_*") == []
     assert stats3["rows"] == 130
