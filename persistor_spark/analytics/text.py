@@ -118,6 +118,7 @@ def with_duplicate_ngram_fractions(
     ns: tuple[int, ...] = (2, 3),
     col_fmt: str = "dup_{n}gram",
     round_digits: int | None = None,
+    keep_tokens: str | None = None,
 ) -> DataFrame:
     """Staged (multi-Project) form of `duplicate_ngram_fraction` for one or
     more n at once: tokenize ONCE, build each n's gram array ONCE, then
@@ -133,6 +134,11 @@ def with_duplicate_ngram_fractions(
     than once), so tokenization and each gram array are evaluated exactly
     once per row.  Measured at sf0.1: 5x faster than the expression form.
     Narrow per-row map either way — no shuffle; the win is pure CPU.
+
+    `keep_tokens` keeps the staged token array under that column name so
+    callers computing FURTHER token-derived signals (gopher_flags' word
+    count / mean length / stopword flags) reuse the one tokenization
+    instead of re-splitting the text per signal.
     """
     toks = tokens(text_col)
     temps = ["_dnf_toks", "_dnf_m"] + [f"_dnf_g{n}" for n in ns]
@@ -162,7 +168,11 @@ def with_duplicate_ngram_fractions(
         if round_digits is not None:
             frac = F.round(frac, round_digits)
         fracs[col_fmt.format(n=n)] = frac
-    return out.withColumns(fracs).drop(*temps)
+    out = out.withColumns(fracs)
+    if keep_tokens is not None:
+        out = out.withColumnRenamed("_dnf_toks", keep_tokens)
+        temps = [t for t in temps if t != "_dnf_toks"]
+    return out.drop(*temps)
 
 
 def symbol_ratio(text: Column | str = "text") -> Column:
@@ -194,22 +204,31 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
     # Staged via with_duplicate_ngram_fractions (see its docstring): the
     # repetition flag needs BOTH n=2 and n=3 fractions, and the expression
     # form would rebuild tokens + grams several times per row with no CSE.
+    # keep_tokens threads the ONE tokenization through the word-count /
+    # mean-length / stopword flags too — token_count()/avg_token_length()
+    # here would each re-split the text per row.
+    tok = F.col("_gf_toks")
+    mean_len = (
+        F.aggregate(tok, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+        .cast("double")
+        / F.size(tok)
+    )
     out = (
-        with_duplicate_ngram_fractions(df, text_col, (2, 3), "_gf_dup{n}")
+        with_duplicate_ngram_fractions(
+            df, text_col, (2, 3), "_gf_dup{n}", keep_tokens="_gf_toks"
+        )
         .withColumn(
             "flag_words",
-            token_count(text_col).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
+            F.size(tok).between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS),
         )
         .withColumn(
             "flag_mean_len",
-            avg_token_length(text_col).between(
-                GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN
-            ),
+            mean_len.between(GOPHER_MIN_MEAN_WORD_LEN, GOPHER_MAX_MEAN_WORD_LEN),
         )
         .withColumn("flag_symbols", symbol_ratio(text_col) <= GOPHER_MAX_SYMBOL_RATIO)
         .withColumn(
             "flag_stopwords",
-            F.size(F.array_intersect(F.array_distinct(tokens(text_col)), sw))
+            F.size(F.array_intersect(F.array_distinct(tok), sw))
             >= GOPHER_MIN_STOPWORDS,
         )
         .withColumn(
@@ -217,7 +236,7 @@ def gopher_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             (F.col("_gf_dup2") <= GOPHER_MAX_DUP_2GRAM)
             & (F.col("_gf_dup3") <= GOPHER_MAX_DUP_3GRAM),
         )
-        .drop("_gf_dup2", "_gf_dup3")
+        .drop("_gf_dup2", "_gf_dup3", "_gf_toks")
     )
     return out.withColumn(
         "keep",

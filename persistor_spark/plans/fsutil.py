@@ -72,6 +72,19 @@ def rename(spark, src: str, dst: str, overwrite: bool = False) -> None:
         raise OSError(f"rename failed: {src} -> {dst}")
 
 
+def escape(path: str) -> str:
+    """Backslash-escape Hadoop glob metacharacters in a literal path so it
+    can be embedded in a globStatus pattern (the analogue of Python's
+    glob.escape — a table path containing [],{},*,? must not be treated as
+    a pattern by sweep_trash / recover_pending_deletes)."""
+    out = []
+    for ch in path:
+        if ch in "*?[]{}\\^":
+            out.append("\\")
+        out.append(ch)
+    return "".join(out)
+
+
 def glob(spark, pattern: str) -> list[str]:
     """Paths (full URI strings) matching a Hadoop glob pattern."""
     fs = fs_for(spark, pattern)

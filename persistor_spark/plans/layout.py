@@ -60,10 +60,14 @@ def compact(
     micro-batch; a day of 30s triggers is ~2880 files per partition, and
     open/footer costs dominate scans).  Returns the new file count.
 
-    Rewrite is atomic-by-rename at the directory level: write to a temp dir,
-    then swap.  Sizing + swap route through the Hadoop FileSystem API
-    (plans.fsutil), so this works on any scheme Spark can write; on object
-    stores prefer a manifest/Delta (rename is copy+delete there)."""
+    Rewrite lands in a temp dir, then swaps in via TWO renames (live ->
+    trash, new -> live) so the data always exists under SOME name — a
+    crash between the renames leaves the layout under the trash name
+    (recover by renaming back), never deleted-with-no-replacement.  The
+    trash is dropped only after the new layout is live.  Sizing + swap
+    route through the Hadoop FileSystem API (plans.fsutil), so this works
+    on any scheme Spark can write; on object stores prefer a
+    manifest/Delta (rename is copy+delete there)."""
     import math
     import uuid
 
@@ -77,8 +81,10 @@ def compact(
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
     out.write.parquet(tmp)
-    fsutil.delete(spark, path, recursive=True)
+    trash = f"{path}__compact_trash_{uuid.uuid4().hex[:8]}"
+    fsutil.rename(spark, path, trash)
     fsutil.rename(spark, tmp, path)
+    fsutil.delete(spark, trash, recursive=True)
     return n_files
 
 

@@ -54,7 +54,7 @@ def sweep_trash(spark, path: str) -> int:
     """Remove trash dirs left by previous `compact_parquet` calls on
     `path`.  Returns the number of dirs removed."""
     removed = 0
-    for old in fsutil.glob(spark, f"{path}.__trash_*"):
+    for old in fsutil.glob(spark, f"{fsutil.escape(path)}.__trash_*"):
         fsutil.delete(spark, old, recursive=True)
         removed += 1
     return removed
@@ -131,13 +131,18 @@ def delete_by_key(
     concurrent reader sees duplicates-or-old rather than missing data,
     and parquet immutability keeps already-open scans consistent.
 
-    Crash safety: BEFORE the rewritten files move in, a journal
-    (`<table>.__delete_journal_*.json`) records the originals to remove;
-    it is deleted only after the originals are gone and the manifest is
-    rebuilt.  A crash mid-swap therefore leaves a detectable, resumable
-    marker — run `recover_pending_deletes` on startup to finish the
-    removal instead of serving permanently duplicated rows against a
-    stale manifest.
+    Crash safety: BEFORE any file moves, a journal
+    (`<table>.__delete_journal_*.json`) records the WHOLE remaining plan —
+    the pending (tmp file -> final del-* name) moves, the originals to
+    remove, and the tmp dir — and is deleted only after all of it is done
+    and the manifest rebuilt.  A crash at ANY point after the journal
+    exists is therefore resumable by replaying the plan (moves are
+    per-file renames with pre-assigned destination names, so replay is
+    idempotent: src gone + dst present = that move already happened).
+    Run `recover_pending_deletes` on startup to finish a crashed swap
+    instead of serving duplicated rows against a stale manifest.  A crash
+    BEFORE the journal write leaves only an orphaned tmp dir — no moves
+    have happened, the table is untouched.
 
     File ops route through the Hadoop FileSystem API (fsutil), so this
     works unchanged on gs://abfss://s3a://hdfs:// table paths; the
@@ -169,26 +174,57 @@ def delete_by_key(
     ).parquet(tmp)
     n_kept = spark.read.parquet(tmp).count()
     stats["rows_deleted"] = sum(n for _, n in affected) - n_kept
-    # journal the originals-to-remove BEFORE any file moves: a crash
-    # between "new files in" and "originals removed" is then detectable
-    # and resumable (recover_pending_deletes) instead of silently leaving
-    # duplicated rows behind a stale manifest
+    # journal the WHOLE remaining plan BEFORE any file moves: destination
+    # names are assigned NOW so a crash anywhere past this point is
+    # resumable by idempotent replay (recover_pending_deletes).  Journaling
+    # only the removals would make recovery destructive for a crash in the
+    # journal-written/moves-not-done window (it would delete the originals
+    # while their replacements still sit in tmp).
+    moves = [
+        (nf, f"{table_path.rstrip('/')}/del-{uuid.uuid4().hex[:8]}-{nf.rsplit('/', 1)[1]}")
+        for nf in fsutil.glob(spark, f"{fsutil.escape(tmp)}/part-*.parquet")
+    ]
     journal = _journal_path(table_path)
     fsutil.write_text(
-        spark, journal, json.dumps({"remove": paths, "manifest": manifest_path, "col": col})
+        spark,
+        journal,
+        json.dumps(
+            {
+                "tmp": tmp,
+                "moves": moves,
+                "remove": paths,
+                "manifest": manifest_path,
+                "col": col,
+            }
+        ),
     )
-    # move the rewritten files in (unique names), then drop the originals
-    for nf in fsutil.glob(spark, f"{tmp}/part-*.parquet"):
-        base = nf.rsplit("/", 1)[1]
-        fsutil.rename(
-            spark, nf, f"{table_path.rstrip('/')}/del-{uuid.uuid4().hex[:8]}-{base}"
-        )
-    for f in paths:
-        fsutil.delete(spark, f, recursive=False)
-    fsutil.delete(spark, tmp, recursive=True)
-    layout.write_minmax_manifest(spark, table_path, manifest_path, col)
+    _replay_delete_plan(spark, json.loads(fsutil.read_text(spark, journal)), table_path)
     fsutil.delete(spark, journal, recursive=False)
     return stats
+
+
+def _replay_delete_plan(spark, j: dict, table_path: str) -> int:
+    """Execute (or resume) a journaled delete swap: move the rewritten
+    files in, drop the originals, drop the tmp dir, rebuild the manifest.
+    Idempotent at per-file granularity — safe to replay after a crash at
+    any step.  Returns the number of original files removed this call."""
+    from persistor_spark.plans import layout
+
+    for src, dst in j.get("moves", []):
+        if fsutil.exists(spark, src):
+            if fsutil.exists(spark, dst):
+                # object-store rename = copy+delete; a crash can leave both
+                fsutil.delete(spark, src, recursive=False)
+            else:
+                fsutil.rename(spark, src, dst)
+    removed = 0
+    for f in j["remove"]:
+        if fsutil.delete(spark, f, recursive=False):
+            removed += 1
+    if j.get("tmp"):
+        fsutil.delete(spark, j["tmp"], recursive=True)
+    layout.write_minmax_manifest(spark, table_path, j["manifest"], j["col"])
+    return removed
 
 
 def _journal_path(table_path: str) -> str:
@@ -197,23 +233,19 @@ def _journal_path(table_path: str) -> str:
 
 def recover_pending_deletes(spark, table_path: str) -> dict:
     """Finish any delete_by_key swap that crashed mid-flight: for each
-    journal next to `table_path`, remove the listed original files that
-    still exist (the rewritten del-* replacements are already in place —
-    they moved in only after the journal was written), rebuild the
-    manifest, and drop the journal.  Idempotent; call on startup before
-    serving queries.  Returns {"journals", "files_removed"}."""
+    journal next to `table_path`, REPLAY its plan — complete the pending
+    tmp -> del-* moves first (a crash may have happened before any or all
+    of them), then remove the listed originals that still exist, drop the
+    tmp dir, rebuild the manifest, and drop the journal.  Idempotent; call
+    on startup before serving queries (cli.cmd_query / cmd_serve do).
+    Returns {"journals", "files_removed"}."""
     import json
 
-    from persistor_spark.plans import layout
-
     stats = {"journals": 0, "files_removed": 0}
-    pattern = f"{table_path.rstrip('/')}.__delete_journal_*.json"
+    pattern = f"{fsutil.escape(table_path.rstrip('/'))}.__delete_journal_*.json"
     for journal in sorted(fsutil.glob(spark, pattern)):
         j = json.loads(fsutil.read_text(spark, journal))
         stats["journals"] += 1
-        for f in j["remove"]:
-            if fsutil.delete(spark, f, recursive=False):
-                stats["files_removed"] += 1
-        layout.write_minmax_manifest(spark, table_path, j["manifest"], j["col"])
+        stats["files_removed"] += _replay_delete_plan(spark, j, table_path)
         fsutil.delete(spark, journal, recursive=False)
     return stats

@@ -147,16 +147,21 @@ class FileBroker:
                 F.lit(None).cast(WIRE_SCHEMA["headers"].dataType).alias("headers"),
             )
         )
+        # single evaluation: the write and the mark-advance must see the
+        # SAME rows (a non-deterministic input re-evaluated for the counts
+        # would desync the high-water marks from what was written, breaking
+        # offset monotonicity), so count from the persisted wire frame
+        wire = wire.persist()
         wire.write.mode("append").parquet(self._topic_dir(topic))
         # advance marks by the batch's per-partition row counts (an
         # N-row aggregate of the batch — never a rescan of the topic)
         produced = {
             r["partition"]: r["n"]
-            for r in records_kafka_ready.select(part.alias("partition"))
-            .groupBy("partition")
+            for r in wire.groupBy("partition")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()
         }
+        wire.unpersist()
         new_marks = {
             p: marks.get(p, 0) + produced.get(p, 0)
             for p in range(self.n_partitions)

@@ -180,8 +180,14 @@ class FileSubscription:
                 "size_bytes"
             ),
         )
+        # single evaluation: ids and the advanced high-water mark must come
+        # from the SAME materialization, or a non-deterministic input could
+        # write k ids but advance next_id by a different count — duplicate
+        # message_ids across publish calls (one ack would retire two rows)
+        wire = wire.persist()
         wire.write.mode("append").parquet(self._backlog_dir())
-        n = messages.count()
+        n = wire.count()
+        wire.unpersist()
         state["next_id"] = base + n
         self._save_state(state)
         return n
@@ -231,16 +237,17 @@ class FileSubscription:
         ).collect()
         taken, used = [], 0
         for r in head:
-            if taken and used + r["size_bytes"] > budget_bytes:
-                break  # first message always fits (Pub/Sub oversize rule)
+            if (taken or active) and used + r["size_bytes"] > budget_bytes:
+                # the oversize exception (a message larger than the cap is
+                # still delivered) applies only when NOTHING is outstanding —
+                # otherwise the leased volume would exceed the byte cap
+                break
             taken.append(r["message_id"])
             used += r["size_bytes"]
             state["deliveries"][r["message_id"]] = (
                 state["deliveries"].get(r["message_id"], 0) + 1
             )
-        for mid in taken:
-            sz = next(r["size_bytes"] for r in head if r["message_id"] == mid)
-            active[mid] = (now + self.ack_deadline_s, sz)
+            active[r["message_id"]] = (now + self.ack_deadline_s, r["size_bytes"])
         state["leases"] = {k: list(v) for k, v in active.items()}
         self._save_state(state)
         if not taken:

@@ -58,3 +58,15 @@ def test_list_files_and_total_size_recursive(spark, tmp_path):
     # absent path: empty listing, zero size (compact's first-cycle shape)
     assert fsutil.list_files(spark, str(tmp_path / "absent")) == []
     assert fsutil.total_size(spark, str(tmp_path / "absent")) == 0
+
+
+def test_escape_protects_glob_metacharacters(spark, tmp_path):
+    """A table path containing glob metacharacters must not be treated as
+    a pattern by sweep_trash / recover_pending_deletes (the old Python-glob
+    code used glob.escape; the Hadoop path needs the same)."""
+    weird = str(tmp_path / "runs[2025]")
+    fsutil.write_text(spark, f"{weird}.__trash_abc/x.txt", "t")
+    # unescaped, [2025] is a character class and matches nothing
+    assert fsutil.glob(spark, f"{weird}.__trash_*") == []
+    got = fsutil.glob(spark, f"{fsutil.escape(weird)}.__trash_*")
+    assert len(got) == 1 and got[0].endswith(".__trash_abc")

@@ -427,3 +427,66 @@ def test_delete_by_key_crash_recovery(spark, tmp_path):
     assert maintenance.recover_pending_deletes(spark, table) == {
         "journals": 0, "files_removed": 0,
     }
+
+
+def test_delete_by_key_crash_before_moves_loses_nothing(spark, tmp_path, monkeypatch):
+    """The OTHER crash window: journal written, rewritten files still in
+    tmp, NO moves executed.  Recovery must FINISH the swap (move the
+    replacements in first) — a recovery that only deleted the journaled
+    originals would destroy the only live copy of every surviving row in
+    the affected files."""
+    import glob
+
+    from persistor_spark.plans import layout, maintenance
+
+    table, mf = str(tmp_path / "idx"), str(tmp_path / "mf")
+    df = spark.range(200).select(
+        F.format_string("id%06d", F.col("id")).alias("unique_id"),
+        (F.col("id") % 7).alias("payload"),
+    )
+    df.repartitionByRange(4, "unique_id").sortWithinPartitions("unique_id").write.parquet(table)
+    layout.write_minmax_manifest(spark, table, mf)
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash before the move-in loop")
+
+    monkeypatch.setattr(maintenance, "_replay_delete_plan", crash)
+    with pytest.raises(RuntimeError):
+        maintenance.delete_by_key(spark, table, mf, ["id000010"])
+    monkeypatch.undo()
+
+    # crash state: table untouched, journal + populated tmp dir present
+    assert spark.read.parquet(table).count() == 200
+    assert glob.glob(f"{table}.__delete_journal_*.json")
+    assert glob.glob(f"{table}.__delete_*/part-*.parquet")
+
+    stats = maintenance.recover_pending_deletes(spark, table)
+    assert stats["journals"] == 1
+    after = spark.read.parquet(table)
+    # the deleted key is gone AND every surviving row still exists exactly once
+    assert after.count() == 199
+    assert after.select("unique_id").distinct().count() == 199
+    assert after.filter(F.col("unique_id") == "id000010").count() == 0
+    # journal consumed, tmp dir cleaned up, nothing left to recover
+    assert glob.glob(f"{table}.__delete_journal_*.json") == []
+    assert glob.glob(f"{table}.__delete_*") == []
+    assert maintenance.recover_pending_deletes(spark, table) == {
+        "journals": 0, "files_removed": 0,
+    }
+
+
+def test_compact_swap_never_deletes_before_replacement(spark, tmp_path):
+    """layout.compact's swap goes old->trash, new->live (never delete-live-
+    then-rename): the data must exist under SOME name at every step.  Also
+    pins the post-compact state: same rows, target file count, trash gone."""
+    from persistor_spark.plans import layout
+
+    path = str(tmp_path / "ds")
+    spark.range(1000).selectExpr("id", "id % 13 as k").repartition(8).write.parquet(path)
+    n = layout.compact(spark, path, target_file_bytes=1 << 30, sort_col="id")
+    assert n == 1
+    import glob
+
+    assert len(glob.glob(f"{path}/part-*.parquet")) == 1
+    assert spark.read.parquet(path).count() == 1000
+    assert glob.glob(f"{path}__compact_trash_*") == []

@@ -16,8 +16,6 @@ import glob
 import json
 import os
 
-import pytest
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 WINDOW = 50
 
@@ -83,10 +81,26 @@ def test_every_query_has_an_oracle_or_is_known_rows_only():
     assert missing == [], f"queries with no oracle entry: {missing}"
 
 
-@pytest.mark.parametrize("dup_check", ["queries", "oracle_sql"])
-def test_registry_has_no_duplicate_keys(dup_check):
-    # dict literals silently drop duplicate keys; a dropped query would
-    # vanish from the gate without an error — pin the expected sizes
-    e = _registry()
-    d = getattr(e, dup_check)()
-    assert len(d) == len(set(d)) >= 235
+def test_registry_has_no_duplicate_keys():
+    """Dict literals silently drop duplicate keys — a query duplicated in
+    the registry source would vanish from the gate without an error, so
+    check the SOURCE (ast), not the constructed dict (whose keys are
+    unique by construction)."""
+    import ast
+
+    src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    dupes = []
+    for node in ast.walk(ast.parse(src)):
+        if isinstance(node, ast.Dict):
+            consts = [
+                k.value
+                for k in node.keys
+                if isinstance(k, ast.Constant) and isinstance(k.value, str)
+            ]
+            seen = set()
+            for k in consts:
+                if k in seen:
+                    dupes.append(k)
+                seen.add(k)
+    assert dupes == [], f"duplicate dict-literal keys in __spark_entry__: {dupes}"
+    assert len(_registry().queries()) >= 235
