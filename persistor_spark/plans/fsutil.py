@@ -31,6 +31,28 @@ the reference targets GCS/Azure blob storage — storage.go):
 
 from __future__ import annotations
 
+import os
+
+
+def _local_path(path: str) -> str | None:
+    """The local-filesystem path when `path` is scheme-less or file:,
+    else None.  Per-FILE operations (recursive listing, sizing) dispatch
+    on this: one Py4J round-trip per file costs ~3 ms, so listing a
+    fragmented 650-file layout through the JVM iterator takes seconds
+    while os.scandir takes under a millisecond (measured; the
+    index_compaction bench line doubled when listing went JVM-side).
+    Remote schemes keep the Hadoop iterator — there the cost is the
+    store's LIST pages, not Py4J.  Single-call ops (exists/delete/
+    rename/open) stay JVM-side unconditionally: Hadoop's checksummed
+    LocalFileSystem maintains the sibling .crc files consistently."""
+    if "://" not in path:
+        return path
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+
+        return urlparse(path).path or path.split(":", 1)[1]
+    return None
+
 
 def _conf(spark):
     return spark._jsc.hadoopConfiguration()
@@ -95,9 +117,20 @@ def glob(spark, pattern: str) -> list[str]:
 
 
 def list_files(spark, path: str, suffix: str = ".parquet") -> list[str]:
-    """Recursively list files under `path` with the given suffix (full URI
-    strings).  Uses the FileSystem's recursive iterator — one listing call
-    per store page, not one per directory."""
+    """Recursively list files under `path` with the given suffix.  Local
+    paths walk the OS directly (per-file Py4J round-trips would dominate
+    on fragmented layouts — see _local_path); remote schemes use the
+    FileSystem's recursive iterator."""
+    local = _local_path(path)
+    if local is not None:
+        if not os.path.exists(local):
+            return []
+        return [
+            os.path.join(dp, f)
+            for dp, _, files in os.walk(local)
+            for f in files
+            if f.endswith(suffix)
+        ]
     fs = fs_for(spark, path)
     p = jpath(spark, path)
     if not fs.exists(p):
@@ -113,7 +146,18 @@ def list_files(spark, path: str, suffix: str = ".parquet") -> list[str]:
 
 
 def total_size(spark, path: str, suffix: str = ".parquet") -> int:
-    """Sum of file lengths under `path` with the given suffix (bytes)."""
+    """Sum of file lengths under `path` with the given suffix (bytes).
+    Same local/remote dispatch as list_files."""
+    local = _local_path(path)
+    if local is not None:
+        if not os.path.exists(local):
+            return 0
+        return sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, files in os.walk(local)
+            for f in files
+            if f.endswith(suffix)
+        )
     fs = fs_for(spark, path)
     p = jpath(spark, path)
     if not fs.exists(p):
