@@ -125,6 +125,72 @@ def write_minmax_manifest(
     return spark.read.parquet(manifest_path).count()
 
 
+def update_minmax_manifest(
+    spark: SparkSession,
+    manifest_path: str,
+    removed_files,
+    added_files,
+    col: str = "unique_id",
+) -> int:
+    """INCREMENTAL manifest maintenance: drop the entries for
+    `removed_files`, scan ONLY `added_files` for fresh min/max entries,
+    and swap the updated manifest in.  A targeted delete that rewrites 3
+    files out of 10^6 must not rescan the table to re-derive the other
+    999 997 entries (at 10x local scale the full rebuild was ~80% of
+    delete_by_key's wall time).
+
+    Idempotent under replay (the crash-recovery path calls this): stale
+    entries for `added_files` are dropped before the fresh ones append,
+    so re-running after a crash between manifest-write and journal-delete
+    cannot duplicate a file's entry — a duplicated manifest row would
+    make pruned scans read that file twice.  Returns the number of fresh
+    entries written (counting the full manifest would cost one more job).
+    """
+    from pyspark.sql import functions as F
+
+    from persistor_spark.plans import fsutil
+
+    added_files = list(added_files)
+    fresh = None
+    fresh_files: list[str] = []
+    if added_files:
+        fresh = (
+            spark.read.parquet(*added_files)
+            .groupBy(F.col("_metadata.file_path").alias("file"))
+            .agg(
+                F.min(col).alias("min_v"),
+                F.max(col).alias("max_v"),
+                F.count(F.lit(1)).alias("n_rows"),
+            )
+        )
+        # the added files' manifest keys, in the same URI form the scan
+        # emits (journal destinations are plain paths; the manifest
+        # stores URIs)
+        fresh_files = [r["file"] for r in fresh.select("file").collect()]
+    drop = set(removed_files) | set(fresh_files)
+    # tolerate scheme-form differences for the removed set (file:///x vs /x)
+    suffixes = tuple(f.split("://", 1)[-1] for f in removed_files)
+    keep = spark.read.parquet(manifest_path).filter(~F.col("file").isin(list(drop)))
+    if suffixes:
+        cond = None
+        for s in suffixes:
+            c = F.col("file").endswith(F.lit(s))
+            cond = c if cond is None else (cond | c)
+        keep = keep.filter(~cond)
+    # write to a sibling then swap: the source manifest is an input of this
+    # very plan, so an in-place overwrite would read-while-truncating
+    import uuid as _uuid
+
+    tmp = f"{manifest_path}__upd_{_uuid.uuid4().hex[:8]}"
+    updated = keep.unionByName(fresh) if fresh is not None else keep
+    updated.coalesce(1).write.parquet(tmp)
+    trash = f"{manifest_path}__upd_trash_{_uuid.uuid4().hex[:8]}"
+    fsutil.rename(spark, manifest_path, trash)
+    fsutil.rename(spark, tmp, manifest_path)
+    fsutil.delete(spark, trash, recursive=True)
+    return len(fresh_files)
+
+
 def manifest_pruned_scan(
     spark: SparkSession,
     table_path: str,

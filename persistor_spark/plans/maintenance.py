@@ -169,11 +169,15 @@ def delete_by_key(
     kept = spark.read.parquet(*paths).filter(~F.col(col).isin(keys))
     tmp = f"{table_path.rstrip('/')}.__delete_{uuid.uuid4().hex[:8]}"
     # preserve the per-file sort the layout relies on for row-group pruning
-    kept.repartitionByRange(len(paths), col).sortWithinPartitions(col).write.mode(
-        "overwrite"
-    ).parquet(tmp)
-    n_kept = spark.read.parquet(tmp).count()
-    stats["rows_deleted"] = sum(n for _, n in affected) - n_kept
+    # the kept-row count rides the write job as an observation — re-reading
+    # tmp just to count would be one more full job over the rewritten data
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    kept.repartitionByRange(len(paths), col).sortWithinPartitions(col).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    ).write.mode("overwrite").parquet(tmp)
+    stats["rows_deleted"] = sum(n for _, n in affected) - obs.get["n"]
     # journal the WHOLE remaining plan BEFORE any file moves: destination
     # names are assigned NOW so a crash anywhere past this point is
     # resumable by idempotent replay (recover_pending_deletes).  Journaling
@@ -223,7 +227,19 @@ def _replay_delete_plan(spark, j: dict, table_path: str) -> int:
             removed += 1
     if j.get("tmp"):
         fsutil.delete(spark, j["tmp"], recursive=True)
-    layout.write_minmax_manifest(spark, table_path, j["manifest"], j["col"])
+    if j.get("moves"):
+        # incremental: re-derive entries for ONLY the rewritten files
+        # (idempotent under replay); the full rebuild would rescan the
+        # whole table per delete — at 10^6 files that IS the delete cost
+        layout.update_minmax_manifest(
+            spark,
+            j["manifest"],
+            j["remove"],
+            [dst for _, dst in j["moves"]],
+            j["col"],
+        )
+    else:  # legacy journal without a move plan: full rebuild
+        layout.write_minmax_manifest(spark, table_path, j["manifest"], j["col"])
     return removed
 
 

@@ -490,3 +490,31 @@ def test_compact_swap_never_deletes_before_replacement(spark, tmp_path):
     assert len(glob.glob(f"{path}/part-*.parquet")) == 1
     assert spark.read.parquet(path).count() == 1000
     assert glob.glob(f"{path}__compact_trash_*") == []
+
+
+def test_incremental_manifest_update_matches_full_rebuild(spark, tmp_path):
+    """delete_by_key's manifest maintenance is incremental (only the
+    rewritten files are rescanned); the resulting manifest must be
+    row-for-row identical to a full rebuild over the final layout."""
+    from persistor_spark.plans import layout, maintenance
+
+    table, mf = str(tmp_path / "idx"), str(tmp_path / "mf")
+    df = spark.range(400).select(
+        F.format_string("id%06d", F.col("id")).alias("unique_id"),
+        (F.col("id") % 5).alias("payload"),
+    )
+    df.repartitionByRange(8, "unique_id").sortWithinPartitions("unique_id").write.parquet(table)
+    layout.write_minmax_manifest(spark, table, mf)
+
+    st = maintenance.delete_by_key(spark, table, mf, ["id000010", "id000350"])
+    assert st["rows_deleted"] == 2 and 1 <= st["files_rewritten"] <= 2
+
+    incremental = sorted(layout.load_manifest(spark, mf))
+    mf2 = str(tmp_path / "mf_full")
+    layout.write_minmax_manifest(spark, table, mf2)
+    full = sorted(layout.load_manifest(spark, mf2))
+    assert incremental == full
+    # and the updated manifest still prunes point lookups correctly
+    hit = layout.manifest_pruned_scan_cached(spark, table, incremental, ["id000011"])
+    assert hit.count() == 1
+    assert layout.manifest_pruned_scan_cached(spark, table, incremental, ["id000010"]).count() == 0
