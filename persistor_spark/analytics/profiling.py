@@ -79,15 +79,28 @@ def snapshot_diff(
     One full-outer join on the id keyed by content md5 on each side; at
     scale both snapshots bucket by id so the join co-locates.  Row-level
     output (id, status) — counts are a groupBy away."""
-    o = old_df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("old_fp"))
-    n = new_df.select(F.col(id_col).alias("id"), F.md5(F.col(text_col)).alias("new_fp"))
+    # presence is tracked by explicit markers: md5(NULL) is NULL, so
+    # driving added/removed off fingerprint nullability would misclassify
+    # any row whose text is NULL as absent from its own snapshot
+    o = old_df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("old_fp"),
+        F.lit(1).alias("__in_old"),
+    )
+    n = new_df.select(
+        F.col(id_col).alias("id"),
+        F.md5(F.col(text_col)).alias("new_fp"),
+        F.lit(1).alias("__in_new"),
+    )
     return (
         o.join(n, "id", "full_outer")
         .select(
             "id",
-            F.when(F.col("old_fp").isNull(), F.lit("added"))
-            .when(F.col("new_fp").isNull(), F.lit("removed"))
-            .when(F.col("old_fp") != F.col("new_fp"), F.lit("changed"))
+            F.when(F.col("__in_old").isNull(), F.lit("added"))
+            .when(F.col("__in_new").isNull(), F.lit("removed"))
+            .when(
+                ~(F.col("old_fp").eqNullSafe(F.col("new_fp"))), F.lit("changed")
+            )
             .otherwise(F.lit("unchanged"))
             .alias("status"),
         )

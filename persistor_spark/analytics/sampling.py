@@ -27,7 +27,9 @@ def mixture_fractions(
     wsum = float(sum(weights.values()))
     norm = {k: w / wsum for k, w in weights.items()}
     max_total = min(counts[k] / norm[k] for k in norm if norm[k] > 0)
-    total = min(total_rows, max_total) if total_rows else max_total
+    # `is not None`, not truthiness: an explicit budget of 0 means "sample
+    # nothing", not "use the largest achievable mixture"
+    total = min(total_rows, max_total) if total_rows is not None else max_total
     return {k: min((norm[k] * total) / counts[k], 1.0) for k in norm}
 
 
@@ -105,20 +107,26 @@ def pack_sequences(
     budget-windows the doc touches — docs longer than `budget` straddle)."""
     from pyspark.sql import Window
 
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    from persistor_spark.analytics.dedup import md5_hash64
+
+    h = md5_hash64(F.col(id_col).cast("string"))
     shard = (h % n_shards).cast("int")
     w = Window.partitionBy("shard").orderBy(id_col).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    budget = int(budget)
     out = (
         df.withColumn("shard", shard)
         .withColumn("_cum", F.sum(token_col).over(w))
         .withColumn("_before", (F.col("_cum") - F.col(token_col)).cast("long"))
-        .withColumn("seq_id", (F.col("_before") / budget).cast("long"))
+        # exact integer div (`div`), not `/`+cast: double division rounds
+        # near 2^53 and a flipped boundary would desync seq_id from the
+        # exactly-computed seq_offset (same rule as ntile_exact below)
+        .withColumn("seq_id", F.expr(f"_before div {budget}"))
         .withColumn("seq_offset", (F.col("_before") % budget).cast("long"))
         .withColumn(
             "spans",
-            ((F.col("_cum") - 1) / budget).cast("long") - F.col("seq_id") + 1,
+            F.expr(f"(_cum - 1) div {budget}") - F.col("seq_id") + 1,
         )
         .drop("_cum", "_before")
     )

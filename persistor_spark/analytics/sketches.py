@@ -113,6 +113,9 @@ def hll_registers(
     and `hll_merge` (register-wise MAX) is the map-side-combine contract.
     """
     suffix_bits = 60 - p
+    # NULL items hash to NULL and would emit a (register=NULL) row that
+    # survives hll_merge forever and miscounts `zeros` in hll_estimate
+    df = df.filter(F.col(item_col).isNotNull())
     h = md5_hash64(F.concat(F.lit(hash_prefix), F.col(item_col)))
     reg = F.shiftright(h, suffix_bits)
     w = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
@@ -187,14 +190,19 @@ def bloom_probe(
     set).  The bits table broadcasts; the probe never shuffles the corpus
     side."""
     item = F.col(item_col)
-    probed = items.withColumn(
+    # probe DISTINCT values and AND the per-position hits: counting
+    # matched rows against k gives false negatives when the probe side
+    # has duplicate values (2k matched rows != k) or when two of an
+    # item's k positions collide (k-1 distinct rows) — both violating
+    # the never-false-negatives contract
+    probed = items.select(item_col).distinct().withColumn(
         "__bits", F.array(*[_row_hash(item, r, m_bits) for r in range(k)])
     )
     exploded = probed.select(item_col, F.explode("__bits").alias("bit"))
     hits = (
         exploded.join(F.broadcast(bits.withColumn("__set", F.lit(1))), "bit", "left")
         .groupBy(item_col)
-        .agg((F.count(F.when(F.col("__set").isNotNull(), 1)) == k).alias("maybe_member"))
+        .agg(F.min(F.col("__set").isNotNull()).alias("maybe_member"))
     )
     return items.join(hits, item_col, "left")
 
@@ -216,8 +224,13 @@ def histogram_sketch(
     Scale shape: one narrow map + one agg whose key space is <= n_bins
     regardless of corpus size.  Bin assignment is exact-integer-safe:
     floor((x - lo) / (hi - lo) * n_bins) computed in double is the same
-    in any engine for the same doubles."""
+    in any engine for the same doubles.
+
+    NULL and NaN values are excluded: floor(NaN) converts to bin 0 on the
+    long cast (silently dragging low quantiles down) and a NULL bin row
+    would pollute merge consumers."""
     x = F.col(value_col).cast("double")
+    df = df.filter(x.isNotNull() & ~F.isnan(x))
     raw = F.floor((x - F.lit(float(lo))) / F.lit(float(hi - lo)) * F.lit(n_bins))
     bin_ = F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1)).cast("int")
     return (
@@ -303,15 +316,15 @@ def kmv_sketch(
     Output: (g, h) with <= k rows per group, hashes distinct-by-build."""
     from pyspark.sql import Window
 
-    from persistor_spark.analytics.dedup import md5_hash64
-
     hashes = (
         df.select(
             F.col(group_col).alias("g"), md5_hash64(F.col(item_col)).alias("h")
         )
-        .groupBy("g", "h")
-        .agg(F.lit(1))
-        .select("g", "h")
+        # NULL items hash to NULL, and ascending sort is nulls-FIRST: a
+        # NULL row would steal the bottom-k's first slot in both window
+        # levels and skew kmv_estimate / kmv_pair_estimates
+        .filter(F.col("h").isNotNull())
+        .distinct()
     )
     w1 = Window.partitionBy("g", F.pmod(F.col("h"), F.lit(shards))).orderBy("h")
     lvl1 = (
@@ -375,9 +388,7 @@ def kmv_pair_estimates(sketch: DataFrame, k: int = 64) -> DataFrame:
     merged = (
         pairs.join(sk_a, "a").select("a", "b", "h")
         .unionByName(pairs.join(sk_b, "b").select("a", "b", "h"))
-        .groupBy("a", "b", "h")
-        .agg(F.lit(1))
-        .select("a", "b", "h")
+        .distinct()
     )
     wu = Window.partitionBy("a", "b").orderBy("h")
     union_sk = (

@@ -2026,3 +2026,98 @@ def test_column_stats_drift_exact_counts(spark):
     assert out["v"]["nulls_a"] == 1 and out["v"]["nulls_b"] == 0
     assert out["v"]["min_b"] == 30.0 and out["v"]["max_b"] == 50.0
     assert out["v"]["avg_delta"] == round(40.0 - 10.0, 4)
+
+
+# ---------------------------------------------------------------------------
+# NULL / NaN / zero-edge hardening (late-r7 self-review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_probe_never_false_negative_on_duplicates(spark):
+    from persistor_spark.analytics import sketches
+
+    members = spark.createDataFrame([("x",), ("y",), ("z",)], "doc string")
+    bits = sketches.bloom_bits(members, "doc")
+    # probe contains DUPLICATE rows for a true member: must still be true
+    probe = spark.createDataFrame([("x",), ("x",), ("w",)], "doc string")
+    got = {r["doc"]: r["maybe_member"] for r in
+           sketches.bloom_probe(probe, bits, "doc").distinct().collect()}
+    assert got["x"] is True  # was False: 2k matched rows != k
+
+
+def test_hll_and_kmv_ignore_null_items(spark):
+    from persistor_spark.analytics import sketches
+
+    with_nulls = spark.createDataFrame(
+        [("a",), ("b",), ("c",), (None,), (None,)], "doc string"
+    )
+    clean = spark.createDataFrame([("a",), ("b",), ("c",)], "doc string")
+    regs_n = sketches.hll_registers(with_nulls, "doc")
+    regs_c = sketches.hll_registers(clean, "doc")
+    assert regs_n.filter("register is null").count() == 0
+    assert sketches.hll_estimate(regs_n) == sketches.hll_estimate(regs_c)
+
+    kv = spark.createDataFrame(
+        [("g1", "a"), ("g1", "b"), ("g1", None)], "g string, doc string"
+    )
+    sk = sketches.kmv_sketch(kv, "doc", k=4, group_col="g")
+    assert sk.filter("h is null").count() == 0
+    est = sketches.kmv_estimate(sk, k=4).collect()[0]["est_distinct"]
+    assert est == 2.0  # unsaturated sketch counts exactly, NULL excluded
+
+
+def test_histogram_sketch_excludes_null_and_nan(spark):
+    from persistor_spark.analytics import sketches
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (float("nan"),), (None,)], "v double"
+    )
+    bins = sketches.histogram_sketch(df, "v", lo=0.0, hi=4.0, n_bins=4)
+    rows = {r["bin"]: r["n"] for r in bins.collect()}
+    assert None not in rows
+    assert sum(rows.values()) == 2  # NaN not silently counted in bin 0
+
+
+def test_snapshot_diff_null_text_is_presence_not_absence(spark):
+    from persistor_spark.analytics import profiling
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "b"), (3, None)], "doc_id int, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "b2"), (3, None), (4, "d")], "doc_id int, text string"
+    )
+    got = {r["id"]: r["status"] for r in
+           profiling.snapshot_diff(old, new).collect()}
+    # id=1: NULL text in old only -> removed (was misreported 'added')
+    assert got == {1: "removed", 2: "changed", 3: "unchanged", 4: "added"}
+
+
+def test_mixture_fractions_zero_budget_means_zero(spark):
+    from persistor_spark.analytics import sampling
+
+    df = spark.createDataFrame([("s1",)] * 10 + [("s2",)] * 10, "source string")
+    fr = sampling.mixture_fractions(df, "source", {"s1": 1, "s2": 1}, total_rows=0)
+    assert all(v == 0.0 for v in fr.values())  # was: full anchor mixture
+
+
+def test_temperature_sample_counts_match_published_weights(spark, docs):
+    """temperature_sample materializes the a47 weights; pin the per-stratum
+    sampled counts to the weights table so the two code paths cannot
+    silently drift."""
+    import math
+
+    from persistor_spark.analytics import sampling
+
+    total_n = 400
+    sampled = sampling.temperature_sample(docs, total_n, alpha=0.3)
+    got = {r["source"]: r["cnt"] for r in
+           sampled.groupBy("source").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    weights = {r["source"]: (r["weight"], r["n_docs"]) for r in
+               sampling.temperature_mixture_weights(docs, alpha=0.3).collect()}
+    expected = {
+        s: min(math.floor(round(w, 6) * total_n + 1e-6), n)
+        for s, (w, n) in weights.items()
+    }
+    expected = {s: c for s, c in expected.items() if c > 0}
+    assert got == expected
