@@ -542,6 +542,14 @@ def build_band_table(
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
         .repartition("id")
         .select("id", shingles("__text", k).alias("sh"))
+        # docs too short to produce a single k-shingle are excluded from
+        # the sketch: their Jaccard with anything is 0/0 (never a verified
+        # near-dup), but their empty-input SENTINEL signature is identical,
+        # so every band of every short doc would collide — an O(e²)
+        # candidate explosion among e short docs (and with verify=False,
+        # outright false duplicate pairs).  Exact/normalized dedup owns
+        # sub-k-token documents.
+        .filter(F.size("sh") > 0)
     )
     hashed = sh.withColumn("hs", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
     sig = hashed.withColumn("sig", minhash_signature_udf(num_perm)(F.col("hs"))).withColumn(

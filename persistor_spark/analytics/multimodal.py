@@ -50,14 +50,16 @@ def _fake_decode_image(content: bytes) -> list[float]:
     ships no codec libraries.  Uncompressed BMP decodes for REAL below."""
     if content is None:
         raise NotImplementedError("real image decode requires a codec library")
-    n = len(content) or 1
+    if not content:  # zero-length blob: a zero row, not an IndexError that
+        return [0.0] * _FEATURE_DIM  # kills the whole task for one bad blob
+    n = len(content)
     return [
         float(n % 251),
         float(sum(content[:64]) % 997),
-        float(content[0] if n else 0),
-        float(content[-1] if n else 0),
-        float(min(content) if n else 0),
-        float(max(content) if n else 0),
+        float(content[0]),
+        float(content[-1]),
+        float(min(content)),
+        float(max(content)),
         float(n),
         float(sum(content) % 7919),
     ]
@@ -257,13 +259,50 @@ def resize_images(df: DataFrame, max_width: int = 224, max_height: int = 224) ->
     return df.filter(F.col("media_type") == "image").mapInPandas(run, RESIZED_SCHEMA)
 
 
-def repartition_for_decode(df: DataFrame, target_bytes_per_partition: int = 256 << 20) -> DataFrame:
-    """Range-partition by cumulative payload size so decode partitions are
-    byte-balanced (row-count partitioning is pathological for mixed media)."""
-    sized = df.withColumn("__bytes", F.coalesce(F.length("content"), F.lit(0)))
-    total = sized.agg(F.sum("__bytes")).collect()[0][0] or 1
-    n_parts = max(int(total / target_bytes_per_partition), 1)
-    return sized.repartitionByRange(n_parts, F.col("media_type"), F.col("__bytes")).drop("__bytes")
+def repartition_for_decode(
+    df: DataFrame,
+    target_bytes_per_partition: int = 256 << 20,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Byte-balance decode partitions: bin rows by CUMULATIVE payload bytes
+    (each bin ≈ target bytes), then partition by bin.
+
+    A plain repartitionByRange on the size column does NOT byte-balance —
+    range boundaries are ROW-COUNT quantiles, so 100 1-GB videos among
+    100k thumbnails land in ~one partition (the exact mixed-media decode
+    straggler this function exists to kill).  The cumulative binning is
+    the pack_sequences rule applied to bytes: a two-level prefix sum over
+    a SLIM (id, bytes) projection (sampling.global_cumsum — the content
+    column never rides the cumsum), the bin joined back on the id.  Costs
+    one extra slim-side pass + corpus join over the naive version; the
+    decode stage it feeds is the expensive one, and its wall time is its
+    slowest partition.  A single blob larger than the target still owns
+    its bin alone — no row-level split.
+
+    The final exchange HASHES on the bin (repartition, not
+    repartitionByRange): the range partitioner draws row-count-quantile
+    boundaries, and byte-equal bins have wildly unequal row counts by
+    design — sampled boundaries collapse onto the many-row bins and the
+    few-row giant bins all land in partition 0 (measured: 402 rows /
+    3 bins -> ONE non-empty range partition).  Hashing sends each bin
+    wholly to one partition; with ~n_bins buckets the expected load is
+    ~1 bin (= target bytes) per partition."""
+    from persistor_spark.analytics.sampling import global_cumsum
+
+    t = int(target_bytes_per_partition)
+    slim = df.select(
+        id_col, F.coalesce(F.length("content"), F.lit(0)).cast("long").alias("__bytes")
+    )
+    cum, total = global_cumsum(slim, "__bytes", [id_col], out_col="__cum")
+    bins = cum.select(
+        id_col, F.expr(f"(__cum - __bytes) div {t}").alias("__bin")
+    )
+    n_parts = max(int(total // t) + 1, 1)
+    return (
+        df.join(bins, id_col)
+        .repartition(n_parts, "__bin")
+        .drop("__bin")
+    )
 
 
 def synthesize_media(spark, documents: DataFrame, n: int | None = None) -> DataFrame:
@@ -435,7 +474,15 @@ def extract_audio_features_real(df: DataFrame) -> DataFrame:
             rates, counts, ms, nbytes, feats = [], [], [], [], []
             for c in pdf["content"]:
                 b = bytes(c) if c is not None else b""
-                rate, s = decode_wav(b)
+                try:  # one NULL/corrupt blob must not kill the stage —
+                    rate, s = decode_wav(b)  # match the stub twins' shape
+                except ValueError:
+                    rates.append(0)
+                    counts.append(0)
+                    ms.append(0)
+                    nbytes.append(len(b))
+                    feats.append([0.0] * _FEATURE_DIM)
+                    continue
                 rates.append(rate)
                 counts.append(len(s))
                 ms.append(len(s) * 1000 // rate)
@@ -595,7 +642,12 @@ def sample_frames_real(df: DataFrame, every_ms: int = 200) -> DataFrame:
             }
             for _, row in pdf.iterrows():
                 content = bytes(row["content"]) if row["content"] is not None else b""
-                fps, frames = decode_avi(content)
+                try:  # skip NULL/corrupt clips instead of killing the stage
+                    fps, frames = decode_avi(content)
+                except ValueError:
+                    continue
+                if not frames:
+                    continue
                 clip_ms = len(frames) * 1000 // fps
                 for ts in range(0, max(clip_ms, 1), every_ms):
                     idx = min(ts * fps // 1000, len(frames) - 1)
@@ -633,6 +685,8 @@ def image_dhash(df: DataFrame) -> DataFrame:
     def one(content) -> int:
         import numpy as np
 
+        if not content:  # NULL/empty blob -> empty hash, not a dead stage
+            return 0
         px = decode_bmp(bytes(content)).astype(np.float64)
         lum = 0.2126 * px[:, :, 0] + 0.7152 * px[:, :, 1] + 0.0722 * px[:, :, 2]
         h, w = lum.shape

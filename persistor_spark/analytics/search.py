@@ -47,6 +47,8 @@ def build_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
     n_docs = df.count()
     avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    if avgdl is None:  # empty corpus: empty postings, not float(None)
+        avgdl = 1.0
     idf = (
         postings.groupBy("term")
         .agg(F.countDistinct("id").alias("df"))

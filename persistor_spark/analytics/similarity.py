@@ -481,6 +481,18 @@ def ivf_topk(
                 F.col("embedding").alias("cv"),
             )
         )
+        if not cents:
+            # stride init assumes dense contiguous ids: on a sparse/hashed
+            # id space (all-odd ids, md5 ids) `vec_id % step == 0` can
+            # match NOTHING and the search would silently return empty —
+            # fall back to the distribution-independent hash seeding
+            # kmeans_train uses (_hash_seed_ids)
+            seed_ids = _hash_seed_ids(
+                nvec.select(F.col("vec_id").alias("id")), n_centroids, seed=7
+            )
+            picked = nvec.filter(F.col("vec_id").isin(seed_ids)).collect()
+            by_id = {r["vec_id"]: list(r["embedding"]) for r in picked}
+            cents = [(i, by_id[sid]) for i, sid in enumerate(sorted(by_id))]
     # assign every vector to its nearest centroid: argmax over literal
     # centroids — narrow map folded into the scan, zero shuffle
     assigned = v.select(_argmax_cid(F.col("v"), cents).alias("cid"), "id", "v")
@@ -724,14 +736,21 @@ def pq_encode(
     m = len(codebooks)
     dsub = len(codebooks[0][0])
     v = _as_double(vectors, id_col, vec_col)
-    nv = (
-        F.transform("v", lambda x: x / norm(F.col("v"))) if normalize else F.col("v")
-    )
-    vn = v.select(
-        "id",
-        F.col("v").alias("raw"),
-        nv.alias("v"),
-    )
+    if normalize:
+        # the _normalized pattern (see its docstring): the inline
+        # `transform(v, x / norm(v))` re-runs the d-element norm fold per
+        # element (O(d^2)/row interpreted), and CollapseProject re-inlines
+        # a plain norm column into every _sub_scores slice below
+        withn = v.select(
+            "id", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv")
+        ).localCheckpoint()
+        vn = withn.select(
+            "id",
+            F.col("v").alias("raw"),
+            F.transform("v", lambda x: x * F.col("inv")).alias("v"),
+        )
+    else:
+        vn = v.select("id", F.col("v").alias("raw"), "v")
     code_cols = []
     for j in range(m):
         scores = _sub_scores(F.col("v"), codebooks[j], j, dsub, l2_bias=True)
@@ -1507,9 +1526,13 @@ def ivfpq_encode_cells(
     cmat = _lit_matrix([by_cid.get(c, cents[0][1]) for c in range(cents[-1][0] + 1)])
     assigned = (
         v.select(
+            "id", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv")
+        )
+        .localCheckpoint()  # _normalized pattern: norm fold ONCE per row
+        .select(
             "id",
             F.col("v").alias("raw"),
-            F.transform("v", lambda x: x / norm(F.col("v"))).alias("nv"),
+            F.transform("v", lambda x: x * F.col("inv")).alias("nv"),
         )
         .withColumn("cid", _argmax_cid(F.col("nv"), cents))
         .select(

@@ -68,7 +68,11 @@ def quality_score(text: Column | str = "text") -> Column:
     stopword presence (the standard cheap pre-filter before model-based
     scoring in training-data pipelines)."""
     n = token_count(text)
-    length_ok = ((n >= 20) & (n <= 2000)).cast("double")
+    # same band as gopher_flags — hardcoding it here let the two quality
+    # signals drift when the GOPHER_* bounds are tuned
+    length_ok = (
+        (n >= GOPHER_MIN_WORDS) & (n <= GOPHER_MAX_WORDS)
+    ).cast("double")
     diversity = F.least(distinct_token_ratio(text) * 2, F.lit(1.0))
     sw = F.least(stopword_ratio(text) * 10, F.lit(1.0))
     return F.round((length_ok + diversity + sw) / 3, 4)
@@ -331,16 +335,27 @@ def lm_perplexity_scores(
     """
     if uni is None or bi is None:
         uni, bi = lm_train(df, text_col)
-    uni = uni.persist()
+        # persist only the internally-trained table: re-persisting a
+        # caller-supplied frame would mutate its storage level and leak a
+        # fresh cache per scoring call (the amortization pattern passes
+        # the same uni/bi across many calls — caching is the caller's)
+        uni = uni.persist()
     scal = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
-    n_corpus, vocab = float(scal["n"]), float(scal["v"])
+    n_corpus, vocab = float(scal["n"] or 1), float(scal["v"] or 1)
 
     toks = tokens(text_col)
     tok = df.select(F.col(id_col), F.explode(toks).alias("w"))
+    # LEFT join: an inner join would silently drop out-of-vocabulary
+    # tokens from the average, scoring mostly-OOV junk as LOW (good)
+    # perplexity over its few in-vocab tokens.  In-vocab tokens keep the
+    # MLE c/N (oracle-pinned); OOV tokens get the add-alpha floor.
+    up = F.when(
+        F.col("c").isNotNull(), F.col("c") / F.lit(n_corpus)
+    ).otherwise(F.lit(alpha) / F.lit(n_corpus + alpha * vocab))
     uscore = (
-        tok.join(uni, "w")
+        tok.join(uni, "w", "left")
         .groupBy(id_col)
-        .agg(F.round(F.avg(-F.log(F.col("c") / F.lit(n_corpus))), 4).alias("uni_nll"))
+        .agg(F.round(F.avg(-F.log(up)), 4).alias("uni_nll"))
     )
 
     t = df.select(F.col(id_col), toks.alias("toks"))
@@ -359,16 +374,23 @@ def lm_perplexity_scores(
         id_col, "bg.pw", "bg.w"
     )
     prefix = uni.select(F.col("w").alias("pw"), F.col("c").alias("c1"))
+    # LEFT joins + coalesce-to-0: the add-alpha formula is exactly what
+    # gives unseen bigrams (c2=0) and unseen prefixes (c1=0) their
+    # smoothed probability — inner joins excluded them from the average,
+    # defeating the smoothing's whole purpose on new-batch scoring
     bscore = (
-        bgr.join(bi, ["pw", "w"])
-        .join(prefix, "pw")
+        bgr.join(bi, ["pw", "w"], "left")
+        .join(prefix, "pw", "left")
         .groupBy(id_col)
         .agg(
             F.round(
                 F.avg(
                     -F.log(
-                        (F.col("c2") + F.lit(alpha))
-                        / (F.col("c1") + F.lit(alpha) * F.lit(vocab))
+                        (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                        / (
+                            F.coalesce(F.col("c1"), F.lit(0))
+                            + F.lit(alpha) * F.lit(vocab)
+                        )
                     )
                 ),
                 4,
@@ -468,8 +490,8 @@ def pmi_bigrams(
         ).alias("p")
     ).select("p.w1", "p.w2")
     bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
-    n_uni = float(uni.agg(F.sum("c")).collect()[0][0])   # bounded scalar
-    n_bi = float(bi.agg(F.sum("n_ab")).collect()[0][0])  # bounded scalar
+    n_uni = float(uni.agg(F.sum("c")).collect()[0][0] or 1)   # bounded scalar
+    n_bi = float(bi.agg(F.sum("n_ab")).collect()[0][0] or 1)  # bounded scalar
     ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
     cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
     scored = (
@@ -615,6 +637,8 @@ def vocab_coverage(
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     total = counts.agg(F.sum("cnt")).collect()[0][0]
+    if total is None:  # empty corpus: empty head, not float(None)
+        total = 1
     order = [F.col("cnt").desc(), F.col("term").asc()]
     head = counts.orderBy(*order).limit(top_n)
     # non-foldable constant partition spec (the search.py trick): the window

@@ -2121,3 +2121,118 @@ def test_temperature_sample_counts_match_published_weights(spark, docs):
     }
     expected = {s: c for s, c in expected.items() if c > 0}
     assert got == expected
+
+
+def test_media_decode_survives_null_and_empty_blobs(spark):
+    from persistor_spark.analytics import multimodal
+
+    rows = [
+        ("m1", "image", None),
+        ("m2", "image", b""),
+        ("m3", "audio", None),
+        ("m4", "video", b"junk-not-avi"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, media_type string, content binary")
+    # none of these may kill the stage; each path degrades per-row instead
+    assert multimodal.image_dhash(df).count() == 2  # dhash 0 for bad blobs
+    audio = multimodal.extract_audio_features_real(df).collect()
+    assert len(audio) == 1 and audio[0]["n_samples"] == 0
+    assert multimodal.sample_frames_real(df).count() == 0  # bad clip skipped
+
+
+def test_repartition_for_decode_byte_balances_skewed_media(spark):
+    import pyspark.sql.functions as SF
+
+    from persistor_spark.analytics import multimodal
+
+    big = spark.range(2).select(
+        SF.format_string("big%d", SF.col("id")).alias("media_id"),
+        SF.lit("video").alias("media_type"),
+        SF.expr("cast(repeat('x', 200000) as binary)").alias("content"),
+    )
+    small = spark.range(400).select(
+        SF.format_string("sm%04d", SF.col("id")).alias("media_id"),
+        SF.lit("image").alias("media_type"),
+        SF.expr("cast(repeat('y', 100) as binary)").alias("content"),
+    )
+    target = 100_000
+    out = multimodal.repartition_for_decode(big.unionByName(small), target)
+    # AQE would re-coalesce these tiny test partitions (they're far below
+    # its 64MB advisory size); at the production 256MB target it leaves
+    # them alone — disable coalescing to observe the bin layout itself
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    try:
+        per_part = (
+            out.withColumn("__p", SF.spark_partition_id())
+            .groupBy("__p")
+            .agg(SF.sum(SF.length("content")).alias("bytes"))
+            .collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # the old row-quantile range partitioning put ALL 440KB in one
+    # partition; hash-on-bin must actually split, and no partition may
+    # exceed the two giant bins' worst-case co-location
+    sizes = sorted((r["bytes"] for r in per_part), reverse=True)
+    assert len(sizes) >= 2
+    assert sizes[0] <= 2 * 200000 + 40000
+    assert sizes[0] < 440000
+
+
+def test_minhash_short_docs_do_not_collide(spark):
+    from persistor_spark.analytics import dedup
+
+    shorts = [(i, "hi") for i in range(30)]  # < k=3 tokens each
+    real = [(100, "a b c d e f g"), (101, "a b c d e f g")]
+    df = spark.createDataFrame(shorts + real, "doc_id long, text string")
+    # without verification the sentinel signature used to pair ALL shorts
+    cands = dedup.minhash_lsh_pairs(df, 0.8, verify=False)
+    assert cands.filter((F.col("a") < 100) & (F.col("b") < 100)).count() == 0
+    pairs = dedup.minhash_lsh_pairs(df, 0.8)
+    assert [(r["a"], r["b"]) for r in pairs.collect()] == [(100, 101)]
+
+
+def test_ivf_topk_sparse_ids_falls_back_to_hash_seeding(spark):
+    from persistor_spark.analytics import similarity
+
+    # all-ODD ids: the dense stride `vec_id % step == 0` matches nothing
+    vecs = spark.range(50).select(
+        (F.col("id") * 2 + 1).alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("double"),
+            (F.col("id") % 5).cast("double"),
+            F.lit(1.0),
+        ).alias("embedding"),
+    )
+    got = similarity.ivf_topk(vecs, vecs.limit(3), k=2, n_centroids=4, nprobe=4)
+    assert got.count() > 0  # was silently empty
+
+
+def test_lm_perplexity_scores_oov_batch(spark):
+    from persistor_spark.analytics import text as T
+
+    train = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        "doc_id long, text string",
+    )
+    uni, bi = T.lm_train(train)
+    new = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zx qv wq jjk pqr")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           T.lm_perplexity_scores(new, uni=uni, bi=bi).collect()}
+    # fully-OOV doc used to score NULL (inner join dropped every token);
+    # now it gets the smoothed floor and scores WORSE than in-vocab text
+    assert got[11]["uni_nll"] is not None
+    assert got[11]["uni_nll"] > got[10]["uni_nll"]
+    assert got[11]["bi_nll"] is not None and got[11]["bi_nll"] > got[10]["bi_nll"]
+
+
+def test_bm25_empty_corpus(spark):
+    from persistor_spark.analytics import search as S
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    idx = S.build_index(empty)
+    assert idx.n_docs == 0
+    assert S.search(idx, ["anything"]).count() == 0
