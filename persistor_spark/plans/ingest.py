@@ -292,8 +292,14 @@ def write_blobs_merge(result: IngestResult, path: str, fmt: str = "avro") -> int
     new = new.persist()
     n = new.count()
     if n:
+        # same mask repartition as write_blobs (see its comment): the
+        # anti-join leaves rows hash-distributed on the join key, so every
+        # write task would otherwise open a file in EVERY mask directory —
+        # the small-files explosion, on the DEFAULT streaming blob path
+        spark_ctx = new.sparkSession.sparkContext
         (
-            new.write.mode("append")
+            new.repartition(spark_ctx.defaultParallelism, *result.mask_column_names)
+            .write.mode("append")
             .partitionBy(*result.mask_column_names)
             .format(fmt)
             .save(path)

@@ -52,6 +52,7 @@ ON_FAILURE = "request failed"
 RESUBMIT_SUCCESS = "resubmission successful"
 RESUBMIT_PARTIAL = "partial resubmission"
 RESUBMIT_BAD_REQUEST = "resubmission failed due to bad request"
+RESUBMIT_FAILURE = "resubmission failed"  # handler.go:39 OnFailureMessage
 RESUBMIT_NO_TOPIC = (
     "topic was not defined as a query parameter nor as an environment variable"
 )
@@ -256,20 +257,51 @@ class FileResubmitter:
         self.blobs_path = blobs_path
         self.out_root = out_root
 
-    def resubmit(self, topic: str, meta) -> dict:
+    def resubmit(self, topic: str, meta, requested: int | None = None) -> dict:
+        from pyspark.sql import functions as F
+
         from persistor_spark.plans import resubmit as rs
         from persistor_spark.sources import blobs as blob_src
 
         blobs = blob_src.read_blob_records(self.spark, self.blobs_path)
         pruned = blob_src.prune_to_locations(blobs, meta)
         records, obs_meta, obs_rec = rs.resubmit_observed(meta, pruned)
-        records.write.mode("append").parquet(f"{self.out_root}/{topic}")
+        # per-key publish order made OBSERVABLE in the file sink (R7): the
+        # publish_seq column + key-partitioned, seq-sorted physical row
+        # order — the same discipline publish_kafka hands the producer.
+        # Writing raw join output would silently drop the ordering contract
+        # on the HTTP path.
+        ordered = (
+            rs.with_publish_order(records)
+            .repartition(F.col("ordering_key"))
+            .sortWithinPartitions("ordering_key", "publish_seq")
+        )
+        ordered.write.mode("append").parquet(f"{self.out_root}/{topic}")
+
+        def _metric(obs, key: str) -> int:
+            # an all-unknown id set optimizes the plan to an empty
+            # LocalRelation and the CollectMetrics node is pruned with it —
+            # Observation.get then fails an assertion; no metrics row
+            # means zero rows flowed
+            try:
+                return obs.get[key]
+            except Exception:  # noqa: BLE001
+                return 0
+
         counts = rs.LineageCounts(
-            starting=obs_meta.get["starting"],
-            indexed=obs_meta.get["starting"],
-            fetched=obs_rec.get["published"],
-            deserialized=obs_rec.get["published"],
-            published=obs_rec.get["published"],
+            # starting = what the caller ASKED for (len(ids) — reference
+            # resubmitter_job.go:142), not what the index found: with
+            # found-count as starting, unknown ids reported 200 "success"
+            # and partially-found id sets reported 200 instead of 206.
+            # Interval/query routes have no requested cardinality — there
+            # the found count is the starting set by definition.
+            starting=requested
+            if requested is not None
+            else _metric(obs_meta, "starting"),
+            indexed=_metric(obs_meta, "starting"),
+            fetched=_metric(obs_rec, "published"),
+            deserialized=_metric(obs_rec, "published"),
+            published=_metric(obs_rec, "published"),
         )
         return {
             "status": counts.http_status(),
@@ -303,9 +335,17 @@ class ResubmitterApiHandler(_JsonHandler):
             body = self._read_json()
         except Exception as exc:
             return self._reply(400, {"msg": RESUBMIT_BAD_REQUEST, "error": str(exc)})
+        if body is not None and not isinstance(body, dict):
+            # a JSON array/scalar body would AttributeError inside the
+            # _meta_for_* builders ((body or {}).get) — reject it here
+            return self._reply(
+                400, {"msg": RESUBMIT_BAD_REQUEST, "error": "body must be a JSON object"}
+            )
+        requested = None
         try:
             if len(parts) == 2 and parts[0] == "resubmit":
                 meta = self._meta_for_ids(parts[1], body)
+                requested = len((body or {}).get("ids") or [])
             elif len(parts) == 2 and parts[0] == "range":
                 meta = self._meta_for_interval(parts[1], body)
             elif len(parts) == 2 and parts[0] == "query":
@@ -314,7 +354,12 @@ class ResubmitterApiHandler(_JsonHandler):
                 return self._reply(404, {"msg": RESUBMIT_BAD_REQUEST, "error": "no such route"})
         except (KeyError, ValueError, InvalidQueryKeys, InvalidTimestamp) as exc:
             return self._reply(400, {"msg": RESUBMIT_BAD_REQUEST, "error": str(exc)})
-        result = self.resubmitter.resubmit(topic, meta)
+        try:
+            result = self.resubmitter.resubmit(topic, meta, requested=requested)
+        except Exception as exc:  # noqa: BLE001 — engine failures must still
+            # produce an HTTP envelope (handler.go's OnFailureMessage ->
+            # 500), not a dropped socket with a server-side traceback
+            return self._reply(500, {"msg": RESUBMIT_FAILURE, "error": str(exc)})
         status = result["status"]
         msg = {200: RESUBMIT_SUCCESS, 206: RESUBMIT_PARTIAL}.get(status, RESUBMIT_BAD_REQUEST)
         return self._reply(status, {"status": status, "msg": msg, "summary": result["summary"]})

@@ -51,6 +51,10 @@ def kafka_source_options(cfg: IngestConfig, bootstrap: str, topic: str) -> dict:
         "kafka.fetch.max.bytes": str(max(cfg.batch.batch_memory_bytes, 1024)),
         "kafka.fetch.max.wait.ms": str(cfg.batch.batch_timeout_s * 1000),
         "failOnDataLoss": "false",
+        # decode_kafka maps headers -> attributes; the Spark Kafka source
+        # only exposes the headers column when this is set (without it the
+        # query dies at analysis with UNRESOLVED_COLUMN on any real broker)
+        "includeHeaders": "true",
     }
 
 
@@ -106,7 +110,15 @@ def parse_json_stream(raw: DataFrame, payload_col: str = "value") -> DataFrame:
     (T8) declaratively: `__corrupt` IS NOT NULL or missing required fields
     -> `__invalid` = true; the caller routes those rows to the DLQ.
     """
-    schema = MESSAGE_SCHEMA.add("__corrupt", "string")
+    # copy — StructType.add MUTATES the receiver in place (and returns it),
+    # so building on MESSAGE_SCHEMA directly would append __corrupt to the
+    # module-global schema, breaking every later user (duplicate fields on
+    # a second call, length mismatches in createDataFrame/file_stream)
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    schema = StructType(
+        list(MESSAGE_SCHEMA.fields) + [StructField("__corrupt", StringType())]
+    )
     parsed = raw.select(
         F.from_json(
             F.col(payload_col).cast("string"),
@@ -178,11 +190,17 @@ def run_stream(
 
     Exactly-once (E1): both sinks default to the anti-join MERGE writers
     (write_blobs_merge on (location_key, record_id), write_index_merge on
-    unique_id).  A batch that fails between the two writes — or a source
-    redelivery — re-runs with the SAME batch_id, derives the SAME
-    location_keys, finds its rows present, and appends nothing.  Set the
-    flags False only for fire-and-forget bulk loads where the source is
-    exactly-once end to end.
+    unique_id).  With a deterministic `cfg.clock_column`, a batch that
+    fails between the two writes — or a source redelivery — re-runs with
+    the SAME batch_id, derives the SAME location_keys, finds its rows
+    present, and appends nothing.  With the WALL-CLOCK default a replay
+    that crosses a mask boundary (midnight) derives NEW location_keys; the
+    sinks then run blobs-strictly-before-index so every crash state stays
+    consistent (the index never references a key whose blobs are absent —
+    the worst case is orphaned first-attempt blobs, and the index merge on
+    unique_id still dedups the rows themselves).  Set the flags False only
+    for fire-and-forget bulk loads where the source is exactly-once end to
+    end.
 
     `failure` mirrors run_batch's injection hook (rows -> DLQ);
     `fault_injector(batch_id)` is called between the blob and index writes
@@ -207,10 +225,15 @@ def run_stream(
         # skipped entirely: per micro-batch that is one job + one persist
         # pass of pure fixed cost.  Any failure routing re-enables both.
         dl_static_empty = failure is None and "__invalid" not in batch_df.columns
+        cached = None
         if not dl_static_empty:
             # cache the micro-batch: the good/bad split and the DLQ sink
-            # would otherwise each re-read the source slice
-            batch_df = batch_df.persist()
+            # would otherwise each re-read the source slice.  Keep the
+            # handle — unpersist() only uncaches the EXACT plan it is
+            # called on, and batch_df is rebound to a derived filter below
+            # (unpersisting that would leak the cached source slice every
+            # micro-batch, unbounded on a long-running stream)
+            batch_df = cached = batch_df.persist()
         # drop stream-parse bookkeeping if present
         cols = [c for c in batch_df.columns if not c.startswith("__")]
         invalid = None
@@ -261,14 +284,26 @@ def run_stream(
             do_blobs()
             fault_injector(batch_id)
             do_index()
+        elif cfg.clock_column is None:
+            # WALL-CLOCK mask (production default): a replay that crosses a
+            # mask time boundary (midnight) derives DIFFERENT location_keys,
+            # so the merge anti-joins cannot recognize the first attempt's
+            # rows.  Writing blobs strictly BEFORE the index keeps every
+            # crash state consistent anyway: index rows always point at a
+            # location_key whose blobs were already persisted (a replay
+            # re-writes both under the new key; the first attempt's
+            # index-less blobs are orphaned storage, never dangling
+            # references).  Concurrent sinks would allow the reverse order.
+            do_blobs()
+            do_index()
         else:
-            # Overlap the two sink jobs from two driver threads: both
+            # Deterministic clock column: replays derive the SAME
+            # location_keys, so ordering between the sinks carries no
+            # guarantee and they overlap from two driver threads: both
             # consume the SAME persisted intermediate (BlockManager computes
             # each cached partition once; the second job blocks on the block
-            # lock, never recomputes), and ordering between them carries no
-            # guarantee — the merge writers are idempotent on replay and the
-            # blind-append mode replays both sides identically — so the
-            # batch's wall-clock is max(blobs, index) instead of the sum.
+            # lock, never recomputes) — the batch's wall-clock is
+            # max(blobs, index) instead of the sum.
             import concurrent.futures as _cf
 
             with _cf.ThreadPoolExecutor(max_workers=2) as pool:
@@ -309,8 +344,8 @@ def run_stream(
         metrics.rows += n_idx + n_dl
         metrics.history.append({"batch_id": batch_id, "indexed": n_idx, "dead_lettered": n_dl})
         result.unpersist()
-        if not dl_static_empty:
-            batch_df.unpersist()
+        if cached is not None:
+            cached.unpersist()
 
     writer = (
         messages.writeStream.foreachBatch(handle_batch)

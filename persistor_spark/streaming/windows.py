@@ -16,6 +16,30 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+}
+
+
+def _interval_ms(interval: str) -> int:
+    """'2 hours' / '30 seconds' -> milliseconds (the subset of Spark's
+    interval syntax the watermark strings in this module use).  Drives the
+    state-eviction timers, which take epoch millis."""
+    value, unit = interval.strip().split()
+    return int(value) * _INTERVAL_UNIT_MS[unit.rstrip("s").lower()]
+
+
+def _eviction_ts_ms(state, batch_max_event_ms: int, retention_ms: int) -> int:
+    """Event-time eviction timer: the key lives until the watermark passes
+    its LAST-SEEN event time (or the current watermark, whichever is
+    later) plus the retention.  Anchoring on the event time matters on the
+    first micro-batch, where the current watermark is still 0."""
+    return max(state.getCurrentWatermarkMs(), batch_max_event_ms) + retention_ms
+
 
 def tumbling_counts(
     messages: DataFrame,
@@ -106,11 +130,30 @@ def streaming_first_seen(
     'have I indexed this unique_id already' gate without a join against the
     whole index.  State is one counter per key, partitioned by key hash —
     bounded memory per executor, timeout-evicted past the watermark.
+
+    Eviction is REAL (EventTimeTimeout, not NoTimeout): each key arms a
+    timer at watermark + the watermark delay and is removed when it fires.
+    Keys here are unique per message, so without eviction state would grow
+    by one entry per message forever — the bounded-memory claim above
+    depends on this.  A redelivery arriving AFTER eviction re-emits
+    first_seen=True; the idempotent merge writers downstream remain the
+    belt-and-braces layer for that tail (same contract as a checkpoint
+    wipe).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    retention_ms = _interval_ms(watermark)
+
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
-        n = sum(len(p) for p in pdfs)
+        if state.hasTimedOut:
+            state.remove()
+            return
+        frames = [p for p in pdfs if len(p)]
+        n = sum(len(p) for p in frames)
+        evt_ms = max(
+            (int(p[time_col].max().value) // 1_000_000 for p in frames),
+            default=0,
+        )
         if state.exists:
             (seen,) = state.get
             state.update((seen + n,))
@@ -118,6 +161,7 @@ def streaming_first_seen(
         else:
             state.update((n,))
             first = True
+        state.setTimeoutTimestamp(_eviction_ts_ms(state, evt_ms, retention_ms))
         yield pd.DataFrame({"unique_id": [key[0]], "first_seen": [first]})
 
     return (
@@ -128,7 +172,7 @@ def streaming_first_seen(
             outputStructType=DEDUP_OUTPUT_SCHEMA,
             stateStructType=DEDUP_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 
@@ -154,22 +198,35 @@ def dedup_gate_rows(
     against the ever-growing index table.
 
     State: one counter per key (bounded per-executor memory, key-hash
-    partitioned).  Output schema == input schema, so the gate is a drop-in
-    stage anywhere in a message-stream plan.
+    partitioned), EVICTED by an event-time timer at watermark + the
+    watermark delay — keys are unique per message, so un-evicted state
+    would grow one entry per message forever.  A redelivery later than
+    the whole retention horizon passes the gate again; the idempotent
+    merge writers behind it absorb exactly that tail (the same
+    belt-and-braces contract as gate-state loss on checkpoint wipe).
+    Output schema == input schema, so the gate is a drop-in stage
+    anywhere in a message-stream plan.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     schema = messages.schema
     cols = [f.name for f in schema.fields]
     sort_cols = [time_col] + (["event_seq"] if "event_seq" in cols else [])
+    retention_ms = _interval_ms(watermark)
 
     def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
         batch = pd.concat(list(pdfs), ignore_index=True)
+        evt_ms = int(batch[time_col].max().value) // 1_000_000
         if state.exists:
             (seen,) = state.get
             state.update((seen + len(batch),))
+            state.setTimeoutTimestamp(_eviction_ts_ms(state, evt_ms, retention_ms))
             return  # already emitted for this key: drop the redeliveries
         state.update((len(batch),))
+        state.setTimeoutTimestamp(_eviction_ts_ms(state, evt_ms, retention_ms))
         yield batch.sort_values(sort_cols, kind="mergesort").head(1)
 
     return (
@@ -179,11 +236,11 @@ def dedup_gate_rows(
             update,
             outputStructType=schema,
             stateStructType=DEDUP_STATE_SCHEMA,
-            # each key emits at most once ever, so append and update are
-            # behaviorally identical — the mode just has to match the QUERY's
-            # output mode (run_stream uses update)
+            # each key emits at most once per retention horizon, so append
+            # and update are behaviorally identical — the mode just has to
+            # match the QUERY's output mode (run_stream uses update)
             outputMode=output_mode,
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
 

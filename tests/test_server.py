@@ -404,3 +404,64 @@ def test_slow_body_not_dropped_by_header_timeout():
         conn.close()
     finally:
         assert srv.shutdown_graceful(s)
+
+
+def test_resubmit_unknown_ids_is_400_and_partial_is_206(resub_server):
+    """starting = REQUESTED id count (resubmitter_job.go:142), so nothing
+    published -> 400, and a partially-found id set -> 206 — previously the
+    found-count stood in for starting and both cases returned 200."""
+    port, _ = resub_server
+    status, body = _req(
+        port, "/resubmit/messages?topic=t4", body={"ids": ["nope-1", "nope-2"]}
+    )
+    assert status == 400
+    assert body["summary"]["starting"] == 2 and body["summary"]["published"] == 0
+    status, body = _req(
+        port, "/resubmit/messages?topic=t4", body={"ids": ["b1_m000000085", "nope-1"]}
+    )
+    assert status == 206 and body["msg"] == srv.RESUBMIT_PARTIAL
+    assert body["summary"]["starting"] == 2 and body["summary"]["published"] == 1
+
+
+def test_resubmit_non_dict_body_is_400_not_dropped_socket(resub_server):
+    port, _ = resub_server
+    status, body = _req(port, "/resubmit/messages?topic=t5", body=[1, 2])
+    assert status == 400 and "JSON object" in body["error"]
+
+
+def test_resubmit_engine_failure_is_500_envelope(resub_server, monkeypatch):
+    """An engine exception inside resubmit() must come back as an HTTP 500
+    envelope (handler.go OnFailureMessage), not a dropped connection."""
+    port, _ = resub_server
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated engine failure")
+
+    monkeypatch.setattr(srv.FileResubmitter, "resubmit", boom)
+    status, body = _req(port, "/resubmit/messages?topic=t6", body={"ids": ["x"]})
+    assert status == 500 and body["msg"] == srv.RESUBMIT_FAILURE
+    assert "simulated engine failure" in body["error"]
+
+
+def test_resubmit_file_sink_preserves_per_key_order(spark, resub_server, ingested):
+    """R7 on the HTTP path: the topic sink carries publish_seq and each
+    ordering key's rows land in ascending publish order within a file."""
+    port, out_root = resub_server
+    status, _ = _req(port, "/range/messages?topic=t7", body={"broker_id": "b1"})
+    assert status == 200
+    from pyspark.sql import functions as F
+
+    rows = spark.read.parquet(f"{out_root}/t7")
+    assert "publish_seq" in rows.columns
+    # physical row order within each file is ascending publish_seq per key
+    import pandas as pd  # noqa: F401
+
+    pdf = rows.select(
+        "ordering_key", "publish_seq", F.monotonically_increasing_id().alias("pos")
+    ).toPandas()
+    bad = 0
+    for _, g in pdf.dropna(subset=["ordering_key"]).groupby("ordering_key"):
+        s = g.sort_values("pos")["publish_seq"].tolist()
+        if s != sorted(s):
+            bad += 1
+    assert bad == 0

@@ -229,6 +229,8 @@ def test_kafka_source_options_mapping():
     assert opts["kafka.fetch.min.bytes"] == "100"
     assert opts["kafka.fetch.max.bytes"] == str(max(cfg.batch.batch_memory_bytes, 1024))
     assert opts["kafka.fetch.max.wait.ms"] == str(cfg.batch.batch_timeout_s * 1000)
+    # decode_kafka selects `headers`; the source only exposes it with this on
+    assert opts["includeHeaders"] == "true"
 
 
 def test_graceful_stop(spark, tmp_path, chunked_messages):

@@ -286,3 +286,76 @@ def test_first_seen_batch_keeps_earliest(spark):
     assert by_key[("b1", "m1")]["event_seq"] == 0
     assert by_key[("b1", "m2")]["event_seq"] == 2
     assert by_key[("b2", "m1")]["event_seq"] == 3
+
+
+def test_dedup_gate_state_is_evicted_past_retention(spark, tmp_path):
+    """The gate's bounded-memory claim is real: a key's state is removed by
+    the event-time timer once the watermark passes last-seen + retention,
+    after which a (very) late redelivery passes the gate again — the
+    documented tail the idempotent merge writers absorb.  Four ordered
+    micro-batches: K seen, two fillers advance the watermark past K's
+    horizon (eviction), K redelivered -> emitted a second time."""
+    import os
+    import time as _time
+
+    from persistor_spark.schemas import MESSAGE_SCHEMA
+
+    def msg(bid, mid, ts):
+        return {
+            "broker_id": bid,
+            "broker_msg_id": mid,
+            "ingestion_time": ts,
+            "payload": "p",
+        }
+
+    from datetime import datetime
+
+    t0 = datetime(2024, 1, 1, 10, 0, 0)
+    t1 = datetime(2024, 1, 1, 11, 0, 0)
+    t2 = datetime(2024, 1, 1, 12, 0, 0)
+    t3 = datetime(2024, 1, 1, 13, 0, 0)
+    src = str(tmp_path / "evict_src")
+    os.makedirs(src)
+    chunks = [
+        [msg("b", "K", t0)],
+        [msg("b", "F1", t1)],  # advances watermark past K's horizon
+        [msg("b", "F2", t2)],  # K times out in this batch (no K input)
+        [msg("b", "K", t3)],  # redelivery AFTER eviction
+    ]
+    for i, rows in enumerate(chunks):
+        spark.createDataFrame(rows, MESSAGE_SCHEMA).coalesce(1).write.parquet(
+            f"{src}/c{i}"
+        )
+        now = _time.time()
+        for dp, _, fs in os.walk(f"{src}/c{i}"):
+            for f in fs:
+                os.utime(os.path.join(dp, f), (now + i, now + i))
+
+    stream = ingest_stream.file_stream(spark, f"{src}/c*", max_files_per_trigger=1)
+    out = windows.dedup_gate_rows(stream, watermark="1 second")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_gate")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    res = spark.sql("SELECT broker_msg_id FROM evict_gate").collect()
+    got = sorted(r["broker_msg_id"] for r in res)
+    # K passes TWICE (state evicted in between); fillers once each
+    assert got == ["F1", "F2", "K", "K"]
+
+
+def test_parse_json_stream_does_not_mutate_message_schema(spark):
+    """StructType.add mutates in place — parse_json_stream must build its
+    corrupt-record schema on a COPY, or every later MESSAGE_SCHEMA user
+    (file_stream, createDataFrame) sees a phantom __corrupt field."""
+    from persistor_spark.schemas import MESSAGE_SCHEMA
+
+    n_before = len(MESSAGE_SCHEMA.fields)
+    raw = spark.createDataFrame([("{}",), ("not json",)], "value string")
+    ingest_stream.parse_json_stream(raw).collect()
+    ingest_stream.parse_json_stream(raw).collect()  # twice: add would stack
+    assert len(MESSAGE_SCHEMA.fields) == n_before
+    assert all(f.name != "__corrupt" for f in MESSAGE_SCHEMA.fields)
