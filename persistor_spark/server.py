@@ -43,7 +43,6 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
 from persistor_spark.functions.filters import InvalidQueryKeys, InvalidTimestamp
-from persistor_spark.functions.timestamps import parse_query_wire
 
 # indexer-api/lib/util.go:30-31
 ON_BAD_REQUEST = "bad request"
@@ -91,24 +90,15 @@ def _pagination(params: dict) -> tuple[int, int]:
 
 
 def _interval_bounds(params: dict) -> tuple[datetime, datetime]:
-    """util.go:80-120: 'from' defaults to the zero time, 'to' defaults to
-    now and must not be in the future.  (The Go code parses 'from' into a
-    variable named `to` and vice versa; the handler swaps them back — the
-    net semantics implemented here, see plans/query.py Q3 note.)"""
-    now = datetime.now(timezone.utc)
-    lb_s = params.get("from", [""])[0]
-    ub_s = params.get("to", [""])[0]
-    lb = parse_query_wire(lb_s) if lb_s else datetime(1, 1, 1, tzinfo=timezone.utc)
-    if ub_s:
-        ub = parse_query_wire(ub_s)
-        if ub > now:
-            raise ValueError(
-                "error during upper interval bound parsing: the given bound "
-                f"can't be in the future (current time: {_wire(now)}, given time:{_wire(ub)})"
-            )
-    else:
-        ub = now
-    return lb.replace(tzinfo=None), ub.replace(tzinfo=None)
+    """util.go:80-120 via the ONE implementation (plans.query Q10 —
+    keeping a second copy here let the two drift: they had already
+    diverged on aware-vs-naive `now` and error wording).  This adapter
+    only unpacks the query-param dict."""
+    from persistor_spark.plans.query import extract_interval_params
+
+    return extract_interval_params(
+        params.get("from", [""])[0] or None, params.get("to", [""])[0] or None
+    )
 
 
 class _JsonHandler(BaseHTTPRequestHandler):
