@@ -6792,15 +6792,18 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id"
         ),
         "d17_message_size": P(
+            # strlen = BYTE length in DuckDB, matching Spark octet_length
+            # (the reference counts bytes; attribute KEY lengths are ASCII
+            # constants either way)
             "SELECT broker_id || '_' || broker_msg_id AS unique_id, "
-            "length(payload) "
+            "strlen(payload) "
             "+ CASE WHEN business_source_key IS NOT NULL "
-            "  THEN 19 + length(business_source_key) ELSE 0 END "
+            "  THEN 19 + strlen(business_source_key) ELSE 0 END "
             "+ CASE WHEN business_object_key IS NOT NULL "
-            "  THEN 19 + length(business_object_key) ELSE 0 END "
+            "  THEN 19 + strlen(business_object_key) ELSE 0 END "
             "+ CASE WHEN attr_version IS NOT NULL "
-            "  THEN 12 + length(attr_version) ELSE 0 END "
-            "+ 10 + length(event_type) AS size_bytes "
+            "  THEN 12 + strlen(attr_version) ELSE 0 END "
+            "+ 10 + strlen(event_type) AS size_bytes "
             "FROM messages ORDER BY unique_id"
         ),
         "d18_wire_timestamps": P(

@@ -75,7 +75,11 @@ def cmd_ingest(args) -> int:
                 spark, sinks.blob_path, cfg.storage.base_url
             ).count()
         else:
-            blob_rows = spark.read.parquet(sinks.blob_path).count()
+            # read back with the format write_blobs actually RESOLVED —
+            # with spark-avro on the classpath, --blob-format avro writes
+            # avro files and a hard-coded parquet read would fail
+            fmt = ingest.resolve_blob_format(spark, args.blob_format)
+            blob_rows = spark.read.format(fmt).load(sinks.blob_path).count()
         _emit({
             "indexed": spark.read.parquet(sinks.index_path).count(),
             "blob_rows": blob_rows,
@@ -143,6 +147,7 @@ def _run_query_op(args, iq) -> int:
 
 def cmd_resubmit(args) -> int:
     from persistor_spark.plans import resubmit
+    from persistor_spark.plans.ingest import resolve_blob_format
     from persistor_spark.plans.query import IndexQuery
     from persistor_spark.sources import blobs as blob_src
 
@@ -154,7 +159,19 @@ def cmd_resubmit(args) -> int:
         ["unique_id", "ordering_key", "business_source_key", "business_object_key",
          "index_source_key", "location_key", "location_position"],
     )
-    blobs = blob_src.read_blob_records(spark, args.blobs)
+    if args.blob_format == "ocf":
+        # OCF blobs need the base URL their location_keys were minted with
+        # (the index stores full URLs; the reader reconstructs them from
+        # relative paths)
+        if not args.blob_base_url:
+            _emit({"error": "--blob-base-url is required with --blob-format ocf"})
+            return 2
+        from persistor_spark.formats import ocf_io
+
+        blobs = ocf_io.read_blob_records_ocf(spark, args.blobs, args.blob_base_url)
+    else:
+        fmt = resolve_blob_format(spark, args.blob_format)
+        blobs = blob_src.read_blob_records(spark, args.blobs, fmt=fmt)
     pruned = blob_src.prune_to_locations(blobs, meta)
     records, obs_meta, obs_rec = resubmit.resubmit_observed(meta, pruned)
     records.write.mode("overwrite").parquet(args.out)
@@ -266,6 +283,10 @@ def main(argv=None) -> int:
     pr.add_argument("--blobs", required=True)
     pr.add_argument("--out", required=True)
     pr.add_argument("--filters", default=None)
+    # blobs written with `ingest --blob-format ocf` were unresubmittable:
+    # the read side hard-coded parquet with no format flag
+    pr.add_argument("--blob-format", default="parquet")
+    pr.add_argument("--blob-base-url", default=None)
     pr.set_defaults(fn=cmd_resubmit)
 
     ps = sub.add_parser("serve")

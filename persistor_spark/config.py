@@ -44,12 +44,17 @@ class StorageConfig:
     def validate(self) -> None:
         if not self.bucket:
             raise ValueError("bucket required")
+        custom_lower = {k.lower() for k in self.custom_values}
         for m in self.mask:
-            if m in TIME_MASK_MEMBERS:
+            # case-insensitive like the reference (storage.go:198) and like
+            # mask_columns' lowercase lookup — 'Year' is a time member and
+            # mask=('ENV',) matches custom_values={'ENV': ...}
+            ml = m.lower()
+            if ml in TIME_MASK_MEMBERS:
                 continue
             if m.startswith("{") and m.endswith("}") and len(m) > 2:
                 continue
-            if m in self.custom_values:
+            if ml in custom_lower:
                 continue
             raise ValueError(f"unknown mask member {m!r} (not time/attr/custom)")
 

@@ -61,12 +61,13 @@ RECORD_SCHEMA = StructType(
 
 def object_path(location_key: str) -> str:
     """`<scheme>://<bucket>/<object path>` -> `<object path>` (the fetchers'
-    URL parse, gs.go:54-89 / abs.go:76-114)."""
-    return re.sub(r"^[a-z]+://[^/]+/", "", location_key)
+    URL parse, gs.go:54-89 / abs.go:76-114).  [a-z0-9] like blob_client_for:
+    a plain [a-z]+ silently failed to strip digit-bearing schemes (s3)."""
+    return re.sub(r"^[a-z0-9]+://[^/]+/", "", location_key)
 
 
 def base_url(location_key: str) -> str:
-    m = re.match(r"^([a-z]+://[^/]+)/", location_key)
+    m = re.match(r"^([a-z0-9]+://[^/]+)/", location_key)
     if not m:
         raise ValueError(f"location_key without scheme://bucket: {location_key!r}")
     return m.group(1)
@@ -240,12 +241,24 @@ def read_blob_records_ocf(
                 lk = f"{blob_base_url}/{rel}"
                 _, recs = avro_ocf.decode_ocf(bytes(content))
                 for i, rec in enumerate(recs, start=1):
+                    # Data is ARBITRARY bytes in the persistorrecord
+                    # contract; this engine's payload column is text, so
+                    # non-UTF-8 payloads (gzip/protobuf bodies a Go
+                    # persistor may have written) are carried as a marked
+                    # base64 string instead of failing the whole scan
+                    data = bytes(rec["Data"])
+                    try:
+                        payload = data.decode("utf-8")
+                    except UnicodeDecodeError:
+                        import base64
+
+                        payload = "base64:" + base64.b64encode(data).decode("ascii")
                     rows.append(
                         {
                             "location_key": lk,
                             "position": i,
                             "record_id": rec["ID"],
-                            "payload": bytes(rec["Data"]).decode("utf-8"),
+                            "payload": payload,
                             "metadata": rec["Metadata"],
                         }
                     )

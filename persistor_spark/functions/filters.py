@@ -32,15 +32,22 @@ class InvalidTimestamp(ValueError):
 
 
 # Mongo comparison operators the dialect admits on operator documents.
+# NULL semantics follow MONGO, not SQL, for the negative operators: Mongo's
+# $ne / $nin MATCH documents whose field is missing or null (the reference
+# hands these filters to Mongo verbatim), while a naive != / ~isin
+# evaluates NULL -> NULL and .filter() drops the row — silently returning
+# fewer rows than the reference for every nullable field.  The positive
+# comparisons keep SQL behavior (NULL never matches), which agrees with
+# Mongo for $eq/$gt/... on null-vs-string comparisons.
 _OPS = {
     "$eq": lambda c, v: c == v,
-    "$ne": lambda c, v: c != v,
+    "$ne": lambda c, v: ~c.eqNullSafe(v),
     "$gt": lambda c, v: c > v,
     "$gte": lambda c, v: c >= v,
     "$lt": lambda c, v: c < v,
     "$lte": lambda c, v: c <= v,
     "$in": lambda c, v: c.isin(list(v)),
-    "$nin": lambda c, v: ~c.isin(list(v)),
+    "$nin": lambda c, v: ~F.coalesce(c.isin(list(v)), F.lit(False)),
 }
 
 

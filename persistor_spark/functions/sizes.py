@@ -20,12 +20,17 @@ def message_size(
     over the attribute map.  Null-safe (null payload/attrs contribute 0)."""
     p = F.col(payload) if isinstance(payload, str) else payload
     a = F.col(attributes) if isinstance(attributes, str) else attributes
-    payload_len = F.coalesce(F.length(p), F.lit(0)).cast("long")
+    # octet_length, not length: the reference sums BYTES (len() over Go
+    # strings) to enforce BatchMemory — character counts undercount UTF-8
+    # payloads up to 4x, over-admitting batches past the memory bound
+    payload_len = F.coalesce(F.octet_length(p), F.lit(0)).cast("long")
     attr_len = F.coalesce(
         F.aggregate(
             F.map_entries(a),
             F.lit(0).cast("long"),
-            lambda acc, e: acc + F.length(e["key"]) + F.coalesce(F.length(e["value"]), F.lit(0)),
+            lambda acc, e: acc
+            + F.octet_length(e["key"])
+            + F.coalesce(F.octet_length(e["value"]), F.lit(0)),
         ),
         F.lit(0).cast("long"),
     )

@@ -19,12 +19,22 @@ QUERY_WIRE_FORMAT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"
 
 def parse_wire(col: Column | str) -> Column:
     """Parse the index wire layout; variable fractional digits tolerated
-    (formatter.go:72-85 uses Go's flexible .99999999)."""
+    (formatter.go:72-85 uses Go's flexible .99999999 — up to EIGHT digits,
+    since Go clocks are nanosecond-precise).  Spark's SSSSSS pattern stops
+    at six, so fractions longer than 6 digits are truncated to micros
+    first — without that, a 7-8 digit wire value fell through every
+    pattern and coalesce yielded NULL, silently corrupting a non-nullable
+    timestamp column."""
     c = F.col(col) if isinstance(col, str) else col
+    trimmed = F.regexp_replace(c, r"(\.\d{6})\d+$", "$1")
+    # try_to_timestamp, not to_timestamp: under ANSI mode (Spark 4 default)
+    # a non-matching pattern RAISES instead of returning NULL, so the
+    # coalesce fallback chain never fell through — variable-fraction
+    # inputs crashed the job rather than trying the next layout
     return F.coalesce(
-        F.to_timestamp(c, INDEX_WIRE_FORMAT),
-        F.to_timestamp(c, "yyyy-MM-dd HH:mm:ss.SSS"),
-        F.to_timestamp(c, "yyyy-MM-dd HH:mm:ss"),
+        F.try_to_timestamp(trimmed, F.lit(INDEX_WIRE_FORMAT)),
+        F.try_to_timestamp(trimmed, F.lit("yyyy-MM-dd HH:mm:ss.SSS")),
+        F.try_to_timestamp(trimmed, F.lit("yyyy-MM-dd HH:mm:ss")),
     )
 
 
@@ -37,6 +47,12 @@ def parse_query_wire(value: str) -> datetime:
     """Python-side parse of the query-API layout (util.go:255-285): RFC3339
     with up to 8 fractional digits, always UTC."""
     v = value.rstrip("Z")
+    # Go's .99999999 emits up to 8 fractional digits; %f takes at most 6 —
+    # truncate to micros so real Go-API timestamps parse instead of raising
+    if "." in v:
+        head, frac = v.rsplit(".", 1)
+        if frac.isdigit() and len(frac) > 6:
+            v = f"{head}.{frac[:6]}"
     for fmt in ("%Y-%m-%dT%H:%M:%S.%f", "%Y-%m-%dT%H:%M:%S"):
         try:
             return datetime.strptime(v, fmt).replace(tzinfo=timezone.utc)

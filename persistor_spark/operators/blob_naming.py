@@ -40,9 +40,12 @@ def mask_columns(
 ) -> dict[str, Column]:
     """One named Column per mask member, in mask order (storage.go:125-189).
 
-    Mask keys are case-insensitive in the reference (storage.go:198); config
-    normalizes to lowercase members.
+    Mask keys are case-insensitive in the reference (storage.go:198) — so
+    the custom_values lookup must be case-insensitive TOO: the member is
+    lowercased here, and a config like mask=('ENV',),
+    custom_values={'ENV': ...} passes validate() with its original casing.
     """
+    custom = {k.lower(): v for k, v in cfg.custom_values.items()}
     cols: dict[str, Column] = {}
     for member in cfg.mask:
         m = member.lower()
@@ -54,7 +57,7 @@ def mask_columns(
                 F.element_at(F.col(attributes), F.lit(attr)), F.lit(UNKNOWN)
             )
         else:
-            cols[f"__mask_{m}"] = F.lit(str(cfg.custom_values[m]))
+            cols[f"__mask_{m}"] = F.lit(str(custom[m]))
     return cols
 
 
@@ -77,7 +80,7 @@ def split_location(col: Column) -> tuple[Column, Column]:
     parsing (gs.go:54-89 splits gs://bucket/path; abs.go:76-114 the https
     form).  Spark reads the URL directly, but the parse is exposed for
     parity tests."""
-    no_scheme = F.regexp_replace(col, r"^[a-z]+://", "")
+    no_scheme = F.regexp_replace(col, r"^[a-z0-9]+://", "")
     bucket = F.split(no_scheme, "/").getItem(0)
     path = F.regexp_replace(no_scheme, r"^[^/]+/", "")
     return bucket, path

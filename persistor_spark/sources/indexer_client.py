@@ -205,6 +205,18 @@ class IndexerHttpClient:
                     )
                     page = _http_json(f"{base_url}{path}?{qs}")
                     rows = [_parse_message(m) for m in page["messages"]]
+                    # the precomputed stride assumes every non-final page
+                    # returns exactly `cap` rows; a short page (server
+                    # clamped the limit, rows deleted between page 0 and
+                    # this fetch) would silently SKIP cap-len(rows) rows at
+                    # the next offset — fail the job loudly instead and
+                    # point at the adaptive serial pager
+                    if int(off) + cap < total and len(rows) != cap:
+                        raise RuntimeError(
+                            f"short page at offset {int(off)}: got {len(rows)} of "
+                            f"{cap} expected — fixed-stride paging would lose rows; "
+                            "re-run via the serial get_interval (adaptive offsets)"
+                        )
                     yield pd.DataFrame(
                         {name: [r.get(name) for r in rows] for name in field_names}
                     )

@@ -61,3 +61,27 @@ def test_cli_analyze_list_and_run(capsys):
     names = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert "a62_dataset_card" in names
     assert cli.main(["analyze", "nope"]) == 2
+
+
+def test_cli_resubmit_ocf_blobs(spark, source_dir, tmp_path, capsys):
+    """ingest --blob-format ocf -> resubmit --blob-format ocf: blobs written
+    in the reference's live OCF contract are resubmittable from the CLI
+    (previously the resubmit read side hard-coded parquet with no flag)."""
+    from persistor_spark import fixtures
+
+    out = str(tmp_path / "out")
+    rc, emitted = _run_cli(
+        capsys, ["ingest", "--source", source_dir, "--out", out, "--blob-format", "ocf"]
+    )
+    assert rc == 0 and emitted["indexed"] > 0
+    base_url = fixtures.fixture_ingest_config().storage.base_url
+    rc, summary = _run_cli(
+        capsys,
+        [
+            "resubmit", "--index", f"{out}/index", "--blobs", f"{out}/blobs",
+            "--out", str(tmp_path / "resub"),
+            "--blob-format", "ocf", "--blob-base-url", base_url,
+        ],
+    )
+    assert rc == 0
+    assert summary["published"] == summary["starting"] == emitted["indexed"]

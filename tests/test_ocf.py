@@ -203,3 +203,30 @@ def test_durable_manifest_survives_and_matches(spark, sf_dir, tmp_path):
     # it is a real parquet read, not executor state
     reread = spark.read.parquet(mpath)
     assert reread.count() == durable.count()
+
+
+def test_read_blob_records_ocf_non_utf8_payload(spark, tmp_path):
+    """The persistorrecord Data field is arbitrary BYTES: a Go-written blob
+    carrying a binary payload (gzip/protobuf) must not UnicodeDecodeError
+    the whole scan — it comes back as a marked base64 string."""
+    import base64
+    import os
+
+    from persistor_spark.formats import avro_ocf, ocf_io
+
+    raw = bytes([0x1F, 0x8B, 0xFF, 0x00, 0x80])  # not valid UTF-8
+    recs = [
+        {"ID": "m1", "Data": b"plain text", "Metadata": {}},
+        {"ID": "m2", "Data": raw, "Metadata": {}},
+    ]
+    base = str(tmp_path / "blobs")
+    os.makedirs(f"{base}/d1", exist_ok=True)
+    with open(f"{base}/d1/blob-x.avro", "wb") as fh:
+        fh.write(avro_ocf.encode_ocf(recs))
+
+    got = {
+        r["record_id"]: r["payload"]
+        for r in ocf_io.read_blob_records_ocf(spark, base, "gs://bkt").collect()
+    }
+    assert got["m1"] == "plain text"
+    assert got["m2"] == "base64:" + base64.b64encode(raw).decode("ascii")

@@ -100,3 +100,71 @@ def test_prometheus_text_format():
         if not line.startswith("#"):
             name, value = line.rsplit(" ", 1)
             float(value)
+
+
+def test_wire_timestamps_accept_go_nanosecond_fractions(spark):
+    """Go's .99999999 layout emits up to 8 fractional digits (ns clocks);
+    both parsers must accept them (truncating to micros) — 7-8 digit values
+    previously raised (query wire) or silently became NULL (index wire)."""
+    from persistor_spark.functions.timestamps import parse_query_wire, parse_wire
+
+    got = parse_query_wire("2024-01-02T03:04:05.12345678Z")
+    assert (got.second, got.microsecond) == (5, 123456)
+
+    df = spark.createDataFrame(
+        [("2024-01-02 03:04:05.1234567",), ("2024-01-02 03:04:05.12345678",),
+         ("2024-01-02 03:04:05.123456",), ("2024-01-02 03:04:05",)],
+        "w string",
+    )
+    out = df.select(parse_wire("w").alias("t"))
+    assert out.filter("t is null").count() == 0
+
+
+def test_mask_custom_values_case_insensitive(spark):
+    """storage.go:198 mask keys are case-insensitive — a mixed-case custom
+    member must pass validate() AND resolve in mask_columns (previously:
+    validate passed, the lowercase lookup KeyError'd)."""
+    from pyspark.sql import functions as F
+
+    from persistor_spark.config import StorageConfig
+    from persistor_spark.operators.blob_naming import mask_columns
+
+    cfg = StorageConfig(mask=("Year", "ENV"), custom_values={"ENV": "prod"})
+    cfg.validate()
+    cols = mask_columns(cfg, F.col("ingestion_time"))
+    assert set(cols) == {"__mask_year", "__mask_env"}
+    row = (
+        spark.createDataFrame([("2024-03-04 05:06:07",)], "ingestion_time string")
+        .withColumn("ingestion_time", F.to_timestamp("ingestion_time"))
+        .select(*[c.alias(n) for n, c in cols.items()])
+        .collect()[0]
+    )
+    assert row["__mask_year"] == "2024" and row["__mask_env"] == "prod"
+
+
+def test_message_size_counts_bytes_not_characters(spark):
+    from pyspark.sql import functions as F
+
+    from persistor_spark.functions.sizes import message_size
+
+    df = spark.createDataFrame(
+        [("éé", {"k": "€"})],  # 2x2-byte chars; euro = 3 bytes
+        "payload string, attributes map<string,string>",
+    )
+    got = df.select(message_size().alias("n")).collect()[0]["n"]
+    assert got == 4 + 1 + 3  # payload bytes + key byte + value bytes
+
+
+def test_filter_ne_nin_match_null_fields_like_mongo(spark):
+    """Mongo's $ne/$nin match documents whose field is missing/null — a
+    naive !=/~isin drops them (NULL three-valued logic), silently returning
+    fewer rows than the reference for every nullable field."""
+    from persistor_spark.functions.filters import translate
+
+    df = spark.createDataFrame(
+        [("b0", "src1"), ("b1", None)], "broker_id string, business_source_key string"
+    )
+    ne = df.filter(translate([{"business_source_key": {"$ne": "src1"}}]))
+    assert [r["broker_id"] for r in ne.collect()] == ["b1"]
+    nin = df.filter(translate([{"business_source_key": {"$nin": ["src1"]}}]))
+    assert [r["broker_id"] for r in nin.collect()] == ["b1"]

@@ -59,8 +59,10 @@ filters_body = st.lists(filter_map, max_size=3)
 
 
 def _eval_cond(row: dict, key: str, value) -> bool:
-    """Model evaluator: Mongo-ish semantics with SQL three-valued NULL
-    comparisons collapsed to False (Spark filter keeps only TRUE rows)."""
+    """Model evaluator: MONGO semantics — the negative operators $ne/$nin
+    match null/missing fields (Mongo treats absence as 'not equal'); the
+    positive comparisons never match null (three-valued SQL and Mongo
+    agree there)."""
     v = row.get(key)
     if not isinstance(value, dict):
         return v is not None and v == value
@@ -77,6 +79,13 @@ def _eval_cond(row: dict, key: str, value) -> bool:
     out = True
     for op, operand in value.items():
         if v is None:
+            # Mongo: a missing/null field IS "not equal" and "not in"
+            if op == "$ne":
+                out = out and (operand is not None)
+                continue
+            if op == "$nin":
+                out = out and (None not in operand)
+                continue
             return False
         out = out and ops[op](v, operand)
     return out
@@ -137,7 +146,10 @@ def test_message_size_model(spark, payload, attrs):
         [(payload, attrs)], "payload string, attributes map<string,string>"
     )
     got = df.select(sizes.message_size().alias("s")).collect()[0]["s"]
-    want = len(payload or "") + sum(len(k) + len(v) for k, v in attrs.items())
+    # BYTE lengths (the reference sums Go len() = bytes; octet_length)
+    want = len((payload or "").encode()) + sum(
+        len(k.encode()) + len(v.encode()) for k, v in attrs.items()
+    )
     assert got == want
 
 
