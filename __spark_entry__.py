@@ -182,7 +182,11 @@ def _d19(spark, sf_dir):
     key = (id(spark), sf_dir, "ocf")
     with _CACHE_LOCK:
         if key not in _CACHE:
+            import atexit
+            import shutil
+
             base = tempfile.mkdtemp(prefix="persistor_ocf_")
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
             ocf_io.write_blobs_ocf(t, base)
             _CACHE[key] = base
         base = _CACHE[key]
@@ -287,7 +291,9 @@ def _d23_integrity_audit(spark, sf_dir):
     msg number % 89 == 3 dropped) makes both directions non-empty.  Both
     directions are key-anti-joins: column-pruned scans, shuffle on the id
     key only — at 100 TB this audits in one pass per direction."""
-    res = fixtures.run_fixture_ingest(spark, sf_dir)
+    # the cached fixture ingest (the fault-injection filters are pure, so
+    # re-running the whole pipeline per call bought nothing)
+    res = _tables(spark, sf_dir)
     blobs = res.blob_records.filter(~(F.col("position") % 97 == 5))
     msgnum = F.substring("broker_msg_id", 2, 20).cast("long")
     idx = res.index_metadata.filter(~(msgnum % 89 == 3))
@@ -320,6 +326,13 @@ _D22_STORES: dict = {}
 
 
 def _d22_store(spark, sf_dir, orders):
+    with _CACHE_LOCK:  # populate-once like every other cache here — an
+        # unlocked check-then-act duplicates the store writes under the
+        # harness's thread pool and orphans the losing tempdir
+        return _d22_store_locked(spark, sf_dir, orders)
+
+
+def _d22_store_locked(spark, sf_dir, orders):
     if sf_dir not in _D22_STORES:
         import tempfile
 
@@ -655,12 +668,12 @@ def _a76_blocklist_filter(spark, sf_dir):
     toks = F.split(F.col("text"), " ")
     bl = F.array(*[F.lit(w) for w in _BLOCKLIST])
     hits = F.size(F.filter(toks, lambda x: F.array_contains(bl, F.lower(x))))
+    # stage the interpreted HOF once (ARCHITECTURE §4b rule 5): referencing
+    # `hits` in both n_blocked and keep re-ran the token-filter fold twice
+    # per document
     return (
-        docs.select(
-            "doc_id",
-            hits.cast("long").alias("n_blocked"),
-            (hits == 0).alias("keep"),
-        )
+        docs.select("doc_id", hits.cast("long").alias("n_blocked"))
+        .select("doc_id", "n_blocked", (F.col("n_blocked") == 0).alias("keep"))
         .orderBy("doc_id")
     )
 
@@ -742,20 +755,8 @@ def _e32_anomaly_zscore(spark, sf_dir):
     per-type mean/stddev -> z-scores -> |z| >= 2 anomalies.  The ingest
     anomaly detector a persistence pipeline runs over its own metrics; two
     bounded aggs over the hour grid, never the raw stream twice."""
-    ev = _events(spark, sf_dir)
-    hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
-    counts = ev.groupBy(F.col("event_type"), hour.alias("hour")).agg(
-        F.count(F.lit(1)).alias("n")
-    )
-    spans = counts.groupBy("event_type").agg(
-        F.min("hour").alias("h0"), F.max("hour").alias("h1")
-    )
-    grid = spans.select(
-        "event_type",
-        F.explode(F.sequence(F.col("h0"), F.col("h1"), F.lit(3600))).alias("hour"),
-    )
-    filled = grid.join(counts, ["event_type", "hour"], "left").select(
-        "event_type", "hour", F.coalesce("n", F.lit(0)).cast("double").alias("n")
+    filled = _hourly_gap_filled(spark, sf_dir).withColumn(
+        "n", F.col("n").cast("double")
     )
     stats = filled.groupBy("event_type").agg(
         F.avg("n").alias("mu"), F.stddev_samp("n").alias("sd")
@@ -1458,13 +1459,12 @@ def _e26_array_agg(spark, sf_dir):
     )
 
 
-def _e25_gap_fill(spark, sf_dir):
-    """Time-series gap filling: per-type hourly counts with MISSING hour
-    buckets generated (sequence over each type's min..max hour) and
-    zero-filled — the densification step before rolling metrics.  The
-    bucket generation is an explode of a per-group sequence (no cross
-    join against a calendar table); the fill is one left join keyed by
-    (type, hour)."""
+def _hourly_gap_filled(spark, sf_dir):
+    """Shared gap-filled hourly series (e25 IS this; e32 z-scores it): per
+    event type, hourly counts with MISSING buckets generated (sequence over
+    each type's min..max hour) and zero-filled.  One sequence-explode grid
+    + one (type, hour)-keyed left join — duplicating this block in both
+    queries let the two definitions of 'an hour bucket' drift."""
     ev = _events(spark, sf_dir)
     hour = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
     counts = (
@@ -1478,13 +1478,19 @@ def _e25_gap_fill(spark, sf_dir):
         "event_type",
         F.explode(F.sequence(F.col("h0"), F.col("h1"), F.lit(3600))).alias("hour"),
     )
-    return (
-        grid.join(counts, ["event_type", "hour"], "left")
-        .select(
-            "event_type", "hour", F.coalesce("n", F.lit(0)).cast("long").alias("n")
-        )
-        .orderBy("event_type", "hour")
+    return grid.join(counts, ["event_type", "hour"], "left").select(
+        "event_type", "hour", F.coalesce("n", F.lit(0)).cast("long").alias("n")
     )
+
+
+def _e25_gap_fill(spark, sf_dir):
+    """Time-series gap filling: per-type hourly counts with MISSING hour
+    buckets generated (sequence over each type's min..max hour) and
+    zero-filled — the densification step before rolling metrics.  The
+    bucket generation is an explode of a per-group sequence (no cross
+    join against a calendar table); the fill is one left join keyed by
+    (type, hour)."""
+    return _hourly_gap_filled(spark, sf_dir).orderBy("event_type", "hour")
 
 
 def _e21_interval_join(spark, sf_dir):
@@ -1561,26 +1567,34 @@ def _events(spark, sf_dir):
     return load_table(spark, sf_dir, "events")
 
 
-def _e9_sessionize(spark, sf_dir):
-    """Gaps-and-islands sessionization (batch twin of
-    streaming.windows.session_windows): new session when the same user's
-    gap exceeds 30 minutes; lag + conditional cumulative sum."""
+def _sessionized(spark, sf_dir):
+    """THE session definition (shared by e9 and e60 — e60's docstring says
+    'e9's sessions', so they must literally be the same expression): new
+    session when the same user's gap exceeds 30 minutes; lag + conditional
+    cumulative sum.  Returns events + (new_session, session_id).
+
+    Cumulative sum over an explicit ROWS frame on the SAME (ts, event_id)
+    order as the lag window — the oracle mirrors this exactly (r1 red row
+    was an ORDER BY event_id-only oracle diverging whenever a user's
+    event_id order differs from ts order).  unix_timestamp, not
+    cast("long"): TIMESTAMP_NTZ fixtures reject a direct BIGINT cast (the
+    e8 pattern; r2 VERDICT "What's wrong" #1)."""
     from pyspark.sql import Window
 
     ev = _events(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # Cumulative sum over an explicit ROWS frame on the SAME (ts, event_id)
-    # order as the lag window — the oracle mirrors this exactly (r1 red row
-    # was an ORDER BY event_id-only oracle diverging whenever a user's
-    # event_id order differs from ts order).
     w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    # unix_timestamp, not cast("long"): TIMESTAMP_NTZ fixtures reject a
-    # direct BIGINT cast (the e8 pattern; r2 VERDICT "What's wrong" #1)
     epoch = F.unix_timestamp("ts")
-    flagged = ev.withColumn(
+    return ev.withColumn(
         "new_session",
         (epoch - F.lag(epoch).over(w) > 1800).cast("int"),
     ).withColumn("session_id", F.sum(F.coalesce("new_session", F.lit(1))).over(w_sum))
+
+
+def _e9_sessionize(spark, sf_dir):
+    """Gaps-and-islands sessionization (batch twin of
+    streaming.windows.session_windows) — see _sessionized."""
+    flagged = _sessionized(spark, sf_dir)
     return (
         flagged.groupBy("user_id", "session_id")
         .agg(
@@ -1723,8 +1737,19 @@ def _a65_lsh_persist(spark, sf_dir):
     docs = _docs(spark, sf_dir)
     old = docs.filter(F.col("doc_id") % 2 == 0)
     new = docs.filter(F.col("doc_id") % 2 == 1)
-    path = tempfile.mkdtemp(prefix="lsh_idx_")
-    dedup.lsh_index_save(dedup.build_band_table(old), path)
+    # populate-once + exit cleanup (one persisted index per session, like
+    # _a55_ivfpq_persist — previously every call leaked a fresh mkdtemp)
+    key = (id(spark), sf_dir, "lsh_idx")
+    with _CACHE_LOCK:
+        if key not in _CACHE:
+            import atexit
+            import shutil
+
+            path = tempfile.mkdtemp(prefix="lsh_idx_")
+            atexit.register(shutil.rmtree, path, ignore_errors=True)
+            dedup.lsh_index_save(dedup.build_band_table(old), path)
+            _CACHE[key] = path
+        path = _CACHE[key]
     loaded = dedup.lsh_index_load(spark, path)
     return dedup.incremental_dup_pairs(new, loaded, 0.8).orderBy("new_id", "old_id")
 
@@ -2383,22 +2408,15 @@ def _a88_dup_gram_report(spark, sf_dir):
     each — the review queue a53/a81's span cutting is justified by.
     One posting agg + TakeOrdered; ties broken on the gram string so the
     top-k is total-order deterministic."""
+    from persistor_spark.analytics import dedup
+
     docs = _docs(spark, sf_dir)
-    toks = F.split(F.col("text"), " ")
+    # the shared shingle helper (a78/a92/a110 use it too) — an inline copy
+    # of its body here would silently diverge if the gram definition moves
     grams = docs.select(
         "doc_id",
         "source",
-        F.explode(
-            F.when(
-                F.size(toks) >= 8,
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - 7),
-                        lambda i: F.array_join(F.slice(toks, i, 8), " "),
-                    )
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+        F.explode(dedup.shingles("text", 8)).alias("g"),
     )
     return (
         grams.groupBy("g")
@@ -4776,9 +4794,10 @@ def _e54_sequence_gaps(spark, sf_dir):
 
 
 def _d33_zonemap_audit(spark, sf_dir):
-    """Zone-map effectiveness audit for the d30 Z-ordered layout: given
-    the bench box predicate (l_partkey in [1000,2000] x l_suppkey in
-    [100,200]), how many of the 32 z-run buckets survive min/max pruning,
+    """Zone-map effectiveness audit for the d30 Z-ordered layout: given an
+    SF-RELATIVE box predicate ([10%, 20%] of each key's domain — at sf0.01
+    that is l_partkey in [2000,4000] x l_suppkey in [16,32]), how many of
+    the 32 z-run buckets survive min/max pruning,
     how many rows those buckets scan, and the read amplification vs the
     rows that actually match — the quantified version of the d30/bench
     zone-map claim (scan cost tracks surviving buckets, not the table).
@@ -5190,21 +5209,25 @@ def _d35_ingest_forecast(spark, sf_dir):
         F.datediff(F.col("day"), F.col("d0")).cast("double").alias("di"),
         F.col("bytes").cast("double").alias("y"),
     )
+    # ONE agg pass: keep the raw regression terms and derive the forecast
+    # in the projection — a second groupBy just for forecast_7d re-executed
+    # the whole index x blob daily-rollup subtree and joined it back
     fit = idx.groupBy("broker_id").agg(
         F.count(F.lit(1)).alias("n_days"),
-        F.round(F.expr("regr_slope(y, di)"), 4).alias("slope"),
-        F.round(F.expr("regr_intercept(y, di)"), 4).alias("intercept"),
-        F.max("di").alias("last_di"),
+        F.expr("regr_slope(y, di)").alias("_s"),
+        F.expr("regr_intercept(y, di)").alias("_i"),
+        F.max("di").alias("_last_di"),
     )
-    forecast = F.round(
-        F.expr("regr_intercept(y, di)")
-        + F.expr("regr_slope(y, di)") * (F.max("di") + 7),
-        4,
-    )
-    fc = idx.groupBy("broker_id").agg(forecast.alias("forecast_7d"))
     return (
-        fit.join(fc, "broker_id")
-        .select("broker_id", "n_days", "slope", "intercept", "forecast_7d")
+        fit.select(
+            "broker_id",
+            "n_days",
+            F.round("_s", 4).alias("slope"),
+            F.round("_i", 4).alias("intercept"),
+            F.round(F.col("_i") + F.col("_s") * (F.col("_last_di") + 7), 4).alias(
+                "forecast_7d"
+            ),
+        )
         .orderBy("broker_id")
     )
 
@@ -5502,20 +5525,12 @@ def _e60_max_concurrency(spark, sf_dir):
     sessions don't overlap).  The global ordered cumsum is the two-level
     `sampling.global_cumsum` — range partition + literal offsets, exact
     integers, no single-partition window; sessionization itself is
-    user-partitioned windows."""
-    from pyspark.sql import Window
-
+    user-partitioned windows (_sessionized — shared with e9 so the two
+    queries cannot disagree about what a session is)."""
     from persistor_spark.analytics.sampling import global_cumsum
 
-    ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    w_sum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     epoch = F.unix_timestamp("ts")
-    flagged = ev.withColumn(
-        "new_session", (epoch - F.lag(epoch).over(w) > 1800).cast("int")
-    ).withColumn(
-        "session_id", F.sum(F.coalesce("new_session", F.lit(1))).over(w_sum)
-    )
+    flagged = _sessionized(spark, sf_dir)
     sess = flagged.groupBy("user_id", "session_id").agg(
         F.min(epoch).alias("t0"), F.max(epoch).alias("t1")
     )
