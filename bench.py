@@ -100,6 +100,8 @@ def bench_index_layout(ctx: Ctx):
     file-listing bound (3.4x time for 10x rows); fewer files + a manifest is
     the deploy-grade fix — lookups open one manifest + the one matching data
     file.  Downstream query benches read THIS layout."""
+    if not os.path.exists(ctx.index_raw_path):
+        bench_ingest_persist(ctx)  # subset/reordered run: build the source
     ctx.index_path = ctx.fresh("index")
     ctx.manifest_path = ctx.fresh("index_manifest")
     (
@@ -120,6 +122,10 @@ def bench_point_lookup(ctx: Ctx):
     to the one data file whose [min,max] covers the id, then the usual
     IndexQuery semantics over that single file — ONE Spark job, no table
     listing."""
+    if not hasattr(ctx, "manifest"):
+        # subset/reordered runs may skip bench_index_layout (the
+        # ivfpq_probe lazy-build pattern)
+        bench_index_layout(ctx)
     pruned = layout.manifest_pruned_scan_cached(
         ctx.spark, ctx.index_path, ctx.manifest, ["b3_m000000123"]
     )
@@ -170,7 +176,11 @@ def bench_window_topk(ctx: Ctx):
 
 
 def bench_lineitem_agg(ctx: Ctx):
-    li = ctx.spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    # load_table, not a raw parquet read: driver fixtures carry
+    # TIMESTAMP(NANOS) columns that a direct read surfaces as LongType —
+    # the date filter would then silently match nothing (registry.py's
+    # "all reads go through here" contract)
+    li = load_table(ctx.spark, SF_DIR, "lineitem")
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-01")
         .groupBy("l_returnflag", "l_linestatus")
@@ -186,9 +196,9 @@ def bench_lineitem_agg(ctx: Ctx):
 
 
 def bench_join_agg(ctx: Ctx):
-    c = ctx.spark.read.parquet(f"{SF_DIR}/customer.parquet")
-    n = ctx.spark.read.parquet(f"{SF_DIR}/nation.parquet")
-    o = ctx.spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    c = load_table(ctx.spark, SF_DIR, "customer")
+    n = load_table(ctx.spark, SF_DIR, "nation")
+    o = load_table(ctx.spark, SF_DIR, "orders")
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
@@ -388,7 +398,10 @@ def bench_index_compaction(ctx: Ctx):
         docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
     ).localCheckpoint()
     for i in range(40):
-        bt.filter(F.col("id") % 40 == i).write.mode("append").partitionBy(
+        # ids here are all ODD (the % 2 == 1 half), so `id % 40 == i` is
+        # empty for every even i — (id div 2) % 40 hits all 40 batches,
+        # fragmenting the layout at the documented 40-append scale
+        bt.filter(F.expr("(id div 2) % 40") == i).write.mode("append").partitionBy(
             "band"
         ).parquet(idx)
     t0 = time.time()
@@ -408,13 +421,12 @@ def bench_targeted_delete(ctx: Ctx):
     rows embed absolute file paths).  The timed step is delete_by_key:
     manifest consult, rewrite of ONLY the affected files, manifest
     rebuild."""
-    import shutil as _sh
 
     from persistor_spark.plans import maintenance
 
     tbl = ctx.fresh("index_delcopy")
     mf = ctx.fresh("manifest_delcopy")
-    _sh.copytree(ctx.index_path, tbl)
+    shutil.copytree(ctx.index_path, tbl)
     layout.write_minmax_manifest(ctx.spark, tbl, mf)
     t0 = time.time()
     stats = maintenance.delete_by_key(
@@ -501,7 +513,7 @@ def main():
     workdir = tempfile.mkdtemp(prefix="persistor-bench-")
     ctx = Ctx(spark, workdir)
     # warm the JVM + file listing so per-query times reflect plan execution
-    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+    load_table(spark, SF_DIR, "events").count()
 
     runs: dict[str, list[float]] = {}
     try:

@@ -65,7 +65,12 @@ def load_messages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # promoted business keys when present (sender.go:136-160 deletes the
     # promoted keys again at index-build time — exercised by plans.ingest).
     entries = []
-    for key in ("business_source_key", "business_object_key", "attr_version"):
+    from persistor_spark.schemas import PROMOTED_ATTRIBUTE_KEYS
+
+    # the SAME tuple keys.py strips at index-build time — hardcoding it here
+    # would silently stop exercising the promotion/demotion round trip for
+    # any key added to the schema constant
+    for key in PROMOTED_ATTRIBUTE_KEYS:
         entries.append(
             F.when(F.col(key).isNotNull(), F.struct(F.lit(key).alias("k"), F.col(key).alias("v")))
         )
@@ -112,7 +117,10 @@ def run_fixture_ingest(spark: SparkSession, sf_dir: str, persist_intermediate: b
     return ingest.run_batch(
         messages,
         fixture_ingest_config(),
-        failure=F.col("event_seq") % 83 == 13,
+        # the ONE failure predicate, shared with the DuckDB oracle CTEs
+        # (oracle.py builds on DEADLETTER_PRED_SQL) — retuning the constant
+        # must move both engines together
+        failure=F.expr(DEADLETTER_PRED_SQL),
         failure_category=(
             F.when(seq3 == 0, F.lit(ingest.DL_CATEGORY_STORAGE))
             .when(seq3 == 1, F.lit(ingest.DL_CATEGORY_PARSER))

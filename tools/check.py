@@ -34,6 +34,10 @@ def norm_cell(v):
         return v.replace(tzinfo=None).isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, bool):
         return str(bool(v)).lower()
+    if isinstance(v, (bytes, bytearray)):
+        # Spark BinaryType collects as bytearray, DuckDB BLOB as bytes —
+        # str() of the two differs even for identical payloads
+        return bytes(v).hex()
     return str(v)
 
 
@@ -45,7 +49,8 @@ def col_types(cols, rows):
     local green must also require matching value types (r2 VERDICT #3)."""
     import decimal
 
-    canon = {bool: "bool", int: "int", decimal.Decimal: "decimal"}
+    canon = {bool: "bool", int: "int", decimal.Decimal: "decimal",
+             bytes: "bytes", bytearray: "bytes"}
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for i in order:
@@ -103,10 +108,10 @@ def check_one(name, fn, oracles, spark, sf_dir, con):
     ]
     if bad_types:
         problems.append(f"non-portable oracle types {bad_types}")
-    if col_types(scols, srows) != col_types(ocols, orows):
-        problems.append(
-            f"value types {col_types(scols, srows)} != {col_types(ocols, orows)}"
-        )
+    st, ot = col_types(scols, srows), col_types(ocols, orows)
+    if st != ot:
+        problems.append(f"value types {st} != {ot}")
+    sh = None
     if not problems:
         sh, oh = table_hash(scols, srows), table_hash(ocols, orows)
         if sh != oh:
@@ -114,7 +119,7 @@ def check_one(name, fn, oracles, spark, sf_dir, con):
     dt = time.time() - t0
     if not problems:
         return (
-            f"ok    {name}: rows={len(srows)} hash={table_hash(scols, srows)}  ({dt:.1f}s)",
+            f"ok    {name}: rows={len(srows)} hash={sh}  ({dt:.1f}s)",
             False,
             [],
         )
@@ -149,6 +154,12 @@ def main():
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        # a typo'd (or relative-path) argument must not become a silent
+        # '0 failures (0 run)' false green
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        sys.exit(2)
     todo = [(n, fn) for n, fn in queries.items() if not only or n in only]
 
     # Spark actions are thread-safe and the scheduler interleaves concurrent
@@ -175,7 +186,9 @@ def main():
             failures.append(name)
 
     n_run = len(todo)
-    n_weak = len([n for n, _ in todo if n not in oracles])
+    # a query can be both oracle-less AND failed (its fn raised) — count it
+    # once, or the ok tally double-subtracts and can go negative
+    n_weak = len([n for n, _ in todo if n not in oracles and n not in failures])
     print(
         f"\n{len(failures)} failures  "
         f"({n_run} run: {n_run - n_weak - len(failures)} ok, {n_weak} rows-only)"
