@@ -45,12 +45,15 @@ def _local_path(path: str) -> str | None:
     store's LIST pages, not Py4J.  Single-call ops (exists/delete/
     rename/open) stay JVM-side unconditionally: Hadoop's checksummed
     LocalFileSystem maintains the sibling .crc files consistently."""
-    if "://" not in path:
-        return path
+    # file: first — the single-slash form 'file:/x' is a valid Hadoop URI
+    # that the '://' test would misclassify as a relative OS path (making
+    # listings silently empty and sizes 0)
     if path.startswith("file:"):
         from urllib.parse import urlparse
 
         return urlparse(path).path or path.split(":", 1)[1]
+    if "://" not in path:
+        return path
     return None
 
 

@@ -64,10 +64,13 @@ def compact(
     trash, new -> live) so the data always exists under SOME name — a
     crash between the renames leaves the layout under the trash name
     (recover by renaming back), never deleted-with-no-replacement.  The
-    trash is dropped only after the new layout is live.  Sizing + swap
-    route through the Hadoop FileSystem API (plans.fsutil), so this works
-    on any scheme Spark can write; on object stores prefer a
-    manifest/Delta (rename is copy+delete there)."""
+    trash uses the SAME `.__trash_` convention as maintenance.compact_parquet
+    and is DEFERRED to the next compact call (immediate deletion would
+    yank files from under a concurrent scan that listed the old layout —
+    the maintenance-module swap contract).  Sizing + swap route through
+    the Hadoop FileSystem API (plans.fsutil), so this works on any scheme
+    Spark can write; on object stores prefer a manifest/Delta (rename is
+    copy+delete there)."""
     import math
     import uuid
 
@@ -81,10 +84,13 @@ def compact(
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
     out.write.parquet(tmp)
-    trash = f"{path}__compact_trash_{uuid.uuid4().hex[:8]}"
+    # sweep trash from PRIOR cycles (a full interval for readers to drain),
+    # then swap; this cycle's trash survives until the next call
+    for old in fsutil.glob(spark, f"{fsutil.escape(path)}.__trash_*"):
+        fsutil.delete(spark, old, recursive=True)
+    trash = f"{path}.__trash_{uuid.uuid4().hex[:8]}"
     fsutil.rename(spark, path, trash)
     fsutil.rename(spark, tmp, path)
-    fsutil.delete(spark, trash, recursive=True)
     return n_files
 
 
@@ -150,6 +156,7 @@ def update_minmax_manifest(
 
     from persistor_spark.plans import fsutil
 
+    _heal_manifest_swap(spark, manifest_path)
     added_files = list(added_files)
     fresh = None
     fresh_files: list[str] = []
@@ -163,6 +170,10 @@ def update_minmax_manifest(
                 F.count(F.lit(1)).alias("n_rows"),
             )
         )
+        # persist: the fresh entries are consumed twice (the key collect
+        # below + the union write) — uncached, every rewritten data file
+        # would be scanned twice per delete
+        fresh = fresh.persist()
         # the added files' manifest keys, in the same URI form the scan
         # emits (journal destinations are plain paths; the manifest
         # stores URIs)
@@ -188,7 +199,35 @@ def update_minmax_manifest(
     fsutil.rename(spark, manifest_path, trash)
     fsutil.rename(spark, tmp, manifest_path)
     fsutil.delete(spark, trash, recursive=True)
+    if fresh is not None:
+        fresh.unpersist()
     return len(fresh_files)
+
+
+def _heal_manifest_swap(spark, manifest_path: str) -> None:
+    """Finish a manifest swap interrupted between update_minmax_manifest's
+    two renames: in that window the manifest exists only under the
+    `__upd_<hex>` name (the fully-written update — it was complete before
+    the first rename) or, degenerately, only under `__upd_trash_<hex>`.
+    Without this, a crash there bricked every later recovery replay with
+    PATH_NOT_FOUND on the manifest read — violating the delete journal's
+    any-point-resumability.  Also sweeps stale swap leftovers.  Single
+    maintenance writer assumed (same contract as the delete journal)."""
+    from persistor_spark.plans import fsutil
+
+    esc = fsutil.escape(manifest_path)
+    leftovers = fsutil.glob(spark, f"{esc}__upd_*")
+    if not fsutil.exists(spark, manifest_path):
+        upd = sorted(p for p in leftovers if "__upd_trash_" not in p)
+        trash = sorted(p for p in leftovers if "__upd_trash_" in p)
+        if upd:  # the updated manifest, complete by construction
+            fsutil.rename(spark, upd[-1], manifest_path)
+        elif trash:  # no update tmp survived: restore the pre-swap manifest
+            fsutil.rename(spark, trash[-1], manifest_path)
+        leftovers = fsutil.glob(spark, f"{esc}__upd_*")
+    if fsutil.exists(spark, manifest_path):
+        for p in leftovers:
+            fsutil.delete(spark, p, recursive=True)
 
 
 def manifest_pruned_scan(
@@ -208,6 +247,9 @@ def manifest_pruned_scan(
     from pyspark.sql import functions as F
 
     values = list(values)
+    if not values:  # reduce() over an empty list has no initializer; the
+        # cached sibling returns the empty scan for the same input
+        return spark.read.parquet(table_path).filter(F.lit(False))
     mf = spark.read.parquet(manifest_path)
     keep = functools.reduce(
         lambda a, b: a | b,

@@ -84,15 +84,39 @@ def compact_parquet(
     `drop_trash_now` asserts there are no concurrent readers."""
     # deferred cleanup: trash from prior cycles has had a full compaction
     # interval for in-flight scans to drain
+    from pyspark.sql import functions as F
+
     swept = sweep_trash(spark, path)
     before = len(fsutil.list_files(spark, path))
     df = spark.read.parquet(path)
     rows = df.count()
     n_files = max(1, -(-rows // target_rows_per_file))
     tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
-    writer = (
-        df.repartition(n_files, partition_col) if partition_col else df.repartition(n_files)
-    )
+    if partition_col:
+        # per-PARTITION-VALUE file sizing: hashing on the partition column
+        # alone sends each value to exactly one task, so partitionBy would
+        # emit ONE file per value however large — a salt bounded by
+        # ceil(value_rows / target) splits hot values across tasks (the
+        # per-value counts are one bounded agg: #values rows).  Sizing is
+        # approximate where (value, salt) combos hash-collide into one
+        # task; never worse than the unsalted single-file-per-value.
+        per = {
+            r[0]: max(1, -(-r["n"] // target_rows_per_file))
+            for r in df.groupBy(partition_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        n_files = sum(per.values())
+        k_map = F.create_map(
+            *[x for v, k in sorted(per.items()) for x in (F.lit(v), F.lit(k))]
+        )
+        salt = F.pmod(
+            F.xxhash64(*[F.col(c) for c in df.columns]),
+            k_map[F.col(partition_col)],
+        )
+        writer = df.repartition(n_files, F.col(partition_col), salt)
+    else:
+        writer = df.repartition(n_files)
     w = writer.write.mode("overwrite")
     if partition_col:
         w = w.partitionBy(partition_col)
@@ -153,6 +177,10 @@ def delete_by_key(
 
     from persistor_spark.plans import layout
 
+    # replay any CRASHED earlier delete first: planning a new delete over
+    # a table with a pending journal would let the later replay move the
+    # old tmp files in and RESURRECT rows this delete removes
+    recover_pending_deletes(spark, table_path)
     keys = sorted(set(keys))
     rows = layout.load_manifest(spark, manifest_path)
     affected = [

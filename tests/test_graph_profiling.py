@@ -477,8 +477,10 @@ def test_delete_by_key_crash_before_moves_loses_nothing(spark, tmp_path, monkeyp
 
 def test_compact_swap_never_deletes_before_replacement(spark, tmp_path):
     """layout.compact's swap goes old->trash, new->live (never delete-live-
-    then-rename): the data must exist under SOME name at every step.  Also
-    pins the post-compact state: same rows, target file count, trash gone."""
+    then-rename): the data must exist under SOME name at every step.  The
+    trash is DEFERRED to the next compact cycle (deleting immediately would
+    yank files from under a concurrent scan) and uses the shared
+    `.__trash_` convention, so the next call sweeps it."""
     from persistor_spark.plans import layout
 
     path = str(tmp_path / "ds")
@@ -489,7 +491,14 @@ def test_compact_swap_never_deletes_before_replacement(spark, tmp_path):
 
     assert len(glob.glob(f"{path}/part-*.parquet")) == 1
     assert spark.read.parquet(path).count() == 1000
-    assert glob.glob(f"{path}__compact_trash_*") == []
+    # this cycle's trash survives for in-flight readers...
+    first_trash = glob.glob(f"{path}.__trash_*")
+    assert len(first_trash) == 1
+    # ...and the NEXT cycle sweeps it
+    layout.compact(spark, path, target_file_bytes=1 << 30, sort_col="id")
+    remaining = glob.glob(f"{path}.__trash_*")
+    assert first_trash[0] not in remaining and len(remaining) == 1
+    assert spark.read.parquet(path).count() == 1000
 
 
 def test_incremental_manifest_update_matches_full_rebuild(spark, tmp_path):
@@ -518,3 +527,91 @@ def test_incremental_manifest_update_matches_full_rebuild(spark, tmp_path):
     hit = layout.manifest_pruned_scan_cached(spark, table, incremental, ["id000011"])
     assert hit.count() == 1
     assert layout.manifest_pruned_scan_cached(spark, table, incremental, ["id000010"]).count() == 0
+
+
+def test_compact_parquet_splits_hot_partition_values(spark, tmp_path):
+    """With partition_col, hashing on the column alone gives ONE file per
+    value however large; the salted repartition must split a hot value
+    into ~ceil(rows/target) files."""
+    from persistor_spark.plans import maintenance
+
+    path = str(tmp_path / "bands")
+    df = spark.range(10_000).selectExpr("id", "cast(id % 2 as int) as band")
+    # fragment: 8 small appends
+    for i in range(8):
+        df.filter(F.col("id") % 8 == i).write.mode("append").partitionBy("band").parquet(path)
+    stats = maintenance.compact_parquet(
+        spark, path, target_rows_per_file=1000, partition_col="band",
+        drop_trash_now=True,
+    )
+    assert stats["rows"] == 10_000
+    import glob
+
+    per_dir = [len(glob.glob(f"{d}/part-*.parquet")) for d in glob.glob(f"{path}/band=*")]
+    # each band has 5000 rows -> ~5 files at 1000/target (hash-collision
+    # merges allowed, single-file-per-value is the failure mode)
+    assert all(n >= 3 for n in per_dir), per_dir
+    assert spark.read.parquet(path).count() == 10_000
+
+
+def test_delete_by_key_replays_pending_journal_first(spark, tmp_path, monkeypatch):
+    """A crashed delete A must be replayed BEFORE a later delete B plans —
+    otherwise A's eventual replay moves A's tmp files in and resurrects
+    rows B deleted."""
+    import glob
+
+    from persistor_spark.plans import layout, maintenance
+
+    table, mf = str(tmp_path / "idx"), str(tmp_path / "mf")
+    df = spark.range(300).select(
+        F.format_string("id%06d", F.col("id")).alias("unique_id"),
+        (F.col("id") % 3).alias("payload"),
+    )
+    df.repartitionByRange(4, "unique_id").sortWithinPartitions("unique_id").write.parquet(table)
+    layout.write_minmax_manifest(spark, table, mf)
+
+    # delete A crashes before its move-in
+    def crash(*a, **k):
+        raise RuntimeError("crash A")
+
+    real = maintenance._replay_delete_plan
+    monkeypatch.setattr(maintenance, "_replay_delete_plan", crash)
+    with pytest.raises(RuntimeError):
+        maintenance.delete_by_key(spark, table, mf, ["id000010"])
+    monkeypatch.setattr(maintenance, "_replay_delete_plan", real)
+    assert glob.glob(f"{table}.__delete_journal_*.json")
+
+    # delete B runs normally; it must replay A first
+    maintenance.delete_by_key(spark, table, mf, ["id000011"])
+    after = spark.read.parquet(table)
+    assert after.count() == 298
+    assert after.filter(F.col("unique_id").isin("id000010", "id000011")).count() == 0
+    assert glob.glob(f"{table}.__delete_journal_*.json") == []
+    # and nothing resurrects on a further recovery pass
+    maintenance.recover_pending_deletes(spark, table)
+    assert spark.read.parquet(table).count() == 298
+
+
+def test_manifest_swap_heals_after_mid_rename_crash(spark, tmp_path):
+    """Crash between update_minmax_manifest's two renames leaves the
+    manifest only under __upd_/__upd_trash_ names; _heal_manifest_swap must
+    restore it (preferring the fully-written update) and sweep leftovers."""
+    import glob
+    import os
+
+    from persistor_spark.plans import layout
+
+    table, mf = str(tmp_path / "t"), str(tmp_path / "mf")
+    spark.range(100).selectExpr("format_string('id%03d', id) as unique_id").write.parquet(table)
+    layout.write_minmax_manifest(spark, table, mf)
+    rows_before = sorted(layout.load_manifest(spark, mf))
+
+    # simulate the crash window: the new manifest sits at __upd_, the old
+    # one was renamed to __upd_trash_, nothing at the live name
+    os.rename(mf, f"{mf}__upd_trash_dead")
+    import shutil
+
+    shutil.copytree(f"{mf}__upd_trash_dead", f"{mf}__upd_beef")
+    layout._heal_manifest_swap(spark, mf)
+    assert sorted(layout.load_manifest(spark, mf)) == rows_before
+    assert glob.glob(f"{mf}__upd_*") == []
