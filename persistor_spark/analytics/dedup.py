@@ -1569,10 +1569,11 @@ def blocked_candidate_pairs(
     other = [c for c in df.columns if c not in block_cols]
     if max_block_size is not None:
         w = Window.partitionBy(*[F.col(c) for c in block_cols]).orderBy(id_col)
-        t = df.withColumn(
-            "__sub",
-            ((F.row_number().over(w) - F.lit(1)) / F.lit(max_block_size)).cast("long"),
-        )
+        # exact integer div (the ntile_exact/pack_sequences rule): `/` is
+        # double division and a boundary could flip at extreme ranks
+        t = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+            "__sub", F.expr(f"(__rn - 1) div {int(max_block_size)}")
+        ).drop("__rn")
     else:
         t = df.withColumn("__sub", F.lit(0))
     key = [*block_cols, "__sub"]

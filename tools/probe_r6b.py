@@ -87,6 +87,21 @@ def er_one_block():
 
 t("a121 WORST one-block 15k customers (112M pairs)", er_one_block)
 
+
+# the LIBRARY path over the same worst case: blocked_candidate_pairs
+# enforces the max_block_size sub-split (r7), bounding candidates at
+# ~n*cap/2 — print it beside the raw hazard so probe runs show both
+def er_one_block_capped():
+    from persistor_spark.analytics import dedup
+
+    return dedup.blocked_candidate_pairs(
+        one_block, ("c_nationkey", "c_mktsegment"), "c_custkey",
+        max_block_size=2000,  # the a121 entry's cap
+    ).count()
+
+
+t("a121 CAPPED same block via blocked_candidate_pairs", er_one_block_capped)
+
 # -- worst case: KMV with one group holding the whole corpus vocabulary --
 from persistor_spark.analytics import sketches
 
