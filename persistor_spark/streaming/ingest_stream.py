@@ -169,6 +169,7 @@ def run_stream(
     exactly_once_blobs: bool = True,
     fault_injector=None,
     dedup_gate: bool = False,
+    dedup_gate_watermark: str = "2 hours",
 ):
     """Start the streaming ingest; returns (StreamingQuery, StreamMetrics).
 
@@ -216,7 +217,11 @@ def run_stream(
     if dedup_gate:
         from persistor_spark.streaming import windows as _windows
 
-        messages = _windows.dedup_gate_rows(messages)
+        # the watermark doubles as the gate's state-retention horizon AND
+        # the late-data cutoff: size it to the source's real event-time
+        # disorder (a backfill replaying days of history needs a wide one,
+        # or older-than-watermark batches are dropped as late)
+        messages = _windows.dedup_gate_rows(messages, watermark=dedup_gate_watermark)
 
     def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
         # With no failure hook and no parse split, the dead-letter frame is

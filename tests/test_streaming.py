@@ -361,6 +361,10 @@ def test_dedup_gate_drops_redeliveries(spark, sf_dir, tmp_path):
         exactly_once_index=False,
         exactly_once_blobs=False,
         dedup_gate=True,
+        # wider than the fixture's event-time span: file arrival order is
+        # arbitrary, and a narrow watermark would drop later-arriving older
+        # rows as late data (this test pins dedup, not lateness)
+        dedup_gate_watermark="720 hours",
     )
     q.awaitTermination(300)
 

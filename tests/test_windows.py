@@ -80,7 +80,13 @@ def test_streaming_first_seen_dedup(spark, tmp_path, sf_dir):
     keyed = stream.withColumn(
         "unique_id", F.concat_ws("_", "broker_id", "broker_msg_id")
     )
-    out = windows.streaming_first_seen(keyed)
+    # watermark WIDER than the fixture's multi-day event-time span: the
+    # 4 chunk files arrive in mtime order, which is arbitrary for a
+    # parallel write — with a narrow watermark an unlucky order drops
+    # later-arriving older rows as late data (observed flake: 102/200).
+    # This test pins exactly-once marking; eviction semantics have their
+    # own test (test_dedup_gate_state_is_evicted_past_retention).
+    out = windows.streaming_first_seen(keyed, watermark="720 hours")
     q = (
         out.writeStream.format("memory")
         .queryName("firstseen")
