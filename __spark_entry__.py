@@ -5822,54 +5822,103 @@ def _a139_length_bucket_waste(spark, sf_dir):
 # backlog is exhausted (r6 VERDICT #7: the rotation policy as a checked
 # invariant, not prose).
 ROTATION_HEAD = [
-    "a42_int8_quantize",
-    "a45_random_projection",
-    "a121_entity_resolution",
-    "a113_histogram_quantiles",
-    "a125_personalized_pagerank",
-    "d24_targeted_delete",
-    "e37b_approx_percentile",
+    # r8: empty at rotation time — appended when round-8 code changes touch
+    # a registered query (tests/test_rotation_window.py caps this at 15).
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
-    r7 ROTATION (executes the written r6 plan, NOTES_r6.md "Debt statement
-    for r7" + r6 VERDICT #2): the window is (1) every query whose CODE
-    changed this round — a42/a45 (array outputs serialized for the driver
-    canonicalizer; their r6 rows were the repo's only-ever reds), a121
-    (hot-block cap now enforced via blocked_candidate_pairs), a113
-    (histogram q=0 clamp), a125 (PPR seed dedup), d24 (delete_by_key
-    gained the crash-safe journal); (2) the one r7 addition e37b (the
-    percentile_approx production twin); (3) the never-driver-checked
-    backlog — ALL 11 d* (d27-d37), ALL 17 e* (e44-e55, e57-e61), then the
-    a-family in the r6 judge's plan-complexity priority order (a129, a124,
-    a117, a133, a134, a137, a138), then oldest-first (a105-a112) to fill
-    slot 50.  Remaining never-checked backlog carried to r8 (top of the
-    post-marker block, oldest-first): a114-a116, a118-a120, a122, a123,
-    a126-a128, a130-a132, a135, a136, a139 — 17 queries, down from 63 at
-    r6 end.  Everything below the marker is driver-green at least once AND
-    re-verified by tools/check.py (full-registry gate at sf0.001 + sf0.01)
-    plus pytest every round; tests/test_rotation_window.py enforces the
-    rotation policy as a checked invariant.
+    r8 ROTATION (executes the written r7 plan, NOTES_r7.md "Debt statement
+    for r8" + r7 VERDICT #1): the window is (1) any query whose CODE
+    changes in r8 (ROTATION_HEAD, appended as the round progresses);
+    (2) the ENTIRE never-driver-checked backlog -- all 17 carryovers
+    a114-a116, a118-a120, a122-a123, a126-a128, a130-a132, a135-a136,
+    a139 (oldest-first) -- taking the backlog to ZERO for the first time;
+    (3) oldest-green freshness re-checks in the ~33 spare slots: the
+    r01-r03-era rows d1-d21 / e1-e7 / a1-a5, whose underlying engine has
+    been refactored heavily since their last driver row (layout manifests,
+    fsutil, merge paths, incremental manifest maintenance) -- including
+    the judge-mandated d1/d3/d9/d13 (r7 VERDICT #6).  Everything below
+    the marker is driver-green at least once AND re-verified by
+    tools/check.py (full-registry gate at sf0.001 + sf0.01) plus pytest
+    every round; tests/test_rotation_window.py enforces the rotation
+    policy as a checked invariant.
 
     Verify the actual window before round end with:
       python -c "import __spark_entry__ as e; print(list(e.queries())[:50])"
     """
     return {
-        # ==== r7 DRIVER WINDOW (positions 1-50) ====
-        # -- (1) code changed in r7
+        # ==== r8 DRIVER WINDOW (positions 1-50) ====
+        # -- (1) code changed in r8: ROTATION_HEAD entries (appended as the
+        #        round progresses; none at rotation time)
+        # -- (2) the never-driver-checked backlog, ALL 17 (oldest-first) --
+        #        this window takes the backlog to ZERO for the first time
+        "a114_mutual_information": _a114_mutual_information,
+        "a115_chao1_richness": _a115_chao1_richness,
+        "a116_bpe_merge_pairs": _a116_bpe_merge_pairs,
+        "a118_two_stage_rerank": _a118_two_stage_rerank,
+        "a119_nucleus_vocab": _a119_nucleus_vocab,
+        "a120_quantile_normalize": _a120_quantile_normalize,
+        "a122_ols_sufficient_stats": _a122_ols_sufficient_stats,
+        "a123_ams_f2": _a123_ams_f2,
+        "a126_coverage_selection": _a126_coverage_selection,
+        "a127_hard_negatives": _a127_hard_negatives,
+        "a128_lang_confusion": _a128_lang_confusion,
+        "a130_waterfill_mixture": _a130_waterfill_mixture,
+        "a131_label_dispersion": _a131_label_dispersion,
+        "a132_benford_audit": _a132_benford_audit,
+        "a135_matryoshka_quality": _a135_matryoshka_quality,
+        "a136_curriculum_interleave": _a136_curriculum_interleave,
+        "a139_length_bucket_waste": _a139_length_bucket_waste,
+        # -- (3) oldest-green freshness re-checks: r01-r03-era driver rows
+        #        (d1-d21, e1-e7, a1-a5) whose engine underneath was heavily
+        #        refactored since (layout manifests, fsutil, merge paths);
+        #        includes the judge-mandated d1/d3/d9/d13 (r7 VERDICT #6)
+        "d1_point_lookup": _d1,
+        "d2_in_list": _d2,
+        "d3_interval_page": _d3,
+        "d4_interval_count": _d4,
+        "d5_or_of_ands": _d5,
+        "d6_key_derivation": _d6,
+        "d7_version_partition": _d7,
+        "d8_time_partition": _d8,
+        "d9_position_align_join": _d9,
+        "d10_group_by_location": _d10,
+        "d11_unique_invariant": _d11,
+        "d12_deadletter_antijoin": _d12,
+        "d13_lineage_counts": _d13,
+        "d14_window_topk": _d14,
+        "d15_orders_agg": _d15,
+        "d16_customer_nation_join": _d16,
+        "d17_message_size": _d17,
+        "d18_wire_timestamps": _d18,
+        "d19_ocf_roundtrip": _d19,
+        "d20_first_seen": _d20_first_seen,
+        "d21_salted_agg": _d21_salted_agg,
+        "e1_rollup": _e_rollup,
+        "e2_cube": _e_cube,
+        "e3_set_ops": _e_set_ops,
+        "e4_semi_anti_join": _e_semi_anti,
+        "e5_window_lag_lead_frames": _e_window_lag,
+        "e6_scalar_subquery": _e_scalar_subquery,
+        "e7_string_funcs": _e_string_funcs,
+        "a1_dedup_exact": _a_dedup_exact,
+        "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
+        "a3_minhash_lsh_pairs": _a_minhash_lsh,
+        "a4_simhash_pairs": _a_simhash,
+        "a5_embedding_topk": _a_embedding_topk,
+        # ---- driver window ends here (50) ---- below: driver-green at
+        # least once + full-gate re-verified every round, ordered by how
+        # recently their driver row landed (most recent r7 rows first).
         "a42_int8_quantize": _a42_int8_quantize,
         "a45_random_projection": _a45_random_projection,
         "a121_entity_resolution": _a121_entity_resolution,
         "a113_histogram_quantiles": _a113_histogram_quantiles,
         "a125_personalized_pagerank": _a125_personalized_pagerank,
         "d24_targeted_delete": _d24_targeted_delete,
-        # -- (2) new in r7
         "e37b_approx_percentile": _e37b_approx_percentile,
-        # -- (3) never driver-checked: all d*, all e*, judge-priority a*,
-        # then oldest-first a-family
         "d27_table_checksum": _d27_table_checksum,
         "d28_storage_tiering": _d28_storage_tiering,
         "d29_ingest_heatmap": _d29_ingest_heatmap,
@@ -5913,10 +5962,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a110_heaps_curve": _a110_heaps_curve,
         "a111_skipgram_cooccurrence": _a111_skipgram_cooccurrence,
         "a112_term_burstiness": _a112_term_burstiness,
-        # ---- driver window ends here (50) ---- below: driver-green at
-        # least once + full-gate re-verified every round.  FIRST IN LINE
-        # for the r8 window: the 17 never-driver-checked carryovers
-        # (a114..a139, oldest-first), then rotation by oldest driver row.
         "a85_length_histogram": _a85_length_histogram,
         "a86_type_token_stats": _a86_type_token_stats,
         "a87_split_balance": _a87_split_balance,
@@ -5963,47 +6008,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d26_blob_skew_report": _d26_blob_skew_report,
         "a103_dup_pair_qa_sample": _a103_dup_pair_qa_sample,
         "a104_reshard_moves": _a104_reshard_moves,
-        "a4_simhash_pairs": _a_simhash,
-        "d3_interval_page": _d3,
-        "d4_interval_count": _d4,
-        "d5_or_of_ands": _d5,
-        "d6_key_derivation": _d6,
-        "d7_version_partition": _d7,
-        "d8_time_partition": _d8,
-        "d10_group_by_location": _d10,
-        "d11_unique_invariant": _d11,
-        "d12_deadletter_antijoin": _d12,
-        "d17_message_size": _d17,
-        "d18_wire_timestamps": _d18,
-        "e1_rollup": _e_rollup,
-        "e2_cube": _e_cube,
-        "e3_set_ops": _e_set_ops,
-        "e4_semi_anti_join": _e_semi_anti,
-        "e5_window_lag_lead_frames": _e_window_lag,
-        "e6_scalar_subquery": _e_scalar_subquery,
-        "e7_string_funcs": _e_string_funcs,
-        "a1_dedup_exact": _a_dedup_exact,
-        "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
-        "a3_minhash_lsh_pairs": _a_minhash_lsh,
-        "a5_embedding_topk": _a_embedding_topk,
-        "a114_mutual_information": _a114_mutual_information,
-        "a115_chao1_richness": _a115_chao1_richness,
-        "a116_bpe_merge_pairs": _a116_bpe_merge_pairs,
-        "a118_two_stage_rerank": _a118_two_stage_rerank,
-        "a119_nucleus_vocab": _a119_nucleus_vocab,
-        "a120_quantile_normalize": _a120_quantile_normalize,
-        "a122_ols_sufficient_stats": _a122_ols_sufficient_stats,
-        "a123_ams_f2": _a123_ams_f2,
-        "a126_coverage_selection": _a126_coverage_selection,
-        "a127_hard_negatives": _a127_hard_negatives,
-        "a128_lang_confusion": _a128_lang_confusion,
-        "a130_waterfill_mixture": _a130_waterfill_mixture,
-        "a131_label_dispersion": _a131_label_dispersion,
-        "a132_benford_audit": _a132_benford_audit,
-        "a135_matryoshka_quality": _a135_matryoshka_quality,
-        "a136_curriculum_interleave": _a136_curriculum_interleave,
-        "a139_length_bucket_waste": _a139_length_bucket_waste,
-        "d2_in_list": _d2,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
         "a62_dataset_card": _a62_dataset_card,
@@ -6075,10 +6079,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e10_join_topk": _e10_join_topk,
         "e12_percentiles": _e12_percentiles,
         "e19_sliding_window": _e19_sliding_window,
-        "d19_ocf_roundtrip": _d19,
-        "d9_position_align_join": _d9,
-        "d1_point_lookup": _d1,
-        "d13_lineage_counts": _d13,
         "e21_interval_join": _e21_interval_join,
         "e22_unpivot": _e22_unpivot,
         "e23_ntile": _e23_ntile,
@@ -6088,11 +6088,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e16_correlated_exists": _e16_correlated_exists,
         "e17_term_heavy_hitters": _e17_term_heavy_hitters,
         "e18_null_safe_join": _e18_null_safe_join,
-        "d14_window_topk": _d14,
-        "d20_first_seen": _d20_first_seen,
-        "d21_salted_agg": _d21_salted_agg,
-        "d15_orders_agg": _d15,
-        "d16_customer_nation_join": _d16,
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
