@@ -5822,8 +5822,11 @@ def _a139_length_bucket_waste(spark, sf_dir):
 # backlog is exhausted (r6 VERDICT #7: the rotation policy as a checked
 # invariant, not prose).
 ROTATION_HEAD = [
-    # r8: empty at rotation time — appended when round-8 code changes touch
-    # a registered query (tests/test_rotation_window.py caps this at 15).
+    # r8 changed code: build_band_table short-doc predicate (cheap
+    # token-count filter replaces the double-evaluated size(sh)>0)
+    "a15_incremental_dedup",
+    "a65_lsh_persist",
+    "a3_minhash_lsh_pairs",
 ]
 
 
@@ -5851,8 +5854,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ==== r8 DRIVER WINDOW (positions 1-50) ====
-        # -- (1) code changed in r8: ROTATION_HEAD entries (appended as the
-        #        round progresses; none at rotation time)
+        # -- (1) code changed in r8 (ROTATION_HEAD): build_band_table's
+        #        short-doc exclusion now filters on token count pre-shingle
+        #        (the aliased-column predicate was double-evaluating the
+        #        shingle pipeline after pushdown); a3 rides the same path
+        #        and is already in the window's freshness block
+        "a15_incremental_dedup": _a15_incremental_dedup,
+        "a65_lsh_persist": _a65_lsh_persist,
         # -- (2) the never-driver-checked backlog, ALL 17 (oldest-first) --
         #        this window takes the backlog to ZERO for the first time
         "a114_mutual_information": _a114_mutual_information,
@@ -6013,7 +6021,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a62_dataset_card": _a62_dataset_card,
         "a63_temperature_sample": _a63_temperature_sample,
         "a64_decontaminate": _a64_decontaminate,
-        "a65_lsh_persist": _a65_lsh_persist,
         "a66_snapshot_diff": _a66_snapshot_diff,
         "e25_gap_fill": _e25_gap_fill,
         "e26_array_agg": _e26_array_agg,
@@ -6064,7 +6071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e11_asof_join": _e11_asof_join,
         "a29_pack_sequences": _a_pack_sequences,
         "a14_bm25_topk": _a14_bm25_topk,
-        "a15_incremental_dedup": _a15_incremental_dedup,
         "a6_lsh_topk": _a_lsh_topk,
         "a11_dedup_clusters": _a_dedup_clusters,
         "a13_curation_pipeline": _a13_curation_pipeline,
