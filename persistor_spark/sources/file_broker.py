@@ -16,10 +16,11 @@ discipline (sources/brokers.py:84-96) that feeds the Kafka producer feeds
 - S3 consume: readStream over the topic in segment order through
   decode_kafka -> MESSAGE_SCHEMA -> the full ingest derivation.
 
-Semantics vs a real broker (documented deltas): single-writer per topic
-(the test/bench context; offsets are claimed from a high-water-mark file
-without cross-process locking), at-least-once delivery via the file
-source's file-level tracking, and retention = everything (no compaction).
+Semantics vs a real broker (documented deltas): offsets are claimed from
+a high-water-mark file under an exclusive flock (`_statelock.state_lock`),
+so concurrent publishers to one topic SERIALIZE rather than corrupt the
+marks; at-least-once delivery via the file source's file-level tracking;
+retention = everything (no compaction).
 
 Reference: the resubmit target topic + Kafka iterator pair
 (resubmitter_job.go:387-455, iterator.go:27-61).
@@ -31,6 +32,8 @@ import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from persistor_spark.sources._statelock import state_lock
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -114,6 +117,14 @@ class FileBroker:
         (batch-sized, N-partition key space); the marks file is N small
         integers, not data.
         """
+        # the whole claim-offsets -> write -> advance-marks sequence is one
+        # critical section: without the lock, interleaved publishers both
+        # read the same marks and one side's advance is lost, desyncing the
+        # high-water marks from the topic's contents (r7 VERDICT #4)
+        with state_lock(self._marks_path(topic)):
+            return self._publish_locked(records_kafka_ready, topic)
+
+    def _publish_locked(self, records_kafka_ready: DataFrame, topic: str) -> dict[int, int]:
         from pyspark.sql import Window
 
         marks = self._load_marks(topic)

@@ -27,10 +27,10 @@ the broker delivers as attributes (sender.go:136-160 deletes the promoted
 keys again at index-build time — unchanged downstream).
 
 Stand-in deltas vs a real broker (documented, same contract as
-FileBroker): single-consumer state in one JSON file (the real broker owns
-ack state server-side; no cross-process locking here), retention =
-everything, and redelivery order is deterministic (publish_time,
-message_id) rather than best-effort.  The ack-state file grows with acked
+FileBroker): consumer state lives in one JSON file guarded by an exclusive
+flock (`_statelock.state_lock` — the real broker owns ack state
+server-side), retention = everything, and redelivery order is
+deterministic (publish_time, message_id) rather than best-effort.  The ack-state file grows with acked
 history — test scaffolding, not a production queue.
 
 Scale shape: the backlog is parquet (distributed reads); per-pull driver
@@ -56,6 +56,7 @@ from pyspark.sql.types import (
 )
 
 from persistor_spark.config import IngestConfig
+from persistor_spark.sources._statelock import state_lock
 
 # What the Pub/Sub / Service Bus client hands the receiver callback: an id
 # assigned by the broker, opaque data, string attributes, a publish time,
@@ -152,7 +153,15 @@ class FileSubscription:
 
         The id window is batch-sized (one produce call), not
         backlog-sized — same bound as FileBroker.publish's offset window.
+
+        Claim-ids -> write -> advance-next_id is one flock'd critical
+        section (r7 VERDICT #4): concurrent publishers serialize instead
+        of both claiming the same id window.
         """
+        with state_lock(self._state_path()):
+            return self._publish_locked(messages)
+
+    def _publish_locked(self, messages: DataFrame) -> int:
         from pyspark.sql import Window
 
         state = self._load_state()
@@ -202,7 +211,15 @@ class FileSubscription:
         batch is bounded by min(batch_size, flow-control budget): both the
         outstanding-message and outstanding-byte caps count currently
         leased volume (receiver.go:38-44).
+
+        Lease accounting (expire -> budget -> take -> save) runs under the
+        state flock so two pullers never lease the same message twice
+        within one deadline window.
         """
+        with state_lock(self._state_path()):
+            return self._pull_locked(spark, max_messages)
+
+    def _pull_locked(self, spark: SparkSession, max_messages: int | None) -> DataFrame:
         now = self.clock()
         state = self._load_state()
         # expire stale leases (crashed consumer -> redelivery)
@@ -257,19 +274,21 @@ class FileSubscription:
 
     def ack(self, message_ids) -> None:
         """Retire messages permanently (Pub/Sub Ack / Service Bus Complete)."""
-        state = self._load_state()
-        for mid in message_ids:
-            state["acked"][mid] = True
-            state["leases"].pop(mid, None)
-        self._save_state(state)
+        with state_lock(self._state_path()):
+            state = self._load_state()
+            for mid in message_ids:
+                state["acked"][mid] = True
+                state["leases"].pop(mid, None)
+            self._save_state(state)
 
     def nack(self, message_ids) -> None:
         """Drop the lease -> immediate redelivery (Pub/Sub Nack / Service
         Bus Abandon)."""
-        state = self._load_state()
-        for mid in message_ids:
-            state["leases"].pop(mid, None)
-        self._save_state(state)
+        with state_lock(self._state_path()):
+            state = self._load_state()
+            for mid in message_ids:
+                state["leases"].pop(mid, None)
+            self._save_state(state)
 
     # Service Bus vocabulary (servicebus iterator Complete/Abandon)
     complete = ack
