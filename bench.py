@@ -319,6 +319,77 @@ def bench_stream_ingest(ctx: Ctx):
 bench_stream_ingest.self_timed = True
 
 
+def bench_receiver_ingest(ctx: Ctx):
+    """S1 executed receiver semantics at bench scale (r7 VERDICT #8
+    stretch): pull -> decode_pubsub -> run_batch -> blob+index merge -> ack
+    against the FileSubscription stand-in, draining the backlog in 4
+    lease-batched pulls.  Publishing the backlog is prep (untimed); the
+    timed region covers lease accounting, the decode mapping, the full
+    ingest derivation, and the blob+index sinks in the SAME mode as
+    stream_ingest (append; fresh sinks + an acked backlog are exactly-once
+    already — the E1 merge-vs-redelivery pairing is pinned by the
+    FileSubscription e2e pytest, not re-benched here), overlapped from two
+    driver threads exactly as run_stream does under a deterministic clock.
+    Compare with stream_ingest — same rows and sink mode, file source vs
+    leased receiver; the delta is the receiver contract (lease accounting,
+    candidate listing, ack bookkeeping in the stand-in's JSON state)."""
+    from persistor_spark.plans import ingest
+    from persistor_spark.sources.file_subscription import (
+        FileSubscription,
+        decode_pubsub,
+    )
+
+    msgs = fixtures.load_messages(ctx.spark, SF_DIR)
+    n_msgs = msgs.count()
+    batch = max(1, -(-n_msgs // 4))
+    # same flow-control raise as FileSubscription.for_pubsub
+    # (receiver.go:38-44): the outstanding cap must admit a full batch,
+    # or every pull silently clips to the 1000-message client default
+    sub = FileSubscription(
+        ctx.fresh("receiver_sub"),
+        batch_size=batch,
+        max_outstanding_messages=batch,
+    )
+    sub.publish(
+        msgs.select("payload", "attributes", "publish_time", "ordering_key")
+    )
+    cfg = fixtures.fixture_ingest_config()
+    blobs = ctx.fresh("receiver_blobs")
+    index = ctx.fresh("receiver_index")
+    t0 = time.time()
+    pulls = 0
+    while True:
+        batch = sub.pull(ctx.spark)
+        ids = [r["message_id"] for r in batch.select("message_id").collect()]
+        if not ids:
+            break
+        pulls += 1
+        res = ingest.run_batch(
+            decode_pubsub(batch, "persistor-sub"),
+            cfg,
+            persist_intermediate=True,
+            blob_name=F.concat(F.col("broker_id"), F.lit(f"-p{pulls}")),
+        )
+        import concurrent.futures as _cf
+
+        with _cf.ThreadPoolExecutor(max_workers=2) as pool:
+            futs = [
+                pool.submit(ingest.write_blobs, res, blobs),
+                pool.submit(ingest.write_index, res, index),
+            ]
+            for f in futs:
+                f.result()
+        res.unpersist()
+        sub.ack(ids)
+    elapsed = time.time() - t0
+    assert pulls >= 4, f"expected >=4 lease-batched pulls, got {pulls}"
+    assert sub.stats()["acked"] == n_msgs
+    return elapsed
+
+
+bench_receiver_ingest.self_timed = True
+
+
 def bench_bm25_search(ctx: Ctx):
     from persistor_spark.analytics import search
 
@@ -476,6 +547,7 @@ def bench_graph_pagerank(ctx: Ctx):
 QUERIES = {
     "ingest_persist": bench_ingest_persist,
     "stream_ingest": bench_stream_ingest,
+    "receiver_ingest": bench_receiver_ingest,
     "index_layout": bench_index_layout,
     "point_lookup": bench_point_lookup,
     "filter_query": bench_filter_query,

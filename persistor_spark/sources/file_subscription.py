@@ -238,12 +238,17 @@ class FileSubscription:
         if budget_msgs <= 0 or budget_bytes <= 0:
             return spark.createDataFrame([], WIRE_SCHEMA)
 
+        import pandas as pd
+
         backlog = spark.read.schema(WIRE_SCHEMA).parquet(self._backlog_dir())
         blocked = set(state["acked"]) | set(active)
         candidates = backlog.select("message_id", "size_bytes", "publish_time")
         if blocked:
+            # pandas frame -> Arrow batch transfer: a list-of-tuples
+            # createDataFrame pickles row by row, which at a 100k-message
+            # acked history costs ~a second PER PULL (measured at sf0.1)
             blocked_df = spark.createDataFrame(
-                [(b,) for b in sorted(blocked)], "message_id string"
+                pd.DataFrame({"message_id": sorted(blocked)})
             )
             candidates = candidates.join(
                 F.broadcast(blocked_df), "message_id", "left_anti"
@@ -269,7 +274,7 @@ class FileSubscription:
         self._save_state(state)
         if not taken:
             return spark.createDataFrame([], WIRE_SCHEMA)
-        ids = spark.createDataFrame([(t,) for t in taken], "message_id string")
+        ids = spark.createDataFrame(pd.DataFrame({"message_id": taken}))
         return backlog.join(F.broadcast(ids), "message_id", "left_semi")
 
     def ack(self, message_ids) -> None:
