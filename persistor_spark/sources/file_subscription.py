@@ -27,15 +27,26 @@ the broker delivers as attributes (sender.go:136-160 deletes the promoted
 keys again at index-build time — unchanged downstream).
 
 Stand-in deltas vs a real broker (documented, same contract as
-FileBroker): consumer state lives in one JSON file guarded by an exclusive
-flock (`_statelock.state_lock` — the real broker owns ack state
-server-side), retention = everything, and redelivery order is
-deterministic (publish_time, message_id) rather than best-effort.  The ack-state file grows with acked
-history — test scaffolding, not a production queue.
+FileBroker): consumer state is serialized by an exclusive flock
+(`_statelock.state_lock` — the real broker owns ack state server-side),
+retention = everything, and redelivery order is deterministic
+(publish_time, message_id) rather than best-effort.
 
-Scale shape: the backlog is parquet (distributed reads); per-pull driver
-state is bounded by the BATCH size (a narrow id+size candidate listing,
-then a broadcast semi-join to fetch full rows), never the backlog size.
+Scale shape (r8 VERDICT "What's wrong" #2 — the de-drivered protocol):
+- the backlog is parquet (distributed reads);
+- **acked ids live in an append-only parquet store** (`acked/`), one frame
+  per ack call — ack cost is flat in acked-history size, and `pull`
+  excludes them with a distributed anti-join, never a driver set;
+- **leases are per-pull GROUPS**: each pull writes its taken ids as one
+  parquet frame (`leases/`) and the JSON state keeps only
+  {group: (expiry, n, bytes)} — bounded by backlog/batch_size groups, not
+  by message count.  The frames double as the at-least-once delivery
+  journal (`stats()["deliveries"]`);
+- no message id ever crosses the driver on the pull/ack_df path: byte
+  budgeting is a windowed cumsum over the batch-bounded head, ack is a
+  frame append + per-group remaining-count aggregates (scalars only).
+`ack(list)`/`nack(list)` remain for tests (pyarrow-side, no Spark
+session); `ack_df`/`nack_df` are the scale path.
 """
 
 from __future__ import annotations
@@ -127,6 +138,12 @@ class FileSubscription:
     def _backlog_dir(self) -> str:
         return f"{self.root}/backlog"
 
+    def _acked_dir(self) -> str:
+        return f"{self.root}/acked"
+
+    def _lease_dir(self) -> str:
+        return f"{self.root}/leases"
+
     def _state_path(self) -> str:
         return f"{self.root}/state.json"
 
@@ -135,13 +152,68 @@ class FileSubscription:
             with open(self._state_path()) as fh:
                 return json.load(fh)
         except FileNotFoundError:
-            return {"acked": {}, "leases": {}, "next_id": 0, "deliveries": {}}
+            # groups: {group_id: [expiry, n_remaining, bytes_remaining]};
+            # the ids under lease live in leases/<group_id>.parquet
+            return {"groups": {}, "next_id": 0, "next_group": 0}
 
     def _save_state(self, state: dict) -> None:
         tmp = self._state_path() + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(state, fh)
         os.replace(tmp, self._state_path())
+
+    def _group_frame(self, gid: str) -> str:
+        return f"{self._lease_dir()}/{gid}.parquet"
+
+    def _active_groups(self, state: dict, now: float) -> dict:
+        return {
+            gid: (exp, n, nbytes)
+            for gid, (exp, n, nbytes) in state["groups"].items()
+            if exp > now and n > 0
+        }
+
+    def _write_id_frame(self, directory: str, message_ids, sizes=None) -> str:
+        """Append one parquet frame of ids (pyarrow — no Spark session
+        needed on the list-based test path)."""
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        os.makedirs(directory, exist_ok=True)
+        cols = {"message_id": pa.array(list(message_ids), type=pa.string())}
+        if sizes is not None:
+            cols["size_bytes"] = pa.array(list(sizes), type=pa.int64())
+        path = f"{directory}/frame-{uuid.uuid4().hex}.parquet"
+        pq.write_table(pa.table(cols), path)
+        return path
+
+    @staticmethod
+    def _has_parquet(directory: str) -> bool:
+        """True when the directory holds at least one parquet data file —
+        guards reads of append-target dirs that an empty write may have
+        created with only a _SUCCESS marker."""
+        if not os.path.isdir(directory):
+            return False
+        for dirpath, _, files in os.walk(directory):
+            if any(f.endswith(".parquet") and not f.startswith((".", "_")) for f in files):
+                return True
+        return False
+
+    def _read_id_set(self, directory: str) -> set:
+        """Driver-side id set for the LIST-based test helpers only — the
+        Spark paths (`pull`/`ack_df`) never call this."""
+        import pyarrow.dataset as ds
+
+        if not self._has_parquet(directory):
+            return set()
+        return set(
+            ds.dataset(directory, format="parquet")
+            .to_table(columns=["message_id"])
+            .column("message_id")
+            .to_pylist()
+        )
+
 
     # -- producer ----------------------------------------------------------
 
@@ -219,81 +291,225 @@ class FileSubscription:
         with state_lock(self._state_path()):
             return self._pull_locked(spark, max_messages)
 
+    def _released_dir(self) -> str:
+        return f"{self.root}/released"
+
+    def _leased_remaining(self, spark: SparkSession, active: dict) -> DataFrame | None:
+        """(group_id, message_id, size_bytes) still under an ACTIVE lease:
+        the union of the active groups' frames minus any per-group nack
+        releases.  Distributed — never materialized on the driver."""
+        if not active:
+            return None
+        frames = spark.read.parquet(*[self._group_frame(g) for g in active])
+        if self._has_parquet(self._released_dir()):
+            released = spark.read.parquet(self._released_dir())
+            frames = frames.join(
+                released, ["group_id", "message_id"], "left_anti"
+            )
+        return frames
+
     def _pull_locked(self, spark: SparkSession, max_messages: int | None) -> DataFrame:
         now = self.clock()
         state = self._load_state()
-        # expire stale leases (crashed consumer -> redelivery)
-        active = {
-            mid: (exp, size)
-            for mid, (exp, size) in state["leases"].items()
-            if exp > now
-        }
+        # expire stale lease GROUPS (crashed consumer -> redelivery); the
+        # expired groups' frames stay behind as the delivery journal
+        active = self._active_groups(state, now)
+        state["groups"] = {g: list(v) for g, v in active.items()}
         budget_msgs = min(
             self.batch_size if max_messages is None else max_messages,
-            self.max_outstanding_messages - len(active),
+            self.max_outstanding_messages - sum(n for _, n, _ in active.values()),
         )
         budget_bytes = self.max_outstanding_bytes - sum(
-            size for _, size in active.values()
+            b for _, _, b in active.values()
         )
         if budget_msgs <= 0 or budget_bytes <= 0:
+            self._save_state(state)
             return spark.createDataFrame([], WIRE_SCHEMA)
 
-        import pandas as pd
+        from pyspark.sql import Window
 
         backlog = spark.read.schema(WIRE_SCHEMA).parquet(self._backlog_dir())
-        blocked = set(state["acked"]) | set(active)
         candidates = backlog.select("message_id", "size_bytes", "publish_time")
-        if blocked:
-            # pandas frame -> Arrow batch transfer: a list-of-tuples
-            # createDataFrame pickles row by row, which at a 100k-message
-            # acked history costs ~a second PER PULL (measured at sf0.1)
-            blocked_df = spark.createDataFrame(
-                pd.DataFrame({"message_id": sorted(blocked)})
-            )
+        if self._has_parquet(self._acked_dir()):
+            acked = spark.read.parquet(self._acked_dir()).select("message_id")
+            candidates = candidates.join(acked, "message_id", "left_anti")
+        leased = self._leased_remaining(spark, active)
+        if leased is not None:
             candidates = candidates.join(
-                F.broadcast(blocked_df), "message_id", "left_anti"
+                leased.select("message_id"), "message_id", "left_anti"
             )
-        # deterministic delivery order; listing bounded to the batch size
-        head = candidates.orderBy("publish_time", "message_id").limit(
-            budget_msgs
-        ).collect()
-        taken, used = [], 0
-        for r in head:
-            if (taken or active) and used + r["size_bytes"] > budget_bytes:
-                # the oversize exception (a message larger than the cap is
-                # still delivered) applies only when NOTHING is outstanding —
-                # otherwise the leased volume would exceed the byte cap
-                break
-            taken.append(r["message_id"])
-            used += r["size_bytes"]
-            state["deliveries"][r["message_id"]] = (
-                state["deliveries"].get(r["message_id"], 0) + 1
-            )
-            active[r["message_id"]] = (now + self.ack_deadline_s, r["size_bytes"])
-        state["leases"] = {k: list(v) for k, v in active.items()}
-        self._save_state(state)
-        if not taken:
+        # deterministic delivery order; the head is batch-bounded, so the
+        # byte-budget cumsum's single-partition window is batch-bounded too
+        head = candidates.orderBy("publish_time", "message_id").limit(budget_msgs)
+        w = Window.orderBy("publish_time", "message_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        taken = head.withColumn("__cum", F.sum("size_bytes").over(w)).filter(
+            F.col("__cum") <= budget_bytes
+        )
+        # scalars first, frame write second: both evaluate the same
+        # deterministic orderBy+limit prefix over a backlog snapshot that
+        # cannot change mid-pull (publish takes the same flock)
+        n, nbytes = taken.agg(
+            F.count(F.lit(1)), F.coalesce(F.sum("size_bytes"), F.lit(0))
+        ).first()
+        if n == 0 and not active:
+            # the oversize exception (a message larger than the byte cap is
+            # still delivered) applies only when NOTHING is outstanding —
+            # otherwise the leased volume would exceed the byte cap
+            taken = head.limit(1)
+            n, nbytes = taken.agg(
+                F.count(F.lit(1)), F.coalesce(F.sum("size_bytes"), F.lit(0))
+            ).first()
+        if n == 0:
+            self._save_state(state)
             return spark.createDataFrame([], WIRE_SCHEMA)
-        ids = spark.createDataFrame(pd.DataFrame({"message_id": taken}))
-        return backlog.join(F.broadcast(ids), "message_id", "left_semi")
+        gid = "g%06d" % state["next_group"]
+        taken.select(
+            F.lit(gid).alias("group_id"),
+            F.col("message_id"),
+            F.col("size_bytes"),
+        ).write.mode("overwrite").parquet(self._group_frame(gid))
+        frame = spark.read.parquet(self._group_frame(gid))
+        state["groups"][gid] = [now + self.ack_deadline_s, int(n), int(nbytes)]
+        state["next_group"] += 1
+        self._save_state(state)
+        return backlog.join(
+            F.broadcast(frame.select("message_id")), "message_id", "left_semi"
+        )
+
+    # -- ack/nack: the Spark (scale) path ---------------------------------
+
+    def _settle_df(self, ids: DataFrame, release: bool) -> None:
+        """Shared ack_df/nack_df body (caller holds the flock): append the
+        settled ids as a parquet frame, then shrink each active group's
+        remaining (n, bytes) by ONE distributed aggregate — only per-group
+        scalars reach the driver, so settle cost is flat in acked-history
+        size (the r8 protocol defect)."""
+        spark = ids.sparkSession
+        now = self.clock()
+        state = self._load_state()
+        active = self._active_groups(state, now)
+        state["groups"] = {g: list(state["groups"][g]) for g in active}
+        settled = ids.select("message_id")
+        if not release:
+            settled.write.mode("append").parquet(self._acked_dir())
+        if active:
+            frames = spark.read.parquet(*[self._group_frame(g) for g in active])
+            matched = frames.join(F.broadcast(settled), "message_id", "left_semi")
+            per_group = (
+                matched.groupBy("group_id")
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("size_bytes").alias("nbytes"),
+                )
+                .collect()
+            )
+            if release and per_group:
+                # deterministic re-evaluation: the group frames and the ids
+                # frame are immutable between the agg and this write
+                matched.write.mode("append").parquet(self._released_dir())
+            for row in per_group:
+                gid = row["group_id"]
+                exp, n, nbytes = state["groups"][gid]
+                n -= row["n"]
+                nbytes -= row["nbytes"]
+                if n <= 0:
+                    del state["groups"][gid]
+                else:
+                    state["groups"][gid] = [exp, n, max(nbytes, 0)]
+        self._save_state(state)
+
+    def ack_df(self, ids: DataFrame) -> None:
+        """Retire messages permanently from a DataFrame of ids (or pulled
+        rows) — the scale path: the acked ids go disk-to-disk as one
+        appended parquet frame; no id ever crosses the driver."""
+        with state_lock(self._state_path()):
+            self._settle_df(ids, release=False)
+
+    def nack_df(self, ids: DataFrame) -> None:
+        """Drop leases from a DataFrame of ids -> immediate redelivery."""
+        with state_lock(self._state_path()):
+            self._settle_df(ids, release=True)
+
+    # -- ack/nack: the list path (tests; no Spark session needed) ---------
+
+    def _settle_list(self, message_ids, release: bool) -> None:
+        import pyarrow.dataset as ds
+
+        mids = [m for m in message_ids]
+        if not mids:
+            return
+        now = self.clock()
+        state = self._load_state()
+        active = self._active_groups(state, now)
+        state["groups"] = {g: list(state["groups"][g]) for g in active}
+        if not release:
+            self._write_id_frame(self._acked_dir(), mids)
+        settled = set(mids)
+        for gid in list(active):
+            frame_dir = self._group_frame(gid)
+            tbl = ds.dataset(frame_dir, format="parquet").to_table(
+                columns=["group_id", "message_id", "size_bytes"]
+            )
+            released_ids = set()
+            if self._has_parquet(self._released_dir()):
+                rel = ds.dataset(self._released_dir(), format="parquet").to_table(
+                    columns=["group_id", "message_id"]
+                )
+                released_ids = {
+                    m
+                    for g, m in zip(
+                        rel.column("group_id").to_pylist(),
+                        rel.column("message_id").to_pylist(),
+                    )
+                    if g == gid
+                }
+            hit_ids, hit_bytes = [], []
+            for m, sz in zip(
+                tbl.column("message_id").to_pylist(),
+                tbl.column("size_bytes").to_pylist(),
+            ):
+                if m in settled and m not in released_ids:
+                    hit_ids.append(m)
+                    hit_bytes.append(sz)
+            if not hit_ids:
+                continue
+            if release:
+                import pyarrow as pa
+                import pyarrow.parquet as pq
+                import uuid
+
+                os.makedirs(self._released_dir(), exist_ok=True)
+                pq.write_table(
+                    pa.table(
+                        {
+                            "group_id": pa.array([gid] * len(hit_ids)),
+                            "message_id": pa.array(hit_ids),
+                            "size_bytes": pa.array(hit_bytes, type=pa.int64()),
+                        }
+                    ),
+                    f"{self._released_dir()}/frame-{uuid.uuid4().hex}.parquet",
+                )
+            exp, n, nbytes = state["groups"][gid]
+            n -= len(hit_ids)
+            nbytes -= sum(hit_bytes)
+            if n <= 0:
+                del state["groups"][gid]
+            else:
+                state["groups"][gid] = [exp, n, max(nbytes, 0)]
+        self._save_state(state)
 
     def ack(self, message_ids) -> None:
         """Retire messages permanently (Pub/Sub Ack / Service Bus Complete)."""
         with state_lock(self._state_path()):
-            state = self._load_state()
-            for mid in message_ids:
-                state["acked"][mid] = True
-                state["leases"].pop(mid, None)
-            self._save_state(state)
+            self._settle_list(message_ids, release=False)
 
     def nack(self, message_ids) -> None:
         """Drop the lease -> immediate redelivery (Pub/Sub Nack / Service
         Bus Abandon)."""
         with state_lock(self._state_path()):
-            state = self._load_state()
-            for mid in message_ids:
-                state["leases"].pop(mid, None)
-            self._save_state(state)
+            self._settle_list(message_ids, release=True)
 
     # Service Bus vocabulary (servicebus iterator Complete/Abandon)
     complete = ack
@@ -301,14 +517,40 @@ class FileSubscription:
 
     def stats(self) -> dict:
         """{"backlog_published", "acked", "leased", "deliveries"} — the
-        deliveries map makes at-least-once observable in tests."""
+        deliveries map makes at-least-once observable in tests.  Driver-
+        side observability helper (reads the acked store / lease journal
+        with pyarrow) — test/bench scope, not part of the scale protocol."""
+        import pyarrow.dataset as ds
+
         now = self.clock()
-        state = self._load_state()
+        with state_lock(self._state_path()):
+            state = self._load_state()
+        acked = 0
+        if self._has_parquet(self._acked_dir()):
+            acked = len(
+                set(
+                    ds.dataset(self._acked_dir(), format="parquet")
+                    .to_table(columns=["message_id"])
+                    .column("message_id")
+                    .to_pylist()
+                )
+            )
+        deliveries: dict = {}
+        if self._has_parquet(self._lease_dir()):
+            for m in (
+                ds.dataset(self._lease_dir(), format="parquet")
+                .to_table(columns=["message_id"])
+                .column("message_id")
+                .to_pylist()
+            ):
+                deliveries[m] = deliveries.get(m, 0) + 1
         return {
             "backlog_published": state["next_id"],
-            "acked": len(state["acked"]),
-            "leased": sum(1 for exp, _ in state["leases"].values() if exp > now),
-            "deliveries": dict(state["deliveries"]),
+            "acked": acked,
+            "leased": sum(
+                n for _, n, _ in self._active_groups(state, now).values()
+            ),
+            "deliveries": deliveries,
         }
 
 

@@ -162,3 +162,90 @@ def test_redelivered_batch_stays_exactly_once_through_ingest(spark, sf_dir, tmp_
     assert indexed.count() == 60  # exactly-once despite double delivery
     assert indexed.select("unique_id").distinct().count() == 60
     assert sub.stats()["leased"] == 0 and sub.stats()["acked"] == 60
+
+def test_ack_df_and_nack_df_scale_path(spark, tmp_path):
+    """The de-drivered settle path (r8 VERDICT #3): ack/nack via DataFrame
+    frames — no id list ever materialized — gives the same lease/budget
+    accounting as the list path."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"),
+        batch_size=5,
+        max_outstanding_messages=5,
+        ack_deadline_s=100,
+        clock=clock,
+    )
+    _publish_n(spark, sub, 12)
+    b1 = sub.pull(spark)
+    assert b1.count() == 5
+    # budget exhausted while the group is outstanding
+    assert sub.pull(spark).count() == 0
+    sub.ack_df(b1)
+    assert sub.stats()["acked"] == 5 and sub.stats()["leased"] == 0
+
+    b2 = sub.pull(spark)
+    ids2 = [r["message_id"] for r in b2.collect()]
+    sub.nack_df(b2.limit(2))
+    # the 2 released ids are deliverable again AND freed the outstanding
+    # budget (cap 5, 3 still leased -> pull of 2); earliest-first order
+    # redelivers exactly the released pair
+    b3 = sub.pull(spark, 12)
+    ids3 = {r["message_id"] for r in b3.collect()}
+    assert len(ids3) == 2 and ids3 <= set(ids2)
+    sub.ack_df(b3)
+    b4 = sub.pull(spark, 12)  # budget 2 again: the never-pulled tail
+    ids4 = {r["message_id"] for r in b4.collect()}
+    assert len(ids4) == 2 and not ids4 & (set(ids2) | ids3)
+    sub.ack_df(b4)
+    b2_rest = [m for m in ids2 if m not in ids3]
+    sub.ack(b2_rest)  # list path composes with the frame path
+    assert sub.stats()["acked"] == 12
+    assert sub.pull(spark, 12).count() == 0
+
+
+def test_racing_consumers_no_double_delivery(spark, tmp_path):
+    """r8 VERDICT #6: concurrent pull/ack interleavings from racing
+    consumer threads — the flock'd lease accounting must never lease one
+    message to two consumers within a deadline window, and the final
+    accounting must be dense (every message acked exactly, none lost)."""
+    import threading
+
+    sub = FileSubscription(
+        str(tmp_path / "race"),
+        batch_size=7,
+        max_outstanding_messages=1000,
+        ack_deadline_s=300.0,  # real clock; nothing expires mid-test
+    )
+    _publish_n(spark, sub, 60)
+
+    got: list = []
+    errors: list = []
+
+    def consumer(k):
+        try:
+            while True:
+                batch = sub.pull(spark)
+                ids = [r["message_id"] for r in batch.collect()]
+                if not ids:
+                    return
+                got.append((k, ids))
+                if k == 0:
+                    sub.ack(ids)          # list path
+                else:
+                    sub.ack_df(batch)     # frame path
+        except Exception as e:  # pragma: no cover
+            errors.append(e)
+
+    threads = [threading.Thread(target=consumer, args=(k,)) for k in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, errors
+
+    all_ids = [m for _, ids in got for m in ids]
+    # no double delivery within the lease window (nothing expired)
+    assert len(all_ids) == len(set(all_ids)) == 60
+    st = sub.stats()
+    assert st["acked"] == 60 and st["leased"] == 0
+    assert all(n == 1 for n in st["deliveries"].values())
