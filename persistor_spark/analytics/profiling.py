@@ -214,3 +214,157 @@ def column_stats_drift(
         .withColumn("avg_delta", F.round(F.col("avg_b") - F.col("avg_a"), 4))
         .orderBy("column")
     )
+
+
+def psi_by_group(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Population-stability-index drift per group vs the whole-corpus
+    reference: PSI = sum_buckets (p_g - p_ref) * ln(p_g / p_ref) over the
+    REFERENCE's quantile buckets (the standard scorecard-monitoring
+    formulation — buckets equalized on the reference so each holds ~1/k
+    of it).  PSI < 0.1 reads "stable", 0.1-0.25 "shifting", > 0.25
+    "population changed" — the per-source drift alarm for a feed.
+
+    Scale shape: the k-1 bucket edges are ONE exact-percentile aggregate
+    (a single row, broadcast back via crossJoin), bucket assignment is a
+    narrow expression over the edge array, and both probability tables
+    are (groups x k)-bounded aggregates.  Zero-probability buckets are
+    clamped to 1e-6 (the conventional PSI epsilon) so the log stays
+    finite."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    edges = df.agg(
+        F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(q) for q in qs])).alias(
+            "__edges"
+        )
+    )
+    bucketed = df.crossJoin(F.broadcast(edges)).select(
+        F.col(group_col).alias("grp"),
+        F.aggregate(
+            "__edges",
+            F.lit(0),
+            lambda acc, e: acc
+            + F.when(F.col(value_col).cast("double") > e, 1).otherwise(0),
+        ).alias("bucket"),
+    )
+    ref = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_ref"))
+    ref_tot = df.count()
+    per = bucketed.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("n_g"))
+    tot = per.groupBy("grp").agg(F.sum("n_g").alias("tot_g"))
+    # densify to the full groups x buckets grid (bounded, tiny) so EVERY
+    # bucket contributes its own (eps-clamped) term — lumping the missing
+    # buckets would mis-state PSI because p_ref varies per bucket
+    spark = df.sparkSession
+    grid = tot.crossJoin(
+        spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    )
+    eps = 1e-6
+    joined = (
+        grid.join(per, ["grp", "bucket"], "left")
+        .join(ref, "bucket", "left")
+        .select(
+            "grp",
+            F.greatest(
+                F.coalesce(F.col("n_g"), F.lit(0)) / F.col("tot_g"), F.lit(eps)
+            ).alias("p_g"),
+            F.greatest(
+                F.coalesce(F.col("n_ref"), F.lit(0)) / F.lit(float(ref_tot)),
+                F.lit(eps),
+            ).alias("p_ref"),
+        )
+    )
+    return (
+        joined.groupBy("grp")
+        .agg(
+            F.round(
+                F.sum(
+                    (F.col("p_g") - F.col("p_ref"))
+                    * F.log(F.col("p_g") / F.col("p_ref"))
+                ),
+                4,
+            ).alias("psi")
+        )
+        .select(F.col("grp").alias(group_col), "psi")
+        .orderBy(group_col)
+    )
+
+
+def ks_two_sample_pairs(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance for EVERY pair of groups:
+    D = max_x |ECDF_a(x) - ECDF_b(x)| — the nonparametric "did this
+    metric's distribution shift between segments" test (segments = event
+    types, crawl snapshots, sources...).
+
+    Shape: group the values first (per (group, v) counts — tie-safe ECDF
+    at distinct support points), build the bounded group-pair list from
+    the distinct groups (G(G-1)/2 rows, broadcast), then ONE ordered
+    cumsum per pair over the pair's merged support.  Work tracks
+    pairs x distinct-values, never |df|^2."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.col(group_col).alias("g"), F.col(value_col).cast("double").alias("v"))
+        .groupBy("g", "v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sizes = counts.groupBy("g").agg(F.sum("n").alias("tot"))
+    groups = [r["g"] for r in sizes.select("g").orderBy("g").collect()]
+    pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1 :]]
+    pairs_df = df.sparkSession.createDataFrame(pairs, "ga string, gb string")
+    # each (group, v) row joins into every pair that group belongs to
+    sided = counts.join(
+        F.broadcast(pairs_df),
+        (F.col("g") == F.col("ga")) | (F.col("g") == F.col("gb")),
+    ).select(
+        "ga",
+        "gb",
+        "v",
+        F.when(F.col("g") == F.col("ga"), F.col("n")).otherwise(0).alias("na"),
+        F.when(F.col("g") == F.col("gb"), F.col("n")).otherwise(0).alias("nb"),
+    )
+    per_v = sided.groupBy("ga", "gb", "v").agg(
+        F.sum("na").alias("na"), F.sum("nb").alias("nb")
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = per_v.select(
+        "ga",
+        "gb",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    tot_a = sizes.select(F.col("g").alias("ga"), F.col("tot").alias("tot_a"))
+    tot_b = sizes.select(F.col("g").alias("gb"), F.col("tot").alias("tot_b"))
+    return (
+        cum.join(F.broadcast(tot_a), "ga")
+        .join(F.broadcast(tot_b), "gb")
+        .groupBy("ga", "gb")
+        .agg(
+            F.round(
+                F.max(
+                    F.abs(
+                        F.col("ca") / F.col("tot_a") - F.col("cb") / F.col("tot_b")
+                    )
+                ),
+                4,
+            ).alias("ks_stat"),
+            F.first("tot_a").cast("long").alias("n_a"),
+            F.first("tot_b").cast("long").alias("n_b"),
+        )
+        .select(
+            F.col("ga").alias("group_a"),
+            F.col("gb").alias("group_b"),
+            "ks_stat",
+            "n_a",
+            "n_b",
+        )
+        .orderBy("group_a", "group_b")
+    )

@@ -129,6 +129,38 @@ def hll_registers(
     )
 
 
+def hll_registers_grouped(
+    df: DataFrame,
+    item_col: str,
+    group_cols: list,
+    p: int = 8,
+    hash_prefix: str = "",
+) -> DataFrame:
+    """Per-group HLL register tables — one (group..., register, max_rho)
+    row set per group key, e.g. per event-time window: the shape a
+    streaming distinct-count monitor ships (mergeable across partitions
+    AND across groups via register-wise MAX).  Shuffle bounded by
+    |groups| x 2^p rows regardless of stream volume."""
+    suffix_bits = 60 - p
+    df = df.filter(F.col(item_col).isNotNull())
+    h = md5_hash64(F.concat(F.lit(hash_prefix), F.col(item_col).cast("string")))
+    reg = F.shiftright(h, suffix_bits)
+    w = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
+    rho = F.when(w == 0, F.lit(suffix_bits + 1)).otherwise(
+        F.lit(suffix_bits) - F.length(F.bin(w)) + 1
+    )
+    keep = [F.col(c) for c in group_cols]
+    return (
+        df.select(
+            *keep,
+            reg.cast("int").alias("register"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*group_cols, "register")
+        .agg(F.max("rho").alias("max_rho"))
+    )
+
+
 def hll_merge(a: DataFrame, b: DataFrame) -> DataFrame:
     """Registers merge by MAX — the union sketch equals the sketch of the
     union, so per-partition/per-day sketches combine losslessly."""

@@ -56,13 +56,40 @@ def test_rotation_head_is_declared_and_small():
     assert not missing, f"ROTATION_HEAD entries outside the window: {missing}"
 
 
+def _round_num(path):
+    import re
+
+    return int(re.search(r"CORRECTNESS_r(\d+)\.json$", path).group(1))
+
+
+def _correctness_paths():
+    """CORRECTNESS files sorted by NUMERIC round — lexicographic sorting
+    misorders at round 100 (r100 < r99; r8 ADVICE low)."""
+    return sorted(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")), key=_round_num
+    )
+
+
 def _latest_checked_set():
     """Key set of the most recent round's CORRECTNESS file (empty if none)."""
-    paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    paths = _correctness_paths()
     if not paths:
         return set()
     with open(paths[-1]) as fh:
         return set(json.load(fh))
+
+
+def _round_underway():
+    """True once the CURRENT round has visibly started work: a NOTES file
+    newer than the latest CORRECTNESS round exists.  Gates the sequencing
+    exemption below so it EXPIRES (r8 ADVICE low: an exemption that never
+    expires re-opens the r4/r5 stale-window gap — a new round could coast
+    on last round's window forever)."""
+    paths = _correctness_paths()
+    if not paths:
+        return False
+    n = _round_num(paths[-1])
+    return os.path.exists(os.path.join(REPO, f"NOTES_r{n + 1}.md"))
 
 
 def test_window_prioritizes_never_green_queries():
@@ -77,10 +104,10 @@ def test_window_prioritizes_never_green_queries():
     # would instantly red this invariant — before the builder can possibly
     # rotate.  A window that still EXACTLY matches the latest round's
     # checked set is therefore exempt: rotation is owed, not overdue.  The
-    # moment a round starts work (ROTATION_HEAD changes or the window
-    # diverges from the last-checked set) the exemption vanishes and an
-    # unrotated window reds the suite again.
-    if set(window) == _latest_checked_set():
+    # exemption EXPIRES the moment the round visibly starts (NOTES for the
+    # next round exists — _round_underway), and also vanishes when
+    # ROTATION_HEAD changes or the window diverges from the checked set.
+    if set(window) == _latest_checked_set() and not _round_underway():
         return
     # any slot spent on an already-green, non-head query while never-green
     # debt waits outside the window is a wasted slot — the exact failure
@@ -123,3 +150,26 @@ def test_registry_has_no_duplicate_keys():
                 seen.add(k)
     assert dupes == [], f"duplicate dict-literal keys in __spark_entry__: {dupes}"
     assert len(_registry().queries()) >= 235
+
+
+def test_marker_comment_matches_window_size():
+    """r8 ADVICE medium: the r8 window held 52 entries above the 'driver
+    window ends here (50)' marker, so the driver silently skipped the last
+    two (a4/a5) while the in-code comment claimed all were checked.  Pin
+    the marker to the truth: exactly WINDOW dict keys must appear between
+    `return {` and the marker comment in queries()' source."""
+    import re
+
+    src = open(os.path.join(REPO, "__spark_entry__.py")).read()
+    fn_start = src.index("def queries()")
+    marker = src.index("driver window ends here", fn_start)
+    head = src[src.index("return {", fn_start) : marker]
+    keys = re.findall(r'^\s+"([a-z0-9_]+)":', head, re.M)
+    assert len(keys) == WINDOW, (
+        f"{len(keys)} entries above the window marker, expected {WINDOW}: "
+        f"the marker (and any claims based on it) lies about what the "
+        f"driver checks"
+    )
+    # and the marker count must agree with the REAL window the driver uses
+    e = _registry()
+    assert keys == list(e.queries())[:WINDOW]
