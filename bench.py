@@ -554,6 +554,270 @@ def bench_graph_pagerank(ctx: Ctx):
     return graph.pagerank(edges, iterations=3).agg(F.sum("rank")).collect()
 
 
+# ---------------------------------------------------------------------------
+# plan probes (r8 VERDICT #5): one callable per bench line returning the
+# line's REPRESENTATIVE DataFrame (un-executed), so tools/plan_digest.py can
+# snapshot a normalized physical-plan digest and a pytest can red the build
+# on unexplained plan drift — the r7 double-shingle Catalyst regression was
+# caught by bench numbers two rounds late; a digest catches it at commit
+# time.  Lines whose timed step is procedural (file rewrites driven from the
+# driver: compaction/delete/zorder) have no single plan to pin and map to
+# None — the digest records them as procedural, honestly.
+# ---------------------------------------------------------------------------
+
+
+def _probe_setup(ctx: Ctx):
+    """Shared fixture state the probes read: the optimized index layout +
+    manifest, blobs, and the persisted LSH index (same builders the bench
+    lines use)."""
+    if not hasattr(ctx, "manifest"):
+        bench_index_layout(ctx)
+    _lsh_index_path(ctx)
+
+
+def _probe_ingest(ctx):
+    # IngestResult's index_metadata is the full derivation chain
+    return fixtures.run_fixture_ingest(ctx.spark, SF_DIR).index_metadata
+
+
+def _probe_stream_batch(ctx):
+    # the per-micro-batch derivation run_stream executes in foreachBatch
+    msgs = fixtures.load_messages(ctx.spark, SF_DIR).filter(
+        F.col("event_seq") % 4 == 0
+    )
+    return ingest.run_batch(msgs, fixtures.fixture_ingest_config()).index_metadata
+
+
+def _probe_receiver_batch(ctx):
+    # decode_pubsub -> run_batch over a wire-shaped frame (the per-pull plan)
+    from persistor_spark.sources.file_subscription import decode_pubsub
+
+    msgs = fixtures.load_messages(ctx.spark, SF_DIR)
+    wire = msgs.select(
+        F.col("broker_msg_id").alias("message_id"),
+        F.col("payload").cast("binary").alias("data"),
+        "attributes",
+        "publish_time",
+        "ordering_key",
+        F.octet_length("payload").cast("long").alias("size_bytes"),
+    )
+    return ingest.run_batch(
+        decode_pubsub(wire, "persistor-sub"), fixtures.fixture_ingest_config()
+    ).index_metadata
+
+
+def _probe_index_layout(ctx):
+    return (
+        ctx.spark.read.parquet(ctx.index_raw_path)
+        .repartitionByRange(8, "unique_id")
+        .sortWithinPartitions("unique_id")
+    )
+
+
+def _probe_point_lookup(ctx):
+    pruned = layout.manifest_pruned_scan_cached(
+        ctx.spark, ctx.index_path, ctx.manifest, ["b3_m000000123"]
+    )
+    return IndexQuery(pruned).get("b3_m000000123")
+
+
+def _probe_filter_query(ctx):
+    flt = [
+        {"broker_id": "b0", "ordering_key": "k4"},
+        {"business_source_key": "src2", "publish_time": {"$gte": "2024-01-03T00:00:00Z"}},
+    ]
+    return IndexQuery(ctx.index()).query_df(flt, ["unique_id"])
+
+
+def _probe_interval_envelope(ctx):
+    import datetime
+
+    return IndexQuery(ctx.index()).get_interval(
+        datetime.datetime(2024, 1, 5),
+        datetime.datetime(2024, 1, 10),
+        "b1",
+        limit=100,
+        offset=100,
+    ).messages
+
+
+def _probe_resubmit_join(ctx):
+    meta = IndexQuery(ctx.index()).query_df(
+        [{"broker_id": "b2"}],
+        ["unique_id", "ordering_key", "business_source_key", "business_object_key",
+         "index_source_key", "location_key", "location_position"],
+    )
+    pruned = blob_src.prune_to_locations(ctx.blobs(), meta)
+    records, _ = resubmit.resubmit(meta, pruned, broadcast_metadata=True)
+    return records
+
+
+def _probe_window_topk(ctx):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("broker_id").orderBy("publish_time", "unique_id")
+    return (
+        ctx.index()
+        .filter(F.col("publish_time").isNotNull())
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+
+
+def _probe_lineitem_agg(ctx):
+    li = load_table(ctx.spark, SF_DIR, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def _probe_join_agg(ctx):
+    c = load_table(ctx.spark, SF_DIR, "customer")
+    n = load_table(ctx.spark, SF_DIR, "nation")
+    o = load_table(ctx.spark, SF_DIR, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _probe_dedup_minhash(ctx):
+    from persistor_spark.analytics import dedup
+
+    return dedup.minhash_lsh_pairs(load_table(ctx.spark, SF_DIR, "documents"), 0.8)
+
+
+def _probe_dedup_index_build(ctx):
+    from persistor_spark.analytics import dedup
+
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    return dedup.build_band_table(docs.filter(F.col("doc_id") % 2 == 0))
+
+
+def _probe_dedup_incremental(ctx):
+    from persistor_spark.analytics import dedup
+
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    loaded = dedup.lsh_index_load(ctx.spark, _lsh_index_path(ctx))
+    return dedup.incremental_dup_pairs(new, loaded, 0.8)
+
+
+def _probe_dedup_exactsubstr(ctx):
+    from persistor_spark.analytics import dedup
+
+    return dedup.remove_duplicate_substrings(
+        load_table(ctx.spark, SF_DIR, "documents"), gram_len=8
+    )
+
+
+def _probe_dedup_dhash(ctx):
+    from persistor_spark.analytics import multimodal
+
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    media = multimodal.synthesize_media(ctx.spark, docs)
+    hashes = multimodal.image_dhash(media)
+    return multimodal.dhash_near_pairs(hashes, max_hamming=20, k=10)
+
+
+def _probe_ann_topk(ctx):
+    from persistor_spark.analytics import similarity
+
+    embs = load_table(ctx.spark, SF_DIR, "embeddings")
+    return similarity.brute_force_topk(embs, embs.filter(F.col("vec_id") < 10), k=10)
+
+
+def _ivfpq_for_probe(ctx):
+    from persistor_spark.analytics import similarity
+
+    idx = getattr(ctx, "ivfpq_index", None)
+    if idx is None:
+        embs = load_table(ctx.spark, SF_DIR, "embeddings")
+        n = embs.count()
+        idx = similarity.ivfpq_build(embs, n_centroids=16, n_vectors=n)
+        idx.cells = idx.cells.localCheckpoint()
+        ctx.ivfpq_index = idx
+    return idx
+
+
+def _probe_ivfpq_build(ctx):
+    # the build is train (actions) + encode; the pinnable plan is the
+    # corpus-encode map that produces the inverted-list cells
+    return _ivfpq_for_probe(ctx).cells
+
+
+def _probe_ivfpq_probe(ctx):
+    from persistor_spark.analytics import similarity
+
+    embs = load_table(ctx.spark, SF_DIR, "embeddings")
+    q = embs.filter(F.col("vec_id") < 10)
+    return similarity.ivfpq_search(_ivfpq_for_probe(ctx), q, k=10, nprobe=4)
+
+
+def _probe_bm25(ctx):
+    from persistor_spark.analytics import search
+
+    idx = search.build_index(load_table(ctx.spark, SF_DIR, "documents"))
+    return search.search(idx, ["spark", "join", "filter"], k=10)
+
+
+def _probe_text_stats(ctx):
+    from persistor_spark.analytics import text
+
+    return text.with_text_stats(load_table(ctx.spark, SF_DIR, "documents")).agg(
+        F.avg("quality_score")
+    )
+
+
+def _probe_graph_pagerank(ctx):
+    from persistor_spark.analytics import graph
+
+    edges = graph.bipartite_interaction_edges(
+        load_table(ctx.spark, SF_DIR, "orders"), load_table(ctx.spark, SF_DIR, "lineitem")
+    )
+    # one iteration: the per-round join+agg plan (the fixpoint repeats it)
+    return graph.pagerank(edges, iterations=1).agg(F.sum("rank"))
+
+
+PLAN_PROBES = {
+    "ingest_persist": _probe_ingest,
+    "stream_ingest": _probe_stream_batch,
+    "index_layout": _probe_index_layout,
+    "point_lookup": _probe_point_lookup,
+    "filter_query": _probe_filter_query,
+    "interval_envelope": _probe_interval_envelope,
+    "resubmit_join": _probe_resubmit_join,
+    "window_topk": _probe_window_topk,
+    "lineitem_agg": _probe_lineitem_agg,
+    "join_agg": _probe_join_agg,
+    "dedup_minhash": _probe_dedup_minhash,
+    "dedup_index_build": _probe_dedup_index_build,
+    "dedup_incremental": _probe_dedup_incremental,
+    "dedup_exactsubstr": _probe_dedup_exactsubstr,
+    "index_compaction": None,  # procedural: driver-orchestrated file rewrite
+    "targeted_delete": None,   # procedural: manifest-pruned file rewrite
+    "zorder_layout": None,     # procedural: clustered write + footer pruning
+    "dedup_dhash": _probe_dedup_dhash,
+    "ann_topk": _probe_ann_topk,
+    "ann_ivfpq_build": _probe_ivfpq_build,
+    "ann_ivfpq_probe": _probe_ivfpq_probe,
+    "bm25_search": _probe_bm25,
+    "text_stats": _probe_text_stats,
+    "graph_pagerank": _probe_graph_pagerank,
+    "receiver_ingest": _probe_receiver_batch,
+}
+
+
 # receiver_ingest runs LAST (r8 VERDICT #1): its stand-in state churn,
 # driver threads, and page-cache pressure perturbed the five latency-
 # sensitive lines that followed it in the r8 run order — at the end it
