@@ -33,6 +33,12 @@ def digests(spark):
     import plan_digest
 
     importlib.reload(bench)  # pick up the sf0.001 SF_DIR for probe reads
+    # other test modules cache fixture tables (.cache() on load_table
+    # output); a structurally matching probe scan would then plan as
+    # InMemoryTableScan — no PushedFilters, different text — and digest a
+    # test-ordering artifact instead of the code's plan.  Probe against
+    # the deployment shape: cold parquet scans.
+    spark.catalog.clearCache()
     workdir = tempfile.mkdtemp(prefix="plan-digest-test-")
     ctx = bench.Ctx(spark, workdir)
     bench._probe_setup(ctx)
