@@ -332,7 +332,11 @@ def bench_receiver_ingest(ctx: Ctx):
     driver threads exactly as run_stream does under a deterministic clock.
     Compare with stream_ingest — same rows and sink mode, file source vs
     leased receiver; the delta is the receiver contract (lease accounting,
-    candidate listing, ack bookkeeping in the stand-in's JSON state)."""
+    candidate listing, ack bookkeeping — acked ids and lease groups live
+    in parquet frame stores since r9; the JSON state holds only bounded
+    per-group bookkeeping).  A tiny untimed pull/ack_df warm-up cycle runs
+    first so the first repeat doesn't charge pyarrow/window-exec JIT
+    warm-up to the receiver contract (repeat variance, r8 VERDICT #3)."""
     from persistor_spark.plans import ingest
     from persistor_spark.sources.file_subscription import (
         FileSubscription,
@@ -362,6 +366,31 @@ def bench_receiver_ingest(ctx: Ctx):
     sub.publish(
         msgs.select("payload", "attributes", "publish_time", "ordering_key")
     )
+    # untimed warm-up: a 16-message sub runs the WHOLE per-pull cycle once
+    # (pull anti-joins + budget cumsum + frame write, decode, the full
+    # ingest derivation, both threaded sink writes, ack_df) so the first
+    # timed repeat doesn't charge plan/JIT warm-up of those paths to the
+    # receiver contract (repeat variance, r8 VERDICT #3)
+    import concurrent.futures as _cf
+
+    warm = FileSubscription(ctx.fresh("receiver_warm"), batch_size=16)
+    warm.publish(
+        msgs.limit(16).select("payload", "attributes", "publish_time", "ordering_key")
+    )
+    wcfg = fixtures.fixture_ingest_config()
+    wb = warm.pull(ctx.spark)
+    if not wb.isEmpty():
+        wres = ingest.run_batch(
+            decode_pubsub(wb, "persistor-sub"), wcfg, persist_intermediate=True
+        )
+        with _cf.ThreadPoolExecutor(max_workers=2) as pool:
+            for f in [
+                pool.submit(ingest.write_blobs, wres, ctx.fresh("warm_blobs")),
+                pool.submit(ingest.write_index, wres, ctx.fresh("warm_index")),
+            ]:
+                f.result()
+        wres.unpersist()
+        warm.ack_df(wb)
     cfg = fixtures.fixture_ingest_config()
     blobs = ctx.fresh("receiver_blobs")
     index = ctx.fresh("receiver_index")
@@ -378,8 +407,6 @@ def bench_receiver_ingest(ctx: Ctx):
             persist_intermediate=True,
             blob_name=F.concat(F.col("broker_id"), F.lit(f"-p{pulls}")),
         )
-        import concurrent.futures as _cf
-
         with _cf.ThreadPoolExecutor(max_workers=2) as pool:
             futs = [
                 pool.submit(ingest.write_blobs, res, blobs),
