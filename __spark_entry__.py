@@ -6024,6 +6024,177 @@ def _a149_windowed_hll_users(spark, sf_dir):
     )
 
 
+def _a150_dup_lineage(spark, sf_dir):
+    """Dedup survivorship lineage: for every REMOVED near-dup doc, the
+    representative that kept its place plus the cross-source flag — the QA
+    handoff artifact behind a11's clusters (review queues ask 'what did we
+    drop and what stands in for it', not 'what are the components').
+    Component map is the session-shared CC output; two broadcastable
+    id-keyed joins attach the sources."""
+    cl = _shared_components(spark, sf_dir).filter(
+        F.col("doc_id") != F.col("cluster_id")
+    )
+    docs = _docs(spark, sf_dir)
+    removed = docs.select(
+        F.col("doc_id"), F.col("source").alias("removed_source")
+    )
+    kept = docs.select(
+        F.col("doc_id").alias("cluster_id"), F.col("source").alias("kept_source")
+    )
+    return (
+        cl.join(removed, "doc_id")
+        .join(kept, "cluster_id")
+        .select(
+            F.col("doc_id").alias("removed_id"),
+            F.col("cluster_id").alias("kept_id"),
+            "removed_source",
+            "kept_source",
+            (F.col("removed_source") == F.col("kept_source")).alias("same_source"),
+        )
+        .orderBy("removed_id")
+    )
+
+
+def _a151_window_funnel(spark, sf_dir):
+    """Daily conversion funnel (e27 made windowed): per day and user, the
+    first view / first click AFTER that view / first purchase AFTER that
+    click, aggregated to per-window funnel counts + rates — the funnel a
+    stream monitor emits per closed window.  One (window, user) agg with
+    conditional mins, then one window-bounded agg."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy(
+        _day_bucket("ts").alias("bucket"), F.col("user_id")
+    ).agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("v"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
+    )
+    flags = per_user.select(
+        "bucket",
+        F.col("v").isNotNull().cast("long").alias("viewed"),
+        (F.col("v").isNotNull() & (F.col("c") > F.col("v")))
+        .cast("long")
+        .alias("clicked"),
+        (
+            F.col("v").isNotNull()
+            & (F.col("c") > F.col("v"))
+            & (F.col("p") > F.col("c"))
+        )
+        .cast("long")
+        .alias("purchased"),
+    )
+    return (
+        flags.groupBy("bucket")
+        .agg(
+            F.sum("viewed").cast("long").alias("n_view_users"),
+            F.sum("clicked").cast("long").alias("n_clicked"),
+            F.sum("purchased").cast("long").alias("n_purchased"),
+        )
+        .filter(F.col("n_view_users") > 0)
+        .withColumn(
+            "click_rate", F.round(F.col("n_clicked") / F.col("n_view_users"), 4)
+        )
+        .withColumn(
+            "purchase_rate",
+            F.round(F.col("n_purchased") / F.col("n_view_users"), 4),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _a152_session_stats(spark, sf_dir):
+    """Daily session-quality rollup: 30-minute-gap sessions per user (the
+    e9 sessionize logic), then per DAY of session start: session count,
+    mean events per session, mean duration — the engagement trend a
+    session_window stream feeds.  Per-user windows are user-bounded; the
+    day rollup is window-bounded."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    sess = ev.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > 1800), 1).otherwise(0),
+    ).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("start_ts"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "dur_s"
+        ),
+    )
+    return (
+        per_sess.groupBy(_day_bucket("start_ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.round(F.avg("n_events"), 4).alias("avg_events"),
+            F.round(F.avg("dur_s"), 4).alias("avg_duration_s"),
+            F.max("n_events").cast("long").alias("max_events"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def _a153_watermark_curve(spark, sf_dir):
+    """The watermark sizing curve (windows.watermark_sizing_curve): late
+    rate at four candidate delays in ONE pass over the arrival-ordered
+    stream — run this, pick the smallest acceptable delay, deploy it as
+    withWatermark.  a145 reports the chosen delay's per-window detail;
+    this picks the delay."""
+    from persistor_spark.streaming import windows
+
+    return windows.watermark_sizing_curve(
+        _events(spark, sf_dir),
+        ("10 minutes", "30 minutes", "1 hour", "2 hours"),
+        "ts",
+        "event_id",
+    ).orderBy("delay_seconds")
+
+
+def _a154_attribution_rate(spark, sf_dir):
+    """Daily view->purchase attribution (e21's interval join aggregated to
+    window grain): fraction of each day's view events with a same-user
+    purchase within 10 minutes — the windowed KPI face of the
+    stream-stream interval join.  The range join is user-keyed; per-view
+    dedup (any purchase counts once) is a (view)-keyed agg."""
+    ev = _events(spark, sf_dir)
+    v = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("view_id"), F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("pts")
+    )
+    att = (
+        v.join(
+            p,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 10 MINUTES")),
+            "left",
+        )
+        .groupBy("view_id", "vts")
+        .agg(F.max(F.col("pts").isNotNull().cast("long")).alias("attributed"))
+    )
+    return (
+        att.groupBy(_day_bucket("vts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_views"),
+            F.sum("attributed").cast("long").alias("n_attributed"),
+        )
+        .withColumn(
+            "attribution_rate",
+            F.round(F.col("n_attributed") / F.col("n_views"), 4),
+        )
+        .orderBy("bucket")
+    )
+
+
 # Queries whose code changed this round (or are new this round): they claim
 # the head of the driver window ahead of the never-checked backlog.  UPDATE
 # EVERY ROUND — tests/test_rotation_window.py enforces that every other
@@ -6044,6 +6215,11 @@ ROTATION_HEAD = [
     "a147_new_key_rate",
     "a148_window_anomaly",
     "a149_windowed_hll_users",
+    "a150_dup_lineage",
+    "a151_window_funnel",
+    "a152_session_stats",
+    "a153_watermark_curve",
+    "a154_attribution_rate",
 ]
 
 
@@ -6053,13 +6229,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r9 ROTATION (r8 VERDICT #2 + #4, r8 ADVICE): the window is EXACTLY 50
     entries (the r8 window held 52 and the driver silently skipped
     a4/a5 -- the ADVICE-medium defect; a marker-position test now pins
-    the count): (1) the 10 NEW r9 queries (ROTATION_HEAD: the composed
-    curation chain a140 + the windowed stream-quality analytics family
-    a141-a149); (2) a4/a5, the two rows the r8 window claimed but never
+    the count): (1) the 15 NEW r9 queries (ROTATION_HEAD: the composed
+    curation chain a140, the windowed stream-quality analytics family
+    a141-a149, and the late-r9 growth a150-a154 — dup lineage, windowed
+    funnel/sessions/attribution, the watermark sizing curve); (2) a4/a5, the two rows the r8 window claimed but never
     checked; (3) the r02-era rows a8-a11/a27/a28/a30/a31/a35/a36 -- the
     actual stalest driver rows in the registry; (4) the judge-mandated
-    d22 + 10 of the a37-a64 block (r04-r05 era); (5) 17 of the r03-era
-    block.  Everything below the marker is driver-green at least once AND
+    d22 + 10 of the a37-a64 block (r04-r05 era); (5) 12 of the r03-era
+    block (5 more r3-era slots went to a150-a154; those refreshes lead
+    the r10 queue).  Everything below the marker is driver-green at least once AND
     re-verified by tools/check.py (full-registry gate at sf0.001 +
     sf0.01) plus pytest every round; tests/test_rotation_window.py
     enforces the rotation policy as a checked invariant.
@@ -6081,6 +6259,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a147_new_key_rate": _a147_new_key_rate,
         "a148_window_anomaly": _a148_window_anomaly,
         "a149_windowed_hll_users": _a149_windowed_hll_users,
+        "a150_dup_lineage": _a150_dup_lineage,
+        "a151_window_funnel": _a151_window_funnel,
+        "a152_session_stats": _a152_session_stats,
+        "a153_watermark_curve": _a153_watermark_curve,
+        "a154_attribution_rate": _a154_attribution_rate,
         # -- (2) a4/a5: listed in the r8 window but at positions 51-52,
         #        OUTSIDE the driver's 50-entry check (r8 ADVICE medium) --
         "a4_simhash_pairs": _a_simhash,
@@ -6123,14 +6306,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a24_pii_scrub": _a24_pii_scrub,
         "a29_pack_sequences": _a_pack_sequences,
         "a32_ivfpq_topk": _a_ivfpq_topk,
+        # ---- driver window ends here (50) ---- below: driver-green at
+        # least once + full-gate re-verified every round, ordered by how
+        # recently their driver row landed (r8-checked rows first).
+        # (evicted r3-era refresh slots — the late-r9 growth a150-a154 took
+        #  their window places; these go first in line for the r10 window)
         "a33_semdedup": _a_semdedup,
         "a6_lsh_topk": _a_lsh_topk,
         "e10_join_topk": _e10_join_topk,
         "e11_asof_join": _e11_asof_join,
         "e12_percentiles": _e12_percentiles,
-        # ---- driver window ends here (50) ---- below: driver-green at
-        # least once + full-gate re-verified every round, ordered by how
-        # recently their driver row landed (r8-checked rows first).
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a65_lsh_persist": _a65_lsh_persist,
         "a114_mutual_information": _a114_mutual_information,
@@ -6399,6 +6584,18 @@ def oracle_sql() -> dict[str, str]:
         "SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
         "FROM reach GROUP BY src ORDER BY doc_id"
     )
+    # a150: the same components, restricted to non-representatives, with
+    # the kept/removed sources attached (the survivorship lineage)
+    lineage_oracle = cc_with + (
+        ", comp AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id "
+        "  FROM reach GROUP BY src) "
+        "SELECT c.doc_id AS removed_id, c.cluster_id AS kept_id, "
+        "  dr.source AS removed_source, dk.source AS kept_source, "
+        "  (dr.source = dk.source) AS same_source "
+        "FROM comp c JOIN documents dr ON c.doc_id = dr.doc_id "
+        "JOIN documents dk ON c.cluster_id = dk.doc_id "
+        "WHERE c.doc_id <> c.cluster_id ORDER BY removed_id"
+    )
     # a44: the same components, then one representative per cluster
     # (singletons = docs with no near-dup edge are their own cluster).
     reps_oracle = cc_with + (
@@ -6462,6 +6659,68 @@ def oracle_sql() -> dict[str, str]:
         #    analytics (the day bucket is epoch-aligned BIGINT seconds,
         #    matching F.window('1 day') under the UTC session) ----------
         "a140_curation_e2e": _curation_e2e_oracle(),
+        "a150_dup_lineage": lineage_oracle,
+        "a151_window_funnel": (
+            "WITH f AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket, "
+            "  user_id, "
+            "  min(CASE WHEN event_type = 'view' THEN ts END) AS v, "
+            "  min(CASE WHEN event_type = 'click' THEN ts END) AS c, "
+            "  min(CASE WHEN event_type = 'purchase' THEN ts END) AS p "
+            "  FROM events GROUP BY 1, 2), "
+            "g AS (SELECT bucket, "
+            "  CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END AS viewed, "
+            "  CASE WHEN v IS NOT NULL AND c > v THEN 1 ELSE 0 END AS clicked, "
+            "  CASE WHEN v IS NOT NULL AND c > v AND p > c THEN 1 ELSE 0 END AS purchased "
+            "  FROM f) "
+            "SELECT bucket, sum(viewed)::BIGINT AS n_view_users, "
+            "  sum(clicked)::BIGINT AS n_clicked, sum(purchased)::BIGINT AS n_purchased, "
+            "  round(sum(clicked)::DOUBLE / sum(viewed), 4) AS click_rate, "
+            "  round(sum(purchased)::DOUBLE / sum(viewed), 4) AS purchase_rate "
+            "FROM g GROUP BY bucket HAVING sum(viewed) > 0 ORDER BY bucket"
+        ),
+        "a152_session_stats": (
+            "WITH s AS (SELECT user_id, ts, event_id, "
+            "  CASE WHEN lag(ts) OVER w IS NULL "
+            "    OR CAST(floor(epoch(ts)) AS BIGINT) - "
+            "       CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800 "
+            "  THEN 1 ELSE 0 END AS new_sess "
+            "  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s2 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id FROM s), "
+            "per AS (SELECT user_id, sess_id, count(*) AS n_events, min(ts) AS start_ts, "
+            "  CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS dur_s "
+            "  FROM s2 GROUP BY 1, 2) "
+            "SELECT CAST(floor(epoch(start_ts) / 86400) * 86400 AS BIGINT) AS bucket, "
+            "  count(*)::BIGINT AS n_sessions, round(avg(n_events), 4) AS avg_events, "
+            "  round(avg(dur_s), 4) AS avg_duration_s, max(n_events)::BIGINT AS max_events "
+            "FROM per GROUP BY 1 ORDER BY 1"
+        ),
+        "a153_watermark_curve": (
+            "WITH h AS (SELECT ts, max(ts) OVER (ORDER BY event_id "
+            "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS hwm FROM events), "
+            "l AS (SELECT CAST(floor(epoch(hwm)) AS BIGINT) - "
+            "  CAST(floor(epoch(ts)) AS BIGINT) AS late_s FROM h), "
+            "d AS (SELECT unnest([600, 1800, 3600, 7200]) AS delay_seconds) "
+            "SELECT delay_seconds::BIGINT AS delay_seconds, count(*)::BIGINT AS n_rows, "
+            "  sum(CASE WHEN late_s > delay_seconds THEN 1 ELSE 0 END)::BIGINT AS n_late, "
+            "  round(sum(CASE WHEN late_s > delay_seconds THEN 1 ELSE 0 END)::DOUBLE "
+            "    / count(*), 4) AS late_rate "
+            "FROM l, d GROUP BY delay_seconds ORDER BY delay_seconds"
+        ),
+        "a154_attribution_rate": (
+            "WITH v AS (SELECT user_id, event_id AS view_id, ts AS vts FROM events "
+            "  WHERE event_type = 'view'), "
+            "p AS (SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'), "
+            "att AS (SELECT v.view_id, v.vts, "
+            "  max(CASE WHEN p.pts IS NOT NULL THEN 1 ELSE 0 END) AS attributed "
+            "  FROM v LEFT JOIN p ON v.user_id = p.user_id "
+            "  AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 10 MINUTE "
+            "  GROUP BY 1, 2) "
+            "SELECT CAST(floor(epoch(vts) / 86400) * 86400 AS BIGINT) AS bucket, "
+            "  count(*)::BIGINT AS n_views, sum(attributed)::BIGINT AS n_attributed, "
+            "  round(sum(attributed)::DOUBLE / count(*), 4) AS attribution_rate "
+            "FROM att GROUP BY 1 ORDER BY 1"
+        ),
         "a141_windowed_dup_rate": (
             "WITH pk AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket, "
             "  user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2, 3) "

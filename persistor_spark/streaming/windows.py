@@ -668,3 +668,60 @@ def windowed_trailing_anomaly(
             ).alias("trailing_z"),
         )
     )
+
+
+def watermark_sizing_curve(
+    df: DataFrame,
+    delays: tuple = ("10 minutes", "30 minutes", "1 hour", "2 hours"),
+    time_col: str = "ts",
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """The watermark SIZING tool late_arrival_stats points at: the whole
+    late-rate-vs-delay curve in one pass.  The running event-time
+    high-water mark (same two-level prefix max as late_arrival_stats) is
+    computed ONCE; each row's lateness_seconds = hwm - ts then answers
+    every candidate delay via one small explode (|delays| rows per event,
+    immediately re-aggregated — map-side combine keeps the shuffle at
+    |delays| keys).  Pick the smallest delay whose late_rate is
+    acceptable; that is the `withWatermark` argument to deploy."""
+    from pyspark.sql import Window
+
+    bucket = F.expr(f"{arrival_col} div 1024").alias("__ab")
+    wl = Window.partitionBy("__ab").orderBy(arrival_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = df.withColumn("__ab", bucket).withColumn(
+        "__lmax", F.max(time_col).over(wl)
+    )
+    bmax = local.groupBy("__ab").agg(F.max(time_col).alias("__bmax"))
+    wp = Window.orderBy("__ab").rowsBetween(Window.unboundedPreceding, -1)
+    prefix = bmax.withColumn("__pmax", F.max("__bmax").over(wp)).select(
+        "__ab", "__pmax"
+    )
+    late_s = (
+        F.unix_timestamp(
+            F.greatest(F.col("__lmax"), F.coalesce("__pmax", F.col("__lmax")))
+        )
+        - F.unix_timestamp(time_col)
+    ).alias("__late_s")
+    delay_secs = [_interval_ms(d) // 1000 for d in delays]
+    flagged = local.join(prefix, "__ab").select(late_s)
+    curve = flagged.select(
+        F.explode(F.array(*[F.lit(s) for s in delay_secs])).alias("delay_seconds"),
+        "__late_s",
+    )
+    return (
+        curve.groupBy("delay_seconds")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("__late_s") > F.col("delay_seconds")).cast("long")).alias(
+                "n_late"
+            ),
+        )
+        .select(
+            F.col("delay_seconds").cast("long").alias("delay_seconds"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("n_late").cast("long").alias("n_late"),
+            F.round(F.col("n_late") / F.col("n_rows"), 4).alias("late_rate"),
+        )
+    )
