@@ -231,10 +231,12 @@ def psi_by_group(
 
     Scale shape: the k-1 bucket edges are ONE exact-percentile aggregate
     (a single row, broadcast back via crossJoin), bucket assignment is a
-    narrow expression over the edge array, and both probability tables
-    are (groups x k)-bounded aggregates.  Zero-probability buckets are
-    clamped to 1e-6 (the conventional PSI epsilon) so the log stays
-    finite."""
+    narrow expression over the edge array, and everything downstream of
+    the single (groups x k)-bounded count table derives FROM that table
+    (ref counts = per-bucket sums, reference total = one collected scalar)
+    — exactly TWO corpus scans total (edges + counts), no matter how the
+    plan fans out.  Zero-probability buckets are clamped to 1e-6 (the
+    conventional PSI epsilon) so the log stays finite."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     edges = df.agg(
         F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(q) for q in qs])).alias(
@@ -250,9 +252,12 @@ def psi_by_group(
             + F.when(F.col(value_col).cast("double") > e, 1).otherwise(0),
         ).alias("bucket"),
     )
-    ref = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_ref"))
-    ref_tot = df.count()
     per = bucketed.groupBy("grp", "bucket").agg(F.count(F.lit(1)).alias("n_g"))
+    # groups x k rows: safe (and cheap) to pin, so the ref/tot/grid
+    # consumers below don't each re-instantiate the corpus-scan subtree
+    per = per.localCheckpoint()
+    ref = per.groupBy("bucket").agg(F.sum("n_g").alias("n_ref"))
+    ref_tot = per.agg(F.sum("n_g")).first()[0]
     tot = per.groupBy("grp").agg(F.sum("n_g").alias("tot_g"))
     # densify to the full groups x buckets grid (bounded, tiny) so EVERY
     # bucket contributes its own (eps-clamped) term — lumping the missing
