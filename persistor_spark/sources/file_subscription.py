@@ -515,6 +515,23 @@ class FileSubscription:
     complete = ack
     abandon = nack
 
+    def compact(self, spark: SparkSession) -> dict:
+        """Periodic maintenance for a long-lived subscription: the acked
+        store gains ONE parquet frame per ack call, so after thousands of
+        settles the pull-side anti-join goes file-listing/open bound —
+        the exact failure mode plans.maintenance.compact_parquet exists
+        for (the LSH/IVF-PQ index appends have the same shape).  Rewrites
+        the acked store to ~one file; safe under the state flock (no pull
+        or settle can interleave; the swapped-out layout survives under a
+        trash name for any in-flight scan, per that module's contract).
+        Returns compact_parquet's stats, or {} when nothing is acked."""
+        from persistor_spark.plans import maintenance
+
+        with state_lock(self._state_path()):
+            if not self._has_parquet(self._acked_dir()):
+                return {}
+            return maintenance.compact_parquet(spark, self._acked_dir())
+
     def stats(self) -> dict:
         """{"backlog_published", "acked", "leased", "deliveries"} — the
         deliveries map makes at-least-once observable in tests.  Driver-

@@ -249,3 +249,30 @@ def test_racing_consumers_no_double_delivery(spark, tmp_path):
     st = sub.stats()
     assert st["acked"] == 60 and st["leased"] == 0
     assert all(n == 1 for n in st["deliveries"].values())
+
+
+def test_acked_store_compaction_preserves_protocol(spark, tmp_path):
+    """r9: the acked store grows one parquet frame per ack; compact()
+    rewrites it (maintenance.compact_parquet under the state flock) and
+    the protocol is unchanged — acked messages stay retired, unacked ones
+    still deliver, stats unchanged."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=4, ack_deadline_s=100, clock=clock
+    )
+    _publish_n(spark, sub, 12)
+    for _ in range(2):  # two pull/ack cycles -> multiple acked frames
+        b = sub.pull(spark)
+        sub.ack_df(b)
+    before = sub.stats()
+    assert before["acked"] == 8
+    stats = sub.compact(spark)
+    assert stats["files_after"] <= stats["files_before"]
+    after = sub.stats()
+    assert after["acked"] == 8 and after["deliveries"] == before["deliveries"]
+    # acked ids stay excluded; the 4 never-pulled ids still deliver
+    b3 = sub.pull(spark, 12)
+    assert b3.count() == 4
+    sub.ack_df(b3)
+    assert sub.stats()["acked"] == 12
+    assert sub.pull(spark, 12).count() == 0
