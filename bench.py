@@ -569,6 +569,23 @@ def bench_zorder_layout(ctx: Ctx):
     assert touched < 8, f"z-order box query touched {touched}/16 files"
 
 
+def bench_window_analytics(ctx: Ctx):
+    """The r9 windowed stream-quality family at bench scale: per-day dup
+    rate (chained aggs), PSI per source, and the watermark sizing curve
+    over the events table — the monitoring pass a feed runs per day.
+    Three bounded-output aggregation plans; no collect beyond the tiny
+    result sets."""
+    from persistor_spark.analytics import profiling
+    from persistor_spark.streaming import windows
+
+    ev = load_table(ctx.spark, SF_DIR, "events")
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    n = windows.windowed_dup_rate(ev, "1 day", ("user_id", "event_type"), "ts").count()
+    n += profiling.psi_by_group(docs, "n_chars", "source").count()
+    n += windows.watermark_sizing_curve(ev, ("10 minutes", "1 hour"), "ts", "event_id").count()
+    return n
+
+
 def bench_graph_pagerank(ctx: Ctx):
     """Iterative-join workload: 3 PageRank rounds over the symmetric
     customer<->supplier purchase graph (one shuffle join + one agg per
@@ -806,6 +823,13 @@ def _probe_text_stats(ctx):
     )
 
 
+def _probe_window_analytics(ctx):
+    from persistor_spark.streaming import windows
+
+    ev = load_table(ctx.spark, SF_DIR, "events")
+    return windows.windowed_dup_rate(ev, "1 day", ("user_id", "event_type"), "ts")
+
+
 def _probe_graph_pagerank(ctx):
     from persistor_spark.analytics import graph
 
@@ -841,6 +865,7 @@ PLAN_PROBES = {
     "bm25_search": _probe_bm25,
     "text_stats": _probe_text_stats,
     "graph_pagerank": _probe_graph_pagerank,
+    "window_analytics": _probe_window_analytics,
     "receiver_ingest": _probe_receiver_batch,
 }
 
@@ -874,6 +899,7 @@ QUERIES = {
     "bm25_search": bench_bm25_search,
     "text_stats": bench_text_stats,
     "graph_pagerank": bench_graph_pagerank,
+    "window_analytics": bench_window_analytics,
     "receiver_ingest": bench_receiver_ingest,
 }
 
