@@ -6069,17 +6069,17 @@ def _a151_window_funnel(spark, sf_dir):
         F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("c"),
         F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("p"),
     )
+    # coalesce the NULL-propagating comparisons to False: a bucket whose
+    # viewed users never click would otherwise sum an all-NULL clicked
+    # column to NULL while the oracle's CASE...ELSE 0 sums to 0 (r9 review)
+    clicked = F.col("v").isNotNull() & F.coalesce(
+        F.col("c") > F.col("v"), F.lit(False)
+    )
     flags = per_user.select(
         "bucket",
         F.col("v").isNotNull().cast("long").alias("viewed"),
-        (F.col("v").isNotNull() & (F.col("c") > F.col("v")))
-        .cast("long")
-        .alias("clicked"),
-        (
-            F.col("v").isNotNull()
-            & (F.col("c") > F.col("v"))
-            & (F.col("p") > F.col("c"))
-        )
+        clicked.cast("long").alias("clicked"),
+        (clicked & F.coalesce(F.col("p") > F.col("c"), F.lit(False)))
         .cast("long")
         .alias("purchased"),
     )
@@ -6247,8 +6247,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """
     return {
         # ==== r9 DRIVER WINDOW (positions 1-50) ====
-        # -- (1) ROTATION_HEAD: the 10 NEW r9 queries (composed curation
-        #        chain + windowed stream-quality analytics) --
+        # -- (1) ROTATION_HEAD: the 15 NEW r9 queries (composed curation
+        #        chain + windowed stream-quality analytics + the late-r9
+        #        growth a150-a154) --
         "a140_curation_e2e": _a140_curation_e2e,
         "a141_windowed_dup_rate": _a141_windowed_dup_rate,
         "a142_window_category_drift": _a142_window_category_drift,

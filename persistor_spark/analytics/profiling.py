@@ -259,6 +259,14 @@ def psi_by_group(
     ref = per.groupBy("bucket").agg(F.sum("n_g").alias("n_ref"))
     ref_tot = per.agg(F.sum("n_g")).first()[0]
     tot = per.groupBy("grp").agg(F.sum("n_g").alias("tot_g"))
+    if not ref_tot:
+        # empty (or all-NULL) input: no reference distribution to drift
+        # from — return an empty, correctly-typed result instead of
+        # dividing by a None total
+        return tot.select(
+            F.col("grp").alias(group_col),
+            F.lit(None).cast("double").alias("psi"),
+        ).filter(F.lit(False))
     # densify to the full groups x buckets grid (bounded, tiny) so EVERY
     # bucket contributes its own (eps-clamped) term — lumping the missing
     # buckets would mis-state PSI because p_ref varies per bucket

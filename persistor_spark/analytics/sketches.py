@@ -112,21 +112,7 @@ def hll_registers(
     the sketch is what a 100 TB distinct-count profiling pass ships around,
     and `hll_merge` (register-wise MAX) is the map-side-combine contract.
     """
-    suffix_bits = 60 - p
-    # NULL items hash to NULL and would emit a (register=NULL) row that
-    # survives hll_merge forever and miscounts `zeros` in hll_estimate
-    df = df.filter(F.col(item_col).isNotNull())
-    h = md5_hash64(F.concat(F.lit(hash_prefix), F.col(item_col)))
-    reg = F.shiftright(h, suffix_bits)
-    w = h.bitwiseAND(F.lit((1 << suffix_bits) - 1))
-    rho = F.when(w == 0, F.lit(suffix_bits + 1)).otherwise(
-        F.lit(suffix_bits) - F.length(F.bin(w)) + 1
-    )
-    return (
-        df.select(reg.cast("int").alias("register"), rho.cast("int").alias("rho"))
-        .groupBy("register")
-        .agg(F.max("rho").alias("max_rho"))
-    )
+    return hll_registers_grouped(df, item_col, [], p, hash_prefix)
 
 
 def hll_registers_grouped(

@@ -200,21 +200,6 @@ class FileSubscription:
                 return True
         return False
 
-    def _read_id_set(self, directory: str) -> set:
-        """Driver-side id set for the LIST-based test helpers only — the
-        Spark paths (`pull`/`ack_df`) never call this."""
-        import pyarrow.dataset as ds
-
-        if not self._has_parquet(directory):
-            return set()
-        return set(
-            ds.dataset(directory, format="parquet")
-            .to_table(columns=["message_id"])
-            .column("message_id")
-            .to_pylist()
-        )
-
-
     # -- producer ----------------------------------------------------------
 
     def publish(self, messages: DataFrame) -> int:
@@ -385,40 +370,65 @@ class FileSubscription:
         settled ids as a parquet frame, then shrink each active group's
         remaining (n, bytes) by ONE distributed aggregate — only per-group
         scalars reach the driver, so settle cost is flat in acked-history
-        size (the r8 protocol defect)."""
+        size (the r8 protocol defect).
+
+        Two correctness rules (r9 review findings):
+        - the caller's `ids` plan may be NON-DETERMINISTIC (e.g. an
+          unordered limit), so it is materialized to disk ONCE and every
+          consumer (acked append, group matching, released journal) reads
+          that immutable frame — otherwise the state decrement and the
+          on-disk journal could settle DIFFERENT id sets;
+        - group matching goes through `_leased_remaining` (active frames
+          MINUS released), not the raw frames: a nacked-then-re-leased id
+          still sits in its ORIGINAL group's immutable frame, and matching
+          against that would double-decrement the old group and delete it
+          while its other messages are leased — re-opening the
+          double-delivery window."""
+        import shutil
+        import uuid
+
         spark = ids.sparkSession
         now = self.clock()
         state = self._load_state()
         active = self._active_groups(state, now)
         state["groups"] = {g: list(state["groups"][g]) for g in active}
-        settled = ids.select("message_id")
-        if not release:
-            settled.write.mode("append").parquet(self._acked_dir())
-        if active:
-            frames = spark.read.parquet(*[self._group_frame(g) for g in active])
-            matched = frames.join(F.broadcast(settled), "message_id", "left_semi")
-            per_group = (
-                matched.groupBy("group_id")
-                .agg(
-                    F.count(F.lit(1)).alias("n"),
-                    F.sum("size_bytes").alias("nbytes"),
+        staging = f"{self.root}/.settle-{uuid.uuid4().hex}"
+        ids.select("message_id").write.parquet(staging)
+        try:
+            settled = spark.read.parquet(staging)
+            if not release:
+                settled.write.mode("append").parquet(self._acked_dir())
+            if active:
+                leased = self._leased_remaining(spark, active)
+                # pinned (outstanding-bounded rows): the released write
+                # below must not re-scan the released dir it appends to
+                matched = leased.join(
+                    F.broadcast(settled), "message_id", "left_semi"
+                ).localCheckpoint()
+                per_group = (
+                    matched.groupBy("group_id")
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum("size_bytes").alias("nbytes"),
+                    )
+                    .collect()
                 )
-                .collect()
-            )
-            if release and per_group:
-                # deterministic re-evaluation: the group frames and the ids
-                # frame are immutable between the agg and this write
-                matched.write.mode("append").parquet(self._released_dir())
-            for row in per_group:
-                gid = row["group_id"]
-                exp, n, nbytes = state["groups"][gid]
-                n -= row["n"]
-                nbytes -= row["nbytes"]
-                if n <= 0:
-                    del state["groups"][gid]
-                else:
-                    state["groups"][gid] = [exp, n, max(nbytes, 0)]
-        self._save_state(state)
+                if release and per_group:
+                    # deterministic: every input (group frames, released
+                    # journal, the staged ids frame) is immutable on disk
+                    matched.write.mode("append").parquet(self._released_dir())
+                for row in per_group:
+                    gid = row["group_id"]
+                    exp, n, nbytes = state["groups"][gid]
+                    n -= row["n"]
+                    nbytes -= row["nbytes"]
+                    if n <= 0:
+                        del state["groups"][gid]
+                    else:
+                        state["groups"][gid] = [exp, n, max(nbytes, 0)]
+            self._save_state(state)
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
 
     def ack_df(self, ids: DataFrame) -> None:
         """Retire messages permanently from a DataFrame of ids (or pulled
@@ -524,13 +534,29 @@ class FileSubscription:
         the acked store to ~one file; safe under the state flock (no pull
         or settle can interleave; the swapped-out layout survives under a
         trash name for any in-flight scan, per that module's contract).
-        Returns compact_parquet's stats, or {} when nothing is acked."""
+        The released/ journal has the same one-frame-per-nack growth and is
+        scanned by every pull's `_leased_remaining` anti-join, so it is
+        compacted too.  Lease frames are NOT touched: they are per-GROUP
+        immutable journal dirs (one per pull, bounded by backlog/batch_size
+        — growth tracks pulls, not settles) and the settle paths read them
+        per group.
+
+        Returns {"acked": stats, "released": stats} with compact_parquet's
+        stats per store ({} for an empty store)."""
         from persistor_spark.plans import maintenance
 
+        out = {}
         with state_lock(self._state_path()):
-            if not self._has_parquet(self._acked_dir()):
-                return {}
-            return maintenance.compact_parquet(spark, self._acked_dir())
+            for name, path in (
+                ("acked", self._acked_dir()),
+                ("released", self._released_dir()),
+            ):
+                out[name] = (
+                    maintenance.compact_parquet(spark, path)
+                    if self._has_parquet(path)
+                    else {}
+                )
+        return out
 
     def stats(self) -> dict:
         """{"backlog_published", "acked", "leased", "deliveries"} — the

@@ -500,28 +500,15 @@ def windowed_category_drift(
     )
 
 
-def late_arrival_stats(
-    df: DataFrame,
-    delay: str = "1 hour",
-    window: str = "1 day",
-    time_col: str = "ts",
-    arrival_col: str = "event_id",
-) -> DataFrame:
-    """Per-window late-arrival accounting under a watermark policy: an
-    event is LATE when its event time trails the running max event time
-    (in arrival order) by more than `delay` — exactly the rows a
-    `withWatermark(time_col, delay)` pipeline would drop.  Sizes the
-    watermark before deploying it: pick `delay` where late_rate is
-    acceptable.
-
-    The running event-time high-water mark is a prefix max over arrival
-    order — computed TWO-LEVEL (the sampling.global_cumsum pattern):
-    per-arrival-bucket local running max inside a partitioned window,
-    plus a prefix max over the bucket maxima (bucket-count-bounded), so
-    no global single-partition pass ever materializes the stream.
-    Including the current row in the local max is equivalent to
-    'max of strictly-earlier arrivals' for lateness (a row cannot make
-    itself late).  Per-window aggregation after that is bounded."""
+def _running_event_hwm(df: DataFrame, time_col: str, arrival_col: str):
+    """Running event-time high-water mark in arrival order, TWO-LEVEL (the
+    sampling.global_cumsum pattern): per-arrival-bucket local running max
+    inside a partitioned window + a prefix max over the bucket maxima
+    (bucket-count-bounded) — no global single-partition pass.  Including
+    the current row is equivalent to 'max of strictly-earlier arrivals'
+    for lateness (a row cannot make itself late).  Returns df plus a
+    `__hwm` column.  Shared by late_arrival_stats and
+    watermark_sizing_curve so the subtle core exists ONCE (r9 review)."""
     from pyspark.sql import Window
 
     bucket = F.expr(f"{arrival_col} div 1024").alias("__ab")
@@ -536,14 +523,36 @@ def late_arrival_stats(
     prefix = bmax.withColumn("__pmax", F.max("__bmax").over(wp)).select(
         "__ab", "__pmax"
     )
-    delay_expr = F.expr(f"INTERVAL {delay}")
-    flagged = (
+    return (
         local.join(prefix, "__ab")
         .withColumn(
             "__hwm",
             F.greatest(F.col("__lmax"), F.coalesce("__pmax", F.col("__lmax"))),
         )
-        .withColumn("__late", F.col(time_col) < F.col("__hwm") - delay_expr)
+        .drop("__ab", "__lmax", "__pmax")
+    )
+
+
+
+
+def late_arrival_stats(
+    df: DataFrame,
+    delay: str = "1 hour",
+    window: str = "1 day",
+    time_col: str = "ts",
+    arrival_col: str = "event_id",
+) -> DataFrame:
+    """Per-window late-arrival accounting under a watermark policy: an
+    event is LATE when its event time trails the running max event time
+    (in arrival order) by more than `delay` — exactly the rows a
+    `withWatermark(time_col, delay)` pipeline would drop.  Details the
+    chosen delay per window; `watermark_sizing_curve` picks the delay.
+    The running high-water mark comes from the shared two-level
+    `_running_event_hwm` pass; per-window aggregation after that is a
+    bounded shuffle."""
+    delay_expr = F.expr(f"INTERVAL {delay}")
+    flagged = _running_event_hwm(df, time_col, arrival_col).withColumn(
+        "__late", F.col(time_col) < F.col("__hwm") - delay_expr
     )
     return (
         flagged.groupBy(F.window(time_col, window).alias("win"))
@@ -575,7 +584,7 @@ def windowed_percentiles(
     tolerance is acceptable."""
     aggs = [
         F.round(F.percentile(value_col, F.lit(q)), 4).alias(
-            f"p{int(q * 100)}"
+            f"p{int(round(q * 100))}"
         )
         for q in percentiles
     ]
@@ -585,7 +594,7 @@ def windowed_percentiles(
         .select(
             F.col("win.start").alias("window_start"),
             F.col("n").cast("long").alias("n"),
-            *[f"p{int(q * 100)}" for q in percentiles],
+            *[f"p{int(round(q * 100))}" for q in percentiles],
         )
     )
 
@@ -678,34 +687,17 @@ def watermark_sizing_curve(
 ) -> DataFrame:
     """The watermark SIZING tool late_arrival_stats points at: the whole
     late-rate-vs-delay curve in one pass.  The running event-time
-    high-water mark (same two-level prefix max as late_arrival_stats) is
+    high-water mark (the shared `_running_event_hwm` two-level pass) is
     computed ONCE; each row's lateness_seconds = hwm - ts then answers
     every candidate delay via one small explode (|delays| rows per event,
     immediately re-aggregated — map-side combine keeps the shuffle at
     |delays| keys).  Pick the smallest delay whose late_rate is
     acceptable; that is the `withWatermark` argument to deploy."""
-    from pyspark.sql import Window
-
-    bucket = F.expr(f"{arrival_col} div 1024").alias("__ab")
-    wl = Window.partitionBy("__ab").orderBy(arrival_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    local = df.withColumn("__ab", bucket).withColumn(
-        "__lmax", F.max(time_col).over(wl)
-    )
-    bmax = local.groupBy("__ab").agg(F.max(time_col).alias("__bmax"))
-    wp = Window.orderBy("__ab").rowsBetween(Window.unboundedPreceding, -1)
-    prefix = bmax.withColumn("__pmax", F.max("__bmax").over(wp)).select(
-        "__ab", "__pmax"
-    )
     late_s = (
-        F.unix_timestamp(
-            F.greatest(F.col("__lmax"), F.coalesce("__pmax", F.col("__lmax")))
-        )
-        - F.unix_timestamp(time_col)
+        F.unix_timestamp("__hwm") - F.unix_timestamp(time_col)
     ).alias("__late_s")
     delay_secs = [_interval_ms(d) // 1000 for d in delays]
-    flagged = local.join(prefix, "__ab").select(late_s)
+    flagged = _running_event_hwm(df, time_col, arrival_col).select(late_s)
     curve = flagged.select(
         F.explode(F.array(*[F.lit(s) for s in delay_secs])).alias("delay_seconds"),
         "__late_s",

@@ -264,10 +264,14 @@ def test_acked_store_compaction_preserves_protocol(spark, tmp_path):
     for _ in range(2):  # two pull/ack cycles -> multiple acked frames
         b = sub.pull(spark)
         sub.ack_df(b)
+    # a nack journals a released frame, so compact() covers both stores
+    b_extra = sub.pull(spark)
+    sub.nack_df(b_extra)
     before = sub.stats()
     assert before["acked"] == 8
     stats = sub.compact(spark)
-    assert stats["files_after"] <= stats["files_before"]
+    assert stats["acked"]["files_after"] <= stats["acked"]["files_before"]
+    assert stats["released"]["files_after"] <= stats["released"]["files_before"]
     after = sub.stats()
     assert after["acked"] == 8 and after["deliveries"] == before["deliveries"]
     # acked ids stay excluded; the 4 never-pulled ids still deliver
@@ -276,3 +280,35 @@ def test_acked_store_compaction_preserves_protocol(spark, tmp_path):
     sub.ack_df(b3)
     assert sub.stats()["acked"] == 12
     assert sub.pull(spark, 12).count() == 0
+
+
+def test_ack_of_releases_does_not_double_decrement_original_group(spark, tmp_path):
+    """r9 review finding: a nacked id stays in its ORIGINAL group's
+    immutable frame; settling it after re-lease must decrement only the
+    NEW group (released ids are excluded from matching), or the original
+    group is deleted early and its still-leased messages become
+    redeliverable inside the deadline window."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"),
+        batch_size=4,
+        max_outstanding_messages=100,
+        ack_deadline_s=100,
+        clock=clock,
+    )
+    _publish_n(spark, sub, 6)
+    g1 = sub.pull(spark)  # leases 4 (group g1)
+    ids1 = [r["message_id"] for r in g1.collect()]
+    sub.nack_df(g1.limit(2))  # 2 released from g1 -> deliverable
+    assert sub.stats()["leased"] == 2
+    g2 = sub.pull(spark)  # re-leases the 2 released + the 2 fresh (group g2)
+    ids2 = {r["message_id"] for r in g2.collect()}
+    assert len(ids2 & set(ids1)) == 2 and sub.stats()["leased"] == 6
+    sub.ack_df(g2)  # must shrink ONLY g2 (-4), never g1's remaining 2
+    st = sub.stats()
+    assert st["acked"] == 4 and st["leased"] == 2
+    # g1's two unacked messages are still under lease: no redelivery
+    assert sub.pull(spark, 12).count() == 0
+    clock.t += 101  # lease expiry -> they come back (at-least-once)
+    back = {r["message_id"] for r in sub.pull(spark, 12).collect()}
+    assert back == set(ids1) - ids2
