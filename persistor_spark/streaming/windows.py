@@ -4,9 +4,16 @@ wall-clock partition (storage.go:104).  The engine adds the standard
 Structured Streaming surface as first-class operators, with processing-time
 parity remaining the default in plans.ingest.
 
-All operators take/return streaming DataFrames and also run in batch mode
-(Spark's unified semantics) — batch twins are what the DuckDB oracle pins
-(e8_tumbling_window); streaming tests drive them through a file stream.
+All operators run in batch mode (Spark's unified semantics) — batch twins
+are what the DuckDB oracle pins (e8_tumbling_window) — and the window/
+session/stateful operators also run under Structured Streaming (streaming
+tests drive them through a file stream; windowed_dup_rate's CHAINED
+aggregations need append mode + a watermark, Spark >= 3.4).  The r9
+monitoring analytics that join or window OVER window aggregates
+(windowed_category_drift, windowed_trailing_anomaly, window_new_key_rate,
+late_arrival_stats, watermark_sizing_curve) are sink-side/batch passes by
+construction — run them over a closed-window sink or a batch snapshot,
+not inside a streaming query.
 """
 
 from __future__ import annotations
