@@ -282,3 +282,62 @@ def test_prefix_offset_decomposition_model(values, n_parts):
             got.append(offset + run)
         offset += run
     assert got == want
+
+
+# -- r9 windowed stream-quality analytics: invariants on one random frame ----
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=50_000),   # arrival order (event_id)
+        st.integers(min_value=0, max_value=6),        # user
+        st.sampled_from(["view", "click", "purchase"]),
+        st.integers(min_value=0, max_value=3 * 86400),  # ts offset seconds
+    ),
+    min_size=1,
+    max_size=60,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(event_rows)
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+def test_windowed_analytics_invariants(spark, rows):
+    """One parametrized frame, three operators, their always-true facts:
+    dup_rate in [0,1] with n_keys <= n_rows and rows conserved; the
+    watermark curve's late rate is NON-INCREASING in the delay (a bigger
+    delay can only admit more rows); PSI >= 0 (every (p-q)ln(p/q) term is
+    nonnegative)."""
+    from pyspark.sql import functions as F
+
+    from persistor_spark.analytics import profiling
+    from persistor_spark.streaming import windows
+
+    df = spark.createDataFrame(
+        [(eid, u, t, off) for eid, u, t, off in rows],
+        "event_id long, user_id long, event_type string, off long",
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "off",
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("off")).alias("ts"),
+    )
+
+    dup = windows.windowed_dup_rate(df, "1 day", ("user_id", "event_type"), "ts").collect()
+    assert sum(r["n_rows"] for r in dup) == len(rows)
+    for r in dup:
+        assert 1 <= r["n_keys"] <= r["n_rows"]
+        assert 0.0 <= r["dup_rate"] <= 1.0
+
+    curve = {
+        r["delay_seconds"]: r
+        for r in windows.watermark_sizing_curve(
+            df, ("10 minutes", "1 hour", "2 hours"), "ts", "event_id"
+        ).collect()
+    }
+    rates = [curve[d]["late_rate"] for d in sorted(curve)]
+    assert all(a >= b for a, b in zip(rates, rates[1:])), rates
+    assert all(curve[d]["n_rows"] == len(rows) for d in curve)
+
+    psi = profiling.psi_by_group(df, "off", "event_type", n_buckets=4).collect()
+    assert all(r["psi"] >= 0.0 for r in psi)
