@@ -396,8 +396,6 @@ class FileSubscription:
         ids.select("message_id").write.parquet(staging)
         try:
             settled = spark.read.parquet(staging)
-            if not release:
-                settled.write.mode("append").parquet(self._acked_dir())
             if active:
                 leased = self._leased_remaining(spark, active)
                 # pinned (outstanding-bounded rows): the released write
@@ -426,6 +424,22 @@ class FileSubscription:
                         del state["groups"][gid]
                     else:
                         state["groups"][gid] = [exp, n, max(nbytes, 0)]
+            if not release:
+                # the staged frame IS the acked frame: move its part files
+                # into the store instead of writing the data a second time
+                # (every Spark read above has already completed; a crash
+                # before the moves just leaves the ack unrecorded -> lease
+                # expiry redelivers, the at-least-once arm)
+                os.makedirs(self._acked_dir(), exist_ok=True)
+                # strip the staging dir's hidden-file dot: a leading '.'
+                # on the moved part files would hide them from Spark AND
+                # pyarrow (both skip '.'/'_' prefixes)
+                tag = os.path.basename(staging).lstrip(".")
+                for f in os.listdir(staging):
+                    if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                        os.rename(
+                            f"{staging}/{f}", f"{self._acked_dir()}/{tag}-{f}"
+                        )
             self._save_state(state)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
