@@ -724,3 +724,41 @@ def watermark_sizing_curve(
             F.round(F.col("n_late") / F.col("n_rows"), 4).alias("late_rate"),
         )
     )
+
+
+def run_dup_rate_stream(
+    spark,
+    source_dir: str,
+    out_path: str,
+    checkpoint: str,
+    schema: str = "event_id long, user_id long, event_type string, ts timestamp",
+    window: str = "1 day",
+    key_cols: tuple = ("user_id", "event_type"),
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+):
+    """The dup-rate monitor as a RUNNING streaming query: windowed_dup_rate
+    over a file stream, append mode, parquet sink — each window's row lands
+    exactly once when the watermark closes it, so the sink IS the
+    monitoring table (a142's drift / a148's trailing-z read it as a batch
+    snapshot).  Chained stateful aggregations require the watermark +
+    append mode (Spark >= 3.4); the sink grows one small file per closing
+    batch — run plans.maintenance.compact_parquet on it from the same
+    scheduler that compacts the LSH/IVF index appends."""
+    out = windowed_dup_rate(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(source_dir),
+        window,
+        key_cols,
+        time_col,
+        watermark=watermark,
+    )
+    return (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -431,3 +431,65 @@ def test_windowed_dup_rate_streaming_equals_batch_closed_windows(spark, tmp_path
     wm = datetime.datetime(2024, 1, 1, 1, 30)
     closed = {t for t in expected if t[0] + datetime.timedelta(hours=1) <= wm}
     assert got == closed
+
+
+def test_run_dup_rate_stream_sinks_closed_windows(spark, tmp_path):
+    """r9: the dup-rate monitor as a running query — closed windows land
+    exactly once in the parquet sink and equal the batch twin; a SECOND
+    availableNow run over the same checkpoint adds nothing (no
+    reprocessing, no duplicate window rows)."""
+    import json
+    import os
+
+    src = str(tmp_path / "msrc")
+    os.makedirs(src)
+    # one file per day -> two micro-batches: day 2's batch advances the
+    # watermark past day 1's window end, closing it INTO the sink (a
+    # single batch would end the availableNow query before anything
+    # closes — watermarks take effect at the NEXT batch)
+    import time as _time
+
+    now = _time.time()
+    for d in (1, 2):
+        # day 2's events sit at 03:00-04:00 so its batch's watermark
+        # (max - 2h = day2 02:00) passes day 1's window END and closes it
+        hours = (0, 1) if d == 1 else (3, 4)
+        rows = [
+            {"event_id": d * 100 + h * 10 + i, "user_id": i % 3,
+             "event_type": "view", "ts": f"2024-01-0{d}T0{h}:00:0{i}"}
+            for h in hours
+            for i in range(4)
+        ]
+        path = f"{src}/day{d}.json"
+        with open(path, "w") as fh:
+            fh.write("\n".join(json.dumps(r) for r in rows))
+        # oldest-first mtime ordering: day 1 must be the FIRST batch, or
+        # day 2's watermark drops day 1's rows as late before they land
+        os.utime(path, (now - 200 + d * 100, now - 200 + d * 100))
+    out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    q = windows.run_dup_rate_stream(
+        spark, src, out, ckpt, window="1 day", watermark="2 hours"
+    )
+    q.awaitTermination(300)
+    got = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert got, "no closed window reached the sink"
+
+    batch = windows.windowed_dup_rate(
+        spark.read.schema(
+            "event_id long, user_id long, event_type string, ts timestamp"
+        ).json(src),
+        "1 day",
+        ("user_id", "event_type"),
+        "ts",
+    )
+    expected = {tuple(r) for r in batch.collect()}
+    assert got <= expected  # every sunk row matches the batch twin
+    # day 1 closed (watermark = day2 01:00:03 - 2h passes day1's end)
+    assert {r[0].day for r in got} == {1}
+
+    q2 = windows.run_dup_rate_stream(
+        spark, src, out, ckpt, window="1 day", watermark="2 hours"
+    )
+    q2.awaitTermination(300)
+    again = {tuple(r) for r in spark.read.parquet(out).collect()}
+    assert again == got  # checkpoint resume: exactly-once, no re-emit
