@@ -736,19 +736,30 @@ def run_dup_rate_stream(
     key_cols: tuple = ("user_id", "event_type"),
     time_col: str = "ts",
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
 ):
     """The dup-rate monitor as a RUNNING streaming query: windowed_dup_rate
     over a file stream, append mode, parquet sink — each window's row lands
-    exactly once when the watermark closes it, so the sink IS the
+    exactly once when the watermark closes it (availableNow runs a final
+    no-data micro-batch that applies the last watermark, so even a
+    single-batch run emits its closed windows), and the sink IS the
     monitoring table (a142's drift / a148's trailing-z read it as a batch
     snapshot).  Chained stateful aggregations require the watermark +
-    append mode (Spark >= 3.4); the sink grows one small file per closing
-    batch — run plans.maintenance.compact_parquet on it from the same
-    scheduler that compacts the LSH/IVF index appends."""
+    append mode (Spark >= 3.4).
+
+    `max_files_per_trigger` defaults to unbatched (one micro-batch per
+    run): a monitor catching up over N accumulated files should NOT pay N
+    stateful checkpoint commits.  Maintenance: a streaming parquet sink
+    carries a `_spark_metadata` transaction log — do NOT run
+    plans.maintenance.compact_parquet on it (the swap discards the log and
+    metadata-log-driven reads lose or reject the compacted files);
+    periodically MATERIALIZE the sink into a separate compacted batch
+    table instead and point long-term readers there."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     out = windowed_dup_rate(
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .json(source_dir),
+        reader.json(source_dir),
         window,
         key_cols,
         time_col,

@@ -443,10 +443,9 @@ def test_run_dup_rate_stream_sinks_closed_windows(spark, tmp_path):
 
     src = str(tmp_path / "msrc")
     os.makedirs(src)
-    # one file per day -> two micro-batches: day 2's batch advances the
-    # watermark past day 1's window end, closing it INTO the sink (a
-    # single batch would end the availableNow query before anything
-    # closes — watermarks take effect at the NEXT batch)
+    # one file per day, processed as ONE batch (default unbatched
+    # reader): availableNow's final no-data micro-batch applies the last
+    # watermark, so day 1's window closes into the sink in a single run
     import time as _time
 
     now = _time.time()
@@ -463,8 +462,6 @@ def test_run_dup_rate_stream_sinks_closed_windows(spark, tmp_path):
         path = f"{src}/day{d}.json"
         with open(path, "w") as fh:
             fh.write("\n".join(json.dumps(r) for r in rows))
-        # oldest-first mtime ordering: day 1 must be the FIRST batch, or
-        # day 2's watermark drops day 1's rows as late before they land
         os.utime(path, (now - 200 + d * 100, now - 200 + d * 100))
     out, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
     q = windows.run_dup_rate_stream(
