@@ -391,6 +391,11 @@ def bench_receiver_ingest(ctx: Ctx):
                 f.result()
         wres.unpersist()
         warm.ack_df(wb)
+        # warm the drain tail too: the empty-pull arm and the settle-aware
+        # backlog prune (r10) both run exactly once inside the timed drain,
+        # so their first-execution plan/JIT cost belongs to warm-up
+        warm.prune_backlog(ctx.spark)
+        warm.pull(ctx.spark).isEmpty()
     cfg = fixtures.fixture_ingest_config()
     blobs = ctx.fresh("receiver_blobs")
     index = ctx.fresh("receiver_index")

@@ -44,7 +44,19 @@ Scale shape (r8 VERDICT "What's wrong" #2 — the de-drivered protocol):
   journal (`stats()["deliveries"]`);
 - no message id ever crosses the driver on the pull/ack_df path: byte
   budgeting is a windowed cumsum over the batch-bounded head, ack is a
-  frame append + per-group remaining-count aggregates (scalars only).
+  frame append + per-group remaining-count aggregates (scalars only);
+- **every settle journals its matched (group, id) rows** (released/), so
+  settling the same id twice — duplicate ack, ack-then-nack, or the
+  at-least-once flow acking both copies of a redelivered message —
+  matches NOTHING the second time (r9 advisor finding: the ack arm used
+  to skip the journal and a duplicate ack double-decremented its group,
+  deleting it early and re-opening the double-delivery window);
+- **pull cost is O(live backlog), amortized O(1) per message**: once a
+  third of the backlog is acked, `pull` triggers `prune_backlog` — a
+  compact-style swap that rewrites the backlog minus acked rows, retires
+  the acked store into a state scalar, and shrinks the settled journal
+  to active groups (r9 VERDICT #1: pull used to re-scan everything ever
+  published plus the full acked history on every call).
 `ack(list)`/`nack(list)` remain for tests (pyarrow-side, no Spark
 session); `ack_df`/`nack_df` are the scale path.
 """
@@ -255,6 +267,10 @@ class FileSubscription:
         n = wire.count()
         wire.unpersist()
         state["next_id"] = base + n
+        # live-backlog row estimate driving the prune trigger; legacy state
+        # files (pre-prune) initialize to everything-ever-published, a safe
+        # upper bound (nothing was ever removed before pruning existed)
+        state["backlog_rows"] = state.get("backlog_rows", base) + n
         self._save_state(state)
         return n
 
@@ -281,8 +297,11 @@ class FileSubscription:
 
     def _leased_remaining(self, spark: SparkSession, active: dict) -> DataFrame | None:
         """(group_id, message_id, size_bytes) still under an ACTIVE lease:
-        the union of the active groups' frames minus any per-group nack
-        releases.  Distributed — never materialized on the driver."""
+        the union of the active groups' frames minus the settled journal
+        (released/ records EVERY per-group settle — acks and nacks — which
+        is what makes settle idempotent and keeps a re-leased id from
+        matching its old group).  Distributed — never materialized on the
+        driver."""
         if not active:
             return None
         frames = spark.read.parquet(*[self._group_frame(g) for g in active])
@@ -300,6 +319,17 @@ class FileSubscription:
         # expired groups' frames stay behind as the delivery journal
         active = self._active_groups(state, now)
         state["groups"] = {g: list(v) for g, v in active.items()}
+        # amortized settle-aware pruning (r9 VERDICT #1): once a third of
+        # the live backlog is acked, rewrite it without the acked rows so
+        # the scan+anti-join below is O(live), not O(ever-published).
+        # Geometric trigger -> each message is rewritten O(1) times over
+        # its life; the 4x-batch floor keeps small tests and fresh
+        # subscriptions on the append-only fast path.
+        if state.get("acked_since_prune", 0) >= max(
+            4 * self.batch_size,
+            state.get("backlog_rows", state["next_id"]) // 3,
+        ):
+            self._prune_backlog_locked(spark, state)
         budget_msgs = min(
             self.batch_size if max_messages is None else max_messages,
             self.max_outstanding_messages - sum(n for _, n, _ in active.values()),
@@ -309,7 +339,9 @@ class FileSubscription:
         )
         if budget_msgs <= 0 or budget_bytes <= 0:
             self._save_state(state)
-            return spark.createDataFrame([], WIRE_SCHEMA)
+            # JVM-only empty frame: the list-based createDataFrame builds a
+            # Python RDD whose first isEmpty cold-starts Python workers (~2 s)
+            return spark.createDataFrame(spark.sparkContext.emptyRDD(), WIRE_SCHEMA)
 
         from pyspark.sql import Window
 
@@ -332,36 +364,57 @@ class FileSubscription:
         taken = head.withColumn("__cum", F.sum("size_bytes").over(w)).filter(
             F.col("__cum") <= budget_bytes
         )
-        # scalars first, frame write second: both evaluate the same
-        # deterministic orderBy+limit prefix over a backlog snapshot that
-        # cannot change mid-pull (publish takes the same flock)
-        n, nbytes = taken.agg(
-            F.count(F.lit(1)), F.coalesce(F.sum("size_bytes"), F.lit(0))
-        ).first()
+        # ONE job takes the lease: the frame write carries the (n, bytes)
+        # scalars as observations, so the state decrementers and the
+        # on-disk frame come from the SAME evaluation of the deterministic
+        # orderBy+limit prefix (the backlog snapshot cannot change
+        # mid-pull — publish and prune take the same flock)
+        gid = "g%06d" % state["next_group"]
+
+        def _write_frame(rows) -> tuple[int, int]:
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            rows.select(
+                F.lit(gid).alias("group_id"),
+                F.col("message_id"),
+                F.col("size_bytes"),
+            ).observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.sum("size_bytes"), F.lit(0)).alias("nb"),
+            ).write.mode(
+                "overwrite"
+            ).parquet(self._group_frame(gid))
+            return int(obs.get["n"]), int(obs.get["nb"])
+
+        n, nbytes = _write_frame(taken)
         if n == 0 and not active:
             # the oversize exception (a message larger than the byte cap is
             # still delivered) applies only when NOTHING is outstanding —
             # otherwise the leased volume would exceed the byte cap
-            taken = head.limit(1)
-            n, nbytes = taken.agg(
-                F.count(F.lit(1)), F.coalesce(F.sum("size_bytes"), F.lit(0))
-            ).first()
+            n, nbytes = _write_frame(head.limit(1))
         if n == 0:
+            import shutil
+
+            shutil.rmtree(self._group_frame(gid), ignore_errors=True)
             self._save_state(state)
-            return spark.createDataFrame([], WIRE_SCHEMA)
-        gid = "g%06d" % state["next_group"]
-        taken.select(
-            F.lit(gid).alias("group_id"),
-            F.col("message_id"),
-            F.col("size_bytes"),
-        ).write.mode("overwrite").parquet(self._group_frame(gid))
+            # JVM-only empty frame: the list-based createDataFrame builds a
+            # Python RDD whose first isEmpty cold-starts Python workers (~2 s)
+            return spark.createDataFrame(spark.sparkContext.emptyRDD(), WIRE_SCHEMA)
         frame = spark.read.parquet(self._group_frame(gid))
         state["groups"][gid] = [now + self.ack_deadline_s, int(n), int(nbytes)]
         state["next_group"] += 1
         self._save_state(state)
+        # localCheckpoint pins the DELIVERED rows (batch-bounded) before the
+        # flock is released: the returned batch is a snapshot independent of
+        # the backlog's file layout — a later prune_backlog swap (triggered
+        # by any consumer's pull) must not yank files out from under a
+        # racing consumer still processing its batch.  Every OTHER backlog
+        # read happens inside the flock, so no reader can span a prune.
         return backlog.join(
             F.broadcast(frame.select("message_id")), "message_id", "left_semi"
-        )
+        ).localCheckpoint()
 
     # -- ack/nack: the Spark (scale) path ---------------------------------
 
@@ -372,20 +425,31 @@ class FileSubscription:
         scalars reach the driver, so settle cost is flat in acked-history
         size (the r8 protocol defect).
 
-        Two correctness rules (r9 review findings):
+        Three correctness rules (r9/r10 review + advisor findings):
         - the caller's `ids` plan may be NON-DETERMINISTIC (e.g. an
           unordered limit), so it is materialized to disk ONCE and every
-          consumer (acked append, group matching, released journal) reads
+          consumer (acked append, group matching, settled journal) reads
           that immutable frame — otherwise the state decrement and the
           on-disk journal could settle DIFFERENT id sets;
         - group matching goes through `_leased_remaining` (active frames
-          MINUS released), not the raw frames: a nacked-then-re-leased id
-          still sits in its ORIGINAL group's immutable frame, and matching
-          against that would double-decrement the old group and delete it
-          while its other messages are leased — re-opening the
-          double-delivery window."""
+          MINUS the settled journal), not the raw frames: a
+          nacked-then-re-leased id still sits in its ORIGINAL group's
+          immutable frame, and matching against that would
+          double-decrement the old group and delete it while its other
+          messages are leased — re-opening the double-delivery window;
+        - EVERY settle (ack and nack alike) appends its matched rows to
+          the journal, which is what makes settle IDEMPOTENT: a duplicate
+          ack (retried publisher callback, or the at-least-once flow
+          acking both copies of a redelivered message) must match NOTHING
+          the second time.  The journal is the only settled-id source the
+          matcher consults — anti-joining the full acked store here would
+          re-introduce an O(acked-history) term per settle; the journal
+          stays outstanding-bounded because `prune_backlog` drops rows of
+          settled/expired groups."""
         import shutil
         import uuid
+
+        from pyspark.sql import Observation
 
         spark = ids.sparkSession
         now = self.clock()
@@ -393,13 +457,25 @@ class FileSubscription:
         active = self._active_groups(state, now)
         state["groups"] = {g: list(state["groups"][g]) for g in active}
         staging = f"{self.root}/.settle-{uuid.uuid4().hex}"
-        ids.select("message_id").write.parquet(staging)
+        obs = Observation()
+        # coalesce(1): one frame FILE per settle call, not one per input
+        # partition — the acked store and journal are re-listed by every
+        # pull/settle, and 32 tiny files per ack makes both listing-bound
+        ids.select("message_id").coalesce(1).observe(
+            obs, F.count(F.lit(1)).alias("n")
+        ).write.parquet(staging)
+        if not release:
+            # drives the backlog-prune trigger: acked rows are the ones a
+            # prune can drop from the backlog (nacks stay deliverable)
+            state["acked_since_prune"] = (
+                state.get("acked_since_prune", 0) + int(obs.get["n"])
+            )
         try:
             settled = spark.read.parquet(staging)
             if active:
                 leased = self._leased_remaining(spark, active)
-                # pinned (outstanding-bounded rows): the released write
-                # below must not re-scan the released dir it appends to
+                # pinned (outstanding-bounded rows): the journal write
+                # below must not re-scan the journal dir it appends to
                 matched = leased.join(
                     F.broadcast(settled), "message_id", "left_semi"
                 ).localCheckpoint()
@@ -411,10 +487,12 @@ class FileSubscription:
                     )
                     .collect()
                 )
-                if release and per_group:
-                    # deterministic: every input (group frames, released
+                if per_group:
+                    # deterministic: every input (group frames, settled
                     # journal, the staged ids frame) is immutable on disk
-                    matched.write.mode("append").parquet(self._released_dir())
+                    matched.coalesce(1).write.mode("append").parquet(
+                        self._released_dir()
+                    )
                 for row in per_group:
                     gid = row["group_id"]
                     exp, n, nbytes = state["groups"][gid]
@@ -470,51 +548,57 @@ class FileSubscription:
         state["groups"] = {g: list(state["groups"][g]) for g in active}
         if not release:
             self._write_id_frame(self._acked_dir(), mids)
+            state["acked_since_prune"] = state.get("acked_since_prune", 0) + len(
+                set(mids)
+            )
         settled = set(mids)
+        # one journal read per settle call, not one per active group
+        # (advisor r9: the per-group re-read degraded quadratically with a
+        # grown nack history); the journal is read-only within this call
+        journaled: dict[str, set] = {}
+        if active and self._has_parquet(self._released_dir()):
+            rel = ds.dataset(self._released_dir(), format="parquet").to_table(
+                columns=["group_id", "message_id"]
+            )
+            for g, m in zip(
+                rel.column("group_id").to_pylist(),
+                rel.column("message_id").to_pylist(),
+            ):
+                journaled.setdefault(g, set()).add(m)
         for gid in list(active):
             frame_dir = self._group_frame(gid)
             tbl = ds.dataset(frame_dir, format="parquet").to_table(
                 columns=["group_id", "message_id", "size_bytes"]
             )
-            released_ids = set()
-            if self._has_parquet(self._released_dir()):
-                rel = ds.dataset(self._released_dir(), format="parquet").to_table(
-                    columns=["group_id", "message_id"]
-                )
-                released_ids = {
-                    m
-                    for g, m in zip(
-                        rel.column("group_id").to_pylist(),
-                        rel.column("message_id").to_pylist(),
-                    )
-                    if g == gid
-                }
+            already = journaled.get(gid, set())
             hit_ids, hit_bytes = [], []
             for m, sz in zip(
                 tbl.column("message_id").to_pylist(),
                 tbl.column("size_bytes").to_pylist(),
             ):
-                if m in settled and m not in released_ids:
+                if m in settled and m not in already:
                     hit_ids.append(m)
                     hit_bytes.append(sz)
             if not hit_ids:
                 continue
-            if release:
-                import pyarrow as pa
-                import pyarrow.parquet as pq
-                import uuid
+            # journal EVERY settle's hits (ack and nack alike) — this is
+            # the settle-idempotency record: a duplicate settle of the
+            # same id must match nothing the second time
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+            import uuid
 
-                os.makedirs(self._released_dir(), exist_ok=True)
-                pq.write_table(
-                    pa.table(
-                        {
-                            "group_id": pa.array([gid] * len(hit_ids)),
-                            "message_id": pa.array(hit_ids),
-                            "size_bytes": pa.array(hit_bytes, type=pa.int64()),
-                        }
-                    ),
-                    f"{self._released_dir()}/frame-{uuid.uuid4().hex}.parquet",
-                )
+            os.makedirs(self._released_dir(), exist_ok=True)
+            pq.write_table(
+                pa.table(
+                    {
+                        "group_id": pa.array([gid] * len(hit_ids)),
+                        "message_id": pa.array(hit_ids),
+                        "size_bytes": pa.array(hit_bytes, type=pa.int64()),
+                    }
+                ),
+                f"{self._released_dir()}/frame-{uuid.uuid4().hex}.parquet",
+            )
             exp, n, nbytes = state["groups"][gid]
             n -= len(hit_ids)
             nbytes -= sum(hit_bytes)
@@ -538,6 +622,106 @@ class FileSubscription:
     # Service Bus vocabulary (servicebus iterator Complete/Abandon)
     complete = ack
     abandon = nack
+
+    def prune_backlog(self, spark: SparkSession) -> dict:
+        """Settle-aware backlog pruning (r9 VERDICT #1): rewrite the
+        backlog WITHOUT the acked rows, then retire the acked store and
+        shrink the settled journal to active groups.  `pull` triggers this
+        automatically once a third of the live backlog is acked, so its
+        anti-join + sort-limit scan stays O(live backlog + outstanding)
+        instead of O(everything ever published + acked history).
+
+        What moves where:
+        - backlog: compact-style swap (write pruned copy to a sibling tmp
+          dir, two renames via the trash pattern — see
+          plans.maintenance.compact_parquet for the exact visibility
+          guarantees; previous trash is swept first, so an in-flight scan
+          from an earlier pull gets a full prune interval to finish).
+        - acked store: every acked id that was a backlog row is now GONE
+          from the backlog, so the store is retired whole — the distinct
+          count moves into the `acked_retired` state scalar (which keeps
+          `stats()["acked"]` exact) and the frames go to trash.
+        - settled journal (released/): rows of groups no longer active are
+          dead — matching only ever consults ACTIVE groups' frames — so
+          the journal is rewritten down to active-group rows, bounding it
+          by outstanding volume rather than settle history.
+        - lease-group frames are untouched: they are the at-least-once
+          delivery journal (`stats()["deliveries"]`), grow one dir per
+          PULL (not per message), and expired ones are never re-read on
+          the hot path.
+
+        Caveat (test-scope observability only): an id acked AGAIN after
+        the prune that retired it sits in the fresh store until the next
+        prune, so `stats()["acked"]` can transiently overcount by the
+        number of such cross-prune duplicate acks.  The protocol itself is
+        unaffected — the id is no longer in the backlog, so it can never
+        be delivered regardless."""
+        with state_lock(self._state_path()):
+            now = self.clock()
+            state = self._load_state()
+            state["groups"] = {
+                g: list(v) for g, v in self._active_groups(state, now).items()
+            }
+            out = self._prune_backlog_locked(spark, state)
+            self._save_state(state)
+        return out
+
+    def _prune_backlog_locked(self, spark: SparkSession, state: dict) -> dict:
+        """Body of `prune_backlog` (caller holds the flock and has already
+        expired stale groups in `state`; caller saves the state)."""
+        import uuid
+
+        from pyspark.sql import Observation
+
+        from persistor_spark.plans import fsutil, maintenance
+
+        state["acked_since_prune"] = 0
+        if not self._has_parquet(self._acked_dir()):
+            return {"backlog_rows": state.get("backlog_rows", state["next_id"]),
+                    "retired": 0}
+        backlog_dir = self._backlog_dir()
+        maintenance.sweep_trash(spark, backlog_dir)
+        backlog = spark.read.schema(WIRE_SCHEMA).parquet(backlog_dir)
+        # backlog_rows is EXACT (publish adds its written count, prune sets
+        # the live count; nothing else writes the backlog) — only a legacy
+        # pre-prune state file needs the count job
+        before = (
+            state["backlog_rows"]
+            if "backlog_rows" in state
+            else backlog.count()
+        )
+        acked_ids = (
+            spark.read.parquet(self._acked_dir()).select("message_id").distinct()
+        )
+        live = backlog.join(acked_ids, "message_id", "left_anti")
+        obs = Observation()
+        tmp = f"{backlog_dir}.__compact_{uuid.uuid4().hex[:8]}"
+        live.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        live_n = int(obs.get["n"])
+        fsutil.rename(spark, backlog_dir, f"{backlog_dir}.__trash_{uuid.uuid4().hex[:8]}")
+        fsutil.rename(spark, tmp, backlog_dir)
+        # retire the acked store: ids acked more than once count ONCE here
+        # (they occupied one backlog row); duplicates acked across a prune
+        # boundary are the documented stats caveat above
+        state["acked_retired"] = state.get("acked_retired", 0) + (before - live_n)
+        acked_dir = self._acked_dir()
+        maintenance.sweep_trash(spark, acked_dir)
+        fsutil.rename(spark, acked_dir, f"{acked_dir}.__trash_{uuid.uuid4().hex[:8]}")
+        # shrink the settled journal to rows still consultable by matching
+        rel_dir = self._released_dir()
+        if self._has_parquet(rel_dir):
+            maintenance.sweep_trash(spark, rel_dir)
+            rel = spark.read.parquet(rel_dir)
+            gids = list(state["groups"])
+            kept = rel.filter(F.col("group_id").isin(gids)) if gids else rel.limit(0)
+            tmp2 = f"{rel_dir}.__compact_{uuid.uuid4().hex[:8]}"
+            kept.write.mode("overwrite").parquet(tmp2)
+            fsutil.rename(spark, rel_dir, f"{rel_dir}.__trash_{uuid.uuid4().hex[:8]}")
+            fsutil.rename(spark, tmp2, rel_dir)
+        state["backlog_rows"] = live_n
+        return {"backlog_rows": live_n, "retired": before - live_n}
 
     def compact(self, spark: SparkSession) -> dict:
         """Periodic maintenance for a long-lived subscription: the acked
@@ -582,9 +766,12 @@ class FileSubscription:
         now = self.clock()
         with state_lock(self._state_path()):
             state = self._load_state()
-        acked = 0
+        # ids retired by prune_backlog live on only as this scalar; the
+        # store holds acks since the last prune (see the prune docstring's
+        # cross-prune duplicate-ack caveat)
+        acked = state.get("acked_retired", 0)
         if self._has_parquet(self._acked_dir()):
-            acked = len(
+            acked += len(
                 set(
                     ds.dataset(self._acked_dir(), format="parquet")
                     .to_table(columns=["message_id"])

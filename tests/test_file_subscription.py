@@ -312,3 +312,120 @@ def test_ack_of_releases_does_not_double_decrement_original_group(spark, tmp_pat
     clock.t += 101  # lease expiry -> they come back (at-least-once)
     back = {r["message_id"] for r in sub.pull(spark, 12).collect()}
     assert back == set(ids1) - ids2
+
+
+def test_duplicate_settle_is_idempotent_both_paths(spark, tmp_path):
+    """r9 advisor (high): every settle journals its matched rows, so
+    settling the same id TWICE — duplicate ack, ack-then-nack, or the
+    at-least-once flow acking both copies of a redelivered message — must
+    match nothing the second time.  Pre-fix, a duplicate ack
+    double-decremented its group's remaining (n, bytes), deleting the
+    group early and making its still-leased messages re-pullable inside
+    the deadline — the exact double-delivery window the lease exists to
+    prevent."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=4, ack_deadline_s=100, clock=clock
+    )
+    _publish_n(spark, sub, 4)
+    g1 = sub.pull(spark)
+    ids1 = [r["message_id"] for r in g1.collect()]
+
+    # list path: double-ack two ids = 4 settle hits pre-fix -> n 4-4=0,
+    # group deleted, the 2 unacked ids leak back within the deadline
+    sub.ack(ids1[:2])
+    sub.ack(ids1[:2])
+    assert sub.stats()["leased"] == 2
+    assert sub.pull(spark, 12).count() == 0, "leased ids redelivered in deadline"
+
+    # frame path: ack-then-nack of an acked id is a no-op (ack is final)
+    sub.ack_df(spark.createDataFrame([(i,) for i in ids1[2:3]], "message_id string"))
+    sub.nack_df(spark.createDataFrame([(i,) for i in ids1[2:3]], "message_id string"))
+    st = sub.stats()
+    assert st["acked"] == 3 and st["leased"] == 1
+    # the acked-then-nacked id never returns; the one unacked id stays leased
+    assert sub.pull(spark, 12).count() == 0
+    clock.t += 101
+    back = {r["message_id"] for r in sub.pull(spark, 12).collect()}
+    assert back == {ids1[3]}
+
+
+def test_redelivered_copy_double_ack(spark, tmp_path):
+    """The normal at-least-once flow: lease expires, message redelivered,
+    consumer acks BOTH copies (same message_id).  The second ack must not
+    decrement the new group again."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=4, ack_deadline_s=10, clock=clock
+    )
+    _publish_n(spark, sub, 4)
+    b1 = sub.pull(spark)
+    ids = [r["message_id"] for r in b1.collect()]
+    clock.t += 11  # b1's lease expires un-acked
+    b2 = sub.pull(spark)  # redelivery: same ids, new group
+    assert {r["message_id"] for r in b2.collect()} == set(ids)
+    sub.ack_df(b1.limit(4))  # first copy acked -> new group fully settled
+    sub.ack_df(b2)           # second copy: every id already journaled
+    st = sub.stats()
+    assert st["acked"] == 4 and st["leased"] == 0
+    assert sub.pull(spark, 12).count() == 0
+    assert sub._load_state()["groups"] == {}
+
+
+def test_prune_backlog_preserves_protocol(spark, tmp_path):
+    """r9 VERDICT #1: prune_backlog rewrites the backlog minus acked rows
+    and retires the acked store — acked ids stay retired (stats exact),
+    unacked ids still deliver, leased ids stay leased, nacked ids stay
+    redeliverable, and the settled journal shrinks to active groups."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"),
+        batch_size=4,
+        max_outstanding_messages=100,
+        ack_deadline_s=100,
+        clock=clock,
+    )
+    _publish_n(spark, sub, 12)
+    b1 = sub.pull(spark)
+    sub.ack_df(b1)                      # 4 acked
+    b2 = sub.pull(spark)                # 4 leased
+    ids2 = {r["message_id"] for r in b2.collect()}
+    sub.nack_df(b2.limit(1))            # 1 released from the leased group
+
+    out = sub.prune_backlog(spark)
+    assert out["retired"] == 4 and out["backlog_rows"] == 8
+    st = sub.stats()
+    assert st["acked"] == 4 and st["leased"] == 3
+
+    # acked ids never return; the nacked one + 4 never-pulled deliver now
+    b3 = sub.pull(spark, 12)
+    ids3 = {r["message_id"] for r in b3.collect()}
+    assert len(ids3) == 5 and len(ids3 & ids2) == 1
+    # the 3 still-leased survive the prune: redelivered only after expiry
+    clock.t += 101
+    back = {r["message_id"] for r in sub.pull(spark, 12).collect()}
+    assert back == ids2 - ids3 | ids3  # b3's lease also expired -> all 8
+    # a second prune with nothing acked since is a no-op
+    assert sub.prune_backlog(spark)["retired"] == 0
+
+
+def test_pull_auto_prunes_once_third_of_backlog_acked(spark, tmp_path):
+    """pull triggers the prune itself (amortized O(1)/message): after
+    enough acks the backlog parquet physically shrinks and the retired
+    count moves into state — no orchestration needed."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=5, ack_deadline_s=100, clock=clock
+    )
+    _publish_n(spark, sub, 30)
+    seen = set()
+    for _ in range(6):
+        b = sub.pull(spark)
+        got = {r["message_id"] for r in b.collect()}
+        assert not got & seen, "prune caused a double delivery"
+        seen |= got
+        sub.ack_df(b)
+    assert len(seen) == 30 and sub.pull(spark, 30).count() == 0
+    st = sub._load_state()
+    assert st.get("acked_retired", 0) > 0, "auto-prune never fired"
+    assert sub.stats()["acked"] == 30
