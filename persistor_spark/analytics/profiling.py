@@ -328,9 +328,17 @@ def ks_two_sample_pairs(
         .agg(F.count(F.lit(1)).alias("n"))
     )
     sizes = counts.groupBy("g").agg(F.sum("n").alias("tot"))
-    groups = [r["g"] for r in sizes.select("g").orderBy("g").collect()]
-    pairs = [(a, b) for i, a in enumerate(groups) for b in groups[i + 1 :]]
-    pairs_df = df.sparkSession.createDataFrame(pairs, "ga string, gb string")
+    # pair list built from the sizes frame itself (self-join on g < g), so
+    # the group column keeps ITS OWN dtype — the old literal pair list
+    # hardcoded strings and silently miscompared or failed on e.g. int
+    # segment ids (r9 advisor); NULL groups drop symmetrically (no pair).
+    # Still G(G-1)/2 rows, still broadcast, no driver collect at all.
+    gs = sizes.select("g")
+    pairs_df = (
+        gs.alias("pa")
+        .join(gs.alias("pb"), F.col("pa.g") < F.col("pb.g"))
+        .select(F.col("pa.g").alias("ga"), F.col("pb.g").alias("gb"))
+    )
     # each (group, v) row joins into every pair that group belongs to
     sided = counts.join(
         F.broadcast(pairs_df),

@@ -615,3 +615,34 @@ def test_manifest_swap_heals_after_mid_rename_crash(spark, tmp_path):
     layout._heal_manifest_swap(spark, mf)
     assert sorted(layout.load_manifest(spark, mf)) == rows_before
     assert glob.glob(f"{mf}__upd_*") == []
+
+
+def test_ks_pairs_preserves_group_dtype_and_null_symmetry(spark):
+    """r9 advisor: the pair list used to be a hardcoded-string literal
+    DataFrame, so an int group column failed or silently miscompared
+    after coercion.  Pairs now come from a self-join on the sizes frame:
+    the group dtype is preserved end-to-end and NULL groups drop
+    symmetrically (they form no pair at all)."""
+    from persistor_spark.analytics import profiling
+
+    rows = (
+        [(1, float(v)) for v in range(10)]
+        + [(2, float(v) + 5.0) for v in range(10)]
+        + [(None, 999.0)]
+    )
+    df = spark.createDataFrame(rows, "seg int, v double")
+    out = profiling.ks_two_sample_pairs(df, "v", "seg")
+    got = out.collect()
+    assert len(got) == 1  # NULL group forms no pair, (1,2) is the only pair
+    r = got[0]
+    assert r["group_a"] == 1 and r["group_b"] == 2  # ints in, ints out
+    assert r["n_a"] == 10 and r["n_b"] == 10
+    # identical-up-to-shift distributions: D = shift/10 = 0.5 exactly
+    assert abs(r["ks_stat"] - 0.5) < 1e-9
+    # string groups still work identically (the pinned-oracle path)
+    df2 = spark.createDataFrame(
+        [("a", float(v)) for v in range(10)] + [("b", float(v)) for v in range(10)],
+        "seg string, v double",
+    )
+    r2 = profiling.ks_two_sample_pairs(df2, "v", "seg").collect()[0]
+    assert r2["group_a"] == "a" and r2["ks_stat"] == 0.0

@@ -26,12 +26,17 @@ sys.path.insert(0, os.path.join(REPO, "tools"))
 
 @pytest.fixture(scope="module")
 def digests(spark):
-    os.environ["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    # snapshot + restore BOTH the env var and the reloaded bench module
+    # state in teardown (r9 advisor: the unrestored reload leaked sf0.001
+    # state into any later test module importing bench — an
+    # ordering-dependent cross-test hazard)
     import importlib
 
     import bench
     import plan_digest
 
+    prev_env = os.environ.get("SPARK_GRAFT_SF_DIR")
+    os.environ["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     importlib.reload(bench)  # pick up the sf0.001 SF_DIR for probe reads
     # other test modules cache fixture tables (.cache() on load_table
     # output); a structurally matching probe scan would then plan as
@@ -43,14 +48,23 @@ def digests(spark):
     ctx = bench.Ctx(spark, workdir)
     bench._probe_setup(ctx)
     out = {}
-    for name, probe in bench.PLAN_PROBES.items():
-        out[name] = (
-            {"procedural": True} if probe is None else plan_digest.digest_df(probe(ctx))
-        )
-    yield out
-    import shutil
+    try:
+        for name, probe in bench.PLAN_PROBES.items():
+            out[name] = (
+                {"procedural": True}
+                if probe is None
+                else plan_digest.digest_df(probe(ctx))
+            )
+        yield out
+    finally:
+        import shutil
 
-    shutil.rmtree(workdir, ignore_errors=True)
+        shutil.rmtree(workdir, ignore_errors=True)
+        if prev_env is None:
+            os.environ.pop("SPARK_GRAFT_SF_DIR", None)
+        else:
+            os.environ["SPARK_GRAFT_SF_DIR"] = prev_env
+        importlib.reload(bench)
 
 
 def test_probes_cover_every_bench_line(digests):
