@@ -8,12 +8,17 @@ All operators run in batch mode (Spark's unified semantics) — batch twins
 are what the DuckDB oracle pins (e8_tumbling_window) — and the window/
 session/stateful operators also run under Structured Streaming (streaming
 tests drive them through a file stream; windowed_dup_rate's CHAINED
-aggregations need append mode + a watermark, Spark >= 3.4).  The r9
-monitoring analytics that join or window OVER window aggregates
-(windowed_category_drift, windowed_trailing_anomaly, window_new_key_rate,
-late_arrival_stats, watermark_sizing_curve) are sink-side/batch passes by
-construction — run them over a closed-window sink or a batch snapshot,
-not inside a streaming query.
+aggregations need append mode + a watermark, Spark >= 3.4).  Of the r9
+monitoring analytics, three now EXECUTE as running queries with parquet
+sinks (run_dup_rate_stream; r10: run_category_counts_stream +
+category_drift_from_counts, run_new_key_rate_stream +
+new_key_rate_from_sinks — the streamable half streams, the
+join-over-aggregate half runs over the closed-window sink through the
+SAME code path as the batch twin).  The rest (windowed_trailing_anomaly,
+late_arrival_stats, watermark_sizing_curve) remain sink-side/batch passes
+by construction — run them over a closed-window sink or a batch snapshot,
+not inside a streaming query; they would compose with the same sink
+pattern.
 """
 
 from __future__ import annotations
@@ -470,6 +475,15 @@ def windowed_category_drift(
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("win.start").alias("ws"), cat_col, "n")
     )
+    return _drift_from_counts(c, window, cat_col)
+
+
+def _drift_from_counts(c: DataFrame, window: str, cat_col: str) -> DataFrame:
+    """counts (ws, cat, n) -> per-window TV drift vs the previous window.
+    Shared tail of `windowed_category_drift` (raw events) and
+    `category_drift_from_counts` (a streaming sink of closed-window
+    counts) — one code path, so the streaming monitor equals the batch
+    twin on closed windows by construction."""
     tot = c.groupBy("ws").agg(F.sum("n").alias("tot"))
     p = c.join(tot, "ws").select(
         "ws", cat_col, (F.col("n") / F.col("tot")).alias("p")
@@ -772,4 +786,215 @@ def run_dup_rate_stream(
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def run_category_counts_stream(
+    spark,
+    source_dir: str,
+    out_path: str,
+    checkpoint: str,
+    schema: str = "event_id long, user_id long, event_type string, ts timestamp",
+    window: str = "1 day",
+    cat_col: str = "event_type",
+    time_col: str = "ts",
+    watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
+):
+    """The category-drift monitor's STREAMING half (r9 VERDICT #4): one
+    watermarked windowed aggregation sinks per-(window, category) counts in
+    append mode — each closed window's rows land exactly once.  The drift
+    itself (TV distance vs the previous window) compares one window
+    aggregate against ANOTHER, a join-over-aggregate no streaming query can
+    chain — so it runs over the SINK via `category_drift_from_counts`,
+    which shares `_drift_from_counts` with the batch twin: the monitor
+    equals `windowed_category_drift` on closed windows by construction.
+
+    Same trigger/maintenance contract as `run_dup_rate_stream`: availableNow
+    with a final no-data batch that applies the last watermark, default
+    unbatched reader, and do NOT compact the streaming sink in place —
+    materialize to a separate batch table for long-horizon readers."""
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    counts = (
+        reader.json(source_dir)
+        .withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, window).alias("win"), F.col(cat_col))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("win.start").alias("ws"), cat_col, "n")
+    )
+    return (
+        counts.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def category_drift_from_counts(
+    spark, counts_path: str, window: str = "1 day", cat_col: str = "event_type"
+) -> DataFrame:
+    """Batch composer over `run_category_counts_stream`'s sink: the
+    per-window TV drift, via the SAME `_drift_from_counts` tail the batch
+    twin uses.  Windows close in event-time order, so a closed window's
+    predecessor is always closed too — the sink is self-sufficient."""
+    return _drift_from_counts(spark.read.parquet(counts_path), window, cat_col)
+
+
+def streaming_new_key_ledger(
+    df: DataFrame,
+    key_col: str = "user_id",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    watermark: str = "2 hours",
+    retention: str = "30 days",
+) -> DataFrame:
+    """First-occurrence LEDGER via applyInPandasWithState: emits one
+    (key, first_ts) row the first time each key appears across the
+    stream's lifetime (within `retention`) — the stateful half of the
+    new-key-rate monitor (a147's novelty semantics as a running query).
+
+    State is one counter per key, key-hash partitioned, evicted by an
+    event-time timer at watermark + retention; `retention` defaults LONG
+    because this state answers "ever seen", not "recently seen" — an
+    evicted key re-emits as new, the same tail contract as the dedup gate.
+    first_ts is min(time, tiebreak) over the rows the key's FIRST
+    micro-batch delivers; with the default unbatched availableNow reader
+    that is the global minimum, matching the batch twin exactly.  Late
+    rows past the watermark are dropped before the operator (the standard
+    streaming-vs-batch caveat the closed-window tests document)."""
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    key_field = df.schema[key_col]
+    ts_field = df.schema[time_col]
+    out_schema = StructType([key_field]).add("first_ts", ts_field.dataType)
+    retention_ms = _interval_ms(watermark) + _interval_ms(retention)
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        batch = pd.concat([p for p in pdfs if len(p)], ignore_index=True)
+        evt_ms = int(batch[time_col].max().value) // 1_000_000
+        if state.exists:
+            (seen,) = state.get
+            state.update((seen + len(batch),))
+            state.setTimeoutTimestamp(_eviction_ts_ms(state, evt_ms, retention_ms))
+            return
+        state.update((len(batch),))
+        state.setTimeoutTimestamp(_eviction_ts_ms(state, evt_ms, retention_ms))
+        first = batch.sort_values(
+            [time_col, tiebreak_col], kind="mergesort"
+        ).head(1)
+        yield pd.DataFrame(
+            {key_col: [key[0]], "first_ts": [first[time_col].iloc[0]]}
+        )
+
+    return (
+        df.withWatermark(time_col, watermark)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=DEDUP_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def run_new_key_rate_stream(
+    spark,
+    source_dir: str,
+    totals_path: str,
+    ledger_path: str,
+    checkpoint_totals: str,
+    checkpoint_ledger: str,
+    schema: str = "event_id long, user_id long, event_type string, ts timestamp",
+    key_col: str = "user_id",
+    window: str = "1 day",
+    time_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    watermark: str = "2 hours",
+):
+    """The new-key-rate monitor as RUNNING streaming queries (r9 VERDICT
+    #4): two queries over the same file source —
+
+    - **totals**: the chained (window, key) -> window aggregation (the
+      windowed_dup_rate shape; streaming aggs can't COUNT DISTINCT, the
+      two-level agg is the supported spelling) sinks per-closed-window
+      (window_start, n_rows, n_keys);
+    - **ledger**: `streaming_new_key_ledger` (applyInPandasWithState)
+      sinks one (key, first_ts) row per first-ever occurrence.
+
+    `new_key_rate_from_sinks` then composes the two sinks into exactly
+    `window_new_key_rate`'s output for closed windows.  Returns
+    (totals_query, ledger_query); await both."""
+    q_totals = (
+        windowed_dup_rate(
+            spark.readStream.schema(schema).json(source_dir),
+            window,
+            (key_col,),
+            time_col,
+            watermark=watermark,
+        )
+        .drop("dup_rate")
+        .writeStream.format("parquet")
+        .option("path", totals_path)
+        .option("checkpointLocation", checkpoint_totals)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_ledger = (
+        streaming_new_key_ledger(
+            spark.readStream.schema(schema).json(source_dir),
+            key_col,
+            time_col,
+            tiebreak_col,
+            watermark=watermark,
+        )
+        .writeStream.format("parquet")
+        .option("path", ledger_path)
+        .option("checkpointLocation", checkpoint_ledger)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q_totals, q_ledger
+
+
+def new_key_rate_from_sinks(
+    spark,
+    totals_path: str,
+    ledger_path: str,
+    window: str = "1 day",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Batch composer over `run_new_key_rate_stream`'s two sinks: joins the
+    closed-window totals with the novelty ledger bucketed into the window
+    of each key's first occurrence — column-for-column the batch twin's
+    (`window_new_key_rate`) output, restricted to closed windows.  The
+    left join keeps windows with zero new keys (n_new = 0), and ledger
+    rows whose first_ts window has not closed yet simply find no totals
+    row to join."""
+    totals = spark.read.parquet(totals_path)
+    new_per_window = (
+        spark.read.parquet(ledger_path)
+        .groupBy(F.window("first_ts", window).alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_new"))
+        .select(F.col("win.start").alias("window_start"), "n_new")
+    )
+    return totals.join(new_per_window, "window_start", "left").select(
+        "window_start",
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        F.round(
+            F.coalesce(F.col("n_new"), F.lit(0)) / F.col("n_keys"), 4
+        ).alias("new_key_rate"),
     )
