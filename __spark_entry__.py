@@ -11,6 +11,7 @@ CTEs (persistor_spark.oracle) on the DuckDB side.
 from __future__ import annotations
 
 import json
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -6195,6 +6196,158 @@ def _a154_attribution_rate(spark, sf_dir):
     )
 
 
+def _stream_events_source(spark, sf_dir):
+    """The events fixture as a STREAMING source.  Declaring ts as
+    TIMESTAMP_NTZ makes the file source itself truncate the parquet
+    TIMESTAMP(NANOS) to us — verified byte-identical to the batch
+    loader's integer-div conversion (sources/registry.py), so the
+    streaming twins hash-match the DuckDB oracle.  Watermarks reject NTZ,
+    so ts is cast to TIMESTAMP after the read — the session timezone is
+    pinned UTC (session.py), making the cast epoch-preserving."""
+    schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    return (
+        spark.readStream.schema(schema)
+        # the [t] glob makes the single fixture FILE stream-readable: the
+        # file source requires a directory basePath, and a glob resolves
+        # basePath to the parent dir instead of the file itself
+        .parquet(f"{sf_dir}/events.parque[t]")
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+
+def _stream_sink(spark, sf_dir, tag: str) -> str:
+    """One cached temp sink root per (session, sf_dir, tag): the streaming
+    pins run their query ONCE and every later call reads the sink (the
+    d19 OCF cache pattern — checkpoint reuse makes re-running a no-op
+    anyway, this just skips the no-op query)."""
+    key = (id(spark), sf_dir, f"stream-{tag}")
+    with _CACHE_LOCK:
+        if key not in _CACHE:
+            import atexit
+            import shutil
+            import tempfile
+
+            base = tempfile.mkdtemp(prefix=f"persistor_stream_{tag}_")
+            atexit.register(shutil.rmtree, base, ignore_errors=True)
+            _CACHE[key] = base
+        return _CACHE[key]
+
+
+def _a155_drift_stream(spark, sf_dir):
+    """a142's drift monitor STREAMING-EXECUTED (r9 VERDICT #4 pinned on
+    the driver record): run_category_counts_stream sinks the closed
+    per-(day, event_type) counts as a real availableNow query over a
+    parquet file stream; category_drift_from_counts composes the sink
+    through the same _drift_from_counts tail as the batch twin.  The
+    oracle is a142's SQL restricted to closed windows (window end <=
+    max(ts) - the 2h watermark) — the streaming result must equal the
+    batch computation on every window the watermark closed."""
+    from persistor_spark.streaming import windows
+
+    base = _stream_sink(spark, sf_dir, "drift")
+    out, ckpt = f"{base}/counts", f"{base}/ckpt"
+    if not os.path.isdir(out):
+        q = windows.run_category_counts_stream(
+            spark,
+            None,
+            out,
+            ckpt,
+            window="1 day",
+            cat_col="event_type",
+            time_col="ts",
+            watermark="2 hours",
+            source_df=_stream_events_source(spark, sf_dir),
+        )
+        q.awaitTermination(600)
+    drift = windows.category_drift_from_counts(spark, out, "1 day")
+    return drift.select(
+        F.unix_timestamp("window_start").cast("long").alias("bucket"),
+        "tv_drift",
+    ).orderBy("bucket")
+
+
+def _a156_new_key_stream(spark, sf_dir):
+    """a147's novelty monitor STREAMING-EXECUTED: the chained totals
+    aggregation plus the applyInPandasWithState first-occurrence ledger
+    run as availableNow queries (run_new_key_rate_stream);
+    new_key_rate_from_sinks joins the two sinks back into the batch
+    twin's columns.  Oracle = a147's SQL on closed windows only."""
+    from persistor_spark.streaming import windows
+
+    base = _stream_sink(spark, sf_dir, "newkey")
+    tot, led = f"{base}/totals", f"{base}/ledger"
+    if not os.path.isdir(tot):
+        qt, ql = windows.run_new_key_rate_stream(
+            spark,
+            None,
+            tot,
+            led,
+            f"{base}/ck_tot",
+            f"{base}/ck_led",
+            key_col="user_id",
+            window="1 day",
+            time_col="ts",
+            tiebreak_col="event_id",
+            watermark="2 hours",
+            source_df=_stream_events_source(spark, sf_dir),
+        )
+        qt.awaitTermination(600)
+        ql.awaitTermination(600)
+    out = windows.new_key_rate_from_sinks(spark, tot, led, "1 day")
+    return out.select(
+        F.unix_timestamp("window_start").cast("long").alias("bucket"),
+        "n_rows",
+        "n_keys",
+        "n_new",
+        "new_key_rate",
+    ).orderBy("bucket")
+
+
+def _d38_resubmit_e2e(spark, sf_dir):
+    """The WHOLE resubmit pipeline as one pinned chain (r9 VERDICT #6 —
+    the R-side mirror of a140's composed curation pin, matching
+    resubmitter_test.go:52-1045's whole-pipeline assertions): replay
+    request through the REAL query surface (Q5 OR-of-ANDs -> unique_id
+    page, R1-R3) -> broadcast semi-join prune of the metadata (Q2's
+    IN-list shape) -> position-align blob join incl. the NULL-position
+    single-record arm (R6) -> per-ordering-key publish sequence (R7) ->
+    per-key publish manifest whose uid_chain string pins the EXACT
+    publish order (R9's accounting face).  A bug that only shows in
+    interaction — the query page narrowing the join, the join reordering
+    the sequence — breaks the hash."""
+    from persistor_spark.plans import resubmit
+
+    t = _tables(spark, sf_dir)
+    flt = [
+        {"business_source_key": "src1"},
+        {"business_source_key": "src2", "ordering_key": "k3"},
+    ]
+    ids = _iq(spark, sf_dir).query_df(flt, ["unique_id"])
+    meta = t.index_metadata.join(F.broadcast(ids), "unique_id", "left_semi")
+    records = resubmit.align(meta, t.blob_records)
+    ordered = resubmit.with_publish_order(records)
+    return (
+        ordered.groupBy("ordering_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum(F.length("payload")).cast("long").alias("n_bytes"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("publish_seq", "unique_id"))
+                    ),
+                    lambda x: x["unique_id"],
+                ),
+                ",",
+            ).alias("uid_chain"),
+        )
+        .orderBy("ordering_key")
+    )
+
+
 # Queries whose code changed this round (or are new this round): they claim
 # the head of the driver window ahead of the never-checked backlog.  UPDATE
 # EVERY ROUND — tests/test_rotation_window.py enforces that every other
@@ -6202,59 +6355,107 @@ def _a154_attribution_rate(spark, sf_dir):
 # backlog is exhausted (r6 VERDICT #7: the rotation policy as a checked
 # invariant, not prose).
 ROTATION_HEAD = [
-    # r9 NEW queries: the composed curation chain + the windowed
-    # stream-quality analytics family (windows.py / profiling.py /
-    # sketches.py additions)
-    "a140_curation_e2e",
-    "a141_windowed_dup_rate",
+    # r10 NEW: the composed resubmit chain (the R-side mirror of a140)
+    # and the two streaming-executed monitor pins (r9 VERDICT #4/#6)
+    "d38_resubmit_e2e",
+    "a155_drift_stream",
+    "a156_new_key_stream",
+    # r10 code-changed: a142's drift tail was refactored into the shared
+    # _drift_from_counts; a144's KS pair list was rebuilt from the sizes
+    # frame (dtype-preserving self-join, r9 advisor)
     "a142_window_category_drift",
-    "a143_quality_psi",
     "a144_ks_event_value",
-    "a145_late_arrivals",
-    "a146_window_percentiles",
-    "a147_new_key_rate",
-    "a148_window_anomaly",
-    "a149_windowed_hll_users",
-    "a150_dup_lineage",
-    "a151_window_funnel",
-    "a152_session_stats",
-    "a153_watermark_curve",
-    "a154_attribution_rate",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
-    r9 ROTATION (r8 VERDICT #2 + #4, r8 ADVICE): the window is EXACTLY 50
-    entries (the r8 window held 52 and the driver silently skipped
-    a4/a5 -- the ADVICE-medium defect; a marker-position test now pins
-    the count): (1) the 15 NEW r9 queries (ROTATION_HEAD: the composed
-    curation chain a140, the windowed stream-quality analytics family
-    a141-a149, and the late-r9 growth a150-a154 — dup lineage, windowed
-    funnel/sessions/attribution, the watermark sizing curve); (2) a4/a5, the two rows the r8 window claimed but never
-    checked; (3) the r02-era rows a8-a11/a27/a28/a30/a31/a35/a36 -- the
-    actual stalest driver rows in the registry; (4) the judge-mandated
-    d22 + 10 of the a37-a64 block (r04-r05 era); (5) 12 of the r03-era
-    block (5 more r3-era slots went to a150-a154; those refreshes lead
-    the r10 queue).  Everything below the marker is driver-green at least once AND
-    re-verified by tools/check.py (full-registry gate at sf0.001 +
-    sf0.01) plus pytest every round; tests/test_rotation_window.py
-    enforces the rotation policy as a checked invariant.
+    r10 ROTATION (r9 VERDICT #2: the stalest driver rows are the r03-era
+    block, then r05): the window is EXACTLY 50 entries, pinned by the
+    marker-position test: (1) ROTATION_HEAD — the 3 NEW r10 queries (the
+    composed resubmit chain d38 mirroring a140, and the streaming-executed
+    monitor pins a155/a156) plus the 2 whose code changed this round
+    (a142, a144); (2) ALL 18 remaining r03-era rows (a33/a6/e8-e23); (3)
+    27 of the r05-era block in stalest-first registry order (e24-e32 stay
+    back and lead the r11 queue).  Everything below the marker is
+    driver-green at least once AND re-verified by tools/check.py
+    (full-registry gate at sf0.001 + sf0.01) plus pytest every round;
+    tests/test_rotation_window.py enforces the rotation policy as a
+    checked invariant.
 
     Verify the actual window before round end with:
       python -c "import __spark_entry__ as e; print(list(e.queries())[:50])"
     """
     return {
-        # ==== r9 DRIVER WINDOW (positions 1-50) ====
-        # -- (1) ROTATION_HEAD: the 15 NEW r9 queries (composed curation
-        #        chain + windowed stream-quality analytics + the late-r9
-        #        growth a150-a154) --
+        # ==== r10 DRIVER WINDOW (positions 1-50) ====
+        # -- (1) ROTATION_HEAD: new this round (the composed resubmit
+        #        chain d38 + the streaming-executed monitor pins a155/
+        #        a156) and the two whose code changed this round (a142's
+        #        drift tail was refactored into _drift_from_counts; a144's
+        #        KS pair formation was rebuilt from the sizes frame) --
+        "d38_resubmit_e2e": _d38_resubmit_e2e,
+        "a155_drift_stream": _a155_drift_stream,
+        "a156_new_key_stream": _a156_new_key_stream,
+        "a142_window_category_drift": _a142_window_category_drift,
+        "a144_ks_event_value": _a144_ks_event_value,
+        # -- (2) the r03-era block: every remaining query whose latest
+        #        driver row is round 3 (the stalest in the registry) --
+        "a33_semdedup": _a_semdedup,
+        "a6_lsh_topk": _a_lsh_topk,
+        "e10_join_topk": _e10_join_topk,
+        "e11_asof_join": _e11_asof_join,
+        "e12_percentiles": _e12_percentiles,
+        "e13_grouping_sets": _e13_grouping_sets,
+        "e14_except": _e14_except,
+        "e15_pivot": _e15_pivot,
+        "e16_correlated_exists": _e16_correlated_exists,
+        "e17_term_heavy_hitters": _e17_term_heavy_hitters,
+        "e18_null_safe_join": _e18_null_safe_join,
+        "e19_sliding_window": _e19_sliding_window,
+        "e20_time_range_rolling": _e20_time_range_rolling,
+        "e21_interval_join": _e21_interval_join,
+        "e22_unpivot": _e22_unpivot,
+        "e23_ntile": _e23_ntile,
+        "e8_tumbling_window": _e_tumbling_window,
+        "e9_sessionize": _e9_sessionize,
+        # -- (3) the r05-era block, stalest-first registry order: all of
+        #        it except e24-e32, which lead the r11 queue --
+        "a12_embedding_pairs": _a12_embedding_pairs,
+        "a19_simhash_md5": _a19_simhash_md5,
+        "a26_cc_two_phase": _a_cc_two_phase,
+        "a57_centroid_drift": _a57_centroid_drift,
+        "a58_skew_profile": _a58_skew_profile,
+        "a59_quality_funnel": _a59_quality_funnel,
+        "a60_ivfpq_add": _a60_ivfpq_add,
+        "a61_unigram_kl": _a61_unigram_kl,
+        "a62_dataset_card": _a62_dataset_card,
+        "a63_temperature_sample": _a63_temperature_sample,
+        "a64_decontaminate": _a64_decontaminate,
+        "a66_snapshot_diff": _a66_snapshot_diff,
+        "a67_cms_merge": _a67_cms_merge,
+        "a68_grouped_split": _a68_grouped_split,
+        "a69_filtered_ann": _a69_filtered_ann,
+        "a71_vocab_overlap": _a71_vocab_overlap,
+        "a72_threshold_curve": _a72_threshold_curve,
+        "a74_embedding_outliers": _a74_embedding_outliers,
+        "a76_blocklist_filter": _a76_blocklist_filter,
+        "a77_soft_quality_sample": _a77_soft_quality_sample,
+        "a78_eval_overlap_severity": _a78_eval_overlap_severity,
+        "a79_cluster_size_dist": _a79_cluster_size_dist,
+        "a80_token_spectrum": _a80_token_spectrum,
+        "a81_exactsubstr_clean": _a81_exactsubstr_clean,
+        "a82_token_budget": _a82_token_budget,
+        "a83_source_dup_matrix": _a83_source_dup_matrix,
+        "a84_novelty": _a84_novelty,
+        # ---- driver window ends here (50) ---- below: driver-green at
+        # least once + full-gate re-verified every round (tools/check.py
+        # at sf0.001 + sf0.01 and pytest), ordered as previously
+        # registered.  Next-stalest after this window: e24-e32 (r5), then
+        # the r6 block (a100-a104, a25...).
         "a140_curation_e2e": _a140_curation_e2e,
         "a141_windowed_dup_rate": _a141_windowed_dup_rate,
-        "a142_window_category_drift": _a142_window_category_drift,
         "a143_quality_psi": _a143_quality_psi,
-        "a144_ks_event_value": _a144_ks_event_value,
         "a145_late_arrivals": _a145_late_arrivals,
         "a146_window_percentiles": _a146_window_percentiles,
         "a147_new_key_rate": _a147_new_key_rate,
@@ -6265,12 +6466,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a152_session_stats": _a152_session_stats,
         "a153_watermark_curve": _a153_watermark_curve,
         "a154_attribution_rate": _a154_attribution_rate,
-        # -- (2) a4/a5: listed in the r8 window but at positions 51-52,
-        #        OUTSIDE the driver's 50-entry check (r8 ADVICE medium) --
         "a4_simhash_pairs": _a_simhash,
         "a5_embedding_topk": _a_embedding_topk,
-        # -- (3) oldest-green freshness: the r02-era rows (stalest in the
-        #        registry -- no driver row since round 2) --
         "a8_text_stats": _a_text_stats,
         "a9_langid_profile": _a_langid_profile,
         "a10_multimodal_features": _a_multimodal_features,
@@ -6281,8 +6478,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a31_quota_sample": _a_quota_sample,
         "a35_audio_features": _a_audio_features,
         "a36_frame_samples": _a_frame_samples,
-        # -- (4) judge-mandated r04-r05-era refreshes: d22 + the a37-a64
-        #        block (r8 VERDICT #4) --
         "d22_mongo_payload_fetch": _d22_mongo_payload_fetch,
         "a37_chunking": _a37_chunking,
         "a38_pmi_bigrams": _a38_pmi,
@@ -6294,7 +6489,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a53_dup_substrings": _a53_dup_substrings,
         "a55_ivfpq_persist": _a55_ivfpq_persist,
         "a56_pagerank": _a56_pagerank,
-        # -- (5) r03-era refreshes (next-stalest after the r02 block) --
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a14_bm25_topk": _a14_bm25_topk,
         "a16_label_centroids": _a16_label_centroids,
@@ -6307,16 +6501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a24_pii_scrub": _a24_pii_scrub,
         "a29_pack_sequences": _a_pack_sequences,
         "a32_ivfpq_topk": _a_ivfpq_topk,
-        # ---- driver window ends here (50) ---- below: driver-green at
-        # least once + full-gate re-verified every round, ordered by how
-        # recently their driver row landed (r8-checked rows first).
-        # (evicted r3-era refresh slots — the late-r9 growth a150-a154 took
-        #  their window places; these go first in line for the r10 window)
-        "a33_semdedup": _a_semdedup,
-        "a6_lsh_topk": _a_lsh_topk,
-        "e10_join_topk": _e10_join_topk,
-        "e11_asof_join": _e11_asof_join,
-        "e12_percentiles": _e12_percentiles,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a65_lsh_persist": _a65_lsh_persist,
         "a114_mutual_information": _a114_mutual_information,
@@ -6463,55 +6647,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d26_blob_skew_report": _d26_blob_skew_report,
         "a103_dup_pair_qa_sample": _a103_dup_pair_qa_sample,
         "a104_reshard_moves": _a104_reshard_moves,
-        "a60_ivfpq_add": _a60_ivfpq_add,
-        "a61_unigram_kl": _a61_unigram_kl,
-        "a62_dataset_card": _a62_dataset_card,
-        "a63_temperature_sample": _a63_temperature_sample,
-        "a64_decontaminate": _a64_decontaminate,
-        "a66_snapshot_diff": _a66_snapshot_diff,
         "e25_gap_fill": _e25_gap_fill,
         "e26_array_agg": _e26_array_agg,
-        "a67_cms_merge": _a67_cms_merge,
-        "a69_filtered_ann": _a69_filtered_ann,
-        "a71_vocab_overlap": _a71_vocab_overlap,
-        "a74_embedding_outliers": _a74_embedding_outliers,
-        "a76_blocklist_filter": _a76_blocklist_filter,
-        "a77_soft_quality_sample": _a77_soft_quality_sample,
-        "a78_eval_overlap_severity": _a78_eval_overlap_severity,
-        "a79_cluster_size_dist": _a79_cluster_size_dist,
-        "a80_token_spectrum": _a80_token_spectrum,
         "e30_rank_functions": _e30_rank_functions,
         "e31_stats_functions": _e31_stats_functions,
         "e32_anomaly_zscore": _e32_anomaly_zscore,
-        "a72_threshold_curve": _a72_threshold_curve,
-        "a68_grouped_split": _a68_grouped_split,
         "e27_event_funnel": _e27_event_funnel,
         "e28_cohort_retention": _e28_cohort_retention,
         "e29_event_sequences": _e29_event_sequences,
-        "a57_centroid_drift": _a57_centroid_drift,
-        "a58_skew_profile": _a58_skew_profile,
-        "a59_quality_funnel": _a59_quality_funnel,
-        "a81_exactsubstr_clean": _a81_exactsubstr_clean,
-        "a82_token_budget": _a82_token_budget,
-        "a83_source_dup_matrix": _a83_source_dup_matrix,
-        "a84_novelty": _a84_novelty,
-        "a26_cc_two_phase": _a_cc_two_phase,
         "e24_asof_tolerance": _e24_asof_tolerance,
-        "a12_embedding_pairs": _a12_embedding_pairs,
-        "a19_simhash_md5": _a19_simhash_md5,
-        "e8_tumbling_window": _e_tumbling_window,
-        "e20_time_range_rolling": _e20_time_range_rolling,
-        "e9_sessionize": _e9_sessionize,
-        "e19_sliding_window": _e19_sliding_window,
-        "e21_interval_join": _e21_interval_join,
-        "e22_unpivot": _e22_unpivot,
-        "e23_ntile": _e23_ntile,
-        "e13_grouping_sets": _e13_grouping_sets,
-        "e14_except": _e14_except,
-        "e15_pivot": _e15_pivot,
-        "e16_correlated_exists": _e16_correlated_exists,
-        "e17_term_heavy_hitters": _e17_term_heavy_hitters,
-        "e18_null_safe_join": _e18_null_safe_join,
     }
 
 
@@ -6811,6 +6955,46 @@ def oracle_sql() -> dict[str, str]:
             "  round(coalesce(n_new, 0) / n_keys::DOUBLE, 4) AS new_key_rate "
             "FROM per LEFT JOIN nw ON per.bucket = nw.bucket ORDER BY per.bucket"
         ),
+        # a155: a142's drift restricted to CLOSED windows (window end <=
+        # max(ts) - the 2h watermark) and computed from the closed counts
+        # only — exactly what the streaming sink holds.  Closure is a
+        # time-prefix, so a closed window's predecessor is always closed.
+        "a155_drift_stream": (
+            "WITH cut AS (SELECT epoch(max(ts)) - 7200 AS cutoff FROM events), "
+            "raw AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS ws, "
+            "  event_type, count(*) AS n FROM events GROUP BY 1, 2), "
+            "c AS (SELECT * FROM raw WHERE ws + 86400 <= (SELECT cutoff FROM cut)), "
+            "tot AS (SELECT ws, sum(n) AS tot FROM c GROUP BY ws), "
+            "p AS (SELECT c.ws, c.event_type, c.n / tot.tot::DOUBLE AS p "
+            "  FROM c JOIN tot ON c.ws = tot.ws), "
+            "prev AS (SELECT ws + 86400 AS ws, event_type, p AS p_prev FROM p), "
+            "al AS (SELECT coalesce(p.ws, prev.ws) AS ws, "
+            "  coalesce(p.p, 0) AS pa, coalesce(prev.p_prev, 0) AS pb "
+            "  FROM p FULL OUTER JOIN prev "
+            "  ON p.ws = prev.ws AND p.event_type = prev.event_type) "
+            "SELECT ws AS bucket, CASE WHEN ws - 86400 IN (SELECT ws FROM tot) "
+            "  THEN round(0.5 * sum(abs(pa - pb)), 4) END AS tv_drift "
+            "FROM al WHERE ws IN (SELECT ws FROM tot) "
+            "GROUP BY ws ORDER BY ws"
+        ),
+        # a156: a147 restricted to closed windows; n_new still buckets by
+        # each key's GLOBAL first occurrence (the ledger is emitted on
+        # first sight regardless of window closure — only the totals side
+        # gates the output rows)
+        "a156_new_key_stream": (
+            "WITH cut AS (SELECT epoch(max(ts)) - 7200 AS cutoff FROM events), "
+            "f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY user_id), "
+            "per AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket, "
+            "  count(*)::BIGINT AS n_rows, count(DISTINCT user_id)::BIGINT AS n_keys "
+            "  FROM events GROUP BY 1), "
+            "nw AS (SELECT CAST(floor(epoch(first_ts) / 86400) * 86400 AS BIGINT) AS bucket, "
+            "  count(*)::BIGINT AS n_new FROM f GROUP BY 1) "
+            "SELECT per.bucket, n_rows, n_keys, coalesce(n_new, 0)::BIGINT AS n_new, "
+            "  round(coalesce(n_new, 0) / n_keys::DOUBLE, 4) AS new_key_rate "
+            "FROM per LEFT JOIN nw ON per.bucket = nw.bucket "
+            "WHERE per.bucket + 86400 <= (SELECT cutoff FROM cut) "
+            "ORDER BY per.bucket"
+        ),
         "a148_window_anomaly": (
             "WITH per AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket, "
             "  sum(value) AS total FROM events GROUP BY 1), "
@@ -6956,6 +7140,33 @@ def oracle_sql() -> dict[str, str]:
         "d13_lineage_counts": P(
             "SELECT count(*) AS indexed, count(location_position) AS positioned, "
             "count(DISTINCT location_key) AS blobs FROM index_metadata"
+        ),
+        # d38: the composed resubmit chain — replay query page -> metadata
+        # prune -> position-align (both join arms) -> per-ordering-key
+        # publish sequence -> publish manifest; uid_chain pins the exact
+        # per-key publish ORDER, not just the membership
+        "d38_resubmit_e2e": P(
+            ", ids AS (SELECT unique_id FROM index_metadata "
+            "  WHERE business_source_key = 'src1' "
+            "  OR (business_source_key = 'src2' AND ordering_key = 'k3')), "
+            "meta AS (SELECT m.* FROM index_metadata m JOIN ids USING (unique_id)), "
+            "rec AS ("
+            "  SELECT m.unique_id, m.ordering_key, b.payload, m.location_key, "
+            "    m.location_position "
+            "  FROM meta m JOIN blob_records b ON m.location_key = b.location_key "
+            "  AND m.location_position = b.position "
+            "  UNION ALL "
+            "  SELECT m.unique_id, m.ordering_key, b.payload, m.location_key, "
+            "    m.location_position "
+            "  FROM meta m JOIN blob_records b ON m.location_key = b.location_key "
+            "  WHERE m.location_position IS NULL), "
+            "ord AS (SELECT *, row_number() OVER (PARTITION BY ordering_key "
+            "  ORDER BY location_key, location_position ASC NULLS FIRST, unique_id) "
+            "  AS publish_seq FROM rec) "
+            "SELECT ordering_key, count(*)::BIGINT AS n_records, "
+            "  sum(length(payload))::BIGINT AS n_bytes, "
+            "  string_agg(unique_id, ',' ORDER BY publish_seq) AS uid_chain "
+            "FROM ord GROUP BY ordering_key ORDER BY ordering_key"
         ),
         # d23: both integrity directions as anti-joins over the derived
         # tables, with the same deterministic fault injection

@@ -800,6 +800,7 @@ def run_category_counts_stream(
     time_col: str = "ts",
     watermark: str = "2 hours",
     max_files_per_trigger: int | None = None,
+    source_df: DataFrame | None = None,
 ):
     """The category-drift monitor's STREAMING half (r9 VERDICT #4): one
     watermarked windowed aggregation sinks per-(window, category) counts in
@@ -813,12 +814,17 @@ def run_category_counts_stream(
     Same trigger/maintenance contract as `run_dup_rate_stream`: availableNow
     with a final no-data batch that applies the last watermark, default
     unbatched reader, and do NOT compact the streaming sink in place —
-    materialize to a separate batch table for long-horizon readers."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    materialize to a separate batch table for long-horizon readers.
+
+    `source_df` overrides the json reader with any prepared STREAMING
+    DataFrame (e.g. a readStream.parquet with a ns->timestamp cast)."""
+    if source_df is None:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        source_df = reader.json(source_dir)
     counts = (
-        reader.json(source_dir)
+        source_df
         .withWatermark(time_col, watermark)
         .groupBy(F.window(time_col, window).alias("win"), F.col(cat_col))
         .agg(F.count(F.lit(1)).alias("n"))
@@ -920,6 +926,7 @@ def run_new_key_rate_stream(
     time_col: str = "ts",
     tiebreak_col: str = "event_id",
     watermark: str = "2 hours",
+    source_df: DataFrame | None = None,
 ):
     """The new-key-rate monitor as RUNNING streaming queries (r9 VERDICT
     #4): two queries over the same file source —
@@ -933,10 +940,18 @@ def run_new_key_rate_stream(
 
     `new_key_rate_from_sinks` then composes the two sinks into exactly
     `window_new_key_rate`'s output for closed windows.  Returns
-    (totals_query, ledger_query); await both."""
+    (totals_query, ledger_query); await both.  `source_df` overrides the
+    json reader with any prepared streaming DataFrame — both queries get
+    their own execution of it."""
+
+    def _source():
+        if source_df is not None:
+            return source_df
+        return spark.readStream.schema(schema).json(source_dir)
+
     q_totals = (
         windowed_dup_rate(
-            spark.readStream.schema(schema).json(source_dir),
+            _source(),
             window,
             (key_col,),
             time_col,
@@ -952,7 +967,7 @@ def run_new_key_rate_stream(
     )
     q_ledger = (
         streaming_new_key_ledger(
-            spark.readStream.schema(schema).json(source_dir),
+            _source(),
             key_col,
             time_col,
             tiebreak_col,
