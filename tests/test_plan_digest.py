@@ -80,3 +80,58 @@ def test_no_unexplained_plan_drift(digests):
         committed = json.load(fh)
     problems = plan_digest.compare(digests, committed)
     assert not problems, "plan drift (tools/plan_digest.py --write if intended):\n" + "\n".join(problems)
+
+
+def test_guard_fires_on_dropped_broadcast_hint(spark):
+    """r9 VERDICT #7: prove the guard actually REDS on the canonical silent
+    re-plan — a broadcast hint disappearing and the join degrading to
+    sort-merge.  Digest the hinted plan as 'committed', the unhinted plan
+    as 'current', and require compare() to flag it."""
+    import plan_digest
+
+    big = spark.range(100000).selectExpr("id", "id % 97 AS k")
+    small = spark.range(50).selectExpr("id AS k", "id * 2 AS v")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        from pyspark.sql import functions as F
+
+        hinted = big.join(F.broadcast(small), "k")
+        unhinted = big.join(small, "k")
+        committed = {"probe": plan_digest.digest_df(hinted)}
+        current = {"probe": plan_digest.digest_df(unhinted)}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    problems = plan_digest.compare(current, committed)
+    assert problems, "dropping a broadcast() hint did not red the guard"
+    assert any("node histogram" in p for p in problems)
+
+
+def test_guard_fires_on_stage_reorder_with_same_histogram(spark):
+    """The skeleton arm (r9 VERDICT #7: norm_len's ±25% could absorb a
+    real re-plan): aggregate-then-join vs join-then-aggregate have the
+    SAME signal-node multiset — only the ORDERED skeleton tells them
+    apart, so this is exactly the drift class the histogram missed."""
+    import plan_digest
+
+    from pyspark.sql import functions as F
+
+    big = spark.range(100000).selectExpr("id % 97 AS k", "id AS v")
+    small = spark.range(50).selectExpr("id AS k", "id * 2 AS w")
+    agg_then_join = (
+        big.groupBy("k").agg(F.sum("v").alias("s")).join(F.broadcast(small), "k")
+    )
+    join_then_agg = (
+        big.join(F.broadcast(small), "k").groupBy("k").agg(F.sum("v").alias("s"))
+    )
+    a = plan_digest.digest_df(agg_then_join)
+    b = plan_digest.digest_df(join_then_agg)
+    if a["nodes"] != b["nodes"]:
+        import pytest
+
+        pytest.skip("planner split the two shapes by histogram already")
+    problems = plan_digest.compare({"probe": b}, {"probe": a})
+    assert any("skeleton" in p for p in problems), (
+        f"identical histograms but reordered stages did not red the guard: "
+        f"{a['skeleton']} vs {b['skeleton']}"
+    )

@@ -70,6 +70,7 @@ def digest_df(df) -> dict:
     txt = df._jdf.queryExecution().executedPlan().toString()
     norm = _normalize(txt)
     nodes: dict = {}
+    skeleton: list = []
     for line in norm.splitlines():
         # tree/codegen prefixes: "+- *(3) Filter", ":  +- Scan parquet"
         m = re.match(r"[\s:+\-*()\d]*([A-Za-z][A-Za-z0-9]*)", line)
@@ -81,9 +82,21 @@ def digest_df(df) -> dict:
         for sig in SIGNAL_NODES:
             if name == sig or (sig == "Scan" and name.startswith("Scan")):
                 nodes[sig] = nodes.get(sig, 0) + 1
+                skeleton.append(sig)
                 break
     pushed = len(re.findall(r"PushedFilters: \[[^\]]", norm))
-    return {"nodes": nodes, "norm_len": len(norm), "pushed_scans": pushed}
+    return {
+        "nodes": nodes,
+        # the ORDERED signal-node sequence (r9 VERDICT #7): stage structure
+        # — which side of which exchange each join/agg/scan sits on — so a
+        # re-plan that keeps the histogram but moves work across a shuffle
+        # boundary (agg pushed below/above a join, a swapped join order)
+        # still reds the guard.  Exact-compared; norm_len stays as the
+        # catch-all for same-shape expression blow-ups (the r7 regression).
+        "skeleton": "|".join(skeleton),
+        "norm_len": len(norm),
+        "pushed_scans": pushed,
+    }
 
 
 def compute_digests() -> dict:
@@ -124,6 +137,13 @@ def compare(current: dict, committed: dict, len_tol: float = 0.25):
         if got["nodes"] != want["nodes"]:
             problems.append(
                 f"{name}: node histogram drifted {want['nodes']} -> {got['nodes']}"
+            )
+        elif got.get("skeleton") != want.get("skeleton"):
+            # same multiset, different ORDER: work moved across a stage
+            # boundary (elif: a histogram drift already implies this)
+            problems.append(
+                f"{name}: plan skeleton reordered "
+                f"{want.get('skeleton')} -> {got.get('skeleton')}"
             )
         if got.get("pushed_scans") != want.get("pushed_scans"):
             problems.append(
