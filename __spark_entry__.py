@@ -6249,7 +6249,9 @@ def _a155_drift_stream(spark, sf_dir):
 
     base = _stream_sink(spark, sf_dir, "drift")
     out, ckpt = f"{base}/counts", f"{base}/ckpt"
-    if not os.path.isdir(out):
+    # done-marker, not isdir(out): a query that failed mid-run leaves a
+    # partial sink a bare existence check would silently serve
+    if not os.path.exists(f"{base}/done"):
         q = windows.run_category_counts_stream(
             spark,
             None,
@@ -6262,6 +6264,7 @@ def _a155_drift_stream(spark, sf_dir):
             source_df=_stream_events_source(spark, sf_dir),
         )
         q.awaitTermination(600)
+        open(f"{base}/done", "w").close()
     drift = windows.category_drift_from_counts(spark, out, "1 day")
     return drift.select(
         F.unix_timestamp("window_start").cast("long").alias("bucket"),
@@ -6279,7 +6282,7 @@ def _a156_new_key_stream(spark, sf_dir):
 
     base = _stream_sink(spark, sf_dir, "newkey")
     tot, led = f"{base}/totals", f"{base}/ledger"
-    if not os.path.isdir(tot):
+    if not os.path.exists(f"{base}/done"):
         qt, ql = windows.run_new_key_rate_stream(
             spark,
             None,
@@ -6296,6 +6299,7 @@ def _a156_new_key_stream(spark, sf_dir):
         )
         qt.awaitTermination(600)
         ql.awaitTermination(600)
+        open(f"{base}/done", "w").close()
     out = windows.new_key_rate_from_sinks(spark, tot, led, "1 day")
     return out.select(
         F.unix_timestamp("window_start").cast("long").alias("bucket"),

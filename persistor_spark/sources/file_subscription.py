@@ -676,7 +676,11 @@ class FileSubscription:
         from persistor_spark.plans import fsutil, maintenance
 
         state["acked_since_prune"] = 0
-        if not self._has_parquet(self._acked_dir()):
+        # nothing acked, or nothing ever published (a list-path ack of
+        # unknown ids can journal acks with no backlog on disk): no-op
+        if not self._has_parquet(self._acked_dir()) or not self._has_parquet(
+            self._backlog_dir()
+        ):
             return {"backlog_rows": state.get("backlog_rows", state["next_id"]),
                     "retired": 0}
         backlog_dir = self._backlog_dir()
