@@ -170,11 +170,11 @@ def _d9(spark, sf_dir):
     return records.select("unique_id", "payload").orderBy("unique_id")
 
 
-def _d19(spark, sf_dir):
-    """D9 semantics routed through the LIVE Avro OCF blob path: write one
-    OCF file per blob (persistorrecord schema, write_to_avro.go:34-74),
-    read them back with the distributed binaryFile+mapInPandas scan, then
-    position-align.  Same oracle as d9 — the format must be invisible."""
+def _ocf_blob_records(spark, sf_dir):
+    """blob_records rebuilt through the LIVE Avro OCF path: write one OCF
+    file per blob (persistorrecord schema, write_to_avro.go:34-74), read
+    them back with the distributed binaryFile+mapInPandas scan.  Cached
+    per (session, sf_dir) — shared by d19 and d39."""
     import tempfile
 
     from persistor_spark.formats import ocf_io
@@ -192,8 +192,14 @@ def _d19(spark, sf_dir):
             _CACHE[key] = base
         base = _CACHE[key]
     cfg = fixtures.fixture_ingest_config()
-    blobs = ocf_io.read_blob_records_ocf(spark, base, blob_base_url=cfg.storage.base_url)
-    records = resubmit.align(t.index_metadata, blobs)
+    return ocf_io.read_blob_records_ocf(spark, base, blob_base_url=cfg.storage.base_url)
+
+
+def _d19(spark, sf_dir):
+    """D9 semantics routed through the LIVE Avro OCF blob path, then
+    position-align.  Same oracle as d9 — the format must be invisible."""
+    t = _tables(spark, sf_dir)
+    records = resubmit.align(t.index_metadata, _ocf_blob_records(spark, sf_dir))
     return records.select("unique_id", "payload").orderBy("unique_id")
 
 
@@ -6310,6 +6316,79 @@ def _a156_new_key_stream(spark, sf_dir):
     ).orderBy("bucket")
 
 
+def _a157_dup_rate_stream(spark, sf_dir):
+    """a141's dup-rate monitor STREAMING-EXECUTED in the driver gate (the
+    r9 runner, now pinned the way a155/a156 pin the r10 runners): the
+    chained stateful aggregation runs as an availableNow query with a
+    parquet sink; the sink rows ARE the result.  Oracle = a141's SQL on
+    closed windows — with this, all three run_*_stream runners have
+    driver-record streaming executions, not just pytest ones."""
+    from persistor_spark.streaming import windows
+
+    base = _stream_sink(spark, sf_dir, "duprate")
+    out, ckpt = f"{base}/rates", f"{base}/ckpt"
+    if not os.path.exists(f"{base}/done"):
+        q = windows.run_dup_rate_stream(
+            spark,
+            None,
+            out,
+            ckpt,
+            window="1 day",
+            key_cols=("user_id", "event_type"),
+            time_col="ts",
+            watermark="2 hours",
+            source_df=_stream_events_source(spark, sf_dir),
+        )
+        q.awaitTermination(600)
+        open(f"{base}/done", "w").close()
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.unix_timestamp("window_start").cast("long").alias("bucket"),
+            "n_rows",
+            "n_keys",
+            "dup_rate",
+        )
+        .orderBy("bucket")
+    )
+
+
+def _d39_resubmit_e2e_ocf(spark, sf_dir):
+    """d38's composed resubmit chain with the blob side routed through the
+    LIVE Avro OCF path (d19's write-OCF-then-distributed-scan cache) —
+    the d9-vs-d19 format-invariance pin lifted to the WHOLE pipeline:
+    same oracle as d38, so a format-induced difference anywhere in
+    query -> prune -> align -> order -> manifest breaks the hash."""
+    from persistor_spark.plans import resubmit
+
+    t = _tables(spark, sf_dir)
+    blobs = _ocf_blob_records(spark, sf_dir)
+    flt = [
+        {"business_source_key": "src1"},
+        {"business_source_key": "src2", "ordering_key": "k3"},
+    ]
+    ids = _iq(spark, sf_dir).query_df(flt, ["unique_id"])
+    meta = t.index_metadata.join(F.broadcast(ids), "unique_id", "left_semi")
+    ordered = resubmit.with_publish_order(resubmit.align(meta, blobs))
+    return (
+        ordered.groupBy("ordering_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum(F.length("payload")).cast("long").alias("n_bytes"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("publish_seq", "unique_id"))
+                    ),
+                    lambda x: x["unique_id"],
+                ),
+                ",",
+            ).alias("uid_chain"),
+        )
+        .orderBy("ordering_key")
+    )
+
+
 def _d38_resubmit_e2e(spark, sf_dir):
     """The WHOLE resubmit pipeline as one pinned chain (r9 VERDICT #6 —
     the R-side mirror of a140's composed curation pin, matching
@@ -6362,8 +6441,10 @@ ROTATION_HEAD = [
     # r10 NEW: the composed resubmit chain (the R-side mirror of a140)
     # and the two streaming-executed monitor pins (r9 VERDICT #4/#6)
     "d38_resubmit_e2e",
+    "d39_resubmit_e2e_ocf",
     "a155_drift_stream",
     "a156_new_key_stream",
+    "a157_dup_rate_stream",
     # r10 code-changed: a142's drift tail was refactored into the shared
     # _drift_from_counts; a144's KS pair list was rebuilt from the sizes
     # frame (dtype-preserving self-join, r9 advisor)
@@ -6399,8 +6480,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        drift tail was refactored into _drift_from_counts; a144's
         #        KS pair formation was rebuilt from the sizes frame) --
         "d38_resubmit_e2e": _d38_resubmit_e2e,
+        "d39_resubmit_e2e_ocf": _d39_resubmit_e2e_ocf,
         "a155_drift_stream": _a155_drift_stream,
         "a156_new_key_stream": _a156_new_key_stream,
+        "a157_dup_rate_stream": _a157_dup_rate_stream,
         "a142_window_category_drift": _a142_window_category_drift,
         "a144_ks_event_value": _a144_ks_event_value,
         # -- (2) the r03-era block: every remaining query whose latest
@@ -6450,13 +6533,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a80_token_spectrum": _a80_token_spectrum,
         "a81_exactsubstr_clean": _a81_exactsubstr_clean,
         "a82_token_budget": _a82_token_budget,
-        "a83_source_dup_matrix": _a83_source_dup_matrix,
-        "a84_novelty": _a84_novelty,
         # ---- driver window ends here (50) ---- below: driver-green at
         # least once + full-gate re-verified every round (tools/check.py
         # at sf0.001 + sf0.01 and pytest), ordered as previously
         # registered.  Next-stalest after this window: e24-e32 (r5), then
-        # the r6 block (a100-a104, a25...).
+        # the r6 block (a100-a104, a25...).  a83/a84 were evicted from
+        # the window by the late-r10 growth (d39/a157) and go first in
+        # the r11 queue with e24-e32.
+        "a83_source_dup_matrix": _a83_source_dup_matrix,
+        "a84_novelty": _a84_novelty,
         "a140_curation_e2e": _a140_curation_e2e,
         "a141_windowed_dup_rate": _a141_windowed_dup_rate,
         "a143_quality_psi": _a143_quality_psi,
@@ -6959,6 +7044,17 @@ def oracle_sql() -> dict[str, str]:
             "  round(coalesce(n_new, 0) / n_keys::DOUBLE, 4) AS new_key_rate "
             "FROM per LEFT JOIN nw ON per.bucket = nw.bucket ORDER BY per.bucket"
         ),
+        # a157: a141 restricted to closed windows (the streaming sink's
+        # exact content; same cutoff construction as a155/a156)
+        "a157_dup_rate_stream": (
+            "WITH cut AS (SELECT epoch(max(ts)) - 7200 AS cutoff FROM events), "
+            "pk AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket, "
+            "  user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2, 3) "
+            "SELECT bucket, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys, "
+            "  round(1 - (count(*)::DOUBLE / sum(n)), 4) AS dup_rate "
+            "FROM pk WHERE bucket + 86400 <= (SELECT cutoff FROM cut) "
+            "GROUP BY bucket ORDER BY bucket"
+        ),
         # a155: a142's drift restricted to CLOSED windows (window end <=
         # max(ts) - the 2h watermark) and computed from the closed counts
         # only — exactly what the streaming sink holds.  Closure is a
@@ -7150,6 +7246,31 @@ def oracle_sql() -> dict[str, str]:
         # publish sequence -> publish manifest; uid_chain pins the exact
         # per-key publish ORDER, not just the membership
         "d38_resubmit_e2e": P(
+            ", ids AS (SELECT unique_id FROM index_metadata "
+            "  WHERE business_source_key = 'src1' "
+            "  OR (business_source_key = 'src2' AND ordering_key = 'k3')), "
+            "meta AS (SELECT m.* FROM index_metadata m JOIN ids USING (unique_id)), "
+            "rec AS ("
+            "  SELECT m.unique_id, m.ordering_key, b.payload, m.location_key, "
+            "    m.location_position "
+            "  FROM meta m JOIN blob_records b ON m.location_key = b.location_key "
+            "  AND m.location_position = b.position "
+            "  UNION ALL "
+            "  SELECT m.unique_id, m.ordering_key, b.payload, m.location_key, "
+            "    m.location_position "
+            "  FROM meta m JOIN blob_records b ON m.location_key = b.location_key "
+            "  WHERE m.location_position IS NULL), "
+            "ord AS (SELECT *, row_number() OVER (PARTITION BY ordering_key "
+            "  ORDER BY location_key, location_position ASC NULLS FIRST, unique_id) "
+            "  AS publish_seq FROM rec) "
+            "SELECT ordering_key, count(*)::BIGINT AS n_records, "
+            "  sum(length(payload))::BIGINT AS n_bytes, "
+            "  string_agg(unique_id, ',' ORDER BY publish_seq) AS uid_chain "
+            "FROM ord GROUP BY ordering_key ORDER BY ordering_key"
+        ),
+        # d39: IDENTICAL to d38 — the OCF blob path must not change
+        # the composed pipeline result (the d9-vs-d19 contract, lifted)
+"d39_resubmit_e2e_ocf": P(
             ", ids AS (SELECT unique_id FROM index_metadata "
             "  WHERE business_source_key = 'src1' "
             "  OR (business_source_key = 'src2' AND ordering_key = 'k3')), "

@@ -751,6 +751,7 @@ def run_dup_rate_stream(
     time_col: str = "ts",
     watermark: str = "2 hours",
     max_files_per_trigger: int | None = None,
+    source_df: DataFrame | None = None,
 ):
     """The dup-rate monitor as a RUNNING streaming query: windowed_dup_rate
     over a file stream, append mode, parquet sink — each window's row lands
@@ -768,12 +769,17 @@ def run_dup_rate_stream(
     plans.maintenance.compact_parquet on it (the swap discards the log and
     metadata-log-driven reads lose or reject the compacted files);
     periodically MATERIALIZE the sink into a separate compacted batch
-    table instead and point long-term readers there."""
-    reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    table instead and point long-term readers there.
+
+    `source_df` overrides the json reader with any prepared STREAMING
+    DataFrame (same contract as the r10 runners)."""
+    if source_df is None:
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        source_df = reader.json(source_dir)
     out = windowed_dup_rate(
-        reader.json(source_dir),
+        source_df,
         window,
         key_cols,
         time_col,
