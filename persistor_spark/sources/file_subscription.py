@@ -470,17 +470,25 @@ class FileSubscription:
             state["acked_since_prune"] = (
                 state.get("acked_since_prune", 0) + int(obs.get["n"])
             )
+        jstaging = f"{self.root}/.journal-{uuid.uuid4().hex}"
         try:
             settled = spark.read.parquet(staging)
             if active:
                 leased = self._leased_remaining(spark, active)
-                # pinned (outstanding-bounded rows): the journal write
-                # below must not re-scan the journal dir it appends to
+                # ONE job materializes the matched rows — straight into a
+                # journal staging dir (not the journal itself: the join
+                # just scanned the journal, and the staged frame also
+                # gives the per-group aggregate an immutable input, so the
+                # state decrement and the on-disk journal CANNOT diverge
+                # even though the ids plan may be non-deterministic).
+                # Was: localCheckpoint + a separate journal write job.
                 matched = leased.join(
                     F.broadcast(settled), "message_id", "left_semi"
-                ).localCheckpoint()
+                )
+                matched.coalesce(1).write.parquet(jstaging)
                 per_group = (
-                    matched.groupBy("group_id")
+                    spark.read.parquet(jstaging)
+                    .groupBy("group_id")
                     .agg(
                         F.count(F.lit(1)).alias("n"),
                         F.sum("size_bytes").alias("nbytes"),
@@ -488,11 +496,16 @@ class FileSubscription:
                     .collect()
                 )
                 if per_group:
-                    # deterministic: every input (group frames, settled
-                    # journal, the staged ids frame) is immutable on disk
-                    matched.coalesce(1).write.mode("append").parquet(
-                        self._released_dir()
-                    )
+                    # adopt the staged frame as the journal append (file
+                    # moves, no second write of the data)
+                    os.makedirs(self._released_dir(), exist_ok=True)
+                    jtag = os.path.basename(jstaging).lstrip(".")
+                    for f in os.listdir(jstaging):
+                        if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                            os.rename(
+                                f"{jstaging}/{f}",
+                                f"{self._released_dir()}/{jtag}-{f}",
+                            )
                 for row in per_group:
                     gid = row["group_id"]
                     exp, n, nbytes = state["groups"][gid]
@@ -521,6 +534,7 @@ class FileSubscription:
             self._save_state(state)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
+            shutil.rmtree(jstaging, ignore_errors=True)
 
     def ack_df(self, ids: DataFrame) -> None:
         """Retire messages permanently from a DataFrame of ids (or pulled
