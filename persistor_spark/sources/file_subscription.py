@@ -50,7 +50,10 @@ Scale shape (r8 VERDICT "What's wrong" #2 — the de-drivered protocol):
   at-least-once flow acking both copies of a redelivered message —
   matches NOTHING the second time (r9 advisor finding: the ack arm used
   to skip the journal and a duplicate ack double-decremented its group,
-  deleting it early and re-opening the double-delivery window);
+  deleting it early and re-opening the double-delivery window).  The
+  journal self-prunes to active-group rows once dead rows dominate, so
+  the matcher's anti-join stays O(batch + outstanding), not O(settle
+  history);
 - **pull cost is O(live backlog), amortized O(1) per message**: once a
   third of the backlog is acked, `pull` triggers `prune_backlog` — a
   compact-style swap that rewrites the backlog minus acked rows, retires
@@ -444,8 +447,9 @@ class FileSubscription:
           the second time.  The journal is the only settled-id source the
           matcher consults — anti-joining the full acked store here would
           re-introduce an O(acked-history) term per settle; the journal
-          stays outstanding-bounded because `prune_backlog` drops rows of
-          settled/expired groups."""
+          stays bounded because settle itself triggers
+          `_prune_journal_locked` once dead rows dominate (and
+          `prune_backlog` prunes it too)."""
         import shutil
         import uuid
 
@@ -515,6 +519,17 @@ class FileSubscription:
                         del state["groups"][gid]
                     else:
                         state["groups"][gid] = [exp, n, max(nbytes, 0)]
+                # journal-only prune (see _prune_journal_locked): matching
+                # anti-joins the journal on every pull/settle, so shed the
+                # dead (settled/expired-group) rows once they dominate
+                state["journal_rows"] = state.get("journal_rows", 0) + sum(
+                    row["n"] for row in per_group
+                )
+                outstanding = sum(n for _, n, _ in state["groups"].values())
+                if state["journal_rows"] >= max(
+                    4 * self.batch_size, 2 * outstanding
+                ):
+                    self._prune_journal_locked(spark, state)
             if not release:
                 # the staged frame IS the acked frame: move its part files
                 # into the store instead of writing the data a second time
@@ -728,18 +743,43 @@ class FileSubscription:
         maintenance.sweep_trash(spark, acked_dir)
         fsutil.rename(spark, acked_dir, f"{acked_dir}.__trash_{uuid.uuid4().hex[:8]}")
         # shrink the settled journal to rows still consultable by matching
-        rel_dir = self._released_dir()
-        if self._has_parquet(rel_dir):
-            maintenance.sweep_trash(spark, rel_dir)
-            rel = spark.read.parquet(rel_dir)
-            gids = list(state["groups"])
-            kept = rel.filter(F.col("group_id").isin(gids)) if gids else rel.limit(0)
-            tmp2 = f"{rel_dir}.__compact_{uuid.uuid4().hex[:8]}"
-            kept.write.mode("overwrite").parquet(tmp2)
-            fsutil.rename(spark, rel_dir, f"{rel_dir}.__trash_{uuid.uuid4().hex[:8]}")
-            fsutil.rename(spark, tmp2, rel_dir)
+        self._prune_journal_locked(spark, state)
         state["backlog_rows"] = live_n
         return {"backlog_rows": live_n, "retired": before - live_n}
+
+    def _prune_journal_locked(self, spark: SparkSession, state: dict) -> None:
+        """Rewrite the settled journal down to ACTIVE groups' rows (the
+        only rows matching ever consults — a settled or expired group's
+        journal entries are dead).  Runs inside `prune_backlog`, and ALSO
+        fires from `_settle_df` on its own counter: between backlog
+        prunes the journal grows one row per settled message, and
+        `_leased_remaining` anti-joins it on every pull AND settle — the
+        10M probe showed ack creeping 1.1 -> 2.8 s as the journal reached
+        ~backlog/3 rows.  A journal-only prune costs O(journal) and
+        resets it, so the trigger (journal >= max(4 x batch,
+        2 x outstanding)) keeps settle amortized O(batch + outstanding)."""
+        import uuid
+
+        from persistor_spark.plans import fsutil, maintenance
+
+        rel_dir = self._released_dir()
+        state["journal_rows"] = 0
+        if not self._has_parquet(rel_dir):
+            return
+        from pyspark.sql import Observation
+
+        maintenance.sweep_trash(spark, rel_dir)
+        rel = spark.read.parquet(rel_dir)
+        gids = list(state["groups"])
+        kept = rel.filter(F.col("group_id").isin(gids)) if gids else rel.limit(0)
+        obs = Observation()
+        tmp2 = f"{rel_dir}.__compact_{uuid.uuid4().hex[:8]}"
+        kept.coalesce(1).observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
+            "overwrite"
+        ).parquet(tmp2)
+        fsutil.rename(spark, rel_dir, f"{rel_dir}.__trash_{uuid.uuid4().hex[:8]}")
+        fsutil.rename(spark, tmp2, rel_dir)
+        state["journal_rows"] = int(obs.get["n"])
 
     def compact(self, spark: SparkSession) -> dict:
         """Periodic maintenance for a long-lived subscription: the acked

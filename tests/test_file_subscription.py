@@ -429,3 +429,33 @@ def test_pull_auto_prunes_once_third_of_backlog_acked(spark, tmp_path):
     st = sub._load_state()
     assert st.get("acked_retired", 0) > 0, "auto-prune never fired"
     assert sub.stats()["acked"] == 30
+
+
+def test_journal_prune_keeps_active_group_idempotency(spark, tmp_path):
+    """r10: the journal-only prune drops rows of settled/expired groups
+    but MUST keep active groups' rows — they are the settle-idempotency
+    record.  Ack half a group, force the prune, duplicate-ack the same
+    ids: still no double decrement; after the group fully settles the
+    next prune empties the journal."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=4, ack_deadline_s=100, clock=clock
+    )
+    _publish_n(spark, sub, 4)
+    b = sub.pull(spark)
+    ids = [r["message_id"] for r in b.collect()]
+    sub.ack_df(spark.createDataFrame([(i,) for i in ids[:2]], "message_id string"))
+    st = sub._load_state()
+    assert st["groups"] and st.get("journal_rows", 0) == 2
+
+    sub.prune_backlog(spark)  # journal prune runs inside; group still active
+    # duplicate ack of the already-settled ids: must match nothing
+    sub.ack_df(spark.createDataFrame([(i,) for i in ids[:2]], "message_id string"))
+    st = sub._load_state()
+    assert sub.stats()["leased"] == 2, "journal prune lost the idempotency record"
+
+    sub.ack_df(spark.createDataFrame([(i,) for i in ids[2:]], "message_id string"))
+    out = sub.prune_backlog(spark)
+    st = sub._load_state()
+    assert st["groups"] == {} and st["journal_rows"] == 0
+    assert sub.stats()["acked"] == 4 and sub.pull(spark, 12).count() == 0
