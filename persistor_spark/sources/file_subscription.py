@@ -635,6 +635,9 @@ class FileSubscription:
                 del state["groups"][gid]
             else:
                 state["groups"][gid] = [exp, n, max(nbytes, 0)]
+            # keep the journal-prune trigger's row estimate honest on the
+            # list path too (the prune itself runs on the Spark paths)
+            state["journal_rows"] = state.get("journal_rows", 0) + len(hit_ids)
         self._save_state(state)
 
     def ack(self, message_ids) -> None:
