@@ -459,3 +459,49 @@ def test_journal_prune_keeps_active_group_idempotency(spark, tmp_path):
     st = sub._load_state()
     assert st["groups"] == {} and st["journal_rows"] == 0
     assert sub.stats()["acked"] == 4 and sub.pull(spark, 12).count() == 0
+
+
+def test_double_nack_is_idempotent_and_redelivers_once(spark, tmp_path):
+    """Nack-then-nack of the same id: the first nack journals the release
+    and decrements; the second must match nothing — and the id is
+    redelivered exactly once (not twice) on the next pull."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=4, ack_deadline_s=100, clock=clock
+    )
+    _publish_n(spark, sub, 4)
+    b = sub.pull(spark)
+    ids = [r["message_id"] for r in b.collect()]
+    one = spark.createDataFrame([(ids[0],)], "message_id string")
+    sub.nack_df(one)
+    sub.nack_df(one)  # duplicate nack: pre-fix shape would decrement again
+    assert sub.stats()["leased"] == 3
+    back = [r["message_id"] for r in sub.pull(spark, 12).collect()]
+    assert back == [ids[0]], f"expected exactly one redelivery, got {back}"
+
+
+def test_publish_after_prune_continues_cleanly(spark, tmp_path):
+    """Lifecycle across a prune: drain + prune empties the stores; later
+    publishes keep monotone ids, the live-row counter restarts from the
+    pruned state, and the full cycle stays exactly-once."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=6, ack_deadline_s=100, clock=clock
+    )
+    _publish_n(spark, sub, 6)
+    b1 = sub.pull(spark)
+    ids1 = {r["message_id"] for r in b1.collect()}
+    sub.ack_df(b1)
+    sub.prune_backlog(spark)
+    st = sub._load_state()
+    assert st["backlog_rows"] == 0 and st["next_id"] == 6
+
+    _publish_n(spark, sub, 6)
+    st = sub._load_state()
+    assert st["backlog_rows"] == 6 and st["next_id"] == 12
+    b2 = sub.pull(spark, 12)
+    ids2 = {r["message_id"] for r in b2.collect()}
+    assert len(ids2) == 6 and not ids2 & ids1, "pruned ids re-surfaced or ids reused"
+    sub.ack_df(b2)
+    assert sub.stats()["acked"] == 12
+    assert sub.pull(spark, 12).count() == 0
