@@ -236,6 +236,10 @@ class FileSubscription:
     def _publish_locked(self, messages: DataFrame) -> int:
         from pyspark.sql import Window
 
+        # recover a crashed prune swap BEFORE appending: an append into a
+        # missing backlog dir would CREATE it and strand the displaced
+        # rows under the trash name forever
+        self._recover_swaps_locked()
         state = self._load_state()
         base = state["next_id"]
         df = messages
@@ -315,8 +319,49 @@ class FileSubscription:
             )
         return frames
 
+    @staticmethod
+    def _drop_compact_orphans(live: str) -> None:
+        """Remove stale `__compact_` copies of `live` before a prune
+        writes its own (caller holds the flock, `live` exists): a crash
+        BEFORE the rename step leaves an orphaned copy behind, and
+        `_recover_swaps_locked` must never be able to restore a STALE
+        copy — clearing orphans while the live dir is intact guarantees
+        at most the one in-flight copy exists at any crash point."""
+        import glob as _glob
+        import shutil
+
+        for d in _glob.glob(f"{live}.__compact_*"):
+            shutil.rmtree(d, ignore_errors=True)
+
+    def _recover_swaps_locked(self) -> None:
+        """Finish a prune swap that crashed between its two renames
+        (caller holds the flock).  Both prunes move a dir aside and
+        rename a complete pruned copy in; a crash in between leaves the
+        LIVE path missing — for the backlog that breaks pull, and for the
+        settled journal it would silently re-open the double-decrement
+        window (matching forgets which ids already settled).  Recovery
+        prefers the pruned copy (written in full before any rename),
+        falling back to the displaced original — a superset whose extra
+        dead rows are harmless.  Normal states are untouched: the live
+        dir existing means no swap was in flight."""
+        import glob as _glob
+
+        for live in (self._backlog_dir(), self._released_dir(), self._acked_dir()):
+            if os.path.isdir(live):
+                continue
+            tmps = sorted(_glob.glob(f"{live}.__compact_*"))
+            trashes = sorted(_glob.glob(f"{live}.__trash_*"))
+            if tmps:
+                os.rename(tmps[-1], live)
+            elif live != self._acked_dir() and trashes:
+                # the acked store is INTENTIONALLY absent after a prune
+                # (retired into a state scalar) — never resurrect it from
+                # trash; backlog/journal absence is only ever a crash
+                os.rename(trashes[-1], live)
+
     def _pull_locked(self, spark: SparkSession, max_messages: int | None) -> DataFrame:
         now = self.clock()
+        self._recover_swaps_locked()
         state = self._load_state()
         # expire stale lease GROUPS (crashed consumer -> redelivery); the
         # expired groups' frames stay behind as the delivery journal
@@ -457,6 +502,7 @@ class FileSubscription:
 
         spark = ids.sparkSession
         now = self.clock()
+        self._recover_swaps_locked()
         state = self._load_state()
         active = self._active_groups(state, now)
         state["groups"] = {g: list(state["groups"][g]) for g in active}
@@ -690,6 +736,7 @@ class FileSubscription:
         be delivered regardless."""
         with state_lock(self._state_path()):
             now = self.clock()
+            self._recover_swaps_locked()
             state = self._load_state()
             state["groups"] = {
                 g: list(v) for g, v in self._active_groups(state, now).items()
@@ -717,6 +764,7 @@ class FileSubscription:
                     "retired": 0}
         backlog_dir = self._backlog_dir()
         maintenance.sweep_trash(spark, backlog_dir)
+        self._drop_compact_orphans(backlog_dir)
         backlog = spark.read.schema(WIRE_SCHEMA).parquet(backlog_dir)
         # backlog_rows is EXACT (publish adds its written count, prune sets
         # the live count; nothing else writes the backlog) — only a legacy
@@ -772,6 +820,7 @@ class FileSubscription:
         from pyspark.sql import Observation
 
         maintenance.sweep_trash(spark, rel_dir)
+        self._drop_compact_orphans(rel_dir)
         rel = spark.read.parquet(rel_dir)
         gids = list(state["groups"])
         kept = rel.filter(F.col("group_id").isin(gids)) if gids else rel.limit(0)

@@ -505,3 +505,44 @@ def test_publish_after_prune_continues_cleanly(spark, tmp_path):
     sub.ack_df(b2)
     assert sub.stats()["acked"] == 12
     assert sub.pull(spark, 12).count() == 0
+
+
+def test_crashed_prune_swap_recovers_on_next_operation(spark, tmp_path):
+    """r10: a prune swap is two renames; a crash in between leaves the
+    live dir missing — for the backlog that breaks pull, for the settled
+    journal it would re-open the double-decrement window.  Every flock'd
+    entry point recovers first: the complete pruned copy (preferred) or
+    the displaced original is renamed back in."""
+    import os
+    import shutil
+
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=4, ack_deadline_s=100, clock=clock
+    )
+    _publish_n(spark, sub, 8)
+    b1 = sub.pull(spark)
+    ids1 = [r["message_id"] for r in b1.collect()]
+    sub.ack(ids1[:2])  # journal now holds (g, 2 ids)
+
+    # simulate the backlog window: pruned copy fully written, live renamed
+    # away, crash before the rename-in
+    backlog = sub._backlog_dir()
+    shutil.copytree(backlog, f"{backlog}.__compact_simcrash")
+    os.rename(backlog, f"{backlog}.__trash_simcrash")
+    nxt = {r["message_id"] for r in sub.pull(spark, 12).collect()}
+    assert len(nxt) == 4 and not nxt & set(ids1), "backlog swap not recovered"
+
+    # simulate the journal window the same way; then a DUPLICATE ack of
+    # the already-settled ids must still match nothing
+    rel = sub._released_dir()
+    shutil.copytree(rel, f"{rel}.__compact_simcrash2")
+    os.rename(rel, f"{rel}.__trash_simcrash2")
+    sub.ack_df(spark.createDataFrame([(i,) for i in ids1[:2]], "message_id string"))
+    assert sub.stats()["leased"] == 6, "journal swap not recovered: double decrement"
+
+    # ...and with only the displaced original left (no pruned copy), the
+    # fallback restores it
+    os.rename(rel, f"{rel}.__trash_simcrash3")
+    sub.ack_df(spark.createDataFrame([(i,) for i in ids1[:2]], "message_id string"))
+    assert sub.stats()["leased"] == 6
