@@ -54,12 +54,18 @@ Scale shape (r8 VERDICT "What's wrong" #2 — the de-drivered protocol):
   journal self-prunes to active-group rows once dead rows dominate, so
   the matcher's anti-join stays O(batch + outstanding), not O(settle
   history);
-- **pull cost is O(live backlog), amortized O(1) per message**: once a
-  third of the backlog is acked, `pull` triggers `prune_backlog` — a
-  compact-style swap that rewrites the backlog minus acked rows, retires
-  the acked store into a state scalar, and shrinks the settled journal
-  to active groups (r9 VERDICT #1: pull used to re-scan everything ever
-  published plus the full acked history on every call).
+- **pull cost is O(batch + outstanding + acked-since-prune), amortized
+  O(1) per message**: once a third of the backlog is acked (or a large
+  backlog has never been sorted), `pull` triggers `prune_backlog` — a
+  compact-style swap that rewrites the live rows SORTED in delivery
+  order across range files with a per-file row manifest, retires the
+  acked store into a state scalar, and shrinks the settled journal to
+  active groups.  Each pull then scans only the manifest prefix that
+  provably contains its batch plus the unsorted appendix of
+  since-prune appends (`_backlog_scan_paths`), instead of every live
+  row (r9 VERDICT #1: pull used to re-scan everything ever published
+  plus the full acked history on every call; r10 first removed the
+  history terms, then bounded the live scan itself).
 `ack(list)`/`nack(list)` remain for tests (pyarrow-side, no Spark
 session); `ack_df`/`nack_df` are the scale path.
 """
@@ -359,6 +365,47 @@ class FileSubscription:
                 # trash; backlog/journal absence is only ever a crash
                 os.rename(trashes[-1], live)
 
+    def _backlog_scan_paths(self, state: dict, active: dict, budget: int) -> list:
+        """The file subset a pull must scan (caller holds the flock).
+
+        The sorted region (state["backlog_manifest"], files in delivery-
+        range order with row counts) is read only up to a PREFIX whose row
+        total covers budget + every row the anti-joins could exclude
+        (outstanding leases + acks since the last prune, an overestimate);
+        files appended since the prune are unsorted and always scanned.
+        Correctness: range files are disjoint and ordered, so every row in
+        an unselected sorted file is >= every row in the selected prefix —
+        the true first `budget` deliverable rows cannot live outside
+        prefix + appendix.  A manifest file that no longer exists (the
+        displaced original was restored after a crashed swap) voids the
+        manifest and falls back to the full scan."""
+        backlog_dir = self._backlog_dir()
+        manifest = state.get("backlog_manifest") or []
+        if not manifest:
+            return [backlog_dir]
+        names = {
+            f
+            for f in os.listdir(backlog_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        }
+        man_names = [f for f, _ in manifest]
+        if not set(man_names) <= names:
+            state.pop("backlog_manifest", None)
+            return [backlog_dir]
+        needed = (
+            budget
+            + sum(n for _, n, _ in active.values())
+            + state.get("acked_since_prune", 0)
+        )
+        chosen, acc = [], 0
+        for f, rows in manifest:
+            chosen.append(f)
+            acc += rows
+            if acc >= needed:
+                break
+        appendix = sorted(names - set(man_names))
+        return [f"{backlog_dir}/{f}" for f in chosen + appendix]
+
     def _pull_locked(self, spark: SparkSession, max_messages: int | None) -> DataFrame:
         now = self.clock()
         self._recover_swaps_locked()
@@ -372,10 +419,16 @@ class FileSubscription:
         # the scan+anti-join below is O(live), not O(ever-published).
         # Geometric trigger -> each message is rewritten O(1) times over
         # its life; the 4x-batch floor keeps small tests and fresh
-        # subscriptions on the append-only fast path.
+        # subscriptions on the append-only fast path.  A large NEVER-sorted
+        # backlog also prunes once (the initial delivery-order sort that
+        # makes the manifest-bounded scan below possible — one O(N log N)
+        # pass, after which every pull is batch-bounded).
+        backlog_rows = state.get("backlog_rows", state["next_id"])
         if state.get("acked_since_prune", 0) >= max(
-            4 * self.batch_size,
-            state.get("backlog_rows", state["next_id"]) // 3,
+            4 * self.batch_size, backlog_rows // 3
+        ) or (
+            "backlog_manifest" not in state
+            and backlog_rows >= 8 * self.batch_size
         ):
             self._prune_backlog_locked(spark, state)
         budget_msgs = min(
@@ -393,7 +446,9 @@ class FileSubscription:
 
         from pyspark.sql import Window
 
-        backlog = spark.read.schema(WIRE_SCHEMA).parquet(self._backlog_dir())
+        backlog = spark.read.schema(WIRE_SCHEMA).parquet(
+            *self._backlog_scan_paths(state, active, budget_msgs)
+        )
         candidates = backlog.select("message_id", "size_bytes", "publish_time")
         if self._has_parquet(self._acked_dir()):
             acked = spark.read.parquet(self._acked_dir()).select("message_id")
@@ -745,21 +800,37 @@ class FileSubscription:
             self._save_state(state)
         return out
 
+    # target rows per sorted backlog file: pull reads whole files, so this
+    # is the granularity of the manifest-bounded scan (below)
+    BACKLOG_ROWS_PER_FILE = 1_000_000
+
     def _prune_backlog_locked(self, spark: SparkSession, state: dict) -> dict:
         """Body of `prune_backlog` (caller holds the flock and has already
-        expired stale groups in `state`; caller saves the state)."""
+        expired stale groups in `state`; caller saves the state).
+
+        The pruned copy is written SORTED in delivery order
+        (publish_time, message_id) across range partitions, and the
+        resulting per-file row counts land in `state["backlog_manifest"]`
+        (files in range order).  `pull` then reads only the manifest
+        prefix that provably contains the next batch — see
+        `_backlog_scan_paths` — so pull cost is O(batch + outstanding +
+        acked-since-prune), not O(live)."""
         import uuid
 
         from pyspark.sql import Observation
 
         from persistor_spark.plans import fsutil, maintenance
 
+        removed_est = state.get("acked_since_prune", 0)
         state["acked_since_prune"] = 0
-        # nothing acked, or nothing ever published (a list-path ack of
-        # unknown ids can journal acks with no backlog on disk): no-op
-        if not self._has_parquet(self._acked_dir()) or not self._has_parquet(
-            self._backlog_dir()
-        ):
+        if not self._has_parquet(self._backlog_dir()):
+            # nothing ever published (a list-path ack of unknown ids can
+            # journal acks with no backlog on disk): no-op
+            return {"backlog_rows": state.get("backlog_rows", state["next_id"]),
+                    "retired": 0}
+        has_acked = self._has_parquet(self._acked_dir())
+        if not has_acked and "backlog_manifest" in state:
+            # nothing to remove and the layout is already sorted
             return {"backlog_rows": state.get("backlog_rows", state["next_id"]),
                     "retired": 0}
         backlog_dir = self._backlog_dir()
@@ -774,18 +845,46 @@ class FileSubscription:
             if "backlog_rows" in state
             else backlog.count()
         )
-        acked_ids = (
-            spark.read.parquet(self._acked_dir()).select("message_id").distinct()
-        )
-        live = backlog.join(acked_ids, "message_id", "left_anti")
+        if has_acked:
+            acked_ids = (
+                spark.read.parquet(self._acked_dir())
+                .select("message_id")
+                .distinct()
+            )
+            live = backlog.join(acked_ids, "message_id", "left_anti")
+        else:
+            live = backlog
+        k = max(1, -(-max(1, before - removed_est) // self.BACKLOG_ROWS_PER_FILE))
         obs = Observation()
         tmp = f"{backlog_dir}.__compact_{uuid.uuid4().hex[:8]}"
-        live.observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        (
+            live.repartitionByRange(k, "publish_time", "message_id")
+            .sortWithinPartitions("publish_time", "message_id")
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
         live_n = int(obs.get["n"])
         fsutil.rename(spark, backlog_dir, f"{backlog_dir}.__trash_{uuid.uuid4().hex[:8]}")
         fsutil.rename(spark, tmp, backlog_dir)
+        # range partitions land in ascending partition order and the part
+        # file names embed the partition index, so lexicographic file
+        # order IS delivery-range order; row counts come off the footers
+        # (driver-side, k files)
+        import pyarrow.parquet as pq
+
+        state["backlog_manifest"] = [
+            [f, pq.ParquetFile(f"{backlog_dir}/{f}").metadata.num_rows]
+            for f in sorted(
+                f
+                for f in os.listdir(backlog_dir)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+        ]
+        if not has_acked:
+            self._prune_journal_locked(spark, state)
+            state["backlog_rows"] = live_n
+            return {"backlog_rows": live_n, "retired": 0}
         # retire the acked store: ids acked more than once count ONCE here
         # (they occupied one backlog row); duplicates acked across a prune
         # boundary are the documented stats caveat above

@@ -546,3 +546,53 @@ def test_crashed_prune_swap_recovers_on_next_operation(spark, tmp_path):
     os.rename(rel, f"{rel}.__trash_simcrash3")
     sub.ack_df(spark.createDataFrame([(i,) for i in ids1[:2]], "message_id string"))
     assert sub.stats()["leased"] == 6
+
+
+def _publish_times(spark, sub, base, n):
+    df = spark.createDataFrame(
+        [(f"p{base}-{i}", base + i) for i in range(n)], "payload string, secs long"
+    ).select("payload", F.timestamp_seconds(F.col("secs")).alias("publish_time"))
+    return sub.publish(df)
+
+
+def test_manifest_bounded_pull_preserves_global_delivery_order(spark, tmp_path):
+    """r10: pull reads only a manifest prefix of the SORTED backlog plus
+    the unsorted appendix.  Force many small sorted files (5 rows/file),
+    then append messages with EARLIER publish times than the sorted
+    region: the appendix must still win delivery order, every message
+    must be delivered exactly once, and the whole drain must come out in
+    global (publish_time, message_id) order — including across the
+    mid-drain re-prune that rebuilds the manifest."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=4, ack_deadline_s=100, clock=clock
+    )
+    sub.BACKLOG_ROWS_PER_FILE = 5
+    _publish_times(spark, sub, 1000, 40)
+
+    b1 = sub.pull(spark)  # 40 >= 8*batch -> initial delivery-order sort
+    st = sub._load_state()
+    assert len(st.get("backlog_manifest", [])) >= 4, "initial sort did not manifest"
+    got = [r["message_id"] for r in b1.orderBy("publish_time", "message_id").collect()]
+    sub.ack_df(b1)
+
+    # appendix with EARLIER times than everything still live
+    _publish_times(spark, sub, 500, 10)
+
+    while True:
+        b = sub.pull(spark)
+        ids = [r["message_id"] for r in b.orderBy("publish_time", "message_id").collect()]
+        if not ids:
+            break
+        got.extend(ids)
+        sub.ack_df(b)
+
+    assert len(got) == 50 and len(set(got)) == 50, "lost or duplicated deliveries"
+    # expected global order: first batch ids 0-3 (already delivered), then
+    # ALL appendix ids (earlier times), then the rest of batch 1 in order
+    first40 = [f"m{i:09d}" for i in range(40)]
+    appendix = [f"m{i:09d}" for i in range(40, 50)]
+    expected = first40[:4] + appendix + first40[4:]
+    assert got == expected, f"delivery order diverged: {got[:12]}..."
+    st = sub._load_state()
+    assert sub.stats()["acked"] == 50 and st["groups"] == {}
