@@ -596,3 +596,23 @@ def test_manifest_bounded_pull_preserves_global_delivery_order(spark, tmp_path):
     assert got == expected, f"delivery order diverged: {got[:12]}..."
     st = sub._load_state()
     assert sub.stats()["acked"] == 50 and st["groups"] == {}
+
+
+def test_stale_manifest_voids_itself_and_full_scan_still_correct(spark, tmp_path):
+    """A manifest whose files no longer exist (the crashed-swap fallback
+    restored the displaced ORIGINAL layout) must void itself: pull falls
+    back to the full scan, delivers correctly, and drops the manifest."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=4, ack_deadline_s=100, clock=clock
+    )
+    _publish_times(spark, sub, 1000, 8)
+    with __import__("persistor_spark.sources._statelock", fromlist=["state_lock"]).state_lock(
+        sub._state_path()
+    ):
+        st = sub._load_state()
+        st["backlog_manifest"] = [["part-gone-a.parquet", 5], ["part-gone-b.parquet", 5]]
+        sub._save_state(st)
+    got = [r["message_id"] for r in sub.pull(spark).orderBy("message_id").collect()]
+    assert got == [f"m{i:09d}" for i in range(4)]
+    assert "backlog_manifest" not in sub._load_state(), "stale manifest survived"
