@@ -6269,7 +6269,12 @@ def _a155_drift_stream(spark, sf_dir):
             watermark="2 hours",
             source_df=_stream_events_source(spark, sf_dir),
         )
-        q.awaitTermination(600)
+        # awaitTermination returns False on TIMEOUT without raising (r10
+        # advisor): marking done then would permanently serve a partial
+        # sink.  availableNow over the sf0.01 fixture finishes in seconds;
+        # 600 s only trips if the query genuinely hung.
+        if not q.awaitTermination(600):
+            raise TimeoutError("a155 drift stream did not finish in 600s")
         open(f"{base}/done", "w").close()
     drift = windows.category_drift_from_counts(spark, out, "1 day")
     return drift.select(
@@ -6303,8 +6308,12 @@ def _a156_new_key_stream(spark, sf_dir):
             watermark="2 hours",
             source_df=_stream_events_source(spark, sf_dir),
         )
-        qt.awaitTermination(600)
-        ql.awaitTermination(600)
+        # see a155: False = timeout, and a timed-out query must not be
+        # marked done (its partial sink would be served forever)
+        if not qt.awaitTermination(600):
+            raise TimeoutError("a156 totals stream did not finish in 600s")
+        if not ql.awaitTermination(600):
+            raise TimeoutError("a156 ledger stream did not finish in 600s")
         open(f"{base}/done", "w").close()
     out = windows.new_key_rate_from_sinks(spark, tot, led, "1 day")
     return out.select(
@@ -6339,7 +6348,9 @@ def _a157_dup_rate_stream(spark, sf_dir):
             watermark="2 hours",
             source_df=_stream_events_source(spark, sf_dir),
         )
-        q.awaitTermination(600)
+        # see a155: False = timeout; never mark a hung query's sink done
+        if not q.awaitTermination(600):
+            raise TimeoutError("a157 dup-rate stream did not finish in 600s")
         open(f"{base}/done", "w").close()
     return (
         spark.read.parquet(out)

@@ -284,6 +284,19 @@ class FileSubscription:
         # files (pre-prune) initialize to everything-ever-published, a safe
         # upper bound (nothing was ever removed before pruning existed)
         state["backlog_rows"] = state.get("backlog_rows", base) + n
+        # out-of-band delivery-order sort (r10 verdict #4): once the
+        # UNSORTED appendix passes a geometric threshold, pay the
+        # O(N log N) sort HERE — amortized against the bulk publish that
+        # created it — so no consumer's first pull after a bulk load ever
+        # absorbs the sort cliff (11 s at 10 M rows).  Geometric (not the
+        # pull trigger's fixed 8x-batch floor alone): a chunked bulk load
+        # re-sorts each row O(1) amortized times, never per-chunk.
+        manifest_rows = sum(r for _, r in state.get("backlog_manifest", []))
+        appendix_rows = state["backlog_rows"] - manifest_rows
+        if appendix_rows >= max(8 * self.batch_size, state["backlog_rows"] // 3):
+            active = self._active_groups(state, self.clock())
+            state["groups"] = {g: list(v) for g, v in active.items()}
+            self._prune_backlog_locked(messages.sparkSession, state)
         self._save_state(state)
         return n
 
@@ -631,12 +644,18 @@ class FileSubscription:
                     4 * self.batch_size, 2 * outstanding
                 ):
                     self._prune_journal_locked(spark, state)
+            # save state BEFORE adopting the staged files into acked/
+            # (r10 advisor, low): a crash between the moves and the save
+            # would leave acked rows the acked_since_prune counter never
+            # counted, so the manifest-prefix bound in _backlog_scan_paths
+            # UNDER-estimates and a pull can quiescently under-deliver.
+            # The reverse crash (state saved, moves lost) only OVER-counts
+            # — a larger prefix scan plus lease-expiry redelivery, the
+            # safe at-least-once arm.
+            self._save_state(state)
             if not release:
                 # the staged frame IS the acked frame: move its part files
                 # into the store instead of writing the data a second time
-                # (every Spark read above has already completed; a crash
-                # before the moves just leaves the ack unrecorded -> lease
-                # expiry redelivers, the at-least-once arm)
                 os.makedirs(self._acked_dir(), exist_ok=True)
                 # strip the staging dir's hidden-file dot: a leading '.'
                 # on the moved part files would hide them from Spark AND
@@ -647,7 +666,6 @@ class FileSubscription:
                         os.rename(
                             f"{staging}/{f}", f"{self._acked_dir()}/{tag}-{f}"
                         )
-            self._save_state(state)
         finally:
             shutil.rmtree(staging, ignore_errors=True)
             shutil.rmtree(jstaging, ignore_errors=True)
@@ -673,6 +691,12 @@ class FileSubscription:
         if not mids:
             return
         now = self.clock()
+        # a crashed journal-prune swap leaves released/ displaced; without
+        # this, the journal read below sees EMPTY history (duplicate
+        # settles re-match) and the makedirs further down recreates the
+        # live dir so recovery could never restore it (r10 advisor,
+        # medium).  Pure os.rename — no Spark session needed.
+        self._recover_swaps_locked()
         state = self._load_state()
         active = self._active_groups(state, now)
         state["groups"] = {g: list(state["groups"][g]) for g in active}
@@ -830,9 +854,16 @@ class FileSubscription:
                     "retired": 0}
         has_acked = self._has_parquet(self._acked_dir())
         if not has_acked and "backlog_manifest" in state:
-            # nothing to remove and the layout is already sorted
-            return {"backlog_rows": state.get("backlog_rows", state["next_id"]),
-                    "retired": 0}
+            manifest_rows = sum(r for _, r in state["backlog_manifest"])
+            if state.get("backlog_rows", state["next_id"]) <= manifest_rows:
+                # nothing to remove and the layout is FULLY sorted (no
+                # unsorted appendix) — only then is the prune a no-op;
+                # an appendix-only prune (the publish-triggered
+                # out-of-band sort) must fall through and re-sort
+                return {
+                    "backlog_rows": state.get("backlog_rows", state["next_id"]),
+                    "retired": 0,
+                }
         backlog_dir = self._backlog_dir()
         maintenance.sweep_trash(spark, backlog_dir)
         self._drop_compact_orphans(backlog_dir)

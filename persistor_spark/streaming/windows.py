@@ -890,7 +890,13 @@ def streaming_new_key_ledger(
         if state.hasTimedOut:
             state.remove()
             return
-        batch = pd.concat([p for p in pdfs if len(p)], ignore_index=True)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            # a non-timed-out group invoked with only empty chunks:
+            # pd.concat([]) raises ValueError and fails the whole query
+            # (r10 advisor, low) — nothing to count, nothing to emit
+            return
+        batch = pd.concat(chunks, ignore_index=True)
         evt_ms = int(batch[time_col].max().value) // 1_000_000
         if state.exists:
             (seen,) = state.get
@@ -932,6 +938,7 @@ def run_new_key_rate_stream(
     time_col: str = "ts",
     tiebreak_col: str = "event_id",
     watermark: str = "2 hours",
+    max_files_per_trigger: int | None = None,
     source_df: DataFrame | None = None,
 ):
     """The new-key-rate monitor as RUNNING streaming queries (r9 VERDICT
@@ -953,7 +960,10 @@ def run_new_key_rate_stream(
     def _source():
         if source_df is not None:
             return source_df
-        return spark.readStream.schema(schema).json(source_dir)
+        reader = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+        return reader.json(source_dir)
 
     q_totals = (
         windowed_dup_rate(

@@ -548,11 +548,78 @@ def test_crashed_prune_swap_recovers_on_next_operation(spark, tmp_path):
     assert sub.stats()["leased"] == 6
 
 
+def test_crashed_journal_swap_recovers_on_list_settle(spark, tmp_path):
+    """r10 advisor (medium): the LIST settle path (ack/nack/complete/
+    abandon) must also recover a crashed journal-prune swap before it
+    reads the journal.  Without recovery it sees an EMPTY journal — a
+    duplicate ack re-matches the original group frame and double-
+    decrements — and worse, its own makedirs(released/) recreates the
+    live dir so the displaced history could never be restored again."""
+    import os
+    import shutil
+
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=4, ack_deadline_s=100, clock=clock
+    )
+    _publish_n(spark, sub, 8)
+    b1 = sub.pull(spark)
+    ids1 = [r["message_id"] for r in b1.collect()]
+    sub.ack(ids1[:2])  # journal holds the 2 settled ids
+
+    rel = sub._released_dir()
+    # crash window: pruned copy complete, live renamed away
+    shutil.copytree(rel, f"{rel}.__compact_simcrash")
+    os.rename(rel, f"{rel}.__trash_simcrash")
+    sub.ack(ids1[:2])  # duplicate settle via the LIST path
+    assert sub.stats()["leased"] == 2, "list-path journal swap not recovered"
+
+    # fallback arm: only the displaced original remains
+    os.rename(rel, f"{rel}.__trash_simcrash2")
+    sub.nack(ids1[:2])  # duplicate settle (release arm) — must match nothing
+    assert sub.stats()["leased"] == 2
+
+
 def _publish_times(spark, sub, base, n):
     df = spark.createDataFrame(
         [(f"p{base}-{i}", base + i) for i in range(n)], "payload string, secs long"
     ).select("payload", F.timestamp_seconds(F.col("secs")).alias("publish_time"))
     return sub.publish(df)
+
+
+def test_bulk_publish_sorts_out_of_band_before_first_pull(spark, tmp_path):
+    """r11 (r10 verdict #4): a bulk publish that leaves a large unsorted
+    backlog pays the delivery-order sort ITSELF, out-of-band, so the
+    first consumer pull never absorbs the O(N log N) cliff.  The manifest
+    must exist before any pull; delivery order and exactly-once still
+    hold; and the geometric threshold means small follow-up publishes do
+    NOT re-sort."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=4, ack_deadline_s=100, clock=clock
+    )
+    sub.BACKLOG_ROWS_PER_FILE = 5
+    _publish_times(spark, sub, 1000, 40)  # 40 >= 8*batch -> publish sorts
+    st = sub._load_state()
+    assert len(st.get("backlog_manifest", [])) >= 4, "publish did not sort"
+
+    # small follow-up publish: appendix 4 < max(32, 44//3) -> NO re-sort
+    # (the manifest row total must be unchanged = still the first sort's)
+    _publish_times(spark, sub, 2000, 4)
+    st2 = sub._load_state()
+    assert sum(r for _, r in st2["backlog_manifest"]) == 40, "small append re-sorted"
+
+    # drain: exactly-once, global (publish_time, message_id) order
+    got = []
+    while True:
+        b = sub.pull(spark)
+        ids = [r["message_id"] for r in b.orderBy("publish_time", "message_id").collect()]
+        if not ids:
+            break
+        got.extend(ids)
+        sub.ack_df(b)
+    assert len(got) == 44 and len(set(got)) == 44
+    assert got == [f"m{i:09d}" for i in range(44)]
 
 
 def test_manifest_bounded_pull_preserves_global_delivery_order(spark, tmp_path):

@@ -607,3 +607,204 @@ def test_run_new_key_rate_stream_equals_batch(spark, tmp_path):
         tuple(r)
         for r in windows.new_key_rate_from_sinks(spark, tot, led, "1 day").collect()
     } == got
+
+
+def _write_day_file(src, name, rows, mtime):
+    import json
+    import os
+
+    os.makedirs(src, exist_ok=True)
+    path = f"{src}/{name}.json"
+    with open(path, "w") as fh:
+        fh.write("\n".join(json.dumps(r) for r in rows))
+    os.utime(path, (mtime, mtime))
+    return path
+
+
+def _ev(eid, uid, day, hour, sec, etype="view"):
+    return {"event_id": eid, "user_id": uid, "event_type": etype,
+            "ts": f"2024-01-0{day}T0{hour}:00:0{sec}"}
+
+
+def test_ledger_survives_micro_batches_and_incremental_feed(spark, tmp_path):
+    """r11 (r10 VERDICT #1): the applyInPandasWithState first-occurrence
+    ledger across REAL micro-batch boundaries (maxFilesPerTrigger=1) AND
+    an incremental feed appended between two availableNow runs.  A day-1
+    key seen again in a later micro-batch of the SAME run, or in a NEW
+    run after checkpoint restart, must NOT be re-admitted as new (its
+    GroupState survived); keys genuinely first appearing later must be.
+    This is where a state-eviction bug would hide — the redelivery-matrix
+    analogue (handler_test.go:429-645) applied to state."""
+    import time as _time
+
+    src = str(tmp_path / "isrc")
+    now = _time.time()
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    # run 1: TWO day-1 files -> two micro-batches under maxFilesPerTrigger=1;
+    # users 0-2 appear in BOTH (the within-run cross-batch re-appearance)
+    _write_day_file(src, "d1a", [_ev(100 + i, i, 1, 0, i) for i in range(3)], now - 500)
+    _write_day_file(src, "d1b", [_ev(110 + i, i, 1, 1, i) for i in range(3)], now - 400)
+
+    tot, led = str(tmp_path / "tot"), str(tmp_path / "led")
+    ck1, ck2 = str(tmp_path / "ck1"), str(tmp_path / "ck2")
+
+    def _run():
+        qt, ql = windows.run_new_key_rate_stream(
+            spark, src, tot, led, ck1, ck2, schema=schema, window="1 day",
+            watermark="2 hours", max_files_per_trigger=1,
+        )
+        assert qt.awaitTermination(300) and ql.awaitTermination(300)
+
+    _run()
+    ledger1 = {r["user_id"]: r["first_ts"] for r in spark.read.parquet(led).collect()}
+    assert set(ledger1) == {0, 1, 2}, "cross-batch re-appearance re-admitted"
+    assert all(ts.day == 1 and ts.hour == 0 for ts in ledger1.values()), (
+        "first_ts must come from the key's FIRST micro-batch"
+    )
+
+    # incremental feed BETWEEN runs: day 2 re-delivers users 0-2 plus the
+    # genuinely-new user 9; day 3 re-delivers user 9 plus the new user 7
+    _write_day_file(
+        src, "d2",
+        [_ev(200 + i, i, 2, 3, i) for i in range(3)] + [_ev(299, 9, 2, 3, 9)],
+        now - 300,
+    )
+    _write_day_file(src, "d3", [_ev(300, 9, 3, 3, 0), _ev(301, 7, 3, 3, 1)], now - 200)
+    _run()
+
+    ledger2 = {r["user_id"]: r["first_ts"] for r in spark.read.parquet(led).collect()}
+    assert spark.read.parquet(led).count() == 5, "a key was re-admitted as new"
+    assert {u: t.day for u, t in ledger2.items()} == {0: 1, 1: 1, 2: 1, 9: 2, 7: 3}
+    # the day-1 rows are the ORIGINAL emissions, byte-identical
+    assert all(ledger2[u] == ledger1[u] for u in (0, 1, 2))
+
+    # the composed monitor still equals the batch twin on closed windows
+    got = {
+        tuple(r)
+        for r in windows.new_key_rate_from_sinks(spark, tot, led, "1 day").collect()
+    }
+    batch_all = windows.window_new_key_rate(
+        spark.read.schema(schema).json(src), "user_id", "1 day", "ts", "event_id"
+    )
+    closed_days = {t[0].day for t in got}
+    assert closed_days == {1, 2}, "day 3's watermark must close days 1-2"
+    expected = {
+        tuple(r) for r in batch_all.collect() if r["window_start"].day in closed_days
+    }
+    assert got == expected
+
+
+def test_category_counts_state_merges_across_runs(spark, tmp_path):
+    """r11 (r10 VERDICT #1): the windowed-agg half under
+    maxFilesPerTrigger=1 with an incremental feed — a window OPEN at the
+    end of run 1 (day 2, partially counted) must keep its partial count
+    in checkpointed state and merge run 2's additional day-2 rows into
+    ONE emitted row when day 3 finally closes it; day 1 (closed in run 1)
+    must not re-emit."""
+    import time as _time
+
+    src = str(tmp_path / "csrc2")
+    now = _time.time()
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    _write_day_file(src, "d1a", [_ev(100 + i, i, 1, 0, i) for i in range(3)], now - 600)
+    _write_day_file(src, "d1b", [_ev(110 + i, i, 1, 1, i, "click") for i in range(2)], now - 500)
+    # day 2 part 1: closes day 1, leaves day 2 OPEN with 2 'view' rows
+    _write_day_file(src, "d2a", [_ev(200 + i, i, 2, 3, i) for i in range(2)], now - 400)
+    out, ckpt = str(tmp_path / "csink2"), str(tmp_path / "cckpt2")
+
+    def _run():
+        q = windows.run_category_counts_stream(
+            spark, src, out, ckpt, schema=schema, window="1 day",
+            watermark="2 hours", max_files_per_trigger=1,
+        )
+        assert q.awaitTermination(300)
+
+    _run()
+    day1 = {(r["event_type"], r["n"]) for r in spark.read.parquet(out).collect()}
+    assert day1 == {("view", 3), ("click", 2)}, "day-1 counts wrong or day 2 leaked"
+
+    # run 2: MORE day-2 rows (merged into surviving state) + day 3 closes it
+    _write_day_file(
+        src, "d2b",
+        [_ev(210, 5, 2, 4, 0), _ev(211, 6, 2, 4, 1, "click")],
+        now - 300,
+    )
+    _write_day_file(src, "d3", [_ev(300, 0, 3, 3, 0)], now - 200)
+    _run()
+    sunk = spark.read.parquet(out)
+    day2 = {
+        (r["event_type"], r["n"]) for r in sunk.collect() if r["ws"].day == 2
+    }
+    assert day2 == {("view", 3), ("click", 1)}, (
+        "run-1 partial count lost or double-counted across the restart"
+    )
+    assert sunk.filter("day(ws) = 1").count() == 2, "closed day 1 re-emitted"
+
+    # and the composed drift equals the batch twin on closed windows
+    got = {
+        tuple(r)
+        for r in windows.category_drift_from_counts(spark, out, "1 day").collect()
+    }
+    batch_all = windows.windowed_category_drift(
+        spark.read.schema(schema).json(src), "1 day"
+    )
+    expected = {
+        tuple(r) for r in batch_all.collect() if r["window_start"].day in (1, 2)
+    }
+    assert got == expected
+
+
+def test_ledger_eviction_readmits_expired_key(spark, tmp_path):
+    """r11: the OTHER arm of the retention contract — an evicted key
+    re-emits as new (the documented 'ever seen within retention' tail).
+    retention='1 hour' + watermark='2 hours': eviction timers sit at
+    last_seen + 3h, and timers fire when the END-OF-BATCH watermark
+    passes them — so a middle run whose day-2 data advances the watermark
+    evicts day 1's state (state.hasTimedOut -> remove, the path no other
+    test reaches), and user 0's day-3 re-appearance in a THIRD run IS
+    re-admitted as new.  (A re-appearance in the same batch that advances
+    the watermark is absorbed by the still-live state — timers are
+    checked after data, the standard GroupState contract.)"""
+    import time as _time
+
+    src = str(tmp_path / "esrc")
+    now = _time.time()
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    _write_day_file(src, "d1", [_ev(100, 0, 1, 0, 0), _ev(101, 1, 1, 0, 1)], now - 500)
+    led, ck = str(tmp_path / "led"), str(tmp_path / "ck")
+
+    def _run():
+        q = (
+            windows.streaming_new_key_ledger(
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .json(src),
+                "user_id", "ts", "event_id",
+                watermark="2 hours", retention="1 hour",
+            )
+            .writeStream.format("parquet")
+            .option("path", led)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(300)
+
+    _run()
+    assert spark.read.parquet(led).count() == 2
+
+    # middle run: user 5 on day 2 advances the end-of-batch watermark to
+    # day2 04:00, past day 1's timers (day1 03:00) -> users 0/1 evicted
+    _write_day_file(src, "d2", [_ev(200, 5, 2, 6, 0)], now - 400)
+    _run()
+    assert spark.read.parquet(led).count() == 3
+
+    # day 3: user 0 re-appears AFTER its state was evicted; user 1 does not
+    _write_day_file(src, "d3", [_ev(300, 0, 3, 5, 0)], now - 300)
+    _run()
+    rows = spark.read.parquet(led).collect()
+    days = sorted((r["user_id"], r["first_ts"].day) for r in rows)
+    assert days == [(0, 1), (0, 3), (1, 1), (5, 2)], (
+        "evicted key must re-emit as new exactly once"
+    )
