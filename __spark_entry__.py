@@ -6442,6 +6442,146 @@ def _d38_resubmit_e2e(spark, sf_dir):
     )
 
 
+def _d40_lifecycle_e2e(spark, sf_dir):
+    """The FULL §3.1+§3.3 lifecycle as ONE driver hash (r10 VERDICT #6a):
+    messages -> STREAMING ingest (4 deterministic micro-batches through
+    run_stream's foreachBatch handler, exactly-once merge sinks, the same
+    ~1.2% failure injection) -> index + blob parquet sinks -> the REAL
+    query surface over the STREAMED index (Q5 OR-of-ANDs page) -> d38's
+    whole resubmit chain over the STREAMED blobs.  The oracle rebuilds
+    the batch-scoped location keys (blob name carries `-b<batch_id>`,
+    positions restart per batch — run_stream's documented blob-identity
+    contract) in portable SQL, so the hash pins BOTH that the streaming
+    ingest derives exactly the prescribed index/blob tables AND that the
+    composed chain holds over them.  Micro-batch identity is pinned by
+    chunking on event_seq % 4 with strictly increasing file mtimes
+    (availableNow + maxFilesPerTrigger=1 processes files in mtime order,
+    so batch_id == chunk index)."""
+    import time as _time
+
+    from persistor_spark.plans import resubmit
+    from persistor_spark.streaming import ingest_stream
+
+    base = _stream_sink(spark, sf_dir, "lifecycle")
+    blob_p, idx_p = f"{base}/blobs", f"{base}/index"
+    if not os.path.exists(f"{base}/done"):
+        src = f"{base}/src"
+        msgs = fixtures.load_messages(spark, sf_dir)
+        seen: set = set()
+        t0 = _time.time()
+        for i in range(4):
+            (
+                msgs.filter(F.col("event_seq") % 4 == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in seen:
+                    os.utime(f"{src}/{f}", (t0 - 400 + i * 100,) * 2)
+                    seen.add(f)
+        sinks = ingest_stream.StreamSinks(
+            blob_path=blob_p,
+            index_path=idx_p,
+            deadletter_path=f"{base}/dlq",
+            checkpoint_path=f"{base}/ckpt",
+        )
+        q, _ = ingest_stream.run_stream(
+            ingest_stream.file_stream(spark, src, max_files_per_trigger=1),
+            fixtures.fixture_ingest_config(),
+            sinks,
+            failure=F.expr(fixtures.DEADLETTER_PRED_SQL),
+        )
+        # False = timeout: never mark a hung query's partial sinks done
+        if not q.awaitTermination(600):
+            raise TimeoutError("d40 ingest stream did not finish in 600s")
+        open(f"{base}/done", "w").close()
+    idx = spark.read.parquet(idx_p)
+    blobs = spark.read.parquet(blob_p)
+    flt = [
+        {"business_source_key": "src1"},
+        {"business_source_key": "src2", "ordering_key": "k3"},
+    ]
+    ids = IndexQuery(idx).query_df(flt, ["unique_id"])
+    meta = idx.join(F.broadcast(ids), "unique_id", "left_semi")
+    ordered = resubmit.with_publish_order(resubmit.align(meta, blobs))
+    return (
+        ordered.groupBy("ordering_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.sum(F.length("payload")).cast("long").alias("n_bytes"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("publish_seq", "unique_id"))
+                    ),
+                    lambda x: x["unique_id"],
+                ),
+                ",",
+            ).alias("uid_chain"),
+        )
+        .orderBy("ordering_key")
+    )
+
+
+def _d41_multi_consumer(spark, sf_dir):
+    """TWO racing consumers drain ONE subscription with an injected lease
+    expiry, oracle-pinned to exactly-once accounting (r10 VERDICT #6b —
+    the handler_test.go:429-645 redelivery matrix at the protocol level,
+    on the driver record instead of pytest).  Consumer A leases the first
+    batch and crashes (never settles); the deadline passes; consumer B —
+    a SECOND FileSubscription handle on the same subscription root —
+    drains everything.  Deterministic: publish_time := event_seq seconds
+    makes publish order, message_ids, and delivery order pure SQL, so the
+    oracle states the full accounting — every message delivered, the
+    crashed batch (the first BATCH ids in delivery order) delivered
+    exactly twice, everything else exactly once."""
+    from persistor_spark.sources.file_subscription import FileSubscription
+
+    BATCH = 1000
+    base = _stream_sink(spark, sf_dir, "multiconsumer")
+    out = f"{base}/result"
+    if not os.path.exists(f"{base}/done"):
+        now = [1_000.0]
+        mk = lambda: FileSubscription(  # noqa: E731
+            f"{base}/sub",
+            batch_size=BATCH,
+            ack_deadline_s=60,
+            max_outstanding_messages=10**9,
+            max_outstanding_bytes=10**15,
+            clock=lambda: now[0],
+        )
+        consumer_a, consumer_b = mk(), mk()
+        msgs = fixtures.load_messages(spark, sf_dir).select(
+            "payload",
+            F.timestamp_seconds(F.col("event_seq")).alias("publish_time"),
+        )
+        consumer_a.publish(msgs)
+        delivered = [consumer_a.pull(spark).select("message_id", "data")]
+        now[0] += 120.0  # A crashed; its lease expires
+        while True:
+            batch = consumer_b.pull(spark)
+            if batch.limit(1).count() == 0:
+                break
+            delivered.append(batch.select("message_id", "data"))
+            consumer_b.ack_df(batch)
+        acc = delivered[0]
+        for d in delivered[1:]:
+            acc = acc.unionByName(d)
+        (
+            acc.groupBy("message_id", F.col("data").cast("string").alias("payload"))
+            .agg(F.count(F.lit(1)).cast("long").alias("deliveries"))
+            .write.mode("overwrite")
+            .parquet(out)
+        )
+        open(f"{base}/done", "w").close()
+    return (
+        spark.read.parquet(out)
+        .select("message_id", "payload", "deliveries")
+        .orderBy("message_id")
+    )
+
+
 # Queries whose code changed this round (or are new this round): they claim
 # the head of the driver window ahead of the never-checked backlog.  UPDATE
 # EVERY ROUND — tests/test_rotation_window.py enforces that every other
@@ -6449,56 +6589,109 @@ def _d38_resubmit_e2e(spark, sf_dir):
 # backlog is exhausted (r6 VERDICT #7: the rotation policy as a checked
 # invariant, not prose).
 ROTATION_HEAD = [
-    # r10 NEW: the composed resubmit chain (the R-side mirror of a140)
-    # and the two streaming-executed monitor pins (r9 VERDICT #4/#6)
-    "d38_resubmit_e2e",
-    "d39_resubmit_e2e_ocf",
+    # r11 NEW: the full §3.1+§3.3 lifecycle over STREAMING ingest as one
+    # hash (r10 VERDICT #6a) and the multi-consumer redelivery matrix at
+    # the protocol level (r10 VERDICT #6b)
+    "d40_lifecycle_e2e",
+    "d41_multi_consumer",
+    # r11 code-changed: the streaming runners (ledger empty-chunk guard,
+    # run_new_key_rate_stream max_files_per_trigger) and their pins'
+    # awaitTermination timeout guards (r10 advisor)
     "a155_drift_stream",
     "a156_new_key_stream",
     "a157_dup_rate_stream",
-    # r10 code-changed: a142's drift tail was refactored into the shared
-    # _drift_from_counts; a144's KS pair list was rebuilt from the sizes
-    # frame (dtype-preserving self-join, r9 advisor)
-    "a142_window_category_drift",
-    "a144_ks_event_value",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
-    r10 ROTATION (r9 VERDICT #2: the stalest driver rows are the r03-era
-    block, then r05): the window is EXACTLY 50 entries, pinned by the
-    marker-position test: (1) ROTATION_HEAD — the 3 NEW r10 queries (the
-    composed resubmit chain d38 mirroring a140, and the streaming-executed
-    monitor pins a155/a156) plus the 2 whose code changed this round
-    (a142, a144); (2) ALL 18 remaining r03-era rows (a33/a6/e8-e23); (3)
-    27 of the r05-era block in stalest-first registry order (e24-e32 stay
-    back and lead the r11 queue).  Everything below the marker is
-    driver-green at least once AND re-verified by tools/check.py
-    (full-registry gate at sf0.001 + sf0.01) plus pytest every round;
-    tests/test_rotation_window.py enforces the rotation policy as a
-    checked invariant.
+    r11 ROTATION (r10 VERDICT #2: the stalest driver rows are the 11
+    r05-era rows held back in r10, then the r6-era block of 46): the
+    window is EXACTLY 50 entries, pinned by the marker-position test:
+    (1) ROTATION_HEAD — the 2 NEW r11 queries (the streamed-lifecycle
+    pin d40, the multi-consumer redelivery pin d41) plus the 3 whose
+    code changed this round (a155-a157, the streaming runners); (2) ALL
+    11 remaining r05-era rows (e24-e32, a83, a84); (3) 34 of the r6-era
+    block in registry order (d26 + e33-e43 stay back and lead the r12
+    queue).  Everything below the marker is driver-green at least once
+    AND re-verified by tools/check.py (full-registry gate at sf0.001 +
+    sf0.01) plus pytest every round; tests/test_rotation_window.py
+    enforces the rotation policy as a checked invariant.
 
     Verify the actual window before round end with:
       python -c "import __spark_entry__ as e; print(list(e.queries())[:50])"
     """
     return {
-        # ==== r10 DRIVER WINDOW (positions 1-50) ====
-        # -- (1) ROTATION_HEAD: new this round (the composed resubmit
-        #        chain d38 + the streaming-executed monitor pins a155/
-        #        a156) and the two whose code changed this round (a142's
-        #        drift tail was refactored into _drift_from_counts; a144's
-        #        KS pair formation was rebuilt from the sizes frame) --
-        "d38_resubmit_e2e": _d38_resubmit_e2e,
-        "d39_resubmit_e2e_ocf": _d39_resubmit_e2e_ocf,
+        # ==== r11 DRIVER WINDOW (positions 1-50) ====
+        # -- (1) ROTATION_HEAD: new this round (the streamed-lifecycle
+        #        pin d40 and the multi-consumer redelivery pin d41) and
+        #        the three whose code changed this round (the streaming
+        #        runners: ledger empty-chunk guard, max_files_per_trigger,
+        #        awaitTermination timeout guards in the pins) --
+        "d40_lifecycle_e2e": _d40_lifecycle_e2e,
+        "d41_multi_consumer": _d41_multi_consumer,
         "a155_drift_stream": _a155_drift_stream,
         "a156_new_key_stream": _a156_new_key_stream,
         "a157_dup_rate_stream": _a157_dup_rate_stream,
+        # -- (2) the r05-era block held back in r10 (the stalest rows
+        #        in the registry, all re-run green by the r10 judge) --
+        "e24_asof_tolerance": _e24_asof_tolerance,
+        "e25_gap_fill": _e25_gap_fill,
+        "e26_array_agg": _e26_array_agg,
+        "e27_event_funnel": _e27_event_funnel,
+        "e28_cohort_retention": _e28_cohort_retention,
+        "e29_event_sequences": _e29_event_sequences,
+        "e30_rank_functions": _e30_rank_functions,
+        "e31_stats_functions": _e31_stats_functions,
+        "e32_anomaly_zscore": _e32_anomaly_zscore,
+        "a83_source_dup_matrix": _a83_source_dup_matrix,
+        "a84_novelty": _a84_novelty,
+        # -- (3) the r6-era block, registry order: 34 of its 46 rows
+        #        (d26 + e33-e43 lead the r12 queue) --
+        "a100_epoch_upsample": _a100_epoch_upsample,
+        "a101_k_anonymity": _a101_k_anonymity,
+        "a102_term_churn": _a102_term_churn,
+        "a103_dup_pair_qa_sample": _a103_dup_pair_qa_sample,
+        "a104_reshard_moves": _a104_reshard_moves,
+        "a25_pq_topk": _a_pq_topk,
+        "a34_opq_topk": _a_opq_topk,
+        "a40_tfidf_topterms": _a40_tfidf,
+        "a41_source_rollup": _a41_source_rollup,
+        "a43_norm_fingerprint": _a43_norm_fingerprint,
+        "a46_dup_rate_by_source": _a46_dup_rate_by_source,
+        "a47_temperature_mix": _a47_temperature_mix,
+        "a48_shard_assign": _a48_shard_assign,
+        "a51_vocab_coverage": _a51_vocab_coverage,
+        "a54_boilerplate": _a54_boilerplate,
+        "a75_quality_calibration": _a75_quality_calibration,
+        "a7_ivf_topk": _a_ivf_topk,
+        "a85_length_histogram": _a85_length_histogram,
+        "a86_type_token_stats": _a86_type_token_stats,
+        "a87_split_balance": _a87_split_balance,
+        "a88_dup_gram_report": _a88_dup_gram_report,
+        "a89_removal_impact": _a89_removal_impact,
+        "a90_tokenizer_fertility": _a90_tokenizer_fertility,
+        "a91_hll_distinct": _a91_hll_distinct,
+        "a92_bloom_decontaminate": _a92_bloom_decontaminate,
+        "a93_containment": _a93_containment,
+        "a94_power_iteration": _a94_power_iteration,
+        "a95_source_entropy": _a95_source_entropy,
+        "a96_weighted_sample": _a96_weighted_sample,
+        "a97_sparse_cosine_pairs": _a97_sparse_cosine_pairs,
+        "a98_zipf_slope": _a98_zipf_slope,
+        "a99_triangle_count": _a99_triangle_count,
+        "d23_integrity_audit": _d23_integrity_audit,
+        "d25_replay_estimate": _d25_replay_estimate,
+        # ---- driver window ends here (50) ---- below: driver-green at
+        # least once + full-gate re-verified every round (tools/check.py
+        # at sf0.001 + sf0.01 and pytest), ordered as previously
+        # registered.  Next-stalest after this window: d26 + e33-e43
+        # (r6), then the r7 block (a105-a139...).
+        "d38_resubmit_e2e": _d38_resubmit_e2e,
+        "d39_resubmit_e2e_ocf": _d39_resubmit_e2e_ocf,
         "a142_window_category_drift": _a142_window_category_drift,
         "a144_ks_event_value": _a144_ks_event_value,
-        # -- (2) the r03-era block: every remaining query whose latest
-        #        driver row is round 3 (the stalest in the registry) --
         "a33_semdedup": _a_semdedup,
         "a6_lsh_topk": _a_lsh_topk,
         "e10_join_topk": _e10_join_topk,
@@ -6517,8 +6710,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e23_ntile": _e23_ntile,
         "e8_tumbling_window": _e_tumbling_window,
         "e9_sessionize": _e9_sessionize,
-        # -- (3) the r05-era block, stalest-first registry order: all of
-        #        it except e24-e32, which lead the r11 queue --
         "a12_embedding_pairs": _a12_embedding_pairs,
         "a19_simhash_md5": _a19_simhash_md5,
         "a26_cc_two_phase": _a_cc_two_phase,
@@ -6544,15 +6735,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a80_token_spectrum": _a80_token_spectrum,
         "a81_exactsubstr_clean": _a81_exactsubstr_clean,
         "a82_token_budget": _a82_token_budget,
-        # ---- driver window ends here (50) ---- below: driver-green at
-        # least once + full-gate re-verified every round (tools/check.py
-        # at sf0.001 + sf0.01 and pytest), ordered as previously
-        # registered.  Next-stalest after this window: e24-e32 (r5), then
-        # the r6 block (a100-a104, a25...).  a83/a84 were evicted from
-        # the window by the late-r10 growth (d39/a157) and go first in
-        # the r11 queue with e24-e32.
-        "a83_source_dup_matrix": _a83_source_dup_matrix,
-        "a84_novelty": _a84_novelty,
         "a140_curation_e2e": _a140_curation_e2e,
         "a141_windowed_dup_rate": _a141_windowed_dup_rate,
         "a143_quality_psi": _a143_quality_psi,
@@ -6701,61 +6883,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a110_heaps_curve": _a110_heaps_curve,
         "a111_skipgram_cooccurrence": _a111_skipgram_cooccurrence,
         "a112_term_burstiness": _a112_term_burstiness,
-        "a85_length_histogram": _a85_length_histogram,
-        "a86_type_token_stats": _a86_type_token_stats,
-        "a87_split_balance": _a87_split_balance,
-        "a88_dup_gram_report": _a88_dup_gram_report,
-        "a89_removal_impact": _a89_removal_impact,
-        "a90_tokenizer_fertility": _a90_tokenizer_fertility,
-        "a91_hll_distinct": _a91_hll_distinct,
-        "a92_bloom_decontaminate": _a92_bloom_decontaminate,
-        "a93_containment": _a93_containment,
-        "a94_power_iteration": _a94_power_iteration,
-        "d23_integrity_audit": _d23_integrity_audit,
         "e33_scd2": _e33_scd2,
         "e34_band_join": _e34_band_join,
-        "a40_tfidf_topterms": _a40_tfidf,
-        "a41_source_rollup": _a41_source_rollup,
-        "a43_norm_fingerprint": _a43_norm_fingerprint,
-        "a46_dup_rate_by_source": _a46_dup_rate_by_source,
-        "a47_temperature_mix": _a47_temperature_mix,
-        "a48_shard_assign": _a48_shard_assign,
-        "a51_vocab_coverage": _a51_vocab_coverage,
-        "a54_boilerplate": _a54_boilerplate,
-        "a75_quality_calibration": _a75_quality_calibration,
-        "a7_ivf_topk": _a_ivf_topk,
-        "a25_pq_topk": _a_pq_topk,
-        "a34_opq_topk": _a_opq_topk,
         "e35_equidepth_histogram": _e35_equidepth_histogram,
-        "a95_source_entropy": _a95_source_entropy,
-        "a96_weighted_sample": _a96_weighted_sample,
-        "a97_sparse_cosine_pairs": _a97_sparse_cosine_pairs,
         "e36_graph_bfs": _e36_graph_bfs,
         "e37_mad_outliers": _e37_mad_outliers,
-        "a98_zipf_slope": _a98_zipf_slope,
-        "a99_triangle_count": _a99_triangle_count,
         "e38_datetime_suite": _e38_datetime_suite,
         "e39_json_extract": _e39_json_extract,
-        "a100_epoch_upsample": _a100_epoch_upsample,
         "e40_array_functions": _e40_array_functions,
-        "a101_k_anonymity": _a101_k_anonymity,
         "e41_upsert_merge": _e41_upsert_merge,
         "e42_revenue_share": _e42_revenue_share,
-        "a102_term_churn": _a102_term_churn,
         "e43_rolling_distinct": _e43_rolling_distinct,
-        "d25_replay_estimate": _d25_replay_estimate,
         "d26_blob_skew_report": _d26_blob_skew_report,
-        "a103_dup_pair_qa_sample": _a103_dup_pair_qa_sample,
-        "a104_reshard_moves": _a104_reshard_moves,
-        "e25_gap_fill": _e25_gap_fill,
-        "e26_array_agg": _e26_array_agg,
-        "e30_rank_functions": _e30_rank_functions,
-        "e31_stats_functions": _e31_stats_functions,
-        "e32_anomaly_zscore": _e32_anomaly_zscore,
-        "e27_event_funnel": _e27_event_funnel,
-        "e28_cohort_retention": _e28_cohort_retention,
-        "e29_event_sequences": _e29_event_sequences,
-        "e24_asof_tolerance": _e24_asof_tolerance,
     }
 
 
@@ -7303,6 +7442,65 @@ def oracle_sql() -> dict[str, str]:
             "  sum(length(payload))::BIGINT AS n_bytes, "
             "  string_agg(unique_id, ',' ORDER BY publish_seq) AS uid_chain "
             "FROM ord GROUP BY ordering_key ORDER BY ordering_key"
+        ),
+        # d40: the SAME chain over the STREAMED tables — location keys are
+        # batch-scoped (blob name carries -b<batch_id> = event_seq % 4 by
+        # the pinned chunking; positions restart per batch), so the oracle
+        # rebuilds the streamed index/blob CTEs from `keyed` and the chain
+        # SQL is otherwise verbatim d38
+        "d40_lifecycle_e2e": P(
+            ", skeyed AS (SELECT *, "
+            "    'gs://persistor-bucket/msg/' "
+            "    || CAST(year(ingestion_time) AS STRING) || '/' "
+            "    || lpad(CAST(month(ingestion_time) AS STRING), 2, '0') || '/' "
+            "    || lpad(CAST(day(ingestion_time) AS STRING), 2, '0') || '/' "
+            "    || coalesce(attr_version, 'unknown') || '/' "
+            "    || 'blob-' || broker_id || '-b' || CAST(event_seq % 4 AS STRING) "
+            "    || '.avro' AS slk "
+            "  FROM keyed), "
+            "spos AS (SELECT *, count(*) OVER (PARTITION BY slk) AS sblob_n, "
+            "  CAST(row_number() OVER (PARTITION BY slk ORDER BY unique_id) AS INT) "
+            "  AS srn FROM skeyed), "
+            "sidx AS (SELECT unique_id, business_source_key, ordering_key, "
+            "  slk AS location_key, "
+            "  CASE WHEN sblob_n = 1 THEN NULL ELSE srn END AS location_position "
+            "  FROM spos), "
+            "sblobs AS (SELECT slk AS location_key, srn AS position, "
+            "  unique_id AS record_id, payload FROM spos), "
+            "ids AS (SELECT unique_id FROM sidx "
+            "  WHERE business_source_key = 'src1' "
+            "  OR (business_source_key = 'src2' AND ordering_key = 'k3')), "
+            "meta AS (SELECT m.* FROM sidx m JOIN ids USING (unique_id)), "
+            "rec AS ("
+            "  SELECT m.unique_id, m.ordering_key, b.payload, m.location_key, "
+            "    m.location_position "
+            "  FROM meta m JOIN sblobs b ON m.location_key = b.location_key "
+            "  AND m.location_position = b.position "
+            "  UNION ALL "
+            "  SELECT m.unique_id, m.ordering_key, b.payload, m.location_key, "
+            "    m.location_position "
+            "  FROM meta m JOIN sblobs b ON m.location_key = b.location_key "
+            "  WHERE m.location_position IS NULL), "
+            "ord AS (SELECT *, row_number() OVER (PARTITION BY ordering_key "
+            "  ORDER BY location_key, location_position ASC NULLS FIRST, unique_id) "
+            "  AS publish_seq FROM rec) "
+            "SELECT ordering_key, count(*)::BIGINT AS n_records, "
+            "  sum(length(payload))::BIGINT AS n_bytes, "
+            "  string_agg(unique_id, ',' ORDER BY publish_seq) AS uid_chain "
+            "FROM ord GROUP BY ordering_key ORDER BY ordering_key"
+        ),
+        # d41: exactly-once accounting under a crashed consumer — publish
+        # order is pure SQL (publish_time := event_seq seconds), so the
+        # oracle states the whole redelivery matrix: the crashed first
+        # batch (first 1000 ids in delivery order) delivered twice,
+        # everything else once
+        "d41_multi_consumer": P(
+            ", pub AS (SELECT payload, "
+            "  row_number() OVER (ORDER BY event_seq) - 1 AS ridx FROM messages) "
+            "SELECT 'm' || lpad(CAST(ridx AS STRING), 9, '0') AS message_id, "
+            "  payload, "
+            "  CAST(CASE WHEN ridx < 1000 THEN 2 ELSE 1 END AS BIGINT) AS deliveries "
+            "FROM pub ORDER BY message_id"
         ),
         # d23: both integrity directions as anti-joins over the derived
         # tables, with the same deterministic fault injection
