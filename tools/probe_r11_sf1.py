@@ -29,6 +29,35 @@ harness.LINES = [
 ]
 SRC = harness.SRC
 
+
+def stage_orders_lineitem(spark, dest: str) -> None:
+    """graph_pagerank reads orders+lineitem (the r10 harness stages only
+    events/documents/embeddings).  10 replicas with DISJOINT order,
+    customer, and supplier keys -> 10 disconnected copies of the purchase
+    graph = genuinely 10x nodes AND 10x edges (shifting only orderkey
+    would collapse the replicas onto the same (cust, supp) pairs and the
+    distinct would dedup them away)."""
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{SRC}/orders.parquet")
+    li = spark.read.parquet(f"{SRC}/lineitem.parquet")
+    n_o = orders.agg(F.max("o_orderkey")).first()[0] + 1
+    n_c = orders.agg(F.max("o_custkey")).first()[0] + 1
+    n_s = li.agg(F.max("l_suppkey")).first()[0] + 1
+    for r in range(10):
+        (
+            orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(r * n_o))
+            .withColumn("o_custkey", F.col("o_custkey") + F.lit(r * n_c))
+            .write.mode("append")
+            .parquet(f"{dest}/orders.parquet")
+        )
+        (
+            li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(r * n_o))
+            .withColumn("l_suppkey", F.col("l_suppkey") + F.lit(r * n_s))
+            .write.mode("append")
+            .parquet(f"{dest}/lineitem.parquet")
+        )
+
 if __name__ == "__main__":
     # warm-up pass: plan/JIT/page-cache warm-up otherwise inflates the
     # sf0.1 baselines and flatters every ratio (see probe_r10_sf1)
@@ -38,6 +67,7 @@ if __name__ == "__main__":
     dest = tempfile.mkdtemp(prefix="persistor-sf1-") + "/sf1"
     print("staging 10x fixtures ->", dest, flush=True)
     harness.stage_sf1(spark, dest)
+    stage_orders_lineitem(spark, dest)
     big, spark = harness.run_lines(dest, spark)
     print(json.dumps({
         "sf0.1": base,
