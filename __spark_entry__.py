@@ -6559,12 +6559,21 @@ def _d41_multi_consumer(spark, sf_dir):
         consumer_a.publish(msgs)
         delivered = [consumer_a.pull(spark).select("message_id", "data")]
         now[0] += 120.0  # A crashed; its lease expires
+        # A (recovered) and B ALTERNATE pulls mid-drain: the lease flock
+        # means each pull takes the next batch in delivery order no matter
+        # which handle issued it, so the accounting oracle is identical —
+        # but the interleaving exercises two handles mutating one
+        # subscription's state concurrently
+        drainers = [consumer_b, consumer_a]
+        i = 0
         while True:
-            batch = consumer_b.pull(spark)
+            consumer = drainers[i % 2]
+            i += 1
+            batch = consumer.pull(spark)
             if batch.limit(1).count() == 0:
                 break
             delivered.append(batch.select("message_id", "data"))
-            consumer_b.ack_df(batch)
+            consumer.ack_df(batch)
         acc = delivered[0]
         for d in delivered[1:]:
             acc = acc.unionByName(d)

@@ -230,7 +230,13 @@ def dedup_gate_rows(
         if state.hasTimedOut:
             state.remove()
             return
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            # same guard as streaming_new_key_ledger (r10 advisor): a
+            # non-timed-out group invoked with only empty chunks would
+            # make pd.concat raise and fail the whole query
+            return
+        batch = pd.concat(chunks, ignore_index=True)
         evt_ms = int(batch[time_col].max().value) // 1_000_000
         if state.exists:
             (seen,) = state.get
