@@ -435,7 +435,10 @@ class FileSubscription:
         # subscriptions on the append-only fast path.  A large NEVER-sorted
         # backlog also prunes once (the initial delivery-order sort that
         # makes the manifest-bounded scan below possible — one O(N log N)
-        # pass, after which every pull is batch-bounded).
+        # pass, after which every pull is batch-bounded).  r11: publish
+        # fronts that sort out-of-band once its appendix trigger fires, so
+        # this arm is the fallback for backlogs grown below that threshold
+        # (or pre-r11 state files).
         backlog_rows = state.get("backlog_rows", state["next_id"])
         if state.get("acked_since_prune", 0) >= max(
             4 * self.batch_size, backlog_rows // 3

@@ -637,7 +637,9 @@ def test_manifest_bounded_pull_preserves_global_delivery_order(spark, tmp_path):
     sub.BACKLOG_ROWS_PER_FILE = 5
     _publish_times(spark, sub, 1000, 40)
 
-    b1 = sub.pull(spark)  # 40 >= 8*batch -> initial delivery-order sort
+    # r11: 40 >= 8*batch means PUBLISH already ran the delivery-order sort
+    # out-of-band; the pull consumes the manifest it left behind
+    b1 = sub.pull(spark)
     st = sub._load_state()
     assert len(st.get("backlog_manifest", [])) >= 4, "initial sort did not manifest"
     got = [r["message_id"] for r in b1.orderBy("publish_time", "message_id").collect()]
