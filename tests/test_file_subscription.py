@@ -685,3 +685,124 @@ def test_stale_manifest_voids_itself_and_full_scan_still_correct(spark, tmp_path
     got = [r["message_id"] for r in sub.pull(spark).orderBy("message_id").collect()]
     assert got == [f"m{i:09d}" for i in range(4)]
     assert "backlog_manifest" not in sub._load_state(), "stale manifest survived"
+
+
+def test_randomized_protocol_model_check(spark, tmp_path):
+    """Seeded model-based fuzz of the whole receiver protocol (the
+    hand-scripted interleaving tests generalized): ~35 random operations
+    — publish (strictly increasing publish times, so the model knows
+    every future message_id a priori), pull, list-path ack/nack of random
+    leased subsets (plus occasional double-acks), and clock ticks that
+    expire leases — with EVERY pull checked against the model's exact
+    expectation: the first min(batch, cap - outstanding) deliverable ids
+    in global delivery order, where deliverable = published - acked -
+    actively-leased (expiry strictly > now, mirroring _active_groups).
+    The mid-fuzz backlog prunes, journal prunes, and publish-time sorts
+    all fire naturally at these sizes and must not perturb the model.
+    Ends with a full drain and exactly-once accounting."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    clock = FakeClock()
+    BATCH, CAP, DEADLINE = 5, 12, 50.0
+    sub = FileSubscription(
+        str(tmp_path / "sub"),
+        batch_size=BATCH,
+        ack_deadline_s=DEADLINE,
+        max_outstanding_messages=CAP,
+        max_outstanding_bytes=10**12,
+        clock=clock,
+    )
+
+    published = 0
+    acked: set = set()
+    leases: list = []  # [expiry, set(ids)] per pulled group
+
+    def mid(i):
+        return f"m{i:09d}"
+
+    def live_sets():
+        return [s for e, s in leases if e > clock.t]
+
+    def outstanding():
+        return sum(len(s) for s in live_sets())
+
+    def deliverable():
+        leased = set().union(*live_sets()) if live_sets() else set()
+        return [
+            mid(i)
+            for i in range(published)
+            if mid(i) not in acked and mid(i) not in leased
+        ]
+
+    def do_publish():
+        nonlocal published
+        k = rng.randint(2, 9)
+        rows = [(f"p{published + j}", 1000.0 + published + j) for j in range(k)]
+        df = spark.createDataFrame(rows, "payload string, secs double").select(
+            "payload", F.timestamp_seconds(F.col("secs")).alias("publish_time")
+        )
+        assert sub.publish(df) == k
+        published += k
+
+    def do_pull():
+        budget = min(BATCH, CAP - outstanding())
+        want = deliverable()[: max(budget, 0)]
+        got = [
+            r["message_id"]
+            for r in sub.pull(spark).orderBy("publish_time", "message_id").collect()
+        ]
+        assert got == want, f"t={clock.t}: pull returned {got}, model says {want}"
+        if got:
+            leases.append([clock.t + DEADLINE, set(got)])
+
+    def do_ack():
+        cands = [s for s in live_sets() if s]
+        if not cands:
+            return
+        s = rng.choice(cands)
+        ids = rng.sample(sorted(s), k=rng.randint(1, len(s)))
+        if acked and rng.random() < 0.3:
+            ids.append(rng.choice(sorted(acked)))  # idempotent double-ack
+        sub.ack(ids)
+        for i in ids:
+            acked.add(i)
+            for ls in leases:
+                ls[1].discard(i)
+
+    def do_nack():
+        cands = [s for s in live_sets() if s]
+        if not cands:
+            return
+        s = rng.choice(cands)
+        ids = rng.sample(sorted(s), k=rng.randint(1, len(s)))
+        sub.nack(ids)
+        for i in ids:
+            for ls in leases:
+                ls[1].discard(i)
+
+    def do_tick():
+        clock.t += rng.choice([5.0, 20.0, 60.0])
+
+    do_publish()  # seed the backlog
+    ops = [do_publish, do_pull, do_pull, do_ack, do_nack, do_tick]
+    for _ in range(35):
+        rng.choice(ops)()
+
+    # final drain: expire everything, then pull+ack to empty
+    clock.t += DEADLINE + 1
+    while True:
+        budget = min(BATCH, CAP - outstanding())
+        want = deliverable()[: max(budget, 0)]
+        got = [
+            r["message_id"]
+            for r in sub.pull(spark).orderBy("publish_time", "message_id").collect()
+        ]
+        assert got == want
+        if not got:
+            break
+        sub.ack(got)
+        acked.update(got)
+    assert acked == {mid(i) for i in range(published)}, "lost or phantom messages"
+    assert sub.stats()["leased"] == 0
+    assert sub.pull(spark).count() == 0
