@@ -687,7 +687,11 @@ def test_stale_manifest_voids_itself_and_full_scan_still_correct(spark, tmp_path
     assert "backlog_manifest" not in sub._load_state(), "stale manifest survived"
 
 
-def test_randomized_protocol_model_check(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("seed", [0xC0FFEE, 20260816])
+def test_randomized_protocol_model_check(spark, tmp_path, seed):
     """Seeded model-based fuzz of the whole receiver protocol (the
     hand-scripted interleaving tests generalized): ~35 random operations
     — publish (strictly increasing publish times, so the model knows
@@ -702,7 +706,7 @@ def test_randomized_protocol_model_check(spark, tmp_path):
     Ends with a full drain and exactly-once accounting."""
     import random
 
-    rng = random.Random(0xC0FFEE)
+    rng = random.Random(seed)
     clock = FakeClock()
     BATCH, CAP, DEADLINE = 5, 12, 50.0
     sub = FileSubscription(
@@ -764,7 +768,12 @@ def test_randomized_protocol_model_check(spark, tmp_path):
         ids = rng.sample(sorted(s), k=rng.randint(1, len(s)))
         if acked and rng.random() < 0.3:
             ids.append(rng.choice(sorted(acked)))  # idempotent double-ack
-        sub.ack(ids)
+        if rng.random() < 0.3:  # the Spark frame path (_settle_df)
+            sub.ack_df(
+                spark.createDataFrame([(i,) for i in ids], "message_id string")
+            )
+        else:
+            sub.ack(ids)
         for i in ids:
             acked.add(i)
             for ls in leases:
@@ -776,7 +785,12 @@ def test_randomized_protocol_model_check(spark, tmp_path):
             return
         s = rng.choice(cands)
         ids = rng.sample(sorted(s), k=rng.randint(1, len(s)))
-        sub.nack(ids)
+        if rng.random() < 0.3:  # the Spark frame path (_settle_df)
+            sub.nack_df(
+                spark.createDataFrame([(i,) for i in ids], "message_id string")
+            )
+        else:
+            sub.nack(ids)
         for i in ids:
             for ls in leases:
                 ls[1].discard(i)
