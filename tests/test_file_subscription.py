@@ -798,8 +798,24 @@ def test_randomized_protocol_model_check(spark, tmp_path, seed):
     def do_tick():
         clock.t += rng.choice([5.0, 20.0, 60.0])
 
+    def do_crash():
+        # simulate a prune swap crashed between its two renames: the
+        # complete pruned copy exists, the live dir was renamed away.
+        # _recover_swaps_locked must make this INVISIBLE to the protocol,
+        # so the model needs no adjustment — that invariance is the test.
+        import os
+        import shutil
+
+        target = rng.choice(["backlog", "released", "acked"])
+        live = f"{sub.root}/{target}"
+        if not os.path.isdir(live):
+            return
+        tag = f"{live}.__compact_sim{rng.randint(0, 10**6)}"
+        shutil.copytree(live, tag)
+        os.rename(live, f"{live}.__trash_sim{rng.randint(0, 10**6)}")
+
     do_publish()  # seed the backlog
-    ops = [do_publish, do_pull, do_pull, do_ack, do_nack, do_tick]
+    ops = [do_publish, do_pull, do_pull, do_ack, do_nack, do_tick, do_crash]
     for _ in range(35):
         rng.choice(ops)()
 
