@@ -6591,6 +6591,80 @@ def _d41_multi_consumer(spark, sf_dir):
     )
 
 
+def _d42_dedup_gate_stream(spark, sf_dir):
+    """The stateful dedup GATE (windows.dedup_gate_rows fused into
+    run_stream via dedup_gate=True) EXECUTED on the driver record — the
+    last applyInPandasWithState operator that had only pytest coverage.
+    Three micro-batches (maxFilesPerTrigger=1, mtime-pinned): the first
+    half of the messages, then the SAME half redelivered with
+    ingestion_time +2 min (the broker at-least-once arm,
+    handler_test.go:429-645), then the second half.  Both merge writers
+    are OFF (exactly_once_index/blobs=False), so the gate alone stands
+    between the redelivery and the index sink; the oracle is the batch
+    prologue's index_metadata on the non-location columns — one row per
+    key, with the FIRST delivery's timestamps (a leaked duplicate would
+    shift ingestion_time by +2 min and break the hash, not just the
+    row count)."""
+    import time as _time
+
+    from persistor_spark.streaming import ingest_stream
+
+    base = _stream_sink(spark, sf_dir, "dedupgate")
+    idx_p = f"{base}/index"
+    if not os.path.exists(f"{base}/done"):
+        src = f"{base}/src"
+        msgs = fixtures.load_messages(spark, sf_dir)
+        half = msgs.filter(F.col("event_seq") % 2 == 0)
+        redelivered = half.withColumn(
+            "ingestion_time", F.col("ingestion_time") + F.expr("INTERVAL 2 MINUTES")
+        )
+        rest = msgs.filter(F.col("event_seq") % 2 == 1)
+        seen: set = set()
+        t0 = _time.time()
+        for i, chunk in enumerate((half, redelivered, rest)):
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in seen:
+                    os.utime(f"{src}/{f}", (t0 - 400 + i * 100,) * 2)
+                    seen.add(f)
+        sinks = ingest_stream.StreamSinks(
+            blob_path=f"{base}/blobs",
+            index_path=idx_p,
+            deadletter_path=f"{base}/dlq",
+            checkpoint_path=f"{base}/ckpt",
+        )
+        q, _ = ingest_stream.run_stream(
+            ingest_stream.file_stream(spark, src, max_files_per_trigger=1),
+            fixtures.fixture_ingest_config(),
+            sinks,
+            failure=F.expr(fixtures.DEADLETTER_PRED_SQL),
+            exactly_once_index=False,
+            exactly_once_blobs=False,
+            dedup_gate=True,
+            # wide watermark = the gate's state-retention horizon must
+            # cover the fixture's full 30-day event-time span, or batch 3
+            # would drop genuinely-new old-timestamp rows as late
+            dedup_gate_watermark="720 hours",
+        )
+        if not q.awaitTermination(600):
+            raise TimeoutError("d42 dedup-gate stream did not finish in 600s")
+        open(f"{base}/done", "w").close()
+    return (
+        spark.read.parquet(idx_p)
+        .select(
+            "unique_id",
+            "business_source_key",
+            "business_object_key",
+            "index_source_key",
+            "ordering_key",
+            "publish_time",
+            "ingestion_time",
+            "indexer_ingestion_time",
+        )
+        .orderBy("unique_id")
+    )
+
+
 # Queries whose code changed this round (or are new this round): they claim
 # the head of the driver window ahead of the never-checked backlog.  UPDATE
 # EVERY ROUND — tests/test_rotation_window.py enforces that every other
@@ -6599,10 +6673,13 @@ def _d41_multi_consumer(spark, sf_dir):
 # invariant, not prose).
 ROTATION_HEAD = [
     # r11 NEW: the full §3.1+§3.3 lifecycle over STREAMING ingest as one
-    # hash (r10 VERDICT #6a) and the multi-consumer redelivery matrix at
-    # the protocol level (r10 VERDICT #6b)
+    # hash (r10 VERDICT #6a), the multi-consumer redelivery matrix at
+    # the protocol level (r10 VERDICT #6b), and the stateful dedup gate
+    # executed on the driver record (the last applyInPandasWithState
+    # operator that had only pytest coverage)
     "d40_lifecycle_e2e",
     "d41_multi_consumer",
+    "d42_dedup_gate_stream",
     # r11 code-changed: the streaming runners (ledger empty-chunk guard,
     # run_new_key_rate_stream max_files_per_trigger) and their pins'
     # awaitTermination timeout guards (r10 advisor)
@@ -6618,12 +6695,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     r11 ROTATION (r10 VERDICT #2: the stalest driver rows are the 11
     r05-era rows held back in r10, then the r6-era block of 46): the
     window is EXACTLY 50 entries, pinned by the marker-position test:
-    (1) ROTATION_HEAD — the 2 NEW r11 queries (the streamed-lifecycle
-    pin d40, the multi-consumer redelivery pin d41) plus the 3 whose
-    code changed this round (a155-a157, the streaming runners); (2) ALL
-    11 remaining r05-era rows (e24-e32, a83, a84); (3) 34 of the r6-era
-    block in registry order (d26 + e33-e43 stay back and lead the r12
-    queue).  Everything below the marker is driver-green at least once
+    (1) ROTATION_HEAD — the 3 NEW r11 queries (the streamed-lifecycle
+    pin d40, the multi-consumer redelivery pin d41, the streamed dedup
+    gate d42) plus the 3 whose code changed this round (a155-a157, the
+    streaming runners); (2) ALL 11 remaining r05-era rows (e24-e32, a83,
+    a84); (3) 33 of the r6-era block in registry order (d25, d26 +
+    e33-e43 stay back and lead the r12 queue).  Everything below the marker is driver-green at least once
     AND re-verified by tools/check.py (full-registry gate at sf0.001 +
     sf0.01) plus pytest every round; tests/test_rotation_window.py
     enforces the rotation policy as a checked invariant.
@@ -6640,6 +6717,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        awaitTermination timeout guards in the pins) --
         "d40_lifecycle_e2e": _d40_lifecycle_e2e,
         "d41_multi_consumer": _d41_multi_consumer,
+        "d42_dedup_gate_stream": _d42_dedup_gate_stream,
         "a155_drift_stream": _a155_drift_stream,
         "a156_new_key_stream": _a156_new_key_stream,
         "a157_dup_rate_stream": _a157_dup_rate_stream,
@@ -6656,8 +6734,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e32_anomaly_zscore": _e32_anomaly_zscore,
         "a83_source_dup_matrix": _a83_source_dup_matrix,
         "a84_novelty": _a84_novelty,
-        # -- (3) the r6-era block, registry order: 34 of its 46 rows
-        #        (d26 + e33-e43 lead the r12 queue) --
+        # -- (3) the r6-era block, registry order: 33 of its 46 rows
+        #        (d25, d26 + e33-e43 lead the r12 queue; d25 was displaced
+        #        by the late-r11 d42 growth) --
         "a100_epoch_upsample": _a100_epoch_upsample,
         "a101_k_anonymity": _a101_k_anonymity,
         "a102_term_churn": _a102_term_churn,
@@ -6691,12 +6770,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a98_zipf_slope": _a98_zipf_slope,
         "a99_triangle_count": _a99_triangle_count,
         "d23_integrity_audit": _d23_integrity_audit,
-        "d25_replay_estimate": _d25_replay_estimate,
         # ---- driver window ends here (50) ---- below: driver-green at
         # least once + full-gate re-verified every round (tools/check.py
         # at sf0.001 + sf0.01 and pytest), ordered as previously
-        # registered.  Next-stalest after this window: d26 + e33-e43
-        # (r6), then the r7 block (a105-a139...).
+        # registered.  Next-stalest after this window: d25, d26 +
+        # e33-e43 (r6), then the r7 block (a105-a139...).
+        "d25_replay_estimate": _d25_replay_estimate,
         "d38_resubmit_e2e": _d38_resubmit_e2e,
         "d39_resubmit_e2e_ocf": _d39_resubmit_e2e_ocf,
         "a142_window_category_drift": _a142_window_category_drift,
@@ -7510,6 +7589,15 @@ def oracle_sql() -> dict[str, str]:
             "  payload, "
             "  CAST(CASE WHEN ridx < 1000 THEN 2 ELSE 1 END AS BIGINT) AS deliveries "
             "FROM pub ORDER BY message_id"
+        ),
+        # d42: the streamed dedup gate's index equals the batch prologue's
+        # index_metadata on the non-location columns — first-delivery
+        # timestamps included, so a leaked redelivery breaks the hash
+        "d42_dedup_gate_stream": P(
+            "SELECT unique_id, business_source_key, business_object_key, "
+            "  index_source_key, ordering_key, publish_time, ingestion_time, "
+            "  indexer_ingestion_time "
+            "FROM index_metadata ORDER BY unique_id"
         ),
         # d23: both integrity directions as anti-joins over the derived
         # tables, with the same deterministic fault injection
