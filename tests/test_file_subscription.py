@@ -689,8 +689,16 @@ def test_stale_manifest_voids_itself_and_full_scan_still_correct(spark, tmp_path
 
 import pytest
 
+# two pinned seeds in CI; extend ad hoc with e.g.
+#   SPARK_GRAFT_FUZZ_SEEDS=1,2,3 pytest -k randomized
+_FUZZ_SEEDS = [0xC0FFEE, 20260816] + [
+    int(x)
+    for x in __import__("os").environ.get("SPARK_GRAFT_FUZZ_SEEDS", "").split(",")
+    if x.strip()
+]
 
-@pytest.mark.parametrize("seed", [0xC0FFEE, 20260816])
+
+@pytest.mark.parametrize("seed", _FUZZ_SEEDS)
 def test_randomized_protocol_model_check(spark, tmp_path, seed):
     """Seeded model-based fuzz of the whole receiver protocol (the
     hand-scripted interleaving tests generalized): ~35 random operations
