@@ -274,16 +274,24 @@ class FileSubscription:
         # single evaluation: ids and the advanced high-water mark must come
         # from the SAME materialization, or a non-deterministic input could
         # write k ids but advance next_id by a different count — duplicate
-        # message_ids across publish calls (one ack would retire two rows)
+        # message_ids across publish calls (one ack would retire two rows).
+        # RESERVE the id range (count + save) BEFORE the backlog append:
+        # a crash between the two leaves an id GAP (harmless — those ids
+        # never materialize), whereas the reverse order left rows on disk
+        # above an unsaved next_id, so the retry would assign the SAME
+        # ids to NEW payloads — duplicate message_ids, one ack retiring
+        # two different messages (r11 self-audit, the publish-side twin
+        # of the settle counter-ordering windows).
         wire = wire.persist()
-        wire.write.mode("append").parquet(self._backlog_dir())
         n = wire.count()
-        wire.unpersist()
         state["next_id"] = base + n
         # live-backlog row estimate driving the prune trigger; legacy state
         # files (pre-prune) initialize to everything-ever-published, a safe
         # upper bound (nothing was ever removed before pruning existed)
         state["backlog_rows"] = state.get("backlog_rows", base) + n
+        self._save_state(state)
+        wire.write.mode("append").parquet(self._backlog_dir())
+        wire.unpersist()
         # out-of-band delivery-order sort (r10 verdict #4): once the
         # UNSORTED appendix passes a geometric threshold, pay the
         # O(N log N) sort HERE — amortized against the bulk publish that
@@ -704,10 +712,19 @@ class FileSubscription:
         active = self._active_groups(state, now)
         state["groups"] = {g: list(state["groups"][g]) for g in active}
         if not release:
-            self._write_id_frame(self._acked_dir(), mids)
+            # persist the counter BEFORE the acked frame lands — the same
+            # crash window the r10 advisor flagged on the Spark path
+            # (_settle_df): a crash between the frame write and the save
+            # would leave acked rows the acked_since_prune counter never
+            # counted, under-sizing the manifest prefix (quiescent
+            # under-delivery).  Counter-first over-counts on the reverse
+            # crash — a larger prefix + lease-expiry redelivery, the safe
+            # at-least-once arm.  The group decrements below re-save.
             state["acked_since_prune"] = state.get("acked_since_prune", 0) + len(
                 set(mids)
             )
+            self._save_state(state)
+            self._write_id_frame(self._acked_dir(), mids)
         settled = set(mids)
         # one journal read per settle call, not one per active group
         # (advisor r9: the per-group re-read degraded quadratically with a

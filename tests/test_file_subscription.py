@@ -844,3 +844,41 @@ def test_randomized_protocol_model_check(spark, tmp_path, seed):
     assert acked == {mid(i) for i in range(published)}, "lost or phantom messages"
     assert sub.stats()["leased"] == 0
     assert sub.pull(spark).count() == 0
+
+
+def test_publish_id_reservation_gap_is_harmless(spark, tmp_path):
+    """r11 self-audit: publish RESERVES its id range (count + state save)
+    BEFORE the backlog append, so a crash between the two leaves an id
+    GAP — whereas the old order left rows on disk above an unsaved
+    next_id, making the retry assign the same ids to new payloads
+    (duplicate message_ids; one ack would retire two messages).
+    Simulate the crashed-reserve state and prove the subscription keeps
+    working: new ids skip the gap, and the drain is exactly-once."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=4, ack_deadline_s=100, clock=clock
+    )
+    _publish_n(spark, sub, 4)  # m0..m3 on disk
+
+    # crashed publish: 3 ids reserved and saved, rows never landed
+    st = sub._load_state()
+    st["next_id"] += 3
+    st["backlog_rows"] += 3
+    sub._save_state(st)
+
+    df = spark.createDataFrame(
+        [(f"q{i}", 2000 + i) for i in range(5)], "payload string, secs long"
+    ).select("payload", F.timestamp_seconds(F.col("secs")).alias("publish_time"))
+    assert sub.publish(df) == 5  # m7..m11 — the gap m4..m6 never materializes
+
+    got = []
+    while True:
+        b = sub.pull(spark, 12)
+        ids = [r["message_id"] for r in b.collect()]
+        if not ids:
+            break
+        got.extend(ids)
+        sub.ack(ids)
+    expected = {f"m{i:09d}" for i in (*range(4), *range(7, 12))}
+    assert set(got) == expected and len(got) == 9, "gap ids surfaced or rows lost"
+    assert sub.stats()["acked"] == 9 and sub.stats()["leased"] == 0
