@@ -1367,7 +1367,13 @@ def lsh_index_save(band_table: DataFrame, path: str) -> None:
 
 def lsh_index_load(spark, path: str) -> DataFrame:
     """Read a persisted LSH index back as a lazy, partition-prunable
-    DataFrame with the build_band_table column contract."""
+    DataFrame with the build_band_table column contract.  Heals a
+    compaction swap that crashed between its two renames first (r11:
+    maintenance.recover_swap) — otherwise a crashed maintenance cycle
+    leaves the index unreadable until manual repair."""
+    from persistor_spark.plans import maintenance
+
+    maintenance.recover_swap(spark, path)
     return spark.read.parquet(path).select("id", "sh", "band", "bh")
 
 

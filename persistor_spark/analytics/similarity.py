@@ -1086,7 +1086,13 @@ def ivfpq_load(spark, path: str) -> IvfPqIndex:
     """Read a persisted IVF-PQ index back (FAISS read_index analogue).
     Centroids and codebooks collect to the driver — C*d + ksub*d floats,
     the same bounded footprint ivfpq_build keeps; cells stay a lazy
-    partition-pruned DataFrame."""
+    partition-pruned DataFrame.  Heals a crashed compaction swap on the
+    cells layout first (r11: maintenance.recover_swap — cells is the one
+    sub-layout maintenance compacts; centroids/codebooks are
+    write-once)."""
+    from persistor_spark.plans import maintenance
+
+    maintenance.recover_swap(spark, f"{path}/cells")
     cents = sorted(
         ((r["cid"], list(r["cv"])) for r in spark.read.parquet(f"{path}/centroids").collect()),
         key=lambda t: t[0],

@@ -60,6 +60,49 @@ def sweep_trash(spark, path: str) -> int:
     return removed
 
 
+def drop_compact_orphans(spark, path: str) -> int:
+    """Remove stale `__compact_` copies of `path` while the live dir is
+    INTACT (a crash between the tmp write and the first rename leaves an
+    orphaned copy behind).  Clearing orphans whenever the live dir exists
+    guarantees at most the one in-flight copy exists at any crash point,
+    which is what makes `recover_swap`'s choice unambiguous — the same
+    invariant the receiver's `_drop_compact_orphans` maintains for its
+    private dirs.  No-op (0) when `path` is missing."""
+    if not fsutil.exists(spark, path):
+        return 0
+    removed = 0
+    for old in fsutil.glob(spark, f"{fsutil.escape(path)}.__compact_*"):
+        fsutil.delete(spark, old, recursive=True)
+        removed += 1
+    return removed
+
+
+def recover_swap(spark, path: str) -> str | None:
+    """Finish a `compact_parquet` swap that crashed between its two
+    renames (r11 self-audit: the receiver recovers its own dirs this way,
+    but a crashed compaction of any OTHER layout — the LSH/IVF-PQ index
+    tables, the persisted query index — left the live path missing until
+    manual repair).  The swap writes the pruned copy IN FULL before any
+    rename, so when the live path is missing the newest `__compact_` copy
+    is complete and preferred; the displaced `__trash_` original is the
+    fallback (a superset with the pre-compaction layout).  Returns which
+    arm restored ("compact" / "trash"), or None when no recovery was
+    needed.  Call before reading a layout that tolerates maintenance
+    crashes; `compact_parquet` itself calls it first, so a re-run also
+    heals."""
+    if fsutil.exists(spark, path):
+        return None
+    tmps = sorted(fsutil.glob(spark, f"{fsutil.escape(path)}.__compact_*"))
+    if tmps:
+        fsutil.rename(spark, tmps[-1], path)
+        return "compact"
+    trashes = sorted(fsutil.glob(spark, f"{fsutil.escape(path)}.__trash_*"))
+    if trashes:
+        fsutil.rename(spark, trashes[-1], path)
+        return "trash"
+    return None
+
+
 def compact_parquet(
     spark,
     path: str,
@@ -86,7 +129,12 @@ def compact_parquet(
     # interval for in-flight scans to drain
     from pyspark.sql import functions as F
 
+    recover_swap(spark, path)  # heal a crashed prior swap before anything
     swept = sweep_trash(spark, path)
+    # at most ONE in-flight copy may exist at any crash point, or a later
+    # recover_swap could restore a STALE copy — clear orphans while live
+    # is intact, before this run writes its own
+    drop_compact_orphans(spark, path)
     before = len(fsutil.list_files(spark, path))
     df = spark.read.parquet(path)
     rows = df.count()

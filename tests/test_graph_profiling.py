@@ -646,3 +646,53 @@ def test_ks_pairs_preserves_group_dtype_and_null_symmetry(spark):
     )
     r2 = profiling.ks_two_sample_pairs(df2, "v", "seg").collect()[0]
     assert r2["group_a"] == "a" and r2["ks_stat"] == 0.0
+
+
+def test_recover_swap_heals_crashed_compaction(spark, tmp_path):
+    """r11 self-audit: a compaction swap crashed between its two renames
+    leaves the LIVE path missing — the receiver recovers its own dirs,
+    but any OTHER compacted layout (the persisted LSH index here) was
+    unreadable until manual repair.  maintenance.recover_swap restores
+    the complete pruned copy (preferred) or the displaced original, the
+    load paths call it, and compact_parquet itself heals + clears stale
+    orphans so at most one in-flight copy ever exists."""
+    import glob
+    import os
+    import shutil
+
+    from persistor_spark.analytics import dedup
+    from persistor_spark.plans import maintenance
+
+    docs = spark.createDataFrame(
+        [(i, f"text piece number {i} with some shared shingle mass") for i in range(40)],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "lsh")
+    dedup.lsh_index_save(dedup.build_band_table(docs), path)
+    want = sorted(
+        tuple(r) for r in dedup.lsh_index_load(spark, path).collect()
+    )
+
+    # crash window arm 1: pruned copy complete, live renamed away
+    shutil.copytree(path, f"{path}.__compact_simcrash")
+    os.rename(path, f"{path}.__trash_simcrash")
+    got = sorted(tuple(r) for r in dedup.lsh_index_load(spark, path).collect())
+    assert got == want, "load did not heal the crashed swap"
+    assert os.path.isdir(path)
+
+    # crash window arm 2: only the displaced original remains
+    os.rename(path, f"{path}.__trash_simcrash2")
+    assert maintenance.recover_swap(spark, path) == "trash"
+    assert sorted(
+        tuple(r) for r in dedup.lsh_index_load(spark, path).collect()
+    ) == want
+
+    # orphan invariant: a stale complete copy beside an INTACT live dir is
+    # cleared by the next compaction, so a later recovery can never
+    # restore it over fresher data
+    shutil.copytree(path, f"{path}.__compact_stale")
+    maintenance.compact_parquet(spark, path, partition_col="band")
+    assert not glob.glob(f"{path}.__compact_*"), "stale orphan survived"
+    assert sorted(
+        tuple(r) for r in dedup.lsh_index_load(spark, path).collect()
+    ) == want
