@@ -74,12 +74,19 @@ def compact(
     import math
     import uuid
 
-    from persistor_spark.plans import fsutil
+    from persistor_spark.plans import fsutil, maintenance
 
+    # r11: heal a PRIOR crashed swap before reading, and clear stale
+    # orphan copies while the live dir is intact — the same recover /
+    # at-most-one-in-flight-copy contract as maintenance.compact_parquet
+    # (whose dotted `.__compact_` naming this now shares, so ONE recovery
+    # function covers both writers of a path)
+    maintenance.recover_swap(spark, path)
+    maintenance.drop_compact_orphans(spark, path)
     df = spark.read.parquet(path)
     total_bytes = fsutil.total_size(spark, path)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    tmp = f"{path}__compact_{uuid.uuid4().hex[:8]}"
+    tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
     out = df.repartition(n_files)
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
