@@ -1370,10 +1370,14 @@ def lsh_index_load(spark, path: str) -> DataFrame:
     DataFrame with the build_band_table column contract.  Heals a
     compaction swap that crashed between its two renames first (r11:
     maintenance.recover_swap) — otherwise a crashed maintenance cycle
-    leaves the index unreadable until manual repair."""
+    leaves the index unreadable until manual repair — and replays any
+    crashed incremental small-file swap (r12: a half-applied
+    compact_small_files journal would otherwise serve merged rows
+    TWICE)."""
     from persistor_spark.plans import maintenance
 
     maintenance.recover_swap(spark, path)
+    maintenance.recover_small_compactions(spark, path)
     return spark.read.parquet(path).select("id", "sh", "band", "bh")
 
 

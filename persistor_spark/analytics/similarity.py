@@ -1089,10 +1089,13 @@ def ivfpq_load(spark, path: str) -> IvfPqIndex:
     partition-pruned DataFrame.  Heals a crashed compaction swap on the
     cells layout first (r11: maintenance.recover_swap — cells is the one
     sub-layout maintenance compacts; centroids/codebooks are
-    write-once)."""
+    write-once), and replays any crashed incremental small-file swap
+    (r12: compact_small_files journal — half-applied, it duplicates the
+    merged rows)."""
     from persistor_spark.plans import maintenance
 
     maintenance.recover_swap(spark, f"{path}/cells")
+    maintenance.recover_small_compactions(spark, f"{path}/cells")
     cents = sorted(
         ((r["cid"], list(r["cv"])) for r in spark.read.parquet(f"{path}/centroids").collect()),
         key=lambda t: t[0],

@@ -148,6 +148,37 @@ def list_files(spark, path: str, suffix: str = ".parquet") -> list[str]:
     return out
 
 
+def list_files_with_size(
+    spark, path: str, suffix: str = ".parquet"
+) -> list[tuple[str, int]]:
+    """Recursively list (file, length) pairs under `path` with the given
+    suffix — the per-file sizing `compact_small_files` plans from.  Same
+    local/remote dispatch as list_files (one Py4J round-trip per file
+    would dominate on exactly the fragmented layouts this serves)."""
+    local = _local_path(path)
+    if local is not None:
+        if not os.path.exists(local):
+            return []
+        return [
+            (os.path.join(dp, f), os.path.getsize(os.path.join(dp, f)))
+            for dp, _, files in os.walk(local)
+            for f in files
+            if f.endswith(suffix)
+        ]
+    fs = fs_for(spark, path)
+    p = jpath(spark, path)
+    if not fs.exists(p):
+        return []
+    out = []
+    it = fs.listFiles(p, True)
+    while it.hasNext():
+        st = it.next()
+        name = st.getPath().toString()
+        if name.endswith(suffix):
+            out.append((name, st.getLen()))
+    return out
+
+
 def total_size(spark, path: str, suffix: str = ".parquet") -> int:
     """Sum of file lengths under `path` with the given suffix (bytes).
     Same local/remote dispatch as list_files."""

@@ -72,7 +72,6 @@ def compact(
     Spark can write; on object stores prefer a manifest/Delta (rename is
     copy+delete there)."""
     import math
-    import uuid
 
     from persistor_spark.plans import fsutil, maintenance
 
@@ -86,7 +85,7 @@ def compact(
     df = spark.read.parquet(path)
     total_bytes = fsutil.total_size(spark, path)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
-    tmp = f"{path}.__compact_{uuid.uuid4().hex[:8]}"
+    tmp = f"{path}.__compact_{maintenance.swap_tag()}"
     out = df.repartition(n_files)
     if sort_col:
         out = out.sortWithinPartitions(sort_col)
@@ -95,7 +94,7 @@ def compact(
     # then swap; this cycle's trash survives until the next call
     for old in fsutil.glob(spark, f"{fsutil.escape(path)}.__trash_*"):
         fsutil.delete(spark, old, recursive=True)
-    trash = f"{path}.__trash_{uuid.uuid4().hex[:8]}"
+    trash = f"{path}.__trash_{maintenance.swap_tag()}"
     fsutil.rename(spark, path, trash)
     fsutil.rename(spark, tmp, path)
     return n_files
@@ -196,13 +195,15 @@ def update_minmax_manifest(
             cond = c if cond is None else (cond | c)
         keep = keep.filter(~cond)
     # write to a sibling then swap: the source manifest is an input of this
-    # very plan, so an in-place overwrite would read-while-truncating
-    import uuid as _uuid
+    # very plan, so an in-place overwrite would read-while-truncating.
+    # swap_tag suffixes make _heal_manifest_swap's "newest" pick temporal
+    # (same r11-ADVICE fix as recover_swap)
+    from persistor_spark.plans import maintenance
 
-    tmp = f"{manifest_path}__upd_{_uuid.uuid4().hex[:8]}"
+    tmp = f"{manifest_path}__upd_{maintenance.swap_tag()}"
     updated = keep.unionByName(fresh) if fresh is not None else keep
     updated.coalesce(1).write.parquet(tmp)
-    trash = f"{manifest_path}__upd_trash_{_uuid.uuid4().hex[:8]}"
+    trash = f"{manifest_path}__upd_trash_{maintenance.swap_tag()}"
     fsutil.rename(spark, manifest_path, trash)
     fsutil.rename(spark, tmp, manifest_path)
     fsutil.delete(spark, trash, recursive=True)

@@ -859,8 +859,6 @@ class FileSubscription:
         prefix that provably contains the next batch — see
         `_backlog_scan_paths` — so pull cost is O(batch + outstanding +
         acked-since-prune), not O(live)."""
-        import uuid
-
         from pyspark.sql import Observation
 
         from persistor_spark.plans import fsutil, maintenance
@@ -896,18 +894,24 @@ class FileSubscription:
             if "backlog_rows" in state
             else backlog.count()
         )
+        acked_distinct = None
         if has_acked:
             acked_ids = (
                 spark.read.parquet(self._acked_dir())
                 .select("message_id")
                 .distinct()
+                .persist()
             )
+            # consumed twice: the anti-join below + the retired clamp —
+            # the store is bounded by acks-since-last-prune, so this is
+            # a batch-sized cache, not a backlog-sized one
+            acked_distinct = acked_ids.count()
             live = backlog.join(acked_ids, "message_id", "left_anti")
         else:
             live = backlog
         k = max(1, -(-max(1, before - removed_est) // self.BACKLOG_ROWS_PER_FILE))
         obs = Observation()
-        tmp = f"{backlog_dir}.__compact_{uuid.uuid4().hex[:8]}"
+        tmp = f"{backlog_dir}.__compact_{maintenance.swap_tag()}"
         (
             live.repartitionByRange(k, "publish_time", "message_id")
             .sortWithinPartitions("publish_time", "message_id")
@@ -916,7 +920,7 @@ class FileSubscription:
             .parquet(tmp)
         )
         live_n = int(obs.get["n"])
-        fsutil.rename(spark, backlog_dir, f"{backlog_dir}.__trash_{uuid.uuid4().hex[:8]}")
+        fsutil.rename(spark, backlog_dir, f"{backlog_dir}.__trash_{maintenance.swap_tag()}")
         fsutil.rename(spark, tmp, backlog_dir)
         # range partitions land in ascending partition order and the part
         # file names embed the partition index, so lexicographic file
@@ -938,15 +942,27 @@ class FileSubscription:
             return {"backlog_rows": live_n, "retired": 0}
         # retire the acked store: ids acked more than once count ONCE here
         # (they occupied one backlog row); duplicates acked across a prune
-        # boundary are the documented stats caveat above
-        state["acked_retired"] = state.get("acked_retired", 0) + (before - live_n)
+        # boundary are the documented stats caveat above.  CLAMP to the
+        # acked store's distinct count (r11 ADVICE): a crash between
+        # publish's id-range reservation and its backlog append leaves
+        # backlog_rows over-counting by the phantom rows until this prune,
+        # and the raw before-live delta would book that phantom count as
+        # "acked".  Both the delta and the distinct count are upper bounds
+        # of the true retirement (the delta by phantom rows, the distinct
+        # count by list-path acks of ids that never hit this backlog), so
+        # their min is the tighter figure; backlog_rows itself self-heals
+        # to the observed live count below.  Observability only — the
+        # protocol's exactly-once accounting never consults these scalars.
+        retired = min(before - live_n, acked_distinct)
+        state["acked_retired"] = state.get("acked_retired", 0) + retired
+        acked_ids.unpersist()
         acked_dir = self._acked_dir()
         maintenance.sweep_trash(spark, acked_dir)
-        fsutil.rename(spark, acked_dir, f"{acked_dir}.__trash_{uuid.uuid4().hex[:8]}")
+        fsutil.rename(spark, acked_dir, f"{acked_dir}.__trash_{maintenance.swap_tag()}")
         # shrink the settled journal to rows still consultable by matching
         self._prune_journal_locked(spark, state)
         state["backlog_rows"] = live_n
-        return {"backlog_rows": live_n, "retired": before - live_n}
+        return {"backlog_rows": live_n, "retired": retired}
 
     def _prune_journal_locked(self, spark: SparkSession, state: dict) -> None:
         """Rewrite the settled journal down to ACTIVE groups' rows (the
@@ -959,8 +975,6 @@ class FileSubscription:
         ~backlog/3 rows.  A journal-only prune costs O(journal) and
         resets it, so the trigger (journal >= max(4 x batch,
         2 x outstanding)) keeps settle amortized O(batch + outstanding)."""
-        import uuid
-
         from persistor_spark.plans import fsutil, maintenance
 
         rel_dir = self._released_dir()
@@ -975,11 +989,11 @@ class FileSubscription:
         gids = list(state["groups"])
         kept = rel.filter(F.col("group_id").isin(gids)) if gids else rel.limit(0)
         obs = Observation()
-        tmp2 = f"{rel_dir}.__compact_{uuid.uuid4().hex[:8]}"
+        tmp2 = f"{rel_dir}.__compact_{maintenance.swap_tag()}"
         kept.coalesce(1).observe(obs, F.count(F.lit(1)).alias("n")).write.mode(
             "overwrite"
         ).parquet(tmp2)
-        fsutil.rename(spark, rel_dir, f"{rel_dir}.__trash_{uuid.uuid4().hex[:8]}")
+        fsutil.rename(spark, rel_dir, f"{rel_dir}.__trash_{maintenance.swap_tag()}")
         fsutil.rename(spark, tmp2, rel_dir)
         state["journal_rows"] = int(obs.get["n"])
 

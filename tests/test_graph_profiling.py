@@ -696,3 +696,244 @@ def test_recover_swap_heals_crashed_compaction(spark, tmp_path):
     assert sorted(
         tuple(r) for r in dedup.lsh_index_load(spark, path).collect()
     ) == want
+
+
+def test_swap_tag_sorts_temporally_and_beats_legacy(spark):
+    """r11 ADVICE: recover_swap picked the 'newest' copy by lexicographic
+    sort of uuid-hex suffixes — random, not temporal.  swap_tag embeds a
+    `t` sentinel + fixed-width nanosecond timestamp first, so plain sort
+    IS creation order, and any legacy 8-hex suffix sorts before every
+    tagged name (`t` > any hex char — a tagged copy always outranks a
+    pre-migration leftover)."""
+    from persistor_spark.plans import maintenance
+
+    a = maintenance.swap_tag()
+    b = maintenance.swap_tag()
+    assert a < b, "later swap_tag must sort after an earlier one"
+    legacy = ["deadbeef", "00c0ffee", "ffffffff"]
+    assert all(leg < a for leg in legacy), (
+        "legacy uuid-only suffixes must lose the newest-copy sort to any "
+        "tagged name"
+    )
+
+
+def test_recover_swap_prefers_temporally_newest_copy(spark, tmp_path):
+    """Two __compact_ copies where the OLDER one would win a naive hex
+    sort (its nonce is lexicographically larger): recovery must restore
+    the temporally newer copy — the timestamp decides, not the nonce."""
+    import os
+
+    from persistor_spark.plans import maintenance
+
+    path = str(tmp_path / "tbl")
+    spark.range(5).withColumn("v", F.lit("new")).write.parquet(path)
+    newer = f"{path}.__compact_{maintenance.swap_tag()}"
+    os.rename(path, newer)
+    # forge an OLDER tag with a lexicographically huge nonce
+    ts = int(newer.rsplit("__compact_t", 1)[1].split("_")[0])
+    older = f"{path}.__compact_t{ts - 1_000_000:020d}_ffffffff"
+    spark.range(5).withColumn("v", F.lit("stale")).write.parquet(older)
+    assert maintenance.recover_swap(spark, path) == "compact"
+    assert spark.read.parquet(path).select("v").distinct().collect()[0][0] == "new"
+
+
+def test_claim_rename_detects_lost_race_and_unnests(spark, tmp_path):
+    """Hadoop rename onto an EXISTING directory nests the source inside it
+    instead of failing — two unlocked heal-on-read recoverers racing the
+    exists()->rename window could corrupt the restored layout that way.
+    _claim_rename must detect the nested arm, undo it, and report the
+    race as lost (r11 ADVICE)."""
+    import os
+
+    from persistor_spark.plans import maintenance
+
+    path = str(tmp_path / "tbl")
+    spark.range(3).write.parquet(path)  # the racing winner's restored copy
+    src = f"{path}.__compact_{maintenance.swap_tag()}"
+    spark.range(3).write.parquet(src)
+    # simulate the loser: its exists() check passed BEFORE the winner's
+    # rename landed, so it calls the claim against a now-live path
+    claimed = maintenance._claim_rename(spark, src, path)
+    assert claimed is False
+    assert os.path.isdir(src), "lost-race source must be restored, not nested"
+    base = os.path.basename(src)
+    assert not os.path.exists(os.path.join(path, base)), "nested dir left inside live"
+    assert spark.read.parquet(path).count() == 3
+
+
+def test_drop_compact_orphans_sweeps_legacy_undotted_names(spark, tmp_path):
+    """layout.compact's pre-r11 tmp naming had no dot ({path}__compact_);
+    orphans from a pre-migration crashed compaction must still be swept
+    (r11 ADVICE — they were never read, but they leaked disk forever)."""
+    import os
+
+    from persistor_spark.plans import maintenance
+
+    path = str(tmp_path / "tbl")
+    spark.range(3).write.parquet(path)
+    legacy = f"{path}__compact_deadbeef"
+    dotted = f"{path}.__compact_{maintenance.swap_tag()}"
+    spark.range(1).write.parquet(legacy)
+    spark.range(1).write.parquet(dotted)
+    removed = maintenance.drop_compact_orphans(spark, path)
+    assert removed == 2
+    assert not os.path.exists(legacy) and not os.path.exists(dotted)
+    assert spark.read.parquet(path).count() == 3
+
+
+def _frag_layout(spark, tmp_path, name="itbl"):
+    """A partitioned layout with a compacted base + small-file appendix:
+    3 partition values, one large base file each, then 6 small appends
+    per value — the shape a streaming index reaches between maintenance
+    cycles."""
+    import glob
+
+    path = str(tmp_path / name)
+    base = spark.range(3000).select(
+        (F.col("id") % 3).alias("p"), F.col("id").alias("v")
+    )
+    base.repartition("p").write.partitionBy("p").parquet(path)
+    for i in range(6):
+        (
+            spark.range(3000 + i * 30, 3000 + (i + 1) * 30)
+            .select((F.col("id") % 3).alias("p"), F.col("id").alias("v"))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("p")
+            .parquet(path)
+        )
+    import os
+
+    sizes = {
+        f: os.path.getsize(f) for f in glob.glob(f"{path}/p=*/part-*.parquet")
+    }
+    big = {
+        f
+        for f, sz in sizes.items()
+        # the base writes one ~large file per value; appends are tiny
+        if sz == max(
+            sizes[g]
+            for g in sizes
+            if os.path.dirname(g) == os.path.dirname(f)
+        )
+    }
+    # a threshold BETWEEN the append sizes and the base sizes, so "small"
+    # captures exactly the appendix
+    thresh = (min(sizes[f] for f in big) + max(sizes[f] for f in sizes if f not in big)) // 2
+    return path, big, thresh
+
+
+def test_compact_small_files_merges_only_the_appendix(spark, tmp_path):
+    """r11 VERDICT #5 (incremental maintenance for the 100 TB story):
+    compact_small_files must merge ONLY the small appendix files — the
+    already-compacted base files keep their exact names (never read,
+    never rewritten), contents are preserved, and the file count drops
+    to ~base + one merged file per partition dir."""
+    import glob
+    import os
+
+    from persistor_spark.plans import maintenance
+
+    path, big, thresh = _frag_layout(spark, tmp_path)
+    want = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    before = set(glob.glob(f"{path}/p=*/*.parquet"))
+    stats = maintenance.compact_small_files(
+        spark, path, partition_col="p", small_file_bytes=thresh
+    )
+    assert stats["files_small"] >= 18 and stats["dirs"] == 3
+    assert stats["files_after"] < stats["files_before"]
+    after = set(glob.glob(f"{path}/p=*/*.parquet"))
+    assert big <= after, "large base files must be untouched (same names)"
+    assert all(os.path.basename(f).startswith("cmp-") for f in after - before)
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == want
+    # steady state: a second pass finds nothing mergeable per dir
+    stats2 = maintenance.compact_small_files(
+        spark, path, partition_col="p", small_file_bytes=thresh
+    )
+    assert stats2["dirs"] == 0 and stats2["files_after"] == stats2["files_before"]
+
+
+def test_compact_small_files_unpartitioned_coalesces_without_shuffle(spark, tmp_path):
+    import glob
+
+    from persistor_spark.plans import maintenance
+
+    path = str(tmp_path / "flat")
+    spark.range(2000).write.parquet(path)
+    for i in range(5):
+        spark.range(2000 + i * 10, 2010 + i * 10).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+    want = sorted(r[0] for r in spark.read.parquet(path).collect())
+    stats = maintenance.compact_small_files(spark, path, small_file_bytes=1 << 20)
+    assert stats["files_small"] >= 5
+    assert stats["files_after"] < stats["files_before"]
+    assert sorted(r[0] for r in spark.read.parquet(path).collect()) == want
+    assert glob.glob(f"{path}.__smallcompact_*") == []
+
+
+def test_compact_small_files_crash_mid_swap_recovers_exactly(spark, tmp_path, monkeypatch):
+    """Crash with the journal written and the swap half-applied (merged
+    files moved in, originals NOT yet removed): readers see duplicates
+    until recovery; recover_small_compactions must finish the plan —
+    exact contents, no journal, no tmp — and the heal-on-read loader
+    path (lsh_index_load calls it) stays duplicate-free."""
+    import glob
+    import json
+
+    from persistor_spark.plans import fsutil, maintenance
+
+    path, _, thresh = _frag_layout(spark, tmp_path, "crash_tbl")
+    want = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+
+    real = maintenance._replay_small_compaction
+
+    def crash_after_moves(spark_, j):
+        for src, dst in j["moves"]:
+            if fsutil.exists(spark_, src):
+                fsutil.rename(spark_, src, dst)
+        raise RuntimeError("simulated crash before removals")
+
+    monkeypatch.setattr(maintenance, "_replay_small_compaction", crash_after_moves)
+    try:
+        maintenance.compact_small_files(
+            spark, path, partition_col="p", small_file_bytes=thresh
+        )
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(maintenance, "_replay_small_compaction", real)
+    journals = glob.glob(f"{path}.__smallcompact_journal_*.json")
+    assert len(journals) == 1
+    # crash state: merged rows visible TWICE (cmp-* in, originals still there)
+    assert len(spark.read.parquet(path).collect()) > len(want)
+
+    stats = maintenance.recover_small_compactions(spark, path)
+    assert stats["journals"] == 1 and stats["files_removed"] >= 18
+    got = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    assert got == want
+    assert glob.glob(f"{path}.__smallcompact_*") == []
+    # idempotent second pass
+    assert maintenance.recover_small_compactions(spark, path) == {
+        "journals": 0,
+        "files_removed": 0,
+    }
+
+
+def test_compact_small_files_crash_before_journal_sweeps_orphan(spark, tmp_path):
+    """Crash BEFORE the journal write: only an orphaned tmp dir exists,
+    the live tree is untouched.  The next call sweeps the orphan and
+    proceeds normally."""
+    import glob
+
+    from persistor_spark.plans import maintenance
+
+    path, _, thresh = _frag_layout(spark, tmp_path, "orphan_tbl")
+    want = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    orphan = f"{path}.__smallcompact_{maintenance.swap_tag()}"
+    spark.range(5).write.parquet(orphan)
+    maintenance.compact_small_files(
+        spark, path, partition_col="p", small_file_bytes=thresh
+    )
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == want
+    assert glob.glob(f"{path}.__smallcompact_*") == []
