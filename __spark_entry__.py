@@ -6665,6 +6665,286 @@ def _d42_dedup_gate_stream(spark, sf_dir):
     )
 
 
+def _d43_restart_recovery(spark, sf_dir):
+    """E1's exactly-once-ACROSS-RESTART claim as ONE driver hash (r11
+    VERDICT #4; SURVEY §7.3 Hard #1): the d40 streaming ingest — 4
+    deterministic micro-batches (event_seq % 4 chunks, mtime-pinned,
+    maxFilesPerTrigger=1) — but driven through `run_stream_supervised`
+    with a fault injector that CRASHES the query between the blob write
+    and the index write of batches 1 and 3 (blob merge committed,
+    checkpoint commit never reached).  The supervisor restarts from the
+    SAME checkpoint; Spark replays each uncommitted batch under its
+    original batch_id, and the exactly-once MERGE sinks absorb the
+    replay (ingest.py merge writers; handler.go's partial-batch ack
+    analogue).  d40 pins the happy path; this pins the crash path: the
+    oracle is the batch prologue's index on the non-location columns —
+    a duplicated OR dropped row from any replayed batch breaks the
+    hash, and the in-code asserts pin that both crashes actually fired
+    and the blob table carries no duplicate (location, record) rows."""
+    import time as _time
+
+    from persistor_spark.streaming import ingest_stream
+
+    base = _stream_sink(spark, sf_dir, "restart")
+    blob_p, idx_p = f"{base}/blobs", f"{base}/index"
+    if not os.path.exists(f"{base}/done"):
+        src = f"{base}/src"
+        msgs = fixtures.load_messages(spark, sf_dir)
+        seen: set = set()
+        t0 = _time.time()
+        for i in range(4):
+            (
+                msgs.filter(F.col("event_seq") % 4 == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in seen:
+                    os.utime(f"{src}/{f}", (t0 - 400 + i * 100,) * 2)
+                    seen.add(f)
+        sinks = ingest_stream.StreamSinks(
+            blob_path=blob_p,
+            index_path=idx_p,
+            deadletter_path=f"{base}/dlq",
+            checkpoint_path=f"{base}/ckpt",
+        )
+        crashed = {1: False, 3: False}
+
+        def injector(batch_id):
+            if crashed.get(batch_id) is False:
+                crashed[batch_id] = True
+                raise RuntimeError(f"injected crash mid-batch {batch_id}")
+
+        ingest_stream.run_stream_supervised(
+            lambda: ingest_stream.file_stream(spark, src, max_files_per_trigger=1),
+            fixtures.fixture_ingest_config(),
+            sinks,
+            failure=F.expr(fixtures.DEADLETTER_PRED_SQL),
+            fault_injector=injector,
+        )
+        assert all(crashed.values()), f"injected crashes did not fire: {crashed}"
+        open(f"{base}/done", "w").close()
+    blobs = spark.read.parquet(blob_p)
+    dup_blobs = (
+        blobs.groupBy("location_key", "record_id")
+        .count()
+        .filter(F.col("count") > 1)
+        .count()
+    )
+    assert dup_blobs == 0, f"{dup_blobs} duplicated blob rows after replay"
+    return (
+        spark.read.parquet(idx_p)
+        .select(
+            "unique_id",
+            "business_source_key",
+            "business_object_key",
+            "index_source_key",
+            "ordering_key",
+            "publish_time",
+            "ingestion_time",
+            "indexer_ingestion_time",
+        )
+        .orderBy("unique_id")
+    )
+
+
+def _d44_incremental_compaction(spark, sf_dir):
+    """`maintenance.compact_small_files` — the INCREMENTAL maintenance
+    path for the 100 TB story (r11 VERDICT #5: compact_parquet is an
+    honest full rewrite; a 100 TB table cannot rewrite itself per cycle)
+    — preserves table contents while touching ONLY the small-file
+    appendix.  Layout: index_metadata partitioned by broker_id, a
+    compacted base (one file per broker, ~4/5 of the rows) plus four
+    small appends; the threshold is derived strictly below the smallest
+    base file so "small" captures exactly the appendix.  In-code asserts
+    pin the incremental claim (every base file keeps its exact name —
+    never read, never rewritten; >= 1 directory merged); the returned
+    DataFrame pins content preservation against the plain prologue
+    index."""
+    import atexit
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from persistor_spark.plans import maintenance
+
+    t = _tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="smallcompact_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    path = f"{root}/index"
+    # base = 16/20 of the rows (one compacted file per broker, ~16x any
+    # append file), appendix = four 1/20 appends — the size gap makes the
+    # "strictly below the smallest base file" threshold meaningful at
+    # every SF (at sf0.001 a 1/5 base file is append-sized)
+    idx = t.index_metadata.withColumn("__slice", F.crc32("unique_id") % 20)
+    (
+        idx.filter(F.col("__slice") < 16)
+        .drop("__slice")
+        .repartition("broker_id")
+        .write.partitionBy("broker_id")
+        .parquet(path)
+    )
+    base_files = set(_glob.glob(f"{path}/broker_id=*/part-*.parquet"))
+    for i in range(16, 20):
+        (
+            idx.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("broker_id")
+            .parquet(path)
+        )
+    thresh = min(os.path.getsize(f) for f in base_files)
+    stats = maintenance.compact_small_files(
+        spark, path, partition_col="broker_id", small_file_bytes=thresh
+    )
+    assert stats["dirs"] >= 1, f"nothing merged: {stats}"
+    assert stats["files_after"] < stats["files_before"], stats
+    after = set(_glob.glob(f"{path}/broker_id=*/part-*.parquet"))
+    assert base_files <= after, "a compacted base file was rewritten"
+    return (
+        spark.read.parquet(path)
+        .select("unique_id", "broker_id", "location_key")
+        .orderBy("unique_id")
+    )
+
+
+def _d45_watermark_policy(spark, sf_dir):
+    """The late-data ADMISSION policy as one driver hash (r11 VERDICT
+    #7a — the streaming semantic d40/d42/d43 do not pin): three
+    mtime-pinned micro-batches through the PRODUCTION windowed runner
+    (windows.run_category_counts_stream, 1-hour windows, 45-minute
+    watermark).  Batch 0 carries the early 60% of events minus a
+    withheld slice (event_id % 7 == 0); batch 1 the 60-90% band; batch
+    2 the late tail PLUS the withheld early rows.  The measured (and
+    here pinned) Spark admission rule is EVICTION-BASED, one batch more
+    lenient than the naive watermark filter: a row is dropped iff its
+    window was already evicted at the end of an earlier batch, and
+    eviction at the end of batch i uses the watermark in effect DURING
+    batch i — max event time over batches <= i-1, minus the delay.  So
+    batch-2's withheld early rows are admitted iff their window end
+    outlives max(batch-0 event time) - 45 min (both arms realized:
+    most are dropped, the ones near the batch-0 frontier admitted),
+    and availableNow's final no-data batch applies the last watermark,
+    emitting exactly the windows whose end <= global max - 45 min over
+    admitted rows.  The oracle restates that admitted set row for row;
+    one leaked drop or dropped admit breaks the hash.  Event times are
+    truncated to whole seconds at staging so both engines evaluate
+    identical integer boundary arithmetic."""
+    import time as _time
+
+    from persistor_spark.streaming import windows as sw
+
+    base = _stream_sink(spark, sf_dir, "watermark")
+    out = f"{base}/counts"
+    if not os.path.exists(f"{base}/done"):
+        src = f"{base}/src"
+        ev = _events(spark, sf_dir).select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.timestamp_seconds(F.unix_timestamp("ts")).alias("ts"),
+        )
+        lo, hi = ev.agg(
+            F.min(F.unix_timestamp("ts")), F.max(F.unix_timestamp("ts"))
+        ).first()
+        t_lo = lo + (hi - lo) * 6 // 10
+        t_hi = lo + (hi - lo) * 9 // 10
+        es = F.unix_timestamp("ts")
+        chunks = [
+            ev.filter((es <= t_lo) & (F.col("event_id") % 7 != 0)),
+            ev.filter((es > t_lo) & (es <= t_hi)),
+            ev.filter(
+                (es > t_hi) | ((es <= t_lo) & (F.col("event_id") % 7 == 0))
+            ),
+        ]
+        seen: set = set()
+        t0 = _time.time()
+        for i, chunk in enumerate(chunks):
+            chunk.coalesce(1).write.mode("append").parquet(src)
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in seen:
+                    os.utime(f"{src}/{f}", (t0 - 400 + i * 100,) * 2)
+                    seen.add(f)
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = sw.run_category_counts_stream(
+            spark,
+            src,
+            out,
+            f"{base}/ckpt",
+            window="1 hour",
+            watermark="45 minutes",
+            source_df=stream,
+        )
+        if not q.awaitTermination(600):
+            raise TimeoutError("d45 watermark stream did not finish in 600s")
+        open(f"{base}/done", "w").close()
+    return (
+        spark.read.parquet(out)
+        .select(
+            F.unix_timestamp("ws").cast("long").alias("window_start"),
+            "event_type",
+            F.col("n").cast("long").alias("n"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def _d46_ann_recall(spark, sf_dir):
+    """IVF-PQ retrieval QUALITY on the driver record (r11 VERDICT #7b):
+    recall@10 of ivfpq_search (nprobe=6 of 16 cells) against brute-force
+    cosine ground truth for the first 20 query vectors.  The exact
+    recall value depends on the k-means layout, so the driver-stable
+    claim is the THRESHOLD (e37b's pattern — the check runs Spark-side,
+    the oracle pins the keys and the guaranteed outcome): every query's
+    recall@10 >= 0.1 and the mean across queries >= 0.5 (measured r12:
+    min/mean 0.4/0.635 at sf0.001, 0.5/0.73 at sf0.01, 0.2/0.60 at
+    sf0.1 — deterministic per SF, seeded k-means; a collapsed index
+    scores ~0, so the loose floor still discriminates sharply).  An
+    index quality collapse —
+    broken coarse assignment, corrupted codebooks, a probe that stops
+    covering the true neighborhood — flips booleans and breaks the
+    hash; shape-only pins (a55/a60) would still pass."""
+    from persistor_spark.analytics import similarity
+
+    embs = _embs(spark, sf_dir)
+    q = embs.filter(F.col("vec_id") < 20)
+    n = embs.count()
+    idx = similarity.ivfpq_build(embs, n_centroids=16, n_vectors=n)
+    idx.cells = idx.cells.localCheckpoint()
+    truth = similarity.brute_force_topk(embs, q, k=10).select("query_id", "vec_id")
+    approx = similarity.ivfpq_search(idx, q, k=10, nprobe=6).select(
+        "query_id", "vec_id"
+    )
+    hits = truth.join(approx, ["query_id", "vec_id"], "left_semi")
+    per = (
+        truth.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("k_eff"))
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .withColumn(
+            "recall", F.coalesce("n_hit", F.lit(0)) / F.col("k_eff")
+        )
+    )
+    mean_recall = per.agg(F.avg("recall")).first()[0]
+    return per.select(
+        F.col("query_id").alias("vec_id"),
+        F.lit(10).cast("int").alias("k"),
+        (F.col("recall") >= 0.1).alias("recall_ok"),
+        F.lit(bool(mean_recall >= 0.5)).alias("mean_ok"),
+    ).orderBy("vec_id")
+
+
 # Queries whose code changed this round (or are new this round): they claim
 # the head of the driver window ahead of the never-checked backlog.  UPDATE
 # EVERY ROUND — tests/test_rotation_window.py enforces that every other
@@ -6672,57 +6952,114 @@ def _d42_dedup_gate_stream(spark, sf_dir):
 # backlog is exhausted (r6 VERDICT #7: the rotation policy as a checked
 # invariant, not prose).
 ROTATION_HEAD = [
-    # r11 NEW: the full §3.1+§3.3 lifecycle over STREAMING ingest as one
-    # hash (r10 VERDICT #6a), the multi-consumer redelivery matrix at
-    # the protocol level (r10 VERDICT #6b), and the stateful dedup gate
-    # executed on the driver record (the last applyInPandasWithState
-    # operator that had only pytest coverage)
-    "d40_lifecycle_e2e",
-    "d41_multi_consumer",
-    "d42_dedup_gate_stream",
-    # r11 code-changed: the streaming runners (ledger empty-chunk guard,
-    # run_new_key_rate_stream max_files_per_trigger) and their pins'
-    # awaitTermination timeout guards (r10 advisor)
-    "a155_drift_stream",
-    "a156_new_key_stream",
-    "a157_dup_rate_stream",
+    # r12 NEW: checkpoint-restart recovery (d43), incremental small-file
+    # compaction (d44), the watermark late-data admission policy (d45),
+    # the IVF-PQ recall threshold pin (d46) — plus the four
+    # persisted-index queries whose load path gained the
+    # recover_small_compactions heal-on-read hook this round
+    "d43_restart_recovery",
+    "d44_incremental_compaction",
+    "d45_watermark_policy",
+    "d46_ann_recall",
+    "a15_incremental_dedup",
+    "a65_lsh_persist",
+    "a55_ivfpq_persist",
+    "a60_ivfpq_add",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
-    r11 ROTATION (r10 VERDICT #2: the stalest driver rows are the 11
-    r05-era rows held back in r10, then the r6-era block of 46): the
+    r12 ROTATION (r11 VERDICT #1: refresh the stale rotation tail): the
     window is EXACTLY 50 entries, pinned by the marker-position test:
-    (1) ROTATION_HEAD — the 3 NEW r11 queries (the streamed-lifecycle
-    pin d40, the multi-consumer redelivery pin d41, the streamed dedup
-    gate d42) plus the 3 whose code changed this round (a155-a157, the
-    streaming runners); (2) ALL 11 remaining r05-era rows (e24-e32, a83,
-    a84); (3) 33 of the r6-era block in registry order (d25, d26 +
-    e33-e43 stay back and lead the r12 queue).  Everything below the marker is driver-green at least once
-    AND re-verified by tools/check.py (full-registry gate at sf0.001 +
-    sf0.01) plus pytest every round; tests/test_rotation_window.py
-    enforces the rotation policy as a checked invariant.
+    (1) ROTATION_HEAD — the 4 NEW r12 pins (restart recovery d43,
+    incremental compaction d44, watermark policy d45, ANN recall d46)
+    plus the 4 persisted-index queries whose load path changed this
+    round; (2) the 13 stalest driver rows (r6-era: d25, d26, e33-e43);
+    (3) the first 29 of the r7-era block in registry order (its
+    remaining 21 lead the r13 queue).  Everything below the marker is
+    driver-green at least once AND re-verified by tools/check.py
+    (full-registry gate at sf0.001 + sf0.01) plus pytest every round;
+    tests/test_rotation_window.py enforces the rotation policy as a
+    checked invariant.
 
     Verify the actual window before round end with:
       python -c "import __spark_entry__ as e; print(list(e.queries())[:50])"
     """
     return {
-        # ==== r11 DRIVER WINDOW (positions 1-50) ====
-        # -- (1) ROTATION_HEAD: new this round (the streamed-lifecycle
-        #        pin d40 and the multi-consumer redelivery pin d41) and
-        #        the three whose code changed this round (the streaming
-        #        runners: ledger empty-chunk guard, max_files_per_trigger,
-        #        awaitTermination timeout guards in the pins) --
+        # ==== r12 DRIVER WINDOW (positions 1-50) ====
+        # -- (1) ROTATION_HEAD: the 4 NEW r12 pins (checkpoint-restart
+        #        recovery d43, incremental small-file compaction d44,
+        #        watermark admission policy d45, ANN recall threshold
+        #        d46) plus the 4 persisted-index queries whose LOAD path
+        #        changed this round (recover_small_compactions heal-on-
+        #        read in lsh_index_load / ivfpq_load) --
+        "d43_restart_recovery": _d43_restart_recovery,
+        "d44_incremental_compaction": _d44_incremental_compaction,
+        "d45_watermark_policy": _d45_watermark_policy,
+        "d46_ann_recall": _d46_ann_recall,
+        "a15_incremental_dedup": _a15_incremental_dedup,
+        "a65_lsh_persist": _a65_lsh_persist,
+        "a55_ivfpq_persist": _a55_ivfpq_persist,
+        "a60_ivfpq_add": _a60_ivfpq_add,
+        # -- (2) the 13 stalest rows on the driver record (r6-era:
+        #        d25, d26, e33-e43 — the r11 verdict's #1 ask) --
+        "d25_replay_estimate": _d25_replay_estimate,
+        "d26_blob_skew_report": _d26_blob_skew_report,
+        "e33_scd2": _e33_scd2,
+        "e34_band_join": _e34_band_join,
+        "e35_equidepth_histogram": _e35_equidepth_histogram,
+        "e36_graph_bfs": _e36_graph_bfs,
+        "e37_mad_outliers": _e37_mad_outliers,
+        "e38_datetime_suite": _e38_datetime_suite,
+        "e39_json_extract": _e39_json_extract,
+        "e40_array_functions": _e40_array_functions,
+        "e41_upsert_merge": _e41_upsert_merge,
+        "e42_revenue_share": _e42_revenue_share,
+        "e43_rolling_distinct": _e43_rolling_distinct,
+        # -- (3) the r7-era block, registry order: first 29 of its 50
+        #        (the remaining 21 — e55+, a105+ — lead the r13 queue) --
+        "a42_int8_quantize": _a42_int8_quantize,
+        "a45_random_projection": _a45_random_projection,
+        "a121_entity_resolution": _a121_entity_resolution,
+        "a113_histogram_quantiles": _a113_histogram_quantiles,
+        "a125_personalized_pagerank": _a125_personalized_pagerank,
+        "d24_targeted_delete": _d24_targeted_delete,
+        "e37b_approx_percentile": _e37b_approx_percentile,
+        "d27_table_checksum": _d27_table_checksum,
+        "d28_storage_tiering": _d28_storage_tiering,
+        "d29_ingest_heatmap": _d29_ingest_heatmap,
+        "d30_zorder_layout": _d30_zorder_layout,
+        "d31_compaction_plan": _d31_compaction_plan,
+        "d32_column_drift": _d32_column_drift,
+        "d33_zonemap_audit": _d33_zonemap_audit,
+        "d34_ingest_lag": _d34_ingest_lag,
+        "d35_ingest_forecast": _d35_ingest_forecast,
+        "d36_consistent_hashing": _d36_consistent_hashing,
+        "d37_position_density": _d37_position_density,
+        "e44_user_mode": _e44_user_mode,
+        "e45_markov_transitions": _e45_markov_transitions,
+        "e46_time_weighted_avg": _e46_time_weighted_avg,
+        "e47_weekly_churn": _e47_weekly_churn,
+        "e48_longest_streak": _e48_longest_streak,
+        "e49_mom_growth": _e49_mom_growth,
+        "e50_ewma_smoothing": _e50_ewma_smoothing,
+        "e51_map_functions": _e51_map_functions,
+        "e52_min_cost_supplier": _e52_min_cost_supplier,
+        "e53_pareto_abc": _e53_pareto_abc,
+        "e54_sequence_gaps": _e54_sequence_gaps,
+        # ---- driver window ends here (50) ---- below: driver-green at
+        # least once + full-gate re-verified every round (tools/check.py
+        # at sf0.001 + sf0.01 and pytest), ordered as previously
+        # registered.  Next-stalest after this window: the rest of the
+        # r7 block (e55-e61, a105-a139...), then r8.
         "d40_lifecycle_e2e": _d40_lifecycle_e2e,
         "d41_multi_consumer": _d41_multi_consumer,
         "d42_dedup_gate_stream": _d42_dedup_gate_stream,
         "a155_drift_stream": _a155_drift_stream,
         "a156_new_key_stream": _a156_new_key_stream,
         "a157_dup_rate_stream": _a157_dup_rate_stream,
-        # -- (2) the r05-era block held back in r10 (the stalest rows
-        #        in the registry, all re-run green by the r10 judge) --
         "e24_asof_tolerance": _e24_asof_tolerance,
         "e25_gap_fill": _e25_gap_fill,
         "e26_array_agg": _e26_array_agg,
@@ -6734,9 +7071,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e32_anomaly_zscore": _e32_anomaly_zscore,
         "a83_source_dup_matrix": _a83_source_dup_matrix,
         "a84_novelty": _a84_novelty,
-        # -- (3) the r6-era block, registry order: 33 of its 46 rows
-        #        (d25, d26 + e33-e43 lead the r12 queue; d25 was displaced
-        #        by the late-r11 d42 growth) --
         "a100_epoch_upsample": _a100_epoch_upsample,
         "a101_k_anonymity": _a101_k_anonymity,
         "a102_term_churn": _a102_term_churn,
@@ -6770,12 +7104,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a98_zipf_slope": _a98_zipf_slope,
         "a99_triangle_count": _a99_triangle_count,
         "d23_integrity_audit": _d23_integrity_audit,
-        # ---- driver window ends here (50) ---- below: driver-green at
-        # least once + full-gate re-verified every round (tools/check.py
-        # at sf0.001 + sf0.01 and pytest), ordered as previously
-        # registered.  Next-stalest after this window: d25, d26 +
-        # e33-e43 (r6), then the r7 block (a105-a139...).
-        "d25_replay_estimate": _d25_replay_estimate,
         "d38_resubmit_e2e": _d38_resubmit_e2e,
         "d39_resubmit_e2e_ocf": _d39_resubmit_e2e_ocf,
         "a142_window_category_drift": _a142_window_category_drift,
@@ -6804,7 +7132,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a57_centroid_drift": _a57_centroid_drift,
         "a58_skew_profile": _a58_skew_profile,
         "a59_quality_funnel": _a59_quality_funnel,
-        "a60_ivfpq_add": _a60_ivfpq_add,
         "a61_unigram_kl": _a61_unigram_kl,
         "a62_dataset_card": _a62_dataset_card,
         "a63_temperature_sample": _a63_temperature_sample,
@@ -6857,7 +7184,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a50_hybrid_rrf": _a50_hybrid_rrf,
         "a52_split_leakage": _a52_split_leakage,
         "a53_dup_substrings": _a53_dup_substrings,
-        "a55_ivfpq_persist": _a55_ivfpq_persist,
         "a56_pagerank": _a56_pagerank,
         "a13_curation_pipeline": _a13_curation_pipeline,
         "a14_bm25_topk": _a14_bm25_topk,
@@ -6871,8 +7197,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a24_pii_scrub": _a24_pii_scrub,
         "a29_pack_sequences": _a_pack_sequences,
         "a32_ivfpq_topk": _a_ivfpq_topk,
-        "a15_incremental_dedup": _a15_incremental_dedup,
-        "a65_lsh_persist": _a65_lsh_persist,
         "a114_mutual_information": _a114_mutual_information,
         "a115_chao1_richness": _a115_chao1_richness,
         "a116_bpe_merge_pairs": _a116_bpe_merge_pairs,
@@ -6921,35 +7245,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_dedup_exact": _a_dedup_exact,
         "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
         "a3_minhash_lsh_pairs": _a_minhash_lsh,
-        "a42_int8_quantize": _a42_int8_quantize,
-        "a45_random_projection": _a45_random_projection,
-        "a121_entity_resolution": _a121_entity_resolution,
-        "a113_histogram_quantiles": _a113_histogram_quantiles,
-        "a125_personalized_pagerank": _a125_personalized_pagerank,
-        "d24_targeted_delete": _d24_targeted_delete,
-        "e37b_approx_percentile": _e37b_approx_percentile,
-        "d27_table_checksum": _d27_table_checksum,
-        "d28_storage_tiering": _d28_storage_tiering,
-        "d29_ingest_heatmap": _d29_ingest_heatmap,
-        "d30_zorder_layout": _d30_zorder_layout,
-        "d31_compaction_plan": _d31_compaction_plan,
-        "d32_column_drift": _d32_column_drift,
-        "d33_zonemap_audit": _d33_zonemap_audit,
-        "d34_ingest_lag": _d34_ingest_lag,
-        "d35_ingest_forecast": _d35_ingest_forecast,
-        "d36_consistent_hashing": _d36_consistent_hashing,
-        "d37_position_density": _d37_position_density,
-        "e44_user_mode": _e44_user_mode,
-        "e45_markov_transitions": _e45_markov_transitions,
-        "e46_time_weighted_avg": _e46_time_weighted_avg,
-        "e47_weekly_churn": _e47_weekly_churn,
-        "e48_longest_streak": _e48_longest_streak,
-        "e49_mom_growth": _e49_mom_growth,
-        "e50_ewma_smoothing": _e50_ewma_smoothing,
-        "e51_map_functions": _e51_map_functions,
-        "e52_min_cost_supplier": _e52_min_cost_supplier,
-        "e53_pareto_abc": _e53_pareto_abc,
-        "e54_sequence_gaps": _e54_sequence_gaps,
         "e55_rolling_correlation": _e55_rolling_correlation,
         "e57_chi_square": _e57_chi_square,
         "e58_time_to_convert": _e58_time_to_convert,
@@ -6971,18 +7266,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a110_heaps_curve": _a110_heaps_curve,
         "a111_skipgram_cooccurrence": _a111_skipgram_cooccurrence,
         "a112_term_burstiness": _a112_term_burstiness,
-        "e33_scd2": _e33_scd2,
-        "e34_band_join": _e34_band_join,
-        "e35_equidepth_histogram": _e35_equidepth_histogram,
-        "e36_graph_bfs": _e36_graph_bfs,
-        "e37_mad_outliers": _e37_mad_outliers,
-        "e38_datetime_suite": _e38_datetime_suite,
-        "e39_json_extract": _e39_json_extract,
-        "e40_array_functions": _e40_array_functions,
-        "e41_upsert_merge": _e41_upsert_merge,
-        "e42_revenue_share": _e42_revenue_share,
-        "e43_rolling_distinct": _e43_rolling_distinct,
-        "d26_blob_skew_report": _d26_blob_skew_report,
     }
 
 
@@ -7589,6 +7872,55 @@ def oracle_sql() -> dict[str, str]:
             "  payload, "
             "  CAST(CASE WHEN ridx < 1000 THEN 2 ELSE 1 END AS BIGINT) AS deliveries "
             "FROM pub ORDER BY message_id"
+        ),
+        # d43: exactly-once across checkpoint RESTART — the replayed
+        # crashed batches must leave the same index as the batch prologue
+        # (same column set as d42; the merge sinks absorb the replays)
+        "d43_restart_recovery": P(
+            "SELECT unique_id, business_source_key, business_object_key, "
+            "  index_source_key, ordering_key, publish_time, ingestion_time, "
+            "  indexer_ingestion_time "
+            "FROM index_metadata ORDER BY unique_id"
+        ),
+        # d44: incremental small-file compaction preserves contents exactly
+        # (the incremental-touch claim is pinned by in-code asserts on the
+        # base file names; content equality is the hash)
+        "d44_incremental_compaction": P(
+            "SELECT unique_id, broker_id, location_key FROM index_metadata "
+            "ORDER BY unique_id"
+        ),
+        # d45: the measured eviction-based admission rule, restated in SQL
+        # (see _d45_watermark_policy's docstring): batches 0/1 fully
+        # admitted (their windows were never evicted when they arrived),
+        # batch 2 rows admitted iff their window end outlives
+        # max(batch-0 event time) - 45 min; emitted windows are those the
+        # final no-data batch's watermark (global max - 45 min) closes
+        "d45_watermark_policy": (
+            "WITH b AS (SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS lo, "
+            "  CAST(floor(epoch(max(ts))) AS BIGINT) AS hi FROM events), "
+            "t AS (SELECT lo + (hi - lo) * 6 // 10 AS t_lo, "
+            "  lo + (hi - lo) * 9 // 10 AS t_hi FROM b), "
+            "ev AS (SELECT event_id, event_type, "
+            "  CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events), "
+            "tagged AS (SELECT ev.*, CASE "
+            "  WHEN es <= t_lo AND event_id % 7 != 0 THEN 0 "
+            "  WHEN es > t_lo AND es <= t_hi THEN 1 ELSE 2 END AS batch "
+            "  FROM ev, t), "
+            "wm AS (SELECT max(CASE WHEN batch = 0 THEN es END) - 2700 AS wm1, "
+            "  max(es) - 2700 AS wmf FROM tagged), "
+            "adm AS (SELECT event_type, (es // 3600) * 3600 AS ws "
+            "  FROM tagged, wm "
+            "  WHERE batch <= 1 OR (es // 3600) * 3600 + 3600 > wm1) "
+            "SELECT ws AS window_start, event_type, count(*)::BIGINT AS n "
+            "FROM adm, wm WHERE ws + 3600 <= wmf GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        # d46: the recall computation runs Spark-side against the exact
+        # brute-force ground truth; the oracle pins the query-key set and
+        # the guaranteed threshold outcome (e37b's pattern)
+        "d46_ann_recall": (
+            "SELECT vec_id, CAST(10 AS INT) AS k, true AS recall_ok, "
+            "true AS mean_ok FROM embeddings WHERE vec_id < 20 "
+            "ORDER BY vec_id"
         ),
         # d42: the streamed dedup gate's index equals the batch prologue's
         # index_metadata on the non-location columns — first-delivery
