@@ -262,18 +262,22 @@ def bench_ann_ivfpq_build(ctx: Ctx):
 def bench_ann_ivfpq_probe(ctx: Ctx):
     """The steady-state bucketed-ANN number a 100 TB user sees: probe the
     prebuilt index (cell-pruned candidate join + ADC + exact re-rank).
-    ann_topk stays as the exactness baseline."""
+    ann_topk stays as the exactness baseline.  Self-timed (r11 VERDICT
+    #6): on subset/slope runs that skip the build line, the lazy index
+    build runs here UNTIMED — the recorded figure is the pure probe a
+    user sees against a standing index, in every run mode, without a
+    footnote."""
     from persistor_spark.analytics import similarity
 
     embs = load_table(ctx.spark, SF_DIR, "embeddings")
     q = embs.filter(F.col("vec_id") < 10)
-    idx = getattr(ctx, "ivfpq_index", None)
-    if idx is None:  # subset/reordered run: build lazily (untimed coupling gone)
-        n = embs.count()
-        idx = similarity.ivfpq_build(embs, n_centroids=16, n_vectors=n)
-        idx.cells = idx.cells.localCheckpoint()
-        ctx.ivfpq_index = idx
-    return similarity.ivfpq_search(idx, q, k=10, nprobe=4).count()
+    idx = _ivfpq_for_probe(ctx)
+    t0 = time.time()
+    similarity.ivfpq_search(idx, q, k=10, nprobe=4).count()
+    return time.time() - t0
+
+
+bench_ann_ivfpq_probe.self_timed = True
 
 
 def bench_stream_ingest(ctx: Ctx):
@@ -525,6 +529,51 @@ def bench_index_compaction(ctx: Ctx):
 
 
 bench_index_compaction.self_timed = True
+
+
+def bench_index_compaction_incremental(ctx: Ctx):
+    """The 100 TB maintenance story's INCREMENTAL path (r11 VERDICT #5):
+    the same 40-append fragmentation as index_compaction, but layered on
+    an ALREADY-COMPACTED base — compact_small_files merges only the
+    small-file appendix (threshold derived between the base and append
+    file sizes), never touching the base files.  Cost scales with
+    small-file bytes, not table bytes: at 10x data that is 90%
+    already-compacted, this line stays ~flat while index_compaction's
+    full rewrite grows linearly (the slope probe's companion row).
+    Prep (base build + appends) is untimed — self-timed."""
+    from persistor_spark.analytics import dedup
+    from persistor_spark.plans import fsutil, maintenance
+
+    docs = load_table(ctx.spark, SF_DIR, "documents")
+    idx = ctx.fresh("inc_lsh_index")
+    dedup.lsh_index_save(
+        dedup.build_band_table(docs.filter(F.col("doc_id") % 2 == 0)), idx
+    )
+    base_sizes = [sz for _, sz in fsutil.list_files_with_size(ctx.spark, idx)]
+    bt = dedup.build_band_table(
+        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+    ).localCheckpoint()
+    for i in range(40):
+        bt.filter(F.expr("(id div 2) % 40") == i).write.mode("append").partitionBy(
+            "band"
+        ).parquet(idx)
+    appendix = [
+        sz
+        for _, sz in fsutil.list_files_with_size(ctx.spark, idx)
+        if sz < min(base_sizes)
+    ]
+    thresh = (min(base_sizes) + max(appendix)) // 2 if appendix else min(base_sizes)
+    t0 = time.time()
+    stats = maintenance.compact_small_files(
+        ctx.spark, idx, partition_col="band", small_file_bytes=thresh
+    )
+    elapsed = time.time() - t0
+    assert stats["files_after"] < stats["files_before"], stats
+    assert stats["files_small"] >= 40, stats
+    return elapsed
+
+
+bench_index_compaction_incremental.self_timed = True
 
 
 def bench_targeted_delete(ctx: Ctx):
@@ -861,6 +910,7 @@ PLAN_PROBES = {
     "dedup_incremental": _probe_dedup_incremental,
     "dedup_exactsubstr": _probe_dedup_exactsubstr,
     "index_compaction": None,  # procedural: driver-orchestrated file rewrite
+    "index_compaction_incremental": None,  # procedural: appendix-only rewrite
     "targeted_delete": None,   # procedural: manifest-pruned file rewrite
     "zorder_layout": None,     # procedural: clustered write + footer pruning
     "dedup_dhash": _probe_dedup_dhash,
@@ -895,6 +945,7 @@ QUERIES = {
     "dedup_incremental": bench_dedup_incremental,
     "dedup_exactsubstr": bench_dedup_exactsubstr,
     "index_compaction": bench_index_compaction,
+    "index_compaction_incremental": bench_index_compaction_incremental,
     "targeted_delete": bench_targeted_delete,
     "zorder_layout": bench_zorder_layout,
     "dedup_dhash": bench_dedup_dhash,
@@ -915,6 +966,105 @@ def _median(xs: list[float]) -> float:
     return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
 
 
+# ---------------------------------------------------------------------------
+# Host-load calibration canaries (r11 VERDICT #2).  min-of-5 defends the
+# record against a co-tenant BURST but not against SUSTAINED co-tenancy —
+# the r11 driver record inflated 8 disk-heavy lines 23-133% across all five
+# repeats with zero plan drift.  Two fixed probes with known quiet-host cost
+# run at EVERY line boundary and become `host_noise_index` (global, min over
+# all samples — sustained co-tenancy only; 1.0 = quiet; the r12 3x-dd-hog
+# demo read io 5.4 while an idle box reads exactly 1.0) and
+# `line_noise_index` (per line, the smaller bracketing sample — the r12
+# shakedown caught a transient burst inflating three adjacent lines 30-40%
+# that whole-run sampling missed).
+#
+# `queries_normalized` = raw / the line's LOCAL index.  Semantics are a
+# BRACKET, not a point estimate: bench lines mix CPU and I/O, so a pure-I/O
+# slowdown of Kx inflates them by between 1x and Kx — the quiet-host truth
+# therefore lies in [normalized, raw], and on a quiet host (index inside
+# the dead-band) the bracket collapses to raw exactly.  The r12 stress demo
+# confirms containment: idle io-heavy total 30.5 s, stressed bracket
+# [20.3, 109.9].  The GATE number stays the raw median; the MECHANICAL
+# drift-adjudication rule this enables: a driver-bench regression on a line
+# is actionable only if the driver's LOWER bound (normalized) exceeds the
+# quiet-host local number — co-tenant inflation can never fake that, and a
+# real regression on a quiet driver host (index 1.0) shows up undamped.
+# ---------------------------------------------------------------------------
+
+# Quiet-host canary floors, calibrated as the MIN of the in-bench samples
+# of an IDLE-box bench run (r12: cpu 0.50 / io 0.41 — the bench session's
+# own JVM heap and page-cache state put the in-bench cpu floor above the
+# fresh-session `--calibrate` median of 0.35, so the constants must come
+# from the same environment the samples do; io = min-of-3 64 MiB rounds,
+# idle floor ~0.12-0.15 even under dirty-cache cycling).  The noise index is the
+# min-of-3 against these floors: sustained external co-tenancy inflates
+# every sample including the start-of-run one, while the bench's own
+# residual load only pollutes the mid/end samples — min separates the
+# two.  A dead-band treats indices under NOISE_DEADBAND as 1.0 (sample
+# jitter, not co-tenancy), so an idle run's normalized numbers are
+# EXACTLY its raw numbers.  Recalibrate: run the bench on an idle box and
+# paste min(canary.cpu)/min(canary.io) here.
+CANARY_QUIET = {"cpu": 0.50, "io": 0.12}
+NOISE_DEADBAND = 1.3
+
+# Lines whose timed region is dominated by disk writes/rewrites — exactly
+# the set the r11 sustained-I/O co-tenancy inflated (compaction, delete,
+# index persist/layout, the ingest sinks, image synthesis+decode).  All
+# other lines normalize against the CPU index.
+IO_HEAVY = {
+    "ingest_persist",
+    "stream_ingest",
+    "receiver_ingest",
+    "index_layout",
+    "index_compaction",
+    "index_compaction_incremental",
+    "targeted_delete",
+    "zorder_layout",
+    "dedup_index_build",
+    "dedup_dhash",
+}
+
+
+def _canary_cpu(spark) -> float:
+    """Fixed pure-CPU probe at bench parallelism: a 32-partition sha2/xxhash
+    fold over a deterministic range — no disk, no shuffle beyond the final
+    single-row agg.  Inflates under any CPU co-tenancy that would inflate
+    the JVM-side bench lines."""
+    t0 = time.time()
+    (
+        spark.range(0, 12_000_000, 1, 32)
+        .select(F.xxhash64(F.sha2(F.col("id").cast("string"), 256)).alias("h"))
+        .agg(F.expr("bit_xor(h)"))  # xor-fold: sum overflows ANSI long
+        .collect()
+    )
+    return time.time() - t0
+
+
+def _canary_io(workdir: str) -> float:
+    """Fixed pure-I/O probe: the MEDIAN of three independent 64 MiB
+    fsync'd sequential writes.  A single large fsync varied 0.4-3x on an
+    idle box (journal-commit hiccups) — the median of three smaller
+    rounds filters a one-off writeback stall; a sustained I/O co-tenant
+    (the r11 failure mode) inflates at least two of three rounds and
+    moves the median (a MIN here dodged bursty-but-sustained dd loops
+    entirely).  Chunk generation is outside the timed region."""
+    chunk = os.urandom(1 << 22)  # 4 MiB
+    times = []
+    for r in range(3):
+        path = os.path.join(workdir, f"__io_canary_{time.time_ns()}_{r}")
+        t0 = time.time()
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+        try:
+            for _ in range(16):  # 64 MiB per round
+                os.write(fd, chunk)
+            os.fsync(fd)
+        finally:
+            os.close(fd)
+        times.append(time.time() - t0)
+        os.unlink(path)
+    return _median(times)
+
+
 def main():
     # 5 repeats (r10 VERDICT #3): the median stays the gate number, but
     # "queries_min"/"total_min" carry min-of-N — the drift-comparison
@@ -927,8 +1077,30 @@ def main():
     load_table(spark, SF_DIR, "events").count()
 
     runs: dict[str, list[float]] = {}
+    canary = {"cpu": [], "io": []}
+
+    def _sample_canaries():
+        # drain the bench's OWN pending writeback first — the canaries
+        # measure EXTERNAL host load, and a dirty page cache from the
+        # previous bench line would charge our own writes to the host
+        # (first implementation read io_noise 4.6x on an idle box)
+        os.sync()
+        canary["cpu"].append(round(_canary_cpu(spark), 3))
+        canary["io"].append(round(_canary_io(workdir), 3))
+
     try:
+        # untimed warm-up: first-execution JIT/classloading and the first
+        # write into a cold dir are not host noise (same reason the
+        # --calibrate path warms once before sampling)
+        _canary_cpu(spark)
+        _canary_io(workdir)
+        # sample at EVERY line boundary (~1 s each, noise on a multi-
+        # minute run): the r12 shakedown caught a transient co-tenant
+        # burst inflating three ADJACENT lines 30-40% across all their
+        # repeats while start/mid/end samples all read quiet — only
+        # boundary-granular sampling localizes that
         for name, fn in QUERIES.items():
+            _sample_canaries()  # host state entering this line
             runs[name] = []
             for _ in range(repeats):
                 t0 = time.time()
@@ -937,6 +1109,7 @@ def main():
                 # the stream's source chunks) and return seconds to record
                 elapsed = ret if getattr(fn, "self_timed", False) else time.time() - t0
                 runs[name].append(round(elapsed, 3))
+        _sample_canaries()  # end-of-run host state
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
@@ -947,6 +1120,28 @@ def main():
         for name, r in runs.items()
     }
     total = round(sum(times.values()), 3)
+
+    def _noise_idx(cls: str, samples) -> float:
+        # dead-banded so sample jitter reads as 1.0, clamped at >= 1 so
+        # normalization only ever removes measured inflation
+        idx = min(samples) / CANARY_QUIET[cls]
+        return round(idx, 3) if idx >= NOISE_DEADBAND else 1.0
+
+    # GLOBAL index: min over every boundary sample vs the idle-run floor
+    # (see CANARY_QUIET) — fires only for co-tenancy sustained across the
+    # whole run
+    noise = {k: _noise_idx(k, v) for k, v in canary.items()}
+    # PER-LINE index: the smaller of the two samples bracketing the line
+    # — localizes a transient burst to exactly the lines it covered
+    line_noise = {}
+    for i, name in enumerate(runs):
+        cls = "io" if name in IO_HEAVY else "cpu"
+        line_noise[name] = _noise_idx(
+            cls, [canary[cls][i], canary[cls][i + 1]]
+        )
+    normalized = {
+        name: round(t / line_noise[name], 3) for name, t in times.items()
+    }
     print(
         json.dumps(
             {
@@ -960,6 +1155,39 @@ def main():
                 "repeats": repeats,
                 "runs": runs,
                 "variance": spread,
+                "canary": {**canary, "quiet": CANARY_QUIET},
+                "host_noise_index": noise,
+                "line_noise_index": line_noise,
+                "queries_normalized": normalized,
+                "total_normalized": round(sum(normalized.values()), 3),
+            }
+        )
+    )
+    spark.stop()
+
+
+def calibrate():
+    """Fresh-session canary medians — a rough idle-host REFERENCE, not
+    the CANARY_QUIET source: the authoritative floors come from the
+    in-bench samples of an idle-box bench run (see CANARY_QUIET's
+    comment — the bench session's heap/page-cache state shifts the
+    floor).  Run on an IDLE machine: `python bench.py --calibrate`."""
+    spark = build_session("persistor-bench-calibrate")
+    workdir = tempfile.mkdtemp(prefix="persistor-canary-")
+    try:
+        _canary_cpu(spark)  # warm-up: JIT/classloading is not host noise
+        _canary_io(workdir)
+        cpu = [round(_canary_cpu(spark), 3) for _ in range(7)]
+        io = [round(_canary_io(workdir), 3) for _ in range(7)]
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+    print(
+        json.dumps(
+            {
+                "cpu_runs": cpu,
+                "io_runs": io,
+                "cpu": round(_median(cpu), 3),
+                "io": round(_median(io), 3),
             }
         )
     )
@@ -967,4 +1195,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--calibrate" in sys.argv:
+        calibrate()
+    else:
+        main()

@@ -343,20 +343,38 @@ def compact_small_files(
 def _replay_small_compaction(spark, j: dict) -> int:
     """Execute (or resume) a journaled small-file swap: move the merged
     files in, drop the originals, drop the tmp dir.  Idempotent at
-    per-file granularity.  Returns the number of originals removed."""
+    per-file granularity.  Returns the number of originals removed.
+
+    The FileSystem handle is resolved ONCE and reused — a compaction
+    over a layout fragmented into hundreds of appendix files pays one
+    Py4J round-trip per op here instead of the repeated
+    resolve+exists+op triple (the swap loop was ~half the timed cost of
+    the incremental bench line before this)."""
+    paths = [p for pair in j.get("moves", []) for p in pair] + list(
+        j.get("remove", [])
+    ) + ([j["tmp"]] if j.get("tmp") else [])
+    if not paths:
+        return 0
+    fs = fsutil.fs_for(spark, paths[0])
+    jp = lambda p: fsutil.jpath(spark, p)  # noqa: E731
     for src, dst in j.get("moves", []):
-        if fsutil.exists(spark, src):
-            if fsutil.exists(spark, dst):
+        s = jp(src)
+        if fs.exists(s):
+            if fs.exists(jp(dst)):
                 # object-store rename = copy+delete; a crash can leave both
-                fsutil.delete(spark, src, recursive=False)
+                fs.delete(s, False)
             else:
-                fsutil.rename(spark, src, dst)
+                if not fs.rename(s, jp(dst)):
+                    raise OSError(f"rename failed: {src} -> {dst}")
     removed = 0
     for f in j.get("remove", []):
-        if fsutil.delete(spark, f, recursive=False):
+        p = jp(f)
+        if fs.exists(p) and fs.delete(p, False):
             removed += 1
     if j.get("tmp"):
-        fsutil.delete(spark, j["tmp"], recursive=True)
+        t = jp(j["tmp"])
+        if fs.exists(t):
+            fs.delete(t, True)
     return removed
 
 

@@ -63,6 +63,10 @@ def _normalize(txt: str) -> str:
     txt = re.sub(r"file:[^,\]\s]+", "file:PATH", txt)
     txt = re.sub(r"InMemoryFileIndex\[[^\]]*\]", "InMemoryFileIndex[PATH]", txt)
     txt = re.sub(r"/tmp/[^,\]\s]+", "/tmp/PATH", txt)
+    # folded current_timestamp() literals carry the capture wall-clock
+    # with 0-6 fractional digits — norm_len flapped +-2 run to run on the
+    # receiver plan until these were pinned (r12)
+    txt = re.sub(r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(\.\d+)?", "TS", txt)
     return txt
 
 
