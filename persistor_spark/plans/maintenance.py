@@ -280,6 +280,12 @@ def compact_small_files(
     partition column survives), hash-repartitioned so each partition
     value's small rows land in one task -> one merged file per value.
 
+    Concurrency contract: COMPACTION is single-writer per path (the
+    same contract as compact_parquet / recover_swap); RECOVERY is
+    race-tolerant — unlocked heal-on-read readers may replay the same
+    journal concurrently (per-file idempotence + lost-rename-race
+    detection in _replay_small_compaction).
+
     Returns {"files_before", "files_small", "files_after", "dirs"}."""
     import json
     import math
@@ -363,8 +369,11 @@ def _replay_small_compaction(spark, j: dict) -> int:
             if fs.exists(jp(dst)):
                 # object-store rename = copy+delete; a crash can leave both
                 fs.delete(s, False)
-            else:
-                if not fs.rename(s, jp(dst)):
+            elif not fs.rename(s, jp(dst)):
+                # two unlocked heal-on-read recoverers can replay the same
+                # journal: a lost rename race (src consumed, dst landed)
+                # is completion, not failure
+                if not (fs.exists(jp(dst)) and not fs.exists(s)):
                     raise OSError(f"rename failed: {src} -> {dst}")
     removed = 0
     for f in j.get("remove", []):
@@ -400,11 +409,13 @@ def recover_small_compactions(spark, path: str) -> dict:
 def _drop_smallcompact_orphans(spark, path: str) -> int:
     """Remove tmp dirs left by a `compact_small_files` crash BEFORE its
     journal write (no plan exists, the live tree is untouched — the tmp
-    copy is pure garbage).  Run only after `recover_small_compactions`,
-    which consumes every journaled tmp first."""
+    copy is pure garbage), plus `.json.tmp` carcasses of a crashed
+    journal write (write_text's rename never happened, so no plan was
+    ever visible).  Run only after `recover_small_compactions`, which
+    consumes every journaled tmp first."""
     removed = 0
     for p in fsutil.glob(spark, f"{fsutil.escape(path.rstrip('/'))}.__smallcompact_*"):
-        if "__smallcompact_journal_" in p:
+        if "__smallcompact_journal_" in p and not p.endswith(".json.tmp"):
             continue
         fsutil.delete(spark, p, recursive=True)
         removed += 1

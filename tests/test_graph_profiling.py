@@ -937,3 +937,24 @@ def test_compact_small_files_crash_before_journal_sweeps_orphan(spark, tmp_path)
     )
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == want
     assert glob.glob(f"{path}.__smallcompact_*") == []
+
+
+def test_smallcompact_journal_tmp_carcass_is_swept(spark, tmp_path):
+    """A crash INSIDE write_text's journal write leaves a `.json.tmp`
+    carcass (the rename to the live journal name never happened, so no
+    plan was ever visible and the live tree is untouched).  The next
+    compact_small_files call must sweep it rather than leak it forever
+    — while never touching a REAL journal, which recover consumes."""
+    import glob
+
+    from persistor_spark.plans import maintenance
+
+    path, _, thresh = _frag_layout(spark, tmp_path, "carcass_tbl")
+    want = sorted(tuple(r) for r in spark.read.parquet(path).collect())
+    carcass = f"{path}.__smallcompact_journal_{maintenance.swap_tag()}.json.tmp"
+    open(carcass, "w").write("{half-written")
+    maintenance.compact_small_files(
+        spark, path, partition_col="p", small_file_bytes=thresh
+    )
+    assert not glob.glob(f"{path}.__smallcompact_*")
+    assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == want
