@@ -248,6 +248,8 @@ def compact_small_files(
     partition_col: str | None = None,
     target_file_bytes: int = 128 << 20,
     small_file_bytes: int | None = None,
+    manifest_path: str | None = None,
+    manifest_col: str = "unique_id",
 ) -> dict:
     """INCREMENTAL compaction: merge ONLY the small files of a layout,
     leaving already-compacted large files untouched — cost scales with
@@ -285,6 +287,15 @@ def compact_small_files(
     race-tolerant — unlocked heal-on-read readers may replay the same
     journal concurrently (per-file idempotence + lost-rename-race
     detection in _replay_small_compaction).
+
+    `manifest_path`: when the layout carries an Iceberg-lite min/max
+    manifest (layout.write_minmax_manifest), pass it so the swap
+    REPLACES exactly the merged files' entries (incremental —
+    layout.update_minmax_manifest scans only the new cmp-* files, the
+    same composition delete_by_key uses).  Without this, a compaction
+    of a manifest-tracked table leaves pruned scans pointing at removed
+    files.  The manifest step rides the journal, so a crash anywhere
+    mid-swap still converges to a consistent manifest on replay.
 
     Returns {"files_before", "files_small", "files_after", "dirs"}."""
     import json
@@ -337,9 +348,11 @@ def compact_small_files(
         dst_dir = f"{live}/{rel_dir}".rstrip("/")
         moves.append((nf, f"{dst_dir}/cmp-{uuid.uuid4().hex[:8]}-{base}"))
     journal = f"{live}.__smallcompact_journal_{swap_tag()}.json"
-    fsutil.write_text(
-        spark, journal, json.dumps({"tmp": tmp, "moves": moves, "remove": small})
-    )
+    plan = {"tmp": tmp, "moves": moves, "remove": small}
+    if manifest_path:
+        plan["manifest"] = manifest_path
+        plan["col"] = manifest_col
+    fsutil.write_text(spark, journal, json.dumps(plan))
     _replay_small_compaction(spark, json.loads(fsutil.read_text(spark, journal)))
     fsutil.delete(spark, journal, recursive=False)
     stats["files_after"] = stats["files_before"] - stats["files_small"] + len(moves)
@@ -384,6 +397,19 @@ def _replay_small_compaction(spark, j: dict) -> int:
         t = jp(j["tmp"])
         if fs.exists(t):
             fs.delete(t, True)
+    if j.get("manifest"):
+        # replace exactly the merged files' manifest entries — scans only
+        # the new cmp-* files; idempotent under replay (stale entries for
+        # the added files drop before the fresh ones append)
+        from persistor_spark.plans import layout
+
+        layout.update_minmax_manifest(
+            spark,
+            j["manifest"],
+            j.get("remove", []),
+            [dst for _, dst in j.get("moves", [])],
+            j.get("col", "unique_id"),
+        )
     return removed
 
 

@@ -958,3 +958,88 @@ def test_smallcompact_journal_tmp_carcass_is_swept(spark, tmp_path):
     )
     assert not glob.glob(f"{path}.__smallcompact_*")
     assert sorted(tuple(r) for r in spark.read.parquet(path).collect()) == want
+
+
+def test_compact_small_files_maintains_minmax_manifest(spark, tmp_path, monkeypatch):
+    """Compacting a manifest-tracked table must REPLACE the merged
+    files' manifest entries (incrementally — update_minmax_manifest
+    scans only the new cmp-* files), or every pruned scan afterwards
+    points at removed files.  Covers the straight path AND the
+    crash-mid-swap path: the manifest step rides the journal, so
+    recovery converges the manifest too."""
+    import glob
+
+    from persistor_spark.plans import fsutil, layout, maintenance
+
+    table, mf = str(tmp_path / "idx"), str(tmp_path / "mf")
+    df = spark.range(400).select(
+        F.format_string("id%06d", F.col("id")).alias("unique_id"),
+        (F.col("id") % 7).alias("payload"),
+    )
+    df.repartitionByRange(2, "unique_id").sortWithinPartitions("unique_id").write.parquet(table)
+    for i in range(4):
+        (
+            spark.range(400 + i * 10, 410 + i * 10)
+            .select(
+                F.format_string("id%06d", F.col("id")).alias("unique_id"),
+                (F.col("id") % 7).alias("payload"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(table)
+        )
+    layout.write_minmax_manifest(spark, table, mf)
+    sizes = dict(fsutil.list_files_with_size(spark, table))
+    thresh = (max(sizes.values()) + min(sizes.values())) // 2
+
+    stats = maintenance.compact_small_files(
+        spark, table, small_file_bytes=thresh, manifest_path=mf
+    )
+    assert stats["files_small"] >= 4
+    # no stale entries: every manifest file exists, and pruned lookups hit
+    rows = layout.load_manifest(spark, mf)
+    assert all(fsutil.exists(spark, f) for f, *_ in rows), "stale manifest entry"
+    for probe in ("id000005", "id000405", "id000431"):
+        got = layout.manifest_pruned_scan_cached(spark, table, rows, [probe])
+        assert got.count() == 1, probe
+    assert len(rows) == len(fsutil.list_files_with_size(spark, table))
+
+    # crash arm: append more, journal written + moves done, crash before
+    # removals/manifest — recovery must finish AND converge the manifest
+    for i in range(2):
+        (
+            spark.range(440 + i * 10, 450 + i * 10)
+            .select(
+                F.format_string("id%06d", F.col("id")).alias("unique_id"),
+                (F.col("id") % 7).alias("payload"),
+            )
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(table)
+        )
+    real = maintenance._replay_small_compaction
+
+    def crash_after_moves(spark_, j):
+        for src, dst in j["moves"]:
+            if fsutil.exists(spark_, src):
+                fsutil.rename(spark_, src, dst)
+        raise RuntimeError("simulated crash before removals/manifest")
+
+    monkeypatch.setattr(maintenance, "_replay_small_compaction", crash_after_moves)
+    try:
+        maintenance.compact_small_files(
+            spark, table, small_file_bytes=thresh, manifest_path=mf
+        )
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(maintenance, "_replay_small_compaction", real)
+    maintenance.recover_small_compactions(spark, table)
+    assert glob.glob(f"{table}.__smallcompact_*") == []
+    rows = layout.load_manifest(spark, mf)
+    assert all(fsutil.exists(spark, f) for f, *_ in rows)
+    assert len(rows) == len(fsutil.list_files_with_size(spark, table))
+    for probe in ("id000005", "id000445"):
+        assert (
+            layout.manifest_pruned_scan_cached(spark, table, rows, [probe]).count()
+            == 1
+        ), probe
