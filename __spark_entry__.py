@@ -6810,6 +6810,67 @@ def _d44_incremental_compaction(spark, sf_dir):
     )
 
 
+def _d47_compact_manifest_lookup(spark, sf_dir):
+    """The maintenance COMPOSITION the 100 TB serving story needs: a
+    manifest-tracked index layout (d1's sorted files + Iceberg-lite
+    min/max manifest) accumulates small appends, `compact_small_files`
+    merges the appendix WHILE incrementally replacing exactly the merged
+    files' manifest entries (r12 — without this every pruned scan after
+    a compaction points at removed files), and the d24-style point
+    lookups then run through the UPDATED manifest.  In-code asserts pin
+    that the manifest holds no stale file entry, covers every live file,
+    and that each probe pruned to at most 2 data files; the returned
+    rows pin lookup correctness against the plain prologue index."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from persistor_spark.plans import fsutil, layout, maintenance
+
+    t = _tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cmpmf_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table, mf = f"{root}/index", f"{root}/manifest"
+    idx = t.index_metadata.withColumn("__slice", F.crc32("unique_id") % 20)
+    (
+        idx.filter(F.col("__slice") < 16)
+        .drop("__slice")
+        .repartitionByRange(4, "unique_id")
+        .sortWithinPartitions("unique_id")
+        .write.parquet(table)
+    )
+    for i in range(16, 20):
+        (
+            idx.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(table)
+        )
+    layout.write_minmax_manifest(spark, table, mf)
+    sizes = dict(fsutil.list_files_with_size(spark, table))
+    thresh = (max(sizes.values()) + min(sizes.values())) // 2
+    stats = maintenance.compact_small_files(
+        spark, table, small_file_bytes=thresh, manifest_path=mf
+    )
+    assert stats["files_small"] >= 4, stats
+    rows = layout.load_manifest(spark, mf)
+    assert all(fsutil.exists(spark, f) for f, *_ in rows), "stale manifest entry"
+    assert len(rows) == len(fsutil.list_files_with_size(spark, table)), (
+        "manifest does not cover the live file set"
+    )
+    probes = ["b0_m000000004", "b1_m000000001", "b3_m000000123"]
+    out = None
+    for probe in probes:
+        touched = [f for f, lo, hi, _ in rows if lo <= probe <= hi]
+        assert len(touched) <= 2, f"{probe} pruned to {len(touched)} files"
+        got = layout.manifest_pruned_scan_cached(spark, table, rows, [probe]).select(
+            "unique_id", "broker_id", "location_key"
+        )
+        out = got if out is None else out.unionByName(got)
+    return out.orderBy("unique_id")
+
+
 def _d45_watermark_policy(spark, sf_dir):
     """The late-data ADMISSION policy as one driver hash (r11 VERDICT
     #7a — the streaming semantic d40/d42/d43 do not pin): three
@@ -6961,6 +7022,7 @@ ROTATION_HEAD = [
     "d44_incremental_compaction",
     "d45_watermark_policy",
     "d46_ann_recall",
+    "d47_compact_manifest_lookup",
     "a15_incremental_dedup",
     "a65_lsh_persist",
     "a55_ivfpq_persist",
@@ -6977,8 +7039,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     incremental compaction d44, watermark policy d45, ANN recall d46)
     plus the 4 persisted-index queries whose load path changed this
     round; (2) the 13 stalest driver rows (r6-era: d25, d26, e33-e43);
-    (3) the first 29 of the r7-era block in registry order (its
-    remaining 21 lead the r13 queue).  Everything below the marker is
+    (3) the first 28 of the r7-era block in registry order (its
+    remaining 22 lead the r13 queue).  Everything below the marker is
     driver-green at least once AND re-verified by tools/check.py
     (full-registry gate at sf0.001 + sf0.01) plus pytest every round;
     tests/test_rotation_window.py enforces the rotation policy as a
@@ -6999,6 +7061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d44_incremental_compaction": _d44_incremental_compaction,
         "d45_watermark_policy": _d45_watermark_policy,
         "d46_ann_recall": _d46_ann_recall,
+        "d47_compact_manifest_lookup": _d47_compact_manifest_lookup,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a65_lsh_persist": _a65_lsh_persist,
         "a55_ivfpq_persist": _a55_ivfpq_persist,
@@ -7018,8 +7081,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e41_upsert_merge": _e41_upsert_merge,
         "e42_revenue_share": _e42_revenue_share,
         "e43_rolling_distinct": _e43_rolling_distinct,
-        # -- (3) the r7-era block, registry order: first 29 of its 50
-        #        (the remaining 21 — e55+, a105+ — lead the r13 queue) --
+        # -- (3) the r7-era block, registry order: first 28 of its 50
+        #        (the remaining 22 — e54+, a105+ — lead the r13 queue) --
         "a42_int8_quantize": _a42_int8_quantize,
         "a45_random_projection": _a45_random_projection,
         "a121_entity_resolution": _a121_entity_resolution,
@@ -7048,12 +7111,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e51_map_functions": _e51_map_functions,
         "e52_min_cost_supplier": _e52_min_cost_supplier,
         "e53_pareto_abc": _e53_pareto_abc,
-        "e54_sequence_gaps": _e54_sequence_gaps,
         # ---- driver window ends here (50) ---- below: driver-green at
         # least once + full-gate re-verified every round (tools/check.py
         # at sf0.001 + sf0.01 and pytest), ordered as previously
         # registered.  Next-stalest after this window: the rest of the
-        # r7 block (e55-e61, a105-a139...), then r8.
+        # r7 block (e54-e61, a105-a139...), then r8.
+        "e54_sequence_gaps": _e54_sequence_gaps,
         "d40_lifecycle_e2e": _d40_lifecycle_e2e,
         "d41_multi_consumer": _d41_multi_consumer,
         "d42_dedup_gate_stream": _d42_dedup_gate_stream,
@@ -7881,6 +7944,15 @@ def oracle_sql() -> dict[str, str]:
             "  index_source_key, ordering_key, publish_time, ingestion_time, "
             "  indexer_ingestion_time "
             "FROM index_metadata ORDER BY unique_id"
+        ),
+        # d47: compaction + incremental manifest replacement + pruned
+        # lookup as one composition — the three probed ids through the
+        # post-compaction manifest equal the plain index rows
+        "d47_compact_manifest_lookup": P(
+            "SELECT unique_id, broker_id, location_key FROM index_metadata "
+            "WHERE unique_id IN "
+            "('b0_m000000004', 'b1_m000000001', 'b3_m000000123') "
+            "ORDER BY unique_id"
         ),
         # d44: incremental small-file compaction preserves contents exactly
         # (the incremental-touch claim is pinned by in-code asserts on the
