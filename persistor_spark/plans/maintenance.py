@@ -45,6 +45,7 @@ the no-live-path window.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 
@@ -364,17 +365,89 @@ def _replay_small_compaction(spark, j: dict) -> int:
     files in, drop the originals, drop the tmp dir.  Idempotent at
     per-file granularity.  Returns the number of originals removed.
 
-    The FileSystem handle is resolved ONCE and reused — a compaction
-    over a layout fragmented into hundreds of appendix files pays one
-    Py4J round-trip per op here instead of the repeated
-    resolve+exists+op triple (the swap loop was ~half the timed cost of
-    the incremental bench line before this)."""
+    Op dispatch follows fsutil's local/remote split: local layouts use
+    one syscall per op (a fragmented appendix means hundreds of ops —
+    Py4J round-trips made the swap ~half the incremental bench line's
+    timed cost); remote schemes reuse ONE resolved FileSystem handle
+    instead of the per-op resolve+exists+op triple."""
     paths = [p for pair in j.get("moves", []) for p in pair] + list(
         j.get("remove", [])
     ) + ([j["tmp"]] if j.get("tmp") else [])
     if not paths:
         return 0
-    fs = fsutil.fs_for(spark, paths[0])
+    if fsutil._local_path(paths[0]) is not None:
+        # local fast path: one syscall per op instead of a Py4J round-trip
+        # — the 640-file appendix swap of the sf0.1 bench line spent ~2 s
+        # in delete round-trips alone.  Maintains the sibling .crc files
+        # Hadoop's checksummed LocalFileSystem writes (move the crc with
+        # its file so verification stays armed; drop it with a removal).
+        removed = _replay_swap_ops_local(j)
+    else:
+        removed = _replay_swap_ops_jvm(spark, j, paths[0])
+    if j.get("manifest"):
+        # replace exactly the merged files' manifest entries — scans only
+        # the new cmp-* files; idempotent under replay (stale entries for
+        # the added files drop before the fresh ones append)
+        from persistor_spark.plans import layout
+
+        layout.update_minmax_manifest(
+            spark,
+            j["manifest"],
+            j.get("remove", []),
+            [dst for _, dst in j.get("moves", [])],
+            j.get("col", "unique_id"),
+        )
+    return removed
+
+
+def _crc_sibling(path: str) -> str:
+    d, b = os.path.split(path)
+    return os.path.join(d, f".{b}.crc")
+
+
+def _replay_swap_ops_local(j: dict) -> int:
+    """Local-filesystem twin of the journaled swap replay (moves,
+    removals, tmp drop) — same idempotence and lost-race semantics as
+    the Hadoop-API path."""
+    import shutil
+
+    for src, dst in j.get("moves", []):
+        src_l, dst_l = fsutil._local_path(src), fsutil._local_path(dst)
+        if os.path.exists(src_l):
+            if os.path.exists(dst_l):
+                os.remove(src_l)
+                _try_remove(_crc_sibling(src_l))
+            else:
+                try:
+                    os.replace(src_l, dst_l)
+                except FileNotFoundError:
+                    # lost a replay race: completion, not failure
+                    if not os.path.exists(dst_l):
+                        raise
+                    continue
+                src_crc = _crc_sibling(src_l)
+                if os.path.exists(src_crc):
+                    os.replace(src_crc, _crc_sibling(dst_l))
+    removed = 0
+    for f in j.get("remove", []):
+        if _try_remove(fsutil._local_path(f)):
+            removed += 1
+            _try_remove(_crc_sibling(fsutil._local_path(f)))
+    if j.get("tmp"):
+        shutil.rmtree(fsutil._local_path(j["tmp"]), ignore_errors=True)
+    return removed
+
+
+def _try_remove(path: str) -> bool:
+    try:
+        os.remove(path)
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def _replay_swap_ops_jvm(spark, j: dict, any_path: str) -> int:
+    fs = fsutil.fs_for(spark, any_path)
     jp = lambda p: fsutil.jpath(spark, p)  # noqa: E731
     for src, dst in j.get("moves", []):
         s = jp(src)
@@ -397,19 +470,6 @@ def _replay_small_compaction(spark, j: dict) -> int:
         t = jp(j["tmp"])
         if fs.exists(t):
             fs.delete(t, True)
-    if j.get("manifest"):
-        # replace exactly the merged files' manifest entries — scans only
-        # the new cmp-* files; idempotent under replay (stale entries for
-        # the added files drop before the fresh ones append)
-        from persistor_spark.plans import layout
-
-        layout.update_minmax_manifest(
-            spark,
-            j["manifest"],
-            j.get("remove", []),
-            [dst for _, dst in j.get("moves", [])],
-            j.get("col", "unique_id"),
-        )
     return removed
 
 
