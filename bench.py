@@ -1133,7 +1133,16 @@ def main():
 
     # GLOBAL index: min over every boundary sample vs the idle-run floor
     # (see CANARY_QUIET) — fires only for co-tenancy sustained across the
-    # whole run
+    # whole run.  Measured detection limits (r12): the IO side is sharp —
+    # idle samples 0.10-0.18 vs a 5-10x dd-hog signal.  The CPU side has
+    # a BLIND BAND: 24 shell spinners on 32 cores inflated cpu-class
+    # lines ~1.3x while every boundary sample stayed within the canary's
+    # own idle-run JVM-state variance (0.20-0.59 s) — moderate cpu
+    # co-tenancy is indistinguishable from GC/heap weather, so only
+    # multi-x cpu loads register.  Sub-band deltas stay adjudicated the
+    # pre-r12 way (plan digests + quiet-host local reruns); the r11
+    # dispute this mechanism exists for was 23-133% inflation on
+    # IO-HEAVY lines, which the io canary catches decisively.
     noise = {k: _noise_idx(k, v) for k, v in canary.items()}
     # PER-LINE index: the smaller of the two samples bracketing the line
     # — localizes a transient burst to exactly the lines it covered
