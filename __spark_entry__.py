@@ -6810,6 +6810,117 @@ def _d44_incremental_compaction(spark, sf_dir):
     )
 
 
+def _a158_dedup_ingest_stream(spark, sf_dir):
+    """`run_incremental_dedup_stream` EXECUTED on the driver record (with
+    a159, the last two foreachBatch streaming runners that had only
+    pytest coverage — the same gap class d42/a155-157 closed for their
+    operators).  The even half of the corpus is the persisted LSH index;
+    the odd half arrives as THREE mtime-pinned micro-batches (doc_id % 6
+    == 1 / 3 / 5, batch_id == chunk index under maxFilesPerTrigger=1).
+    Each batch probes the index for cross near-dup pairs and THEN appends
+    its own sketch — so batch 2's probes see batches 0/1's odds too.  The
+    oracle restates the full emission rule row for row: pair (new, old)
+    lands at new's batch iff old is an even OR an odd from a strictly
+    EARLIER batch (same-batch odd pairs are never emitted — the index
+    gains the batch only after its probe), with a15's exact-verify
+    jaccard >= 0.8 and rounding."""
+    import json as _json
+    import time as _time
+
+    from persistor_spark.analytics import dedup
+    from persistor_spark.streaming import windows as sw
+
+    base = _stream_sink(spark, sf_dir, "dedupingest")
+    out = f"{base}/pairs"
+    if not os.path.exists(f"{base}/done"):
+        docs = _docs(spark, sf_dir)
+        dedup.lsh_index_save(
+            dedup.build_band_table(docs.filter(F.col("doc_id") % 2 == 0)),
+            f"{base}/lsh",
+        )
+        src = f"{base}/src"
+        os.makedirs(src, exist_ok=True)
+        t0 = _time.time()
+        for i, residue in enumerate((1, 3, 5)):
+            rows = (
+                docs.filter(F.col("doc_id") % 6 == residue)
+                .select("doc_id", "text")
+                .collect()
+            )
+            path = f"{src}/b{i}.json"
+            with open(path, "w") as fh:
+                for r in rows:
+                    fh.write(
+                        _json.dumps({"doc_id": r["doc_id"], "text": r["text"]})
+                        + "\n"
+                    )
+            os.utime(path, (t0 - 400 + i * 100,) * 2)
+        q = sw.run_incremental_dedup_stream(
+            spark, src, f"{base}/lsh", out, f"{base}/ckpt", threshold=0.8
+        )
+        if not q.awaitTermination(600):
+            raise TimeoutError("a158 dedup-ingest stream did not finish in 600s")
+        open(f"{base}/done", "w").close()
+    return (
+        spark.read.parquet(out)
+        .select("new_id", "old_id", "jaccard", "batch_id")
+        .orderBy("new_id", "old_id")
+    )
+
+
+def _a159_ann_ingest_stream(spark, sf_dir):
+    """`run_ann_ingest_stream` EXECUTED on the driver record (a158's ANN
+    twin): the a60 construction — train IVF-PQ on the even half of the
+    clustered corpus, persist it — but the odd half arrives as THREE
+    mtime-pinned micro-batches that each encode against the FROZEN
+    quantizer/codebooks and parquet-append into the cid-partitioned
+    inverted lists (FAISS add semantics, no retrain).  The search over
+    the reloaded streamed-into index must equal a60's in-memory add
+    exactly — shared brute-force oracle (clustered corpus keeps probed
+    cells covering the true top-5 at the gate SFs)."""
+    import json as _json
+    import time as _time
+
+    from persistor_spark.analytics import similarity
+    from persistor_spark.streaming import windows as sw
+
+    base = _stream_sink(spark, sf_dir, "annstream")
+    path = f"{base}/ivfpq"
+    if not os.path.exists(f"{base}/done"):
+        embs = _cl_embs(spark, sf_dir)
+        idx = similarity.ivfpq_build(
+            embs.filter(F.col("vec_id") % 2 == 0), n_centroids=8
+        )
+        similarity.ivfpq_save(idx, path)
+        src = f"{base}/src"
+        os.makedirs(src, exist_ok=True)
+        t0 = _time.time()
+        for i, residue in enumerate((1, 3, 5)):
+            rows = embs.filter(F.col("vec_id") % 6 == residue).collect()
+            p = f"{src}/b{i}.json"
+            with open(p, "w") as fh:
+                for r in rows:
+                    fh.write(
+                        _json.dumps(
+                            {"vec_id": r["vec_id"], "embedding": list(r["embedding"])}
+                        )
+                        + "\n"
+                    )
+            os.utime(p, (t0 - 400 + i * 100,) * 2)
+        q = sw.run_ann_ingest_stream(spark, src, path, f"{base}/ckpt")
+        if not q.awaitTermination(600):
+            raise TimeoutError("a159 ann-ingest stream did not finish in 600s")
+        open(f"{base}/done", "w").close()
+    from persistor_spark.analytics import similarity
+
+    loaded = similarity.ivfpq_load(spark, path)
+    queries_df = _cl_embs(spark, sf_dir).filter(F.col("vec_id") < 10)
+    out = similarity.ivfpq_search(loaded, queries_df, k=5, nprobe=4, rerank_factor=24)
+    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
+        "query_id", "rank"
+    )
+
+
 def _d47_compact_manifest_lookup(spark, sf_dir):
     """The maintenance COMPOSITION the 100 TB serving story needs: a
     manifest-tracked index layout (d1's sorted files + Iceberg-lite
@@ -7023,6 +7134,8 @@ ROTATION_HEAD = [
     "d45_watermark_policy",
     "d46_ann_recall",
     "d47_compact_manifest_lookup",
+    "a158_dedup_ingest_stream",
+    "a159_ann_ingest_stream",
     "a15_incremental_dedup",
     "a65_lsh_persist",
     "a55_ivfpq_persist",
@@ -7039,8 +7152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     incremental compaction d44, watermark policy d45, ANN recall d46)
     plus the 4 persisted-index queries whose load path changed this
     round; (2) the 13 stalest driver rows (r6-era: d25, d26, e33-e43);
-    (3) the first 28 of the r7-era block in registry order (its
-    remaining 22 lead the r13 queue).  Everything below the marker is
+    (3) the first 26 of the r7-era block in registry order (its
+    remaining 24 lead the r13 queue).  Everything below the marker is
     driver-green at least once AND re-verified by tools/check.py
     (full-registry gate at sf0.001 + sf0.01) plus pytest every round;
     tests/test_rotation_window.py enforces the rotation policy as a
@@ -7062,6 +7175,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d45_watermark_policy": _d45_watermark_policy,
         "d46_ann_recall": _d46_ann_recall,
         "d47_compact_manifest_lookup": _d47_compact_manifest_lookup,
+        "a158_dedup_ingest_stream": _a158_dedup_ingest_stream,
+        "a159_ann_ingest_stream": _a159_ann_ingest_stream,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a65_lsh_persist": _a65_lsh_persist,
         "a55_ivfpq_persist": _a55_ivfpq_persist,
@@ -7081,8 +7196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e41_upsert_merge": _e41_upsert_merge,
         "e42_revenue_share": _e42_revenue_share,
         "e43_rolling_distinct": _e43_rolling_distinct,
-        # -- (3) the r7-era block, registry order: first 28 of its 50
-        #        (the remaining 22 — e54+, a105+ — lead the r13 queue) --
+        # -- (3) the r7-era block, registry order: first 26 of its 50
+        #        (the remaining 24 — e52+, a105+ — lead the r13 queue) --
         "a42_int8_quantize": _a42_int8_quantize,
         "a45_random_projection": _a45_random_projection,
         "a121_entity_resolution": _a121_entity_resolution,
@@ -7109,13 +7224,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e49_mom_growth": _e49_mom_growth,
         "e50_ewma_smoothing": _e50_ewma_smoothing,
         "e51_map_functions": _e51_map_functions,
-        "e52_min_cost_supplier": _e52_min_cost_supplier,
-        "e53_pareto_abc": _e53_pareto_abc,
         # ---- driver window ends here (50) ---- below: driver-green at
         # least once + full-gate re-verified every round (tools/check.py
         # at sf0.001 + sf0.01 and pytest), ordered as previously
         # registered.  Next-stalest after this window: the rest of the
-        # r7 block (e54-e61, a105-a139...), then r8.
+        # r7 block (e52-e61, a105-a139...), then r8.
+        "e52_min_cost_supplier": _e52_min_cost_supplier,
+        "e53_pareto_abc": _e53_pareto_abc,
         "e54_sequence_gaps": _e54_sequence_gaps,
         "d40_lifecycle_e2e": _d40_lifecycle_e2e,
         "d41_multi_consumer": _d41_multi_consumer,
@@ -7936,6 +8051,31 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(CASE WHEN ridx < 1000 THEN 2 ELSE 1 END AS BIGINT) AS deliveries "
             "FROM pub ORDER BY message_id"
         ),
+        # a158: the streamed incremental-dedup emission rule row for row —
+        # batch membership b = -1 for evens (the seeded index) else
+        # (doc_id % 6) // 2; a pair lands at new's batch iff old's b is
+        # strictly smaller (same-batch odd pairs never emit: the index
+        # gains a batch only AFTER its probe)
+        "a158_dedup_ingest_stream": (
+            "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, "
+            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+            "  FROM t), "
+            "d AS (SELECT doc_id, sh, CASE WHEN doc_id % 2 = 0 THEN -1 "
+            "  ELSE (doc_id % 6) // 2 END AS b FROM s) "
+            "SELECT n.doc_id AS new_id, o.doc_id AS old_id, "
+            "  round(len(list_intersect(n.sh, o.sh))::DOUBLE / "
+            "    (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))), 3) AS jaccard, "
+            "  CAST(n.b AS BIGINT) AS batch_id "
+            "FROM d n JOIN d o ON o.b < n.b "
+            "WHERE n.b >= 0 "
+            "  AND len(list_intersect(n.sh, o.sh))::DOUBLE / "
+            "    (len(n.sh) + len(o.sh) - len(list_intersect(n.sh, o.sh))) >= 0.8 "
+            "ORDER BY new_id, old_id"
+        ),
+        # a159: the streamed-into index must search identically to a60's
+        # in-memory add — shared clustered brute-force oracle
+        "a159_ann_ingest_stream": _CLUSTERED_TOPK_ORACLE,
         # d43: exactly-once across checkpoint RESTART — the replayed
         # crashed batches must leave the same index as the batch prologue
         # (same column set as d42; the merge sinks absorb the replays)
