@@ -326,6 +326,7 @@ def run_incremental_dedup_stream(
     threshold: float = 0.8,
     schema: str = "doc_id long, text string",
     compact_every: int | None = None,
+    compact_small_every: int | None = None,
 ):
     """Continuous near-dup detection against a PERSISTED LSH index: each
     file-source micro-batch (a) probes the band-partitioned index for
@@ -342,7 +343,14 @@ def run_incremental_dedup_stream(
 
     `compact_every=N` runs plans.maintenance.compact_parquet on the index
     after every Nth append: per-band file count otherwise grows one file
-    per batch and the probe goes listing/open-bound.  A reader never sees
+    per batch and the probe goes listing/open-bound.
+    `compact_small_every=N` is the INCREMENTAL alternative
+    (maintenance.compact_small_files, r12): merge only the small-file
+    appendix the last N batches left, never rewriting the compacted
+    base — at scale the full rewrite's cost grows with the index while
+    the incremental one tracks the between-cycle appendix, so a
+    long-lived stream should prefer it and reserve compact_parquet for
+    offline re-sorts.  A reader never sees
     a MIX of layouts (parquet files are immutable and the old ones survive
     under a trash name until the next compaction cycle — the deferred
     cleanup in plans.maintenance), but the rename pair does have a brief
@@ -364,6 +372,10 @@ def run_incremental_dedup_stream(
         probe.write.mode("append").partitionBy("band").parquet(index_path)
         if compact_every and (batch_id + 1) % compact_every == 0:
             maintenance.compact_parquet(spark, index_path, partition_col="band")
+        if compact_small_every and (batch_id + 1) % compact_small_every == 0:
+            maintenance.compact_small_files(
+                spark, index_path, partition_col="band"
+            )
 
     return (
         spark.readStream.schema(schema)
@@ -383,6 +395,7 @@ def run_ann_ingest_stream(
     checkpoint: str,
     schema: str = "vec_id long, embedding array<double>",
     compact_every: int | None = None,
+    compact_small_every: int | None = None,
 ):
     """Continuous vector ingestion into a PERSISTED IVF-PQ index: each
     micro-batch encodes against the frozen quantizer/codebooks (one narrow
@@ -393,7 +406,9 @@ def run_ann_ingest_stream(
 
     `compact_every=N` compacts the cid-partitioned cells after every Nth
     append (see run_incremental_dedup_stream) — the inverted lists grow one
-    file per cell per batch otherwise."""
+    file per cell per batch otherwise; `compact_small_every=N` is the
+    incremental appendix-only variant (maintenance.compact_small_files),
+    the right default for a long-lived stream."""
     from persistor_spark.analytics import similarity
     from persistor_spark.plans import maintenance
 
@@ -403,6 +418,10 @@ def run_ann_ingest_stream(
         similarity.ivfpq_add_to_disk(spark, index_path, batch_df)
         if compact_every and (batch_id + 1) % compact_every == 0:
             maintenance.compact_parquet(
+                spark, f"{index_path}/cells", partition_col="cid"
+            )
+        if compact_small_every and (batch_id + 1) % compact_small_every == 0:
+            maintenance.compact_small_files(
                 spark, f"{index_path}/cells", partition_col="cid"
             )
 

@@ -588,3 +588,57 @@ def test_ann_ingest_stream_grows_persisted_index(spark, sf_dir, tmp_path):
     mem = similarity.ivfpq_search(similarity.ivfpq_add(idx, newb), queries_df, k=5).collect()
     as_t = lambda rs: sorted((r["query_id"], r["vec_id"], r["cos"], r["rank"]) for r in rs)  # noqa: E731
     assert as_t(got) == as_t(mem)
+
+
+def test_dedup_stream_compact_small_every_preserves_index(spark, sf_dir, tmp_path):
+    """`compact_small_every` (r12): the incremental appendix-only
+    compaction wired into the streaming dedup runner must leave the
+    persisted index CONTENT identical to the uncompacted run while
+    keeping the per-band file count bounded — the maintenance policy a
+    long-lived stream runs instead of compact_parquet's full rewrite."""
+    import glob
+    import json as _json
+    import os
+
+    from persistor_spark.analytics import dedup
+    from persistor_spark.sources.registry import load_table
+    from persistor_spark.streaming import windows as sw
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+
+    index_path = str(tmp_path / "lsh_index")
+    dedup.lsh_index_save(dedup.build_band_table(old), index_path)
+    src = tmp_path / "batches"
+    src.mkdir()
+    rows = new.collect()
+    third = max(1, len(rows) // 3)
+    for i, chunk in enumerate((rows[:third], rows[third : 2 * third], rows[2 * third :])):
+        with open(src / f"b{i}.json", "w") as f:
+            for r in chunk:
+                f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"]}) + "\n")
+
+    q = sw.run_incremental_dedup_stream(
+        spark,
+        str(src),
+        index_path,
+        str(tmp_path / "pairs"),
+        str(tmp_path / "ckpt"),
+        threshold=0.8,
+        compact_small_every=1,
+    )
+    q.awaitTermination(300)
+
+    got = sorted(tuple(r) for r in dedup.lsh_index_load(spark, index_path).collect())
+    want = sorted(tuple(r) for r in dedup.build_band_table(docs).collect())
+    assert got == want, "compacted streamed index diverged from the batch sketch"
+    # bounded growth: 3 appendix cycles merged down — no band dir holds
+    # base + one-file-per-batch
+    per_band = {}
+    for f in glob.glob(f"{index_path}/band=*/*.parquet"):
+        d = os.path.dirname(f)
+        per_band[d] = per_band.get(d, 0) + 1
+    assert per_band and max(per_band.values()) <= 3, per_band
+    # no maintenance debris
+    assert glob.glob(f"{index_path}.__smallcompact_*") == []
