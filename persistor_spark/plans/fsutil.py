@@ -219,6 +219,22 @@ def write_text(spark, path: str, text: str) -> None:
     rename(spark, tmp, path, overwrite=True)
 
 
+def try_read_text(spark, path: str) -> str | None:
+    """`read_text`, returning None when the file is ALREADY GONE.
+
+    Exists for the recovery paths: between globbing a journal and reading
+    it, a racing recoverer may replay and delete that same journal — the
+    per-file idempotence of the swap ops covers the moves/removes, this
+    covers the journal read itself (a vanished journal means "another
+    recoverer finished", not an error)."""
+    try:
+        return read_text(spark, path)
+    except Exception as e:  # Py4JJavaError wrapping java.io.FileNotFoundException
+        if "FileNotFoundException" in str(e) or isinstance(e, FileNotFoundError):
+            return None
+        raise
+
+
 def read_text(spark, path: str) -> str:
     """Read a small text file fully into a string."""
     jvm = spark._jvm

@@ -312,6 +312,22 @@ def compact_small_files(
         if sz < small_file_bytes:
             groups.setdefault(f.rsplit("/", 1)[0], []).append((f, sz))
     groups = {d: fs for d, fs in groups.items() if len(fs) >= 2}
+    if partition_col is None:
+        # a Hive-partitioned layout compacted flat would read the small
+        # files WITHOUT basePath (partition columns silently dropped) and
+        # land the merged replacements at the table root — refuse instead
+        # of corrupting the layout (r12 ADVICE)
+        live_prefix = path.rstrip("/") + "/"
+        for d in groups:
+            rel = d[len(live_prefix):] if d.startswith(live_prefix) else ""
+            hive_seg = next((s for s in rel.split("/") if "=" in s), None)
+            if hive_seg:
+                raise ValueError(
+                    f"compact_small_files: {d!r} looks Hive-partitioned "
+                    f"(segment {hive_seg!r}); pass partition_col="
+                    f"{hive_seg.split('=', 1)[0]!r} so the merge is "
+                    "basePath-aware and replacements stay in their partition"
+                )
     stats = {
         "files_before": len(all_files),
         "files_small": sum(len(fs) for fs in groups.values()),
@@ -375,15 +391,22 @@ def _replay_small_compaction(spark, j: dict) -> int:
     ) + ([j["tmp"]] if j.get("tmp") else [])
     if not paths:
         return 0
-    if fsutil._local_path(paths[0]) is not None:
+    local = fsutil._local_path(paths[0]) is not None
+    # Phase order matters for manifest-tracked layouts: (1) move the
+    # merged cmp-* files in, (2) swap the manifest entries, (3) ONLY THEN
+    # remove the originals.  The transient state between (2) and (3) is
+    # harmless duplicates the manifest never exposes; updating the
+    # manifest after the removals would leave pruned scans resolving
+    # manifest entries to already-deleted files (r12 ADVICE).
+    if local:
         # local fast path: one syscall per op instead of a Py4J round-trip
         # — the 640-file appendix swap of the sf0.1 bench line spent ~2 s
         # in delete round-trips alone.  Maintains the sibling .crc files
         # Hadoop's checksummed LocalFileSystem writes (move the crc with
         # its file so verification stays armed; drop it with a removal).
-        removed = _replay_swap_ops_local(j)
+        _replay_moves_local(j)
     else:
-        removed = _replay_swap_ops_jvm(spark, j, paths[0])
+        _replay_moves_jvm(spark, j, paths[0])
     if j.get("manifest"):
         # replace exactly the merged files' manifest entries — scans only
         # the new cmp-* files; idempotent under replay (stale entries for
@@ -397,6 +420,10 @@ def _replay_small_compaction(spark, j: dict) -> int:
             [dst for _, dst in j.get("moves", [])],
             j.get("col", "unique_id"),
         )
+    if local:
+        removed = _replay_removes_local(j)
+    else:
+        removed = _replay_removes_jvm(spark, j, paths[0])
     return removed
 
 
@@ -405,17 +432,16 @@ def _crc_sibling(path: str) -> str:
     return os.path.join(d, f".{b}.crc")
 
 
-def _replay_swap_ops_local(j: dict) -> int:
-    """Local-filesystem twin of the journaled swap replay (moves,
-    removals, tmp drop) — same idempotence and lost-race semantics as
-    the Hadoop-API path."""
-    import shutil
-
+def _replay_moves_local(j: dict) -> None:
+    """Local-filesystem twin of the journaled move phase — same
+    idempotence and lost-race semantics as the Hadoop-API path."""
     for src, dst in j.get("moves", []):
         src_l, dst_l = fsutil._local_path(src), fsutil._local_path(dst)
         if os.path.exists(src_l):
             if os.path.exists(dst_l):
-                os.remove(src_l)
+                # racing replayer may consume src between the exists
+                # check and here — losing that race is completion too
+                _try_remove(src_l)
                 _try_remove(_crc_sibling(src_l))
             else:
                 try:
@@ -428,6 +454,11 @@ def _replay_swap_ops_local(j: dict) -> int:
                 src_crc = _crc_sibling(src_l)
                 if os.path.exists(src_crc):
                     os.replace(src_crc, _crc_sibling(dst_l))
+
+
+def _replay_removes_local(j: dict) -> int:
+    import shutil
+
     removed = 0
     for f in j.get("remove", []):
         if _try_remove(fsutil._local_path(f)):
@@ -446,7 +477,7 @@ def _try_remove(path: str) -> bool:
         return False
 
 
-def _replay_swap_ops_jvm(spark, j: dict, any_path: str) -> int:
+def _replay_moves_jvm(spark, j: dict, any_path: str) -> None:
     fs = fsutil.fs_for(spark, any_path)
     jp = lambda p: fsutil.jpath(spark, p)  # noqa: E731
     for src, dst in j.get("moves", []):
@@ -461,6 +492,11 @@ def _replay_swap_ops_jvm(spark, j: dict, any_path: str) -> int:
                 # is completion, not failure
                 if not (fs.exists(jp(dst)) and not fs.exists(s)):
                     raise OSError(f"rename failed: {src} -> {dst}")
+
+
+def _replay_removes_jvm(spark, j: dict, any_path: str) -> int:
+    fs = fsutil.fs_for(spark, any_path)
+    jp = lambda p: fsutil.jpath(spark, p)  # noqa: E731
     removed = 0
     for f in j.get("remove", []):
         p = jp(f)
@@ -485,7 +521,12 @@ def recover_small_compactions(spark, path: str) -> dict:
     stats = {"journals": 0, "files_removed": 0}
     live = fsutil.escape(path.rstrip("/"))
     for journal in sorted(fsutil.glob(spark, f"{live}.__smallcompact_journal_*.json")):
-        j = json.loads(fsutil.read_text(spark, journal))
+        txt = fsutil.try_read_text(spark, journal)
+        if txt is None:
+            # a racing recoverer replayed and deleted this journal between
+            # our glob and read — completion, not failure (r12 ADVICE)
+            continue
+        j = json.loads(txt)
         stats["journals"] += 1
         stats["files_removed"] += _replay_small_compaction(spark, j)
         fsutil.delete(spark, journal, recursive=False)
@@ -623,16 +664,14 @@ def _replay_delete_plan(spark, j: dict, table_path: str) -> int:
                 fsutil.delete(spark, src, recursive=False)
             else:
                 fsutil.rename(spark, src, dst)
-    removed = 0
-    for f in j["remove"]:
-        if fsutil.delete(spark, f, recursive=False):
-            removed += 1
-    if j.get("tmp"):
-        fsutil.delete(spark, j["tmp"], recursive=True)
     if j.get("moves"):
         # incremental: re-derive entries for ONLY the rewritten files
         # (idempotent under replay); the full rebuild would rescan the
-        # whole table per delete — at 10^6 files that IS the delete cost
+        # whole table per delete — at 10^6 files that IS the delete cost.
+        # Manifest swap happens BEFORE the originals are removed so the
+        # transient state is harmless duplicates the manifest never
+        # exposes, never manifest entries pointing at deleted files
+        # (same phase order as _replay_small_compaction, r12 ADVICE).
         layout.update_minmax_manifest(
             spark,
             j["manifest"],
@@ -640,7 +679,13 @@ def _replay_delete_plan(spark, j: dict, table_path: str) -> int:
             [dst for _, dst in j["moves"]],
             j["col"],
         )
-    else:  # legacy journal without a move plan: full rebuild
+    removed = 0
+    for f in j["remove"]:
+        if fsutil.delete(spark, f, recursive=False):
+            removed += 1
+    if j.get("tmp"):
+        fsutil.delete(spark, j["tmp"], recursive=True)
+    if not j.get("moves"):  # legacy journal without a move plan: full rebuild
         layout.write_minmax_manifest(spark, table_path, j["manifest"], j["col"])
     return removed
 
@@ -662,7 +707,11 @@ def recover_pending_deletes(spark, table_path: str) -> dict:
     stats = {"journals": 0, "files_removed": 0}
     pattern = f"{fsutil.escape(table_path.rstrip('/'))}.__delete_journal_*.json"
     for journal in sorted(fsutil.glob(spark, pattern)):
-        j = json.loads(fsutil.read_text(spark, journal))
+        txt = fsutil.try_read_text(spark, journal)
+        if txt is None:
+            # racing recoverer consumed this journal first — done already
+            continue
+        j = json.loads(txt)
         stats["journals"] += 1
         stats["files_removed"] += _replay_delete_plan(spark, j, table_path)
         fsutil.delete(spark, journal, recursive=False)

@@ -40,7 +40,7 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path, chunked_messages):
     q, metrics = ingest_stream.run_stream(
         stream, cfg, sinks, failure=F.col("event_seq") % 83 == 13
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     assert metrics.batches >= 1
 
     # streamed output == batch-mode output (same derivations, same totals)
@@ -76,7 +76,7 @@ def test_stream_blobs_partition_pruned(spark, tmp_path, chunked_messages):
     q, _ = ingest_stream.run_stream(
         ingest_stream.file_stream(spark, src, max_files_per_trigger=3), cfg, sinks
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     import glob
 
     dirs = glob.glob(sinks.blob_path + "/__mask_year=*/__mask_month=*/__mask_day=*/__mask_attr_version=*")
@@ -113,7 +113,7 @@ def test_malformed_json_routes_to_dlq(spark, tmp_path):
     )
     sinks = _sinks(tmp_path, "out3")
     q, metrics = ingest_stream.run_stream(parsed, cfg, sinks)
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
 
     idx = spark.read.parquet(sinks.index_path)
     dl = spark.read.parquet(sinks.deadletter_path)
@@ -134,13 +134,13 @@ def test_restart_from_checkpoint_is_idempotent(spark, tmp_path, chunked_messages
     q, _ = ingest_stream.run_stream(
         ingest_stream.file_stream(spark, src, max_files_per_trigger=2), cfg, sinks
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     n1 = spark.read.parquet(sinks.index_path).count()
     # restart: no new files -> no new batches -> no new rows
     q2, m2 = ingest_stream.run_stream(
         ingest_stream.file_stream(spark, src, max_files_per_trigger=2), cfg, sinks
     )
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300)
     n2 = spark.read.parquet(sinks.index_path).count()
     assert n1 == n2
     assert m2.indexed == 0
@@ -160,7 +160,7 @@ def test_multibatch_positions_unique_and_resubmittable(spark, tmp_path, chunked_
     q, metrics = ingest_stream.run_stream(
         ingest_stream.file_stream(spark, src, max_files_per_trigger=1), cfg, sinks
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     assert metrics.batches >= 3  # the collision needs >1 batch to manifest
 
     idx = spark.read.parquet(sinks.index_path)
@@ -275,7 +275,7 @@ def test_stream_with_ocf_blob_format(spark, tmp_path, chunked_messages):
     q, metrics = ingest_stream.run_stream(
         ingest_stream.file_stream(spark, src, max_files_per_trigger=1), cfg, sinks
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     assert metrics.batches >= 3
 
     idx = spark.read.parquet(sinks.index_path)
@@ -299,7 +299,7 @@ def test_stream_with_ocf_blob_format(spark, tmp_path, chunked_messages):
     q2, m2 = ingest_stream.run_stream(
         ingest_stream.file_stream(spark, src, max_files_per_trigger=1), cfg, sinks
     )
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300)
     assert m2.indexed == 0
     assert digest() == before
 
@@ -366,7 +366,7 @@ def test_dedup_gate_drops_redeliveries(spark, sf_dir, tmp_path):
         # rows as late data (this test pins dedup, not lateness)
         dedup_gate_watermark="720 hours",
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
 
     got = spark.read.parquet(sinks.index_path)
     n_unique = msgs.select("broker_id", "broker_msg_id").distinct().count()
@@ -407,7 +407,7 @@ def test_dedup_gate_state_survives_restart(spark, sf_dir, tmp_path):
         )
 
     q, _ = start()
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
     n1 = spark.read.parquet(sinks.index_path).count()
     n_first = first.select("broker_id", "broker_msg_id").distinct().count()
     assert n1 == n_first
@@ -421,7 +421,7 @@ def test_dedup_gate_state_survives_restart(spark, sf_dir, tmp_path):
     wave2.coalesce(1).write.mode("append").parquet(src)
 
     q2, _ = start()
-    q2.awaitTermination(300)
+    assert q2.awaitTermination(300)
     got = spark.read.parquet(sinks.index_path)
     n_new = new.select("broker_id", "broker_msg_id").distinct().count()
     # redeliveries dropped thanks to RESTORED state; only the new keys added
@@ -461,7 +461,7 @@ def test_incremental_dedup_stream_probes_and_grows_index(spark, sf_dir, tmp_path
     q = sw.run_incremental_dedup_stream(
         spark, str(src), index_path, out, str(tmp_path / "ckpt"), threshold=0.8
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
 
     got_rows = spark.read.parquet(out).select("new_id", "old_id").collect()
     # the file source may process b0/b1 in EITHER order, which flips the
@@ -523,7 +523,7 @@ def test_incremental_dedup_stream_periodic_compaction(spark, sf_dir, tmp_path):
             spark, str(src), index_path, out, ckpt,
             threshold=0.8, compact_every=compact_every,
         )
-        q.awaitTermination(300)
+        assert q.awaitTermination(300)
 
     def n_files(p):
         return sum(
@@ -579,7 +579,7 @@ def test_ann_ingest_stream_grows_persisted_index(spark, sf_dir, tmp_path):
                 f.write(_json.dumps({"vec_id": r["vec_id"], "embedding": list(r["embedding"])}) + "\n")
 
     q = sw.run_ann_ingest_stream(spark, str(src), path, str(tmp_path / "ckpt"))
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
 
     loaded = similarity.ivfpq_load(spark, path)
     assert loaded.cells.count() == base.count() + newb.count()
@@ -628,7 +628,7 @@ def test_dedup_stream_compact_small_every_preserves_index(spark, sf_dir, tmp_pat
         threshold=0.8,
         compact_small_every=1,
     )
-    q.awaitTermination(300)
+    assert q.awaitTermination(300)
 
     got = sorted(tuple(r) for r in dedup.lsh_index_load(spark, index_path).collect())
     want = sorted(tuple(r) for r in dedup.build_band_table(docs).collect())
