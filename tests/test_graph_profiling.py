@@ -1043,3 +1043,135 @@ def test_compact_small_files_maintains_minmax_manifest(spark, tmp_path, monkeypa
             layout.manifest_pruned_scan_cached(spark, table, rows, [probe]).count()
             == 1
         ), probe
+
+
+def test_small_compaction_manifest_swaps_before_removals(spark, tmp_path, monkeypatch):
+    """r12 ADVICE (phase order): the journaled swap must replace the
+    manifest entries BETWEEN moving the cmp-* files in and removing the
+    originals — a pruned scan racing the swap then sees harmless
+    duplicates the manifest never exposes, never manifest entries
+    resolving to already-deleted files.  Pinned by observing the
+    filesystem at manifest-update time."""
+    from persistor_spark.plans import fsutil, layout, maintenance
+
+    path, _, thresh = _frag_layout(spark, tmp_path, "mf_order")
+    mf = str(tmp_path / "mf_order_manifest")
+    layout.write_minmax_manifest(spark, path, mf, "v")
+    seen = {}
+    real = layout.update_minmax_manifest
+
+    def spy(spark_, mf_path, removed, added, col):
+        import os
+
+        loc = lambda p: fsutil._local_path(p) or p  # noqa: E731
+        seen["originals_alive"] = [f for f in removed if os.path.exists(loc(f))]
+        seen["added_alive"] = [f for f in added if os.path.exists(loc(f))]
+        seen["removed_arg"] = list(removed)
+        return real(spark_, mf_path, removed, added, col)
+
+    monkeypatch.setattr(layout, "update_minmax_manifest", spy)
+    maintenance.compact_small_files(
+        spark,
+        path,
+        partition_col="p",
+        small_file_bytes=thresh,
+        manifest_path=mf,
+        manifest_col="v",
+    )
+    assert seen, "manifest update must run as part of the swap"
+    # every merged replacement is already in the live tree...
+    assert seen["added_alive"] and len(seen["added_alive"]) == len(
+        set(seen["added_alive"])
+    )
+    # ...and NO original has been removed yet (duplicates, not dangling refs)
+    assert seen["originals_alive"] == seen["removed_arg"]
+    # after the swap completes the manifest matches the surviving files
+    loc = lambda p: fsutil._local_path(p) or p  # noqa: E731
+    rows = layout.load_manifest(spark, mf)
+    assert sorted(loc(f) for f, *_ in rows) == sorted(
+        loc(f) for f, _ in fsutil.list_files_with_size(spark, path)
+    )
+
+
+def test_delete_manifest_swaps_before_removals(spark, tmp_path, monkeypatch):
+    """Same phase-order contract for delete_by_key's journaled swap."""
+    from persistor_spark.plans import fsutil, layout, maintenance
+
+    table, mf = str(tmp_path / "del_order"), str(tmp_path / "del_order_mf")
+    df = spark.range(1000).select(
+        F.format_string("id%06d", F.col("id")).alias("unique_id"),
+        (F.col("id") % 7).alias("payload"),
+    )
+    df.repartitionByRange(8, "unique_id").sortWithinPartitions(
+        "unique_id"
+    ).write.parquet(table)
+    layout.write_minmax_manifest(spark, table, mf)
+    seen = {}
+    real = layout.update_minmax_manifest
+
+    def spy(spark_, mf_path, removed, added, col):
+        import os
+
+        loc = lambda p: fsutil._local_path(p) or p  # noqa: E731
+        seen["originals_alive"] = [f for f in removed if os.path.exists(loc(f))]
+        seen["removed_arg"] = list(removed)
+        return real(spark_, mf_path, removed, added, col)
+
+    monkeypatch.setattr(layout, "update_minmax_manifest", spy)
+    stats = maintenance.delete_by_key(spark, table, mf, ["id000010"])
+    assert stats["rows_deleted"] == 1 and seen
+    assert seen["originals_alive"] == seen["removed_arg"]
+
+
+def test_recover_small_compactions_skips_vanished_journal(spark, tmp_path, monkeypatch):
+    """r12 ADVICE (journal-read race): two unlocked heal-on-read
+    recoverers may race on the same journal — when it vanishes between
+    glob and read, recovery treats it as another recoverer's completion
+    (skip), not an error."""
+    from persistor_spark.plans import fsutil, maintenance
+
+    path = str(tmp_path / "race_tbl")
+    spark.range(10).write.parquet(path)
+    ghost = f"{path}.__smallcompact_journal_deadbeef.json"
+    real_glob = fsutil.glob
+
+    def glob_spy(spark_, pattern):
+        out = real_glob(spark_, pattern)
+        if "__smallcompact_journal_" in pattern:
+            return out + [ghost]  # consumed by the racing recoverer already
+        return out
+
+    monkeypatch.setattr(fsutil, "glob", glob_spy)
+    stats = maintenance.recover_small_compactions(spark, path)
+    assert stats == {"journals": 0, "files_removed": 0}
+
+
+def test_recover_pending_deletes_skips_vanished_journal(spark, tmp_path, monkeypatch):
+    from persistor_spark.plans import fsutil, maintenance
+
+    table = str(tmp_path / "race_del")
+    spark.range(10).write.parquet(table)
+    ghost = f"{table}.__delete_journal_deadbeef.json"
+    real_glob = fsutil.glob
+
+    def glob_spy(spark_, pattern):
+        out = real_glob(spark_, pattern)
+        if "__delete_journal_" in pattern:
+            return out + [ghost]
+        return out
+
+    monkeypatch.setattr(fsutil, "glob", glob_spy)
+    stats = maintenance.recover_pending_deletes(spark, table)
+    assert stats == {"journals": 0, "files_removed": 0}
+
+
+def test_compact_small_files_refuses_flat_on_hive_layout(spark, tmp_path):
+    """r12 ADVICE: compacting a Hive-partitioned layout WITHOUT
+    partition_col would read small files non-basePath-aware (partition
+    columns silently dropped) and land replacements at the table root —
+    refuse loudly instead of corrupting the layout."""
+    from persistor_spark.plans import maintenance
+
+    path, _, thresh = _frag_layout(spark, tmp_path, "hive_guard")
+    with pytest.raises(ValueError, match="Hive-partitioned"):
+        maintenance.compact_small_files(spark, path, small_file_bytes=thresh)
