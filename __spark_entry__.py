@@ -7095,6 +7095,133 @@ def _d47_compact_manifest_lookup(spark, sf_dir):
     return out.orderBy("unique_id")
 
 
+_D48_WORKER = '''
+import json, os, sys, time
+
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import functions as F
+
+from persistor_spark import fixtures
+from persistor_spark.plans import ingest
+from persistor_spark.session import build_session
+
+sf_dir, table, lock, ready, go, out = sys.argv[1:7]
+spark = build_session("d48-writer-a", master="local[4]", shuffle_partitions=4)
+msgs = fixtures.load_messages(spark, sf_dir)
+mine = msgs.filter(F.col("event_seq") % 2 == 0)
+open(ready, "w").close()
+t0 = time.time()
+while not os.path.exists(go):
+    if time.time() - t0 > 300:
+        raise TimeoutError("writer A never saw the go marker")
+    time.sleep(0.05)
+appended = []
+for c in range(4):
+    chunk = mine.filter(F.floor((F.col("event_seq") % 8) / 2) == c)
+    result = ingest.run_batch(
+        chunk, fixtures.fixture_ingest_config(),
+        failure=F.expr(fixtures.DEADLETTER_PRED_SQL),
+    )
+    appended.append(ingest.write_index_merge(result, table, lock_path=lock))
+with open(out, "w") as fh:
+    json.dump({"appended": appended}, fh)
+spark.stop()
+'''
+
+
+def _d48_concurrent_writers(spark, sf_dir):
+    """TWO OS-PROCESS WRITERS merge-append into ONE index table
+    CONCURRENTLY (r12 VERDICT #8a: d41/test_receiver_multiprocess pin
+    racing CONSUMERS; nothing pinned racing WRITERS through the
+    flock+merge path).  Writer A is a second Spark process (own JVM, own
+    session — the receiver_test.go:!race shape); writer B is this
+    session.  Each ingests its half of the fixture stream in 4
+    run_batch -> write_index_merge chunks under the SHARED advisory
+    flock (ingest.write_index_merge lock_path — the plain-parquet
+    analogue of a Delta transaction log), and the halves OVERLAP on
+    event_seq % 10 == 0: the same messages delivered to BOTH writers,
+    the partition-reassignment redelivery of a broker rebalance.  A
+    file barrier releases both writers together, so the chunk merges
+    genuinely interleave.  Deterministic at any interleaving: the
+    locked merge dedups on unique_id, so the final table is the exact
+    fixture index; in-code asserts pin single-delivery (no unique_id
+    appears twice) and that BOTH writers appended rows; the oracle is
+    the batch prologue's index on the non-location columns (d43's
+    shape)."""
+    import subprocess
+    import sys as _sys
+    import time as _time
+
+    from persistor_spark.plans import ingest
+
+    base = _stream_sink(spark, sf_dir, "concwriters")
+    table = f"{base}/index"
+    if not os.path.exists(f"{base}/done"):
+        lock = f"{base}/writers"
+        ready, go, out_json = f"{base}/ready", f"{base}/go", f"{base}/a.json"
+        script = f"{base}/worker_a.py"
+        with open(script, "w") as fh:
+            fh.write(_D48_WORKER)
+        proc = subprocess.Popen(
+            [_sys.executable, script, sf_dir, table, lock, ready, go, out_json],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        try:
+            t0 = _time.time()
+            while not os.path.exists(ready):
+                if proc.poll() is not None or _time.time() - t0 > 300:
+                    raise RuntimeError(
+                        f"writer A died before ready: {proc.communicate()[0][-2000:]}"
+                    )
+                _time.sleep(0.1)
+            open(go, "w").close()  # barrier: both writers start together
+            msgs = fixtures.load_messages(spark, sf_dir)
+            mine = msgs.filter(
+                (F.col("event_seq") % 2 == 1) | (F.col("event_seq") % 10 == 0)
+            )
+            appended_b = []
+            for c in range(4):
+                chunk = mine.filter(F.floor((F.col("event_seq") % 8) / 2) == c)
+                result = ingest.run_batch(
+                    chunk,
+                    fixtures.fixture_ingest_config(),
+                    failure=F.expr(fixtures.DEADLETTER_PRED_SQL),
+                )
+                appended_b.append(
+                    ingest.write_index_merge(result, table, lock_path=lock)
+                )
+            tail = proc.communicate(timeout=600)[0]
+            if proc.returncode != 0:
+                raise RuntimeError(f"writer A failed: {tail[-2000:]}")
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        import json as _json
+
+        appended_a = _json.load(open(out_json))["appended"]
+        assert sum(appended_a) > 0, f"writer A appended nothing: {appended_a}"
+        assert sum(appended_b) > 0, f"writer B appended nothing: {appended_b}"
+        open(f"{base}/done", "w").close()
+    idx = spark.read.parquet(table)
+    dups = idx.groupBy("unique_id").count().filter(F.col("count") > 1).count()
+    assert dups == 0, f"{dups} unique_ids delivered twice across writers"
+    return (
+        idx.select(
+            "unique_id",
+            "business_source_key",
+            "business_object_key",
+            "index_source_key",
+            "ordering_key",
+            "publish_time",
+            "ingestion_time",
+            "indexer_ingestion_time",
+        )
+        .orderBy("unique_id")
+    )
+
+
 def _d45_watermark_policy(spark, sf_dir):
     """The late-data ADMISSION policy as one driver hash (r11 VERDICT
     #7a — the streaming semantic d40/d42/d43 do not pin): three
@@ -7283,6 +7410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        d46) plus the 4 persisted-index queries whose LOAD path
         #        changed this round (recover_small_compactions heal-on-
         #        read in lsh_index_load / ivfpq_load) --
+        "d48_concurrent_writers": _d48_concurrent_writers,
         "d43_restart_recovery": _d43_restart_recovery,
         "d44_incremental_compaction": _d44_incremental_compaction,
         "d45_watermark_policy": _d45_watermark_policy,
@@ -8193,6 +8321,14 @@ def oracle_sql() -> dict[str, str]:
         # crashed batches must leave the same index as the batch prologue
         # (same column set as d42; the merge sinks absorb the replays)
         "d43_restart_recovery": P(
+            "SELECT unique_id, business_source_key, business_object_key, "
+            "  index_source_key, ordering_key, publish_time, ingestion_time, "
+            "  indexer_ingestion_time "
+            "FROM index_metadata ORDER BY unique_id"
+        ),
+        # d48: two OS-process writers through the locked merge — the final
+        # table is the exact fixture index whatever the interleaving
+        "d48_concurrent_writers": P(
             "SELECT unique_id, business_source_key, business_object_key, "
             "  index_source_key, ordering_key, publish_time, ingestion_time, "
             "  indexer_ingestion_time "

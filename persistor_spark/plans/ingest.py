@@ -174,7 +174,7 @@ def run_batch(
     )
 
 
-def write_index_merge(result: IngestResult, path: str) -> int:
+def write_index_merge(result: IngestResult, path: str, lock_path: str | None = None) -> int:
     """Exactly-once index append WITHOUT Delta: anti-join the incoming batch
     against the unique_ids already present, append only the new rows.
     Returns the number of rows appended.
@@ -187,7 +187,23 @@ def write_index_merge(result: IngestResult, path: str) -> int:
     existing-side scan projects ONLY unique_id (column-pruned) and the join
     is key-hash distributed; with the sorted layout option row-group stats
     prune untouched files.
+
+    `lock_path`: serialize the whole read-dedup-append sequence under a
+    cross-process advisory flock (sources/_statelock).  A SINGLE writer —
+    one Structured Streaming query, where the checkpoint already
+    serializes batches — never needs it.  TWO CONCURRENT writers on one
+    table do: without the lock each anti-joins against a snapshot missing
+    the other's in-flight append, so overlapping (redelivered-across-
+    writers) ids commit twice, and plain-parquet appends additionally
+    race on the table's shared `_temporary` committer dir.  On Delta/
+    Iceberg this is the transaction log's job; the flock is the plain-
+    parquet analogue, local-FS scope like the broker stand-ins.
     """
+    if lock_path is not None:
+        from persistor_spark.sources._statelock import state_lock
+
+        with state_lock(lock_path):
+            return write_index_merge(result, path, None)
     spark = result.index_metadata.sparkSession
     new = result.index_metadata
     try:
@@ -267,7 +283,9 @@ def write_blobs(result: IngestResult, path: str, fmt: str = "avro") -> None:
     )
 
 
-def write_blobs_merge(result: IngestResult, path: str, fmt: str = "avro") -> int:
+def write_blobs_merge(
+    result: IngestResult, path: str, fmt: str = "avro", lock_path: str | None = None
+) -> int:
     """Exactly-once blob append: anti-join the batch's records on
     (location_key, record_id) against what's already persisted, append only
     the new rows.  Returns the number of rows appended.
@@ -279,7 +297,15 @@ def write_blobs_merge(result: IngestResult, path: str, fmt: str = "avro") -> int
     Scale: the existing side projects only the two join-key columns
     (column-pruned scan) and the join hash-distributes on location_key;
     on Delta/Iceberg this is MERGE WHEN NOT MATCHED.
+
+    `lock_path`: serialize concurrent WRITERS, exactly as in
+    write_index_merge (see its docstring for when it is required).
     """
+    if lock_path is not None:
+        from persistor_spark.sources._statelock import state_lock
+
+        with state_lock(lock_path):
+            return write_blobs_merge(result, path, fmt, None)
     spark = result.blob_records.sparkSession
     fmt = resolve_blob_format(spark, fmt)
     new = result.blob_records
