@@ -7222,6 +7222,154 @@ def _d48_concurrent_writers(spark, sf_dir):
     )
 
 
+def _d49_schema_evolution(spark, sf_dir):
+    """INDEX SCHEMA EVOLUTION in place (r12 VERDICT #8b): a 100 TB index
+    cannot be rewritten to gain a column, so old and new footers must
+    reconcile in ONE scan.  The even half of the stream is ingested and
+    persisted under the v1 schema; the pipeline then evolves (the index
+    gains `index_schema_version`) and the odd half appends under v2.
+    The read side is a single mergeSchema parquet scan: v1 rows surface
+    the new column as NULL, v2 rows carry their literal — and predicates
+    on the evolved column treat absent as NULL (the in-code asserts pin
+    both directions: IS NULL selects exactly the v1 rows, = 2 exactly
+    the v2 rows).  Oracle: the prologue's pos CTE with the same
+    event_seq split.  At scale this is footer-level schema merge only —
+    no data file is rewritten, which the base-file inode assert pins."""
+    import atexit
+    import glob as _glob
+    import shutil
+    import tempfile
+
+    from persistor_spark.plans import ingest
+
+    root = tempfile.mkdtemp(prefix="schemaevo_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table = f"{root}/index"
+    msgs = fixtures.load_messages(spark, sf_dir)
+    cols = [
+        "unique_id",
+        "business_source_key",
+        "business_object_key",
+        "index_source_key",
+        "ordering_key",
+        "publish_time",
+        "ingestion_time",
+    ]
+    v1 = ingest.run_batch(
+        msgs.filter(F.col("event_seq") % 2 == 0),
+        fixtures.fixture_ingest_config(),
+        failure=F.expr(fixtures.DEADLETTER_PRED_SQL),
+    )
+    v1.index_metadata.select(*cols).write.parquet(table)
+    v1_files = {
+        f: os.stat(f).st_ino for f in _glob.glob(f"{table}/part-*.parquet")
+    }
+    v2 = ingest.run_batch(
+        msgs.filter(F.col("event_seq") % 2 == 1),
+        fixtures.fixture_ingest_config(),
+        failure=F.expr(fixtures.DEADLETTER_PRED_SQL),
+    )
+    (
+        v2.index_metadata.select(*cols)
+        .withColumn("index_schema_version", F.lit(2).cast("int"))
+        .write.mode("append")
+        .parquet(table)
+    )
+    evolved = spark.read.option("mergeSchema", "true").parquet(table)
+    assert "index_schema_version" in evolved.columns
+    # evolution is footer-only: every v1 data file survives byte-for-byte
+    assert all(
+        os.path.exists(f) and os.stat(f).st_ino == ino
+        for f, ino in v1_files.items()
+    ), "schema evolution rewrote a v1 file"
+    n_v1 = evolved.filter(F.col("index_schema_version").isNull()).count()
+    n_v2 = evolved.filter(F.col("index_schema_version") == 2).count()
+    assert n_v1 == v1.index_metadata.count(), "IS NULL must select the v1 rows"
+    assert n_v2 == v2.index_metadata.count(), "= 2 must select the v2 rows"
+    return evolved.select(*cols, "index_schema_version").orderBy("unique_id")
+
+
+def _d50_compact_under_reader(spark, sf_dir):
+    """COMPACTION UNDER A CONCURRENT READER (r12 VERDICT #8c): a serving
+    layer holds the min/max manifest RESIDENT across lookups (the d47
+    composition's documented pattern) while `compact_small_files` swaps
+    the appendix underneath it — readers hold no lock.  The pin realizes
+    the race deterministically: (1) the reader loads the manifest and
+    serves a pre-compaction lookup; (2) the compaction merges the small
+    files, incrementally replacing their manifest entries and REMOVING
+    the originals; (3) the reader re-uses its now-STALE resident rows —
+    `layout.manifest_lookup_resilient` detects the vanished file,
+    reloads the manifest once, and serves the identical rows (correct
+    BECAUSE the swap's phase order keeps the on-disk manifest pointing
+    only at live files at every instant).  In-code asserts pin that the
+    probes' files really were swapped (the stale path actually fired),
+    that the healed rows equal the pre-compaction rows, and that the
+    heal handed back a fresh manifest.  Probes are ids whose
+    crc32 % 20 slice lands in the small-file appendix by construction.
+    Oracle: the prologue index rows for the probed ids."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from persistor_spark.plans import fsutil, layout, maintenance
+
+    t = _tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cmpreader_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table, mf = f"{root}/index", f"{root}/manifest"
+    idx = t.index_metadata.withColumn("__slice", F.crc32("unique_id") % 20)
+    (
+        idx.filter(F.col("__slice") < 16)
+        .drop("__slice")
+        .repartitionByRange(4, "unique_id")
+        .sortWithinPartitions("unique_id")
+        .write.parquet(table)
+    )
+    for i in range(16, 20):
+        (
+            idx.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(table)
+        )
+    layout.write_minmax_manifest(spark, table, mf)
+    probes = ["b0_m000000008", "b1_m000000025", "b2_m000000006"]
+    cols = ["unique_id", "broker_id", "location_key"]
+    # (1) reader comes up: resident manifest + a served lookup
+    resident = layout.load_manifest(spark, mf)
+    before, healed = layout.manifest_lookup_resilient(
+        spark, table, resident, probes, mf
+    )
+    assert healed is None, "pre-compaction lookup must not need the heal"
+    before_rows = sorted(map(tuple, before.select(*cols).collect()))
+    assert len(before_rows) == len(probes), before_rows
+    # (2) maintenance swaps the appendix under the resident manifest
+    sizes = dict(fsutil.list_files_with_size(spark, table))
+    thresh = (max(sizes.values()) + min(sizes.values())) // 2
+    stats = maintenance.compact_small_files(
+        spark, table, small_file_bytes=thresh, manifest_path=mf
+    )
+    assert stats["files_small"] >= 4, stats
+    # the probes' resident entries now point at removed files — the race
+    # the resilient lookup exists for (probes sit in appendix slices)
+    stale_files = {
+        f for f, lo, hi, _ in resident if any(lo <= p <= hi for p in probes)
+    }
+    assert any(not fsutil.exists(spark, f) for f in stale_files), (
+        "expected at least one probed file to be swapped away"
+    )
+    # (3) the reader's next lookup through the STALE rows heals and serves
+    after, fresh = layout.manifest_lookup_resilient(
+        spark, table, resident, probes, mf
+    )
+    assert fresh is not None, "stale lookup must have fired the heal"
+    assert all(fsutil.exists(spark, f) for f, *_ in fresh), "fresh manifest stale"
+    after_rows = sorted(map(tuple, after.select(*cols).collect()))
+    assert after_rows == before_rows, "healed lookup changed the served rows"
+    return after.select(*cols).orderBy("unique_id")
+
+
 def _d45_watermark_policy(spark, sf_dir):
     """The late-data ADMISSION policy as one driver hash (r11 VERDICT
     #7a — the streaming semantic d40/d42/d43 do not pin): three
@@ -7411,6 +7559,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #        changed this round (recover_small_compactions heal-on-
         #        read in lsh_index_load / ivfpq_load) --
         "d48_concurrent_writers": _d48_concurrent_writers,
+        "d49_schema_evolution": _d49_schema_evolution,
+        "d50_compact_under_reader": _d50_compact_under_reader,
         "d43_restart_recovery": _d43_restart_recovery,
         "d44_incremental_compaction": _d44_incremental_compaction,
         "d45_watermark_policy": _d45_watermark_policy,
@@ -8325,6 +8475,22 @@ def oracle_sql() -> dict[str, str]:
             "  index_source_key, ordering_key, publish_time, ingestion_time, "
             "  indexer_ingestion_time "
             "FROM index_metadata ORDER BY unique_id"
+        ),
+        # d50: a resident-manifest reader races a compaction; the healed
+        # lookup serves the same rows the pre-compaction lookup did
+        "d50_compact_under_reader": P(
+            "SELECT unique_id, broker_id, location_key FROM index_metadata "
+            "WHERE unique_id IN "
+            "('b0_m000000008', 'b1_m000000025', 'b2_m000000006') "
+            "ORDER BY unique_id"
+        ),
+        # d49: v1 rows surface the evolved column as NULL, v2 rows carry
+        # their literal — one mergeSchema scan over both footer versions
+        "d49_schema_evolution": P(
+            "SELECT unique_id, business_source_key, business_object_key, "
+            "  index_source_key, ordering_key, publish_time, ingestion_time, "
+            "  CASE WHEN event_seq % 2 = 1 THEN 2 END AS index_schema_version "
+            "FROM pos ORDER BY unique_id"
         ),
         # d48: two OS-process writers through the locked merge — the final
         # table is the exact fixture index whatever the interleaving

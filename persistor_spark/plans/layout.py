@@ -304,6 +304,59 @@ def manifest_pruned_scan_cached(
     return spark.read.parquet(*files).filter(F.col(col).isin(values))
 
 
+def _is_missing_file_error(exc: Exception) -> bool:
+    s = str(exc)
+    return (
+        "PATH_NOT_FOUND" in s
+        or "FileNotFoundException" in s
+        or "does not exist" in s
+        or isinstance(exc, FileNotFoundError)
+    )
+
+
+def manifest_lookup_resilient(
+    spark: SparkSession,
+    table_path: str,
+    manifest_rows: list,
+    values,
+    manifest_path: str,
+    col: str = "unique_id",
+):
+    """Point lookup through a RESIDENT manifest that may have gone STALE
+    under a concurrent compaction (r12 VERDICT #8c): a serving layer
+    holds manifest rows in memory across many lookups, while
+    `maintenance.compact_small_files` swaps data files underneath it —
+    readers hold no lock, so a resident entry can point at a file the
+    swap has since removed.  Try the pruned scan against the resident
+    rows; on a missing-file failure, reload the manifest ONCE and retry.
+
+    One reload is sufficient BECAUSE of the swap's phase order (moves ->
+    manifest swap -> removals): at every instant the ON-DISK manifest
+    references only live files — a crash before the manifest swap leaves
+    the old entries pointing at still-present originals (removals come
+    last), after it the new entries point at the already-moved cmp-*
+    files — so a fresh load always serves, and compactions preserve
+    content, so the healed result equals what the stale lookup would
+    have returned.  The result is materialized (localCheckpoint) before
+    returning: a lazy plan could otherwise outlive ANOTHER compaction
+    and fail at action time outside the heal.
+
+    Returns (df, fresh_manifest_rows_or_None) — the second element is
+    the reloaded manifest when the heal fired (cache it), None when the
+    resident rows were still valid."""
+    try:
+        df = manifest_pruned_scan_cached(
+            spark, table_path, manifest_rows, values, col
+        )
+        return df.localCheckpoint(eager=True), None
+    except Exception as exc:  # noqa: BLE001 — classified below
+        if not _is_missing_file_error(exc):
+            raise
+    fresh = load_manifest(spark, manifest_path)
+    df = manifest_pruned_scan_cached(spark, table_path, fresh, values, col)
+    return df.localCheckpoint(eager=True), fresh
+
+
 def zorder_plan(bits_x: int, bits_y: int) -> list[tuple[str, int, int]]:
     """The (dimension, source_bit, target_bit) interleave schedule for a
     variable-width MSB-aligned Morton code.  Interleaving MSB-first at
