@@ -6987,10 +6987,12 @@ def _a159_ann_ingest_stream(spark, sf_dir):
     clustered corpus, persist it — but the odd half arrives as THREE
     mtime-pinned micro-batches that each encode against the FROZEN
     quantizer/codebooks and parquet-append into the cid-partitioned
-    inverted lists (FAISS add semantics, no retrain).  The search over
-    the reloaded streamed-into index must equal a60's in-memory add
-    exactly — shared brute-force oracle (clustered corpus keeps probed
-    cells covering the true top-5 at the gate SFs)."""
+    inverted lists (FAISS add semantics, no retrain).  SF-robust verdict
+    (r12 VERDICT #3, the a60 exactness class): (1) `same_as_batch_add` —
+    the search over the reloaded streamed-into index equals the one-shot
+    in-memory ivfpq_add EXACTLY at any SF (per-vector encoding against
+    frozen codebooks is batching-invariant); (2) the d46 recall-threshold
+    form vs full-corpus brute force (a60's floors 0.2/0.5)."""
     import json as _json
     import time as _time
 
@@ -7027,11 +7029,25 @@ def _a159_ann_ingest_stream(spark, sf_dir):
     from persistor_spark.analytics import similarity
 
     loaded = similarity.ivfpq_load(spark, path)
-    queries_df = _cl_embs(spark, sf_dir).filter(F.col("vec_id") < 10)
+    embs = _cl_embs(spark, sf_dir)
+    queries_df = embs.filter(F.col("vec_id") < 10)
     out = similarity.ivfpq_search(loaded, queries_df, k=5, nprobe=4, rerank_factor=24)
-    return out.withColumn("rank", F.col("rank").cast("long")).orderBy(
-        "query_id", "rank"
+    mem = similarity.ivfpq_add(
+        similarity.ivfpq_build(embs.filter(F.col("vec_id") % 2 == 0), n_centroids=8),
+        embs.filter(F.col("vec_id") % 2 == 1),
     )
+    out_mem = similarity.ivfpq_search(mem, queries_df, k=5, nprobe=4, rerank_factor=24)
+    cols = ["query_id", "vec_id", "rank"]
+    same = (
+        out.select(*cols).exceptAll(out_mem.select(*cols)).count() == 0
+        and out_mem.select(*cols).exceptAll(out.select(*cols)).count() == 0
+    )
+    truth = similarity.brute_force_topk(embs, queries_df, k=5).select(
+        "query_id", "vec_id"
+    )
+    return _ann_threshold_rows(
+        out, truth, k=5, floor_each=0.2, floor_mean=0.5
+    ).withColumn("same_as_batch_add", F.lit(bool(same)))
 
 
 def _d47_compact_manifest_lookup(spark, sf_dir):
@@ -7512,36 +7528,43 @@ def _d46_ann_recall(spark, sf_dir):
 # backlog is exhausted (r6 VERDICT #7: the rotation policy as a checked
 # invariant, not prose).
 ROTATION_HEAD = [
-    # r12 NEW: checkpoint-restart recovery (d43), incremental small-file
-    # compaction (d44), the watermark late-data admission policy (d45),
-    # the IVF-PQ recall threshold pin (d46) — plus the four
-    # persisted-index queries whose load path gained the
-    # recover_small_compactions heal-on-read hook this round
-    "d43_restart_recovery",
-    "d44_incremental_compaction",
-    "d45_watermark_policy",
-    "d46_ann_recall",
-    "d47_compact_manifest_lookup",
-    "a158_dedup_ingest_stream",
-    "a159_ann_ingest_stream",
-    "a15_incremental_dedup",
-    "a65_lsh_persist",
+    # r13 NEW: concurrent-writer locked merge (d48), in-place schema
+    # evolution (d49), compaction under a resident-manifest reader (d50)
+    "d48_concurrent_writers",
+    "d49_schema_evolution",
+    "d50_compact_under_reader",
+    # r13 oracle-changed: ANN exactness -> threshold/identity form (r12
+    # VERDICT #3), knife-edge sums -> exact decimal, unrounded quotients
+    # (r12 VERDICT #2)
+    "a32_ivfpq_topk",
+    "a34_opq_topk",
     "a55_ivfpq_persist",
     "a60_ivfpq_add",
+    "a159_ann_ingest_stream",
+    "e46_time_weighted_avg",
+    "e49_mom_growth",
+    "a131_label_dispersion",
+    # r13 code-changed: journaled-swap replay reordered (moves ->
+    # manifest -> removals) — the compaction/delete/lookup compositions
+    "d44_incremental_compaction",
+    "d47_compact_manifest_lookup",
+    "d24_targeted_delete",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
-    r12 ROTATION (r11 VERDICT #1: refresh the stale rotation tail): the
-    window is EXACTLY 50 entries, pinned by the marker-position test:
-    (1) ROTATION_HEAD — the 4 NEW r12 pins (restart recovery d43,
-    incremental compaction d44, watermark policy d45, ANN recall d46)
-    plus the 4 persisted-index queries whose load path changed this
-    round; (2) the 13 stalest driver rows (r6-era: d25, d26, e33-e43);
-    (3) the first 26 of the r7-era block in registry order (its
-    remaining 24 lead the r13 queue).  Everything below the marker is
+    r13 ROTATION (r12 VERDICT #1: finish paying down the stale tail):
+    the window is EXACTLY 50 entries, pinned by the marker-position
+    test: (1) the 3 NEW r13 pins (concurrent writers d48, schema
+    evolution d49, compaction-under-reader d50); (2) the 8 entries whose
+    ORACLE changed this round (ANN threshold/identity form a32/a34/a55/
+    a60/a159, exact-decimal knife-edge fixes e46/e49/a131); (3) the 5
+    compositions over the reordered journaled-swap replay (d44/d47/d24
+    + heal-on-read loaders a15/a65); (4) ALL 24 remaining r7-era rows —
+    after this round no driver row is older than r8; (5) the 10 stalest
+    r8 rows in registry order.  Everything below the marker is
     driver-green at least once AND re-verified by tools/check.py
     (full-registry gate at sf0.001 + sf0.01) plus pytest every round;
     tests/test_rotation_window.py enforces the rotation policy as a
@@ -7551,29 +7574,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
       python -c "import __spark_entry__ as e; print(list(e.queries())[:50])"
     """
     return {
-        # ==== r12 DRIVER WINDOW (positions 1-50) ====
-        # -- (1) ROTATION_HEAD: the 4 NEW r12 pins (checkpoint-restart
-        #        recovery d43, incremental small-file compaction d44,
-        #        watermark admission policy d45, ANN recall threshold
-        #        d46) plus the 4 persisted-index queries whose LOAD path
-        #        changed this round (recover_small_compactions heal-on-
-        #        read in lsh_index_load / ivfpq_load) --
+        # ==== r13 DRIVER WINDOW (positions 1-50) ====
+        # -- (1) NEW r13 pins: two-OS-process concurrent writers through
+        #        the locked merge (d48), in-place index schema evolution
+        #        (d49), compaction under a resident-manifest reader via
+        #        the resilient lookup (d50) --
         "d48_concurrent_writers": _d48_concurrent_writers,
         "d49_schema_evolution": _d49_schema_evolution,
         "d50_compact_under_reader": _d50_compact_under_reader,
-        "d43_restart_recovery": _d43_restart_recovery,
-        "d44_incremental_compaction": _d44_incremental_compaction,
-        "d45_watermark_policy": _d45_watermark_policy,
-        "d46_ann_recall": _d46_ann_recall,
-        "d47_compact_manifest_lookup": _d47_compact_manifest_lookup,
-        "a158_dedup_ingest_stream": _a158_dedup_ingest_stream,
-        "a159_ann_ingest_stream": _a159_ann_ingest_stream,
-        "a15_incremental_dedup": _a15_incremental_dedup,
-        "a65_lsh_persist": _a65_lsh_persist,
+        # -- (2) oracle-changed this round (r12 VERDICT #2+#3): the
+        #        four ANN exactness entries + the streamed ANN ingest
+        #        converted to the d46 threshold/identity form, and the
+        #        three knife-edge entries moved to exact-decimal sums
+        #        with unrounded final quotients --
+        "a32_ivfpq_topk": _a_ivfpq_topk,
+        "a34_opq_topk": _a_opq_topk,
         "a55_ivfpq_persist": _a55_ivfpq_persist,
         "a60_ivfpq_add": _a60_ivfpq_add,
-        # -- (2) the 13 stalest rows on the driver record (r6-era:
-        #        d25, d26, e33-e43 — the r11 verdict's #1 ask) --
+        "a159_ann_ingest_stream": _a159_ann_ingest_stream,
+        "e46_time_weighted_avg": _e46_time_weighted_avg,
+        "e49_mom_growth": _e49_mom_growth,
+        "a131_label_dispersion": _a131_label_dispersion,
+        # -- (3) load-path-changed this round: the journaled-swap
+        #        replay reordered (moves -> manifest -> removals) under
+        #        d44/d47/d24 and the heal-on-read persisted-index
+        #        loaders (a15/a65) --
+        "d44_incremental_compaction": _d44_incremental_compaction,
+        "d47_compact_manifest_lookup": _d47_compact_manifest_lookup,
+        "d24_targeted_delete": _d24_targeted_delete,
+        "a15_incremental_dedup": _a15_incremental_dedup,
+        "a65_lsh_persist": _a65_lsh_persist,
+        # -- (4) the 24 remaining r7-era rows — the stalest driver
+        #        records (r12 VERDICT #1: after this round no row is
+        #        older than r8) --
+        "e52_min_cost_supplier": _e52_min_cost_supplier,
+        "e53_pareto_abc": _e53_pareto_abc,
+        "e54_sequence_gaps": _e54_sequence_gaps,
+        "e55_rolling_correlation": _e55_rolling_correlation,
+        "e57_chi_square": _e57_chi_square,
+        "e58_time_to_convert": _e58_time_to_convert,
+        "e59_forward_fill": _e59_forward_fill,
+        "e60_max_concurrency": _e60_max_concurrency,
+        "e61_fk_integrity": _e61_fk_integrity,
+        "a105_lang_purity": _a105_lang_purity,
+        "a106_transitivity_gap": _a106_transitivity_gap,
+        "a107_sorted_neighborhood": _a107_sorted_neighborhood,
+        "a108_basket_rules": _a108_basket_rules,
+        "a109_edit_distance_join": _a109_edit_distance_join,
+        "a110_heaps_curve": _a110_heaps_curve,
+        "a111_skipgram_cooccurrence": _a111_skipgram_cooccurrence,
+        "a112_term_burstiness": _a112_term_burstiness,
+        "a117_kmv_intersection": _a117_kmv_intersection,
+        "a124_image_dhash_pairs": _a124_image_dhash_pairs,
+        "a129_minhash_calibration": _a129_minhash_calibration,
+        "a133_davies_bouldin": _a133_davies_bouldin,
+        "a134_ols_pandas": _a134_ols_pandas,
+        "a137_rolling_distinct_sketch": _a137_rolling_distinct_sketch,
+        "a138_kcore_peel": _a138_kcore_peel,
+        # -- (5) the 10 stalest r8 rows, registry order --
+        "a114_mutual_information": _a114_mutual_information,
+        "a115_chao1_richness": _a115_chao1_richness,
+        "a116_bpe_merge_pairs": _a116_bpe_merge_pairs,
+        "a118_two_stage_rerank": _a118_two_stage_rerank,
+        "a119_nucleus_vocab": _a119_nucleus_vocab,
+        "a120_quantile_normalize": _a120_quantile_normalize,
+        "a122_ols_sufficient_stats": _a122_ols_sufficient_stats,
+        "a123_ams_f2": _a123_ams_f2,
+        "a126_coverage_selection": _a126_coverage_selection,
+        "a127_hard_negatives": _a127_hard_negatives,
+        # ---- driver window ends here (50) ---- below: driver-green at
+        # least once + full-gate re-verified every round (tools/check.py
+        # at sf0.001 + sf0.01 and pytest), ordered as previously
+        # registered.  Next-stalest after this window: the remaining r8
+        # block (d1-d21, e1-e7, a1-a3, a1xx remnants), then r9.
+        "d43_restart_recovery": _d43_restart_recovery,
+        "d45_watermark_policy": _d45_watermark_policy,
+        "d46_ann_recall": _d46_ann_recall,
+        "a158_dedup_ingest_stream": _a158_dedup_ingest_stream,
         "d25_replay_estimate": _d25_replay_estimate,
         "d26_blob_skew_report": _d26_blob_skew_report,
         "e33_scd2": _e33_scd2,
@@ -7587,14 +7664,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e41_upsert_merge": _e41_upsert_merge,
         "e42_revenue_share": _e42_revenue_share,
         "e43_rolling_distinct": _e43_rolling_distinct,
-        # -- (3) the r7-era block, registry order: first 26 of its 50
-        #        (the remaining 24 — e52+, a105+ — lead the r13 queue) --
         "a42_int8_quantize": _a42_int8_quantize,
         "a45_random_projection": _a45_random_projection,
         "a121_entity_resolution": _a121_entity_resolution,
         "a113_histogram_quantiles": _a113_histogram_quantiles,
         "a125_personalized_pagerank": _a125_personalized_pagerank,
-        "d24_targeted_delete": _d24_targeted_delete,
         "e37b_approx_percentile": _e37b_approx_percentile,
         "d27_table_checksum": _d27_table_checksum,
         "d28_storage_tiering": _d28_storage_tiering,
@@ -7609,20 +7683,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d37_position_density": _d37_position_density,
         "e44_user_mode": _e44_user_mode,
         "e45_markov_transitions": _e45_markov_transitions,
-        "e46_time_weighted_avg": _e46_time_weighted_avg,
         "e47_weekly_churn": _e47_weekly_churn,
         "e48_longest_streak": _e48_longest_streak,
-        "e49_mom_growth": _e49_mom_growth,
         "e50_ewma_smoothing": _e50_ewma_smoothing,
         "e51_map_functions": _e51_map_functions,
-        # ---- driver window ends here (50) ---- below: driver-green at
-        # least once + full-gate re-verified every round (tools/check.py
-        # at sf0.001 + sf0.01 and pytest), ordered as previously
-        # registered.  Next-stalest after this window: the rest of the
-        # r7 block (e52-e61, a105-a139...), then r8.
-        "e52_min_cost_supplier": _e52_min_cost_supplier,
-        "e53_pareto_abc": _e53_pareto_abc,
-        "e54_sequence_gaps": _e54_sequence_gaps,
         "d40_lifecycle_e2e": _d40_lifecycle_e2e,
         "d41_multi_consumer": _d41_multi_consumer,
         "d42_dedup_gate_stream": _d42_dedup_gate_stream,
@@ -7646,7 +7710,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a103_dup_pair_qa_sample": _a103_dup_pair_qa_sample,
         "a104_reshard_moves": _a104_reshard_moves,
         "a25_pq_topk": _a_pq_topk,
-        "a34_opq_topk": _a_opq_topk,
         "a40_tfidf_topterms": _a40_tfidf,
         "a41_source_rollup": _a41_source_rollup,
         "a43_norm_fingerprint": _a43_norm_fingerprint,
@@ -7765,20 +7828,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_quality_rules": _a23_quality_rules,
         "a24_pii_scrub": _a24_pii_scrub,
         "a29_pack_sequences": _a_pack_sequences,
-        "a32_ivfpq_topk": _a_ivfpq_topk,
-        "a114_mutual_information": _a114_mutual_information,
-        "a115_chao1_richness": _a115_chao1_richness,
-        "a116_bpe_merge_pairs": _a116_bpe_merge_pairs,
-        "a118_two_stage_rerank": _a118_two_stage_rerank,
-        "a119_nucleus_vocab": _a119_nucleus_vocab,
-        "a120_quantile_normalize": _a120_quantile_normalize,
-        "a122_ols_sufficient_stats": _a122_ols_sufficient_stats,
-        "a123_ams_f2": _a123_ams_f2,
-        "a126_coverage_selection": _a126_coverage_selection,
-        "a127_hard_negatives": _a127_hard_negatives,
         "a128_lang_confusion": _a128_lang_confusion,
         "a130_waterfill_mixture": _a130_waterfill_mixture,
-        "a131_label_dispersion": _a131_label_dispersion,
         "a132_benford_audit": _a132_benford_audit,
         "a135_matryoshka_quality": _a135_matryoshka_quality,
         "a136_curriculum_interleave": _a136_curriculum_interleave,
@@ -7814,27 +7865,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a1_dedup_exact": _a_dedup_exact,
         "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
         "a3_minhash_lsh_pairs": _a_minhash_lsh,
-        "e55_rolling_correlation": _e55_rolling_correlation,
-        "e57_chi_square": _e57_chi_square,
-        "e58_time_to_convert": _e58_time_to_convert,
-        "e59_forward_fill": _e59_forward_fill,
-        "e60_max_concurrency": _e60_max_concurrency,
-        "e61_fk_integrity": _e61_fk_integrity,
-        "a129_minhash_calibration": _a129_minhash_calibration,
-        "a124_image_dhash_pairs": _a124_image_dhash_pairs,
-        "a117_kmv_intersection": _a117_kmv_intersection,
-        "a133_davies_bouldin": _a133_davies_bouldin,
-        "a134_ols_pandas": _a134_ols_pandas,
-        "a137_rolling_distinct_sketch": _a137_rolling_distinct_sketch,
-        "a138_kcore_peel": _a138_kcore_peel,
-        "a105_lang_purity": _a105_lang_purity,
-        "a106_transitivity_gap": _a106_transitivity_gap,
-        "a107_sorted_neighborhood": _a107_sorted_neighborhood,
-        "a108_basket_rules": _a108_basket_rules,
-        "a109_edit_distance_join": _a109_edit_distance_join,
-        "a110_heaps_curve": _a110_heaps_curve,
-        "a111_skipgram_cooccurrence": _a111_skipgram_cooccurrence,
-        "a112_term_burstiness": _a112_term_burstiness,
     }
 
 
@@ -8466,7 +8496,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         # a159: the streamed-into index must search identically to a60's
         # in-memory add — shared clustered brute-force oracle
-        "a159_ann_ingest_stream": _CLUSTERED_TOPK_ORACLE,
+        # a159: streamed-into index == one-shot in-memory add (exact at
+        # any SF) + the d46 recall-threshold form
+        "a159_ann_ingest_stream": (
+            _ANN_THRESHOLD_ORACLE.replace(
+                "true AS mean_ok", "true AS mean_ok, true AS same_as_batch_add"
+            )
+        ),
         # d43: exactly-once across checkpoint RESTART — the replayed
         # crashed batches must leave the same index as the batch prologue
         # (same column set as d42; the merge sinks absorb the replays)
