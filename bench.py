@@ -1029,6 +1029,42 @@ IO_HEAVY = {
 }
 
 
+def _read_proc_stat() -> tuple[int, int]:
+    """(busy_jiffies, total_jiffies) from /proc/stat's aggregate cpu line;
+    idle + iowait count as not-busy."""
+    with open("/proc/stat") as fh:
+        vals = [int(x) for x in fh.readline().split()[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)
+    return sum(vals) - idle, sum(vals)
+
+
+def _host_busy_frac(interval: float = 0.25) -> float:
+    """DIRECT host-load observation the timing canary cannot make (r12
+    VERDICT #5: the cpu canary has a blind band — 24 spinners on 32
+    cores inflate cpu-class lines ~1.3x while the probe's own duration
+    stays inside its idle-run JVM variance).  Sampled at line boundaries
+    while the bench itself is IDLE (after os.sync, between lines, no
+    Spark job running), so every busy jiffy in the window belongs to
+    someone else: quiet host ~0.00-0.05, the 24-spinner demo ~0.75.
+    This is telemetry, not a divisor — busy fraction has no clean
+    mapping to per-line inflation — so it feeds the adjudication RULE:
+    a cpu-class drift whose bracketing busy samples exceed
+    BUSY_SUSPECT is co-tenancy-suspect even when line_noise_index
+    reads 1.0 (the blind band), and must be re-run on a quiet host
+    before it is treated as a regression."""
+    b0, t0 = _read_proc_stat()
+    time.sleep(interval)
+    b1, t1 = _read_proc_stat()
+    return round((b1 - b0) / (t1 - t0), 3) if t1 > t0 else 0.0
+
+
+# Quiet-host busy-fraction ceiling: idle boxes sample 0.00-0.05 (background
+# daemons + the JVM's own idle threads); the 24-spinner blind-band demo
+# reads ~0.75.  0.25 sits far above idle spread and far below any
+# co-tenancy that could move a bench line materially.
+BUSY_SUSPECT = 0.25
+
+
 def _canary_cpu(spark) -> float:
     """Fixed pure-CPU probe at bench parallelism: a 32-partition sha2/xxhash
     fold over a deterministic range — no disk, no shuffle beyond the final
@@ -1082,6 +1118,7 @@ def main():
 
     runs: dict[str, list[float]] = {}
     canary = {"cpu": [], "io": []}
+    busy: list[float] = []
 
     def _sample_canaries():
         # drain the bench's OWN pending writeback first — the canaries
@@ -1089,6 +1126,10 @@ def main():
         # previous bench line would charge our own writes to the host
         # (first implementation read io_noise 4.6x on an idle box)
         os.sync()
+        # direct /proc/stat observation FIRST, while the bench is at its
+        # quietest (sync done, no Spark job yet) — the cpu canary that
+        # follows would saturate the box and poison the window
+        busy.append(_host_busy_frac())
         canary["cpu"].append(round(_canary_cpu(spark), 3))
         canary["io"].append(round(_canary_io(workdir), 3))
 
@@ -1155,6 +1196,15 @@ def main():
     normalized = {
         name: round(t / line_noise[name], 3) for name, t in times.items()
     }
+    # per-line co-tenancy SUSPICION from the direct /proc/stat samples:
+    # the larger of the two boundary busy fractions bracketing the line —
+    # covers the cpu canary's blind band (see _host_busy_frac)
+    line_busy = {
+        name: max(busy[i], busy[i + 1]) for i, name in enumerate(runs)
+    }
+    busy_suspect = sorted(
+        name for name, b in line_busy.items() if b >= BUSY_SUSPECT
+    )
     print(
         json.dumps(
             {
@@ -1171,6 +1221,9 @@ def main():
                 "canary": {**canary, "quiet": CANARY_QUIET},
                 "host_noise_index": noise,
                 "line_noise_index": line_noise,
+                "host_busy_frac": busy,
+                "line_busy_frac": line_busy,
+                "busy_suspect_lines": busy_suspect,
                 "queries_normalized": normalized,
                 "total_normalized": round(sum(normalized.values()), 3),
             }

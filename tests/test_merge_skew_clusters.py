@@ -119,3 +119,93 @@ def test_incremental_dedup_empty_batch(spark, sf_dir):
     band_table = dedup.build_band_table(docs)
     empty = docs.limit(0)
     assert dedup.incremental_dup_pairs(empty, band_table, 0.8).count() == 0
+
+
+def test_write_index_merge_locked_concurrent_writers(spark, tmp_path):
+    """Two concurrent writers whose batches OVERLAP (the cross-writer
+    redelivery of a broker rebalance) must commit the overlap exactly
+    once when both serialize through lock_path — the r13 d48 contract as
+    a unit test (threads here; d48 pins real OS processes).  Without the
+    lock each anti-joins against a snapshot missing the other's
+    in-flight append, so overlapping ids can commit twice."""
+    import threading
+    import types
+
+    path = str(tmp_path / "idx")
+    lock = str(tmp_path / "writers")
+
+    def batch(lo, hi):
+        df = spark.range(lo, hi).select(
+            F.format_string("id%06d", F.col("id")).alias("unique_id"),
+            (F.col("id") % 7).alias("payload"),
+        )
+        return types.SimpleNamespace(index_metadata=df)
+
+    barrier = threading.Barrier(2)
+    appended = {}
+    errors = []
+
+    def writer(name, lo, hi):
+        try:
+            barrier.wait(timeout=60)
+            total = 0
+            for c in range(4):  # chunked so the merges interleave
+                span = (hi - lo) // 4
+                total += ingest.write_index_merge(
+                    batch(lo + c * span, lo + (c + 1) * span), path, lock_path=lock
+                )
+            appended[name] = total
+        except Exception as exc:  # noqa: BLE001
+            errors.append(f"{name}: {exc}")
+
+    a = threading.Thread(target=writer, args=("a", 0, 100))
+    b = threading.Thread(target=writer, args=("b", 60, 160))  # 40-id overlap
+    a.start(); b.start(); a.join(120); b.join(120)
+    assert not errors, errors
+    got = spark.read.parquet(path)
+    assert got.count() == 160
+    assert got.select("unique_id").distinct().count() == 160
+    # the overlap was appended by exactly one of the two writers
+    assert appended["a"] + appended["b"] == 160
+
+
+def test_manifest_lookup_resilient_heals_stale_resident_rows(spark, tmp_path):
+    """A resident manifest gone stale under a compaction must heal with
+    ONE reload (layout.manifest_lookup_resilient) — the d50 contract as
+    a unit test over a real compact_small_files swap."""
+    from persistor_spark.plans import fsutil, layout, maintenance
+
+    table, mf = str(tmp_path / "tbl"), str(tmp_path / "mf")
+    df = spark.range(400).select(
+        F.format_string("id%06d", F.col("id")).alias("unique_id"),
+        (F.col("id") % 5).alias("v"),
+    )
+    df.repartitionByRange(2, "unique_id").sortWithinPartitions(
+        "unique_id"
+    ).write.parquet(table)
+    for i in range(4):
+        (
+            df.filter(F.col("unique_id").substr(-1, 1) == str(i))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(table)
+        )
+    layout.write_minmax_manifest(spark, table, mf)
+    resident = layout.load_manifest(spark, mf)
+    probe = ["id000123"]
+    before, healed = layout.manifest_lookup_resilient(
+        spark, table, resident, probe, mf
+    )
+    assert healed is None and before.count() >= 1
+    want = sorted(map(tuple, before.collect()))
+    sizes = dict(fsutil.list_files_with_size(spark, table))
+    thresh = (max(sizes.values()) + min(sizes.values())) // 2
+    stats = maintenance.compact_small_files(
+        spark, table, small_file_bytes=thresh, manifest_path=mf
+    )
+    assert stats["files_small"] >= 4
+    after, fresh = layout.manifest_lookup_resilient(
+        spark, table, resident, probe, mf
+    )
+    assert fresh is not None, "stale resident rows must fire the heal"
+    assert sorted(map(tuple, after.collect())) == want
