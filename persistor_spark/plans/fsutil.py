@@ -219,6 +219,22 @@ def write_text(spark, path: str, text: str) -> None:
     rename(spark, tmp, path, overwrite=True)
 
 
+def is_missing_file_error(exc: Exception) -> bool:
+    """Classify 'the file/path is gone' across every surface the engine
+    reads through: Python OSError, Py4JJavaError wrapping
+    java.io.FileNotFoundException, and Spark's AnalysisException
+    PATH_NOT_FOUND.  The ONE classifier for try_read_text and
+    layout.manifest_lookup_resilient — duplicated match sets drift
+    (r13 review)."""
+    s = str(exc)
+    return (
+        isinstance(exc, FileNotFoundError)
+        or "FileNotFoundException" in s
+        or "PATH_NOT_FOUND" in s
+        or "does not exist" in s
+    )
+
+
 def try_read_text(spark, path: str) -> str | None:
     """`read_text`, returning None when the file is ALREADY GONE.
 
@@ -230,7 +246,7 @@ def try_read_text(spark, path: str) -> str | None:
     try:
         return read_text(spark, path)
     except Exception as e:  # Py4JJavaError wrapping java.io.FileNotFoundException
-        if "FileNotFoundException" in str(e) or isinstance(e, FileNotFoundError):
+        if is_missing_file_error(e):
             return None
         raise
 

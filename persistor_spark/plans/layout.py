@@ -304,16 +304,6 @@ def manifest_pruned_scan_cached(
     return spark.read.parquet(*files).filter(F.col(col).isin(values))
 
 
-def _is_missing_file_error(exc: Exception) -> bool:
-    s = str(exc)
-    return (
-        "PATH_NOT_FOUND" in s
-        or "FileNotFoundException" in s
-        or "does not exist" in s
-        or isinstance(exc, FileNotFoundError)
-    )
-
-
 def manifest_lookup_resilient(
     spark: SparkSession,
     table_path: str,
@@ -344,13 +334,15 @@ def manifest_lookup_resilient(
     Returns (df, fresh_manifest_rows_or_None) — the second element is
     the reloaded manifest when the heal fired (cache it), None when the
     resident rows were still valid."""
+    from persistor_spark.plans import fsutil
+
     try:
         df = manifest_pruned_scan_cached(
             spark, table_path, manifest_rows, values, col
         )
         return df.localCheckpoint(eager=True), None
     except Exception as exc:  # noqa: BLE001 — classified below
-        if not _is_missing_file_error(exc):
+        if not fsutil.is_missing_file_error(exc):
             raise
     fresh = load_manifest(spark, manifest_path)
     df = manifest_pruned_scan_cached(spark, table_path, fresh, values, col)

@@ -316,9 +316,13 @@ def compact_small_files(
         # a Hive-partitioned layout compacted flat would read the small
         # files WITHOUT basePath (partition columns silently dropped) and
         # land the merged replacements at the table root — refuse instead
-        # of corrupting the layout (r12 ADVICE)
-        live_prefix = path.rstrip("/") + "/"
-        for d in groups:
+        # of corrupting the layout (r12 ADVICE).  Compare SCHEME-NORMALIZED
+        # paths: a 'file:' table path lists as scheme-less OS paths, and a
+        # raw prefix check would silently skip the guard (r13 review).
+        norm = lambda p: fsutil._local_path(p) or p  # noqa: E731
+        live_prefix = norm(path).rstrip("/") + "/"
+        for d0 in groups:
+            d = norm(d0)
             rel = d[len(live_prefix):] if d.startswith(live_prefix) else ""
             hive_seg = next((s for s in rel.split("/") if "=" in s), None)
             if hive_seg:
@@ -509,6 +513,26 @@ def _replay_removes_jvm(spark, j: dict, any_path: str) -> int:
     return removed
 
 
+def _recovery_guard(table_path: str):
+    """Serialize concurrent RECOVERERS of one table (local FS): the swap
+    ops themselves are per-file idempotent, but the manifest entry swap
+    inside a journaled replay is a rename-based single-writer sequence —
+    two heal-on-read recoverers that both read the same live journal
+    must not drive it concurrently (r13 review).  Local layouts take the
+    cross-process advisory flock the broker stand-ins use; remote
+    schemes keep the documented single-maintenance-process contract (the
+    lock file would have to live on the object store, where flock does
+    not exist)."""
+    from contextlib import nullcontext
+
+    local = fsutil._local_path(table_path.rstrip("/"))
+    if local is None:
+        return nullcontext()
+    from persistor_spark.sources._statelock import state_lock
+
+    return state_lock(f"{local}.__maintenance")
+
+
 def recover_small_compactions(spark, path: str) -> dict:
     """Finish any `compact_small_files` swap that crashed mid-flight by
     replaying its journal(s) — until then readers of the layout may see
@@ -520,16 +544,21 @@ def recover_small_compactions(spark, path: str) -> dict:
 
     stats = {"journals": 0, "files_removed": 0}
     live = fsutil.escape(path.rstrip("/"))
-    for journal in sorted(fsutil.glob(spark, f"{live}.__smallcompact_journal_*.json")):
-        txt = fsutil.try_read_text(spark, journal)
-        if txt is None:
-            # a racing recoverer replayed and deleted this journal between
-            # our glob and read — completion, not failure (r12 ADVICE)
-            continue
-        j = json.loads(txt)
-        stats["journals"] += 1
-        stats["files_removed"] += _replay_small_compaction(spark, j)
-        fsutil.delete(spark, journal, recursive=False)
+    with _recovery_guard(path):
+        for journal in sorted(
+            fsutil.glob(spark, f"{live}.__smallcompact_journal_*.json")
+        ):
+            txt = fsutil.try_read_text(spark, journal)
+            if txt is None:
+                # a racing recoverer replayed and deleted this journal
+                # between our glob and read — completion, not failure
+                # (r12 ADVICE; still reachable on remote schemes where
+                # _recovery_guard cannot lock)
+                continue
+            j = json.loads(txt)
+            stats["journals"] += 1
+            stats["files_removed"] += _replay_small_compaction(spark, j)
+            fsutil.delete(spark, journal, recursive=False)
     return stats
 
 
@@ -706,13 +735,14 @@ def recover_pending_deletes(spark, table_path: str) -> dict:
 
     stats = {"journals": 0, "files_removed": 0}
     pattern = f"{fsutil.escape(table_path.rstrip('/'))}.__delete_journal_*.json"
-    for journal in sorted(fsutil.glob(spark, pattern)):
-        txt = fsutil.try_read_text(spark, journal)
-        if txt is None:
-            # racing recoverer consumed this journal first — done already
-            continue
-        j = json.loads(txt)
-        stats["journals"] += 1
-        stats["files_removed"] += _replay_delete_plan(spark, j, table_path)
-        fsutil.delete(spark, journal, recursive=False)
+    with _recovery_guard(table_path):
+        for journal in sorted(fsutil.glob(spark, pattern)):
+            txt = fsutil.try_read_text(spark, journal)
+            if txt is None:
+                # racing recoverer consumed this journal first — done
+                continue
+            j = json.loads(txt)
+            stats["journals"] += 1
+            stats["files_removed"] += _replay_delete_plan(spark, j, table_path)
+            fsutil.delete(spark, journal, recursive=False)
     return stats

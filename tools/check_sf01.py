@@ -92,8 +92,12 @@ def main():
             failed.append(q)
         else:
             ledger[q] = rnd
-            with open(LEDGER, "w") as fh:
+            # atomic tmp+rename (the fsutil.write_text pattern): a kill
+            # mid-dump must not truncate the ledger and wedge the tier
+            tmp = LEDGER + ".tmp"
+            with open(tmp, "w") as fh:
                 json.dump(ledger, fh, indent=0, sort_keys=True)
+            os.replace(tmp, LEDGER)
     print(f"\n{len(failed)} failures  ({len(chosen)} run)")
     if failed:
         print("failed:", failed)

@@ -27,6 +27,10 @@ def recall_stats(out, truth):
 
 
 def main():
+    """Probes the RAW approximate searches the entries wrap (the entries
+    themselves now RETURN threshold-verdict rows, not top-k rows — this
+    tool reconstructs their search stage with the exact entry parameters
+    so the documented floors stay reproducible)."""
     spark = build_session()
     for sf in ["sf0.001", "sf0.01", "sf0.1"]:
         sf_dir = f"/root/testdata/{sf}"
@@ -36,11 +40,20 @@ def main():
         q_raw = raw.filter(F.col("vec_id") < 10)
         truth_cl = similarity.brute_force_topk(cl, q_cl, k=5).select("query_id", "vec_id")
         truth_raw = similarity.brute_force_topk(raw, q_raw, k=5).select("query_id", "vec_id")
+        idx8 = e._shared_ivfpq8(spark, sf_dir)
+        a32 = similarity.ivfpq_search(idx8, q_cl, k=5, nprobe=4, rerank_factor=24)
+        a60_idx = similarity.ivfpq_add(
+            similarity.ivfpq_build(cl.filter(F.col("vec_id") % 2 == 0), n_centroids=8),
+            cl.filter(F.col("vec_id") % 2 == 1),
+        )
+        a60 = similarity.ivfpq_search(a60_idx, q_cl, k=5, nprobe=4, rerank_factor=24)
+        a34 = similarity.opq_topk(
+            raw, q_raw, k=5, m=16, ksub=16, n_iter=2, rerank_factor=16
+        )
         outs = {
-            "a32": (e._a_ivfpq_topk(spark, sf_dir), truth_cl),
-            "a55": (e._a55_ivfpq_persist(spark, sf_dir), truth_cl),
-            "a60": (e._a60_ivfpq_add(spark, sf_dir), truth_cl),
-            "a34": (e._a_opq_topk(spark, sf_dir), truth_raw),
+            "a32/a55": (a32, truth_cl),  # a55 = a32 through save/load, identical
+            "a60/a159": (a60, truth_cl),  # a159 = a60 through the streamed add
+            "a34": (a34, truth_raw),
         }
         for name, (out, truth) in outs.items():
             mn, mean, nq = recall_stats(out, truth)
