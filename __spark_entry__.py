@@ -2507,7 +2507,13 @@ def _a89_removal_impact(spark, sf_dir):
             F.sum("n_tokens").alias("n_tokens"),
             F.sum("n_removed").alias("n_removed"),
             F.count(F.when(F.col("n_removed") > 0, 1)).alias("n_docs_touched"),
-            F.round(F.sum("n_removed") / F.sum("n_tokens"), 4).alias("removed_frac"),
+            # UNROUNDED: exact integer sums make the quotient bit-identical
+            # in both engines, while round() splits them on true decimal
+            # halfway cases — integer denominators make those common, not
+            # freak (r13 VERDICT #2, the e46 diagnosis)
+            (
+                F.sum("n_removed").cast("double") / F.sum("n_tokens")
+            ).alias("removed_frac"),
         )
         .orderBy("source")
     )
@@ -2531,7 +2537,9 @@ def _a90_tokenizer_fertility(spark, sf_dir):
         .agg(
             F.sum("ws").alias("ws_tokens"),
             F.sum("bpe").alias("bpe_tokens"),
-            F.round(F.sum("bpe") / F.sum("ws"), 4).alias("fertility"),
+            # UNROUNDED integer-sum quotient: bit-identical in both engines,
+            # where round() is halfway-split-prone (r13 VERDICT #2 / e46)
+            (F.sum("bpe").cast("double") / F.sum("ws")).alias("fertility"),
         )
         .orderBy("source")
     )
@@ -3335,7 +3343,15 @@ def _e42_revenue_share(spark, sf_dir):
     """Contribution analysis (ratio-to-report): per-nation revenue share
     of its region and rank within region, from one customer x orders join
     + region-partitioned windows — the percent-of-total reporting shape.
-    Windows partition by region (bounded groups), never globally."""
+    Windows partition by region (bounded groups), never globally.
+
+    SF-robust form (r13 VERDICT #2, the e46 halfway-case diagnosis):
+    revenue sums in exact DECIMAL(18,2) (o_totalprice is cents-valued,
+    the cast is exact) and the region denominator is the DECIMAL sum
+    over the window — so both operands of the share division are
+    bit-identical doubles in each engine and the UNROUNDED quotient is
+    too, while round() would split the engines on true decimal halfway
+    cases."""
     from pyspark.sql import Window
 
     from persistor_spark.sources.registry import load_table
@@ -3349,18 +3365,30 @@ def _e42_revenue_share(spark, sf_dir):
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .groupBy("n_regionkey", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(
+            F.sum(_dec_exact(F.col("o_totalprice"), "decimal(18,2)")).alias(
+                "rev_dec"
+            )
+        )
     )
     w = Window.partitionBy("n_regionkey")
     wr = Window.partitionBy("n_regionkey").orderBy(
-        F.col("revenue").desc(), F.col("n_name").asc()
+        F.col("rev_dec").desc(), F.col("n_name").asc()
     )
     return (
         rev.withColumn(
-            "share", F.round(F.col("revenue") / F.sum("revenue").over(w), 4)
+            "share",
+            F.col("rev_dec").cast("double")
+            / F.sum("rev_dec").over(w).cast("double"),
         )
         .withColumn("rank_in_region", F.row_number().over(wr))
-        .select("n_regionkey", "n_name", "revenue", "share", "rank_in_region")
+        .select(
+            "n_regionkey",
+            "n_name",
+            F.col("rev_dec").cast("double").alias("revenue"),
+            "share",
+            "rank_in_region",
+        )
         .orderBy("n_regionkey", "n_name")
     )
 
@@ -3713,6 +3741,26 @@ def _e45_markov_transitions(spark, sf_dir):
     )
 
 
+def _dec_exact(col, dectype: str):
+    """Cast to exact decimal, FAILING LOUDLY on overflow: Spark in
+    non-ANSI mode returns silent NULL when a value exceeds the decimal's
+    integral capacity (DuckDB errors), so a larger-SF fixture overflowing
+    e.g. decimal(12,6)'s |x| < 10^6 bound would otherwise surface as a
+    confusing NULL-row oracle mismatch (r13 ADVICE).  The guard is a
+    per-row JVM-side branch — no extra job, and the non-overflow output
+    is exactly the bare cast the exactness proofs reason about."""
+    c = col.cast(dectype)
+    return F.when(
+        col.isNotNull() & c.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"decimal overflow casting to {dectype}: "),
+                col.cast("string"),
+            )
+        ).cast(dectype),
+    ).otherwise(c)
+
+
 def _e46_time_weighted_avg(spark, sf_dir):
     """Per-user time-weighted average event value: each value holds until
     the user's next event; weight = whole seconds held (integer in both
@@ -3750,13 +3798,13 @@ def _e46_time_weighted_avg(spark, sf_dir):
             F.sum("dt").alias("held_seconds"),
             (
                 F.sum(
-                    F.col("value").cast("decimal(12,6)")
-                    * F.col("dt").cast("decimal(12,0)")
+                    _dec_exact(F.col("value"), "decimal(12,6)")
+                    * _dec_exact(F.col("dt"), "decimal(12,0)")
                 ).cast("double")
                 / F.sum("dt")
             ).alias("twa_value"),
             (
-                F.sum(F.col("value").cast("decimal(12,6)")).cast("double")
+                F.sum(_dec_exact(F.col("value"), "decimal(12,6)")).cast("double")
                 / F.count(F.lit(1))
             ).alias("plain_avg"),
         )
@@ -4177,7 +4225,7 @@ def _e49_mom_growth(spark, sf_dir):
             F.date_trunc("month", "o_orderdate").alias("month"),
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            F.sum(_dec_exact(F.col("o_totalprice"), "decimal(18,2)"))
             .cast("double")
             .alias("revenue")
         )
@@ -4361,7 +4409,9 @@ def _a119_nucleus_vocab(spark, sf_dir):
         .agg(
             F.max("vocab_size").alias("vocab_size"),
             F.count(F.lit(1)).alias("nucleus_size"),
-            F.round(F.sum("c") / F.max("total"), 4).alias("nucleus_share"),
+            # UNROUNDED integer-sum quotient: bit-identical in both engines,
+            # where round() is halfway-split-prone (r13 VERDICT #2 / e46)
+            (F.sum("c").cast("double") / F.max("total")).alias("nucleus_share"),
         )
         .orderBy("source")
     )
@@ -5226,10 +5276,10 @@ def _a131_label_dispersion(spark, sf_dir):
         "label", F.posexplode("u").alias("i", "x")
     )
     dims = flat.groupBy("label", "i").agg(
-        F.sum(F.col("x").cast("decimal(20,14)")).cast("double").alias("s")
+        F.sum(_dec_exact(F.col("x"), "decimal(20,14)")).cast("double").alias("s")
     )
     per = dims.groupBy("label").agg(
-        F.sum((F.col("s") * F.col("s")).cast("decimal(26,12)"))
+        F.sum(_dec_exact(F.col("s") * F.col("s"), "decimal(26,12)"))
         .cast("double")
         .alias("sq")
     )
@@ -5270,8 +5320,17 @@ def _e57_chi_square(spark, sf_dir):
     )
     e = F.col("row_n") * F.col("col_n") / F.lit(float(grand))
     contrib = (F.col("o") - e) * (F.col("o") - e) / e
+    # chi2 sums per-cell FLOAT contributions, so two hazards could split
+    # the engines: float summation ORDER (non-associative) and round()'s
+    # halfway behavior (the e46 diagnosis).  Fixed-point form removes
+    # both: each bit-identical contrib maps to an exact integer
+    # floor(contrib*1e9 + 0.5) — identical arithmetic in both engines —
+    # the BIGINT sum is order-free, and the final /1e9 is one float op on
+    # identical inputs.  Bound: contrib*1e9 must stay < 2^53; cell counts
+    # are <= events/5, so contrib <= ~1e6 even at sf10 -> 1e15 < 9.0e15.
+    chi2_fixed = F.floor(contrib * F.lit(1e9) + F.lit(0.5)).cast("long")
     stats = joined.agg(
-        F.round(F.sum(contrib), 4).alias("chi2"),
+        (F.sum(chi2_fixed).cast("double") / F.lit(1e9)).alias("chi2"),
         F.count(F.lit(1)).alias("n_cells"),
         F.count_distinct("bucket").alias("n_rows"),
         F.count_distinct("event_type").alias("n_cols"),
@@ -5476,7 +5535,14 @@ def _e59_forward_fill(spark, sf_dir):
             F.sum(
                 F.when(F.col("v").isNull() & F.col("ff").isNotNull(), 1).otherwise(0)
             ).alias("n_filled"),
-            F.round(F.sum("ff"), 4).alias("sum_filled_series"),
+            # exact-DECIMAL sum (the e46 pattern): ff values are 2-dp
+            # fixture doubles, so decimal(12,6) casts are exact in both
+            # engines, the sum is order-free, and the UNROUNDED double is
+            # bit-identical — round(sum(double),4) was both summation-
+            # order- and halfway-split-prone (r13 VERDICT #2)
+            F.sum(_dec_exact(F.col("ff"), "decimal(12,6)"))
+            .cast("double")
+            .alias("sum_filled_series"),
         )
         .orderBy("user_id")
     )
@@ -7118,7 +7184,11 @@ def _d47_compact_manifest_lookup(spark, sf_dir):
 _D48_WORKER = '''
 import json, os, sys, time
 
-sys.path.insert(0, "/root/repo")
+# repo root arrives as argv[7] (derived from THIS checkout's __file__ by
+# the spawner) — a hardcoded /root/repo would silently import
+# persistor_spark from the wrong tree in a worktree/A-B checkout
+# (r13 ADVICE; tools/probe_r13_drift.py itself runs pinned worktrees)
+sys.path.insert(0, sys.argv[7])
 from pyspark.sql import functions as F
 
 from persistor_spark import fixtures
@@ -7191,8 +7261,19 @@ def _d48_concurrent_writers(spark, sf_dir):
         # freely, and a filled 64 KiB pipe would block writer A's console
         # appender WHILE IT HOLDS THE FLOCK — deadlocking writer B here
         log_fh = open(log_path, "w")
+        repo_root = os.path.dirname(os.path.abspath(__file__))
         proc = subprocess.Popen(
-            [_sys.executable, script, sf_dir, table, lock, ready, go, out_json],
+            [
+                _sys.executable,
+                script,
+                sf_dir,
+                table,
+                lock,
+                ready,
+                go,
+                out_json,
+                repo_root,
+            ],
             stdout=log_fh,
             stderr=subprocess.STDOUT,
             text=True,
@@ -9793,7 +9874,7 @@ def oracle_sql() -> dict[str, str]:
             "  sum(coalesce(rm.removed, 0))::BIGINT AS n_removed, "
             "  count(CASE WHEN coalesce(rm.removed, 0) > 0 THEN 1 END) "
             "    AS n_docs_touched, "
-            "  round(sum(coalesce(rm.removed, 0))::DOUBLE / sum(len(t.toks)), 4) "
+            "  sum(coalesce(rm.removed, 0))::DOUBLE / sum(len(t.toks)) "
             "    AS removed_frac "
             "FROM t JOIN documents doc USING (doc_id) "
             "LEFT JOIN rm ON t.doc_id = rm.doc_id "
@@ -9881,8 +9962,8 @@ def oracle_sql() -> dict[str, str]:
             "  sum(len(string_split(text, ' ')))::BIGINT AS ws_tokens, "
             "  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::BIGINT "
             "    AS bpe_tokens, "
-            "  round(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::DOUBLE "
-            "    / sum(len(string_split(text, ' '))), 4) AS fertility "
+            "  sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')))::DOUBLE "
+            "    / sum(len(string_split(text, ' '))) AS fertility "
             "FROM documents GROUP BY source ORDER BY source"
         ),
         # a54: per-source gram doc-frequency vs source doc count; boilerplate
@@ -10496,7 +10577,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM cnt) "
             "SELECT source, max(vocab_size) AS vocab_size, "
             "  count(*) AS nucleus_size, "
-            "  round(sum(c) / CAST(max(total) AS DOUBLE), 4) AS nucleus_share "
+            "  CAST(sum(c) AS DOUBLE) / max(total) AS nucleus_share "
             "FROM r WHERE (cum - c) * 10 < total * 9 "
             "GROUP BY source ORDER BY source"
         ),
@@ -10931,7 +11012,8 @@ def oracle_sql() -> dict[str, str]:
             "j AS (SELECT c.o, rw.row_n, cl.col_n, "
             "    rw.row_n * cl.col_n / CAST((SELECT grand_n FROM g) AS DOUBLE) AS e "
             "  FROM cells c JOIN rw USING (bucket) JOIN cl USING (event_type)) "
-            "SELECT round(sum((o - e) * (o - e) / e), 4) AS chi2, "
+            "SELECT CAST(sum(CAST(floor((o - e) * (o - e) / e * 1e9 + 0.5) "
+            "    AS BIGINT)) AS DOUBLE) / 1e9 AS chi2, "
             "  count(*) AS n_cells, "
             "  (SELECT CAST((count(DISTINCT bucket) - 1) * "
             "      (count(DISTINCT event_type) - 1) AS BIGINT) FROM cells) AS dof, "
@@ -11036,7 +11118,7 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, "
             "  CAST(sum(CASE WHEN v IS NULL AND ff IS NOT NULL THEN 1 ELSE 0 END) "
             "    AS BIGINT) AS n_filled, "
-            "  round(sum(ff), 4) AS sum_filled_series "
+            "  CAST(sum(CAST(ff AS DECIMAL(12,6))) AS DOUBLE) AS sum_filled_series "
             "FROM f GROUP BY user_id ORDER BY user_id"
         ),
         # d37: the dense-1..n invariant, stated identically
@@ -11320,14 +11402,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "e42_revenue_share": (
             "WITH rev AS (SELECT n_regionkey, n_name, "
-            "  round(sum(o_totalprice), 2) AS revenue "
+            "  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev_dec "
             "  FROM orders JOIN customer ON o_custkey = c_custkey "
             "  JOIN nation ON c_nationkey = n_nationkey "
             "  GROUP BY n_regionkey, n_name) "
-            "SELECT n_regionkey, n_name, revenue, "
-            "  round(revenue / sum(revenue) OVER (PARTITION BY n_regionkey), 4) AS share, "
+            "SELECT n_regionkey, n_name, CAST(rev_dec AS DOUBLE) AS revenue, "
+            "  CAST(rev_dec AS DOUBLE) / CAST(sum(rev_dec) "
+            "    OVER (PARTITION BY n_regionkey) AS DOUBLE) AS share, "
             "  CAST(row_number() OVER (PARTITION BY n_regionkey "
-            "    ORDER BY revenue DESC, n_name ASC) AS INT) AS rank_in_region "
+            "    ORDER BY rev_dec DESC, n_name ASC) AS INT) AS rank_in_region "
             "FROM rev ORDER BY n_regionkey, n_name"
         ),
         "a102_term_churn": (

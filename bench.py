@@ -1105,11 +1105,50 @@ def _canary_io(workdir: str) -> float:
     return _median(times)
 
 
+def _prev_canary():
+    """Min canary timings of the most recent recorded round
+    (bench_r*_local.json), for CROSS-RUN normalization: r12->r13 proved
+    raw cross-round totals conflate host-generation shifts (+21% with
+    zero plan drift) with code, and the canaries' own fixed workloads
+    measure that shift directly (NOTES_r13).  Returns
+    {"cpu": s, "io": s, "ref": "rN"} or None when no record exists."""
+    import glob as _glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best, best_n = None, -1
+    for p in _glob.glob(os.path.join(here, "bench_r*_local.json")):
+        m = re.search(r"bench_r(\d+)_local\.json$", p)
+        if not m or int(m.group(1)) <= best_n:
+            continue
+        try:
+            with open(p) as fh:
+                rec = json.load(fh)
+            c = rec["canary"]
+            best = {
+                "cpu": min(c["cpu"]),
+                "io": min(c["io"]),
+                "ref": f"r{m.group(1)}",
+            }
+            best_n = int(m.group(1))
+        except (OSError, ValueError, KeyError):
+            continue
+    return best
+
+
 def main():
     # 5 repeats (r10 VERDICT #3): the median stays the gate number, but
     # "queries_min"/"total_min" carry min-of-N — the drift-comparison
     # figure a co-tenant burst can't inflate (r10's +6.7% ghost).
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
+    # The result JSON must be the SOLE stdout line (the driver's capture
+    # window is ~the last 1.5 KB of stdout; r12/r13 records parsed null
+    # because the full record overran it and JVM chatter shares the fd).
+    # Redirect fd 1 -> stderr for the whole run at the OS level — JVM and
+    # library writes cannot be silenced politely — and keep the real
+    # stdout on a saved fd for the final line.
+    real_stdout = os.dup(1)
+    sys.stdout.flush()
+    os.dup2(2, 1)
     spark = build_session("persistor-bench")
     workdir = tempfile.mkdtemp(prefix="persistor-bench-")
     ctx = Ctx(spark, workdir)
@@ -1205,31 +1244,75 @@ def main():
     busy_suspect = sorted(
         name for name, b in line_busy.items() if b >= BUSY_SUSPECT
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "queries_min": mins,
-                "total_min": round(sum(mins.values()), 3),
-                "sf": _sf(),
-                "repeats": repeats,
-                "runs": runs,
-                "variance": spread,
-                "canary": {**canary, "quiet": CANARY_QUIET},
-                "host_noise_index": noise,
-                "line_noise_index": line_noise,
-                "host_busy_frac": busy,
-                "line_busy_frac": line_busy,
-                "busy_suspect_lines": busy_suspect,
-                "queries_normalized": normalized,
-                "total_normalized": round(sum(normalized.values()), 3),
-            }
-        )
+    # CROSS-RUN normalization (r13 VERDICT #4): divide each line by the
+    # canary-min ratio vs the previous recorded round — the host-
+    # generation correction the r12->r13 adjudication had to compute by
+    # hand.  Unclamped: a faster host deflates, a slower one inflates.
+    prev = _prev_canary()
+    xr = None
+    xnorm = None
+    if prev:
+        xr = {
+            "cpu": round(min(canary["cpu"]) / prev["cpu"], 3),
+            "io": round(min(canary["io"]) / prev["io"], 3),
+            "ref": prev["ref"],
+        }
+        xnorm = {
+            name: round(t / xr["io" if name in IO_HEAVY else "cpu"], 3)
+            for name, t in times.items()
+        }
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "queries_min": mins,
+        "total_min": round(sum(mins.values()), 3),
+        "sf": _sf(),
+        "repeats": repeats,
+        "runs": runs,
+        "variance": spread,
+        "canary": {**canary, "quiet": CANARY_QUIET},
+        "host_noise_index": noise,
+        "line_noise_index": line_noise,
+        "host_busy_frac": busy,
+        "line_busy_frac": line_busy,
+        "busy_suspect_lines": busy_suspect,
+        "queries_normalized": normalized,
+        "total_normalized": round(sum(normalized.values()), 3),
+        "canary_ratio_vs_prev": xr,
+        "queries_xnorm": xnorm,
+        "total_xnorm": round(sum(xnorm.values()), 3) if xnorm else None,
+    }
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_last_full.json"),
     )
+    with open(full_path, "w") as fh:
+        json.dump(full, fh)
+    print(json.dumps(full), file=sys.stderr)  # humans/logs read stderr
+    # the compact SOLE stdout line (~1.1 KB): everything a cross-round
+    # grader needs; the full record lives at full_path
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": _sf(),
+        "repeats": repeats,
+        "total_min": full["total_min"],
+        "total_normalized": full["total_normalized"],
+        "canary_ratio_vs_prev": xr,
+        "total_xnorm": full["total_xnorm"],
+        "busy_suspect_lines": busy_suspect,
+        "full_record": full_path,
+    }
     spark.stop()
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os.dup2(real_stdout, 1)  # restore: the result line goes to REAL stdout
+    os.close(real_stdout)
+    print(json.dumps(compact), flush=True)
 
 
 def calibrate():

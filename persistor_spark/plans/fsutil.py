@@ -231,7 +231,13 @@ def is_missing_file_error(exc: Exception) -> bool:
         isinstance(exc, FileNotFoundError)
         or "FileNotFoundException" in s
         or "PATH_NOT_FOUND" in s
-        or "does not exist" in s
+        # Spark's path-not-found message shape, ANCHORED — the bare
+        # substring 'does not exist' also appears in missing-table/-view
+        # and config errors, which must NOT be swallowed as "journal
+        # already consumed" (r13 ADVICE): try_read_text would silently
+        # skip a live journal and manifest_lookup_resilient would mask a
+        # real error behind a pointless heal-and-retry.
+        or "Path does not exist" in s
     )
 
 

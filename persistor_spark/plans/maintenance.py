@@ -373,9 +373,16 @@ def compact_small_files(
     if manifest_path:
         plan["manifest"] = manifest_path
         plan["col"] = manifest_col
-    fsutil.write_text(spark, journal, json.dumps(plan))
-    _replay_small_compaction(spark, json.loads(fsutil.read_text(spark, journal)))
-    fsutil.delete(spark, journal, recursive=False)
+    # the inline journal-write -> replay -> journal-delete runs under the
+    # SAME flock the heal-on-read recoverers take: between our write_text
+    # and delete, a concurrent lsh_index_load/ivfpq_load ->
+    # recover_small_compactions can glob this live journal, and the
+    # manifest entry swap inside the replay is a rename-based
+    # single-writer sequence (r13 ADVICE — the guard's whole point).
+    with _recovery_guard(path):
+        fsutil.write_text(spark, journal, json.dumps(plan))
+        _replay_small_compaction(spark, json.loads(fsutil.read_text(spark, journal)))
+        fsutil.delete(spark, journal, recursive=False)
     stats["files_after"] = stats["files_before"] - stats["files_small"] + len(moves)
     return stats
 
@@ -661,21 +668,28 @@ def delete_by_key(
         for nf in fsutil.glob(spark, f"{fsutil.escape(tmp)}/part-*.parquet")
     ]
     journal = _journal_path(table_path)
-    fsutil.write_text(
-        spark,
-        journal,
-        json.dumps(
-            {
-                "tmp": tmp,
-                "moves": moves,
-                "remove": paths,
-                "manifest": manifest_path,
-                "col": col,
-            }
-        ),
-    )
-    _replay_delete_plan(spark, json.loads(fsutil.read_text(spark, journal)), table_path)
-    fsutil.delete(spark, journal, recursive=False)
+    # same serialization as compact_small_files' inline swap: hold the
+    # recovery flock across journal-write -> replay -> journal-delete so a
+    # concurrent recover_pending_deletes (heal-on-read) cannot drive the
+    # rename-based manifest swap alongside us (r13 ADVICE)
+    with _recovery_guard(table_path):
+        fsutil.write_text(
+            spark,
+            journal,
+            json.dumps(
+                {
+                    "tmp": tmp,
+                    "moves": moves,
+                    "remove": paths,
+                    "manifest": manifest_path,
+                    "col": col,
+                }
+            ),
+        )
+        _replay_delete_plan(
+            spark, json.loads(fsutil.read_text(spark, journal)), table_path
+        )
+        fsutil.delete(spark, journal, recursive=False)
     return stats
 
 
