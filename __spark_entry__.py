@@ -8019,13 +8019,8 @@ def oracle_sql() -> dict[str, str]:
     cc_with = (
         "WITH RECURSIVE "
         "t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-        "s AS (SELECT doc_id, "
-        "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-        "  FROM t), "
-        "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b "
-        "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
-        "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-        "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+        + _posting_pairs_cte()
+        + "pairs AS (SELECT a, b FROM pc WHERE " + _PC_JRAW + " >= 0.8), "
         "edges AS (SELECT a AS src, b AS dst FROM pairs "
         "  UNION SELECT b AS src, a AS dst FROM pairs), "
         "reach(src, dst) AS ("
@@ -8942,14 +8937,9 @@ def oracle_sql() -> dict[str, str]:
         # Spark's exact order of operations
         "a72_threshold_curve": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-            "s AS (SELECT doc_id, "
-            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-            "  FROM t), "
-            "p AS (SELECT round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS j "
-            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7), "
+            + _posting_pairs_cte()
+            + "p AS (SELECT round(" + _PC_JRAW + ", 3) AS j FROM pc "
+            "  WHERE " + _PC_JRAW + " >= 0.7), "
             "agg AS (SELECT "
             "  count(CASE WHEN j >= 0.7 THEN 1 END) AS s0, "
             "  count(CASE WHEN j >= 0.75 THEN 1 END) AS s1, "
@@ -9497,13 +9487,8 @@ def oracle_sql() -> dict[str, str]:
             "  round(((CASE WHEN token_count BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) "
             "    + least(dtr * 2, 1.0) + least(swr * 10, 1.0)) / 3, 4) AS quality_score FROM r), "
             "gated AS (SELECT * FROM scored WHERE quality_score >= 0.6), "
-            "s AS (SELECT doc_id, "
-            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-            "  FROM gated), "
-            "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b "
-            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+            + _posting_pairs_cte("gated")
+            + "pairs AS (SELECT a, b FROM pc WHERE " + _PC_JRAW + " >= 0.8), "
             "edges AS (SELECT a AS src, b AS dst FROM pairs "
             "  UNION SELECT b AS src, a AS dst FROM pairs), "
             "reach(src, dst) AS (SELECT src, dst FROM edges "
@@ -9789,13 +9774,8 @@ def oracle_sql() -> dict[str, str]:
         # canonical source pair
         "a83_source_dup_matrix": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-            "s AS (SELECT doc_id, "
-            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-            "  FROM t), "
-            "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
-            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+            + _posting_pairs_cte()
+            + "p AS (SELECT a, b FROM pc WHERE " + _PC_JRAW + " >= 0.8), "
             "j AS (SELECT da.source AS s_a, db.source AS s_b FROM p "
             "  JOIN documents da ON p.a = da.doc_id "
             "  JOIN documents db ON p.b = db.doc_id) "
@@ -10231,13 +10211,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a106_transitivity_gap": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-            "s AS (SELECT doc_id, "
-            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-            "  FROM t), "
-            "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
-            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+            + _posting_pairs_cte()
+            + "p AS (SELECT a, b FROM pc WHERE " + _PC_JRAW + " >= 0.8), "
             "adj AS (SELECT a AS h, b AS n FROM p UNION ALL SELECT b, a FROM p), "
             "w AS (SELECT l.h, l.n AS x, r.n AS y FROM adj l JOIN adj r ON l.h = r.h "
             "  WHERE l.n < r.n), "
@@ -10901,15 +10876,9 @@ def oracle_sql() -> dict[str, str]:
         # a129: the a2 exact-jaccard CTE + the md5 permutation family
         "a129_minhash_calibration": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-            "s AS (SELECT doc_id, "
-            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-            "  FROM t), "
-            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
-            "  round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard "
-            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+            + _posting_pairs_cte()
+            + "p AS (SELECT a, b, round(" + _PC_JRAW + ", 3) AS jaccard "
+            "  FROM pc WHERE " + _PC_JRAW + " >= 0.8), "
             "e AS (SELECT doc_id, unnest(sh) AS sh FROM s), "
             "hp AS (SELECT doc_id, pp, min(CAST(CONCAT('0x', "
             "    substr(md5(pp || ':' || sh), 1, 15)) AS BIGINT)) AS h "
@@ -11349,15 +11318,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a103_dup_pair_qa_sample": (
             "WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents), "
-            "s AS (SELECT doc_id, "
-            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-            "  FROM t), "
-            "p AS (SELECT a.doc_id AS a, b.doc_id AS b, "
-            "  round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard "
-            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+            + _posting_pairs_cte()
+            + "p AS (SELECT a, b, round(" + _PC_JRAW + ", 3) AS jaccard "
+            "  FROM pc WHERE " + _PC_JRAW + " >= 0.8), "
             "k AS (SELECT a, b, jaccard, "
             "  round(CAST(CONCAT('0x', substr(md5('7_' || a || '_' || b), 1, 15)) AS BIGINT) "
             "    / 1152921504606846976.0, 8) AS qa_key FROM p "
@@ -11499,13 +11462,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a99_triangle_count": (
             "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-            "s AS (SELECT doc_id, "
-            "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-            "  FROM t), "
-            "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
-            "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
-            "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-            "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.7), "
+            + _posting_pairs_cte()
+            + "p AS (SELECT a, b FROM pc WHERE " + _PC_JRAW + " >= 0.7), "
             "tri AS (SELECT p1.a, p1.b, p2.b AS c FROM p p1 "
             "  JOIN p p2 ON p1.b = p2.a "
             "  JOIN p p3 ON p1.a = p3.a AND p2.b = p3.b), "
@@ -11578,13 +11536,8 @@ def _curation_e2e_oracle() -> str:
         "  round(((CASE WHEN token_count BETWEEN 20 AND 2000 THEN 1.0 ELSE 0.0 END) "
         "    + least(dtr * 2, 1.0) + least(swr * 10, 1.0)) / 3, 4) AS quality_score FROM r), "
         "gated AS (SELECT * FROM scored WHERE quality_score >= 0.6), "
-        "s AS (SELECT doc_id, "
-        "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-        "  FROM gated), "
-        "pairs AS (SELECT a.doc_id AS a, b.doc_id AS b "
-        "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
-        "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-        "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+        + _posting_pairs_cte("gated")
+        + "pairs AS (SELECT a, b FROM pc WHERE " + _PC_JRAW + " >= 0.8), "
         "edges AS (SELECT a AS src, b AS dst FROM pairs "
         "  UNION SELECT b AS src, a AS dst FROM pairs), "
         "reach(src, dst) AS (SELECT src, dst FROM edges "
@@ -11654,13 +11607,8 @@ def _split_leakage_oracle() -> str:
     t0, t1 = split_thresholds({"train": 0.8, "val": 0.1, "test": 0.1})
     return (
         "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-        "s AS (SELECT doc_id, "
-        "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-        "  FROM t), "
-        "p AS (SELECT a.doc_id AS a, b.doc_id AS b "
-        "  FROM s a JOIN s b ON a.doc_id < b.doc_id "
-        "  WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-        "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8), "
+        + _posting_pairs_cte()
+        + "p AS (SELECT a, b FROM pc WHERE " + _PC_JRAW + " >= 0.8), "
         "sp AS (SELECT doc_id, CASE "
         f"  WHEN u < {t0!r} THEN 'train' "
         f"  WHEN u < {t1!r} THEN 'val' "
@@ -11702,20 +11650,42 @@ _CMS_GRID_ORACLE = (
     "count(*) AS cnt FROM cells GROUP BY 1, 2 ORDER BY 1, 2"
 )
 
+def _posting_pairs_cte(src: str = "t") -> str:
+    """EXACT posting-join pair enumeration for the a2-family oracles,
+    mirroring the Spark plan (dedup.ngram_jaccard_pairs): explode each
+    doc's DISTINCT shingles, self-join the postings on the shingle
+    (a < b), count matches -> |A∩B| exactly; any pair at J >= t > 0
+    shares a shingle, so the rows are IDENTICAL to the all-pairs
+    list_intersect form these oracles previously used — at posting-list
+    cost instead of n² (the all-pairs a106 twin was the sf0.1 tier's
+    ~100-minute long pole; r13 VERDICT #5).  Emits CTEs s/po/pc over
+    `src`(doc_id, toks); callers build `p` from pc with their threshold
+    via _PC_JRAW.  Ends with a trailing comma."""
+    return (
+        "s AS (SELECT doc_id, "
+        "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
+        f"  FROM {src}), "
+        "po AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g0 FROM s), "
+        "pc AS (SELECT x.doc_id AS a, y.doc_id AS b, x.n AS an, y.n AS bn, "
+        "    count(*) AS inter "
+        "  FROM po x JOIN po y ON x.g0 = y.g0 AND x.doc_id < y.doc_id "
+        "  GROUP BY x.doc_id, y.doc_id, x.n, y.n), "
+    )
+
+
+# the unrounded Jaccard over pc's exact counters — spelled once so every
+# consumer filters/rounds the same expression
+_PC_JRAW = "inter::DOUBLE / (an + bn - inter)"
+
+
 _INCR_DEDUP_ORACLE = (
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-    "s AS (SELECT doc_id, "
-    "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-    "  FROM t) "
-    "SELECT CASE WHEN a.doc_id % 2 = 1 THEN a.doc_id ELSE b.doc_id END AS new_id, "
-    "  CASE WHEN a.doc_id % 2 = 1 THEN b.doc_id ELSE a.doc_id END AS old_id, "
-    "  round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
-    "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard "
-    "FROM s a JOIN s b ON a.doc_id < b.doc_id "
-    "WHERE (a.doc_id % 2) <> (b.doc_id % 2) "
-    "  AND len(list_intersect(a.sh, b.sh))::DOUBLE / "
-    "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8 "
-    "ORDER BY new_id, old_id"
+    + _posting_pairs_cte()
+    + "p AS (SELECT a, b, round(" + _PC_JRAW + ", 3) AS jaccard FROM pc "
+    "  WHERE (a % 2) <> (b % 2) AND " + _PC_JRAW + " >= 0.8) "
+    "SELECT CASE WHEN a % 2 = 1 THEN a ELSE b END AS new_id, "
+    "  CASE WHEN a % 2 = 1 THEN b ELSE a END AS old_id, jaccard "
+    "FROM p ORDER BY new_id, old_id"
 )
 
 # a32/a34/a55/a60: the d46 threshold shape — the driver-stable claim is
@@ -11763,16 +11733,10 @@ _FILTERED_TOPK_ORACLE = (
 
 _JACCARD_ORACLE = (
     "WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), "
-    "s AS (SELECT doc_id, "
-    "  list_distinct([array_to_string(toks[i:i+2], ' ') for i in range(1, len(toks)-1)]) AS sh "
-    "  FROM t) "
-    "SELECT a.doc_id AS a, b.doc_id AS b, "
-    "  round(len(list_intersect(a.sh, b.sh))::DOUBLE / "
-    "    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 3) AS jaccard "
-    "FROM s a JOIN s b ON a.doc_id < b.doc_id "
-    "WHERE len(list_intersect(a.sh, b.sh))::DOUBLE / "
-    "  (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.8 "
-    "ORDER BY a, b"
+    + _posting_pairs_cte()
+    + "p AS (SELECT a, b, round(" + _PC_JRAW + ", 3) AS jaccard FROM pc "
+    "  WHERE " + _PC_JRAW + " >= 0.8) "
+    "SELECT a, b, jaccard FROM p ORDER BY a, b"
 )
 
 _TEXT_STATS_ORACLE = (
