@@ -7485,6 +7485,314 @@ def _d50_compact_under_reader(spark, sf_dir):
     return after.select(*cols).orderBy("unique_id")
 
 
+def _d51_compact_delete_race(spark, sf_dir):
+    """CONCURRENT MAINTENANCE OPS on ONE table (r13 VERDICT #7a: d44/d24
+    each ran solo; the flock serialized recovery but nothing pinned two
+    maintenance DRIVERS racing): `compact_small_files` and
+    `delete_by_key` are released simultaneously from two driver threads
+    against the SAME table + manifest.  Both ops now hold the table's
+    maintenance flock for their WHOLE body (recovery -> plan -> tmp
+    write -> journal -> swap), so any interleaving serializes into one
+    of two orders — and BOTH orders converge to the same state: table =
+    original rows minus the victims, manifest pointing only at live
+    files, no journal left behind.  (Without whole-op locking the race
+    is real: delete plans against manifest entries compaction is about
+    to remove, then scans deleted files.)  flock conflicts across fds,
+    so two threads of one process exclude each other exactly like two
+    processes (sources/_statelock.py).  In-code asserts pin that both
+    ops did real work (>= 2 small files merged; exactly the victim rows
+    deleted), that no maintenance journal survives, and that every
+    manifest entry resolves to a live file.  Oracle: the prologue index
+    minus the victims (d24's shape).  Reference: the reference has no
+    maintenance story at all (persistor writes immutable blobs); this
+    pins the invariant our Iceberg-lite layout adds."""
+    import atexit
+    import shutil
+    import tempfile
+    import threading
+
+    from persistor_spark.plans import fsutil, layout, maintenance
+
+    t = _tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="cmpdelrace_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table, mf = f"{root}/index", f"{root}/manifest"
+    # d50's layout: a range-partitioned base + 4 small appendix files
+    idx = t.index_metadata.withColumn("__slice", F.crc32("unique_id") % 20)
+    (
+        idx.filter(F.col("__slice") < 16)
+        .drop("__slice")
+        .repartitionByRange(4, "unique_id")
+        .sortWithinPartitions("unique_id")
+        .write.parquet(table)
+    )
+    for i in range(16, 20):
+        (
+            idx.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(table)
+        )
+    layout.write_minmax_manifest(spark, table, mf)
+    victims = ["b0_m000000004", "b1_m000000025", "b3_m000000123"]
+    n_before = spark.read.parquet(table).count()
+    sizes = dict(fsutil.list_files_with_size(spark, table))
+    thresh = (max(sizes.values()) + min(sizes.values())) // 2
+    barrier = threading.Barrier(2)
+    results: dict = {}
+    errors: list = []
+
+    def run_compact():
+        try:
+            barrier.wait(timeout=60)
+            results["compact"] = maintenance.compact_small_files(
+                spark, table, small_file_bytes=thresh, manifest_path=mf
+            )
+        except Exception as e:  # surfaced below — a swallowed thread error
+            errors.append(e)  # would fake a green pin
+
+    def run_delete():
+        try:
+            barrier.wait(timeout=60)
+            results["delete"] = maintenance.delete_by_key(
+                spark, table, mf, victims
+            )
+        except Exception as e:
+            errors.append(e)
+
+    th = [threading.Thread(target=run_compact), threading.Thread(target=run_delete)]
+    for x in th:
+        x.start()
+    for x in th:
+        x.join(timeout=600)
+    assert not errors, f"concurrent maintenance raised: {errors!r}"
+    assert results["compact"]["files_small"] >= 2, results["compact"]
+    assert results["delete"]["rows_deleted"] == len(victims), results["delete"]
+    # converged state: no journals, live manifest, exact surviving rows
+    leftovers = fsutil.glob(
+        spark, f"{fsutil.escape(table)}.__*journal_*.json"
+    )
+    assert not leftovers, f"maintenance journal survived the race: {leftovers}"
+    for f, _lo, _hi, _n in layout.load_manifest(spark, mf):
+        assert fsutil.exists(spark, f), f"manifest points at dead file {f}"
+    out = spark.read.parquet(table)
+    assert out.count() == n_before - len(victims)
+    return out.select("unique_id", "broker_id", "location_key").orderBy(
+        "unique_id"
+    )
+
+
+def _d52_resubmit_under_compaction(spark, sf_dir):
+    """RESUBMIT UNDER COMPACTION (r13 VERDICT #7b: d50 covers a point
+    lookup only; the R6 position-align join is the other manifest-
+    holding reader): a resubmit pipeline resolves its replay ids through
+    a RESIDENT manifest (layout.manifest_lookup_resilient), joins the
+    fetched metadata to the blob store position-aligned (resubmit.align),
+    and serves packaged records — while `compact_small_files` swaps the
+    index appendix between two replays.  The second replay's resident
+    rows are stale (their files were merged away); the resilient lookup
+    heals with ONE manifest reload and the align join must produce the
+    IDENTICAL publishable records, because parquet immutability +
+    move-manifest-remove phase order keep every instant readable.
+    In-code asserts pin that the probed files really were swapped (the
+    heal actually fired) and that pre/post packaged records are equal.
+    Oracle: the d9 metadata-blob join restricted to the replay ids.
+    Reference: resubmitter_job.go:257-455 (the pipeline being served);
+    the maintenance race is the layout's addition."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from persistor_spark.plans import fsutil, layout, maintenance, resubmit
+
+    t = _tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="resubcmp_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table, mf = f"{root}/index", f"{root}/manifest"
+    idx = t.index_metadata.withColumn("__slice", F.crc32("unique_id") % 20)
+    (
+        idx.filter(F.col("__slice") < 16)
+        .drop("__slice")
+        .repartitionByRange(4, "unique_id")
+        .sortWithinPartitions("unique_id")
+        .write.parquet(table)
+    )
+    for i in range(16, 20):
+        (
+            idx.filter(F.col("__slice") == i)
+            .drop("__slice")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(table)
+        )
+    layout.write_minmax_manifest(spark, table, mf)
+    replay = ["b0_m000000008", "b1_m000000025", "b2_m000000006"]
+    out_cols = ["unique_id", "ordering_key", "payload"]
+    # (1) reader comes up: resident manifest, replay #1 end-to-end
+    resident = layout.load_manifest(spark, mf)
+    meta1, healed = layout.manifest_lookup_resilient(
+        spark, table, resident, replay, mf
+    )
+    assert healed is None, "pre-compaction replay must not need the heal"
+    rec1 = resubmit.align(meta1, t.blob_records, broadcast_metadata=True)
+    rows1 = sorted(map(tuple, rec1.select(*out_cols).collect()))
+    assert len(rows1) == len(replay), rows1
+    # (2) maintenance swaps the appendix under the resident manifest
+    sizes = dict(fsutil.list_files_with_size(spark, table))
+    thresh = (max(sizes.values()) + min(sizes.values())) // 2
+    stats = maintenance.compact_small_files(
+        spark, table, small_file_bytes=thresh, manifest_path=mf
+    )
+    assert stats["files_small"] >= 4, stats
+    stale_files = {
+        f for f, lo, hi, _ in resident if any(lo <= p <= hi for p in replay)
+    }
+    assert any(not fsutil.exists(spark, f) for f in stale_files), (
+        "expected at least one probed file to be swapped away"
+    )
+    # (3) replay #2 through the STALE resident manifest: heal, re-join,
+    #     serve the identical records
+    meta2, fresh = layout.manifest_lookup_resilient(
+        spark, table, resident, replay, mf
+    )
+    assert fresh is not None, "stale replay must have fired the heal"
+    rec2 = resubmit.align(meta2, t.blob_records, broadcast_metadata=True)
+    rows2 = sorted(map(tuple, rec2.select(*out_cols).collect()))
+    assert rows2 == rows1, "healed replay changed the packaged records"
+    return rec2.select(*out_cols).orderBy("unique_id")
+
+
+def _d53_stream_schema_evolution(spark, sf_dir):
+    """SCHEMA EVOLUTION UNDER A LIVE STREAM (r13 VERDICT #7c: d49 is
+    batch-only): the d40/d43 streaming ingest appends v1-schema index
+    rows micro-batch by micro-batch; BETWEEN its two availableNow runs
+    (same checkpoint — the d43 restart seam, which at 100 TB is where a
+    deploy lands) a side writer appends a v2 batch carrying the new
+    `index_schema_version` column; the stream then RESUMES writing v1
+    rows against the now-wider table.  A single mergeSchema read
+    reconciles all three layers: stream-v1 and resumed-v1 rows surface
+    the evolved column as NULL, the side batch carries its literal —
+    and no pre-existing data file is rewritten by the evolution or the
+    resume (inode asserts, d49's claim under streaming append).
+    In-code asserts pin the NULL/value split row-exactly; the oracle is
+    the batch prologue's index with the v2 slice marked.  Reference:
+    indexer's Mongo store is schemaless (mongo.go upserts maps);
+    parquet-side evolution is the Spark-native equivalent this engine
+    must prove."""
+    import glob as _glob
+    import time as _time
+
+    from persistor_spark.streaming import ingest_stream
+
+    base = _stream_sink(spark, sf_dir, "schemaevo")
+    blob_p, idx_p = f"{base}/blobs", f"{base}/index"
+    cols = [
+        "unique_id",
+        "business_source_key",
+        "business_object_key",
+        "index_source_key",
+        "ordering_key",
+        "publish_time",
+        "ingestion_time",
+    ]
+    if not os.path.exists(f"{base}/done"):
+        src = f"{base}/src"
+        msgs = fixtures.load_messages(spark, sf_dir)
+        seen: set = set()
+        t0 = _time.time()
+        # v2 side batch = the event_seq % 4 == 3 slice, NEVER given to the
+        # stream; chunks 0-2 flow through the stream as v1
+        for i in range(3):
+            (
+                msgs.filter(F.col("event_seq") % 4 == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(src)
+            )
+            for f in os.listdir(src):
+                if f.endswith(".parquet") and f not in seen:
+                    os.utime(f"{src}/{f}", (t0 - 400 + i * 100,) * 2)
+                    seen.add(f)
+        sinks = ingest_stream.StreamSinks(
+            blob_path=blob_p,
+            index_path=idx_p,
+            deadletter_path=f"{base}/dlq",
+            checkpoint_path=f"{base}/ckpt",
+        )
+
+        def run_v1():
+            ingest_stream.run_stream_supervised(
+                lambda: ingest_stream.file_stream(
+                    spark, src, max_files_per_trigger=1
+                ),
+                fixtures.fixture_ingest_config(),
+                sinks,
+                failure=F.expr(fixtures.DEADLETTER_PRED_SQL),
+            )
+
+        run_v1()  # stream run #1: chunks 0-2 land as v1
+        files_v1 = {
+            f: os.stat(f).st_ino
+            for f in _glob.glob(f"{idx_p}/**/*.parquet", recursive=True)
+        }
+        assert files_v1, "stream run #1 wrote no index files"
+        # the v2 column lands from a side writer while the stream is at
+        # its restart seam
+        from persistor_spark.plans import ingest as _ingest
+
+        v2 = _ingest.run_batch(
+            msgs.filter(F.col("event_seq") % 4 == 3),
+            fixtures.fixture_ingest_config(),
+            failure=F.expr(fixtures.DEADLETTER_PRED_SQL),
+        )
+        # cast to the STREAM table's exact column types: the streaming
+        # writer emits TIMESTAMP where the batch path emits
+        # TIMESTAMP_NTZ, and parquet schema merge refuses to reconcile
+        # the two — evolution must widen columns, never flip their type
+        live_types = {
+            f.name: f.dataType for f in spark.read.parquet(idx_p).schema.fields
+        }
+        (
+            v2.index_metadata.select(
+                *[F.col(c).cast(live_types[c]).alias(c) for c in cols]
+            )
+            .withColumn("index_schema_version", F.lit(2).cast("int"))
+            .write.mode("append")
+            .parquet(idx_p)
+        )
+        # stream run #2: one more v1 chunk (a re-split of chunk 0 ids is
+        # already absorbed by the checkpoint; feed a genuinely new file —
+        # re-deliver chunk 1 rows as a NEW source file to exercise the
+        # dedup merge against the widened table, then a fresh tail)
+        (
+            msgs.filter(F.col("event_seq") % 4 == 1)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                os.utime(f"{src}/{f}", (t0 - 50,) * 2)
+                seen.add(f)
+        run_v1()
+        open(f"{base}/done", "w").close()
+        # evolution + resume are append-only: every run-#1 file survives
+        # byte-for-byte (footer merge, never a rewrite)
+        assert all(
+            os.path.exists(f) and os.stat(f).st_ino == ino
+            for f, ino in files_v1.items()
+        ), "schema evolution under the stream rewrote a v1 file"
+    evolved = spark.read.option("mergeSchema", "true").parquet(idx_p)
+    assert "index_schema_version" in evolved.columns
+    n_v1 = evolved.filter(F.col("index_schema_version").isNull()).count()
+    n_v2 = evolved.filter(F.col("index_schema_version") == 2).count()
+    total = evolved.count()
+    assert n_v1 + n_v2 == total, "evolved column must be NULL xor 2"
+    assert n_v2 > 0 and n_v1 > 0, (n_v1, n_v2)
+    return evolved.select(*cols, "index_schema_version").orderBy("unique_id")
+
+
 def _d45_watermark_policy(spark, sf_dir):
     """The late-data ADMISSION policy as one driver hash (r11 VERDICT
     #7a — the streaming semantic d40/d42/d43 do not pin): three
@@ -7627,92 +7935,133 @@ def _d46_ann_recall(spark, sf_dir):
 # backlog is exhausted (r6 VERDICT #7: the rotation policy as a checked
 # invariant, not prose).
 ROTATION_HEAD = [
-    # r13 NEW: concurrent-writer locked merge (d48), in-place schema
-    # evolution (d49), compaction under a resident-manifest reader (d50)
-    "d48_concurrent_writers",
-    "d49_schema_evolution",
-    "d50_compact_under_reader",
-    # r13 oracle-changed: ANN exactness -> threshold/identity form (r12
-    # VERDICT #3), knife-edge sums -> exact decimal, unrounded quotients
-    # (r12 VERDICT #2)
-    "a32_ivfpq_topk",
-    "a34_opq_topk",
-    "a55_ivfpq_persist",
-    "a60_ivfpq_add",
-    "a159_ann_ingest_stream",
+    # r14 NEW: concurrent compact-vs-delete (d51), resubmit under
+    # compaction (d52), schema evolution under a live stream (d53)
+    "d51_compact_delete_race",
+    "d52_resubmit_under_compaction",
+    "d53_stream_schema_evolution",
+    # r14 code/oracle-changed: the six round-of-ratio conversions to
+    # engine-identical form (r13 VERDICT #2), the three exact-decimal
+    # entries gaining the _dec_exact overflow guard (r13 ADVICE), and
+    # d48's worker repo-root parameterization (r13 ADVICE)
+    "e42_revenue_share",
+    "a89_removal_impact",
+    "a90_tokenizer_fertility",
+    "a119_nucleus_vocab",
+    "e57_chi_square",
+    "e59_forward_fill",
     "e46_time_weighted_avg",
     "e49_mom_growth",
     "a131_label_dispersion",
-    # r13 code-changed: journaled-swap replay reordered (moves ->
-    # manifest -> removals) — the compaction/delete/lookup compositions
-    "d44_incremental_compaction",
-    "d47_compact_manifest_lookup",
-    "d24_targeted_delete",
+    "d48_concurrent_writers",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
-    r13 ROTATION (r12 VERDICT #1: finish paying down the stale tail):
-    the window is EXACTLY 50 entries, pinned by the marker-position
-    test: (1) the 3 NEW r13 pins (concurrent writers d48, schema
-    evolution d49, compaction-under-reader d50); (2) the 8 entries whose
-    ORACLE changed this round (ANN threshold/identity form a32/a34/a55/
-    a60/a159, exact-decimal knife-edge fixes e46/e49/a131); (3) the 5
-    compositions over the reordered journaled-swap replay (d44/d47/d24
-    + heal-on-read loaders a15/a65); (4) ALL 24 remaining r7-era rows —
-    after this round no driver row is older than r8; (5) the 10 stalest
-    r8 rows in registry order.  Everything below the marker is
-    driver-green at least once AND re-verified by tools/check.py
-    (full-registry gate at sf0.001 + sf0.01) plus pytest every round;
-    tests/test_rotation_window.py enforces the rotation policy as a
-    checked invariant.
+    r14 ROTATION (r13 VERDICT #1): the window is EXACTLY 50 entries:
+    (1) the 3 NEW r14 pins (compact-vs-delete race d51, resubmit under
+    compaction d52, schema evolution under a live stream d53); (2) the
+    10 entries whose code or oracle changed this round (the six
+    round-of-ratio conversions e42/a89/a90/a119/e57/e59, the three
+    overflow-guarded exact-decimal entries e46/e49/a131, and d48's
+    parameterized worker); (3) ALL 37 remaining r8-era rows (d1-d21,
+    e1-e7, a1-a3, a128/a130/a132/a135/a136/a139) — after this round no
+    driver row is older than r9.  The 14 posting-join oracle rewrites
+    whose VALUES are unchanged (hash-verified locally at sf0.001 +
+    sf0.01; a2/a3 are in-window via the r8 tail) rotate through later
+    windows.  Everything below the marker is driver-green at least once
+    AND re-verified by tools/check.py (full-registry gate) plus pytest
+    every round; tests/test_rotation_window.py enforces the rotation
+    policy as a checked invariant.
 
     Verify the actual window before round end with:
       python -c "import __spark_entry__ as e; print(list(e.queries())[:50])"
     """
     return {
-        # ==== r13 DRIVER WINDOW (positions 1-50) ====
-        # -- (1) NEW r13 pins: two-OS-process concurrent writers through
-        #        the locked merge (d48), in-place index schema evolution
-        #        (d49), compaction under a resident-manifest reader via
-        #        the resilient lookup (d50) --
+        # ==== r14 DRIVER WINDOW (positions 1-50) ====
+        # -- (1) NEW r14 pins: concurrent compaction-vs-delete on one
+        #        table under the whole-op maintenance flock (d51), the
+        #        R6 resubmit join racing a compaction through the
+        #        resilient manifest heal (d52), schema evolution landing
+        #        at a live stream's restart seam (d53) --
+        "d51_compact_delete_race": _d51_compact_delete_race,
+        "d52_resubmit_under_compaction": _d52_resubmit_under_compaction,
+        "d53_stream_schema_evolution": _d53_stream_schema_evolution,
+        # -- (2) changed this round (r13 VERDICT #2 + ADVICE): the six
+        #        round-of-ratio oracles converted to engine-identical
+        #        unrounded/fixed-point form, the three exact-decimal
+        #        entries now overflow-guarded (_dec_exact), and d48's
+        #        worker spawned with a parameterized repo root --
+        "e42_revenue_share": _e42_revenue_share,
+        "a89_removal_impact": _a89_removal_impact,
+        "a90_tokenizer_fertility": _a90_tokenizer_fertility,
+        "a119_nucleus_vocab": _a119_nucleus_vocab,
+        "e57_chi_square": _e57_chi_square,
+        "e59_forward_fill": _e59_forward_fill,
+        "e46_time_weighted_avg": _e46_time_weighted_avg,
+        "e49_mom_growth": _e49_mom_growth,
+        "a131_label_dispersion": _a131_label_dispersion,
         "d48_concurrent_writers": _d48_concurrent_writers,
+        # -- (3) ALL 37 remaining r8-era rows (r13 VERDICT #1) — after
+        #        this round no driver row is older than r9 --
+        "d1_point_lookup": _d1,
+        "d2_in_list": _d2,
+        "d3_interval_page": _d3,
+        "d4_interval_count": _d4,
+        "d5_or_of_ands": _d5,
+        "d6_key_derivation": _d6,
+        "d7_version_partition": _d7,
+        "d8_time_partition": _d8,
+        "d9_position_align_join": _d9,
+        "d10_group_by_location": _d10,
+        "d11_unique_invariant": _d11,
+        "d12_deadletter_antijoin": _d12,
+        "d13_lineage_counts": _d13,
+        "d14_window_topk": _d14,
+        "d15_orders_agg": _d15,
+        "d16_customer_nation_join": _d16,
+        "d17_message_size": _d17,
+        "d18_wire_timestamps": _d18,
+        "d19_ocf_roundtrip": _d19,
+        "d20_first_seen": _d20_first_seen,
+        "d21_salted_agg": _d21_salted_agg,
+        "e1_rollup": _e_rollup,
+        "e2_cube": _e_cube,
+        "e3_set_ops": _e_set_ops,
+        "e4_semi_anti_join": _e_semi_anti,
+        "e5_window_lag_lead_frames": _e_window_lag,
+        "e6_scalar_subquery": _e_scalar_subquery,
+        "e7_string_funcs": _e_string_funcs,
+        "a1_dedup_exact": _a_dedup_exact,
+        "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
+        "a3_minhash_lsh_pairs": _a_minhash_lsh,
+        "a128_lang_confusion": _a128_lang_confusion,
+        "a130_waterfill_mixture": _a130_waterfill_mixture,
+        "a132_benford_audit": _a132_benford_audit,
+        "a135_matryoshka_quality": _a135_matryoshka_quality,
+        "a136_curriculum_interleave": _a136_curriculum_interleave,
+        "a139_length_bucket_waste": _a139_length_bucket_waste,
+        # ---- driver window ends here (50) ---- below: driver-green at
+        # least once, re-verified by the full local gate every round --
         "d49_schema_evolution": _d49_schema_evolution,
         "d50_compact_under_reader": _d50_compact_under_reader,
-        # -- (2) oracle-changed this round (r12 VERDICT #2+#3): the
-        #        four ANN exactness entries + the streamed ANN ingest
-        #        converted to the d46 threshold/identity form, and the
-        #        three knife-edge entries moved to exact-decimal sums
-        #        with unrounded final quotients --
         "a32_ivfpq_topk": _a_ivfpq_topk,
         "a34_opq_topk": _a_opq_topk,
         "a55_ivfpq_persist": _a55_ivfpq_persist,
         "a60_ivfpq_add": _a60_ivfpq_add,
         "a159_ann_ingest_stream": _a159_ann_ingest_stream,
-        "e46_time_weighted_avg": _e46_time_weighted_avg,
-        "e49_mom_growth": _e49_mom_growth,
-        "a131_label_dispersion": _a131_label_dispersion,
-        # -- (3) load-path-changed this round: the journaled-swap
-        #        replay reordered (moves -> manifest -> removals) under
-        #        d44/d47/d24 and the heal-on-read persisted-index
-        #        loaders (a15/a65) --
         "d44_incremental_compaction": _d44_incremental_compaction,
         "d47_compact_manifest_lookup": _d47_compact_manifest_lookup,
         "d24_targeted_delete": _d24_targeted_delete,
         "a15_incremental_dedup": _a15_incremental_dedup,
         "a65_lsh_persist": _a65_lsh_persist,
-        # -- (4) the 24 remaining r7-era rows — the stalest driver
-        #        records (r12 VERDICT #1: after this round no row is
-        #        older than r8) --
         "e52_min_cost_supplier": _e52_min_cost_supplier,
         "e53_pareto_abc": _e53_pareto_abc,
         "e54_sequence_gaps": _e54_sequence_gaps,
         "e55_rolling_correlation": _e55_rolling_correlation,
-        "e57_chi_square": _e57_chi_square,
         "e58_time_to_convert": _e58_time_to_convert,
-        "e59_forward_fill": _e59_forward_fill,
         "e60_max_concurrency": _e60_max_concurrency,
         "e61_fk_integrity": _e61_fk_integrity,
         "a105_lang_purity": _a105_lang_purity,
@@ -7730,22 +8079,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a134_ols_pandas": _a134_ols_pandas,
         "a137_rolling_distinct_sketch": _a137_rolling_distinct_sketch,
         "a138_kcore_peel": _a138_kcore_peel,
-        # -- (5) the 10 stalest r8 rows, registry order --
         "a114_mutual_information": _a114_mutual_information,
         "a115_chao1_richness": _a115_chao1_richness,
         "a116_bpe_merge_pairs": _a116_bpe_merge_pairs,
         "a118_two_stage_rerank": _a118_two_stage_rerank,
-        "a119_nucleus_vocab": _a119_nucleus_vocab,
         "a120_quantile_normalize": _a120_quantile_normalize,
         "a122_ols_sufficient_stats": _a122_ols_sufficient_stats,
         "a123_ams_f2": _a123_ams_f2,
         "a126_coverage_selection": _a126_coverage_selection,
         "a127_hard_negatives": _a127_hard_negatives,
-        # ---- driver window ends here (50) ---- below: driver-green at
-        # least once + full-gate re-verified every round (tools/check.py
-        # at sf0.001 + sf0.01 and pytest), ordered as previously
-        # registered.  Next-stalest after this window: the remaining r8
-        # block (d1-d21, e1-e7, a1-a3, a1xx remnants), then r9.
         "d43_restart_recovery": _d43_restart_recovery,
         "d45_watermark_policy": _d45_watermark_policy,
         "d46_ann_recall": _d46_ann_recall,
@@ -7761,7 +8103,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e39_json_extract": _e39_json_extract,
         "e40_array_functions": _e40_array_functions,
         "e41_upsert_merge": _e41_upsert_merge,
-        "e42_revenue_share": _e42_revenue_share,
         "e43_rolling_distinct": _e43_rolling_distinct,
         "a42_int8_quantize": _a42_int8_quantize,
         "a45_random_projection": _a45_random_projection,
@@ -7823,8 +8164,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a86_type_token_stats": _a86_type_token_stats,
         "a87_split_balance": _a87_split_balance,
         "a88_dup_gram_report": _a88_dup_gram_report,
-        "a89_removal_impact": _a89_removal_impact,
-        "a90_tokenizer_fertility": _a90_tokenizer_fertility,
         "a91_hll_distinct": _a91_hll_distinct,
         "a92_bloom_decontaminate": _a92_bloom_decontaminate,
         "a93_containment": _a93_containment,
@@ -7927,43 +8266,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a23_quality_rules": _a23_quality_rules,
         "a24_pii_scrub": _a24_pii_scrub,
         "a29_pack_sequences": _a_pack_sequences,
-        "a128_lang_confusion": _a128_lang_confusion,
-        "a130_waterfill_mixture": _a130_waterfill_mixture,
-        "a132_benford_audit": _a132_benford_audit,
-        "a135_matryoshka_quality": _a135_matryoshka_quality,
-        "a136_curriculum_interleave": _a136_curriculum_interleave,
-        "a139_length_bucket_waste": _a139_length_bucket_waste,
-        "d1_point_lookup": _d1,
-        "d2_in_list": _d2,
-        "d3_interval_page": _d3,
-        "d4_interval_count": _d4,
-        "d5_or_of_ands": _d5,
-        "d6_key_derivation": _d6,
-        "d7_version_partition": _d7,
-        "d8_time_partition": _d8,
-        "d9_position_align_join": _d9,
-        "d10_group_by_location": _d10,
-        "d11_unique_invariant": _d11,
-        "d12_deadletter_antijoin": _d12,
-        "d13_lineage_counts": _d13,
-        "d14_window_topk": _d14,
-        "d15_orders_agg": _d15,
-        "d16_customer_nation_join": _d16,
-        "d17_message_size": _d17,
-        "d18_wire_timestamps": _d18,
-        "d19_ocf_roundtrip": _d19,
-        "d20_first_seen": _d20_first_seen,
-        "d21_salted_agg": _d21_salted_agg,
-        "e1_rollup": _e_rollup,
-        "e2_cube": _e_cube,
-        "e3_set_ops": _e_set_ops,
-        "e4_semi_anti_join": _e_semi_anti,
-        "e5_window_lag_lead_frames": _e_window_lag,
-        "e6_scalar_subquery": _e_scalar_subquery,
-        "e7_string_funcs": _e_string_funcs,
-        "a1_dedup_exact": _a_dedup_exact,
-        "a2_ngram_jaccard_pairs": _a_ngram_jaccard,
-        "a3_minhash_lsh_pairs": _a_minhash_lsh,
     }
 
 
@@ -8613,6 +8915,40 @@ def oracle_sql() -> dict[str, str]:
             "WHERE unique_id IN "
             "('b0_m000000008', 'b1_m000000025', 'b2_m000000006') "
             "ORDER BY unique_id"
+        ),
+        # d51: either serialization order of the two maintenance ops
+        # converges to original-minus-victims (d24's anti-join semantics)
+        "d51_compact_delete_race": P(
+            "SELECT unique_id, broker_id, location_key FROM index_metadata "
+            "WHERE unique_id NOT IN "
+            "('b0_m000000004', 'b1_m000000025', 'b3_m000000123') "
+            "ORDER BY unique_id"
+        ),
+        # d52: the healed replay serves the identical packaged records —
+        # the d9 position-align join restricted to the replay ids
+        "d52_resubmit_under_compaction": P(
+            "SELECT m.unique_id, m.ordering_key, b.payload "
+            "FROM index_metadata m "
+            "JOIN blob_records b ON m.location_key = b.location_key "
+            "AND m.location_position = b.position "
+            "WHERE m.unique_id IN "
+            "('b0_m000000008', 'b1_m000000025', 'b2_m000000006') "
+            "UNION ALL "
+            "SELECT m.unique_id, m.ordering_key, b.payload "
+            "FROM index_metadata m "
+            "JOIN blob_records b ON m.location_key = b.location_key "
+            "WHERE m.location_position IS NULL AND m.unique_id IN "
+            "('b0_m000000008', 'b1_m000000025', 'b2_m000000006') "
+            "ORDER BY unique_id"
+        ),
+        # d53: stream-v1 rows (chunks 0-2) surface the evolved column as
+        # NULL, the side v2 batch (chunk 3) carries its literal — one
+        # mergeSchema scan across the stream's two runs and the evolution
+        "d53_stream_schema_evolution": P(
+            "SELECT unique_id, business_source_key, business_object_key, "
+            "  index_source_key, ordering_key, publish_time, ingestion_time, "
+            "  CASE WHEN event_seq % 4 = 3 THEN 2 END AS index_schema_version "
+            "FROM pos ORDER BY unique_id"
         ),
         # d49: v1 rows surface the evolved column as NULL, v2 rows carry
         # their literal — one mergeSchema scan over both footer versions

@@ -302,8 +302,41 @@ def compact_small_files(
     import json
     import math
 
+    # WHOLE-OP serialization (r14, the d51 pin): the table's maintenance
+    # flock is held from recovery through the final journal delete, so a
+    # concurrent delete_by_key (or second compactor) on the SAME table
+    # serializes with this op instead of racing its planning scan against
+    # our original-file removals.  Heal-on-read recoverers take the same
+    # lock and simply wait.  Recovery of BOTH journal kinds runs inside
+    # the lock (_locked=True — flock is not reentrant): a crashed delete's
+    # half-swapped state must be healed before we list files to plan.
+    with _recovery_guard(path):
+        return _compact_small_files_locked(
+            spark,
+            path,
+            partition_col,
+            target_file_bytes,
+            small_file_bytes,
+            manifest_path,
+            manifest_col,
+        )
+
+
+def _compact_small_files_locked(
+    spark,
+    path,
+    partition_col,
+    target_file_bytes,
+    small_file_bytes,
+    manifest_path,
+    manifest_col,
+) -> dict:
+    import json
+    import math
+
     recover_swap(spark, path)
-    recover_small_compactions(spark, path)
+    recover_small_compactions(spark, path, _locked=True)
+    recover_pending_deletes(spark, path, _locked=True)
     _drop_smallcompact_orphans(spark, path)
     small_file_bytes = small_file_bytes or target_file_bytes // 2
     all_files = fsutil.list_files_with_size(spark, path)
@@ -373,16 +406,14 @@ def compact_small_files(
     if manifest_path:
         plan["manifest"] = manifest_path
         plan["col"] = manifest_col
-    # the inline journal-write -> replay -> journal-delete runs under the
-    # SAME flock the heal-on-read recoverers take: between our write_text
-    # and delete, a concurrent lsh_index_load/ivfpq_load ->
-    # recover_small_compactions can glob this live journal, and the
-    # manifest entry swap inside the replay is a rename-based
-    # single-writer sequence (r13 ADVICE — the guard's whole point).
-    with _recovery_guard(path):
-        fsutil.write_text(spark, journal, json.dumps(plan))
-        _replay_small_compaction(spark, json.loads(fsutil.read_text(spark, journal)))
-        fsutil.delete(spark, journal, recursive=False)
+    # journal-write -> replay -> journal-delete runs under the maintenance
+    # flock THE CALLER HOLDS (compact_small_files acquired it for the
+    # whole op): a concurrent lsh_index_load/ivfpq_load ->
+    # recover_small_compactions cannot glob this live journal and drive
+    # the rename-based manifest entry swap alongside us (r13 ADVICE).
+    fsutil.write_text(spark, journal, json.dumps(plan))
+    _replay_small_compaction(spark, json.loads(fsutil.read_text(spark, journal)))
+    fsutil.delete(spark, journal, recursive=False)
     stats["files_after"] = stats["files_before"] - stats["files_small"] + len(moves)
     return stats
 
@@ -540,18 +571,21 @@ def _recovery_guard(table_path: str):
     return state_lock(f"{local}.__maintenance")
 
 
-def recover_small_compactions(spark, path: str) -> dict:
+def recover_small_compactions(spark, path: str, _locked: bool = False) -> dict:
     """Finish any `compact_small_files` swap that crashed mid-flight by
     replaying its journal(s) — until then readers of the layout may see
     the merged rows TWICE (new cmp-* files moved in, originals not yet
     removed).  Idempotent; the heal-on-read loaders (lsh_index_load,
     ivfpq_load) and `compact_small_files` itself call it first.
+    `_locked=True` = the caller already holds this table's maintenance
+    flock (non-reentrant), so skip re-acquiring it.
     Returns {"journals", "files_removed"}."""
     import json
+    from contextlib import nullcontext
 
     stats = {"journals": 0, "files_removed": 0}
     live = fsutil.escape(path.rstrip("/"))
-    with _recovery_guard(path):
+    with nullcontext() if _locked else _recovery_guard(path):
         for journal in sorted(
             fsutil.glob(spark, f"{live}.__smallcompact_journal_*.json")
         ):
@@ -628,10 +662,28 @@ def delete_by_key(
 
     from persistor_spark.plans import layout
 
-    # replay any CRASHED earlier delete first: planning a new delete over
-    # a table with a pending journal would let the later replay move the
-    # old tmp files in and RESURRECT rows this delete removes
-    recover_pending_deletes(spark, table_path)
+    # WHOLE-OP serialization (r14, the d51 pin — same contract as
+    # compact_small_files): hold the table's maintenance flock from
+    # recovery through the final journal delete so a concurrent
+    # compaction cannot remove our planned originals mid-rewrite.
+    with _recovery_guard(table_path):
+        return _delete_by_key_locked(spark, table_path, manifest_path, keys, col)
+
+
+def _delete_by_key_locked(spark, table_path, manifest_path, keys, col) -> dict:
+    import json
+
+    from pyspark.sql import functions as F
+
+    from persistor_spark.plans import layout
+
+    # replay any CRASHED earlier maintenance first: planning a new delete
+    # over a table with a pending journal would let the later replay move
+    # the old tmp files in and RESURRECT rows this delete removes; a
+    # crashed compaction's journal must be consumed before the manifest
+    # read for the same reason
+    recover_pending_deletes(spark, table_path, _locked=True)
+    recover_small_compactions(spark, table_path, _locked=True)
     keys = sorted(set(keys))
     rows = layout.load_manifest(spark, manifest_path)
     affected = [
@@ -668,28 +720,27 @@ def delete_by_key(
         for nf in fsutil.glob(spark, f"{fsutil.escape(tmp)}/part-*.parquet")
     ]
     journal = _journal_path(table_path)
-    # same serialization as compact_small_files' inline swap: hold the
-    # recovery flock across journal-write -> replay -> journal-delete so a
-    # concurrent recover_pending_deletes (heal-on-read) cannot drive the
+    # journal-write -> replay -> journal-delete runs under the maintenance
+    # flock THE CALLER HOLDS (delete_by_key acquired it for the whole op):
+    # a concurrent recover_pending_deletes (heal-on-read) cannot drive the
     # rename-based manifest swap alongside us (r13 ADVICE)
-    with _recovery_guard(table_path):
-        fsutil.write_text(
-            spark,
-            journal,
-            json.dumps(
-                {
-                    "tmp": tmp,
-                    "moves": moves,
-                    "remove": paths,
-                    "manifest": manifest_path,
-                    "col": col,
-                }
-            ),
-        )
-        _replay_delete_plan(
-            spark, json.loads(fsutil.read_text(spark, journal)), table_path
-        )
-        fsutil.delete(spark, journal, recursive=False)
+    fsutil.write_text(
+        spark,
+        journal,
+        json.dumps(
+            {
+                "tmp": tmp,
+                "moves": moves,
+                "remove": paths,
+                "manifest": manifest_path,
+                "col": col,
+            }
+        ),
+    )
+    _replay_delete_plan(
+        spark, json.loads(fsutil.read_text(spark, journal)), table_path
+    )
+    fsutil.delete(spark, journal, recursive=False)
     return stats
 
 
@@ -737,19 +788,24 @@ def _journal_path(table_path: str) -> str:
     return f"{table_path.rstrip('/')}.__delete_journal_{uuid.uuid4().hex[:8]}.json"
 
 
-def recover_pending_deletes(spark, table_path: str) -> dict:
+def recover_pending_deletes(
+    spark, table_path: str, _locked: bool = False
+) -> dict:
     """Finish any delete_by_key swap that crashed mid-flight: for each
     journal next to `table_path`, REPLAY its plan — complete the pending
     tmp -> del-* moves first (a crash may have happened before any or all
     of them), then remove the listed originals that still exist, drop the
     tmp dir, rebuild the manifest, and drop the journal.  Idempotent; call
     on startup before serving queries (cli.cmd_query / cmd_serve do).
+    `_locked=True` = the caller already holds this table's maintenance
+    flock (non-reentrant), so skip re-acquiring it.
     Returns {"journals", "files_removed"}."""
     import json
+    from contextlib import nullcontext
 
     stats = {"journals": 0, "files_removed": 0}
     pattern = f"{fsutil.escape(table_path.rstrip('/'))}.__delete_journal_*.json"
-    with _recovery_guard(table_path):
+    with nullcontext() if _locked else _recovery_guard(table_path):
         for journal in sorted(fsutil.glob(spark, pattern)):
             txt = fsutil.try_read_text(spark, journal)
             if txt is None:
