@@ -1175,3 +1175,77 @@ def test_compact_small_files_refuses_flat_on_hive_layout(spark, tmp_path):
     path, _, thresh = _frag_layout(spark, tmp_path, "hive_guard")
     with pytest.raises(ValueError, match="Hive-partitioned"):
         maintenance.compact_small_files(spark, path, small_file_bytes=thresh)
+
+
+def test_concurrent_compact_and_delete_serialize_whole_op(spark, tmp_path):
+    """r14 (the d51 pin's unit twin): compact_small_files and
+    delete_by_key released simultaneously against ONE table serialize on
+    the whole-op maintenance flock — either order converges to
+    original-minus-victims with a live manifest and no surviving
+    journal.  Without whole-op locking the delete can plan against
+    manifest entries the compaction is about to remove, then scan
+    deleted files."""
+    import glob
+    import threading
+
+    from persistor_spark.plans import layout, maintenance
+
+    table, mf = str(tmp_path / "idx"), str(tmp_path / "mf")
+    df = spark.range(1000).select(
+        F.format_string("id%06d", F.col("id")).alias("unique_id"),
+        (F.col("id") % 7).alias("payload"),
+    )
+    # base (4 range files) + 4 tiny appends = the compactable appendix
+    base = df.filter(F.col("id") % 5 != 0)
+    base.repartitionByRange(4, "unique_id").sortWithinPartitions(
+        "unique_id"
+    ).write.parquet(table)
+    for i in range(4):
+        df.filter((F.col("id") % 5 == 0) & (F.col("id") % 4 == i)).coalesce(
+            1
+        ).write.mode("append").parquet(table)
+    layout.write_minmax_manifest(spark, table, mf)
+    import os
+
+    sizes = [
+        os.stat(f).st_size for f in glob.glob(f"{table}/part-*.parquet")
+    ]
+    thresh = (max(sizes) + min(sizes)) // 2
+    victims = ["id000010", "id000500", "id000995"]
+
+    barrier = threading.Barrier(2)
+    results: dict = {}
+    errors: list = []
+
+    def compactor():
+        try:
+            barrier.wait(timeout=30)
+            results["c"] = maintenance.compact_small_files(
+                spark, table, small_file_bytes=thresh, manifest_path=mf
+            )
+        except Exception as e:  # noqa: BLE001 — surfaced by the assert
+            errors.append(e)
+
+    def deleter():
+        try:
+            barrier.wait(timeout=30)
+            results["d"] = maintenance.delete_by_key(spark, table, mf, victims)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    ts = [threading.Thread(target=compactor), threading.Thread(target=deleter)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert not errors, f"concurrent maintenance raised: {errors!r}"
+    assert results["c"]["files_small"] >= 2
+    assert results["d"]["rows_deleted"] == 3
+    assert glob.glob(f"{table}.__*journal_*.json") == []
+    from persistor_spark.plans import fsutil
+
+    for f, _lo, _hi, _n in layout.load_manifest(spark, mf):
+        assert fsutil.exists(spark, f), f"manifest points at dead file {f}"
+    out = spark.read.parquet(table)
+    assert out.count() == 997
+    assert out.filter(F.col("unique_id").isin(victims)).count() == 0
