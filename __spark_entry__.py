@@ -1496,7 +1496,11 @@ def _e28_cohort_retention(spark, sf_dir):
             F.col("k").alias("week_offset"),
             "n_active",
             "cohort_size",
-            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias("retention"),
+            # UNROUNDED integer quotient (the e46 class): bit-identical in
+            # both engines where round() splits on true halfway cases
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias(
+                "retention"
+            ),
         )
     )
     return ret.orderBy("cohort_week", "week_offset")
@@ -2429,7 +2433,8 @@ def _a86_type_token_stats(spark, sf_dir):
             F.countDistinct("t").alias("n_types"),
         )
         .withColumn(
-            "ttr", F.round(F.col("n_types") / F.col("n_tokens"), 4)
+            # UNROUNDED integer quotient (the e46 class)
+            "ttr", F.col("n_types").cast("double") / F.col("n_tokens")
         )
         .orderBy("source")
     )
@@ -3478,9 +3483,11 @@ def _d26_blob_skew_report(spark, sf_dir):
         F.count(F.lit(1)).alias("n_blobs"),
         F.min("n_recs").alias("min_recs"),
         F.max("n_recs").alias("max_recs"),
-        F.round(F.avg("n_recs"), 4).alias("avg_recs"),
+        # UNROUNDED: avg-of-integers = exact-sum/count, so both it and the
+        # max/avg quotient are bit-identical doubles (the e46 class)
+        F.avg("n_recs").alias("avg_recs"),
         F.max("n_bytes").alias("max_bytes"),
-        F.round(F.max("n_recs") / F.avg("n_recs"), 4).alias("skew_factor"),
+        (F.max("n_recs") / F.avg("n_recs")).alias("skew_factor"),
     )
 
 
@@ -3594,7 +3601,10 @@ def _a105_lang_purity(spark, sf_dir):
             F.max(F.when(F.col("rn") == 1, F.col("det"))).alias("majority_lang"),
             F.max(F.when(F.col("rn") == 1, F.col("c"))).alias("majority_n"),
         )
-        .withColumn("purity", F.round(F.col("majority_n") / F.col("n_docs"), 4))
+        .withColumn(
+        # UNROUNDED integer quotient (the e46 class)
+        "purity", F.col("majority_n").cast("double") / F.col("n_docs")
+    )
         .select("source", "n_docs", "n_langs", "majority_lang", "purity")
         .orderBy("source")
     )
@@ -3735,7 +3745,8 @@ def _e45_markov_transitions(spark, sf_dir):
             "from_type",
             "to_type",
             "n",
-            F.round(F.col("n") / F.col("tot"), 4).alias("p"),
+            # UNROUNDED integer quotient (the e46 class)
+            (F.col("n").cast("double") / F.col("tot")).alias("p"),
         )
         .orderBy("from_type", "to_type")
     )
@@ -4053,8 +4064,11 @@ def _a114_mutual_information(spark, sf_dir):
             "source",
             "lang",
             "n",
-            F.round(pmi, 4).alias("pmi"),
-            F.round((F.col("n") / F.lit(float(n_total))) * pmi, 6).alias(
+            # UNROUNDED (the e46 class): the log argument is a quotient of
+            # exact integer products, so pmi and the mi product are
+            # bit-identical doubles in both engines
+            pmi.alias("pmi"),
+            ((F.col("n") / F.lit(float(n_total))) * pmi).alias(
                 "mi_contrib"
             ),
         )
@@ -4111,7 +4125,8 @@ def _d29_ingest_heatmap(spark, sf_dir):
         )
         .groupBy("iso_dow", "hh")
         .agg(F.count(F.lit(1)).alias("n"))
-        .withColumn("share", F.round(F.col("n") / F.lit(float(n_total)), 5))
+        # UNROUNDED integer quotient (the e46 class)
+        .withColumn("share", F.col("n") / F.lit(float(n_total)))
         .orderBy("iso_dow", "hh")
     )
 
@@ -4466,7 +4481,8 @@ def _a120_quantile_normalize(spark, sf_dir):
             "source",
             "v",
             "c",
-            F.round(F.col("cum_s") / F.col("n_s"), 4).alias("cdf"),
+            # UNROUNDED integer quotient (the e46 class)
+            (F.col("cum_s").cast("double") / F.col("n_s")).alias("cdf"),
             "v_norm",
         )
         .orderBy("source", "v")
@@ -4693,8 +4709,10 @@ def _a123_ams_f2(spark, sf_dir):
         ).alias("rs")
     ).select(F.col("rs.r").alias("r"), F.col("rs.s").alias("s"))
     z = signs.groupBy("r").agg(F.sum("s").alias("z"))
+    # UNROUNDED (the e46 class): z and z² are exact integers, so the
+    # 16-row avg and the est/exact quotient are bit-identical doubles
     est = z.agg(
-        F.round(F.avg(F.col("z") * F.col("z")), 4).alias("f2_est"),
+        F.avg(F.col("z") * F.col("z")).alias("f2_est"),
         F.count(F.lit(1)).alias("n_estimators"),
     )
     exact = (
@@ -4708,7 +4726,7 @@ def _a123_ams_f2(spark, sf_dir):
             "n_estimators",
             "f2_exact",
             "f2_est",
-            F.round(F.col("f2_est") / F.col("f2_exact"), 4).alias("ratio"),
+            (F.col("f2_est") / F.col("f2_exact")).alias("ratio"),
         )
     )
 
@@ -4811,7 +4829,8 @@ def _e53_pareto_abc(spark, sf_dir):
             "class",
             "n_customers",
             "class_cents",
-            F.round(F.col("class_cents") / F.lit(float(total)), 4).alias("share"),
+            # UNROUNDED exact-integer quotient (the e46 class)
+            (F.col("class_cents") / F.lit(float(total))).alias("share"),
         )
         .orderBy("class")
     )
@@ -5004,7 +5023,8 @@ def _d33_zonemap_audit(spark, sf_dir):
         "touched_buckets",
         "rows_scanned",
         "rows_matched",
-        F.round(F.col("rows_scanned") / F.col("rows_matched"), 4).alias(
+        # UNROUNDED integer quotient (the e46 class)
+        (F.col("rows_scanned").cast("double") / F.col("rows_matched")).alias(
             "amplification"
         ),
     )
@@ -5042,7 +5062,8 @@ def _a128_lang_confusion(spark, sf_dir):
         "lang",
         "det",
         "n",
-        F.round(F.col("n") / F.sum("n").over(w), 4).alias("row_share"),
+        # UNROUNDED integer quotient (the e46 class)
+        (F.col("n").cast("double") / F.sum("n").over(w)).alias("row_share"),
         F.when(F.col("lang") == F.col("det"), 1).otherwise(0).cast("long").alias(
             "agree"
         ),
@@ -5174,9 +5195,11 @@ def _e55_rolling_correlation(spark, sf_dir):
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    # UNROUNDED (the e46 class): num/varx/vary are exact integers, so the
+    # quotient against the sqrt of their exact product is bit-identical
     r = F.when(
         (F.col("n") >= 2) & (varx > 0) & (vary > 0),
-        F.round(num / F.sqrt(varx.cast("double") * vary.cast("double")), 4),
+        num / F.sqrt(varx.cast("double") * vary.cast("double")),
     )
     return (
         sums.join(daily.select("day"), "day")
@@ -5438,7 +5461,10 @@ def _e58_time_to_convert(spark, sf_dir):
     return conv.agg(
         F.lit(n_signup).alias("n_signups"),
         F.count(F.lit(1)).alias("n_converted"),
-        F.round(F.count(F.lit(1)) / F.lit(float(n_signup)), 4).alias(
+        # UNROUNDED integer quotient (the e46 class); the percentiles keep
+        # their rounding — interpolated values over integer seconds are
+        # already engine-identical, the round is display-scale only
+        (F.count(F.lit(1)) / F.lit(float(n_signup))).alias(
             "conversion_rate"
         ),
         F.round(F.expr("percentile(lat_s, 0.25)"), 4).alias("p25_s"),
@@ -5844,7 +5870,10 @@ def _e61_fk_integrity(spark, sf_dir):
         "fk_edge",
         "n_child",
         "n_orphans",
-        F.round(F.col("n_orphans") / F.col("n_child"), 6).alias("orphan_rate"),
+        # UNROUNDED integer quotient (the e46 class)
+        (F.col("n_orphans").cast("double") / F.col("n_child")).alias(
+            "orphan_rate"
+        ),
     ).orderBy("fk_edge")
 
 
@@ -6282,11 +6311,13 @@ def _a151_window_funnel(spark, sf_dir):
         )
         .filter(F.col("n_view_users") > 0)
         .withColumn(
-            "click_rate", F.round(F.col("n_clicked") / F.col("n_view_users"), 4)
+            # UNROUNDED integer quotients (the e46 class)
+            "click_rate",
+            F.col("n_clicked").cast("double") / F.col("n_view_users"),
         )
         .withColumn(
             "purchase_rate",
-            F.round(F.col("n_purchased") / F.col("n_view_users"), 4),
+            F.col("n_purchased").cast("double") / F.col("n_view_users"),
         )
         .orderBy("bucket")
     )
@@ -6378,8 +6409,9 @@ def _a154_attribution_rate(spark, sf_dir):
             F.sum("attributed").cast("long").alias("n_attributed"),
         )
         .withColumn(
+            # UNROUNDED integer quotient (the e46 class)
             "attribution_rate",
-            F.round(F.col("n_attributed") / F.col("n_views"), 4),
+            F.col("n_attributed").cast("double") / F.col("n_views"),
         )
         .orderBy("bucket")
     )
@@ -8424,8 +8456,8 @@ def oracle_sql() -> dict[str, str]:
             "  FROM f) "
             "SELECT bucket, sum(viewed)::BIGINT AS n_view_users, "
             "  sum(clicked)::BIGINT AS n_clicked, sum(purchased)::BIGINT AS n_purchased, "
-            "  round(sum(clicked)::DOUBLE / sum(viewed), 4) AS click_rate, "
-            "  round(sum(purchased)::DOUBLE / sum(viewed), 4) AS purchase_rate "
+            "  sum(clicked)::DOUBLE / sum(viewed) AS click_rate, "
+            "  sum(purchased)::DOUBLE / sum(viewed) AS purchase_rate "
             "FROM g GROUP BY bucket HAVING sum(viewed) > 0 ORDER BY bucket"
         ),
         "a152_session_stats": (
@@ -8453,8 +8485,8 @@ def oracle_sql() -> dict[str, str]:
             "d AS (SELECT unnest([600, 1800, 3600, 7200]) AS delay_seconds) "
             "SELECT delay_seconds::BIGINT AS delay_seconds, count(*)::BIGINT AS n_rows, "
             "  sum(CASE WHEN late_s > delay_seconds THEN 1 ELSE 0 END)::BIGINT AS n_late, "
-            "  round(sum(CASE WHEN late_s > delay_seconds THEN 1 ELSE 0 END)::DOUBLE "
-            "    / count(*), 4) AS late_rate "
+            "  sum(CASE WHEN late_s > delay_seconds THEN 1 ELSE 0 END)::DOUBLE "
+            "    / count(*) AS late_rate "
             "FROM l, d GROUP BY delay_seconds ORDER BY delay_seconds"
         ),
         "a154_attribution_rate": (
@@ -8468,14 +8500,14 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY 1, 2) "
             "SELECT CAST(floor(epoch(vts) / 86400) * 86400 AS BIGINT) AS bucket, "
             "  count(*)::BIGINT AS n_views, sum(attributed)::BIGINT AS n_attributed, "
-            "  round(sum(attributed)::DOUBLE / count(*), 4) AS attribution_rate "
+            "  sum(attributed)::DOUBLE / count(*) AS attribution_rate "
             "FROM att GROUP BY 1 ORDER BY 1"
         ),
         "a141_windowed_dup_rate": (
             "WITH pk AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket, "
             "  user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2, 3) "
             "SELECT bucket, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys, "
-            "  round(1 - (count(*)::DOUBLE / sum(n)), 4) AS dup_rate "
+            "  1 - (count(*)::DOUBLE / sum(n)) AS dup_rate "
             "FROM pk GROUP BY bucket ORDER BY bucket"
         ),
         "a142_window_category_drift": (
@@ -8538,7 +8570,7 @@ def oracle_sql() -> dict[str, str]:
             "f AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket, "
             "  CASE WHEN ts < hwm - INTERVAL 1 HOUR THEN 1 ELSE 0 END AS late FROM h) "
             "SELECT bucket, count(*)::BIGINT AS n_rows, sum(late)::BIGINT AS n_late, "
-            "  round(sum(late)::DOUBLE / count(*), 4) AS late_rate "
+            "  sum(late)::DOUBLE / count(*) AS late_rate "
             "FROM f GROUP BY bucket ORDER BY bucket"
         ),
         "a146_window_percentiles": (
@@ -8557,7 +8589,7 @@ def oracle_sql() -> dict[str, str]:
             "nw AS (SELECT CAST(floor(epoch(first_ts) / 86400) * 86400 AS BIGINT) AS bucket, "
             "  count(*)::BIGINT AS n_new FROM f GROUP BY 1) "
             "SELECT per.bucket, n_rows, n_keys, coalesce(n_new, 0)::BIGINT AS n_new, "
-            "  round(coalesce(n_new, 0) / n_keys::DOUBLE, 4) AS new_key_rate "
+            "  coalesce(n_new, 0) / n_keys::DOUBLE AS new_key_rate "
             "FROM per LEFT JOIN nw ON per.bucket = nw.bucket ORDER BY per.bucket"
         ),
         # a157: a141 restricted to closed windows (the streaming sink's
@@ -8567,7 +8599,7 @@ def oracle_sql() -> dict[str, str]:
             "pk AS (SELECT CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS bucket, "
             "  user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2, 3) "
             "SELECT bucket, sum(n)::BIGINT AS n_rows, count(*)::BIGINT AS n_keys, "
-            "  round(1 - (count(*)::DOUBLE / sum(n)), 4) AS dup_rate "
+            "  1 - (count(*)::DOUBLE / sum(n)) AS dup_rate "
             "FROM pk WHERE bucket + 86400 <= (SELECT cutoff FROM cut) "
             "GROUP BY bucket ORDER BY bucket"
         ),
@@ -8606,7 +8638,7 @@ def oracle_sql() -> dict[str, str]:
             "nw AS (SELECT CAST(floor(epoch(first_ts) / 86400) * 86400 AS BIGINT) AS bucket, "
             "  count(*)::BIGINT AS n_new FROM f GROUP BY 1) "
             "SELECT per.bucket, n_rows, n_keys, coalesce(n_new, 0)::BIGINT AS n_new, "
-            "  round(coalesce(n_new, 0) / n_keys::DOUBLE, 4) AS new_key_rate "
+            "  coalesce(n_new, 0) / n_keys::DOUBLE AS new_key_rate "
             "FROM per LEFT JOIN nw ON per.bucket = nw.bucket "
             "WHERE per.bucket + 86400 <= (SELECT cutoff FROM cut) "
             "ORDER BY per.bucket"
@@ -9321,7 +9353,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM act a JOIN fw f ON a.user_id = f.user_id WHERE a.w - f.w0 <= 3) "
             "SELECT j.w0 AS cohort_week, j.k AS week_offset, "
             "  count(*) AS n_active, s.cohort_size, "
-            "  round(count(*)::DOUBLE / s.cohort_size, 4) AS retention "
+            "  count(*)::DOUBLE / s.cohort_size AS retention "
             "FROM j JOIN sz s ON j.w0 = s.w0 "
             "GROUP BY j.w0, j.k, s.cohort_size "
             "ORDER BY cohort_week, week_offset"
@@ -9427,10 +9459,10 @@ def oracle_sql() -> dict[str, str]:
             "FROM g) "
             "SELECT count(*) AS n_docs, count(DISTINCT source) AS n_sources, "
             "  count(DISTINCT lang) AS n_langs, count(DISTINCT fp) AS n_distinct_texts, "
-            "  round((count(*) - count(DISTINCT fp))::DOUBLE / count(*), 6) AS dup_rate, "
+            "  (count(*) - count(DISTINCT fp))::DOUBLE / count(*) AS dup_rate, "
             "  sum(len(toks))::BIGINT AS total_tokens, "
-            "  round(avg(len(toks)), 4) AS avg_tokens, "
-            "  round(count(CASE WHEN keep THEN 1 END)::DOUBLE / count(*), 6) "
+            "  avg(len(toks)) AS avg_tokens, "
+            "  count(CASE WHEN keep THEN 1 END)::DOUBLE / count(*) "
             "    AS quality_pass_rate "
             "FROM r"
         ),
@@ -9630,9 +9662,9 @@ def oracle_sql() -> dict[str, str]:
             "WITH c AS (SELECT l_partkey AS key, count(*) AS n_rows "
             "  FROM lineitem GROUP BY 1), "
             "s AS (SELECT sum(n_rows)::BIGINT AS total_rows, count(*) AS n_keys, "
-            "  round(avg(n_rows), 4) AS avg_rows, "
-            "  round(max(n_rows)::DOUBLE / sum(n_rows), 6) AS max_share, "
-            "  round(max(n_rows)::DOUBLE / avg(n_rows), 4) AS skew_factor, "
+            "  avg(n_rows) AS avg_rows, "
+            "  max(n_rows)::DOUBLE / sum(n_rows) AS max_share, "
+            "  max(n_rows)::DOUBLE / avg(n_rows) AS skew_factor, "
             "  round(quantile_cont(n_rows, 0.5), 4) AS p50_rows, "
             "  round(quantile_cont(n_rows, 0.99), 4) AS p99_rows FROM c) "
             "SELECT key, n_rows, total_rows, n_keys, avg_rows, max_share, "
@@ -9674,7 +9706,7 @@ def oracle_sql() -> dict[str, str]:
             "  count(CASE WHEN flag_words AND flag_mean_len AND flag_symbols "
             "    AND flag_stopwords AND flag_repetition THEN 1 END) AS s4 FROM r) "
             "SELECT stage, rule, entered, survivors, entered - survivors AS dropped, "
-            "  round((entered - survivors)::DOUBLE / entered, 4) AS drop_rate "
+            "  (entered - survivors)::DOUBLE / entered AS drop_rate "
             "FROM ("
             "  SELECT 1 AS stage, 'flag_words' AS rule, n_total AS entered, s0 AS survivors FROM agg "
             "  UNION ALL SELECT 2, 'flag_mean_len', s0, s1 FROM agg "
@@ -9698,7 +9730,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, count(*) AS n_docs, "
             "count(CASE WHEN rn > 1 THEN 1 END) AS n_dups, "
             "count(DISTINCT fp) AS n_distinct, "
-            "round(count(CASE WHEN rn > 1 THEN 1 END)::DOUBLE / count(*), 4) AS dup_rate "
+            "count(CASE WHEN rn > 1 THEN 1 END)::DOUBLE / count(*) AS dup_rate "
             "FROM r GROUP BY source ORDER BY source"
         ),
         "a28_weighted_mix": (
@@ -10038,8 +10070,8 @@ def oracle_sql() -> dict[str, str]:
             "cum AS (SELECT rank, term, cnt, "
             "  sum(cnt) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING) AS cum "
             "  FROM head WHERE rank <= 30) "
-            "SELECT rank, term, cnt, round(cnt::DOUBLE / t, 6) AS share, "
-            "  round(cum::DOUBLE / t, 6) AS cum_share "
+            "SELECT rank, term, cnt, cnt::DOUBLE / t AS share, "
+            "  cum::DOUBLE / t AS cum_share "
             "FROM cum, tot ORDER BY rank"
         ),
         "a52_split_leakage": _split_leakage_oracle(),
@@ -10152,7 +10184,7 @@ def oracle_sql() -> dict[str, str]:
             "  FROM documents) "
             "SELECT source, count(*) AS n_tokens, "
             "  count(DISTINCT t) AS n_types, "
-            "  round(count(DISTINCT t)::DOUBLE / count(*), 4) AS ttr "
+            "  count(DISTINCT t)::DOUBLE / count(*) AS ttr "
             "FROM tk GROUP BY source ORDER BY source"
         ),
         "a87_split_balance": _split_balance_oracle(),
@@ -10534,7 +10566,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, "
             "  count(*) AS n_langs, "
             "  max(CASE WHEN rn = 1 THEN det END) AS majority_lang, "
-            "  round(max(CASE WHEN rn = 1 THEN c END) / sum(c)::DOUBLE, 4) AS purity "
+            "  CAST(max(CASE WHEN rn = 1 THEN c END) AS DOUBLE) / sum(c) AS purity "
             "FROM r GROUP BY source ORDER BY source"
         ),
         "e44_user_mode": (
@@ -10584,10 +10616,10 @@ def oracle_sql() -> dict[str, str]:
             "  FROM it x JOIN it y ON x.bk = y.bk AND x.item < y.item "
             "  GROUP BY 1, 2 HAVING count(*) >= 3) "
             "SELECT p1, p2, pair_n, "
-            "  round(pair_n / (SELECT n FROM nb)::DOUBLE, 6) AS support, "
-            "  round(pair_n / n1::DOUBLE, 4) AS conf_1_2, "
-            "  round(pair_n / n2::DOUBLE, 4) AS conf_2_1, "
-            "  round(pair_n * (SELECT n FROM nb)::DOUBLE / (n1 * n2), 4) AS lift "
+            "  pair_n / (SELECT n FROM nb)::DOUBLE AS support, "
+            "  pair_n / n1::DOUBLE AS conf_1_2, "
+            "  pair_n / n2::DOUBLE AS conf_2_1, "
+            "  pair_n * (SELECT n FROM nb)::DOUBLE / (n1 * n2) AS lift "
             "FROM pr "
             "JOIN (SELECT item AS p1, n_i AS n1 FROM im) USING (p1) "
             "JOIN (SELECT item AS p2, n_i AS n2 FROM im) USING (p2) "
@@ -10607,7 +10639,7 @@ def oracle_sql() -> dict[str, str]:
             "c AS (SELECT from_type, to_type, count(*) AS n FROM nx "
             "  WHERE to_type IS NOT NULL GROUP BY 1, 2), "
             "tt AS (SELECT from_type, sum(n) AS tot FROM c GROUP BY 1) "
-            "SELECT from_type, to_type, n, round(n / tot::DOUBLE, 4) AS p "
+            "SELECT from_type, to_type, n, n::DOUBLE / tot AS p "
             "FROM c JOIN tt USING (from_type) ORDER BY from_type, to_type"
         ),
         "e46_time_weighted_avg": (
@@ -10717,9 +10749,9 @@ def oracle_sql() -> dict[str, str]:
             "s AS (SELECT source, count(*) AS n_s FROM documents GROUP BY 1), "
             "l AS (SELECT lang, count(*) AS n_l FROM documents GROUP BY 1) "
             "SELECT source, lang, n, "
-            "  round(log2((n * (SELECT nt FROM n)) / (n_s * n_l)), 4) AS pmi, "
-            "  round((n / (SELECT nt FROM n)::DOUBLE) "
-            "    * log2((n * (SELECT nt FROM n)) / (n_s * n_l)), 6) AS mi_contrib "
+            "  log2((n * (SELECT nt FROM n)) / (n_s * n_l)) AS pmi, "
+            "  (n / (SELECT nt FROM n)::DOUBLE) "
+            "    * log2((n * (SELECT nt FROM n)) / (n_s * n_l)) AS mi_contrib "
             "FROM j JOIN s USING (source) JOIN l USING (lang) "
             "ORDER BY source, lang"
         ),
@@ -10741,7 +10773,7 @@ def oracle_sql() -> dict[str, str]:
             "  hour(ingestion_time) AS hh FROM index_metadata), "
             "nn AS (SELECT count(*) AS nt FROM h) "
             "SELECT iso_dow, hh, count(*) AS n, "
-            "  round(count(*) / (SELECT nt FROM nn)::DOUBLE, 5) AS share "
+            "  count(*) / (SELECT nt FROM nn)::DOUBLE AS share "
             "FROM h GROUP BY 1, 2 ORDER BY iso_dow, hh"
         ),
         "d30_zorder_layout": (
@@ -10906,7 +10938,7 @@ def oracle_sql() -> dict[str, str]:
             "    AS cum_g FROM g), "
             "ng AS (SELECT count(*) AS n FROM documents) "
             "SELECT sc.source, sc.v, sc.c, "
-            "  round(sc.cum_s / CAST(sc.n_s AS DOUBLE), 4) AS cdf, "
+            "  CAST(sc.cum_s AS DOUBLE) / sc.n_s AS cdf, "
             "  min(gc.gv) AS v_norm "
             "FROM sc JOIN gc ON gc.cum_g * sc.n_s >= sc.cum_s * (SELECT n FROM ng) "
             "GROUP BY sc.source, sc.v, sc.c, sc.cum_s, sc.n_s "
@@ -10968,12 +11000,12 @@ def oracle_sql() -> dict[str, str]:
             "    AS BIGINT) % 2) * 2 - 1 AS BIGINT) AS s "
             "  FROM toks, range(0, 16) rr(r)), "
             "z AS (SELECT r, sum(s) AS z FROM signs GROUP BY r), "
-            "est AS (SELECT round(avg(CAST(z AS DOUBLE) * z), 4) AS f2_est, "
+            "est AS (SELECT avg(CAST(z AS DOUBLE) * z) AS f2_est, "
             "    count(*) AS n_estimators FROM z), "
             "ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_exact FROM "
             "  (SELECT count(*) AS c FROM toks GROUP BY w)) "
             "SELECT n_estimators, f2_exact, f2_est, "
-            "  round(f2_est / f2_exact, 4) AS ratio FROM est, ex"
+            "  f2_est / f2_exact AS ratio FROM est, ex"
         ),
         # a124: the dHash recomputed analytically from the procedural
         # pixel formula (x*7+did, y*13+did*3, x+y+did*5 mod 256) — the
@@ -11031,7 +11063,7 @@ def oracle_sql() -> dict[str, str]:
             "    cents, total FROM c) "
             "SELECT class, count(*) AS n_customers, "
             "  CAST(sum(cents) AS BIGINT) AS class_cents, "
-            "  round(sum(cents) / CAST(max(total) AS DOUBLE), 4) AS share "
+            "  sum(cents) / CAST(max(total) AS DOUBLE) AS share "
             "FROM k GROUP BY class ORDER BY class"
         ),
         # d32: the long-format profile stated as a UNION ALL
@@ -11168,7 +11200,7 @@ def oracle_sql() -> dict[str, str]:
             "  AND l_suppkey BETWEEN lo_s AND hi_s) "
             "SELECT total_buckets, CAST(touched_buckets AS BIGINT) AS touched_buckets, "
             "  CAST(rows_scanned AS BIGINT) AS rows_scanned, rows_matched, "
-            "  round(rows_scanned / CAST(rows_matched AS DOUBLE), 4) AS amplification "
+            "  CAST(rows_scanned AS DOUBLE) / rows_matched AS amplification "
             "FROM s, m"
         ),
         # a127: the a5/a50 cosine formula; per-(anchor, same) argmax
@@ -11204,7 +11236,7 @@ def oracle_sql() -> dict[str, str]:
             "  ELSE 'und' END AS det FROM t), "
             "c AS (SELECT lang, det, count(*) AS n FROM d GROUP BY 1, 2) "
             "SELECT lang, det, n, "
-            "  round(n / CAST(sum(n) OVER (PARTITION BY lang) AS DOUBLE), 4) "
+            "  CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) "
             "    AS row_share, "
             "  CAST(CASE WHEN lang = det THEN 1 ELSE 0 END AS BIGINT) AS agree "
             "FROM c ORDER BY lang, det"
@@ -11258,9 +11290,9 @@ def oracle_sql() -> dict[str, str]:
             "  CAST(s.sy AS BIGINT) AS purchases_14d, "
             "  CASE WHEN s.n >= 2 AND s.n * s.sxx - s.sx * s.sx > 0 "
             "    AND s.n * s.syy - s.sy * s.sy > 0 "
-            "    THEN round((s.n * s.sxy - s.sx * s.sy) / "
+            "    THEN (s.n * s.sxy - s.sx * s.sy) / "
             "      sqrt(CAST(s.n * s.sxx - s.sx * s.sx AS DOUBLE) * "
-            "           CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE)), 4) "
+            "           CAST(s.n * s.syy - s.sy * s.sy AS DOUBLE)) "
             "    END AS r "
             "FROM sums s JOIN (SELECT DISTINCT day FROM daily) d ON d.day = s.day "
             "ORDER BY s.day"
@@ -11369,7 +11401,7 @@ def oracle_sql() -> dict[str, str]:
             "  GROUP BY s.user_id), "
             "ns AS (SELECT count(*) AS n FROM signup) "
             "SELECT (SELECT n FROM ns) AS n_signups, count(*) AS n_converted, "
-            "  round(count(*) / CAST((SELECT n FROM ns) AS DOUBLE), 4) "
+            "  count(*) / CAST((SELECT n FROM ns) AS DOUBLE) "
             "    AS conversion_rate, "
             "  round(quantile_cont(lat_s, 0.25), 4) AS p25_s, "
             "  round(quantile_cont(lat_s, 0.5), 4) AS p50_s, "
@@ -11540,7 +11572,7 @@ def oracle_sql() -> dict[str, str]:
             "  UNION ALL SELECT * FROM e3 UNION ALL SELECT * FROM e4 "
             "  UNION ALL SELECT * FROM e5 UNION ALL SELECT * FROM e6) "
             "SELECT fk_edge, n_child, n_orphans, "
-            "  round(n_orphans / CAST(n_child AS DOUBLE), 6) AS orphan_rate "
+            "  CAST(n_orphans AS DOUBLE) / n_child AS orphan_rate "
             "FROM u ORDER BY fk_edge"
         ),
         # a137: daily bottom-k + the e43 contribution fan-out + the
@@ -11647,9 +11679,9 @@ def oracle_sql() -> dict[str, str]:
             "  sum(octet_length(encode(payload))) AS n_bytes FROM blob_records "
             "  GROUP BY location_key) "
             "SELECT count(*) AS n_blobs, min(n_recs) AS min_recs, "
-            "  max(n_recs) AS max_recs, round(avg(n_recs), 4) AS avg_recs, "
+            "  max(n_recs) AS max_recs, avg(n_recs) AS avg_recs, "
             "  CAST(max(n_bytes) AS BIGINT) AS max_bytes, "
-            "  round(max(n_recs) / avg(n_recs), 4) AS skew_factor "
+            "  max(n_recs) / avg(n_recs) AS skew_factor "
             "FROM per"
         ),
         "a103_dup_pair_qa_sample": (

@@ -1069,8 +1069,12 @@ def dup_rate_by_source(
             F.count(F.lit(1)).alias("n_docs"),
             F.count(F.when(F.col("__dup"), 1)).alias("n_dups"),
             F.countDistinct("__fp").alias("n_distinct"),
-            F.round(
-                F.count(F.when(F.col("__dup"), 1)) / F.count(F.lit(1)), 4
+            # UNROUNDED integer quotient (r14, the e46 class): exact counts
+            # make the ratio bit-identical in any engine, while round()
+            # splits engines on true decimal halfway cases
+            (
+                F.count(F.when(F.col("__dup"), 1)).cast("double")
+                / F.count(F.lit(1))
             ).alias("dup_rate"),
         )
         .orderBy("source")

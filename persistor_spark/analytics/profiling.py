@@ -27,9 +27,11 @@ def key_skew_profile(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
     stats = counts.agg(
         F.sum("n_rows").alias("total_rows"),
         F.count(F.lit(1)).alias("n_keys"),
-        F.round(F.avg("n_rows"), 4).alias("avg_rows"),
-        F.round(F.max("n_rows") / F.sum("n_rows"), 6).alias("max_share"),
-        F.round(F.max("n_rows") / F.avg("n_rows"), 4).alias("skew_factor"),
+        # UNROUNDED (r14, the e46 class): avg-of-integers and the two
+        # max-over-sum/avg quotients are bit-identical doubles
+        F.avg("n_rows").alias("avg_rows"),
+        (F.max("n_rows") / F.sum("n_rows")).alias("max_share"),
+        (F.max("n_rows") / F.avg("n_rows")).alias("skew_factor"),
         F.round(F.percentile("n_rows", F.lit(0.5)), 4).alias("p50_rows"),
         F.round(F.percentile("n_rows", F.lit(0.99)), 4).alias("p99_rows"),
     ).withColumn("j", F.lit(1))
@@ -54,14 +56,17 @@ def dataset_card(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.countDistinct("source").alias("n_sources"),
         F.countDistinct("lang").alias("n_langs"),
         F.countDistinct("fp").alias("n_distinct_texts"),
-        F.round(
-            (F.count(F.lit(1)) - F.countDistinct("fp")) / F.count(F.lit(1)), 6
+        # UNROUNDED integer quotients (r14, the e46 class)
+        (
+            (F.count(F.lit(1)) - F.countDistinct("fp")).cast("double")
+            / F.count(F.lit(1))
         ).alias("dup_rate"),
         F.sum(token_count(text_col)).alias("total_tokens"),
-        F.round(F.avg(token_count(text_col)), 4).alias("avg_tokens"),
-        F.round(F.count(F.when(F.col("keep"), 1)) / F.count(F.lit(1)), 6).alias(
-            "quality_pass_rate"
-        ),
+        F.avg(token_count(text_col)).alias("avg_tokens"),
+        (
+            F.count(F.when(F.col("keep"), 1)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("quality_pass_rate"),
     )
 
 
@@ -149,11 +154,12 @@ def market_basket_rules(
             "p1",
             "p2",
             "pair_n",
-            F.round(F.col("pair_n") / F.lit(float(n_baskets)), 6).alias("support"),
-            F.round(F.col("pair_n") / F.col("n1"), 4).alias("conf_1_2"),
-            F.round(F.col("pair_n") / F.col("n2"), 4).alias("conf_2_1"),
-            F.round(
-                F.col("pair_n") * F.lit(float(n_baskets)) / (F.col("n1") * F.col("n2")), 4
+            # UNROUNDED integer quotients (r14, the e46 class)
+            (F.col("pair_n") / F.lit(float(n_baskets))).alias("support"),
+            (F.col("pair_n").cast("double") / F.col("n1")).alias("conf_1_2"),
+            (F.col("pair_n").cast("double") / F.col("n2")).alias("conf_2_1"),
+            (
+                F.col("pair_n") * F.lit(float(n_baskets)) / (F.col("n1") * F.col("n2"))
             ).alias("lift"),
         )
     )

@@ -648,12 +648,12 @@ def vocab_coverage(
         F.row_number().over(w).cast("long").alias("rank"),
         "term",
         "cnt",
-        F.round(F.col("cnt").cast("double") / F.lit(float(total)), 6).alias("share"),
-        F.round(
+        # UNROUNDED integer quotients (r14, the e46 class)
+        (F.col("cnt").cast("double") / F.lit(float(total))).alias("share"),
+        (
             F.sum("cnt").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .cast("double")
-            / F.lit(float(total)),
-            6,
+            / F.lit(float(total))
         ).alias("cum_share"),
     )
 
@@ -758,9 +758,11 @@ def quality_funnel(df: DataFrame, text_col: str = "text") -> DataFrame:
         "entered",
         "survivors",
         (F.col("entered") - F.col("survivors")).alias("dropped"),
-        F.round((F.col("entered") - F.col("survivors")) / F.col("entered"), 4).alias(
-            "drop_rate"
-        ),
+        # UNROUNDED integer quotient (r14, the e46 class)
+        (
+            (F.col("entered") - F.col("survivors")).cast("double")
+            / F.col("entered")
+        ).alias("drop_rate"),
     ).orderBy("stage")
 
 

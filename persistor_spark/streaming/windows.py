@@ -477,7 +477,10 @@ def windowed_dup_rate(
             F.col("win.start").alias("window_start"),
             F.col("n_rows").cast("long").alias("n_rows"),
             F.col("n_keys").cast("long").alias("n_keys"),
-            F.round(1 - F.col("n_keys") / F.col("n_rows"), 4).alias("dup_rate"),
+            # UNROUNDED integer quotient (r14, the e46 class): n_keys and
+            # n_rows are exact counts, so 1 - keys/rows is bit-identical
+            # in any engine, while round() splits on true halfway cases
+            (1 - F.col("n_keys") / F.col("n_rows")).alias("dup_rate"),
         )
     )
 
@@ -610,7 +613,8 @@ def late_arrival_stats(
             F.col("win.start").alias("window_start"),
             F.col("n_rows").cast("long").alias("n_rows"),
             F.col("n_late").cast("long").alias("n_late"),
-            F.round(F.col("n_late") / F.col("n_rows"), 4).alias("late_rate"),
+            # UNROUNDED integer quotient (r14, the e46 class)
+            (F.col("n_late").cast("double") / F.col("n_rows")).alias("late_rate"),
         )
     )
 
@@ -679,8 +683,10 @@ def window_new_key_rate(
             F.col("n_rows").cast("long").alias("n_rows"),
             F.col("n_keys").cast("long").alias("n_keys"),
             F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
-            F.round(
-                F.coalesce(F.col("n_new"), F.lit(0)) / F.col("n_keys"), 4
+            # UNROUNDED integer quotient (r14, the e46 class)
+            (
+                F.coalesce(F.col("n_new"), F.lit(0)).cast("double")
+                / F.col("n_keys")
             ).alias("new_key_rate"),
         )
     )
@@ -760,7 +766,8 @@ def watermark_sizing_curve(
             F.col("delay_seconds").cast("long").alias("delay_seconds"),
             F.col("n_rows").cast("long").alias("n_rows"),
             F.col("n_late").cast("long").alias("n_late"),
-            F.round(F.col("n_late") / F.col("n_rows"), 4).alias("late_rate"),
+            # UNROUNDED integer quotient (r14, the e46 class)
+            (F.col("n_late").cast("double") / F.col("n_rows")).alias("late_rate"),
         )
     )
 
@@ -1050,7 +1057,9 @@ def new_key_rate_from_sinks(
         F.col("n_rows").cast("long").alias("n_rows"),
         F.col("n_keys").cast("long").alias("n_keys"),
         F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
-        F.round(
-            F.coalesce(F.col("n_new"), F.lit(0)) / F.col("n_keys"), 4
+        # UNROUNDED integer quotient (r14, the e46 class)
+        (
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("double")
+            / F.col("n_keys")
         ).alias("new_key_rate"),
     )

@@ -1192,7 +1192,7 @@ def test_dup_rate_by_source_charges_later_copy(spark):
     out = {r["source"]: r for r in dedup.dup_rate_by_source(docs).collect()}
     assert out["srcA"]["n_dups"] == 0 and out["srcA"]["n_docs"] == 1
     assert out["srcB"]["n_dups"] == 1 and out["srcB"]["n_docs"] == 3
-    assert abs(out["srcB"]["dup_rate"] - round(1 / 3, 4)) < 1e-9
+    assert abs(out["srcB"]["dup_rate"] - 1 / 3) < 1e-9
 
 
 def test_temperature_mixture_weights_properties(docs):
@@ -1314,9 +1314,9 @@ def test_vocab_coverage_shares(spark):
     got = {r["term"]: r for r in text.vocab_coverage(df, top_n=3).collect()}
     # 9 tokens total: a=4, b=3, c=1/d=1 (tie -> 'c' first)
     assert [got[t]["rank"] for t in ("a", "b", "c")] == [1, 2, 3]
-    assert got["a"]["share"] == round(4 / 9, 6)
-    assert got["b"]["cum_share"] == round(7 / 9, 6)
-    assert got["c"]["cum_share"] == round(8 / 9, 6)
+    assert abs(got["a"]["share"] - 4 / 9) < 1e-12
+    assert abs(got["b"]["cum_share"] - 7 / 9) < 1e-12
+    assert abs(got["c"]["cum_share"] - 8 / 9) < 1e-12
 
 
 def test_split_leakage_counts_cross_pairs(spark):

@@ -70,7 +70,16 @@ def main():
     queries = entrymod.queries()
     names = list(queries)
     ledger = load_ledger()
-    chosen = pick(ledger, names, n)
+    if "--names" in args:
+        # explicit re-run (r14: refresh rows whose code changed after a
+        # tranche captured them) — bypasses stale-first selection
+        chosen = [
+            q for q in args[args.index("--names") + 1].split(",") if q
+        ]
+        unknown = [q for q in chosen if q not in queries]
+        assert not unknown, f"unknown query name(s): {unknown}"
+    else:
+        chosen = pick(ledger, names, n)
     print(f"sf0.1 tier round {rnd}: {len(chosen)} queries")
     for q in chosen:
         print(f"  {q} (last green r{ledger.get(q, 0)})")
