@@ -7615,6 +7615,68 @@ def _d51_compact_delete_race(spark, sf_dir):
     )
 
 
+def _d54_delete_under_reader(spark, sf_dir):
+    """TARGETED DELETE UNDER A CONCURRENT READER — the last cell of the
+    maintenance-vs-reader matrix (d50 = compaction/reader, d52 =
+    compaction/resubmit, d51 = compaction/delete; nothing pinned a
+    RESIDENT-manifest reader racing `delete_by_key`): the reader serves a
+    lookup for ids that SURVIVE the delete, the delete rewrites their
+    files anyway (victims share files with the probes, so the kept rows
+    move to fresh del-* names), and the reader's next lookup through the
+    now-STALE resident rows heals with one manifest reload and serves the
+    IDENTICAL rows — sound for exactly the d50 reason: the journaled
+    replay swaps the manifest BEFORE removing originals, so the on-disk
+    manifest points only at live files at every instant.  Probes are
+    sort-adjacent to the victims so they share range-partitioned files;
+    the heal-fired assert requires at least one probed file to vanish.
+    Oracle: the prologue index rows for the probes (untouched by the
+    delete)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from persistor_spark.plans import fsutil, layout, maintenance
+
+    t = _tables(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="delreader_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    table, mf = f"{root}/index", f"{root}/manifest"
+    (
+        t.index_metadata.repartitionByRange(8, "unique_id")
+        .sortWithinPartitions("unique_id")
+        .write.parquet(table)
+    )
+    layout.write_minmax_manifest(spark, table, mf)
+    victims = ["b0_m000000004", "b1_m000000025", "b3_m000000123"]
+    probes = ["b0_m000000008", "b1_m000000021", "b3_m000000119"]
+    cols = ["unique_id", "broker_id", "location_key"]
+    # (1) reader comes up: resident manifest + a served lookup
+    resident = layout.load_manifest(spark, mf)
+    before, healed = layout.manifest_lookup_resilient(
+        spark, table, resident, probes, mf
+    )
+    assert healed is None, "pre-delete lookup must not need the heal"
+    before_rows = sorted(map(tuple, before.select(*cols).collect()))
+    assert len(before_rows) == len(probes), before_rows
+    # (2) the delete rewrites the probes' files under the resident manifest
+    stats = maintenance.delete_by_key(spark, table, mf, victims)
+    assert stats["rows_deleted"] == len(victims), stats
+    stale_files = {
+        f for f, lo, hi, _ in resident if any(lo <= p <= hi for p in probes)
+    }
+    assert any(not fsutil.exists(spark, f) for f in stale_files), (
+        "expected at least one probed file to be rewritten away"
+    )
+    # (3) the reader's next lookup through the STALE rows heals and serves
+    after, fresh = layout.manifest_lookup_resilient(
+        spark, table, resident, probes, mf
+    )
+    assert fresh is not None, "stale lookup must have fired the heal"
+    after_rows = sorted(map(tuple, after.select(*cols).collect()))
+    assert after_rows == before_rows, "healed lookup changed the served rows"
+    return after.select(*cols).orderBy("unique_id")
+
+
 def _d52_resubmit_under_compaction(spark, sf_dir):
     """RESUBMIT UNDER COMPACTION (r13 VERDICT #7b: d50 covers a point
     lookup only; the R6 position-align join is the other manifest-
@@ -7972,6 +8034,7 @@ ROTATION_HEAD = [
     "d51_compact_delete_race",
     "d52_resubmit_under_compaction",
     "d53_stream_schema_evolution",
+    "d54_delete_under_reader",
     # r14 code/oracle-changed: the six round-of-ratio conversions to
     # engine-identical form (r13 VERDICT #2), the three exact-decimal
     # entries gaining the _dec_exact overflow guard (r13 ADVICE), and
@@ -7985,7 +8048,6 @@ ROTATION_HEAD = [
     "e46_time_weighted_avg",
     "e49_mom_growth",
     "a131_label_dispersion",
-    "d48_concurrent_writers",
 ]
 
 
@@ -7993,12 +8055,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
     r14 ROTATION (r13 VERDICT #1): the window is EXACTLY 50 entries:
-    (1) the 3 NEW r14 pins (compact-vs-delete race d51, resubmit under
-    compaction d52, schema evolution under a live stream d53); (2) the
-    10 entries whose code or oracle changed this round (the six
-    round-of-ratio conversions e42/a89/a90/a119/e57/e59, the three
-    overflow-guarded exact-decimal entries e46/e49/a131, and d48's
-    parameterized worker); (3) ALL 37 remaining r8-era rows (d1-d21,
+    (1) the 4 NEW r14 pins (compact-vs-delete race d51, resubmit under
+    compaction d52, schema evolution under a live stream d53, delete
+    under a resident-manifest reader d54 — the maintenance-vs-reader
+    matrix completed); (2) the 9 entries whose code or oracle changed
+    this round (the six round-of-ratio conversions e42/a89/a90/a119/
+    e57/e59 and the three overflow-guarded exact-decimal entries
+    e46/e49/a131; d48's worker-argv change was demoted below the marker
+    to make room for d54 — the argv path runs green in every full local
+    gate at all three SFs); (3) ALL 37 remaining r8-era rows (d1-d21,
     e1-e7, a1-a3, a128/a130/a132/a135/a136/a139) — after this round no
     driver row is older than r9.  The 14 posting-join oracle rewrites
     whose VALUES are unchanged (hash-verified locally at sf0.001 +
@@ -8021,6 +8086,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d51_compact_delete_race": _d51_compact_delete_race,
         "d52_resubmit_under_compaction": _d52_resubmit_under_compaction,
         "d53_stream_schema_evolution": _d53_stream_schema_evolution,
+        "d54_delete_under_reader": _d54_delete_under_reader,
         # -- (2) changed this round (r13 VERDICT #2 + ADVICE): the six
         #        round-of-ratio oracles converted to engine-identical
         #        unrounded/fixed-point form, the three exact-decimal
@@ -8035,7 +8101,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e46_time_weighted_avg": _e46_time_weighted_avg,
         "e49_mom_growth": _e49_mom_growth,
         "a131_label_dispersion": _a131_label_dispersion,
-        "d48_concurrent_writers": _d48_concurrent_writers,
         # -- (3) ALL 37 remaining r8-era rows (r13 VERDICT #1) — after
         #        this round no driver row is older than r9 --
         "d1_point_lookup": _d1,
@@ -8077,6 +8142,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a139_length_bucket_waste": _a139_length_bucket_waste,
         # ---- driver window ends here (50) ---- below: driver-green at
         # least once, re-verified by the full local gate every round --
+        # (d48's only r14 change is the worker repo-root argv — demoted
+        #  from the window to make room for the d54 matrix pin; the argv
+        #  path is exercised by every full-gate d48 run at all three SFs)
+        "d48_concurrent_writers": _d48_concurrent_writers,
         "d49_schema_evolution": _d49_schema_evolution,
         "d50_compact_under_reader": _d50_compact_under_reader,
         "a32_ivfpq_topk": _a_ivfpq_topk,
@@ -8954,6 +9023,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT unique_id, broker_id, location_key FROM index_metadata "
             "WHERE unique_id NOT IN "
             "('b0_m000000004', 'b1_m000000025', 'b3_m000000123') "
+            "ORDER BY unique_id"
+        ),
+        # d54: the probes survive the delete untouched; the healed lookup
+        # serves the identical rows (d50's shape over the delete path)
+        "d54_delete_under_reader": P(
+            "SELECT unique_id, broker_id, location_key FROM index_metadata "
+            "WHERE unique_id IN "
+            "('b0_m000000008', 'b1_m000000021', 'b3_m000000119') "
             "ORDER BY unique_id"
         ),
         # d52: the healed replay serves the identical packaged records —
