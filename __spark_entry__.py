@@ -7531,7 +7531,10 @@ def _d51_compact_delete_race(spark, sf_dir):
     is real: delete plans against manifest entries compaction is about
     to remove, then scans deleted files.)  flock conflicts across fds,
     so two threads of one process exclude each other exactly like two
-    processes (sources/_statelock.py).  In-code asserts pin that both
+    processes (sources/_statelock.py).  LOCAL-FS contract: on object
+    stores the guard is a documented no-op and single-maintenance-
+    process (or a table-format transaction log, ARCHITECTURE §7) is
+    what serializes — this pin exercises the local mechanism.  In-code asserts pin that both
     ops did real work (>= 2 small files merged; exactly the victim rows
     deleted), that no maintenance journal survives, and that every
     manifest entry resolves to a live file.  Oracle: the prologue index
@@ -7870,13 +7873,16 @@ def _d53_stream_schema_evolution(spark, sf_dir):
                 os.utime(f"{src}/{f}", (t0 - 50,) * 2)
                 seen.add(f)
         run_v1()
-        open(f"{base}/done", "w").close()
         # evolution + resume are append-only: every run-#1 file survives
-        # byte-for-byte (footer merge, never a rewrite)
+        # byte-for-byte (footer merge, never a rewrite).  The done
+        # marker lands only AFTER this assert — written earlier, a red
+        # first run would self-heal to green on the next invocation in
+        # the same gate process (the entries run multiple passes)
         assert all(
             os.path.exists(f) and os.stat(f).st_ino == ino
             for f, ino in files_v1.items()
         ), "schema evolution under the stream rewrote a v1 file"
+        open(f"{base}/done", "w").close()
     evolved = spark.read.option("mergeSchema", "true").parquet(idx_p)
     assert "index_schema_version" in evolved.columns
     n_v1 = evolved.filter(F.col("index_schema_version").isNull()).count()

@@ -299,9 +299,6 @@ def compact_small_files(
     mid-swap still converges to a consistent manifest on replay.
 
     Returns {"files_before", "files_small", "files_after", "dirs"}."""
-    import json
-    import math
-
     # WHOLE-OP serialization (r14, the d51 pin): the table's maintenance
     # flock is held from recovery through the final journal delete, so a
     # concurrent delete_by_key (or second compactor) on the SAME table
@@ -310,6 +307,11 @@ def compact_small_files(
     # lock and simply wait.  Recovery of BOTH journal kinds runs inside
     # the lock (_locked=True — flock is not reentrant): a crashed delete's
     # half-swapped state must be healed before we list files to plan.
+    # LOCAL FS ONLY: on object-store paths _recovery_guard degrades to a
+    # no-op (flock has no remote analogue — see its docstring) and the
+    # single-maintenance-process deployment contract is what serializes;
+    # at cluster scale that contract belongs to a table-format
+    # transaction log (ARCHITECTURE §7).
     with _recovery_guard(path):
         return _compact_small_files_locked(
             spark,
@@ -408,7 +410,8 @@ def _compact_small_files_locked(
         plan["col"] = manifest_col
     # journal-write -> replay -> journal-delete runs under the maintenance
     # flock THE CALLER HOLDS (compact_small_files acquired it for the
-    # whole op): a concurrent lsh_index_load/ivfpq_load ->
+    # whole op; no-op on object stores — single-maintenance-process
+    # contract there): a concurrent lsh_index_load/ivfpq_load ->
     # recover_small_compactions cannot glob this live journal and drive
     # the rename-based manifest entry swap alongside us (r13 ADVICE).
     fsutil.write_text(spark, journal, json.dumps(plan))
@@ -656,16 +659,13 @@ def delete_by_key(
     File ops route through the Hadoop FileSystem API (fsutil), so this
     works unchanged on gs://abfss://s3a://hdfs:// table paths; the
     manifest's file entries are full URIs and are used as such."""
-    import json
-
-    from pyspark.sql import functions as F
-
-    from persistor_spark.plans import layout
-
     # WHOLE-OP serialization (r14, the d51 pin — same contract as
     # compact_small_files): hold the table's maintenance flock from
     # recovery through the final journal delete so a concurrent
     # compaction cannot remove our planned originals mid-rewrite.
+    # LOCAL FS ONLY: on object-store paths the guard is a no-op and the
+    # single-maintenance-process contract serializes (see
+    # compact_small_files' note / _recovery_guard's docstring).
     with _recovery_guard(table_path):
         return _delete_by_key_locked(spark, table_path, manifest_path, keys, col)
 
@@ -721,7 +721,8 @@ def _delete_by_key_locked(spark, table_path, manifest_path, keys, col) -> dict:
     ]
     journal = _journal_path(table_path)
     # journal-write -> replay -> journal-delete runs under the maintenance
-    # flock THE CALLER HOLDS (delete_by_key acquired it for the whole op):
+    # flock THE CALLER HOLDS (delete_by_key acquired it for the whole op;
+    # no-op on object stores — single-maintenance-process contract there):
     # a concurrent recover_pending_deletes (heal-on-read) cannot drive the
     # rename-based manifest swap alongside us (r13 ADVICE)
     fsutil.write_text(

@@ -73,6 +73,8 @@ def main():
     if "--names" in args:
         # explicit re-run (r14: refresh rows whose code changed after a
         # tranche captured them) — bypasses stale-first selection
+        if args.index("--names") + 1 >= len(args):
+            raise SystemExit("usage: check_sf01.py --names q1,q2,...")
         chosen = [
             q for q in args[args.index("--names") + 1].split(",") if q
         ]
