@@ -68,9 +68,17 @@ class Ctx:
         return f"{self.workdir}/{name}_r{self._fresh_n}"
 
     def index(self):
+        if not os.path.exists(self.index_path):
+            # subset/reordered run (SPARK_GRAFT_BENCH_ONLY): build the
+            # optimized layout this accessor serves — untimed for the
+            # caller's line only insofar as its own timer starts later;
+            # ingest-dependent lines in a subset keep their usual cost
+            bench_index_layout(self)
         return self.spark.read.parquet(self.index_path)
 
     def blobs(self):
+        if not os.path.exists(self.blob_path):
+            bench_ingest_persist(self)
         return blob_src.read_blob_records(self.spark, self.blob_path)
 
 
@@ -586,6 +594,8 @@ def bench_targeted_delete(ctx: Ctx):
 
     from persistor_spark.plans import maintenance
 
+    if not os.path.exists(ctx.index_path):
+        bench_index_layout(ctx)  # subset/reordered run: build the source
     tbl = ctx.fresh("index_delcopy")
     mf = ctx.fresh("manifest_delcopy")
     shutil.copytree(ctx.index_path, tbl)
@@ -1180,6 +1190,18 @@ def _bench_run() -> dict:
     # "queries_min"/"total_min" carry min-of-N — the drift-comparison
     # figure a co-tenant burst can't inflate (r10's +6.7% ghost).
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "5")))
+    # SPARK_GRAFT_BENCH_ONLY=line1,line2 -> adjudication subset (quiet-host
+    # re-runs of flagged lines); the driver never sets it, so round records
+    # stay full-suite.  Unknown names fail loudly — a typo'd subset must
+    # not read as "that line is fine now".
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    queries_to_run = dict(QUERIES)
+    if only_env:
+        only = [q for q in only_env.split(",") if q]
+        unknown = [q for q in only if q not in QUERIES]
+        if unknown:
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown line(s): {unknown}")
+        queries_to_run = {q: QUERIES[q] for q in only}
     spark = build_session("persistor-bench")
     workdir = tempfile.mkdtemp(prefix="persistor-bench-")
     ctx = Ctx(spark, workdir)
@@ -1214,7 +1236,7 @@ def _bench_run() -> dict:
         # burst inflating three ADJACENT lines 30-40% across all their
         # repeats while start/mid/end samples all read quiet — only
         # boundary-granular sampling localizes that
-        for name, fn in QUERIES.items():
+        for name, fn in queries_to_run.items():
             _sample_canaries()  # host state entering this line
             runs[name] = []
             for _ in range(repeats):
