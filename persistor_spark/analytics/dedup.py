@@ -806,6 +806,7 @@ def embedding_dup_pairs(
     a = v.select(F.col("id").alias("a"), F.col("v").alias("va"))
     b = v.select(F.col("id").alias("b"), F.col("v").alias("vb"))
     return (
+        # crossjoin-ok: pytest-only recall oracle (labeled above); production path is the LSH bucketed join
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
         .withColumn("cos", cosine(F.col("va"), F.col("vb")))

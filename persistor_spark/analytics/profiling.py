@@ -277,6 +277,7 @@ def psi_by_group(
     # bucket contributes its own (eps-clamped) term — lumping the missing
     # buckets would mis-state PSI because p_ref varies per bucket
     spark = df.sparkSession
+    # crossjoin-ok: 1-row totals x n_buckets literal range — bounded grid densify
     grid = tot.crossJoin(
         spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
     )

@@ -20,7 +20,7 @@ def mixture_fractions(
     largest achievable total is found, then each stratum samples
     target_rows/stratum_rows of its pool (capped at 1.0).
     `total_rows` overrides the anchor with an explicit budget."""
-    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}
+    counts = {r[0]: r[1] for r in df.groupBy(strata_col).count().collect()}  # collect-ok: per-stratum counts, <= #strata rows
     missing = set(weights) - set(counts)
     if missing:
         raise ValueError(f"strata absent from data: {sorted(missing)}")
@@ -373,7 +373,7 @@ def select_token_budget(
     r = r.localCheckpoint(eager=True)
     totals = {
         row["__pid"]: row["t"]
-        for row in r.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()
+        for row in r.groupBy("__pid").agg(F.sum("n_tokens").alias("t")).collect()  # collect-ok: per-partition token sums, P rows
     }
     offsets, acc = [], 0
     for pid in sorted(totals):
@@ -429,7 +429,7 @@ def global_row_number(
     r = r.localCheckpoint(eager=True)
     counts = {
         row["__pid"]: row["c"]
-        for row in r.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()
+        for row in r.groupBy("__pid").agg(F.count(F.lit(1)).alias("c")).collect()  # collect-ok: per-partition counts, P rows
     }
     offsets, acc = [], 0
     for pid in sorted(counts):
@@ -506,7 +506,7 @@ def global_cumsum(
     r = r.localCheckpoint(eager=True)
     totals = {
         row["__pid"]: row["t"]
-        for row in r.groupBy("__pid").agg(F.sum("__v").alias("t")).collect()
+        for row in r.groupBy("__pid").agg(F.sum("__v").alias("t")).collect()  # collect-ok: per-partition weight sums, P rows
     }
     offsets, acc = [], 0
     for pid in sorted(totals):

@@ -46,7 +46,7 @@ def build_index(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
         .join(dl, "id")
     )
     n_docs = df.count()
-    avgdl = dl.agg(F.avg("dl")).collect()[0][0]
+    avgdl = dl.agg(F.avg("dl")).collect()[0][0]  # collect-ok: 1-row scalar (avg doclen)
     if avgdl is None:  # empty corpus: empty postings, not float(None)
         avgdl = 1.0
     idf = (

@@ -301,7 +301,7 @@ def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     """(cid, cv) rows -> cid-sorted driver list.  Bounded by C (the centroid
     count), never by the corpus — the same driver footprint FAISS keeps."""
     return sorted(
-        ((r["cid"], list(r["cv"])) for r in centroids.collect()), key=lambda t: t[0]
+        ((r["cid"], list(r["cv"])) for r in centroids.collect()), key=lambda t: t[0]  # collect-ok: k centroid rows
     )
 
 
@@ -364,7 +364,7 @@ def kmeans_train(
         cid_of = {i: c for c, i in enumerate(seed_ids)}
         cents = sorted(
             (cid_of[r["id"]], list(r["v"]))
-            for r in v.filter(F.col("id").isin(seed_ids)).collect()
+            for r in v.filter(F.col("id").isin(seed_ids)).collect()  # collect-ok: k seed vectors
         )
     dim = len(cents[0][1])
     for _ in range(max_iter):
@@ -372,7 +372,7 @@ def kmeans_train(
         new_rows = (
             assigned.groupBy("cid")
             .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
-            .collect()
+            .collect()  # collect-ok: k x dim centroid means
         )
         new = {r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in new_rows}
         # empty clusters keep their previous centroid (standard Lloyd fix)
@@ -490,7 +490,7 @@ def ivf_topk(
             seed_ids = _hash_seed_ids(
                 nvec.select(F.col("vec_id").alias("id")), n_centroids, seed=7
             )
-            picked = nvec.filter(F.col("vec_id").isin(seed_ids)).collect()
+            picked = nvec.filter(F.col("vec_id").isin(seed_ids)).collect()  # collect-ok: k seed vectors
             by_id = {r["vec_id"]: list(r["embedding"]) for r in picked}
             cents = [(i, by_id[sid]) for i, sid in enumerate(sorted(by_id))]
     # assign every vector to its nearest centroid: argmax over literal
@@ -576,7 +576,7 @@ def _hash_seed_ids(v: DataFrame, k: int, seed: int) -> list:
         for r in v.select("id")
         .orderBy(F.md5(F.concat_ws("_", F.lit(seed), F.col("id"))), "id")
         .limit(k)
-        .collect()
+        .collect()  # collect-ok: k ids via limit(k)
     ]
 
 
@@ -644,7 +644,7 @@ def pq_train(
     # fresh 2-stage job over the persisted subvector table.
     init_rows = sub.filter(
         ((F.col("id") - phase) % step == 0) & ((F.col("id") - phase) / step < ksub)
-    ).select("j", ((F.col("id") - phase) / step).cast("int").alias("cid"), "sv").collect()
+    ).select("j", ((F.col("id") - phase) / step).cast("int").alias("cid"), "sv").collect()  # collect-ok: m*ksub stride-init rows
     by_sub: dict[int, dict[int, list[float]]] = {}
     for r in init_rows:
         by_sub.setdefault(r["j"], {})[r["cid"]] = list(r["sv"])
@@ -655,7 +655,7 @@ def pq_train(
         seed_ids = _hash_seed_ids(vn.select("id"), ksub, seed)
         cid_of = {i: c for c, i in enumerate(seed_ids)}
         by_sub = {}
-        for r in sub.filter(F.col("id").isin(seed_ids)).collect():
+        for r in sub.filter(F.col("id").isin(seed_ids)).collect():  # collect-ok: ksub seed subvectors per subspace
             by_sub.setdefault(r["j"], {})[cid_of[r["id"]]] = list(r["sv"])
     codebooks = [
         [by_sub[j].get(c, by_sub[j][min(by_sub[j])]) for c in range(ksub)]
@@ -683,7 +683,7 @@ def pq_train(
             sub.select("j", code.alias("cid"), "sv")
             .groupBy("j", "cid")
             .agg(*[F.avg(F.col("sv")[i]).alias(f"m{i}") for i in range(dsub)])
-            .collect()
+            .collect()  # collect-ok: m*ksub codebook means
         )
         new: dict[int, dict[int, list[float]]] = {}
         for r in new_rows:
@@ -1097,10 +1097,11 @@ def ivfpq_load(spark, path: str) -> IvfPqIndex:
     maintenance.recover_swap(spark, f"{path}/cells")
     maintenance.recover_small_compactions(spark, f"{path}/cells")
     cents = sorted(
+        # collect-ok: k persisted centroid rows
         ((r["cid"], list(r["cv"])) for r in spark.read.parquet(f"{path}/centroids").collect()),
         key=lambda t: t[0],
     )
-    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()
+    cb_rows = spark.read.parquet(f"{path}/codebooks").collect()  # collect-ok: m*ksub persisted codebook rows
     by_j: dict[int, dict[int, list[float]]] = {}
     for r in cb_rows:
         by_j.setdefault(r["j"], {})[r["code"]] = list(r["cv"])
@@ -1306,7 +1307,7 @@ def opq_train(
                 )
                 yield pd.DataFrame({"m": [list((Xb.T @ Yb).ravel())]})
 
-        parts = joined.mapInPandas(partial, "m array<double>").collect()
+        parts = joined.mapInPandas(partial, "m array<double>").collect()  # collect-ok: one dim x dim partial sum per task, P rows
         M = np.zeros((dim, dim))
         for r in parts:
             M += np.asarray(r["m"], dtype=np.float64).reshape(dim, dim)

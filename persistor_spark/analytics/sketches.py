@@ -164,7 +164,7 @@ def hll_estimate(registers: DataFrame, p: int = 8) -> float:
     import math
 
     m = 1 << p
-    rows = {r["register"]: r["max_rho"] for r in registers.collect()}
+    rows = {r["register"]: r["max_rho"] for r in registers.collect()}  # collect-ok: HLL registers, m-bounded
     alpha = 0.7213 / (1 + 1.079 / m) if m >= 128 else {16: 0.673, 32: 0.697, 64: 0.709}[m]
     raw = alpha * m * m / sum(2.0 ** -rows.get(j, 0) for j in range(m))
     zeros = m - len(rows)

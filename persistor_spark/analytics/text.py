@@ -340,7 +340,7 @@ def lm_perplexity_scores(
         # fresh cache per scoring call (the amortization pattern passes
         # the same uni/bi across many calls — caching is the caller's)
         uni = uni.persist()
-    scal = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]
+    scal = uni.agg(F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")).collect()[0]  # collect-ok: 1-row scalars
     n_corpus, vocab = float(scal["n"] or 1), float(scal["v"] or 1)
 
     toks = tokens(text_col)
@@ -490,8 +490,8 @@ def pmi_bigrams(
         ).alias("p")
     ).select("p.w1", "p.w2")
     bi = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
-    n_uni = float(uni.agg(F.sum("c")).collect()[0][0] or 1)   # bounded scalar
-    n_bi = float(bi.agg(F.sum("n_ab")).collect()[0][0] or 1)  # bounded scalar
+    n_uni = float(uni.agg(F.sum("c")).collect()[0][0] or 1)   # bounded scalar  # collect-ok: bounded scalar
+    n_bi = float(bi.agg(F.sum("n_ab")).collect()[0][0] or 1)  # bounded scalar  # collect-ok: bounded scalar
     ca = uni.select(F.col("w").alias("w1"), F.col("c").alias("ca"))
     cb = uni.select(F.col("w").alias("w2"), F.col("c").alias("cb"))
     scored = (
@@ -636,7 +636,7 @@ def vocab_coverage(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    total = counts.agg(F.sum("cnt")).collect()[0][0]
+    total = counts.agg(F.sum("cnt")).collect()[0][0]  # collect-ok: 1-row scalar total
     if total is None:  # empty corpus: empty head, not float(None)
         total = 1
     order = [F.col("cnt").desc(), F.col("term").asc()]

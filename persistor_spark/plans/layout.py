@@ -189,7 +189,7 @@ def update_minmax_manifest(
         # maintenance cycle still touches only its appendix/victim set;
         # if an op ever needed the WHOLE file list, it should consume the
         # manifest partition-at-a-time (toLocalIterator), not collect().
-        fresh_files = [r["file"] for r in fresh.select("file").collect()]
+        fresh_files = [r["file"] for r in fresh.select("file").collect()]  # collect-ok: this op's appendix file list (ceiling note above)
     drop = set(removed_files) | set(fresh_files)
     # tolerate scheme-form differences for the removed set (file:///x vs /x)
     suffixes = tuple(f.split("://", 1)[-1] for f in removed_files)
@@ -273,7 +273,7 @@ def manifest_pruned_scan(
     # the handful of range-hits for the probed keys, not the table's file
     # inventory; a scan that ever needed every file should go through a
     # plain spark.read of the table root instead of enumerating names
-    files = [r["file"] for r in mf.filter(keep).select("file").collect()]
+    files = [r["file"] for r in mf.filter(keep).select("file").collect()]  # collect-ok: pruned file list (ceiling note above)
     if not files:
         # miss: preserve schema via an empty scan of the table
         return spark.read.parquet(table_path).filter(F.lit(False))
@@ -287,7 +287,7 @@ def load_manifest(spark: SparkSession, manifest_path: str) -> list:
     re-reading it per lookup costs a Spark job per query."""
     return [
         (r["file"], r["min_v"], r["max_v"], r["n_rows"])
-        for r in spark.read.parquet(manifest_path).collect()
+        for r in spark.read.parquet(manifest_path).collect()  # collect-ok: manifest rows, file-count-sized metadata (docstring)
     ]
 
 

@@ -213,7 +213,7 @@ def compact_parquet(
             r[0]: max(1, -(-r["n"] // target_rows_per_file))
             for r in df.groupBy(partition_col)
             .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            .collect()  # collect-ok: per-partition-value counts, <= #values rows
         }
         n_files = sum(per.values())
         k_map = F.create_map(

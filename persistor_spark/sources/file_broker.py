@@ -170,7 +170,7 @@ class FileBroker:
             r["partition"]: r["n"]
             for r in wire.groupBy("partition")
             .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
+            .collect()  # collect-ok: per-partition batch counts (comment above)
         }
         wire.unpersist()
         new_marks = {

@@ -622,7 +622,7 @@ class FileSubscription:
                         F.count(F.lit(1)).alias("n"),
                         F.sum("size_bytes").alias("nbytes"),
                     )
-                    .collect()
+                    .collect()  # collect-ok: per-group frame stats, <= #groups rows
                 )
                 if per_group:
                     # adopt the staged frame as the journal append (file

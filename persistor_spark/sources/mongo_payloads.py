@@ -107,7 +107,7 @@ def fetch_payloads(
     driver-side state rules used elsewhere in the engine."""
     parsed = parse_location_keys(locations)
     wanted = parsed.filter(F.col("error_category").isNull())
-    names = [r[0] for r in wanted.select("collection").distinct().collect()]
+    names = [r[0] for r in wanted.select("collection").distinct().collect()]  # collect-ok: distinct collection names, <= #collections
     store = None
     for name in sorted(names):
         # A referenced collection absent from the store must route its rows
