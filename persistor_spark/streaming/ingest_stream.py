@@ -364,6 +364,51 @@ def run_stream(
     return writer.start(), metrics
 
 
+def heal_virgin_checkpoint(checkpoint_path: str) -> bool:
+    """Heal a checkpoint bricked by a crash INSIDE the first-ever
+    micro-batch (found by test_stream_kill under a real kill -9): a JVM
+    death mid-offsets-write leaves `offsets/` non-empty (possibly a
+    torn entry) with NOTHING in `commits/`, and Spark 4's
+    MicroBatchExecution.verifyNewCheckpointDirectory then refuses every
+    resume with STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY — the restart
+    loop would spin on it forever.  When the commit log records no
+    completed batch the checkpoint is SEMANTICALLY fresh: wipe it and
+    let the query replay from scratch — any partial batch-0 sink output
+    is deduped by the E1 merge writers (write_blobs_merge /
+    write_index_merge), which is the same idempotence that makes a
+    normal offsets-committed replay safe.  Never touches a checkpoint
+    with a committed batch (those resume through Spark's standard
+    replay).  Local paths only — this engine's stand-ins checkpoint to
+    file:/; an object-store checkpoint follows the same rule via its
+    own listing.  Returns True when a heal happened."""
+    import os
+    import shutil
+
+    p = checkpoint_path
+    if p.startswith("file://"):
+        p = p[7:]
+    elif p.startswith("file:"):
+        p = p[5:]
+    if "://" in p or not os.path.isdir(p):
+        return False
+
+    def _entries(sub: str) -> list[str]:
+        d = os.path.join(p, sub)
+        if not os.path.isdir(d):
+            return []
+        # batch entries are digit-named ("0", "1", ... or "N.compact");
+        # ignore .tmp/.crc droppings from the torn write itself
+        return [
+            f for f in os.listdir(d)
+            if f.split(".", 1)[0].isdigit()
+        ]
+
+    if _entries("commits") or not _entries("offsets"):
+        return False
+    shutil.rmtree(p)
+    return True
+
+
 def run_stream_supervised(
     stream_factory,
     cfg: IngestConfig,
@@ -389,6 +434,10 @@ def run_stream_supervised(
     budget = error_budget or fc.ErrorBudget()
     total = StreamMetrics()
     for _ in range(max_restarts):
+        # crash-during-first-batch heal (see heal_virgin_checkpoint): a
+        # dead process can leave a no-commit checkpoint Spark refuses to
+        # resume; run it per restart so an in-loop kill window heals too
+        heal_virgin_checkpoint(sinks.checkpoint_path)
         query, metrics = run_stream(
             stream_factory(),
             cfg,

@@ -70,6 +70,91 @@ COLS = [
 ]
 
 
+def test_heal_virgin_checkpoint_semantics(tmp_path):
+    """Unit pins for the heal's precondition: wipe ONLY a no-commit
+    checkpoint with offsets entries; never touch a committed one."""
+    from persistor_spark.streaming import ingest_stream
+
+    # virgin-bricked: offsets/0 (torn content), no commits -> wiped
+    ck = tmp_path / "ck1"
+    (ck / "offsets").mkdir(parents=True)
+    (ck / "commits").mkdir()
+    (ck / "offsets" / "0").write_text("{torn")
+    (ck / "metadata").write_text('{"id":"x"}')
+    assert ingest_stream.heal_virgin_checkpoint(str(ck)) is True
+    assert not ck.exists()
+
+    # committed batch present -> untouched (standard replay handles it)
+    ck2 = tmp_path / "ck2"
+    (ck2 / "offsets").mkdir(parents=True)
+    (ck2 / "commits").mkdir()
+    (ck2 / "offsets" / "0").write_text("v1")
+    (ck2 / "offsets" / "1").write_text("{torn")
+    (ck2 / "commits" / "0").write_text("v1")
+    assert ingest_stream.heal_virgin_checkpoint(str(ck2)) is False
+    assert (ck2 / "offsets" / "1").exists()
+
+    # empty / missing -> no-op
+    ck3 = tmp_path / "ck3"
+    (ck3 / "offsets").mkdir(parents=True)
+    assert ingest_stream.heal_virgin_checkpoint(str(ck3)) is False
+    assert ingest_stream.heal_virgin_checkpoint(str(tmp_path / "absent")) is False
+
+
+def test_resume_over_bricked_first_batch_checkpoint(spark, sf_dir, tmp_path):
+    """End-to-end over the exact state the kill -9 run produced (a torn
+    offsets/0, nothing committed): without the heal, every resume dies
+    with STATE_STORE_CHECKPOINT_LOCATION_NOT_EMPTY; with it, the
+    supervisor replays from scratch and lands the batch reference."""
+    from pyspark.sql import functions as F
+
+    from persistor_spark import fixtures
+    from persistor_spark.plans import ingest
+    from persistor_spark.streaming import ingest_stream
+
+    base = str(tmp_path)
+    src = f"{base}/src"
+    msgs = fixtures.load_messages(spark, sf_dir)
+    for i in range(2):
+        (
+            msgs.filter(F.col("event_seq") % 2 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(src)
+        )
+    ck = tmp_path / "ckpt"
+    (ck / "offsets").mkdir(parents=True)
+    (ck / "commits").mkdir()
+    (ck / "offsets" / "0").write_text("{torn json")
+    (ck / "metadata").write_text('{"id":"00000000-0000-0000-0000-000000000000"}')
+    sinks = ingest_stream.StreamSinks(
+        blob_path=f"{base}/blobs",
+        index_path=f"{base}/index",
+        deadletter_path=f"{base}/dlq",
+        checkpoint_path=str(ck),
+    )
+    ingest_stream.run_stream_supervised(
+        lambda: ingest_stream.file_stream(spark, src, max_files_per_trigger=1),
+        fixtures.fixture_ingest_config(),
+        sinks,
+        failure=F.expr(fixtures.DEADLETTER_PRED_SQL),
+    )
+    got = sorted(
+        map(tuple, spark.read.parquet(f"{base}/index").select(*COLS).collect())
+    )
+    ref = sorted(
+        map(
+            tuple,
+            ingest.run_batch(
+                msgs,
+                fixtures.fixture_ingest_config(),
+                failure=F.expr(fixtures.DEADLETTER_PRED_SQL),
+            ).index_metadata.select(*COLS).collect(),
+        )
+    )
+    assert got == ref
+
+
 @pytest.mark.parametrize("delay", [2.0, 5.0])
 def test_stream_killed_midbatch_resumes_exactly_once(
     spark, sf_dir, tmp_path, delay
