@@ -36,9 +36,19 @@ def bipartite_interaction_edges(orders: DataFrame, lineitem: DataFrame) -> DataF
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
         )
     )
-    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
-        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
-    )
+    # both directions via ONE explode instead of unionAll of two selects:
+    # Spark does not CSE union branches, so the unionAll plan evaluated the
+    # whole join+distinct subtree TWICE (measured: the edge materialization
+    # was the dominant pagerank phase).  Same edge multiset, one pass
+    # (r14 opt, guide §2.4).
+    return pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
 
 
 def pagerank(

@@ -327,6 +327,16 @@ def synthesize_media(spark, documents: DataFrame, n: int | None = None) -> DataF
     )
     if n:
         base = base.limit(n)
+    # parallelize the synthesis: documents arrive as ~one scan partition at
+    # fixture scale, and mapInPandas inherits partitioning — the BMP/WAV/AVI
+    # generation then runs single-threaded (measured: the whole stage was 1
+    # task).  Hash-repartitioning the SLIM pre-content rows (text + scalars,
+    # no media bytes yet) is a trivially small shuffle that fans the Python
+    # encode across every core; doc_id hashing keeps the row->partition map
+    # deterministic under task retry (guide §2.5).
+    base = base.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
 
     out_schema = MEDIA_SCHEMA
 

@@ -246,6 +246,100 @@ def _lit_matrix(rows: list[list[float]]) -> Column:
     return _lit_data([[float(x) for x in r] for r in rows], "array<array<double>>")
 
 
+# ---------------------------------------------------------------------------
+# SQL-text twins of the scoring expression builders (r14 optimization).
+#
+# Building a C x d literal-matrix scoring expression through the Column API
+# costs hundreds of py4j round-trips per call, and the k-means / PQ loops
+# rebuild these expressions EVERY iteration (fresh literals).  Measured on
+# the bench host: expression CONSTRUCTION alone was ~0.5 s per Lloyd
+# iteration — as much as executing it.  Composing the same expression as one
+# SQL string and parsing it JVM-side with a single F.expr produces the
+# IDENTICAL analyzed tree (same from_json literal node, same higher-order
+# folds, same left-fold summation order — verified bit-identical centroids
+# on the bench corpus) at ~no driver cost.  Guide §1.2: per-task work —
+# here the "task" was the driver itself.
+# ---------------------------------------------------------------------------
+
+
+def _sql_lit(value, sql_type: str) -> str:
+    """Text twin of _lit_data: the same single from_json-over-literal node."""
+    import json
+
+    return f"from_json('{json.dumps(value)}', '{sql_type}')"
+
+
+def _sql_dot(a: str, b: str) -> str:
+    """Text twin of dot(): identical sequential left-fold."""
+    return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0.0D, (acc, x) -> acc + x)"
+
+
+def _sql_centroid_scores(vec: str, cents: list, l2_bias: bool = False) -> str:
+    """Text twin of _centroid_scores."""
+    mat = _sql_lit([[float(x) for x in cv] for _, cv in cents], "array<array<double>>")
+    scores = f"transform({mat}, c -> {_sql_dot(vec, 'c')})"
+    if l2_bias:
+        biases = _sql_lit(
+            [0.5 * sum(x * x for x in cv) for _, cv in cents], "array<double>"
+        )
+        scores = f"zip_with({scores}, {biases}, (s, b) -> s - b)"
+    return scores
+
+
+def _sql_argmax_pick(scores: str, picks: list) -> str:
+    """Text twin of _argmax_pick (same single-eval array_max-over-structs)."""
+    neg = _sql_lit([-int(p) for p in picks], "array<int>")
+    return (
+        f"cast(-(array_max(zip_with({scores}, {neg}, "
+        f"(s, np) -> named_struct('s', s, 'np', np))).np) as int)"
+    )
+
+
+def _sql_argmax_cid(vec: str, cents: list, l2_bias: bool = False) -> str:
+    """Text twin of _argmax_cid."""
+    return _sql_argmax_pick(
+        _sql_centroid_scores(vec, cents, l2_bias), [int(c) for c, _ in cents]
+    )
+
+
+def _sql_sub_scores(
+    vec: str, codebook_j: list, j: int, dsub: int, l2_bias: bool = False
+) -> str:
+    """Text twin of _sub_scores (j is the python subspace index here)."""
+    sub = f"slice({vec}, {j * dsub + 1}, {dsub})"
+    mat = _sql_lit(
+        [[float(x) for x in c] for c in codebook_j], "array<array<double>>"
+    )
+    scores = f"transform({mat}, c -> {_sql_dot(sub, 'c')})"
+    if l2_bias:
+        biases = _sql_lit(
+            [0.5 * sum(x * x for x in cent) for cent in codebook_j], "array<double>"
+        )
+        scores = f"zip_with({scores}, {biases}, (s, b) -> s - b)"
+    return scores
+
+
+def _sql_topn_cid_scores(vec: str, cents: list, n: int) -> str:
+    """Text twin of _topn_cid_scores."""
+    structs = (
+        f"zip_with({_sql_centroid_scores(vec, cents)}, "
+        f"{_sql_lit([-int(cid) for cid, _ in cents], 'array<int>')}, "
+        f"(s, nc) -> named_struct('s', s, 'nc', nc))"
+    )
+    top = f"slice(sort_array({structs}, false), 1, {n})"
+    return (
+        f"transform({top}, t -> named_struct('cid', cast(-(t.nc) as int), 's', t.s))"
+    )
+
+
+def _sql_avg_array(vec: str, dim: int, out: str = "m") -> str:
+    """array(avg(v[0]), ..., avg(v[d-1])) as one expression: the same
+    per-dimension avg aggregates, one py4j call instead of d."""
+    return (
+        "array(" + ", ".join(f"avg({vec}[{i}])" for i in range(dim)) + f") as {out}"
+    )
+
+
 def _centroid_scores(vec: Column, cents: list[tuple[int, list[float]]], l2_bias: bool = False) -> Column:
     """array<double> of score(vec, centroid) aligned with `cents` order —
     pure JVM expressions over literal centroids, so assignment is a narrow
@@ -368,13 +462,19 @@ def kmeans_train(
         )
     dim = len(cents[0][1])
     for _ in range(max_iter):
-        assigned = v.select(_argmax_cid(F.col("v"), cents, l2_bias=(assign == "l2")).alias("cid"), "v")
+        # SQL-text expression build (see _sql_* helpers): one F.expr per
+        # iteration instead of hundreds of Column-API py4j calls — the
+        # analyzed tree (and therefore every float) is identical
+        assigned = v.select(
+            F.expr(_sql_argmax_cid("v", cents, l2_bias=(assign == "l2"))).alias("cid"),
+            "v",
+        )
         new_rows = (
             assigned.groupBy("cid")
-            .agg(*[F.avg(F.col("v")[i]).alias(f"m{i}") for i in range(dim)])
+            .agg(F.expr(_sql_avg_array("v", dim)))
             .collect()  # collect-ok: k x dim centroid means
         )
-        new = {r["cid"]: [r[f"m{i}"] for i in range(dim)] for r in new_rows}
+        new = {r["cid"]: list(r["m"]) for r in new_rows}
         # empty clusters keep their previous centroid (standard Lloyd fix)
         cents = [(cid, new.get(cid, cv)) for cid, cv in cents]
     return cents
@@ -663,31 +763,33 @@ def pq_train(
     ]
     for _ in range(kmeans_iter):
         # encode rule: argmin L2 == argmax (dot - ||c||^2/2); ties -> lowest
-        # code (array_position returns the first maximum)
-        cb3 = _lit_data(codebooks, "array<array<array<double>>>")
-        bias3 = _lit_data(
+        # code (array_position returns the first maximum).  Whole per-row
+        # scoring expression composed as ONE SQL string (see _sql_* helpers)
+        # — the Column-API build of the 3-D literal codebook + folds cost
+        # more driver time per iteration than the job itself.
+        cb3 = _sql_lit(codebooks, "array<array<array<double>>>")
+        bias3 = _sql_lit(
             [[0.5 * sum(x * x for x in c) for c in cb_j] for cb_j in codebooks],
             "array<array<double>>",
         )
-        cbj = F.element_at(cb3, F.col("j") + 1)
-        scores = F.zip_with(
-            F.transform(cbj, lambda c: dot(F.col("sv"), c)),
-            F.element_at(bias3, F.col("j") + 1),
-            lambda s, b: s - b,
+        scores = (
+            f"zip_with(transform(element_at({cb3}, j + 1), "
+            f"c -> {_sql_dot('sv', 'c')}), "
+            f"element_at({bias3}, j + 1), (s, b) -> s - b)"
         )
-        code = _argmax_pick(scores, list(range(ksub)))
+        code = _sql_argmax_pick(scores, list(range(ksub)))
         # ONE hash agg with dsub avg(sv[i]) aggregates — the shuffle carries
         # m*ksub rows of dsub partials (the earlier posexplode path tripled
         # the stage count and shuffled n*m*dsub rows)
         new_rows = (
-            sub.select("j", code.alias("cid"), "sv")
+            sub.select("j", F.expr(code).alias("cid"), "sv")
             .groupBy("j", "cid")
-            .agg(*[F.avg(F.col("sv")[i]).alias(f"m{i}") for i in range(dsub)])
+            .agg(F.expr(_sql_avg_array("sv", dsub)))
             .collect()  # collect-ok: m*ksub codebook means
         )
         new: dict[int, dict[int, list[float]]] = {}
         for r in new_rows:
-            new.setdefault(r["j"], {})[r["cid"]] = [r[f"m{i}"] for i in range(dsub)]
+            new.setdefault(r["j"], {})[r["cid"]] = list(r["m"])
         # empty clusters keep their previous centroid (standard Lloyd fix)
         codebooks = [
             [new.get(j, {}).get(c, codebooks[j][c]) for c in range(ksub)]
@@ -751,12 +853,16 @@ def pq_encode(
         )
     else:
         vn = v.select("id", F.col("v").alias("raw"), "v")
-    code_cols = []
-    for j in range(m):
-        scores = _sub_scores(F.col("v"), codebooks[j], j, dsub, l2_bias=True)
-        # argmax, ties -> lowest code; single-eval of the score fold
-        code_cols.append(_argmax_pick(scores, list(range(len(codebooks[j])))))
-    return vn.select("id", F.col("raw").alias("v"), F.array(*code_cols).alias("codes"))
+    # argmax per subspace, ties -> lowest code; whole m-wide code array
+    # composed as ONE SQL expression (see _sql_* helpers)
+    codes = "array(" + ", ".join(
+        _sql_argmax_pick(
+            _sql_sub_scores("v", codebooks[j], j, dsub, l2_bias=True),
+            list(range(len(codebooks[j]))),
+        )
+        for j in range(m)
+    ) + ")"
+    return vn.select("id", F.col("raw").alias("v"), F.expr(codes).alias("codes"))
 
 
 def pq_topk(
@@ -878,24 +984,23 @@ def ivfpq_build(
     uses the L2 assignment rule, matching encode).
     """
     v = _as_double(vectors, id_col, vec_col)
-    # (id, v, 1/norm) barrier first (the naive per-element norm lambda
-    # costs O(d^2) interpreted ops/row), then a SECOND checkpoint holding
-    # the normalized vector as a PLAIN COLUMN: kmeans, assignment, and the
-    # residual all re-scan nv, and materializing it once keeps every
-    # downstream plan free of transform subtrees (and replaces the input
-    # checkpoint kmeans_train would otherwise make for itself).
-    withn = v.select(
-        "id", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv")
-    ).localCheckpoint()
+    # ONE (id, raw, 1/norm) checkpoint barrier (the naive per-element norm
+    # lambda costs O(d^2) interpreted ops/row; with `inv` a plain
+    # checkpointed column the normalize transform is O(d)/row).  The
+    # normalized vector stays a LAZY projection over the barrier — the
+    # downstream re-scans (k-means iterations, assignment) re-run only the
+    # cheap O(d) multiply, which costs less than the second
+    # checkpoint-materialization job this used to pay (r14 opt).
     obs = Observation()
-    mat = (
-        withn.select(
-            "id",
-            F.col("v").alias("raw"),
-            F.transform("v", lambda x: x * F.col("inv")).alias("nv"),
-        )
+    withn = (
+        v.select("id", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv"))
         .observe(obs, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
+    )
+    mat = withn.select(
+        "id",
+        F.col("v").alias("raw"),
+        F.transform("v", lambda x: x * F.col("inv")).alias("nv"),
     )
     if n_vectors is None:
         # corpus count rides the checkpoint job — kmeans_train AND pq_train
@@ -919,17 +1024,21 @@ def ivfpq_build(
     # stride init lands on sparse ids); gap slots get a dummy row that the
     # argmax can never pick
     by_cid = dict(cents)
-    cmat = _lit_matrix(
-        [by_cid.get(c, cents[0][1]) for c in range(cents[-1][0] + 1)]
+    cmat = _sql_lit(
+        [
+            [float(x) for x in by_cid.get(c, cents[0][1])]
+            for c in range(cents[-1][0] + 1)
+        ],
+        "array<array<double>>",
     )
     assigned = (
-        mat.withColumn("cid", _argmax_cid(F.col("nv"), cents))
+        mat.withColumn("cid", F.expr(_sql_argmax_cid("nv", cents)))
         .select(
             "cid",
             "id",
             "raw",
-            F.zip_with(
-                "nv", F.element_at(cmat, F.col("cid") + 1), lambda a, b: a - b
+            F.expr(
+                f"zip_with(nv, element_at({cmat}, cid + 1), (a, b) -> a - b)"
             ).alias("r"),
         )
         .localCheckpoint()
@@ -949,15 +1058,16 @@ def ivfpq_build(
     dsub = len(codebooks[0][0])
     # encode residual codes INLINE on the checkpointed assignment — a
     # narrow map; an id-keyed join of a separate pq_encode output would
-    # shuffle the corpus just to glue columns back together
-    code_cols = [
-        _argmax_pick(
-            _sub_scores(F.col("r"), codebooks[j], j, dsub, l2_bias=True),
+    # shuffle the corpus just to glue columns back together.  The m-wide
+    # code array is ONE composed SQL expression (see _sql_* helpers).
+    codes = "array(" + ", ".join(
+        _sql_argmax_pick(
+            _sql_sub_scores("r", codebooks[j], j, dsub, l2_bias=True),
             list(range(ksub)),
         )
         for j in range(len(codebooks))
-    ]
-    cells = assigned.select("cid", "id", "raw", F.array(*code_cols).alias("codes"))
+    ) + ")"
+    cells = assigned.select("cid", "id", "raw", F.expr(codes).alias("codes"))
     return IvfPqIndex(cents, codebooks, cells)
 
 
@@ -1005,12 +1115,20 @@ def ivfpq_search(
         "query_id",
         "qv",
         "qnv",
-        F.explode(_topn_cid_scores(F.col("qnv"), cents, nprobe)).alias("p"),
+        F.explode(F.expr(_sql_topn_cid_scores("qnv", cents, nprobe))).alias("p"),
     ).select("query_id", "qv", "qnv", F.col("p.cid").alias("cid"), F.col("p.s").alias("qc"))
-    # LUT of dot(q_sub_j, residual-codeword) per query — broadcast literals
+    # LUT of dot(q_sub_j, residual-codeword) per query — broadcast literals,
+    # composed as ONE SQL expression (see _sql_* helpers)
     qlut = q_probe.withColumn(
         "lut",
-        F.array(*[_sub_scores(F.col("qnv"), codebooks[j], j, dsub) for j in range(len(codebooks))]),
+        F.expr(
+            "array("
+            + ", ".join(
+                _sql_sub_scores("qnv", codebooks[j], j, dsub)
+                for j in range(len(codebooks))
+            )
+            + ")"
+        ),
     )
     cand = cells.join(F.broadcast(qlut.select("query_id", "qv", "cid", "qc", "lut")), "cid")
     if exclude_self:
@@ -1533,7 +1651,13 @@ def ivfpq_encode_cells(
     ksub = len(codebooks[0])
     v = _as_double(vectors, id_col, vec_col)
     by_cid = dict(cents)
-    cmat = _lit_matrix([by_cid.get(c, cents[0][1]) for c in range(cents[-1][0] + 1)])
+    cmat = _sql_lit(
+        [
+            [float(x) for x in by_cid.get(c, cents[0][1])]
+            for c in range(cents[-1][0] + 1)
+        ],
+        "array<array<double>>",
+    )
     assigned = (
         v.select(
             "id", "v", (F.lit(1.0) / norm(F.col("v"))).alias("inv")
@@ -1544,24 +1668,24 @@ def ivfpq_encode_cells(
             F.col("v").alias("raw"),
             F.transform("v", lambda x: x * F.col("inv")).alias("nv"),
         )
-        .withColumn("cid", _argmax_cid(F.col("nv"), cents))
+        .withColumn("cid", F.expr(_sql_argmax_cid("nv", cents)))
         .select(
             "cid",
             "id",
             "raw",
-            F.zip_with(
-                "nv", F.element_at(cmat, F.col("cid") + 1), lambda a, b: a - b
+            F.expr(
+                f"zip_with(nv, element_at({cmat}, cid + 1), (a, b) -> a - b)"
             ).alias("r"),
         )
     )
-    code_cols = [
-        _argmax_pick(
-            _sub_scores(F.col("r"), codebooks[j], j, dsub, l2_bias=True),
+    codes = "array(" + ", ".join(
+        _sql_argmax_pick(
+            _sql_sub_scores("r", codebooks[j], j, dsub, l2_bias=True),
             list(range(ksub)),
         )
         for j in range(len(codebooks))
-    ]
-    return assigned.select("cid", "id", "raw", F.array(*code_cols).alias("codes"))
+    ) + ")"
+    return assigned.select("cid", "id", "raw", F.expr(codes).alias("codes"))
 
 
 def ivfpq_add(

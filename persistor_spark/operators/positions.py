@@ -29,10 +29,17 @@ def with_positions(
     """Add `location_position` (1-based INT, dense per blob; NULL for
     single-record blobs when `null_for_singletons`, matching the reference's
     convertSingle shortcut)."""
-    w = Window.partitionBy(location_col)
-    pos = F.row_number().over(w.orderBy(order_col)).cast("int")
+    w = Window.partitionBy(location_col).orderBy(order_col)
+    pos = F.row_number().over(w).cast("int")
     if null_for_singletons:
-        n = F.count(F.lit(1)).over(w)
+        # the blob-size count uses the SAME (partition, order) spec with an
+        # unbounded frame — order-insensitive, so the value is unchanged,
+        # but Spark then evaluates both functions in ONE Window node over
+        # ONE sort (the orderless count spec forced a second Sort per
+        # batch on every ingest path; r14 opt, guide §2.4)
+        n = F.count(F.lit(1)).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
         pos = F.when(n > 1, pos)
     return df.withColumn("location_position", pos)
 

@@ -198,8 +198,6 @@ def compact_parquet(
     drop_compact_orphans(spark, path)
     before = len(fsutil.list_files(spark, path))
     df = spark.read.parquet(path)
-    rows = df.count()
-    n_files = max(1, -(-rows // target_rows_per_file))
     tmp = f"{path}.__compact_{swap_tag()}"
     if partition_col:
         # per-PARTITION-VALUE file sizing: hashing on the partition column
@@ -209,11 +207,18 @@ def compact_parquet(
         # per-value counts are one bounded agg: #values rows).  Sizing is
         # approximate where (value, salt) combos hash-collide into one
         # task; never worse than the unsalted single-file-per-value.
-        per = {
-            r[0]: max(1, -(-r["n"] // target_rows_per_file))
-            for r in df.groupBy(partition_col)
+        # The total row count rides the same aggregate — a fragmented
+        # layout's scan cost is listing/open-bound, so the separate
+        # count() pass this used to make doubled the pre-write cost
+        # (r14 opt, guide §1.2: fewer passes).
+        per_rows = (
+            df.groupBy(partition_col)
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()  # collect-ok: per-partition-value counts, <= #values rows
+        )
+        rows = sum(r["n"] for r in per_rows)
+        per = {
+            r[0]: max(1, -(-r["n"] // target_rows_per_file)) for r in per_rows
         }
         n_files = sum(per.values())
         k_map = F.create_map(
@@ -225,6 +230,8 @@ def compact_parquet(
         )
         writer = df.repartition(n_files, F.col(partition_col), salt)
     else:
+        rows = df.count()
+        n_files = max(1, -(-rows // target_rows_per_file))
         writer = df.repartition(n_files)
     w = writer.write.mode("overwrite")
     if partition_col:

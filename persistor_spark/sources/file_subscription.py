@@ -462,6 +462,16 @@ class FileSubscription:
         budget_bytes = self.max_outstanding_bytes - sum(
             b for _, _, b in active.values()
         )
+        # empty-backlog fast path (r14 opt): backlog_rows is EXACT (publish
+        # adds its written count under this same flock, prune sets the
+        # observed live count), and every deliverable row — including
+        # expired-lease redeliveries — is a live backlog row, so zero rows
+        # means an empty pull with certainty; skip the scan job.  The
+        # drain-tail pull after a prune used to pay a full (empty) lease
+        # materialization here.
+        if state.get("backlog_rows", state["next_id"]) == 0:
+            self._save_state(state)
+            return spark.createDataFrame(spark.sparkContext.emptyRDD(), WIRE_SCHEMA)
         if budget_msgs <= 0 or budget_bytes <= 0:
             self._save_state(state)
             # JVM-only empty frame: the list-based createDataFrame builds a
@@ -473,14 +483,21 @@ class FileSubscription:
         backlog = spark.read.schema(WIRE_SCHEMA).parquet(
             *self._backlog_scan_paths(state, active, budget_msgs)
         )
-        candidates = backlog.select("message_id", "size_bytes", "publish_time")
+        # candidates carry the FULL wire row: the anti-joins broadcast the
+        # (small) acked/leased id sides, so the payload column never
+        # shuffles for them, and the top-K + cumsum below are batch-bounded
+        # (flow-control caps both count and bytes).  r14 opt: the previous
+        # decide-narrow/re-attach shape scanned the backlog prefix TWICE
+        # per pull (once for the id decision, once to re-join payloads);
+        # one full-width scan halves the dominant pull cost.
+        candidates = backlog
         if self._has_parquet(self._acked_dir()):
             acked = spark.read.parquet(self._acked_dir()).select("message_id")
-            candidates = candidates.join(acked, "message_id", "left_anti")
+            candidates = candidates.join(F.broadcast(acked), "message_id", "left_anti")
         leased = self._leased_remaining(spark, active)
         if leased is not None:
             candidates = candidates.join(
-                leased.select("message_id"), "message_id", "left_anti"
+                F.broadcast(leased.select("message_id")), "message_id", "left_anti"
             )
         # deterministic delivery order; the head is batch-bounded, so the
         # byte-budget cumsum's single-partition window is batch-bounded too
@@ -488,17 +505,18 @@ class FileSubscription:
         w = Window.orderBy("publish_time", "message_id").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        taken = head.withColumn("__cum", F.sum("size_bytes").over(w)).filter(
-            F.col("__cum") <= budget_bytes
-        )
-        # ONE job takes the lease: the frame write carries the (n, bytes)
-        # scalars as observations, so the state decrementers and the
-        # on-disk frame come from the SAME evaluation of the deterministic
-        # orderBy+limit prefix (the backlog snapshot cannot change
-        # mid-pull — publish and prune take the same flock)
+        # ONE heavy job materializes the budget-annotated head
+        # (localCheckpoint pins the delivered rows against a later prune
+        # swap — a racing consumer still processing its batch must survive
+        # the backlog's file layout changing); the byte-budget filter, the
+        # lease frame write, the oversize fallback and the returned batch
+        # all read these immutable snapshot blocks, so they come from the
+        # SAME evaluation of the deterministic orderBy+limit prefix and no
+        # arm ever re-scans the backlog.
+        headc = head.withColumn("__cum", F.sum("size_bytes").over(w)).localCheckpoint()
         gid = "g%06d" % state["next_group"]
 
-        def _write_frame(rows) -> tuple[int, int]:
+        def _lease_frame(rows):
             from pyspark.sql import Observation
 
             obs = Observation()
@@ -513,14 +531,14 @@ class FileSubscription:
             ).write.mode(
                 "overwrite"
             ).parquet(self._group_frame(gid))
-            return int(obs.get["n"]), int(obs.get["nb"])
+            return rows, int(obs.get["n"]), int(obs.get["nb"])
 
-        n, nbytes = _write_frame(taken)
+        snap, n, nbytes = _lease_frame(headc.filter(F.col("__cum") <= budget_bytes))
         if n == 0 and not active:
             # the oversize exception (a message larger than the byte cap is
             # still delivered) applies only when NOTHING is outstanding —
             # otherwise the leased volume would exceed the byte cap
-            n, nbytes = _write_frame(head.limit(1))
+            snap, n, nbytes = _lease_frame(headc.limit(1))
         if n == 0:
             import shutil
 
@@ -529,19 +547,10 @@ class FileSubscription:
             # JVM-only empty frame: the list-based createDataFrame builds a
             # Python RDD whose first isEmpty cold-starts Python workers (~2 s)
             return spark.createDataFrame(spark.sparkContext.emptyRDD(), WIRE_SCHEMA)
-        frame = spark.read.parquet(self._group_frame(gid))
         state["groups"][gid] = [now + self.ack_deadline_s, int(n), int(nbytes)]
         state["next_group"] += 1
         self._save_state(state)
-        # localCheckpoint pins the DELIVERED rows (batch-bounded) before the
-        # flock is released: the returned batch is a snapshot independent of
-        # the backlog's file layout — a later prune_backlog swap (triggered
-        # by any consumer's pull) must not yank files out from under a
-        # racing consumer still processing its batch.  Every OTHER backlog
-        # read happens inside the flock, so no reader can span a prune.
-        return backlog.join(
-            F.broadcast(frame.select("message_id")), "message_id", "left_semi"
-        ).localCheckpoint()
+        return snap.select(*[f.name for f in WIRE_SCHEMA.fields])
 
     # -- ack/nack: the Spark (scale) path ---------------------------------
 
@@ -615,15 +624,28 @@ class FileSubscription:
                     F.broadcast(settled), "message_id", "left_semi"
                 )
                 matched.coalesce(1).write.parquet(jstaging)
-                per_group = (
-                    spark.read.parquet(jstaging)
-                    .groupBy("group_id")
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum("size_bytes").alias("nbytes"),
-                    )
-                    .collect()  # collect-ok: per-group frame stats, <= #groups rows
+                # per-group (n, bytes) off the staged frame's group_id +
+                # size_bytes columns via a driver-side pyarrow group-by —
+                # the message_id column is never read, so no id crosses the
+                # driver, and the separate Spark aggregation job this used
+                # to launch per settle (fixed ~0.3 s of scheduling at bench
+                # scale) is gone (r14 opt; guide §1.2 per-task work)
+                import pyarrow.dataset as _ds
+
+                _gtab = (
+                    _ds.dataset(jstaging, format="parquet")
+                    .to_table(columns=["group_id", "size_bytes"])
+                    .group_by("group_id")
+                    .aggregate([("size_bytes", "count"), ("size_bytes", "sum")])
                 )
+                per_group = [
+                    {"group_id": g, "n": int(c), "nbytes": int(s)}
+                    for g, c, s in zip(
+                        _gtab.column("group_id").to_pylist(),
+                        _gtab.column("size_bytes_count").to_pylist(),
+                        _gtab.column("size_bytes_sum").to_pylist(),
+                    )
+                ]
                 if per_group:
                     # adopt the staged frame as the journal append (file
                     # moves, no second write of the data)
