@@ -916,6 +916,65 @@ class FileSubscription:
             if "backlog_rows" in state
             else backlog.count()
         )
+        drained = False
+        if has_acked and removed_est >= before:
+            # drain-tail shortcut (r14 opt, guide §1.4/§6): when the
+            # acks-since-prune counter already covers every live row the
+            # backlog is almost certainly empty — prove it with a narrow
+            # early-exit probe (message_id column only, the payload bytes
+            # are never read) and, if so, retire the whole dir by rename
+            # instead of paying a full-width scan+sort+write whose output
+            # is zero rows.  The probe is required for soundness, the
+            # counters alone cannot prove emptiness: `before` may
+            # over-count by phantom rows from a crashed publish, and the
+            # counter over-counts duplicate acks and list-path acks of
+            # ids that never hit this backlog.  The counter trigger (a
+            # driver scalar) replaces the acked-store count job the first
+            # cut of this shortcut paid before deciding.
+            drained = (
+                backlog.select("message_id")
+                .join(
+                    spark.read.parquet(self._acked_dir())
+                    .select("message_id")
+                    .distinct(),
+                    "message_id",
+                    "left_anti",
+                )
+                .isEmpty()
+            )
+        if drained:
+            # the probe proved every row in the backlog FILES is acked, so
+            # the exact retirement is the file row count — off the parquet
+            # footers (driver-side, O(#files); the manifest already holds
+            # the sorted region's counts), no acked-store count job needed
+            import pyarrow.parquet as pq
+
+            man = {f: n for f, n in state.get("backlog_manifest") or []}
+            retired = sum(
+                man.get(f)
+                or pq.ParquetFile(f"{backlog_dir}/{f}").metadata.num_rows
+                for f in os.listdir(backlog_dir)
+                if f.endswith(".parquet") and not f.startswith(("_", "."))
+            )
+            fsutil.rename(
+                spark, backlog_dir, f"{backlog_dir}.__trash_{maintenance.swap_tag()}"
+            )
+            # an EMPTY live dir, immediately: a missing backlog dir beside
+            # a trash sibling is exactly the crashed-swap state
+            # `_recover_swaps_locked` restores from trash (a crash between
+            # the rename and this mkdir does just that — the pre-prune
+            # state comes back whole and the prune simply reruns later)
+            os.makedirs(backlog_dir, exist_ok=True)
+            state["backlog_manifest"] = []
+            state["acked_retired"] = state.get("acked_retired", 0) + retired
+            acked_dir = self._acked_dir()
+            maintenance.sweep_trash(spark, acked_dir)
+            fsutil.rename(
+                spark, acked_dir, f"{acked_dir}.__trash_{maintenance.swap_tag()}"
+            )
+            self._prune_journal_locked(spark, state)
+            state["backlog_rows"] = 0
+            return {"backlog_rows": 0, "retired": retired}
         acked_distinct = None
         if has_acked:
             acked_ids = (
@@ -1007,9 +1066,21 @@ class FileSubscription:
 
         maintenance.sweep_trash(spark, rel_dir)
         self._drop_compact_orphans(rel_dir)
-        rel = spark.read.parquet(rel_dir)
         gids = list(state["groups"])
-        kept = rel.filter(F.col("group_id").isin(gids)) if gids else rel.limit(0)
+        if not gids:
+            # no active groups -> NOTHING survives: retire the journal by
+            # rename instead of launching a Spark job that writes an empty
+            # parquet (r14 opt).  The empty live dir goes back immediately
+            # so a missing-journal state stays unambiguously "crashed swap"
+            # for _recover_swaps_locked (a crash in between restores the
+            # old journal — dead rows, harmless superset).
+            fsutil.rename(
+                spark, rel_dir, f"{rel_dir}.__trash_{maintenance.swap_tag()}"
+            )
+            os.makedirs(rel_dir, exist_ok=True)
+            return
+        rel = spark.read.parquet(rel_dir)
+        kept = rel.filter(F.col("group_id").isin(gids))
         obs = Observation()
         tmp2 = f"{rel_dir}.__compact_{maintenance.swap_tag()}"
         kept.coalesce(1).observe(obs, F.count(F.lit(1)).alias("n")).write.mode(

@@ -461,6 +461,38 @@ def test_journal_prune_keeps_active_group_idempotency(spark, tmp_path):
     assert sub.stats()["acked"] == 4 and sub.pull(spark, 12).count() == 0
 
 
+def test_drained_prune_retires_backlog_without_rewrite(spark, tmp_path):
+    """r14 opt: a prune on a fully-acked backlog retires the whole dir by
+    rename (after a narrow emptiness probe) instead of rewriting zero
+    rows — and the narrow probe keeps the shortcut SOUND when the acked
+    count merely LOOKS like full coverage (list-path acks of ids that
+    never hit this backlog)."""
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"), batch_size=6, ack_deadline_s=100, clock=clock
+    )
+    _publish_n(spark, sub, 6)
+    b = sub.pull(spark)
+    sub.ack_df(b)
+    out = sub.prune_backlog(spark)
+    assert out == {"backlog_rows": 0, "retired": 6}
+    # the shortcut arm: no live backlog parquet remains at all
+    assert not sub._has_parquet(sub._backlog_dir())
+    assert sub._load_state().get("backlog_manifest") in ([], None)
+    assert sub.pull(spark, 12).count() == 0
+    assert sub.stats()["acked"] == 6
+
+    # soundness arm: 2 live rows, 3 FOREIGN acks (never published here) —
+    # acked_distinct (3) >= live rows (2), but the probe finds live rows,
+    # so the prune must take the rewrite path and keep both deliverable
+    _publish_n(spark, sub, 2)
+    sub.ack(["ghost-a", "ghost-b", "ghost-c"])
+    out = sub.prune_backlog(spark)
+    assert out["backlog_rows"] == 2 and out["retired"] == 0
+    assert sub._has_parquet(sub._backlog_dir())
+    assert sub.pull(spark, 12).count() == 2
+
+
 def test_double_nack_is_idempotent_and_redelivers_once(spark, tmp_path):
     """Nack-then-nack of the same id: the first nack journals the release
     and decrements; the second must match nothing — and the id is
