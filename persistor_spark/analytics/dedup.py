@@ -1356,6 +1356,19 @@ def decontaminate(
     return corpus.join(F.broadcast(flagged), id_col, "left_anti")
 
 
+def _index_rows(band_table: DataFrame) -> DataFrame:
+    """Shingle arrays only on band-0 rows for PERSISTED index layouts:
+    every consumer re-attaches `sh` via the band==0 slice (every sketched
+    doc has a band 0), so writing the array into all `bands` partitions
+    multiplied index bytes — and the save/append shuffle — by the band
+    count for data no probe ever reads (r14 opt, guide §6.2: store what
+    the read path uses).  Column contract is unchanged (`sh` stays
+    array<string>, NULL outside band 0)."""
+    return band_table.withColumn(
+        "sh", F.when(F.col("band") == 0, F.col("sh"))
+    )
+
+
 def lsh_index_save(band_table: DataFrame, path: str) -> None:
     """Persist a build_band_table output as the on-disk LSH index:
     parquet PARTITIONED BY band, so a probe's (band, bh) equi-join prunes
@@ -1367,7 +1380,9 @@ def lsh_index_save(band_table: DataFrame, path: str) -> None:
     input partition writes a sliver into every band directory
     (input_parts x bands small files); with it each band is one
     contiguous file per shuffle partition holding it."""
-    band_table.repartition("band").write.mode("overwrite").partitionBy("band").parquet(path)
+    _index_rows(band_table).repartition("band").write.mode("overwrite").partitionBy(
+        "band"
+    ).parquet(path)
 
 
 def lsh_index_load(spark, path: str) -> DataFrame:
@@ -1390,7 +1405,7 @@ def lsh_index_append(spark, path: str, new_docs: DataFrame, **kwargs) -> None:
     """Grow a persisted LSH index with a new batch: sketch the batch (batch-
     sized cost) and parquet-append into the band partitions — each ingest
     cycle adds one file per band, no existing file rewrites."""
-    build_band_table(new_docs, **kwargs).write.mode("append").partitionBy(
+    _index_rows(build_band_table(new_docs, **kwargs)).write.mode("append").partitionBy(
         "band"
     ).parquet(path)
 

@@ -669,23 +669,28 @@ def test_recover_swap_heals_crashed_compaction(spark, tmp_path):
     )
     path = str(tmp_path / "lsh")
     dedup.lsh_index_save(dedup.build_band_table(docs), path)
-    want = sorted(
-        tuple(r) for r in dedup.lsh_index_load(spark, path).collect()
-    )
+
+    def _rows():
+        # (id, band) uniquely keys an index row; `sh` is NULL outside
+        # band 0 (the slim persisted layout), so bare tuple sort would
+        # compare None with list
+        return sorted(
+            (tuple(r) for r in dedup.lsh_index_load(spark, path).collect()),
+            key=lambda t: (t[0], t[2]),
+        )
+
+    want = _rows()
 
     # crash window arm 1: pruned copy complete, live renamed away
     shutil.copytree(path, f"{path}.__compact_simcrash")
     os.rename(path, f"{path}.__trash_simcrash")
-    got = sorted(tuple(r) for r in dedup.lsh_index_load(spark, path).collect())
-    assert got == want, "load did not heal the crashed swap"
+    assert _rows() == want, "load did not heal the crashed swap"
     assert os.path.isdir(path)
 
     # crash window arm 2: only the displaced original remains
     os.rename(path, f"{path}.__trash_simcrash2")
     assert maintenance.recover_swap(spark, path) == "trash"
-    assert sorted(
-        tuple(r) for r in dedup.lsh_index_load(spark, path).collect()
-    ) == want
+    assert _rows() == want
 
     # orphan invariant: a stale complete copy beside an INTACT live dir is
     # cleared by the next compaction, so a later recovery can never
@@ -693,9 +698,7 @@ def test_recover_swap_heals_crashed_compaction(spark, tmp_path):
     shutil.copytree(path, f"{path}.__compact_stale")
     maintenance.compact_parquet(spark, path, partition_col="band")
     assert not glob.glob(f"{path}.__compact_*"), "stale orphan survived"
-    assert sorted(
-        tuple(r) for r in dedup.lsh_index_load(spark, path).collect()
-    ) == want
+    assert _rows() == want
 
 
 def test_swap_tag_sorts_temporally_and_beats_legacy(spark):

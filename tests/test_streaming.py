@@ -630,8 +630,18 @@ def test_dedup_stream_compact_small_every_preserves_index(spark, sf_dir, tmp_pat
     )
     assert q.awaitTermination(300)
 
-    got = sorted(tuple(r) for r in dedup.lsh_index_load(spark, index_path).collect())
-    want = sorted(tuple(r) for r in dedup.build_band_table(docs).collect())
+    # (id, band) uniquely keys an index row; the persisted layout keeps
+    # `sh` only on band-0 rows, so the batch-sketch expectation goes
+    # through the same slim projection (and tuples with None sh need an
+    # explicit sort key)
+    key = lambda t: (t[0], t[2])  # noqa: E731
+    got = sorted(
+        (tuple(r) for r in dedup.lsh_index_load(spark, index_path).collect()), key=key
+    )
+    want = sorted(
+        (tuple(r) for r in dedup._index_rows(dedup.build_band_table(docs)).collect()),
+        key=key,
+    )
     assert got == want, "compacted streamed index diverged from the batch sketch"
     # bounded growth: 3 appendix cycles merged down — no band dir holds
     # base + one-file-per-batch
