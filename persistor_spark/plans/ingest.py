@@ -25,7 +25,7 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 from persistor_spark.config import IngestConfig
 from persistor_spark.functions import keys
-from persistor_spark.operators import blob_naming, positions
+from persistor_spark.operators import blob_naming
 from persistor_spark.operators.version_batching import version_column_names, with_version_columns
 
 # Dead-letter reason attributes (sender.go:46-76; category strings from
@@ -129,6 +129,25 @@ def run_batch(
     live, mask_names = blob_naming.add_blob_columns(live, storage_cfg, clock, blob_name=blob_name)
 
     live = live.withColumn("unique_id", keys.unique_id())
+    # Fused position pass (r14 opt, guide §2.1): the index's
+    # `location_position` and the blob records' `position` are the SAME
+    # row_number over (location_key, unique_id) — record_id IS unique_id —
+    # so compute the window ONCE here, before the sink fork, instead of
+    # once per sink.  With persist_intermediate the cached prefix now
+    # holds the window output, so the second sink's action skips the
+    # shuffle+sort entirely (previously each sink ran its own Window
+    # pass over the batch).  Values are unchanged: with_positions /
+    # with_blob_positions produced identical row numbers from identical
+    # (partition, order) specs.
+    from pyspark.sql import Window as _W
+
+    _w = _W.partitionBy("location_key").orderBy("unique_id")
+    live = live.withColumn("__pos", F.row_number().over(_w).cast("int")).withColumn(
+        "__blob_n",
+        F.count(F.lit(1)).over(
+            _w.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+        ),
+    )
     # blob and index projections fork here; caching the shared prefix stops
     # each sink's action from re-deriving it (used by bench + foreachBatch)
     if persist_intermediate:
@@ -136,7 +155,10 @@ def run_batch(
 
     # Index projection (T5/T6 enrichment + T10 finalize).
     idx_clock = clock + F.expr(f"INTERVAL {cfg.indexer_clock_skew_s} SECOND")
-    index_metadata = positions.with_positions(live).select(
+    # NULL-for-singletons is an index-side convention (positions.py)
+    index_metadata = live.withColumn(
+        "location_position", F.when(F.col("__blob_n") > 1, F.col("__pos"))
+    ).select(
         "broker_id",
         "broker_msg_id",
         "unique_id",
@@ -153,17 +175,16 @@ def run_batch(
         F.lit(False).alias("confirmation_flag"),
     )
 
-    # Blob projection (K3 record shape: persistor_record.go:23-33).
-    blob_records = positions.with_blob_positions(
-        live.select(
-            "location_key",
-            F.col("unique_id").alias("record_id"),
-            "payload",
-            F.col("attributes").alias("metadata"),
-            *mask_names,
-        ),
-        order_col="record_id",
-    ).select("location_key", "position", "record_id", "payload", "metadata", *mask_names)
+    # Blob projection (K3 record shape: persistor_record.go:23-33); blob
+    # files number EVERY record, so position is the bare fused row_number.
+    blob_records = live.select(
+        "location_key",
+        F.col("__pos").alias("position"),
+        F.col("unique_id").alias("record_id"),
+        "payload",
+        F.col("attributes").alias("metadata"),
+        *mask_names,
+    )
 
     return IngestResult(
         blob_records,
