@@ -110,6 +110,19 @@ DEFAULT_MAX_OUTSTANDING_MESSAGES = 1000
 DEFAULT_MAX_OUTSTANDING_BYTES = 1_000_000_000
 
 
+def _adopt_parquet(src: str, dst: str) -> None:
+    """Adopt an immutable parquet part file into another store by hardlink
+    (same-filesystem, zero data movement; group frames are never modified
+    in place so sharing the inode is safe), falling back to a plain copy
+    on filesystems without link support."""
+    try:
+        os.link(src, dst)
+    except OSError:
+        import shutil
+
+        shutil.copy2(src, dst)
+
+
 class FileSubscription:
     """A directory-backed subscription executing lease/ack/flow-control."""
 
@@ -550,7 +563,18 @@ class FileSubscription:
         state["groups"][gid] = [now + self.ack_deadline_s, int(n), int(nbytes)]
         state["next_group"] += 1
         self._save_state(state)
-        return snap.select(*[f.name for f in WIRE_SCHEMA.fields])
+        out = snap.select(*[f.name for f in WIRE_SCHEMA.fields])
+        # Settle fast-path tag (r14 opt, guide §1.2): the lease frame just
+        # written holds EXACTLY this batch's (group_id, message_id,
+        # size_bytes) rows, so a full-batch ack/nack of this very object
+        # can settle by adopting those files instead of re-running the
+        # ids plan + the journal match as two Spark jobs — see
+        # _settle_leased_frame_locked for the preconditions that make the
+        # shortcut sound.  The tag rides only on THIS DataFrame object;
+        # any transformation (partial-ack filter) drops it and the
+        # generic matcher runs.
+        out._fsub_lease = (self.root, gid, int(n), int(nbytes))
+        return out
 
     # -- ack/nack: the Spark (scale) path ---------------------------------
 
@@ -594,6 +618,11 @@ class FileSubscription:
         state = self._load_state()
         active = self._active_groups(state, now)
         state["groups"] = {g: list(state["groups"][g]) for g in active}
+        tag = getattr(ids, "_fsub_lease", None)
+        if tag is not None and self._settle_leased_frame_locked(
+            spark, state, active, tag, release
+        ):
+            return
         staging = f"{self.root}/.settle-{uuid.uuid4().hex}"
         obs = Observation()
         # coalesce(1): one frame FILE per settle call, not one per input
@@ -702,6 +731,84 @@ class FileSubscription:
         finally:
             shutil.rmtree(staging, ignore_errors=True)
             shutil.rmtree(jstaging, ignore_errors=True)
+
+    def _settle_leased_frame_locked(
+        self, spark, state: dict, active: dict, tag, release: bool
+    ) -> bool:
+        """Full-batch settle of a just-pulled lease WITHOUT Spark jobs
+        (r14 opt, guide §1.2 — the two fixed-cost jobs per settle were
+        ~half the receiver ack path).  The pulled batch's ids and sizes
+        are ALREADY on disk as the group's immutable lease frame, written
+        by the same evaluation that produced the returned rows, so when
+        the caller settles that exact object the generic path's two jobs
+        (materialize the ids plan; journal-match against the leased
+        union) recompute what the frame and the state entry already
+        record: matched = the ENTIRE frame, per-group totals = the
+        lease-time (n, bytes).  Settling is then pure file adoption —
+        hardlink the frame's part files into released/ (journal append)
+        and acked/ — plus the same state arithmetic.
+
+        Sound only when ALL of:
+        - the tag names THIS subscription (a batch pulled from another
+          root must not touch this state);
+        - the group is still ACTIVE (expired -> the generic matcher,
+          which correctly matches nothing);
+        - the group's remaining (n, bytes) equal the lease-time totals —
+          any partial settle since the pull decremented them, so the
+          journal may hold (gid, id) rows and "matched = whole frame"
+          no longer holds.
+        Anything else returns False and the generic path runs.  Crash
+        ordering mirrors the generic path: journal links, then state
+        save, then acked links — so acked_since_prune never under-counts
+        rows present in the acked store (the invariant
+        _backlog_scan_paths' prefix bound rests on), and a crash after
+        the journal links only delays redelivery (at-least-once arm).
+        The acked store gains full-width (group_id, message_id,
+        size_bytes) frames next to the generic path's id-only ones;
+        every reader projects by name (Spark and pyarrow both
+        null-fill/ignore mismatched parquet columns), so the mixed
+        schema is benign."""
+        import uuid
+
+        root, gid, n0, nb0 = tag
+        if root != self.root or gid not in active:
+            return False
+        _exp, n, nbytes = state["groups"][gid]
+        if int(n) != int(n0) or int(nbytes) != int(nb0):
+            return False
+        frame_dir = self._group_frame(gid)
+        if not os.path.isdir(frame_dir):
+            return False
+        parts = sorted(
+            f
+            for f in os.listdir(frame_dir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        if not parts:
+            return False
+        tag_id = uuid.uuid4().hex
+        os.makedirs(self._released_dir(), exist_ok=True)
+        for f in parts:
+            _adopt_parquet(
+                f"{frame_dir}/{f}", f"{self._released_dir()}/fast-{tag_id}-{f}"
+            )
+        del state["groups"][gid]
+        state["journal_rows"] = state.get("journal_rows", 0) + int(n0)
+        if not release:
+            state["acked_since_prune"] = (
+                state.get("acked_since_prune", 0) + int(n0)
+            )
+        outstanding = sum(nn for _, nn, _ in state["groups"].values())
+        if state["journal_rows"] >= max(4 * self.batch_size, 2 * outstanding):
+            self._prune_journal_locked(spark, state)
+        self._save_state(state)
+        if not release:
+            os.makedirs(self._acked_dir(), exist_ok=True)
+            for f in parts:
+                _adopt_parquet(
+                    f"{frame_dir}/{f}", f"{self._acked_dir()}/fast-{tag_id}-{f}"
+                )
+        return True
 
     def ack_df(self, ids: DataFrame) -> None:
         """Retire messages permanently from a DataFrame of ids (or pulled

@@ -203,6 +203,101 @@ def test_ack_df_and_nack_df_scale_path(spark, tmp_path):
     assert sub.pull(spark, 12).count() == 0
 
 
+def test_fast_settle_preconditions_and_fallbacks(spark, tmp_path):
+    """r14 opt: a full-batch ack/nack of the EXACT object pull returned
+    settles by adopting the lease frame's files (no Spark jobs).  The
+    shortcut must (a) actually engage on the clean full-batch case,
+    (b) fall back to the generic matcher after any partial settle of the
+    group (the journal then holds rows of this group and 'matched = whole
+    frame' is false), (c) never touch another subscription's state via a
+    foreign tag, and (d) keep nack redelivery + double-settle idempotence
+    identical to the generic path."""
+    import os
+
+    clock = FakeClock()
+    sub = FileSubscription(
+        str(tmp_path / "sub"),
+        batch_size=4,
+        max_outstanding_messages=100,
+        ack_deadline_s=100,
+        clock=clock,
+    )
+    _publish_n(spark, sub, 12)
+
+    def fast_frames(d):
+        if not os.path.isdir(d):
+            return set()
+        return {f for f in os.listdir(d) if f.startswith("fast-")}
+
+    rel = str(tmp_path / "sub" / "released")
+    ack = str(tmp_path / "sub" / "acked")
+
+    # (a) clean full-batch ack -> fast path engaged (adopted frame files
+    # appear in both stores), accounting identical to the generic path
+    b1 = sub.pull(spark)
+    assert b1.count() == 4
+    sub.ack_df(b1)
+    assert fast_frames(rel) and fast_frames(ack)
+    st = sub.stats()
+    assert st["acked"] == 4 and st["leased"] == 0
+
+    # (d) full-batch nack -> fast path; all 4 redeliverable, none acked
+    b2 = sub.pull(spark)
+    ids2 = {r["message_id"] for r in b2.collect()}
+    n_rel_before = len(fast_frames(rel))
+    sub.nack_df(b2)
+    assert len(fast_frames(rel)) > n_rel_before
+    st = sub.stats()
+    assert st["acked"] == 4 and st["leased"] == 0
+    b2b = sub.pull(spark)
+    assert {r["message_id"] for r in b2b.collect()} == ids2
+
+    # double ack of the same object: the second call finds the group gone
+    # and falls back to the generic matcher, which matches nothing
+    sub.ack_df(b2b)
+    st = sub.stats()
+    assert st["acked"] == 8 and st["leased"] == 0
+    sub.ack_df(b2b)  # no-op
+    st = sub.stats()
+    assert st["acked"] == 8 and st["leased"] == 0
+
+    # (b) partial settle first -> the full-object ack must NOT fast-path
+    # (remaining id acked once; no double decrement; group closed)
+    p2 = sub.pull(spark, 2)  # leases 2 of the 4 never-pulled ids
+    assert p2.count() == 2
+    b3 = sub.pull(spark, 12)  # the last 2 fresh ids
+    ids3 = [r["message_id"] for r in b3.collect()]
+    assert len(ids3) == 2
+    sub.ack(ids3[:1])  # list-path partial settle decrements b3's group
+    n_fast_ack = len(fast_frames(ack))
+    sub.ack_df(b3)  # stale (n, bytes) tag -> generic matcher
+    assert len(fast_frames(ack)) == n_fast_ack, "fast path ran on a stale tag"
+    st = sub.stats()
+    assert st["acked"] == 10 and st["leased"] == 2  # p2 still leased
+
+    # (c) foreign tag: acking sub A's batch on sub B must not touch B's
+    # groups (B journals the unknown ids into its acked store, exactly as
+    # the generic path always did for foreign ids)
+    sub_b = FileSubscription(
+        str(tmp_path / "other"), batch_size=4, ack_deadline_s=100, clock=clock
+    )
+    _publish_n(spark, sub_b, 4)
+    bb = sub_b.pull(spark)
+    sub_b.ack_df(p2)  # foreign object: tag root mismatch -> generic path
+    assert not fast_frames(str(tmp_path / "other" / "released"))
+    stb = sub_b.stats()
+    assert stb["leased"] == 4, "foreign tag decremented sub B's group"
+    assert stb["acked"] == 2  # the 2 foreign ids, journaled but matching none
+    sub_b.ack_df(bb)
+    assert sub_b.stats()["acked"] == 6 and sub_b.stats()["leased"] == 0
+    # p2 is still validly leased on A with an unchanged (n, bytes): the
+    # fast path may engage; draining A proves nothing leaked
+    sub.ack_df(p2)
+    st = sub.stats()
+    assert st["acked"] == 12 and st["leased"] == 0
+    assert sub.pull(spark, 12).count() == 0
+
+
 def test_racing_consumers_no_double_delivery(spark, tmp_path):
     """r8 VERDICT #6: concurrent pull/ack interleavings from racing
     consumer threads — the flock'd lease accounting must never lease one
