@@ -32,10 +32,23 @@ _TIME_PART_EXPR = {
     "hour": lambda clock: F.lpad(F.hour(clock).cast("string"), 2, "0"),
 }
 
+# SQL-string twins of _TIME_PART_EXPR for the str-clock fast path (r14 opt,
+# guide §1.2): the ingest plan builds these per batch — per MICRO-batch on
+# the streaming path — and every Column call above is a driver py4j round
+# trip; one F.expr parse replaces four calls per member.  current_timestamp()
+# as the clock string is evaluated once per query exactly like the shared
+# Column object was (query-start literal), so values are unchanged.
+_TIME_PART_SQL = {
+    "year": "cast(year({c}) as string)",
+    "month": "lpad(cast(month({c}) as string), 2, '0')",
+    "day": "lpad(cast(dayofmonth({c}) as string), 2, '0')",
+    "hour": "lpad(cast(hour({c}) as string), 2, '0')",
+}
+
 
 def mask_columns(
     cfg: StorageConfig,
-    clock: Column,
+    clock: Column | str,
     attributes: str = "attributes",
 ) -> dict[str, Column]:
     """One named Column per mask member, in mask order (storage.go:125-189).
@@ -44,17 +57,25 @@ def mask_columns(
     the custom_values lookup must be case-insensitive TOO: the member is
     lowercased here, and a config like mask=('ENV',),
     custom_values={'ENV': ...} passes validate() with its original casing.
+
+    `clock` may be a Column (legacy/tests) or a SQL expression STRING
+    (the ingest plan's fast path — see _TIME_PART_SQL).
     """
     custom = {k.lower(): v for k, v in cfg.custom_values.items()}
     cols: dict[str, Column] = {}
     for member in cfg.mask:
         m = member.lower()
         if m in TIME_MASK_MEMBERS:
-            cols[f"__mask_{m}"] = _TIME_PART_EXPR[m](clock)
+            cols[f"__mask_{m}"] = (
+                F.expr(_TIME_PART_SQL[m].format(c=clock))
+                if isinstance(clock, str)
+                else _TIME_PART_EXPR[m](clock)
+            )
         elif m.startswith("{") and m.endswith("}"):
             attr = m[1:-1]
-            cols[f"__mask_{attr}"] = F.coalesce(
-                F.element_at(F.col(attributes), F.lit(attr)), F.lit(UNKNOWN)
+            a = attr.replace("'", "''")
+            cols[f"__mask_{attr}"] = F.expr(
+                f"coalesce(element_at(`{attributes}`, '{a}'), '{UNKNOWN}')"
             )
         else:
             cols[f"__mask_{m}"] = F.lit(str(custom[m]))
@@ -86,21 +107,47 @@ def split_location(col: Column) -> tuple[Column, Column]:
     return bucket, path
 
 
+def blob_column_exprs(
+    cfg: StorageConfig,
+    clock: Column | str,
+    blob_name: Column | None = None,
+    attributes: str = "attributes",
+) -> tuple[dict[str, Column], Column]:
+    """(mask column dict, location_key Column) — the location_key refers to
+    the mask columns BY NAME, so callers attach the dict first (its own
+    withColumns) and location_key in a later op, letting them fuse either
+    with other derived columns.  The static part of the location URL
+    (base/prefix + mask refs + '/' separators + 'blob-') is one SQL concat;
+    per-part Column-API composition recurs every streaming micro-batch
+    (r14 opt, guide §1.2).  `blob_name` stays an opaque Column (callers
+    pass arbitrary expressions)."""
+    cols = mask_columns(cfg, clock, attributes)
+    name_col = blob_name if blob_name is not None else F.col("broker_id")
+
+    def q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    static_parts = [q(f"{cfg.base_url}/{cfg.prefix}/")]
+    for n in cols:
+        static_parts.extend([f"`{n}`", q("/")])
+    static_parts.append(q("blob-"))
+    lk = F.concat(
+        F.expr(f"concat({', '.join(static_parts)})"),
+        name_col,
+        F.lit(f".{cfg.extension}"),
+    )
+    return cols, lk
+
+
 def add_blob_columns(
     df: DataFrame,
     cfg: StorageConfig,
-    clock: Column,
+    clock: Column | str,
     blob_name: Column | None = None,
     attributes: str = "attributes",
 ) -> tuple[DataFrame, list[str]]:
     """Attach mask columns + `location_key`; returns (df, mask column names)
     for use as `partitionBy(...)` keys on the physical write."""
-    cols = mask_columns(cfg, clock, attributes)
-    for name, col in cols.items():
-        df = df.withColumn(name, col)
-    name_col = blob_name if blob_name is not None else F.col("broker_id")
-    df = df.withColumn(
-        "location_key",
-        location_key(cfg, {n: F.col(n) for n in cols}, name_col),
-    )
+    cols, lk = blob_column_exprs(cfg, clock, blob_name, attributes)
+    df = df.withColumns(cols).withColumn("location_key", lk)
     return df, list(cols)

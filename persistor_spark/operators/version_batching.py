@@ -18,8 +18,13 @@ UNKNOWN = "unknown"
 
 def version_column(key: str, attributes: str = "attributes") -> Column:
     """Version value for one key: the attribute value, else 'unknown'
-    (addMessageToVersionMap, version_batching.go:29-71)."""
-    return F.coalesce(F.element_at(F.col(attributes), F.lit(key)), F.lit(UNKNOWN))
+    (addMessageToVersionMap, version_batching.go:29-71).  One SQL
+    expression, not a Column-call chain — this is built per ingest batch
+    and each Column call is a driver py4j round-trip (r14 opt, §1.2)."""
+    k = key.replace("'", "''")
+    return F.expr(
+        f"coalesce(element_at(`{attributes}`, '{k}'), '{UNKNOWN}')"
+    )
 
 
 def with_version_columns(
@@ -27,9 +32,11 @@ def with_version_columns(
 ) -> DataFrame:
     """Add one `__version_<key>` column per version key.  Downstream
     partitionBy on these columns reproduces BatchByVersions' mini-batches."""
-    for key in version_keys:
-        df = df.withColumn(f"__version_{key}", version_column(key, attributes))
-    return df
+    if not version_keys:
+        return df
+    return df.withColumns(
+        {f"__version_{k}": version_column(k, attributes) for k in version_keys}
+    )
 
 
 def version_column_names(version_keys: tuple[str, ...]) -> list[str]:

@@ -26,7 +26,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 from persistor_spark.config import IngestConfig
 from persistor_spark.functions import keys
 from persistor_spark.operators import blob_naming
-from persistor_spark.operators.version_batching import version_column_names, with_version_columns
+from persistor_spark.operators.version_batching import (
+    version_column,
+    version_column_names,
+)
 
 # Dead-letter reason attributes (sender.go:46-76; category strings from
 # persistor.go:43-46 and indexer.go:41-44).
@@ -65,6 +68,14 @@ def clock_expr(cfg: IngestConfig) -> Column:
     return F.col(cfg.clock_column) if cfg.clock_column else F.current_timestamp()
 
 
+def clock_sql(cfg: IngestConfig) -> str:
+    """The same clock as a SQL expression string, for the expr-string plan
+    builders (r14 opt, guide §1.2).  current_timestamp() is a query-start
+    literal, so repeating the string across mask expressions yields the
+    identical value the shared Column object did."""
+    return f"`{cfg.clock_column}`" if cfg.clock_column else "current_timestamp()"
+
+
 def run_batch(
     messages: DataFrame,
     cfg: IngestConfig,
@@ -88,32 +99,32 @@ def run_batch(
     message id (storage.go:50,113).
     """
     cfg.validate()
-    msgs = messages
-    if failure is None:
-        failure = F.lit(False)
-    msgs = msgs.withColumn("__failed", failure)
-
     # Dead-letter branch: original payload + attributes + 3 reason attributes.
     dl_cat = failure_category if failure_category is not None else F.lit(DL_CATEGORY_STORAGE)
     dl_src = failure_source if failure_source is not None else F.lit(DL_SOURCE_CORE)
-    deadletter = (
-        msgs.filter(F.col("__failed"))
-        .select(
-            keys.unique_id().alias("unique_id"),
-            F.col("payload"),
-            F.col("attributes"),
-            dl_cat.alias("dead_letter_error_category"),
-            F.lit("simulated persist failure").alias("dead_letter_error_reason"),
-            dl_src.alias("dead_letter_source"),
-        )
-    )
+    dl_projection = [
+        keys.unique_id().alias("unique_id"),
+        F.col("payload"),
+        F.col("attributes"),
+        dl_cat.alias("dead_letter_error_category"),
+        F.lit("simulated persist failure").alias("dead_letter_error_reason"),
+        dl_src.alias("dead_letter_source"),
+    ]
+    if failure is None:
+        # No failure hook -> the split is static: live is the whole batch
+        # and the dead-letter frame is empty by construction.  Skipping the
+        # __failed column + the filter pair matters because every
+        # DataFrame op analyzes the whole accumulated plan EAGERLY, once
+        # per streaming micro-batch (r14 opt, guide §1.2 driver work).
+        live = messages
+        deadletter = messages.limit(0).select(*dl_projection)
+    else:
+        msgs = messages.withColumn("__failed", failure)
+        deadletter = msgs.filter(F.col("__failed")).select(*dl_projection)
+        live = msgs.filter(~F.col("__failed")).drop("__failed")
     if not cfg.dead_letter_enabled:
         deadletter = deadletter.limit(0)
 
-    live = msgs.filter(~F.col("__failed")).drop("__failed")
-
-    # T3 version split + T4 blob naming: derived columns, one pass.
-    live = with_version_columns(live, cfg.version_keys)
     ver_cols = version_column_names(cfg.version_keys)
     clock = clock_expr(cfg)
     # Mask = configured members + version members appended (the reference
@@ -126,9 +137,25 @@ def run_batch(
     storage_cfg = cfg.storage.__class__(
         **{**cfg.storage.__dict__, "mask": tuple(mask_members)}
     )
-    live, mask_names = blob_naming.add_blob_columns(live, storage_cfg, clock, blob_name=blob_name)
-
-    live = live.withColumn("unique_id", keys.unique_id())
+    # T3 version split + T4 blob naming + T6 unique_id: derived columns in
+    # THREE fused withColumns ops (version+mask cols are independent;
+    # location_key/unique_id reference them by name; the window columns
+    # reference those) — each DataFrame op is one eager analysis of the
+    # growing plan, so op count is the driver-side cost that recurs per
+    # micro-batch (r14 opt, guide §1.2).
+    mask_cols, lk = blob_naming.blob_column_exprs(
+        storage_cfg, clock_sql(cfg), blob_name=blob_name
+    )
+    live = live.withColumns(
+        {
+            **{f"__version_{k}": version_column(k) for k in cfg.version_keys},
+            **mask_cols,
+        }
+    )
+    mask_names = list(mask_cols)
+    live = live.withColumns(
+        {"location_key": lk, "unique_id": keys.unique_id()}
+    )
     # Fused position pass (r14 opt, guide §2.1): the index's
     # `location_position` and the blob records' `position` are the SAME
     # row_number over (location_key, unique_id) — record_id IS unique_id —
@@ -142,11 +169,13 @@ def run_batch(
     from pyspark.sql import Window as _W
 
     _w = _W.partitionBy("location_key").orderBy("unique_id")
-    live = live.withColumn("__pos", F.row_number().over(_w).cast("int")).withColumn(
-        "__blob_n",
-        F.count(F.lit(1)).over(
-            _w.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
-        ),
+    live = live.withColumns(
+        {
+            "__pos": F.row_number().over(_w).cast("int"),
+            "__blob_n": F.count(F.lit(1)).over(
+                _w.rowsBetween(_W.unboundedPreceding, _W.unboundedFollowing)
+            ),
+        }
     )
     # blob and index projections fork here; caching the shared prefix stops
     # each sink's action from re-deriving it (used by bench + foreachBatch)
