@@ -151,6 +151,24 @@ def minhash_signature(sh: Column, num_perm: int = 128) -> Column:
 _MERSENNE61 = (1 << 61) - 1
 
 
+def _sketch_partitions(df: DataFrame) -> int:
+    """Explicit partition count for the CPU-bound sketch exchanges (guide
+    §2.1): AQE coalesces post-shuffle partitions by BYTES, and a text
+    corpus that is small in bytes but expensive per row (shingling,
+    per-shingle hashing, minhash permutations, bit votes) collapses to one
+    task — measured: the whole sf0.1 corpus sketched in ONE partition,
+    single-threading ~2 s of expression+UDF work.  An explicit count
+    (REPARTITION_BY_NUM) opts that one exchange out of coalescing; the
+    value scales with the session (total cores locally, the admin-set
+    shuffle parallelism on a cluster) rather than being a tuned
+    constant."""
+    spark = df.sparkSession
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+
+
 def _perm_params(num_perm: int, seed: int = 1):
     import random
 
@@ -330,7 +348,7 @@ def simhash_pairs(
     # footprint the MinHash band table carries.
     h = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-        .repartition("id")
+        .repartition(_sketch_partitions(df), "id")
         .select("id", simhash_bits("__text", bits, hash_fn).alias("bits"))
         .localCheckpoint(eager=True)
     )
@@ -504,7 +522,7 @@ def winnow_overlap_pairs(
     # fingerprint-count-sized, ~2/(window+1) of the k-gram volume.
     fp = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
-        .repartition("id")
+        .repartition(_sketch_partitions(df), "id")
         .select("id", _kgram_hashes("__t", k, hash_fn).alias("__g"))
         .select("id", F.explode(_window_mins(F.col("__g"), window)).alias("fp"))
         .localCheckpoint(eager=True)
@@ -554,7 +572,7 @@ def build_band_table(
         # bench lines in r7; a NULL text splits to NULL → NULL predicate →
         # dropped, same as before).
         .filter(F.size(F.split("__text", " ")) >= k)
-        .repartition("id")
+        .repartition(_sketch_partitions(df), "id")
         .select("id", shingles("__text", k).alias("sh"))
     )
     hashed = sh.withColumn("hs", F.transform(F.col("sh"), lambda s: F.xxhash64(s)))
