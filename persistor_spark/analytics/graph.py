@@ -86,15 +86,26 @@ def pagerank(
     e = edges.join(F.broadcast(deg), "src").select("src", "dst", "deg")
     base = (1.0 - damping) / n
     ranks = deg.select(F.col("src").alias("node"), F.lit(1.0 / n).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         r = F.broadcast(ranks) if broadcast_ranks else ranks
         ranks = (
             e.join(r, e.src == r.node)
             .groupBy("dst")
             .agg((F.lit(base) + F.lit(damping) * F.sum(F.col("rank") / F.col("deg"))).alias("rank"))
             .select(F.col("dst").alias("node"), "rank")
-            .localCheckpoint()
         )
+        # Checkpoint every FOURTH round, not every round (r14 opt, guide
+        # §1.2): each localCheckpoint is a blocking driver job, and for
+        # the default 3 iterations the whole recurrence can stay lazy and
+        # evaluate inside the final action (the per-round broadcast builds
+        # from the nested agg subtree; sums are bit-identical because the
+        # edge side's partitioning — what partial-agg order derives from —
+        # is the same checkpointed blocks either way).  The periodic
+        # checkpoint keeps many-iteration calls from growing an
+        # analysis-budget-busting plan, the same flat-plan motivation the
+        # per-round checkpoint had.
+        if (i + 1) % 4 == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
 
 
@@ -172,22 +183,23 @@ def personalized_pagerank(
     )
     e = edges.join(F.broadcast(deg), "src").select("src", "dst", "deg")
     ranks = seeds.select("node", F.lit(1.0 / n_seeds).alias("rank"))
-    for _ in range(iterations):
+    for i in range(iterations):
         prop = (
             e.join(F.broadcast(ranks), e.src == F.col("node"))
             .groupBy("dst")
             .agg((F.lit(damping) * F.sum(F.col("rank") / F.col("deg"))).alias("__prop"))
             .select(F.col("dst").alias("node"), "__prop")
         )
-        ranks = (
-            prop.join(F.broadcast(seed_base), "node", "full_outer")
-            .select(
-                "node",
-                (
-                    F.coalesce(F.col("__base"), F.lit(0.0))
-                    + F.coalesce(F.col("__prop"), F.lit(0.0))
-                ).alias("rank"),
-            )
-            .localCheckpoint()
+        ranks = prop.join(F.broadcast(seed_base), "node", "full_outer").select(
+            "node",
+            (
+                F.coalesce(F.col("__base"), F.lit(0.0))
+                + F.coalesce(F.col("__prop"), F.lit(0.0))
+            ).alias("rank"),
         )
+        # every fourth round only — see pagerank: each localCheckpoint is
+        # a blocking driver job; short recurrences evaluate lazily in the
+        # final action, long ones still get a bounded plan
+        if (i + 1) % 4 == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint()
     return ranks.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
