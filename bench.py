@@ -519,9 +519,19 @@ def bench_index_compaction(ctx: Ctx):
     dedup.lsh_index_save(
         dedup.build_band_table(docs.filter(F.col("doc_id") % 2 == 0)), idx
     )
-    bt = dedup.build_band_table(
-        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
-    ).localCheckpoint()
+    # coalesce(1): build_band_table now fans the sketch across cores
+    # (r14 opt), and a raw partitionBy append from 32 partitions would
+    # fragment to sketch_parts x bands files per append — 30x the
+    # documented bands x batches fixture this line has always measured.
+    # One partition per append restores the r13-identical layout (prep
+    # is untimed either way).
+    bt = (
+        dedup.build_band_table(
+            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+        )
+        .localCheckpoint()
+        .coalesce(1)
+    )
     for i in range(40):
         # ids here are all ODD (the % 2 == 1 half), so `id % 40 == i` is
         # empty for every even i — (id div 2) % 40 hits all 40 batches,
@@ -558,9 +568,15 @@ def bench_index_compaction_incremental(ctx: Ctx):
         dedup.build_band_table(docs.filter(F.col("doc_id") % 2 == 0)), idx
     )
     base_sizes = [sz for _, sz in fsutil.list_files_with_size(ctx.spark, idx)]
-    bt = dedup.build_band_table(
-        docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
-    ).localCheckpoint()
+    # coalesce(1): keep the r13-identical bands x batches appendix — see
+    # bench_index_compaction's note on the fanned sketch
+    bt = (
+        dedup.build_band_table(
+            docs.filter(F.col("doc_id") % 2 == 1).select("doc_id", "text")
+        )
+        .localCheckpoint()
+        .coalesce(1)
+    )
     for i in range(40):
         bt.filter(F.expr("(id div 2) % 40") == i).write.mode("append").partitionBy(
             "band"

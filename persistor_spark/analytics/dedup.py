@@ -1422,10 +1422,13 @@ def lsh_index_load(spark, path: str) -> DataFrame:
 def lsh_index_append(spark, path: str, new_docs: DataFrame, **kwargs) -> None:
     """Grow a persisted LSH index with a new batch: sketch the batch (batch-
     sized cost) and parquet-append into the band partitions — each ingest
-    cycle adds one file per band, no existing file rewrites."""
-    _index_rows(build_band_table(new_docs, **kwargs)).write.mode("append").partitionBy(
+    cycle adds one file per band, no existing file rewrites.  Repartition
+    on band first, same as lsh_index_save: the sketch is deliberately
+    fanned across cores (_sketch_partitions), so a raw partitionBy write
+    would open sketch_parts x bands sliver files per append (guide §6)."""
+    _index_rows(build_band_table(new_docs, **kwargs)).repartition(
         "band"
-    ).parquet(path)
+    ).write.mode("append").partitionBy("band").parquet(path)
 
 
 def containment_pairs(

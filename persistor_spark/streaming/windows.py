@@ -369,10 +369,12 @@ def run_incremental_dedup_stream(
             batch_df, existing, threshold, probe=probe
         ).withColumn("batch_id", F.lit(batch_id).cast("long"))
         pairs.write.mode("append").parquet(out_path)
-        # same slim layout as lsh_index_save/append: sh only on band 0
-        dedup._index_rows(probe).write.mode("append").partitionBy("band").parquet(
-            index_path
-        )
+        # same slim layout as lsh_index_save/append: sh only on band 0;
+        # repartition on band first — the fanned sketch would otherwise
+        # write sketch_parts x bands sliver files per micro-batch (§6)
+        dedup._index_rows(probe).repartition("band").write.mode("append").partitionBy(
+            "band"
+        ).parquet(index_path)
         if compact_every and (batch_id + 1) % compact_every == 0:
             maintenance.compact_parquet(spark, index_path, partition_col="band")
         if compact_small_every and (batch_id + 1) % compact_small_every == 0:
