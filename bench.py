@@ -1227,6 +1227,21 @@ def _bench_run() -> dict:
     runs: dict[str, list[float]] = {}
     canary = {"cpu": [], "io": []}
     busy: list[float] = []
+    files_written: dict[str, int] = {}
+
+    def _workdir_files() -> int:
+        """Data files currently under the bench workdir — cheap (one os.walk
+        of bench-scale dirs) core-scaling self-diagnosis (r14 VERDICT #4):
+        a cores-dependent sliver-file regression (output files per batch =
+        cpu count, the r14 stream_ingest failure) shows up as this count
+        scaling with $SPARK_GRAFT_CPUS across runs, without needing the
+        driver's independent two-core-count bench to notice."""
+        n = 0
+        for _, _, fs in os.walk(workdir):
+            n += sum(
+                1 for f in fs if not f.startswith((".", "_")) and not f.endswith(".crc")
+            )
+        return n
 
     def _sample_canaries():
         # drain the bench's OWN pending writeback first — the canaries
@@ -1255,6 +1270,7 @@ def _bench_run() -> dict:
         for name, fn in queries_to_run.items():
             _sample_canaries()  # host state entering this line
             runs[name] = []
+            f0 = _workdir_files()
             for _ in range(repeats):
                 t0 = time.time()
                 ret = fn(ctx)
@@ -1262,6 +1278,9 @@ def _bench_run() -> dict:
                 # the stream's source chunks) and return seconds to record
                 elapsed = ret if getattr(fn, "self_timed", False) else time.time() - t0
                 runs[name].append(round(elapsed, 3))
+            # per-line output-file telemetry (all repeats; fresh dirs per
+            # repeat, so divide by `repeats` for a per-run figure)
+            files_written[name] = _workdir_files() - f0
         _sample_canaries()  # end-of-run host state
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
@@ -1352,6 +1371,8 @@ def _bench_run() -> dict:
         "canary_ratio_vs_prev": xr,
         "queries_xnorm": xnorm,
         "total_xnorm": round(sum(xnorm.values()), 3) if xnorm else None,
+        "files_written": files_written,
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4)),
     }
     full_path = os.environ.get(
         "SPARK_GRAFT_BENCH_FULL",

@@ -163,10 +163,12 @@ def _sketch_partitions(df: DataFrame) -> int:
     shuffle parallelism on a cluster) rather than being a tuned
     constant."""
     spark = df.sparkSession
-    return max(
-        spark.sparkContext.defaultParallelism,
-        int(spark.conf.get("spark.sql.shuffle.partitions")),
-    )
+    try:
+        # non-numeric on some platforms (e.g. "auto" under managed AQE)
+        shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except ValueError:
+        shuffle_parts = 0
+    return max(spark.sparkContext.defaultParallelism, shuffle_parts)
 
 
 def _perm_params(num_perm: int, seed: int = 1):

@@ -73,6 +73,12 @@ def pagerank(
     one agg shuffle keyed by dst.  For graphs whose node set outgrows the
     broadcast budget, pass False and pre-partition the edge input by src so
     the sort-merge join co-locates instead.
+
+    Single-action expectation: below the 4-round checkpoint cadence the
+    returned frame is a LAZY recurrence — each action re-executes every
+    un-checkpointed round (values stay deterministic).  Callers that plan
+    multiple actions over the result should localCheckpoint()/persist() it
+    themselves first.
     """
     # materialize the edge list ONCE (upstream may be an expensive join +
     # distinct); everything after re-reads these blocks, not the lineage

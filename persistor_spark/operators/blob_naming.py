@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 from persistor_spark.config import StorageConfig, TIME_MASK_MEMBERS
+from persistor_spark.functions.sqlq import sql_ident, sql_str
 from persistor_spark.operators.version_batching import UNKNOWN
 
 _TIME_PART_EXPR = {
@@ -73,9 +74,9 @@ def mask_columns(
             )
         elif m.startswith("{") and m.endswith("}"):
             attr = m[1:-1]
-            a = attr.replace("'", "''")
             cols[f"__mask_{attr}"] = F.expr(
-                f"coalesce(element_at(`{attributes}`, '{a}'), '{UNKNOWN}')"
+                f"coalesce(element_at({sql_ident(attributes)}, {sql_str(attr)}),"
+                f" '{UNKNOWN}')"
             )
         else:
             cols[f"__mask_{m}"] = F.lit(str(custom[m]))
@@ -124,13 +125,10 @@ def blob_column_exprs(
     cols = mask_columns(cfg, clock, attributes)
     name_col = blob_name if blob_name is not None else F.col("broker_id")
 
-    def q(s: str) -> str:
-        return "'" + s.replace("'", "''") + "'"
-
-    static_parts = [q(f"{cfg.base_url}/{cfg.prefix}/")]
+    static_parts = [sql_str(f"{cfg.base_url}/{cfg.prefix}/")]
     for n in cols:
-        static_parts.extend([f"`{n}`", q("/")])
-    static_parts.append(q("blob-"))
+        static_parts.extend([sql_ident(n), sql_str("/")])
+    static_parts.append(sql_str("blob-"))
     lk = F.concat(
         F.expr(f"concat({', '.join(static_parts)})"),
         name_col,

@@ -13,6 +13,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from persistor_spark.functions.sqlq import sql_ident, sql_str
+
 UNKNOWN = "unknown"
 
 
@@ -21,9 +23,8 @@ def version_column(key: str, attributes: str = "attributes") -> Column:
     (addMessageToVersionMap, version_batching.go:29-71).  One SQL
     expression, not a Column-call chain — this is built per ingest batch
     and each Column call is a driver py4j round-trip (r14 opt, §1.2)."""
-    k = key.replace("'", "''")
     return F.expr(
-        f"coalesce(element_at(`{attributes}`, '{k}'), '{UNKNOWN}')"
+        f"coalesce(element_at({sql_ident(attributes)}, {sql_str(key)}), '{UNKNOWN}')"
     )
 
 

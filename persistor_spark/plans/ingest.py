@@ -73,7 +73,9 @@ def clock_sql(cfg: IngestConfig) -> str:
     builders (r14 opt, guide §1.2).  current_timestamp() is a query-start
     literal, so repeating the string across mask expressions yields the
     identical value the shared Column object did."""
-    return f"`{cfg.clock_column}`" if cfg.clock_column else "current_timestamp()"
+    from persistor_spark.functions.sqlq import sql_ident
+
+    return sql_ident(cfg.clock_column) if cfg.clock_column else "current_timestamp()"
 
 
 def run_batch(

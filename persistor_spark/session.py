@@ -42,6 +42,18 @@ def build_session(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Let AQE re-optimize (coalesce/skew-split) the plan that MATERIALIZES
+        # a .persist()/.cache() too (default false).  Without it a cached plan
+        # pins its output at spark.sql.shuffle.partitions: the streaming
+        # ingest caches the fused position-window output per micro-batch, so
+        # every 25k-row batch materialized `cpus` sliver partitions and both
+        # sinks fanned out `cpus` tasks + `cpus` index files PER BATCH — cost
+        # grew with core count (the r14 driver bench saw stream_ingest 4.5s ->
+        # 16.7s going 8 -> 32 cores).  With AQE the cached partition count is
+        # byte-adaptive (advisoryPartitionSizeInBytes), the scale-correct
+        # behavior at any core count: a 100 TB batch still materializes many
+        # partitions, a small one collapses to few (guide §2.2/§6).
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")

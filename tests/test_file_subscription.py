@@ -203,6 +203,31 @@ def test_ack_df_and_nack_df_scale_path(spark, tmp_path):
     assert sub.pull(spark, 12).count() == 0
 
 
+def test_pull_returns_tagged_snapshot_frame(spark, tmp_path):
+    """r15 advisor pin: the fast-settle shortcut keys off a dynamic
+    attribute (_fsub_lease) on the VERY object pull returns, and the
+    write-as-pin pull (r15 opt) keys the prune-survival guarantee off that
+    object reading the immutable lease frame.  If pull ever wraps or
+    recreates the returned DataFrame, both degrade SILENTLY (generic
+    matcher, re-scanned backlog) — this test makes that a failure instead."""
+    sub = FileSubscription(str(tmp_path / "sub"), batch_size=4)
+    _publish_n(spark, sub, 8)
+    b = sub.pull(spark)
+    tag = getattr(b, "_fsub_lease", None)
+    assert tag is not None, "pull's returned object lost the fast-settle tag"
+    root, gid, n, nbytes = tag
+    assert root == str(tmp_path / "sub") and n == 4 and nbytes > 0
+    # the returned plan reads the group's immutable lease frame (the pin
+    # against prune swaps), not the live backlog files
+    srcs = b.inputFiles()
+    assert srcs and all(f"leases/{gid}.parquet" in p for p in srcs), srcs
+    # and the frame holds the full wire row (write-as-pin), projected back
+    # to the wire schema for the caller
+    assert sorted(c for c in b.columns) == sorted(
+        ["message_id", "data", "attributes", "publish_time", "ordering_key", "size_bytes"]
+    )
+
+
 def test_fast_settle_preconditions_and_fallbacks(spark, tmp_path):
     """r14 opt: a full-batch ack/nack of the EXACT object pull returned
     settles by adopting the lease frame's files (no Spark jobs).  The

@@ -1,6 +1,7 @@
 """Dump `.explain("formatted")` for every bench line's representative plan
-into plans/r14/<name>_<tag>.txt — the optimization round's before/after
-evidence (the judge checks plan claims against these files).
+into plans/$SPARK_GRAFT_PLAN_ROUND/<name>_<tag>.txt (default r15) — the
+optimization round's before/after evidence (the judge checks plan claims
+against these files).
 
 Usage: python tools/dump_plans.py <tag> [name ...]
   tag: "before" / "after" (file suffix)
@@ -23,7 +24,9 @@ from persistor_spark.session import build_session  # noqa: E402
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or [n for n, p in bench.PLAN_PROBES.items() if p]
-    out_dir = os.path.join(REPO, "plans", "r14")
+    out_dir = os.path.join(
+        REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r15")
+    )
     os.makedirs(out_dir, exist_ok=True)
     spark = build_session("persistor-plan-dump")
     import tempfile
