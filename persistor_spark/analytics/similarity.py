@@ -391,6 +391,96 @@ def _topn_cid_scores(vec: Column, cents: list[tuple[int, list[float]]], n: int) 
     )
 
 
+def _train_assign_udf(cents: list, l2_bias: bool = False):
+    """Arrow-vectorized twin of _sql_argmax_cid for the Lloyd TRAIN loops
+    ONLY (r15 opt, guide §4.2/§1.2): re-parsing + re-analyzing the C x d
+    literal-matrix SQL text cost ~0.55 s per iteration against ~0.2 s of
+    actual execution (measured with the collect-twice probe), because the
+    literals CHANGE every iteration and defeat every plan/codegen cache.
+    Here the centroid values live in the UDF closure, so the per-iteration
+    plan is a tiny constant shape — analysis is paid on a few KB of plan,
+    not 20 KB of literal text.
+
+    BIT-PARITY with the SQL expression (the a33 constraint): the score is
+    accumulated sequentially over dimensions — acc = (((0 + v0*c0) + v1*c1)
+    + ...) — exactly the zip_with-product + left-fold order of _sql_dot,
+    and every step is the same IEEE-754 double multiply/add numpy performs
+    elementwise; the l2 bias is the identical driver-computed float
+    subtracted AFTER the fold, and np.argmax's first-maximum tie-break
+    equals array_max over (s, -pick) structs (lowest pick wins ties).
+    Search/encode paths keep the JVM expressions (plan-digest-pinned, and
+    they build their plan once, not once per iteration)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    picks = np.array([int(c) for c, _ in cents], dtype="int64")
+    mats = [np.asarray(cv, dtype="float64") for _, cv in cents]
+    biases = (
+        [0.5 * sum(x * x for x in cv) for _, cv in cents] if l2_bias else None
+    )
+
+    @pandas_udf("int")
+    def assign(vs):
+        import numpy as np
+        import pandas as pd
+
+        v = np.asarray(vs.tolist(), dtype="float64")
+        n = v.shape[0]
+        scores = np.empty((n, len(mats)), dtype="float64")
+        for ci, cv in enumerate(mats):
+            acc = np.zeros(n, dtype="float64")
+            for i in range(v.shape[1]):
+                # sequential in i: the exact left-fold summation order of
+                # _sql_dot, vectorized across rows
+                acc = acc + v[:, i] * cv[i]
+            if biases is not None:
+                acc = acc - biases[ci]
+            scores[:, ci] = acc
+        return pd.Series(picks[np.argmax(scores, axis=1)]).astype("int32")
+
+    return assign
+
+
+def _pq_train_assign_udf(codebooks: list):
+    """Arrow-vectorized twin of the pq_train per-iteration encode expression
+    (same motivation and bit-parity argument as _train_assign_udf; the
+    subspace codebook is selected by the row's j, scores are the
+    sequential-fold dot minus the driver-computed 0.5*||c||^2 bias, ties
+    argmax to the lowest code)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    mats = [
+        [np.asarray(c, dtype="float64") for c in cb_j] for cb_j in codebooks
+    ]
+    biases = [
+        [0.5 * sum(x * x for x in c) for c in cb_j] for cb_j in codebooks
+    ]
+
+    @pandas_udf("int")
+    def assign(js, svs):
+        import numpy as np
+        import pandas as pd
+
+        j_arr = js.to_numpy()
+        sv = np.asarray(svs.tolist(), dtype="float64")
+        out = np.zeros(len(j_arr), dtype="int64")
+        for j in np.unique(j_arr):
+            mask = j_arr == j
+            subv = sv[mask]
+            cb_j, bias_j = mats[int(j)], biases[int(j)]
+            scores = np.empty((subv.shape[0], len(cb_j)), dtype="float64")
+            for k, cv in enumerate(cb_j):
+                acc = np.zeros(subv.shape[0], dtype="float64")
+                for i in range(subv.shape[1]):
+                    acc = acc + subv[:, i] * cv[i]
+                scores[:, k] = acc - bias_j[k]
+            out[mask] = np.argmax(scores, axis=1)
+        return pd.Series(out).astype("int32")
+
+    return assign
+
+
 def _collect_centroids(centroids: DataFrame) -> list[tuple[int, list[float]]]:
     """(cid, cv) rows -> cid-sorted driver list.  Bounded by C (the centroid
     count), never by the corpus — the same driver footprint FAISS keeps."""
@@ -462,11 +552,14 @@ def kmeans_train(
         )
     dim = len(cents[0][1])
     for _ in range(max_iter):
-        # SQL-text expression build (see _sql_* helpers): one F.expr per
-        # iteration instead of hundreds of Column-API py4j calls — the
-        # analyzed tree (and therefore every float) is identical
+        # Arrow-vectorized assignment with centroids in the UDF closure
+        # (r15 opt — see _train_assign_udf): the r14 SQL-text build already
+        # cut the py4j cost, but the literal matrix still changed per
+        # iteration, so parse+analyze+codegen (~0.55 s) re-ran on every
+        # Lloyd round against ~0.2 s of execution.  Scores, tie-breaks and
+        # the downstream avg's partial-agg order are bit-identical.
         assigned = v.select(
-            F.expr(_sql_argmax_cid("v", cents, l2_bias=(assign == "l2"))).alias("cid"),
+            _train_assign_udf(cents, l2_bias=(assign == "l2"))(F.col("v")).alias("cid"),
             "v",
         )
         new_rows = (
@@ -763,26 +856,19 @@ def pq_train(
     ]
     for _ in range(kmeans_iter):
         # encode rule: argmin L2 == argmax (dot - ||c||^2/2); ties -> lowest
-        # code (array_position returns the first maximum).  Whole per-row
-        # scoring expression composed as ONE SQL string (see _sql_* helpers)
-        # — the Column-API build of the 3-D literal codebook + folds cost
-        # more driver time per iteration than the job itself.
-        cb3 = _sql_lit(codebooks, "array<array<array<double>>>")
-        bias3 = _sql_lit(
-            [[0.5 * sum(x * x for x in c) for c in cb_j] for cb_j in codebooks],
-            "array<array<double>>",
-        )
-        scores = (
-            f"zip_with(transform(element_at({cb3}, j + 1), "
-            f"c -> {_sql_dot('sv', 'c')}), "
-            f"element_at({bias3}, j + 1), (s, b) -> s - b)"
-        )
-        code = _sql_argmax_pick(scores, list(range(ksub)))
-        # ONE hash agg with dsub avg(sv[i]) aggregates — the shuffle carries
-        # m*ksub rows of dsub partials (the earlier posexplode path tripled
-        # the stage count and shuffled n*m*dsub rows)
+        # code.  Arrow-vectorized assignment with the 3-D codebook in the
+        # UDF closure (r15 opt — see _pq_train_assign_udf): the literal
+        # codebook changed per iteration, so the giant SQL text re-paid
+        # parse+analyze+codegen every Lloyd round.  ONE hash agg with dsub
+        # avg(sv[i]) aggregates — the shuffle carries m*ksub rows of dsub
+        # partials (the earlier posexplode path tripled the stage count and
+        # shuffled n*m*dsub rows)
         new_rows = (
-            sub.select("j", F.expr(code).alias("cid"), "sv")
+            sub.select(
+                "j",
+                _pq_train_assign_udf(codebooks)(F.col("j"), F.col("sv")).alias("cid"),
+                "sv",
+            )
             .groupBy("j", "cid")
             .agg(F.expr(_sql_avg_array("sv", dsub)))
             .collect()  # collect-ok: m*ksub codebook means
