@@ -351,11 +351,10 @@ class FileSubscription:
         driver."""
         if not active:
             return None
-        # project the id/size columns by name: lease frames carry the full
-        # wire row since the write-as-pin pull (r15 opt), and matching must
-        # never drag payload bytes through the anti-join or into the
-        # settled journal — parquet column pruning keeps this scan as
-        # narrow as the old 3-column frames
+        # project the id/size columns by name (r15 hardening): matching
+        # must never drag payload bytes through the anti-join or into the
+        # settled journal even if a future frame layout widens — with
+        # today's 3-column frames this is the identity projection
         frames = spark.read.parquet(*[self._group_frame(g) for g in active]).select(
             "group_id", "message_id", "size_bytes"
         )
@@ -525,21 +524,23 @@ class FileSubscription:
         w = Window.orderBy("publish_time", "message_id").rowsBetween(
             Window.unboundedPreceding, Window.currentRow
         )
-        # ONE job evaluates scan -> anti-joins -> top-K -> byte cumsum ->
-        # budget filter AND writes the surviving FULL wire rows as the
-        # group's lease frame — the write IS the snapshot (r15 opt, guide
-        # §1.2): the frame is immutable and group-owned, so the returned
-        # batch (a plain read of it) survives a later prune swapping the
-        # backlog's file layout under a racing consumer, which is what the
-        # r14 localCheckpoint job pinned at the cost of one extra Spark
-        # job + a payload materialization per pull.  (publish_time,
-        # message_id) is a total order, so the rare oversize re-evaluation
-        # below returns the identical prefix.  The settle paths project
-        # (group_id, message_id, size_bytes) out of the frame by name —
-        # parquet column pruning keeps their scans as narrow as the old
-        # 3-column frames, and the fast-settle adoption already tolerates
-        # mixed frame widths (see _settle_leased_frame_locked).
-        headp = head.withColumn("__cum", F.sum("size_bytes").over(w))
+        # ONE heavy job materializes the budget-annotated head
+        # (localCheckpoint pins the delivered rows against a later prune
+        # swap — a racing consumer still processing its batch must survive
+        # the backlog's file layout changing); the byte-budget filter, the
+        # lease frame write, the oversize fallback and the returned batch
+        # all read these immutable snapshot blocks, so they come from the
+        # SAME evaluation of the deterministic orderBy+limit prefix and no
+        # arm ever re-scans the backlog.
+        #
+        # r15 note — "write-as-pin" TRIED AND REVERTED: fusing the lease
+        # frame write into this job (full wire rows to parquet, returned
+        # batch = a read of the frame) saves one small Spark job per pull
+        # but makes every downstream consumer parquet-DECODE the payload
+        # rows (isEmpty + the ingest cache fill) instead of reading
+        # checkpoint blocks; interleaved A/B on the receiver bench line
+        # read 0.9x (5.0 -> 5.6 s warm), so the two-job shape stays.
+        headc = head.withColumn("__cum", F.sum("size_bytes").over(w)).localCheckpoint()
         gid = "g%06d" % state["next_group"]
 
         def _lease_frame(rows):
@@ -548,7 +549,8 @@ class FileSubscription:
             obs = Observation()
             rows.select(
                 F.lit(gid).alias("group_id"),
-                *[F.col(f.name) for f in WIRE_SCHEMA.fields],
+                F.col("message_id"),
+                F.col("size_bytes"),
             ).observe(
                 obs,
                 F.count(F.lit(1)).alias("n"),
@@ -556,14 +558,14 @@ class FileSubscription:
             ).write.mode(
                 "overwrite"
             ).parquet(self._group_frame(gid))
-            return int(obs.get["n"]), int(obs.get["nb"])
+            return rows, int(obs.get["n"]), int(obs.get["nb"])
 
-        n, nbytes = _lease_frame(headp.filter(F.col("__cum") <= budget_bytes))
+        snap, n, nbytes = _lease_frame(headc.filter(F.col("__cum") <= budget_bytes))
         if n == 0 and not active:
             # the oversize exception (a message larger than the byte cap is
             # still delivered) applies only when NOTHING is outstanding —
             # otherwise the leased volume would exceed the byte cap
-            n, nbytes = _lease_frame(headp.limit(1))
+            snap, n, nbytes = _lease_frame(headc.limit(1))
         if n == 0:
             import shutil
 
@@ -575,16 +577,7 @@ class FileSubscription:
         state["groups"][gid] = [now + self.ack_deadline_s, int(n), int(nbytes)]
         state["next_group"] += 1
         self._save_state(state)
-        out = (
-            spark.read.schema(
-                StructType(
-                    [StructField("group_id", StringType(), False)]
-                    + list(WIRE_SCHEMA.fields)
-                )
-            )
-            .parquet(self._group_frame(gid))
-            .select(*[f.name for f in WIRE_SCHEMA.fields])
-        )
+        out = snap.select(*[f.name for f in WIRE_SCHEMA.fields])
         # Settle fast-path tag (r14 opt, guide §1.2): the lease frame just
         # written holds EXACTLY this batch's (group_id, message_id,
         # size_bytes) rows, so a full-batch ack/nack of this very object
@@ -784,12 +777,11 @@ class FileSubscription:
         rows present in the acked store (the invariant
         _backlog_scan_paths' prefix bound rests on), and a crash after
         the journal links only delays redelivery (at-least-once arm).
-        The acked store gains full-width frames (group_id + the whole
-        wire row, since the write-as-pin pull) next to the generic
-        path's id-only ones; every reader projects by name (Spark and
-        pyarrow both null-fill/ignore mismatched parquet columns), so
-        the mixed schema is benign, and adoption is by hardlink so the
-        payload bytes are never duplicated on disk."""
+        The acked store gains full-width (group_id, message_id,
+        size_bytes) frames next to the generic path's id-only ones;
+        every reader projects by name (Spark and pyarrow both
+        null-fill/ignore mismatched parquet columns), so the mixed
+        schema is benign."""
         import uuid
 
         root, gid, n0, nb0 = tag
@@ -1208,10 +1200,10 @@ class FileSubscription:
             )
             os.makedirs(rel_dir, exist_ok=True)
             return
-        # project by name: fast-settle adopts full-width lease frames into
-        # the journal (hardlinks — no extra bytes on disk), but the rewrite
-        # must not COPY payload columns forward; matching only ever consults
-        # (group_id, message_id), size_bytes rides along for debuggability
+        # project by name (r15 hardening): the rewrite must never copy
+        # payload-class columns forward if a future frame layout widens;
+        # matching only ever consults (group_id, message_id), size_bytes
+        # rides along for debuggability
         rel = spark.read.parquet(rel_dir).select(
             "group_id", "message_id", "size_bytes"
         )

@@ -205,11 +205,12 @@ def test_ack_df_and_nack_df_scale_path(spark, tmp_path):
 
 def test_pull_returns_tagged_snapshot_frame(spark, tmp_path):
     """r15 advisor pin: the fast-settle shortcut keys off a dynamic
-    attribute (_fsub_lease) on the VERY object pull returns, and the
-    write-as-pin pull (r15 opt) keys the prune-survival guarantee off that
-    object reading the immutable lease frame.  If pull ever wraps or
-    recreates the returned DataFrame, both degrade SILENTLY (generic
-    matcher, re-scanned backlog) — this test makes that a failure instead."""
+    attribute (_fsub_lease) on the VERY object pull returns.  If pull ever
+    wraps or recreates the returned DataFrame, the shortcut degrades
+    SILENTLY to the generic matcher — this test makes that a test failure
+    instead of a quiet perf regression."""
+    import os
+
     sub = FileSubscription(str(tmp_path / "sub"), batch_size=4)
     _publish_n(spark, sub, 8)
     b = sub.pull(spark)
@@ -217,12 +218,9 @@ def test_pull_returns_tagged_snapshot_frame(spark, tmp_path):
     assert tag is not None, "pull's returned object lost the fast-settle tag"
     root, gid, n, nbytes = tag
     assert root == str(tmp_path / "sub") and n == 4 and nbytes > 0
-    # the returned plan reads the group's immutable lease frame (the pin
-    # against prune swaps), not the live backlog files
-    srcs = b.inputFiles()
-    assert srcs and all(f"leases/{gid}.parquet" in p for p in srcs), srcs
-    # and the frame holds the full wire row (write-as-pin), projected back
-    # to the wire schema for the caller
+    # the tag names a lease frame that exists on disk (what fast-settle
+    # adopts), and the returned frame is wire-schema shaped
+    assert os.path.isdir(str(tmp_path / "sub" / "leases" / f"{gid}.parquet"))
     assert sorted(c for c in b.columns) == sorted(
         ["message_id", "data", "attributes", "publish_time", "ordering_key", "size_bytes"]
     )
