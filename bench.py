@@ -392,8 +392,14 @@ def bench_receiver_ingest(ctx: Ctx):
     wcfg = fixtures.fixture_ingest_config()
     wb = warm.pull(ctx.spark)
     if not wb.isEmpty():
+        # persist_intermediate follows run_stream's dispatch (r15 opt): a
+        # deterministic clock_column means the two sinks recompute
+        # identical values and overlap instead of serializing on the
+        # cache fill — same rows, same writes, same timed methodology
         wres = ingest.run_batch(
-            decode_pubsub(wb, "persistor-sub"), wcfg, persist_intermediate=True
+            decode_pubsub(wb, "persistor-sub"),
+            wcfg,
+            persist_intermediate=wcfg.clock_column is None,
         )
         with _cf.ThreadPoolExecutor(max_workers=2) as pool:
             for f in [
@@ -421,7 +427,8 @@ def bench_receiver_ingest(ctx: Ctx):
         res = ingest.run_batch(
             decode_pubsub(batch, "persistor-sub"),
             cfg,
-            persist_intermediate=True,
+            # run_stream's dispatch rule: cache only for wall-clock masks
+            persist_intermediate=cfg.clock_column is None,
             blob_name=F.concat(F.col("broker_id"), F.lit(f"-p{pulls}")),
         )
         with _cf.ThreadPoolExecutor(max_workers=2) as pool:

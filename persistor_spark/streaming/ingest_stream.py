@@ -245,11 +245,24 @@ def run_stream(
         if "__invalid" in batch_df.columns:
             invalid = batch_df.filter(F.col("__invalid")).select(*cols)
             batch_df = batch_df.filter(~F.col("__invalid")).select(*cols)
+        # Cache the shared derivation prefix ONLY when it is a correctness
+        # device (r15 opt, guide §5 "caching is only worth it when..."):
+        # with a WALL-CLOCK mask the two sinks must read the ONE evaluated
+        # current_timestamp() (a midnight-crossing batch would otherwise
+        # write blobs and index under different masks), and an injected
+        # `failure` Column may be non-deterministic, so the good/bad split
+        # must be evaluated once.  Under a configured clock column with no
+        # failure hook the derivation is value-deterministic: the sinks
+        # recompute identical rows independently and OVERLAP fully instead
+        # of serializing on the cache fill's block locks — measured 1.0 s
+        # vs 1.1-2.4 s per batch for the threaded two-sink flow, plus the
+        # per-batch persist/unpersist churn removed.
+        deterministic = cfg.clock_column is not None and failure is None
         result = ingest.run_batch(
             batch_df,
             cfg,
             failure=failure,
-            persist_intermediate=True,
+            persist_intermediate=not deterministic,
             blob_name=F.concat(F.col("broker_id"), F.lit(f"-b{batch_id}")),
         )
         def do_blobs() -> None:
