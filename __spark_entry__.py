@@ -8035,53 +8035,160 @@ def _d46_ann_recall(spark, sf_dir):
 # backlog is exhausted (r6 VERDICT #7: the rotation policy as a checked
 # invariant, not prose).
 ROTATION_HEAD = [
-    # r14 NEW: concurrent compact-vs-delete (d51), resubmit under
-    # compaction (d52), schema evolution under a live stream (d53)
-    "d51_compact_delete_race",
-    "d52_resubmit_under_compaction",
-    "d53_stream_schema_evolution",
-    "d54_delete_under_reader",
-    # r14 code/oracle-changed: the six round-of-ratio conversions to
-    # engine-identical form (r13 VERDICT #2), the three exact-decimal
-    # entries gaining the _dec_exact overflow guard (r13 ADVICE), and
-    # d48's worker repo-root parameterization (r13 ADVICE)
-    "e42_revenue_share",
-    "a89_removal_impact",
-    "a90_tokenizer_fertility",
-    "a119_nucleus_vocab",
-    "e57_chi_square",
-    "e59_forward_fill",
-    "e46_time_weighted_avg",
-    "e49_mom_growth",
-    "a131_label_dispersion",
+    # r15 engine-path-changed (optimization round — no query's COMPUTATION
+    # changed, but these routes exercise the round's engine edits most
+    # directly): the k-means/PQ train loops moved to constant-shape Arrow
+    # UDFs (a33 pins exact all-pairs cosine, the bit-parity-riskiest row;
+    # a159 runs ANN build under streaming), the streaming ingest now skips
+    # the per-batch cache under a deterministic clock (d40/d42/d43 +
+    # a158 drive run_stream end-to-end), and the receiver path (d41)
+    # consumes the pull/settle machinery the round probed.
+    "a33_semdedup",
+    "a158_dedup_ingest_stream",
+    "a159_ann_ingest_stream",
+    "d40_lifecycle_e2e",
+    "d41_multi_consumer",
+    "d42_dedup_gate_stream",
+    "d43_restart_recovery",
+]
+
+# r15 driver window: ROTATION_HEAD + the 43 stalest rows (latest driver
+# green = r9; 46 such rows exist — a151/a152/a153, three of the many
+# same-family stream-window analytics, wait one more window so a8/a9/d22
+# keep path diversity in this one).  The never-green backlog is empty
+# (all 272 registry rows have at least one green driver row), so per the
+# rotation policy the remaining slots go to the oldest-green rows —
+# after this round the staleness floor rises from r9 toward r10 (r14
+# VERDICT #8).
+R15_WINDOW = ROTATION_HEAD + [
+    "a10_multimodal_features",
+    "a11_dedup_clusters",
+    "a13_curation_pipeline",
+    "a140_curation_e2e",
+    "a141_windowed_dup_rate",
+    "a143_quality_psi",
+    "a145_late_arrivals",
+    "a146_window_percentiles",
+    "a147_new_key_rate",
+    "a148_window_anomaly",
+    "a149_windowed_hll_users",
+    "a14_bm25_topk",
+    "a150_dup_lineage",
+    "a154_attribution_rate",
+    "a16_label_centroids",
+    "a17_bpe_tokens",
+    "a18_winnowing_pairs",
+    "a20_contamination",
+    "a21_cms_sketch",
+    "a22_repetition",
+    "a23_quality_rules",
+    "a24_pii_scrub",
+    "a27_lm_perplexity",
+    "a28_weighted_mix",
+    "a29_pack_sequences",
+    "a30_dup_spans",
+    "a31_quota_sample",
+    "a35_audio_features",
+    "a36_frame_samples",
+    "a37_chunking",
+    "a38_pmi_bigrams",
+    "a39_split_assign",
+    "a44_cluster_reps",
+    "a49_ann_recall",
+    "a4_simhash_pairs",
+    "a50_hybrid_rrf",
+    "a52_split_leakage",
+    "a53_dup_substrings",
+    "a56_pagerank",
+    "a5_embedding_topk",
+    "a8_text_stats",
+    "a9_langid_profile",
+    "d22_mongo_payload_fetch",
 ]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Dict ORDER is deliberate: the driver verifies the FIRST 50 entries.
 
-    r14 ROTATION (r13 VERDICT #1): the window is EXACTLY 50 entries:
-    (1) the 4 NEW r14 pins (compact-vs-delete race d51, resubmit under
-    compaction d52, schema evolution under a live stream d53, delete
-    under a resident-manifest reader d54 — the maintenance-vs-reader
-    matrix completed); (2) the 9 entries whose code or oracle changed
-    this round (the six round-of-ratio conversions e42/a89/a90/a119/
-    e57/e59 and the three overflow-guarded exact-decimal entries
-    e46/e49/a131; d48's worker-argv change was demoted below the marker
-    to make room for d54 — the argv path runs green in every full local
-    gate at all three SFs); (3) ALL 37 remaining r8-era rows (d1-d21,
-    e1-e7, a1-a3, a128/a130/a132/a135/a136/a139) — after this round no
-    driver row is older than r9.  The 14 posting-join oracle rewrites
-    whose VALUES are unchanged (hash-verified locally at sf0.001 +
-    sf0.01; a2/a3 are in-window via the r8 tail) rotate through later
-    windows.  Everything below the marker is driver-green at least once
-    AND re-verified by tools/check.py (full-registry gate) plus pytest
-    every round; tests/test_rotation_window.py enforces the rotation
-    policy as a checked invariant.
+    r15 ROTATION (r14 VERDICT #8 — keep rotating so the staleness floor
+    rises): the window is `R15_WINDOW` — the 7 engine-path-changed rows
+    (this optimization round changed no query's computation; see
+    ROTATION_HEAD's comment) followed by 43 of the 46 rows whose latest
+    driver green is r9, the oldest in the registry.  Rather than physically
+    reordering this dict every round, the full registry literal below keeps
+    the r14 layout and the return re-keys it with the window first —
+    identical name -> callable mapping, window-first iteration order.
+    Every row below the window is driver-green at least once AND
+    re-verified by tools/check.py (full-registry gate) plus pytest every
+    round; tests/test_rotation_window.py enforces the rotation policy as a
+    checked invariant.
 
     Verify the actual window before round end with:
       python -c "import __spark_entry__ as e; print(list(e.queries())[:50])"
     """
+    q = _registry_r14_order()
+    return {
+        "a33_semdedup": q["a33_semdedup"],
+        "a158_dedup_ingest_stream": q["a158_dedup_ingest_stream"],
+        "a159_ann_ingest_stream": q["a159_ann_ingest_stream"],
+        "d40_lifecycle_e2e": q["d40_lifecycle_e2e"],
+        "d41_multi_consumer": q["d41_multi_consumer"],
+        "d42_dedup_gate_stream": q["d42_dedup_gate_stream"],
+        "d43_restart_recovery": q["d43_restart_recovery"],
+        "a10_multimodal_features": q["a10_multimodal_features"],
+        "a11_dedup_clusters": q["a11_dedup_clusters"],
+        "a13_curation_pipeline": q["a13_curation_pipeline"],
+        "a140_curation_e2e": q["a140_curation_e2e"],
+        "a141_windowed_dup_rate": q["a141_windowed_dup_rate"],
+        "a143_quality_psi": q["a143_quality_psi"],
+        "a145_late_arrivals": q["a145_late_arrivals"],
+        "a146_window_percentiles": q["a146_window_percentiles"],
+        "a147_new_key_rate": q["a147_new_key_rate"],
+        "a148_window_anomaly": q["a148_window_anomaly"],
+        "a149_windowed_hll_users": q["a149_windowed_hll_users"],
+        "a14_bm25_topk": q["a14_bm25_topk"],
+        "a150_dup_lineage": q["a150_dup_lineage"],
+        "a154_attribution_rate": q["a154_attribution_rate"],
+        "a16_label_centroids": q["a16_label_centroids"],
+        "a17_bpe_tokens": q["a17_bpe_tokens"],
+        "a18_winnowing_pairs": q["a18_winnowing_pairs"],
+        "a20_contamination": q["a20_contamination"],
+        "a21_cms_sketch": q["a21_cms_sketch"],
+        "a22_repetition": q["a22_repetition"],
+        "a23_quality_rules": q["a23_quality_rules"],
+        "a24_pii_scrub": q["a24_pii_scrub"],
+        "a27_lm_perplexity": q["a27_lm_perplexity"],
+        "a28_weighted_mix": q["a28_weighted_mix"],
+        "a29_pack_sequences": q["a29_pack_sequences"],
+        "a30_dup_spans": q["a30_dup_spans"],
+        "a31_quota_sample": q["a31_quota_sample"],
+        "a35_audio_features": q["a35_audio_features"],
+        "a36_frame_samples": q["a36_frame_samples"],
+        "a37_chunking": q["a37_chunking"],
+        "a38_pmi_bigrams": q["a38_pmi_bigrams"],
+        "a39_split_assign": q["a39_split_assign"],
+        "a44_cluster_reps": q["a44_cluster_reps"],
+        "a49_ann_recall": q["a49_ann_recall"],
+        "a4_simhash_pairs": q["a4_simhash_pairs"],
+        "a50_hybrid_rrf": q["a50_hybrid_rrf"],
+        "a52_split_leakage": q["a52_split_leakage"],
+        "a53_dup_substrings": q["a53_dup_substrings"],
+        "a56_pagerank": q["a56_pagerank"],
+        "a5_embedding_topk": q["a5_embedding_topk"],
+        "a8_text_stats": q["a8_text_stats"],
+        "a9_langid_profile": q["a9_langid_profile"],
+        "d22_mongo_payload_fetch": q["d22_mongo_payload_fetch"],
+        # ---- driver window ends here (50) ---- below: the rest of the
+        # registry in its r14 physical order (name -> callable mapping
+        # identical; only iteration order differs)
+        **{k: v for k, v in q.items() if k not in R15_WINDOW},
+    }
+
+
+def _registry_r14_order() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """The full registry in its r14 physical layout (see queries() for the
+    r15 window re-keying; the section comments below describe the r14
+    window and are kept as history of that round's rotation)."""
     return {
         # ==== r14 DRIVER WINDOW (positions 1-50) ====
         # -- (1) NEW r14 pins: concurrent compaction-vs-delete on one
@@ -8146,8 +8253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a135_matryoshka_quality": _a135_matryoshka_quality,
         "a136_curriculum_interleave": _a136_curriculum_interleave,
         "a139_length_bucket_waste": _a139_length_bucket_waste,
-        # ---- driver window ends here (50) ---- below: driver-green at
-        # least once, re-verified by the full local gate every round --
+        # ---- r14's window boundary sat here; the r15 window lives in
+        # queries()' literal return (see its marker) -- below: driver-green
+        # at least once, re-verified by the full local gate every round --
         # (d48's only r14 change is the worker repo-root argv — demoted
         #  from the window to make room for the d54 matrix pin; the argv
         #  path is exercised by every full-gate d48 run at all three SFs)
